@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed DataFrame-level metrics that need a sort or a second pass
+  * (non-algebraic aggregations). These are the designs that scale: rather
+  * than buffering a whole group in an aggregator (the reference kernels
+  * materialize each group's Series — fine in-process, fatal at 100 TB),
+  * each op is re-expressed as shuffle-friendly relational algebra:
+  *
+  *  - exact ROC-AUC: compress rows to distinct (group, score) thresholds
+  *    first (groupBy — map-side combinable), then a window over the
+  *    *thresholds only* (cardinality ≪ rows), then the tie-corrected
+  *    Mann–Whitney rank formula, which is exactly the trapezoidal area
+  *    under the ROC curve (reference: src/num_ext/tp_fp.rs:215 sorts and
+  *    integrates with trapz — same result, different execution shape).
+  *  - MAD: aggregate per-group center, broadcast-join it back, aggregate
+  *    deviations. Two shuffles on the group key, no per-group buffering.
+  */
+object MetricOps {
+
+  private val P = "__pds_"
+
+  /** Normalize grouping columns to stable internal names. */
+  private def keyed(df: DataFrame, groupCols: Seq[Column], extra: Seq[Column])
+      : (DataFrame, Seq[String]) = {
+    val gNames = groupCols.indices.map(i => s"${P}g$i")
+    val sel = groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++ extra
+    (df.select(sel: _*), gNames)
+  }
+
+  /** Exact ROC-AUC per group, fully distributed.
+    *
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) where R⁺ is the sum of average
+    * ranks of positives — identical to trapezoidal integration of the ROC
+    * curve with tied scores collapsed to one threshold point.
+    * (reference semantics: metrics.py:354 query_roc_auc)
+    *
+    * Output columns: groupCols (original names not preserved — caller
+    * selects/aliases) … use [[rocAucNamed]] for convenience. */
+  def rocAuc(df: DataFrame, y: Column, score: Column,
+             groupCols: Seq[Column], outName: String = "roc_auc"): DataFrame = {
+    val (t, g) = keyed(df, groupCols,
+      Seq(y.cast("double").as(s"${P}y"), score.cast("double").as(s"${P}s")))
+    val gc = g.map(col)
+    // 1. compress to distinct thresholds — partial-aggregable, one shuffle
+    val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
+    // 2. window over thresholds (small) for cumulative count below
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = thr.withColumn(s"${P}below",
+        coalesce(sum(s"${P}cnt").over(w), lit(0L)))
+      .withColumn(s"${P}posRank",
+        col(s"${P}pos") * (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0))
+    // 3. final per-group reduction
+    val nPos = sum(s"${P}pos")
+    val nNeg = sum(s"${P}cnt") - nPos
+    ranked.groupBy(gc: _*).agg(
+      ((sum(s"${P}posRank") - nPos * (nPos + 1.0) / 2.0) /
+        (nPos * nNeg)).as(outName))
+  }
+
+  /** rocAuc keeping given output names for the group columns. */
+  def rocAucNamed(df: DataFrame, y: Column, score: Column,
+                  groupNames: Seq[String], outName: String = "roc_auc")
+      : DataFrame = {
+    val res = rocAuc(df, y, score, groupNames.map(col), outName)
+    groupNames.zipWithIndex.foldLeft(res) { case (d, (n, i)) =>
+      d.withColumnRenamed(s"${P}g$i", n)
+    }
+  }
+
+  /** Gini = 2·AUC − 1. (metrics.py:400) */
+  def gini(df: DataFrame, y: Column, score: Column,
+           groupNames: Seq[String], outName: String = "gini"): DataFrame =
+    rocAucNamed(df, y, score, groupNames, outName)
+      .withColumn(outName, col(outName) * 2.0 - 1.0)
+
+  /** TPR/FPR at every distinct threshold (descending), per group —
+    * the reference's query_tpr_fpr (metrics.py:379) as an exploded table.
+    * tpr(s) = P(score ≥ s | y=1), fpr(s) = P(score ≥ s | y=0). */
+  def tprFpr(df: DataFrame, y: Column, score: Column,
+             groupNames: Seq[String]): DataFrame = {
+    val (t, g) = keyed(df, groupNames.map(col),
+      Seq(y.cast("double").as(s"${P}y"), score.cast("double").as(s"${P}s")))
+    val gc = g.map(col)
+    val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
+    val wTot = Window.partitionBy(gc: _*)
+    val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val res = thr
+      .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
+      .withColumn(s"${P}n", sum(s"${P}cnt").over(wTot))
+      .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
+      .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+      .select(gc ++ Seq(
+        col(s"${P}s").as("threshold"),
+        (col(s"${P}cumPos") / col(s"${P}npos")).as("tpr"),
+        ((col(s"${P}cumCnt") - col(s"${P}cumPos")) /
+          (col(s"${P}n") - col(s"${P}npos"))).as("fpr")): _*)
+    groupNames.zipWithIndex.foldLeft(res) { case (d, (n, i)) =>
+      d.withColumnRenamed(s"${P}g$i", n)
+    }
+  }
+
+  /** Precision/recall/F1/ROC-AUC combo per group
+    * (reference query_binary_metrics, metrics.py:495). Score is binarized
+    * at `threshold` for the count-based fields. */
+  def binaryMetrics(df: DataFrame, y: Column, score: Column,
+                    groupNames: Seq[String], threshold: Double = 0.5)
+      : DataFrame = {
+    import graft.functions.Metrics
+    val counts = df.groupBy(groupNames.map(col): _*).agg(
+      Metrics.fScore(y.cast("long"), (score >= threshold).cast("long"))
+        .as("f1"),
+      Metrics.mcc(y.cast("long"), (score >= threshold).cast("long"))
+        .as("mcc"))
+    val auc = rocAucNamed(df, y, score, groupNames, "roc_auc")
+    counts.join(auc, groupNames)
+  }
+
+  /** Mean / median absolute deviation per group.
+    * center = "mean" | "median". Two aggregations + a broadcast join of
+    * the (small) per-group centers — no per-group buffering.
+    * (reference query_mad, metrics.py:46) */
+  def mad(df: DataFrame, x: Column, groupNames: Seq[String],
+          center: String = "median", outName: String = "mad"): DataFrame = {
+    val xc = x.cast("double").as(s"${P}x")
+    val t = df.select(groupNames.map(col) :+ xc: _*)
+    val centerAgg = center match {
+      case "mean" => avg(s"${P}x")
+      case _      => expr(s"percentile(${P}x, 0.5)")
+    }
+    val centers = t.groupBy(groupNames.map(col): _*)
+      .agg(centerAgg.as(s"${P}c"))
+    val dev = abs(col(s"${P}x") - col(s"${P}c"))
+    val devAgg = center match {
+      case "mean" => avg(dev)
+      case _      => expr(s"percentile(abs(${P}x - ${P}c), 0.5)")
+    }
+    t.join(broadcast(centers), groupNames)
+      .groupBy(groupNames.map(col): _*)
+      .agg(devAgg.as(outName))
+  }
+
+  /** MASE: mean absolute scaled error vs seasonal-naive forecast over an
+    * explicit order column. (metrics.py:275 query_mase) */
+  def mase(df: DataFrame, order: Column, y: Column, p: Column,
+           groupNames: Seq[String], period: Int = 1,
+           outName: String = "mase"): DataFrame = {
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+    df.withColumn(s"${P}naive", lag(y, period).over(w))
+      .groupBy(groupNames.map(col): _*)
+      .agg((avg(abs(y - p)) / avg(abs(y - col(s"${P}naive")))).as(outName))
+  }
+}

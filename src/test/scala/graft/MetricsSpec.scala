@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Metrics
+import graft.ops.MetricOps
+
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol
+
+  test("rocAuc matches the classic 4-point example (sklearn = 0.75)") {
+    import spark.implicits._
+    val df = Seq((0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8))
+      .toDF("y", "p").withColumn("g", lit("a"))
+    val res = MetricOps.rocAucNamed(df, col("y"), col("p"), Seq("g"))
+      .collect()
+    assert(res.length == 1)
+    assert(approx(res(0).getDouble(1), 0.75))
+  }
+
+  test("rocAuc with ties uses average ranks (trapezoid equivalence)") {
+    import spark.implicits._
+    // y = [0,1,0,1], p = [0.5,0.5,0.2,0.8]: one tied pair contributes 1/2.
+    // pairs: (pos .5 vs neg .5)=0.5, (pos .5 vs neg .2)=1, (pos .8 vs both)=2
+    // AUC = 3.5/4 = 0.875
+    val df = Seq((0, 0.5), (1, 0.5), (0, 0.2), (1, 0.8))
+      .toDF("y", "p").withColumn("g", lit("a"))
+    val res = MetricOps.rocAucNamed(df, col("y"), col("p"), Seq("g")).collect()
+    assert(approx(res(0).getDouble(1), 0.875))
+  }
+
+  test("logLoss / r2 / l1 / l2 / huber / mcc agree with hand math") {
+    import spark.implicits._
+    val df = Seq((1.0, 0.9), (0.0, 0.1), (1.0, 0.4), (0.0, 0.6))
+      .toDF("y", "p")
+    val r = df.agg(
+      Metrics.logLoss(col("y"), col("p")).as("ll"),
+      Metrics.l1Loss(col("y"), col("p")).as("l1"),
+      Metrics.l2Loss(col("y"), col("p")).as("l2"),
+      Metrics.huberLoss(col("y"), col("p"), 0.5).as("hub"),
+      Metrics.r2(col("y"), col("p")).as("r2")
+    ).collect()(0)
+    val ll = -(math.log(0.9) + math.log(0.9) + math.log(0.4) + math.log(0.4)) / 4
+    assert(approx(r.getAs[Double]("ll"), ll))
+    assert(approx(r.getAs[Double]("l1"), (0.1 + 0.1 + 0.6 + 0.6) / 4))
+    assert(approx(r.getAs[Double]("l2"), (0.01 + 0.01 + 0.36 + 0.36) / 4))
+    // huber δ=0.5: 0.1→0.005, 0.1→0.005, 0.6→0.5*(0.6-0.25)=0.175 ×2
+    assert(approx(r.getAs[Double]("hub"), (0.005 + 0.005 + 0.175 + 0.175) / 4))
+    // r2: ybar=.5, ssTot=1, ssRes=0.01+0.01+0.36+0.36=0.74
+    assert(approx(r.getAs[Double]("r2"), 1 - 0.74))
+  }
+
+  test("mcc matches sklearn matthews_corrcoef example") {
+    import spark.implicits._
+    // sklearn docs: y_true=[+1,+1,+1,-1], y_pred=[+1,-1,+1,+1] -> -1/3
+    val df = Seq((1, 1), (1, 0), (1, 1), (0, 1)).toDF("y", "p")
+    val r = df.agg(Metrics.mcc(col("y"), col("p")).as("m")).collect()(0)
+    assert(approx(r.getAs[Double]("m"), -1.0 / 3.0, 1e-12))
+  }
+
+  test("mad (median center) on a known set") {
+    import spark.implicits._
+    // x = [1,2,3,4,100]: median 3, |x-3| = [2,1,0,1,97], median = 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+      .withColumn("g", lit("a"))
+    val r = MetricOps.mad(df, col("x"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("mad"), 1.0))
+  }
+}
