@@ -15,4 +15,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Polars-style permissive numerics: x/0 → null, not an error.
+      // The reference's kernels never raise on degenerate denominators
+      // (e.g. confusion-matrix ratios with an empty class).
+      .config("spark.sql.ansi.enabled", "false")
 }

@@ -157,4 +157,48 @@ object MetricOps {
       .groupBy(groupNames.map(col): _*)
       .agg((avg(abs(y - p)) / avg(abs(y - col(s"${P}naive")))).as(outName))
   }
+
+  /** DCG and NDCG per group with linear gain rel/log2(rank+1), ranking by
+    * `score` desc. Ties are broken by `tieBreak` (must be unique within a
+    * group) so the result is deterministic and oracle-comparable.
+    * (metrics.py:670 query_dcg_score / :736 query_ndcg_score) */
+  def ndcg(df: DataFrame, rel: Column, score: Column, tieBreak: Column,
+           groupNames: Seq[String], k: Int = Int.MaxValue): DataFrame = {
+    val gc = groupNames.map(col)
+    val wScore = Window.partitionBy(gc: _*).orderBy(score.desc, tieBreak)
+    val wIdeal = Window.partitionBy(gc: _*).orderBy(rel.desc, tieBreak)
+    val rk = row_number().over(wScore)
+    val irk = row_number().over(wIdeal)
+    val gain = when(rk <= k, rel.cast("double") / log2(rk + 1.0))
+      .otherwise(0.0)
+    val igain = when(irk <= k, rel.cast("double") / log2(irk + 1.0))
+      .otherwise(0.0)
+    df.select((gc :+ gain.as(s"${P}g") :+ igain.as(s"${P}ig")): _*)
+      .groupBy(gc: _*)
+      .agg(sum(s"${P}g").as("dcg"),
+        (sum(s"${P}g") / sum(s"${P}ig")).as("ndcg"))
+  }
+
+  /** Macro-average one-vs-rest multiclass ROC-AUC.
+    * `probs` is an array column of per-class scores; class labels are
+    * 0..nClasses-1. Weighted = prevalence-weighted average.
+    * (metrics.py:531 query_multi_roc_auc) */
+  def multiRocAuc(df: DataFrame, yClass: Column, probs: Column,
+                  nClasses: Int, groupNames: Seq[String],
+                  weighted: Boolean = false,
+                  outName: String = "multi_roc_auc"): DataFrame = {
+    val perClass = (0 until nClasses).map { k =>
+      val bin = (yClass === k).cast("int")
+      val sc = element_at(probs, k + 1)
+      val withY = df.withColumn(s"${P}yk", bin).withColumn(s"${P}sk", sc)
+      val auc = rocAucNamed(withY, col(s"${P}yk"), col(s"${P}sk"),
+        groupNames, s"${P}auc")
+      val wgt = withY.groupBy(groupNames.map(col): _*)
+        .agg(sum(s"${P}yk").cast("double").as(s"${P}w"))
+      auc.join(wgt, groupNames)
+    }.reduce(_ unionByName _)
+    val wcol = if (weighted) col(s"${P}w") else lit(1.0)
+    perClass.groupBy(groupNames.map(col): _*)
+      .agg((sum(col(s"${P}auc") * wcol) / sum(wcol)).as(outName))
+  }
 }

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metrics
+import graft.ops.MetricOps
+
+/** Driver-contract queries for SURVEY §2.4 — ML evaluation metrics.
+  * Inputs are deterministic derivations over the shared testdata tables so
+  * the DuckDB oracle can reproduce them with identical arithmetic. */
+object MetricQueries extends QueryPack {
+
+  /** events + derived binary label y and score p. */
+  private def scoredEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("y",
+        (col("value") + col("event_id") % 7 > 52).cast("int"))
+      .withColumn("p",
+        least(col("value") / 350.0 + 0.001, lit(0.999)))
+
+  private[queries] val scoredEventsSql =
+    """SELECT *,
+      |  CASE WHEN value + (event_id % 7) > 52 THEN 1 ELSE 0 END AS y,
+      |  LEAST(value / 350.0 + 0.001, 0.999) AS p
+      |FROM events""".stripMargin
+
+  /** lineitem + deterministic regression "prediction". */
+  private def regLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("yy", col("l_extendedprice"))
+      .withColumn("pp",
+        col("l_quantity") * 36000.0 * (lit(1.0) - col("l_discount")))
+
+  private val regSql =
+    """SELECT l_returnflag, l_extendedprice AS yy,
+      |  l_quantity * 36000.0 * (1.0 - l_discount) AS pp
+      |FROM lineitem""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roc_auc" -> ((s, dir) => {
+      MetricOps.rocAucNamed(scoredEvents(s, dir), col("y"), col("p"),
+          Seq("event_type"))
+        .withColumn("roc_auc", round(col("roc_auc"), 6))
+        .orderBy("event_type")
+    }),
+    "q_log_loss" -> ((s, dir) => {
+      scoredEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(Metrics.logLoss(col("y"), col("p")), 6).as("log_loss"))
+        .orderBy("event_type")
+    }),
+    "q_reg_metrics" -> ((s, dir) => {
+      regLineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(Metrics.l1Loss(col("yy"), col("pp")), 4).as("mae"),
+          round(Metrics.lInfLoss(col("yy"), col("pp")), 4).as("max_err"),
+          round(Metrics.rmse(col("yy"), col("pp")), 4).as("rmse"),
+          round(Metrics.r2(col("yy"), col("pp")), 6).as("r2"),
+          round(Metrics.adjR2(col("yy"), col("pp"), 2), 6).as("adj_r2"),
+          round(Metrics.mape(col("yy"), col("pp")), 6).as("mape"),
+          round(Metrics.smape(col("yy"), col("pp")), 6).as("smape"),
+          round(Metrics.msle(col("yy"), col("pp")), 6).as("msle"),
+          round(Metrics.huberLoss(col("yy"), col("pp"), 1000.0), 4)
+            .as("huber"))
+        .orderBy("l_returnflag")
+    }),
+    "q_confusion_matrix" -> ((s, dir) => {
+      scoredEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(Metrics.confusionMatrix(col("y"), col("p"), 0.25).as("cm"))
+        .select(col("event_type"),
+          col("cm.tp").as("tp"), col("cm.fp").as("fp"),
+          col("cm.tn").as("tn"), col("cm.fn").as("fn"),
+          round(col("cm.precision"), 6).as("precision"),
+          round(col("cm.recall"), 6).as("recall"),
+          round(col("cm.f1"), 6).as("f1"),
+          round(col("cm.accuracy"), 6).as("accuracy"),
+          round(col("cm.mcc"), 6).as("mcc"),
+          round(col("cm.balanced_accuracy"), 6).as("balanced_accuracy"))
+        .orderBy("event_type")
+    }),
+    "q_gini" -> ((s, dir) => {
+      MetricOps.gini(scoredEvents(s, dir), col("y"), col("p"),
+          Seq("event_type"))
+        .withColumn("gini", round(col("gini"), 6))
+        .orderBy("event_type")
+    }),
+    "q_tpr_fpr" -> ((s, dir) => {
+      MetricOps.tprFpr(scoredEvents(s, dir), col("y"), col("p"),
+          Seq("event_type"))
+        .withColumn("tpr", round(col("tpr"), 6))
+        .withColumn("fpr", round(col("fpr"), 6))
+        .orderBy("event_type", "threshold")
+    }),
+    "q_ndcg" -> ((s, dir) => {
+      val df = scoredEvents(s, dir)
+        .withColumn("rel", floor(col("value") / 100.0).cast("int"))
+      MetricOps.ndcg(df, col("rel"), col("p"), col("event_id"),
+          Seq("event_type"), 50)
+        .withColumn("dcg", round(col("dcg"), 6))
+        .withColumn("ndcg", round(col("ndcg"), 6))
+        .orderBy("event_type")
+    }),
+    "q_multi_roc_auc" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("y_cls", col("user_id") % 3)
+        .withColumn("probs", array(
+          (col("event_id") * 131 % 997) / 997.0,
+          (col("event_id") * 137 % 991) / 991.0,
+          (col("event_id") * 139 % 983) / 983.0))
+      MetricOps.multiRocAuc(df, col("y_cls"), col("probs"), 3,
+          Seq("event_type"))
+        .withColumn("multi_roc_auc", round(col("multi_roc_auc"), 6))
+        .orderBy("event_type")
+    }),
+    "q_cat_cross_entropy" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("y_cls", col("user_id") % 3)
+        .withColumn("probs", array(
+          (col("event_id") * 131 % 997 + 1) / 998.0,
+          (col("event_id") * 137 % 991 + 1) / 992.0,
+          (col("event_id") * 139 % 983 + 1) / 984.0))
+      df.groupBy(col("event_type"))
+        .agg(round(Metrics.catCrossEntropy(col("y_cls"), col("probs")), 6)
+          .as("cce"))
+        .orderBy("event_type")
+    }),
+    "q_mad" -> ((s, dir) => {
+      MetricOps.mad(t(s, dir, "lineitem"), col("l_extendedprice"),
+          Seq("l_returnflag"), "median")
+        .withColumn("mad", round(col("mad"), 4))
+        .orderBy("l_returnflag")
+    }),
+    "q_mean_ad" -> ((s, dir) => {
+      MetricOps.mad(t(s, dir, "lineitem"), col("l_extendedprice"),
+          Seq("l_returnflag"), "mean", "mean_ad")
+        .withColumn("mean_ad", round(col("mean_ad"), 4))
+        .orderBy("l_returnflag")
+    }),
+    "q_mase" -> ((s, dir) => {
+      MetricOps.mase(scoredEvents(s, dir), col("event_id"), col("value"),
+          col("value") * 0.9 + 5.0, Seq("event_type"), 1)
+        .withColumn("mase", round(col("mase"), 6))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_roc_auc" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |r AS (
+         |  SELECT event_type, y,
+         |    RANK() OVER (PARTITION BY event_type ORDER BY p)
+         |      + (COUNT(*) OVER (PARTITION BY event_type, p) - 1) / 2.0
+         |      AS ar
+         |  FROM t)
+         |SELECT event_type,
+         |  ROUND((SUM(CASE WHEN y = 1 THEN ar END)
+         |          - SUM(y) * (SUM(y) + 1) / 2.0)
+         |        / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS roc_auc
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_loss" ->
+      s"""WITH t AS ($scoredEventsSql)
+         |SELECT event_type,
+         |  ROUND(-AVG(y * LN(LEAST(GREATEST(p, 1e-15), 1 - 1e-15))
+         |    + (1 - y) * LN(1 - LEAST(GREATEST(p, 1e-15), 1 - 1e-15))), 6)
+         |    AS log_loss
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reg_metrics" ->
+      s"""WITH t AS ($regSql)
+         |SELECT l_returnflag,
+         |  ROUND(AVG(ABS(yy - pp)), 4) AS mae,
+         |  ROUND(MAX(ABS(yy - pp)), 4) AS max_err,
+         |  ROUND(SQRT(AVG((yy - pp) * (yy - pp))), 4) AS rmse,
+         |  ROUND(1 - SUM((yy - pp) * (yy - pp))
+         |    / (SUM(yy * yy) - SUM(yy) * SUM(yy) / COUNT(*)), 6) AS r2,
+         |  ROUND(1 - (1 - (1 - SUM((yy - pp) * (yy - pp))
+         |      / (SUM(yy * yy) - SUM(yy) * SUM(yy) / COUNT(*))))
+         |    * (COUNT(*) - 1.0) / (COUNT(*) - 3.0), 6) AS adj_r2,
+         |  ROUND(AVG(ABS((yy - pp) / yy)), 6) AS mape,
+         |  ROUND(AVG(ABS(pp - yy) / (ABS(pp) + ABS(yy))), 6) AS smape,
+         |  ROUND(AVG(POW(LN(1 + yy) - LN(1 + pp), 2)), 6) AS msle,
+         |  ROUND(AVG(CASE WHEN ABS(yy - pp) < 1000.0
+         |    THEN (yy - pp) * (yy - pp) / 2.0
+         |    ELSE 1000.0 * (ABS(yy - pp) - 500.0) END), 4) AS huber
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_confusion_matrix" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |c AS (
+         |  SELECT event_type,
+         |    SUM(CASE WHEN y = 1 AND p >= 0.25 THEN 1 ELSE 0 END)::DOUBLE tp,
+         |    SUM(CASE WHEN y = 0 AND p >= 0.25 THEN 1 ELSE 0 END)::DOUBLE fp,
+         |    SUM(CASE WHEN y = 0 AND p < 0.25 THEN 1 ELSE 0 END)::DOUBLE tn,
+         |    SUM(CASE WHEN y = 1 AND p < 0.25 THEN 1 ELSE 0 END)::DOUBLE fn
+         |  FROM t GROUP BY 1)
+         |SELECT event_type,
+         |  tp::BIGINT AS tp, fp::BIGINT AS fp,
+         |  tn::BIGINT AS tn, fn::BIGINT AS fn,
+         |  ROUND(tp / (tp + fp), 6) AS precision,
+         |  ROUND(tp / (tp + fn), 6) AS recall,
+         |  ROUND(2 * tp / (2 * tp + fp + fn), 6) AS f1,
+         |  ROUND((tp + tn) / (tp + fp + tn + fn), 6) AS accuracy,
+         |  ROUND((tp * tn - fp * fn)
+         |    / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc,
+         |  ROUND((tp / (tp + fn) + tn / (tn + fp)) / 2, 6)
+         |    AS balanced_accuracy
+         |FROM c ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |r AS (
+         |  SELECT event_type, y,
+         |    RANK() OVER (PARTITION BY event_type ORDER BY p)
+         |      + (COUNT(*) OVER (PARTITION BY event_type, p) - 1) / 2.0
+         |      AS ar
+         |  FROM t)
+         |SELECT event_type,
+         |  ROUND(2 * ((SUM(CASE WHEN y = 1 THEN ar END)
+         |          - SUM(y) * (SUM(y) + 1) / 2.0)
+         |        / (SUM(y) * (COUNT(*) - SUM(y)))) - 1, 6) AS gini
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpr_fpr" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |thr AS (
+         |  SELECT event_type, p AS threshold, COUNT(*) cnt, SUM(y) pos
+         |  FROM t GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, threshold,
+         |    SUM(pos) OVER (PARTITION BY event_type ORDER BY threshold DESC)
+         |      AS cum_pos,
+         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY threshold DESC)
+         |      AS cum_cnt,
+         |    SUM(pos) OVER (PARTITION BY event_type) AS npos,
+         |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM thr)
+         |SELECT event_type, threshold,
+         |  ROUND(cum_pos / npos, 6) AS tpr,
+         |  ROUND((cum_cnt - cum_pos) / (n - npos), 6) AS fpr
+         |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH t AS (
+         |  SELECT event_type, event_id,
+         |    FLOOR(value / 100.0)::INT AS rel,
+         |    LEAST(value / 350.0 + 0.001, 0.999) AS p
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY p DESC, event_id) AS rk,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY rel DESC, event_id) AS irk
+         |  FROM t)
+         |SELECT event_type,
+         |  ROUND(SUM(CASE WHEN rk <= 50
+         |    THEN rel / (LN(rk + 1.0) / LN(2)) ELSE 0 END), 6) AS dcg,
+         |  ROUND(SUM(CASE WHEN rk <= 50
+         |      THEN rel / (LN(rk + 1.0) / LN(2)) ELSE 0 END)
+         |    / SUM(CASE WHEN irk <= 50
+         |      THEN rel / (LN(irk + 1.0) / LN(2)) ELSE 0 END), 6) AS ndcg
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multi_roc_auc" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id % 3 AS y_cls,
+        |    (event_id * 131 % 997) / 997.0 AS p0,
+        |    (event_id * 137 % 991) / 991.0 AS p1,
+        |    (event_id * 139 % 983) / 983.0 AS p2
+        |  FROM events),
+        |cls AS (
+        |  SELECT event_type, CASE WHEN y_cls = 0 THEN 1 ELSE 0 END y, p0 p,
+        |    0 k FROM t
+        |  UNION ALL
+        |  SELECT event_type, CASE WHEN y_cls = 1 THEN 1 ELSE 0 END, p1, 1
+        |    FROM t
+        |  UNION ALL
+        |  SELECT event_type, CASE WHEN y_cls = 2 THEN 1 ELSE 0 END, p2, 2
+        |    FROM t),
+        |r AS (
+        |  SELECT event_type, k, y,
+        |    RANK() OVER (PARTITION BY event_type, k ORDER BY p)
+        |      + (COUNT(*) OVER (PARTITION BY event_type, k, p) - 1) / 2.0
+        |      AS ar
+        |  FROM cls),
+        |auc AS (
+        |  SELECT event_type, k,
+        |    (SUM(CASE WHEN y = 1 THEN ar END)
+        |      - SUM(y) * (SUM(y) + 1) / 2.0)
+        |      / (SUM(y) * (COUNT(*) - SUM(y))) AS auc
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, ROUND(AVG(auc), 6) AS multi_roc_auc
+        |FROM auc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cat_cross_entropy" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id % 3 AS y_cls,
+        |    [(event_id * 131 % 997 + 1) / 998.0,
+        |     (event_id * 137 % 991 + 1) / 992.0,
+        |     (event_id * 139 % 983 + 1) / 984.0] AS probs
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(-AVG(LN(LEAST(GREATEST(
+        |    probs[(y_cls + 1)::INT], 1e-15), 1 - 1e-15))), 6) AS cce
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mad" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.5) AS m
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  ROUND(QUANTILE_CONT(ABS(l.l_extendedprice - c.m), 0.5), 4) AS mad
+        |FROM lineitem l JOIN c USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mean_ad" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, AVG(l_extendedprice) AS m
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  ROUND(AVG(ABS(l.l_extendedprice - c.m)), 4) AS mean_ad
+        |FROM lineitem l JOIN c USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mase" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |l AS (
+         |  SELECT event_type, value,
+         |    value * 0.9 + 5.0 AS pred,
+         |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+         |      AS naive
+         |  FROM t)
+         |SELECT event_type,
+         |  ROUND(AVG(ABS(value - pred)) / AVG(ABS(value - naive)), 6)
+         |    AS mase
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
