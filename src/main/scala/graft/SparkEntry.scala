@@ -17,7 +17,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     BaseQueries,
-    MetricQueries
+    MetricQueries,
+    StatQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PValues
+
+/** Distributed statistical tests that need ranks, ECDFs, or two-level
+  * aggregation (SURVEY §2.5, the order-sensitive rows). Same design rule
+  * as [[MetricOps]]: compress to distinct values first (map-side
+  * combinable groupBy), run windows over the compressed table, finish
+  * with an algebraic aggregate. No per-group buffering anywhere.
+  */
+object StatOps {
+
+  private val P = "__pds_"
+
+  /** Kolmogorov–Smirnov two-sample test. `inFirst` marks membership of
+    * sample 1; rows of the two samples live in the same frame (the
+    * reference passes two columns — here two columns = two predicates
+    * over a value column). Returns per-group {d, n1, n2, pvalue}.
+    * ECDFs are compared at every distinct pooled value — exact D.
+    * (stats.py:232; src/stats/ks.rs:52) */
+  def ks2Samp(df: DataFrame, x: Column, inFirst: Column,
+              groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ inFirst.cast("int").as(s"${P}s1"): _*)
+    val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
+      .agg(sum(s"${P}s1").as(s"${P}c1"),
+        (count(lit(1)) - sum(s"${P}s1")).as(s"${P}c2"))
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(gc: _*)
+    val cum = byV
+      .withColumn(s"${P}f1", sum(s"${P}c1").over(w))
+      .withColumn(s"${P}f2", sum(s"${P}c2").over(w))
+      .withColumn(s"${P}n1", sum(s"${P}c1").over(wTot))
+      .withColumn(s"${P}n2", sum(s"${P}c2").over(wTot))
+    val res = cum.groupBy(gc: _*).agg(
+      max(abs(col(s"${P}f1") / col(s"${P}n1") -
+        col(s"${P}f2") / col(s"${P}n2"))).as("d"),
+      first(col(s"${P}n1")).as("n1"),
+      first(col(s"${P}n2")).as("n2"))
+    res.withColumn("pvalue",
+      PValues.ksSf(col("d"), col("n1").cast("double"),
+        col("n2").cast("double")))
+  }
+
+  /** Mann–Whitney U (two-sided, normal approx with tie correction and
+    * continuity correction, matching scipy's default asymptotic method).
+    * Returns {u, z, pvalue} per group. (stats.py:331) */
+  def mannWhitneyU(df: DataFrame, x: Column, inFirst: Column,
+                   groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ inFirst.cast("int").as(s"${P}s1"): _*)
+    val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}s1").as(s"${P}c1"))
+    val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn(s"${P}below",
+      coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+    // rank-sum of sample1 + tie term Σ(t³−t)
+    val agg = ranked.groupBy(gc: _*).agg(
+      sum(col(s"${P}c1") *
+        (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0)).as(s"${P}r1"),
+      sum(s"${P}c1").cast("double").as(s"${P}n1"),
+      (sum(s"${P}cnt") - sum(s"${P}c1")).cast("double").as(s"${P}n2"),
+      sum(col(s"${P}cnt") * col(s"${P}cnt") * col(s"${P}cnt") -
+        col(s"${P}cnt")).cast("double").as(s"${P}ties"))
+    val n1 = col(s"${P}n1"); val n2 = col(s"${P}n2")
+    val n = n1 + n2
+    val u1 = col(s"${P}r1") - n1 * (n1 + 1.0) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sigma = sqrt(n1 * n2 / 12.0 *
+      ((n + 1.0) - col(s"${P}ties") / (n * (n - 1.0))))
+    val bigU = greatest(u1, n1 * n2 - u1)
+    val z = (bigU - mu - 0.5) / sigma
+    agg.select(gc ++ Seq(u1.as("u"), z.as("z"),
+      PValues.normSf2(z).as("pvalue")): _*)
+  }
+
+  /** One-way ANOVA F test: `value` across the levels of `factor`,
+    * per outer group. Returns {f, df1, df2, pvalue}.
+    * (stats.py:280; src/stats/fstats.rs) */
+  def fTest(df: DataFrame, value: Column, factor: Column,
+            groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val perLevel = df
+      .select(gc :+ factor.as(s"${P}f") :+ value.cast("double").as(s"${P}x"): _*)
+      .groupBy(gc :+ col(s"${P}f"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}ng"),
+        sum(s"${P}x").as(s"${P}sg"),
+        sum(col(s"${P}x") * col(s"${P}x")).as(s"${P}ssg"))
+    // SSW via Σx²−(Σx)²/n per level; SSB from level sums vs grand mean
+    val res = perLevel.groupBy(gc: _*).agg(
+      count(lit(1)).cast("double").as(s"${P}k"),
+      sum(s"${P}ng").as(s"${P}n"),
+      sum(col(s"${P}ssg") - col(s"${P}sg") * col(s"${P}sg") / col(s"${P}ng"))
+        .as(s"${P}ssw"),
+      sum(col(s"${P}sg") * col(s"${P}sg") / col(s"${P}ng")).as(s"${P}sb2"),
+      sum(s"${P}sg").as(s"${P}stot"))
+    val ssb = col(s"${P}sb2") -
+      col(s"${P}stot") * col(s"${P}stot") / col(s"${P}n")
+    val df1 = col(s"${P}k") - 1.0
+    val df2 = col(s"${P}n") - col(s"${P}k")
+    val f = (ssb / df1) / (col(s"${P}ssw") / df2)
+    res.select(gc ++ Seq(f.as("f"), df1.as("df1"), df2.as("df2"),
+      PValues.fSf(f, df1, df2).as("pvalue")): _*)
+  }
+
+  /** χ² independence test of two discrete columns per group:
+    * {statistic, df, pvalue}. (stats.py:301; src/stats/chi2.rs) */
+  def chi2(df: DataFrame, a: Column, b: Column,
+           groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val obs = df.select(gc :+ a.as(s"${P}a") :+ b.as(s"${P}b"): _*)
+      .groupBy(gc :+ col(s"${P}a") :+ col(s"${P}b"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}o"))
+    val wA = Window.partitionBy(gc :+ col(s"${P}a"): _*)
+    val wB = Window.partitionBy(gc :+ col(s"${P}b"): _*)
+    val wT = Window.partitionBy(gc: _*)
+    val withE = obs
+      .withColumn(s"${P}ra", sum(s"${P}o").over(wA))
+      .withColumn(s"${P}cb", sum(s"${P}o").over(wB))
+      .withColumn(s"${P}n", sum(s"${P}o").over(wT))
+      .withColumn(s"${P}e",
+        col(s"${P}ra") * col(s"${P}cb") / col(s"${P}n"))
+    val res = withE.groupBy(gc: _*).agg(
+      sum(pow(col(s"${P}o") - col(s"${P}e"), 2) / col(s"${P}e"))
+        .as("statistic"),
+      ((countDistinct(s"${P}a") - 1) * (countDistinct(s"${P}b") - 1))
+        .cast("double").as("df"))
+    res.withColumn("pvalue", PValues.chi2Sf(col("statistic"), col("df")))
+  }
+
+  /** Spearman rank correlation via average ranks + Pearson corr on ranks.
+    * (stats.py corr(method="spearman")) */
+  def spearman(df: DataFrame, x: Column, y: Column,
+               groupNames: Seq[String], outName: String = "spearman")
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ y.cast("double").as(s"${P}y"): _*)
+    def avgRank(c: String): Column = {
+      val wr = Window.partitionBy(gc: _*).orderBy(col(c))
+      val wt = Window.partitionBy(gc :+ col(c): _*)
+      rank().over(wr) + (count(lit(1)).over(wt) - 1.0) / 2.0
+    }
+    t.withColumn(s"${P}rx", avgRank(s"${P}x"))
+      .withColumn(s"${P}ry", avgRank(s"${P}y"))
+      .groupBy(gc: _*)
+      .agg(corr(col(s"${P}rx"), col(s"${P}ry")).as(outName))
+  }
+
+  /** Chatterjee ξ correlation, tie-aware form (order by x, ranks of y):
+    * ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)),
+    * r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥ y_i}.
+    * (stats.py:1039; src/stats/xi_corr.rs) */
+  def xiCorr(df: DataFrame, x: Column, y: Column, groupNames: Seq[String],
+             outName: String = "xi"): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ y.cast("double").as(s"${P}y"): _*)
+    val wT = Window.partitionBy(gc: _*)
+    val wYle = Window.partitionBy(gc: _*).orderBy(col(s"${P}y"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wYge = Window.partitionBy(gc: _*).orderBy(col(s"${P}y").desc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wX = Window.partitionBy(gc: _*)
+      .orderBy(col(s"${P}x"), col(s"${P}y"))
+    val withRanks = t
+      .withColumn(s"${P}r", count(lit(1)).over(wYle).cast("double"))
+      .withColumn(s"${P}l", count(lit(1)).over(wYge).cast("double"))
+      .withColumn(s"${P}n", count(lit(1)).over(wT).cast("double"))
+      .withColumn(s"${P}rNext", lead(col(s"${P}r"), 1).over(wX))
+    withRanks.groupBy(gc: _*).agg(
+      (lit(1.0) - first(col(s"${P}n")) *
+        sum(abs(col(s"${P}rNext") - col(s"${P}r"))) /
+        (sum(col(s"${P}l") * (col(s"${P}n") - col(s"${P}l"))) * 2.0))
+        .as(outName))
+  }
+
+  /** Biweight midcorrelation (astropy semantics: median/MAD weights,
+    * rows with |u|≥1 or |v|≥1 excluded). Two aggregation passes + one
+    * broadcast join of per-group centers. (stats.py:1001 bicor) */
+  def bicor(df: DataFrame, x: Column, y: Column, groupNames: Seq[String],
+            outName: String = "bicor", c: Double = 9.0): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ y.cast("double").as(s"${P}y"): _*)
+    val centers = t.groupBy(gc: _*).agg(
+      expr(s"percentile(${P}x, 0.5)").as(s"${P}mx"),
+      expr(s"percentile(${P}y, 0.5)").as(s"${P}my"))
+    val t2 = t.join(broadcast(centers), groupNames)
+    val mads = t2.groupBy(gc: _*).agg(
+      expr(s"percentile(abs(${P}x - ${P}mx), 0.5)").as(s"${P}madx"),
+      expr(s"percentile(abs(${P}y - ${P}my), 0.5)").as(s"${P}mady"))
+    val t3 = t2.join(broadcast(mads), groupNames)
+      .withColumn(s"${P}u", (col(s"${P}x") - col(s"${P}mx")) /
+        (col(s"${P}madx") * c))
+      .withColumn(s"${P}v", (col(s"${P}y") - col(s"${P}my")) /
+        (col(s"${P}mady") * c))
+      .withColumn(s"${P}wu",
+        when(abs(col(s"${P}u")) < 1.0,
+          pow(lit(1.0) - col(s"${P}u") * col(s"${P}u"), 2)).otherwise(0.0))
+      .withColumn(s"${P}wv",
+        when(abs(col(s"${P}v")) < 1.0,
+          pow(lit(1.0) - col(s"${P}v") * col(s"${P}v"), 2)).otherwise(0.0))
+      .withColumn(s"${P}dx", (col(s"${P}x") - col(s"${P}mx")) * col(s"${P}wu"))
+      .withColumn(s"${P}dy", (col(s"${P}y") - col(s"${P}my")) * col(s"${P}wv"))
+    t3.groupBy(gc: _*).agg(
+      (sum(col(s"${P}dx") * col(s"${P}dy")) /
+        (sqrt(sum(col(s"${P}dx") * col(s"${P}dx"))) *
+          sqrt(sum(col(s"${P}dy") * col(s"${P}dy"))))).as(outName))
+  }
+
+  /** Winsorized mean: clip at [lo, hi] percentiles then average.
+    * (stats.py:375 winsorize — the transform; this is its agg use) */
+  def winsorizedMean(df: DataFrame, x: Column, groupNames: Seq[String],
+                     lo: Double = 0.05, hi: Double = 0.95,
+                     outName: String = "wmean"): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
+    val bounds = t.groupBy(gc: _*).agg(
+      expr(s"percentile(${P}x, $lo)").as(s"${P}lo"),
+      expr(s"percentile(${P}x, $hi)").as(s"${P}hi"))
+    t.join(broadcast(bounds), groupNames)
+      .groupBy(gc: _*)
+      .agg(avg(least(greatest(col(s"${P}x"), col(s"${P}lo")),
+        col(s"${P}hi"))).as(outName))
+  }
+}

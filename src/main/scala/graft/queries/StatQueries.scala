@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.KendallTauAgg
+import graft.functions.Stats
+import graft.ops.StatOps
+
+/** Driver-contract queries for SURVEY §2.5 — statistical tests and
+  * weighted statistics. P-values that need incomplete beta/gamma are not
+  * SQL-expressible and are excluded from oracle outputs (covered by
+  * ScalaTest goldens instead); KS and normal-test p-values ARE closed
+  * form and included. */
+object StatQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = when(col("event_type") === "click", col("value"))
+      val b = when(col("event_type") === "view", col("value"))
+      ev.agg(Stats.tTestInd(a, b).as("ts"),
+          Stats.tTestWelch(a, b).as("tw"))
+        .select(
+          round(col("ts.statistic"), 6).as("t_student"),
+          round(col("ts.df"), 1).as("df_student"),
+          round(col("tw.statistic"), 6).as("t_welch"),
+          round(col("tw.df"), 4).as("df_welch"))
+    }),
+    "q_ttest_1samp" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(Stats.tTest1Samp(col("value"), 50.0).as("ts"))
+        .select(col("event_type"),
+          round(col("ts.statistic"), 6).as("t"),
+          round(col("ts.df"), 1).as("df"))
+        .orderBy("event_type")
+    }),
+    "q_f_test" -> ((s, dir) => {
+      StatOps.fTest(t(s, dir, "events").withColumn("g", lit(1)),
+          col("value"), col("event_type"), Seq("g"))
+        .select(round(col("f"), 6).as("f"),
+          round(col("df1"), 1).as("df1"), round(col("df2"), 1).as("df2"))
+    }),
+    "q_chi2" -> ((s, dir) => {
+      StatOps.chi2(t(s, dir, "lineitem").withColumn("g", lit(1)),
+          col("l_returnflag"), col("l_linestatus"), Seq("g"))
+        .select(round(col("statistic"), 6).as("statistic"),
+          round(col("df"), 1).as("df"))
+    }),
+    "q_weighted_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(Stats.weightedMean(col("l_extendedprice"),
+            col("l_quantity")), 4).as("wmean"),
+          round(Stats.weightedVar(col("l_extendedprice"),
+            col("l_quantity")), 2).as("wvar"),
+          round(Stats.weightedCorr(col("l_extendedprice"),
+            col("l_discount"), col("l_quantity")), 6).as("wcorr"),
+          round(Stats.cosineSim(col("l_extendedprice"),
+            col("l_quantity")), 6).as("cos_sim"),
+          round(Stats.weightedCosineSim(col("l_extendedprice"),
+            col("l_discount"), col("l_quantity")), 6).as("wcos_sim"))
+        .orderBy("l_returnflag")
+    }),
+    "q_hmean_gmean" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(Stats.hmean(col("l_extendedprice")), 4).as("hmean"),
+          round(Stats.gmean(col("l_extendedprice")), 4).as("gmean"),
+          round(Stats.weightedHmean(col("l_extendedprice"),
+            col("l_quantity")), 4).as("whmean"),
+          round(Stats.weightedGmean(col("l_extendedprice"),
+            col("l_quantity")), 4).as("wgmean"))
+        .orderBy("l_returnflag")
+    }),
+    "q_winsorized_mean" -> ((s, dir) => {
+      StatOps.winsorizedMean(t(s, dir, "lineitem"),
+          col("l_extendedprice"), Seq("l_returnflag"))
+        .withColumn("wmean", round(col("wmean"), 4))
+        .orderBy("l_returnflag")
+    }),
+    "q_spearman" -> ((s, dir) => {
+      StatOps.spearman(t(s, dir, "lineitem"), col("l_quantity"),
+          col("l_extendedprice"), Seq("l_returnflag"))
+        .withColumn("spearman", round(col("spearman"), 6))
+        .orderBy("l_returnflag")
+    }),
+    "q_xi_corr" -> ((s, dir) => {
+      StatOps.xiCorr(t(s, dir, "lineitem"), col("l_quantity"),
+          col("l_extendedprice"), Seq("l_returnflag"))
+        .withColumn("xi", round(col("xi"), 6))
+        .orderBy("l_returnflag")
+    }),
+    "q_kendall_tau" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(KendallTauAgg.kendallTau(col("c_acctbal"),
+          col("c_custkey")), 6).as("tau"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_bicor" -> ((s, dir) => {
+      StatOps.bicor(t(s, dir, "lineitem"), col("l_extendedprice"),
+          col("l_quantity"), Seq("l_returnflag"))
+        .withColumn("bicor", round(col("bicor"), 6))
+        .orderBy("l_returnflag")
+    }),
+    "q_mann_whitney" -> ((s, dir) => {
+      StatOps.mannWhitneyU(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("click", "view"))
+            .withColumn("g", lit(1)),
+          col("value"), col("event_type") === "click", Seq("g"))
+        .select(round(col("u"), 1).as("u"), round(col("z"), 6).as("z"))
+    }),
+    "q_ks_2samp" -> ((s, dir) => {
+      StatOps.ks2Samp(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("click", "view"))
+            .withColumn("g", lit(1)),
+          col("value"), col("event_type") === "click", Seq("g"))
+        .select(round(col("d"), 6).as("d"), col("n1"), col("n2"),
+          round(col("pvalue"), 6).as("pvalue"))
+    }),
+    "q_normal_test" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(Stats.normalTest(col("value")).as("nt"))
+        .select(col("event_type"),
+          round(col("nt.statistic"), 6).as("statistic"),
+          round(col("nt.pvalue"), 6).as("pvalue"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ttest" ->
+      """WITH m AS (
+        |  SELECT
+        |    COUNT(value) FILTER (WHERE event_type = 'click')::DOUBLE n1,
+        |    AVG(value) FILTER (WHERE event_type = 'click') m1,
+        |    VAR_SAMP(value) FILTER (WHERE event_type = 'click') v1,
+        |    COUNT(value) FILTER (WHERE event_type = 'view')::DOUBLE n2,
+        |    AVG(value) FILTER (WHERE event_type = 'view') m2,
+        |    VAR_SAMP(value) FILTER (WHERE event_type = 'view') v2
+        |  FROM events)
+        |SELECT
+        |  ROUND((m1 - m2) / SQRT(((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2)
+        |    * (1.0/n1 + 1.0/n2)), 6) AS t_student,
+        |  ROUND(n1 + n2 - 2, 1) AS df_student,
+        |  ROUND((m1 - m2) / SQRT(v1/n1 + v2/n2), 6) AS t_welch,
+        |  ROUND(POW(v1/n1 + v2/n2, 2)
+        |    / (POW(v1/n1, 2)/(n1-1) + POW(v2/n2, 2)/(n2-1)), 4)
+        |    AS df_welch
+        |FROM m""".stripMargin,
+    "q_ttest_1samp" ->
+      """SELECT event_type,
+        |  ROUND((AVG(value) - 50.0)
+        |    / SQRT(VAR_SAMP(value) / COUNT(value)), 6) AS t,
+        |  ROUND(COUNT(value) - 1.0, 1) AS df
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_f_test" ->
+      """WITH lv AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE ng, SUM(value) sg,
+        |    SUM(value * value) ssg
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT COUNT(*)::DOUBLE k, SUM(ng) n,
+        |    SUM(ssg - sg * sg / ng) ssw,
+        |    SUM(sg * sg / ng) - SUM(sg) * SUM(sg) / SUM(ng) ssb
+        |  FROM lv)
+        |SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS f,
+        |  ROUND(k - 1, 1) AS df1, ROUND(n - k, 1) AS df2
+        |FROM a""".stripMargin,
+    "q_chi2" ->
+      """WITH o AS (
+        |  SELECT l_returnflag a, l_linestatus b, COUNT(*)::DOUBLE o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (
+        |  SELECT o,
+        |    SUM(o) OVER (PARTITION BY a) * SUM(o) OVER (PARTITION BY b)
+        |      / SUM(o) OVER () AS exp_
+        |  FROM o),
+        |d AS (
+        |  SELECT (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) df
+        |  FROM o)
+        |SELECT ROUND(SUM((o - exp_) * (o - exp_) / exp_), 6) AS statistic,
+        |  ROUND(ANY_VALUE(d.df), 1) AS df
+        |FROM e, d""".stripMargin,
+    "q_weighted_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4)
+        |    AS wmean,
+        |  ROUND((SUM(l_quantity * l_extendedprice * l_extendedprice)
+        |    - SUM(l_quantity * l_extendedprice)
+        |      * SUM(l_quantity * l_extendedprice) / SUM(l_quantity))
+        |    / SUM(l_quantity), 2) AS wvar,
+        |  ROUND(((SUM(l_quantity * l_extendedprice * l_discount)
+        |      - SUM(l_quantity * l_extendedprice)
+        |        * SUM(l_quantity * l_discount) / SUM(l_quantity))
+        |      / SUM(l_quantity))
+        |    / SQRT(
+        |      ((SUM(l_quantity * l_extendedprice * l_extendedprice)
+        |        - SUM(l_quantity * l_extendedprice)
+        |          * SUM(l_quantity * l_extendedprice) / SUM(l_quantity))
+        |        / SUM(l_quantity))
+        |      * ((SUM(l_quantity * l_discount * l_discount)
+        |        - SUM(l_quantity * l_discount)
+        |          * SUM(l_quantity * l_discount) / SUM(l_quantity))
+        |        / SUM(l_quantity))), 6) AS wcorr,
+        |  ROUND(SUM(l_extendedprice * l_quantity)
+        |    / SQRT(SUM(l_extendedprice * l_extendedprice)
+        |      * SUM(l_quantity * l_quantity)), 6) AS cos_sim,
+        |  ROUND(SUM(l_quantity * l_extendedprice * l_discount)
+        |    / SQRT(SUM(l_quantity * l_extendedprice * l_extendedprice)
+        |      * SUM(l_quantity * l_discount * l_discount)), 6) AS wcos_sim
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hmean_gmean" ->
+      """SELECT l_returnflag,
+        |  ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 4) AS hmean,
+        |  ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS gmean,
+        |  ROUND(SUM(l_quantity) / SUM(l_quantity / l_extendedprice), 4)
+        |    AS whmean,
+        |  ROUND(EXP(SUM(l_quantity * LN(l_extendedprice))
+        |    / SUM(l_quantity)), 4) AS wgmean
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    QUANTILE_CONT(l_extendedprice, 0.05) lo,
+        |    QUANTILE_CONT(l_extendedprice, 0.95) hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)), 4)
+        |    AS wmean
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag g,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |        - 1) / 2.0 AS rx,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |        - 1) / 2.0 AS ry
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, ROUND(CORR(rx, ry), 6) AS spearman
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xi_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag g, l_quantity x, l_extendedprice y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, x, y,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY y
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE r,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY y DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE l,
+        |    COUNT(*) OVER (PARTITION BY g)::DOUBLE n
+        |  FROM t),
+        |s AS (
+        |  SELECT g, n, r, l,
+        |    LEAD(r) OVER (PARTITION BY g ORDER BY x, y) rn
+        |  FROM r)
+        |SELECT g AS l_returnflag,
+        |  ROUND(1 - n * SUM(ABS(rn - r))
+        |    / (2.0 * SUM(l * (n - l))), 6) AS xi
+        |FROM s GROUP BY g, n ORDER BY 1""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment g, c_acctbal x, c_custkey y FROM customer),
+        |p AS (
+        |  SELECT a.g,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)::DOUBLE con,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)::DOUBLE dis,
+        |    COUNT(*)::DOUBLE n0
+        |  FROM c a JOIN c b ON a.g = b.g AND a.y < b.y
+        |  GROUP BY 1)
+        |SELECT g AS c_mktsegment,
+        |  ROUND((con - dis) / SQRT((con + dis) * n0), 6) AS tau
+        |FROM p ORDER BY 1""".stripMargin,
+    "q_bicor" ->
+      """WITH t AS (
+        |  SELECT l_returnflag g, l_extendedprice x, l_quantity y
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT g, QUANTILE_CONT(x, 0.5) mx, QUANTILE_CONT(y, 0.5) my
+        |  FROM t GROUP BY 1),
+        |mad AS (
+        |  SELECT t.g, QUANTILE_CONT(ABS(t.x - m.mx), 0.5) madx,
+        |    QUANTILE_CONT(ABS(t.y - m.my), 0.5) mady
+        |  FROM t JOIN med m USING (g) GROUP BY 1),
+        |u AS (
+        |  SELECT t.g,
+        |    (t.x - m.mx) AS dx0, (t.y - m.my) AS dy0,
+        |    (t.x - m.mx) / (9.0 * d.madx) AS uu,
+        |    (t.y - m.my) / (9.0 * d.mady) AS vv
+        |  FROM t JOIN med m USING (g) JOIN mad d USING (g)),
+        |w AS (
+        |  SELECT g,
+        |    dx0 * CASE WHEN ABS(uu) < 1
+        |      THEN POW(1 - uu * uu, 2) ELSE 0 END AS dx,
+        |    dy0 * CASE WHEN ABS(vv) < 1
+        |      THEN POW(1 - vv * vv, 2) ELSE 0 END AS dy
+        |  FROM u)
+        |SELECT g AS l_returnflag,
+        |  ROUND(SUM(dx * dy) / (SQRT(SUM(dx * dx)) * SQRT(SUM(dy * dy))), 6)
+        |    AS bicor
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH t AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END s1
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (
+        |  SELECT s1,
+        |    RANK() OVER (ORDER BY value)
+        |      + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar
+        |  FROM t),
+        |tie AS (
+        |  SELECT SUM(POW(c, 3) - c) tt
+        |  FROM (SELECT COUNT(*)::DOUBLE c FROM t GROUP BY value)),
+        |a AS (
+        |  SELECT SUM(CASE WHEN s1 = 1 THEN ar END) r1,
+        |    SUM(s1)::DOUBLE n1, COUNT(*) - SUM(s1)::DOUBLE n2
+        |  FROM r)
+        |SELECT
+        |  ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u,
+        |  ROUND((GREATEST(r1 - n1 * (n1 + 1) / 2.0,
+        |      n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0))
+        |    - n1 * n2 / 2.0 - 0.5)
+        |    / SQRT(n1 * n2 / 12.0
+        |      * ((n1 + n2 + 1.0) - tt / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+        |    AS z
+        |FROM a, tie""".stripMargin,
+    "q_ks_2samp" ->
+      """WITH t AS (
+        |  SELECT value x,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END s1
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |v AS (
+        |  SELECT x, SUM(s1)::DOUBLE c1, COUNT(*) - SUM(s1)::DOUBLE c2
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT SUM(c1) OVER (ORDER BY x) f1,
+        |    SUM(c2) OVER (ORDER BY x) f2,
+        |    SUM(c1) OVER () n1, SUM(c2) OVER () n2
+        |  FROM v),
+        |d AS (
+        |  SELECT MAX(ABS(f1 / n1 - f2 / n2)) d,
+        |    ANY_VALUE(n1) n1, ANY_VALUE(n2) n2
+        |  FROM c),
+        |lam AS (
+        |  SELECT d, n1, n2,
+        |    (SQRT(n1 * n2 / (n1 + n2)) + 0.12
+        |      + 0.11 / SQRT(n1 * n2 / (n1 + n2))) * d AS l
+        |  FROM d)
+        |SELECT ROUND(d, 6) AS d, n1::BIGINT AS n1, n2::BIGINT AS n2,
+        |  ROUND(LEAST(GREATEST((
+        |    SELECT SUM(POW(-1.0, k - 1) * 2.0 * EXP(-2.0 * k * k * l * l))
+        |    FROM range(1, 26) s(k)), 0.0), 1.0), 6) AS pvalue
+        |FROM lam""".stripMargin,
+    "q_normal_test" ->
+      """WITH t AS (SELECT event_type g, value x FROM events),
+        |m AS (
+        |  SELECT g, COUNT(*)::DOUBLE n, AVG(x) mean, AVG(x*x) s2,
+        |    AVG(x*x*x) s3, AVG(x*x*x*x) s4
+        |  FROM t GROUP BY 1),
+        |mm AS (
+        |  SELECT g, n, s2 - mean*mean m2,
+        |    s3 - 3*mean*s2 + 2*mean*mean*mean m3,
+        |    s4 - 4*mean*s3 + 6*mean*mean*s2 - 3*mean*mean*mean*mean m4
+        |  FROM m),
+        |gg AS (
+        |  SELECT g, n, m3 / POW(m2, 1.5) g1, m4 / (m2 * m2) b2 FROM mm),
+        |sk AS (
+        |  SELECT g, n, b2, g1 * SQRT((n+1)*(n+3)/(6*(n-2))) y,
+        |    3.0*(n*n + 27*n - 70)*(n+1)*(n+3)
+        |      / ((n-2)*(n+5)*(n+7)*(n+9)) beta2
+        |  FROM gg),
+        |sk2 AS (SELECT g, n, b2, y, SQRT(2*(beta2-1)) - 1 w2 FROM sk),
+        |sk3 AS (
+        |  SELECT g, n, b2,
+        |    (1.0/SQRT(LN(SQRT(w2))))
+        |      * LN(y/SQRT(2/(w2-1))
+        |        + SQRT(POW(y/SQRT(2/(w2-1)), 2) + 1)) z1
+        |  FROM sk2),
+        |ku AS (
+        |  SELECT g, z1,
+        |    (b2 - 3*(n-1)/(n+1))
+        |      / SQRT(24*n*(n-2)*(n-3)/((n+1)*(n+1)*(n+3)*(n+5))) xk,
+        |    6*(n*n - 5*n + 2)/((n+7)*(n+9))
+        |      * SQRT(6*(n+3)*(n+5)/(n*(n-2)*(n-3))) sb1
+        |  FROM sk3),
+        |ku2 AS (
+        |  SELECT g, z1, xk,
+        |    6 + 8/sb1 * (2/sb1 + SQRT(1 + 4/(sb1*sb1))) a
+        |  FROM ku),
+        |ku3 AS (
+        |  SELECT g, z1,
+        |    ((1 - 2/(9*a))
+        |      - SIGN((1 - 2/a)/(1 + xk*SQRT(2/(a-4))))
+        |        * POW(ABS((1 - 2/a)/(1 + xk*SQRT(2/(a-4)))), 1.0/3.0))
+        |      / SQRT(2/(9*a)) z2
+        |  FROM ku2)
+        |SELECT g AS event_type,
+        |  ROUND(z1*z1 + z2*z2, 6) AS statistic,
+        |  ROUND(EXP(-(z1*z1 + z2*z2)/2), 6) AS pvalue
+        |FROM ku3 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.KendallTauAgg
+import graft.functions.{PValues, Stats}
+import graft.ops.StatOps
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean = {
+    val ok = math.abs(a - b) <= tol
+    if (!ok) info(s"got $a expected $b")
+    ok
+  }
+
+  test("t p-values match independent incomplete-beta goldens") {
+    import spark.implicits._
+    // goldens from a standalone continued-fraction betainc implementation
+    val df = Seq((2.0, 10.0), (2.5, 37.4212), (1.2345, 100.0)).toDF("t", "df")
+    val got = df.select(PValues.tSf(col("t"), col("df"))).as[Double].collect()
+    assert(approx(got(0), 0.07338803477074045, 1e-12))
+    assert(approx(got(1), 0.016925822609975303, 1e-12))
+    assert(approx(got(2), 0.2199097238674017, 1e-12))
+  }
+
+  test("tTestInd statistic on a hand-computable pair") {
+    import spark.implicits._
+    // a = [1,2,3,4], b = [2,4,6,8]: m1=2.5 m2=5, v1=5/3 v2=20/3,
+    // sp2=(3*5/3+3*20/3)/6=25/6, t=(2.5-5)/sqrt(25/6*0.5)= -1.6970562748
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("a", "b")
+    val r = df.agg(Stats.tTestInd(col("a"), col("b")).as("t")).select("t.*")
+      .collect()(0)
+    assert(approx(r.getDouble(0), -2.5 / math.sqrt(25.0 / 6 / 2)))
+    assert(r.getDouble(1) == 6.0)
+  }
+
+  test("kendall tau matches scipy doc example (-0.4714045207910316)") {
+    import spark.implicits._
+    val df = Seq((12.0, 1.0), (2.0, 4.0), (1.0, 7.0), (12.0, 1.0),
+      (2.0, 0.0)).toDF("x", "y")
+    val r = df.agg(KendallTauAgg.kendallTau(col("x"), col("y")).as("tau"))
+      .collect()(0)
+    assert(approx(r.getDouble(0), -0.4714045207910316, 1e-12))
+  }
+
+  test("spearman matches scipy doc example (0.8207826816681233)") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 7.0), (4.0, 8.0), (5.0, 7.0))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r = StatOps.spearman(df, col("x"), col("y"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("spearman"), 0.8207826816681233, 1e-12))
+  }
+
+  test("ks2Samp exact D on a tiny example") {
+    import spark.implicits._
+    // s1 = [1,2,3], s2 = [1.5, 2.5, 3.5, 4.5]
+    // pooled: D max at x=3: F1=1, F2=0.5 → D=0.5
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (1.5, false), (2.5, false), (3.5, false), (4.5, false))
+      .toDF("x", "s").withColumn("g", lit(1))
+    val r = StatOps.ks2Samp(df, col("x"), col("s"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("d"), 0.5, 1e-12))
+  }
+
+  test("mannWhitneyU matches hand-computed U") {
+    import spark.implicits._
+    // s1=[1,2,3], s2=[4,5,6]: all s2 > s1, U1 = 0
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false))
+      .toDF("x", "s").withColumn("g", lit(1))
+    val r = StatOps.mannWhitneyU(df, col("x"), col("s"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("u"), 0.0, 1e-12))
+  }
+
+  test("weighted mean/var reduce to plain with unit weights") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").withColumn("w", lit(1.0))
+    val r = df.agg(
+      Stats.weightedMean(col("x"), col("w")).as("m"),
+      Stats.weightedVar(col("x"), col("w")).as("v")).collect()(0)
+    assert(approx(r.getAs[Double]("m"), 2.5))
+    assert(approx(r.getAs[Double]("v"), 1.25)) // population var
+  }
+}
