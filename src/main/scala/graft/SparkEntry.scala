@@ -18,7 +18,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     BaseQueries,
     MetricQueries,
-    StatQueries
+    StatQueries,
+    TSQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

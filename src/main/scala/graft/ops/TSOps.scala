@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / ordered features (SURVEY §2.7; reference
+  * python/polars_ds/exprs/ts_features.py). Polars rows are implicitly
+  * ordered; Spark rows are not — every ordered op here takes an explicit
+  * `order` column (the intentional, documented API divergence from the
+  * reference, SURVEY §7 "hard parts").
+  *
+  * Lag-based features use `Window.partitionBy(group).orderBy(order)`:
+  * one shuffle on the group key, sort within partition — the minimal
+  * machinery for ordered semantics in a distributed engine. Group-level
+  * statistics needed alongside (e.g. z-normalization) are computed with
+  * a separate aggregate and broadcast-joined back rather than with
+  * whole-partition windows, so no group ever has to fit in one task
+  * except for its (unavoidable) ordered scan.
+  */
+object TSOps {
+
+  private val P = "__pds_"
+
+  private def gw(groupNames: Seq[String], order: Column) =
+    Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+
+  /** Lag-based ordered features, one row per group:
+    * mean_abs_change (ts_features.py:76), cid_ce (:356),
+    * c3 (:336), time-reversal asymmetry (:382), autocorrelation (:393),
+    * is_increasing/is_decreasing monotonicity flags (num.py:218,235). */
+  def lagFeatures(df: DataFrame, x: Column, order: Column,
+                  groupNames: Seq[String], lag1: Int = 1): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = gw(groupNames, order)
+    val t = df
+      .select(gc :+ x.cast("double").as(s"${P}x") :+ order.as(s"${P}o"): _*)
+      .withColumn(s"${P}l1", lag(col(s"${P}x"), lag1).over(
+        Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))))
+      .withColumn(s"${P}l2", lag(col(s"${P}x"), 2 * lag1).over(
+        Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))))
+    val d = col(s"${P}x") - col(s"${P}l1")
+    val n = count(lit(1)).cast("double")
+    val mean = sum(s"${P}x") / n
+    val varPop = sum(col(s"${P}x") * col(s"${P}x")) / n - mean * mean
+    t.groupBy(gc: _*).agg(
+      avg(abs(d)).as("mean_abs_change"),
+      sqrt(sum(d * d)).as("cid_ce"),
+      avg(col(s"${P}x") * col(s"${P}l1") * col(s"${P}l2")).as("c3"),
+      avg(col(s"${P}l2") * col(s"${P}l2") * col(s"${P}l1") -
+        col(s"${P}l1") * col(s"${P}x") * col(s"${P}x"))
+        .as("time_reversal_asymmetry"),
+      // Σ(x−m)(l1−m) over non-null pairs, expanded so the group mean is
+      // not nested inside another aggregate:
+      ((sum(col(s"${P}x") * col(s"${P}l1")) -
+        mean * sum(when(col(s"${P}l1").isNotNull, col(s"${P}x"))) -
+        mean * sum(col(s"${P}l1")) +
+        count(col(s"${P}l1")) * mean * mean) /
+        (count(col(s"${P}l1")) * varPop)).as("auto_corr"),
+      min(when(col(s"${P}l1").isNotNull, (d >= 0).cast("int")))
+        .cast("boolean").as("is_increasing"),
+      min(when(col(s"${P}l1").isNotNull, (d <= 0).cast("int")))
+        .cast("boolean").as("is_decreasing"))
+  }
+
+  /** Order-free aggregate features, one row per group: mid_range,
+    * abs_energy, coefficient of variation, count_uniques, range_count.
+    * (ts_features.py:51-106) */
+  def basicFeatures(df: DataFrame, x: Column, groupNames: Seq[String],
+                    rangeLo: Double, rangeHi: Double): DataFrame = {
+    val gc = groupNames.map(col)
+    df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
+      .groupBy(gc: _*).agg(
+        ((max(s"${P}x") + min(s"${P}x")) / 2.0).as("mid_range"),
+        sum(col(s"${P}x") * col(s"${P}x")).as("abs_energy"),
+        (stddev_samp(col(s"${P}x")) / avg(s"${P}x")).as("cv"),
+        countDistinct(col(s"${P}x")).as("count_uniques"),
+        sum((col(s"${P}x") >= rangeLo && col(s"${P}x") < rangeHi)
+          .cast("long")).as("range_count"))
+  }
+
+  /** Mean of the n largest |x| per group (ts_features.py:83
+    * query_mean_n_abs_max): rank-filter, no per-group collection. */
+  def meanNAbsMax(df: DataFrame, x: Column, groupNames: Seq[String],
+                  n: Int): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = Window.partitionBy(gc: _*)
+      .orderBy(abs(col(s"${P}x")).desc, col(s"${P}x").desc)
+    df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
+      .withColumn(s"${P}rk", row_number().over(w))
+      .filter(col(s"${P}rk") <= n)
+      .groupBy(gc: _*)
+      .agg(avg(abs(col(s"${P}x"))).as("mean_n_abs_max"))
+  }
+
+  /** Longest / average / count of streaks where `cond` holds, per group —
+    * the gaps-and-islands pattern (ts_features.py:121-208 query_*streak;
+    * the reference uses rle_id, this is its shuffle-native equivalent). */
+  def streaks(df: DataFrame, cond: Column, order: Column,
+              groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = gw(groupNames, order)
+    val t = df.select(gc :+ cond.cast("int").as(s"${P}c")
+      :+ order.as(s"${P}o"): _*)
+    val wo = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val withId = t.withColumn(s"${P}chg",
+        when(col(s"${P}c") =!=
+          coalesce(lag(col(s"${P}c"), 1).over(wo), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn(s"${P}sid", sum(s"${P}chg").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = withId.filter(col(s"${P}c") === 1)
+      .groupBy(gc :+ col(s"${P}sid"): _*)
+      .agg(count(lit(1)).as(s"${P}len"))
+    runs.groupBy(gc: _*).agg(
+      max(s"${P}len").as("longest_streak"),
+      avg(s"${P}len").as("avg_streak"),
+      count(lit(1)).as("n_streaks"))
+  }
+
+  /** Trapezoidal integration of y over explicit abscissa x (num.py:830
+    * integrate_trapz; kernel src/num_ext/trapz.rs:26). */
+  def trapz(df: DataFrame, y: Column, xCol: Column,
+            groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ y.cast("double").as(s"${P}y")
+      :+ xCol.cast("double").as(s"${P}x"): _*)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+    t.withColumn(s"${P}py", lag(s"${P}y", 1).over(w))
+      .withColumn(s"${P}px", lag(s"${P}x", 1).over(w))
+      .groupBy(gc: _*)
+      .agg(sum((col(s"${P}y") + col(s"${P}py")) / 2.0 *
+        (col(s"${P}x") - col(s"${P}px"))).as("trapz"))
+  }
+
+  /** Linear-trend slope/intercept of x against its row index (detrend's
+    * fit step, num.py:1021): slope = cov(i,x)/var(i) — algebraic. */
+  def linearTrend(df: DataFrame, x: Column, order: Column,
+                  groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = gw(groupNames, order)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ order.as(s"${P}o"): _*)
+      .withColumn(s"${P}i",
+        (row_number().over(Window.partitionBy(gc: _*)
+          .orderBy(col(s"${P}o"))) - 1).cast("double"))
+    val n = count(lit(1)).cast("double")
+    val sxy = sum(col(s"${P}i") * col(s"${P}x")) -
+      sum(s"${P}i") * sum(s"${P}x") / n
+    val sxx = sum(col(s"${P}i") * col(s"${P}i")) -
+      sum(s"${P}i") * sum(s"${P}i") / n
+    t.groupBy(gc: _*).agg(
+      (sxy / sxx).as("slope"),
+      ((sum(s"${P}x") - (sxy / sxx) * sum(s"${P}i")) / n).as("intercept"))
+  }
+
+  /** Shannon entropy (nats) of the value distribution per group
+    * (ts_features.py:484 query_entropy): two map-side-combinable
+    * aggregations, no collection. */
+  def entropy(df: DataFrame, x: Column, groupNames: Seq[String],
+              outName: String = "entropy"): DataFrame = {
+    val gc = groupNames.map(col)
+    val cnt = df.select(gc :+ x.as(s"${P}x"): _*)
+      .groupBy(gc :+ col(s"${P}x"): _*).agg(count(lit(1)).as(s"${P}c"))
+    val wT = Window.partitionBy(gc: _*)
+    cnt.withColumn(s"${P}n", sum(s"${P}c").over(wT))
+      .groupBy(gc: _*)
+      .agg((-sum(col(s"${P}c") / col(s"${P}n") *
+        log(col(s"${P}c") / col(s"${P}n")))).as(outName))
+  }
+
+  /** Conditional entropy H(x|y) per group (ts_features.py:500;
+    * kernel src/num_ext/cond_entropy.rs): H(x|y) = H(x,y) − H(y). */
+  def condEntropy(df: DataFrame, x: Column, y: Column,
+                  groupNames: Seq[String], outName: String = "cond_entropy")
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    val joint = df.select(gc :+ x.as(s"${P}x") :+ y.as(s"${P}y"): _*)
+      .groupBy(gc :+ col(s"${P}x") :+ col(s"${P}y"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}cxy"))
+    val wY = Window.partitionBy(gc :+ col(s"${P}y"): _*)
+    val wT = Window.partitionBy(gc: _*)
+    joint
+      .withColumn(s"${P}cy", sum(s"${P}cxy").over(wY))
+      .withColumn(s"${P}n", sum(s"${P}cxy").over(wT))
+      .groupBy(gc: _*)
+      .agg((-sum(col(s"${P}cxy") / col(s"${P}n") *
+        log(col(s"${P}cxy") / col(s"${P}cy")))).as(outName))
+  }
+
+  /** First-significant-digit counts 1..9 per group (Benford's law;
+    * ts_features.py:209 query_benford / src/num_ext/benford.rs:34).
+    * Output: group × digit × cnt (exploded table form). */
+  def benford(df: DataFrame, x: Column, groupNames: Seq[String])
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    // first significant digit: floor(|x| / 10^floor(log10|x|))
+    val ax = abs(x.cast("double"))
+    val digit = floor(ax / pow(lit(10.0), floor(log10(ax)))).cast("int")
+    df.filter(x.isNotNull && ax > 0)
+      .select(gc :+ digit.as("digit"): _*)
+      .groupBy(gc :+ col("digit"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Permutation entropy with embedding dimension 3, delay 1
+    * (ts_features.py:734 query_permute_entropy). The 3-element ordinal
+    * pattern is derived from pairwise comparisons of (x, lag(x),
+    * lag2(x)) — pure expression logic, no collection. Ties broken by
+    * order of appearance (stable, matches argsort semantics). */
+  def permutationEntropy3(df: DataFrame, x: Column, order: Column,
+                          groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val wo = gw(groupNames, order)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ order.as(s"${P}o"): _*)
+      .withColumn(s"${P}b",
+        lag(s"${P}x", 1).over(Window.partitionBy(gc: _*)
+          .orderBy(col(s"${P}o"))))
+      .withColumn(s"${P}a",
+        lag(s"${P}x", 2).over(Window.partitionBy(gc: _*)
+          .orderBy(col(s"${P}o"))))
+      .filter(col(s"${P}a").isNotNull)
+    // window = (a, b, c) in time order; pattern = ranks with stable ties
+    val a = col(s"${P}a"); val b = col(s"${P}b"); val c = col(s"${P}x")
+    val pat = concat(
+      (a > b).cast("int"), (a > c).cast("int"), (b > c).cast("int"))
+    entropy(t.withColumn(s"${P}pat", pat), col(s"${P}pat"), groupNames,
+      "permutation_entropy")
+  }
+
+  /** Kaplan–Meier survival curve per group (survival.py:11;
+    * src/stats/kaplan_meier.rs:11): at each distinct event time,
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / n_i). Censored rows (status=0) leave
+    * the risk set without an event. Output: group × time × survival. */
+  def kaplanMeier(df: DataFrame, time: Column, status: Column,
+                  groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val byT = df.select(gc :+ time.cast("double").as(s"${P}t")
+      :+ status.cast("int").as(s"${P}s"): _*)
+      .groupBy(gc :+ col(s"${P}t"): _*)
+      .agg(sum(s"${P}s").cast("double").as(s"${P}d"),
+        count(lit(1)).cast("double").as(s"${P}c"))
+    val wT = Window.partitionBy(gc: _*)
+    val wBefore = Window.partitionBy(gc: _*).orderBy(col(s"${P}t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col(s"${P}t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn(s"${P}atRisk",
+        sum(s"${P}c").over(wT) -
+          coalesce(sum(s"${P}c").over(wBefore), lit(0.0)))
+      // cumulative product via Σlog; the final factor can be exactly 0
+      // (everyone at risk dies) — clamp so log stays finite and the
+      // survival underflows to 0 rather than null.
+      .withColumn("survival",
+        exp(sum(log(greatest(lit(1.0) - col(s"${P}d") / col(s"${P}atRisk"),
+          lit(1e-300)))).over(wCum)))
+      .select(gc ++ Seq(col(s"${P}t").as("time"), col("survival")): _*)
+  }
+}

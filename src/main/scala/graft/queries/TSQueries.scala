@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.LempelZivAgg
+import graft.ops.TSOps
+
+/** Driver-contract queries for SURVEY §2.7 — ordered/time-series
+  * features over the events table, ordered by event_id per event_type. */
+object TSQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_lag_features" -> ((s, dir) => {
+      TSOps.lagFeatures(t(s, dir, "events"), col("value"),
+          col("event_id"), Seq("event_type"))
+        .select(col("event_type"),
+          round(col("mean_abs_change"), 6).as("mean_abs_change"),
+          round(col("cid_ce"), 4).as("cid_ce"),
+          round(col("c3"), 2).as("c3"),
+          round(col("time_reversal_asymmetry"), 2).as("tra"),
+          round(col("auto_corr"), 6).as("auto_corr"),
+          col("is_increasing"), col("is_decreasing"))
+        .orderBy("event_type")
+    }),
+    "q_ts_basic" -> ((s, dir) => {
+      TSOps.basicFeatures(t(s, dir, "events"), col("value"),
+          Seq("event_type"), 20.0, 80.0)
+        .select(col("event_type"),
+          round(col("mid_range"), 4).as("mid_range"),
+          round(col("abs_energy"), 4).as("abs_energy"),
+          round(col("cv"), 6).as("cv"),
+          col("count_uniques"), col("range_count"))
+        .orderBy("event_type")
+    }),
+    "q_mean_n_abs_max" -> ((s, dir) => {
+      TSOps.meanNAbsMax(t(s, dir, "events"), col("value"),
+          Seq("event_type"), 5)
+        .withColumn("mean_n_abs_max", round(col("mean_n_abs_max"), 6))
+        .orderBy("event_type")
+    }),
+    "q_streaks" -> ((s, dir) => {
+      TSOps.streaks(t(s, dir, "events"), col("value") > 50.0,
+          col("event_id"), Seq("event_type"))
+        .withColumn("avg_streak", round(col("avg_streak"), 6))
+        .orderBy("event_type")
+    }),
+    "q_trapz" -> ((s, dir) => {
+      TSOps.trapz(t(s, dir, "events"), col("value"), col("event_id"),
+          Seq("event_type"))
+        .withColumn("trapz", round(col("trapz"), 3))
+        .orderBy("event_type")
+    }),
+    "q_linear_trend" -> ((s, dir) => {
+      TSOps.linearTrend(t(s, dir, "events"), col("value"),
+          col("event_id"), Seq("event_type"))
+        .withColumn("slope", round(col("slope"), 6))
+        .withColumn("intercept", round(col("intercept"), 4))
+        .orderBy("event_type")
+    }),
+    "q_entropy" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("bin", floor(col("value") / 10.0).cast("int"))
+        .withColumn("ybin", col("user_id") % 5)
+      TSOps.entropy(df, col("bin"), Seq("event_type"))
+        .join(TSOps.condEntropy(df, col("bin"), col("ybin"),
+          Seq("event_type")), Seq("event_type"))
+        .select(col("event_type"),
+          round(col("entropy"), 6).as("entropy"),
+          round(col("cond_entropy"), 6).as("cond_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_benford" -> ((s, dir) => {
+      TSOps.benford(t(s, dir, "events"), col("value"), Seq("event_type"))
+        .orderBy("event_type", "digit")
+    }),
+    "q_permute_entropy" -> ((s, dir) => {
+      TSOps.permutationEntropy3(t(s, dir, "events"), col("value"),
+          col("event_id"), Seq("event_type"))
+        .withColumn("permutation_entropy",
+          round(col("permutation_entropy"), 6))
+        .orderBy("event_type")
+    }),
+    "q_kaplan_meier" -> ((s, dir) => {
+      TSOps.kaplanMeier(
+          t(s, dir, "events").withColumn("status", col("user_id") % 2),
+          col("value"), col("status"), Seq("event_type"))
+        .withColumn("survival", round(col("survival"), 6))
+        .orderBy("event_type", "time")
+    }),
+    // LZ76 complexity has no SQL equivalent — rows-only check (no oracle).
+    "q_lempel_ziv" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(LempelZivAgg.lempelZiv(col("event_id"),
+          col("value") > 50.0, asRatio = true), 6).as("lz_ratio"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ts_lag_features" ->
+      """WITH t AS (
+        |  SELECT event_type, value x,
+        |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      l1,
+        |    LAG(value, 2) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      l2
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(AVG(ABS(x - l1)), 6) AS mean_abs_change,
+        |  ROUND(SQRT(SUM((x - l1) * (x - l1))), 4) AS cid_ce,
+        |  ROUND(AVG(x * l1 * l2), 2) AS c3,
+        |  ROUND(AVG(l2 * l2 * l1 - l1 * x * x), 2) AS tra,
+        |  ROUND(SUM((x - sub.mean) * (l1 - sub.mean))
+        |    / (COUNT(l1) * sub.varp), 6) AS auto_corr,
+        |  MIN(CASE WHEN l1 IS NOT NULL
+        |    THEN CASE WHEN x - l1 >= 0 THEN 1 ELSE 0 END END) = 1
+        |    AS is_increasing,
+        |  MIN(CASE WHEN l1 IS NOT NULL
+        |    THEN CASE WHEN x - l1 <= 0 THEN 1 ELSE 0 END END) = 1
+        |    AS is_decreasing
+        |FROM t
+        |JOIN (SELECT event_type, AVG(value) mean,
+        |        AVG(value * value) - AVG(value) * AVG(value) varp
+        |      FROM events GROUP BY 1) sub USING (event_type)
+        |GROUP BY event_type, sub.mean, sub.varp ORDER BY 1""".stripMargin,
+    "q_ts_basic" ->
+      """SELECT event_type,
+        |  ROUND((MAX(value) + MIN(value)) / 2.0, 4) AS mid_range,
+        |  ROUND(SUM(value * value), 4) AS abs_energy,
+        |  ROUND(STDDEV_SAMP(value) / AVG(value), 6) AS cv,
+        |  COUNT(DISTINCT value) AS count_uniques,
+        |  SUM(CASE WHEN value >= 20.0 AND value < 80.0 THEN 1 ELSE 0 END)
+        |    AS range_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mean_n_abs_max" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(value) DESC, value DESC) rk
+        |  FROM events)
+        |SELECT event_type, ROUND(AVG(ABS(value)), 6) AS mean_n_abs_max
+        |FROM r WHERE rk <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_streaks" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END c
+        |  FROM events),
+        |chg AS (
+        |  SELECT event_type, event_id, c,
+        |    CASE WHEN c <> COALESCE(LAG(c) OVER (PARTITION BY event_type
+        |      ORDER BY event_id), -1) THEN 1 ELSE 0 END ch
+        |  FROM t),
+        |sid AS (
+        |  SELECT event_type, c,
+        |    SUM(ch) OVER (PARTITION BY event_type ORDER BY event_id) id
+        |  FROM chg),
+        |runs AS (
+        |  SELECT event_type, id, COUNT(*) len
+        |  FROM sid WHERE c = 1 GROUP BY 1, 2)
+        |SELECT event_type, MAX(len) AS longest_streak,
+        |  ROUND(AVG(len), 6) AS avg_streak, COUNT(*) AS n_streaks
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trapz" ->
+      """WITH t AS (
+        |  SELECT event_type, value y, event_id x,
+        |    LAG(value) OVER (PARTITION BY event_type ORDER BY event_id) py,
+        |    LAG(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      px
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(SUM((y + py) / 2.0 * (x - px)), 3) AS trapz
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_linear_trend" ->
+      """WITH t AS (
+        |  SELECT event_type, value x,
+        |    (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      - 1)::DOUBLE i
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND((SUM(i * x) - SUM(i) * SUM(x) / COUNT(*))
+        |    / (SUM(i * i) - SUM(i) * SUM(i) / COUNT(*)), 6) AS slope,
+        |  ROUND((SUM(x) - (SUM(i * x) - SUM(i) * SUM(x) / COUNT(*))
+        |    / (SUM(i * i) - SUM(i) * SUM(i) / COUNT(*)) * SUM(i))
+        |    / COUNT(*), 4) AS intercept
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_entropy" ->
+      """WITH t AS (
+        |  SELECT event_type, FLOOR(value / 10.0)::INT bin,
+        |    user_id % 5 ybin
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    -SUM(p * LN(p)) e
+        |  FROM (SELECT event_type,
+        |          COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER
+        |            (PARTITION BY event_type) p
+        |        FROM t GROUP BY event_type, bin)
+        |  GROUP BY 1),
+        |hc AS (
+        |  SELECT event_type, -SUM(pxy * LN(pxy / py)) ce
+        |  FROM (SELECT event_type,
+        |          COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER
+        |            (PARTITION BY event_type) pxy,
+        |          SUM(COUNT(*)) OVER (PARTITION BY event_type, ybin)
+        |            / SUM(COUNT(*)) OVER (PARTITION BY event_type) py
+        |        FROM t GROUP BY event_type, bin, ybin)
+        |  GROUP BY 1)
+        |SELECT event_type, ROUND(h.e, 6) AS entropy,
+        |  ROUND(hc.ce, 6) AS cond_entropy
+        |FROM h JOIN hc USING (event_type) ORDER BY 1""".stripMargin,
+    "q_benford" ->
+      """SELECT event_type,
+        |  FLOOR(ABS(value) / POW(10, FLOOR(LOG10(ABS(value)))))::INT
+        |    AS digit,
+        |  COUNT(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND ABS(value) > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_permute_entropy" ->
+      """WITH t AS (
+        |  SELECT event_type, value c,
+        |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      b,
+        |    LAG(value, 2) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      a
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    (CASE WHEN a > b THEN 1 ELSE 0 END)::VARCHAR
+        |      || (CASE WHEN a > c THEN 1 ELSE 0 END)::VARCHAR
+        |      || (CASE WHEN b > c THEN 1 ELSE 0 END)::VARCHAR pat
+        |  FROM t WHERE a IS NOT NULL),
+        |d AS (
+        |  SELECT event_type,
+        |    COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+        |      p
+        |  FROM p GROUP BY event_type, pat)
+        |SELECT event_type, ROUND(-SUM(p * LN(p)), 6)
+        |  AS permutation_entropy
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH t AS (
+        |  SELECT event_type, value tm, user_id % 2 st FROM events),
+        |byt AS (
+        |  SELECT event_type, tm, SUM(st)::DOUBLE d, COUNT(*)::DOUBLE c
+        |  FROM t GROUP BY 1, 2),
+        |rsk AS (
+        |  SELECT event_type, tm, d,
+        |    SUM(c) OVER (PARTITION BY event_type)
+        |      - COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY tm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS atrisk
+        |  FROM byt)
+        |SELECT event_type, tm AS time,
+        |  ROUND(EXP(SUM(LN(GREATEST(1 - d / atrisk, 1e-300)))
+        |    OVER (PARTITION BY event_type
+        |    ORDER BY tm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |    6) AS survival
+        |FROM rsk ORDER BY 1, 2""".stripMargin
+  )
+}

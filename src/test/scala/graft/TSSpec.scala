@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.LempelZivAgg
+import graft.ops.TSOps
+
+class TSSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9) =
+    math.abs(a - b) <= tol
+
+  test("streaks: gaps-and-islands on a known sequence") {
+    import spark.implicits._
+    // cond: T T F T T T F -> streaks of 2 and 3
+    val df = Seq(true, true, false, true, true, true, false).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("o", "c")
+      .withColumn("g", lit("a"))
+    val r = TSOps.streaks(df, col("c"), col("o"), Seq("g")).collect()(0)
+    assert(r.getAs[Long]("longest_streak") == 3L)
+    assert(approx(r.getAs[Double]("avg_streak"), 2.5))
+    assert(r.getAs[Long]("n_streaks") == 2L)
+  }
+
+  test("trapz integrates y=x over [0,3] to 4.5") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r = TSOps.trapz(df, col("y"), col("x"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("trapz"), 4.5))
+  }
+
+  test("entropy of uniform 4-way distribution = ln 4") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 4).toDF("x").withColumn("g", lit("a"))
+    val r = TSOps.entropy(df, col("x"), Seq("g")).collect()(0)
+    assert(approx(r.getAs[Double]("entropy"), math.log(4.0)))
+  }
+
+  test("LZ76 complexity matches independent-implementation goldens") {
+    import spark.implicits._
+    def run(bits: String): Double = {
+      val df = bits.zipWithIndex
+        .map { case (ch, i) => (i.toLong, ch == '1') }
+        .toSeq.toDF("o", "b").withColumn("g", lit("a"))
+      df.groupBy("g").agg(LempelZivAgg.lempelZiv(col("o"), col("b"))
+        .as("c")).collect()(0).getAs[Double]("c")
+    }
+    assert(run("0001101001000101") == 6.0)
+    assert(run("0000") == 2.0)
+    assert(run("010101010101") == 3.0)
+    assert(run("1011010100010") == 6.0) // Lempel & Ziv (1976) example
+  }
+
+  test("kaplanMeier: all-event cohort steps 2/3, 1/3, 0") {
+    import spark.implicits._
+    val df = Seq((1.0, 1), (2.0, 1), (3.0, 1)).toDF("t", "s")
+      .withColumn("g", lit("a"))
+    val r = TSOps.kaplanMeier(df, col("t"), col("s"), Seq("g"))
+      .orderBy("time").collect()
+    assert(approx(r(0).getAs[Double]("survival"), 2.0 / 3))
+    assert(approx(r(1).getAs[Double]("survival"), 1.0 / 3))
+    assert(approx(r(2).getAs[Double]("survival"), 0.0, 1e-12))
+  }
+
+  test("lagFeatures is_increasing on monotone data") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("o", "x")
+      .withColumn("g", lit("a"))
+    val r = TSOps.lagFeatures(df, col("x"), col("o"), Seq("g")).collect()(0)
+    assert(r.getAs[Boolean]("is_increasing"))
+    assert(!r.getAs[Boolean]("is_decreasing"))
+    assert(approx(r.getAs[Double]("mean_abs_change"), 1.0))
+  }
+}
