@@ -19,7 +19,8 @@ object SparkEntry {
     BaseQueries,
     MetricQueries,
     StatQueries,
-    TSQueries
+    TSQueries,
+    StringQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,366 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String similarity / distance / cleaning functions (SURVEY §2.8;
+  * reference python/polars_ds/exprs/string.py + src/str_ext/).
+  *
+  * Elementwise kernels are Scala UDFs over codegen'd inputs — the JVM
+  * implementations mirror the published rapidfuzz/strsim algorithms the
+  * reference wraps. Pure-regex ops (whitespace, non-ASCII, number
+  * extraction) stay as native `Column` expressions so they remain inside
+  * whole-stage codegen. `levenshtein` uses Spark's built-in (already a
+  * native Catalyst expression with an optional threshold).
+  */
+object Strings {
+
+  // ---------- similarity kernels (pure JVM, referentially transparent) --
+
+  private[functions] def jaroSim(s1: String, s2: String): Double = {
+    val (a, b) = (s1.toCharArray, s2.toCharArray)
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a(i) == b(j)) {
+          aM(i) = true; bM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var (k, t) = (0, 0)
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+  }
+
+  private[functions] def jaroWinklerSim(s1: String, s2: String,
+                                        p: Double = 0.1): Double = {
+    val j = jaroSim(s1, s2)
+    var l = 0
+    val maxL = math.min(4, math.min(s1.length, s2.length))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * p * (1.0 - j)
+  }
+
+  /** Optimal string alignment (restricted Damerau) distance.
+    * (src/str_ext/osa.rs) */
+  private[functions] def osaDist(s1: String, s2: String): Int = {
+    val (la, lb) = (s1.length, s2.length)
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val d = Array.ofDim[Int](la + 1, lb + 1)
+    for (i <- 0 to la) d(i)(0) = i
+    for (j <- 0 to lb) d(0)(j) = j
+    for (i <- 1 to la; j <- 1 to lb) {
+      val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+      if (i > 1 && j > 1 && s1.charAt(i - 1) == s2.charAt(j - 2) &&
+          s1.charAt(i - 2) == s2.charAt(j - 1))
+        d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+    }
+    d(la)(lb)
+  }
+
+  /** Full Damerau–Levenshtein (unrestricted transpositions).
+    * (src/str_ext/levenshtein.rs:261 str_d_leven) */
+  private[functions] def damerauDist(s1: String, s2: String): Int = {
+    val (la, lb) = (s1.length, s2.length)
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val maxDist = la + lb
+    val da = scala.collection.mutable.HashMap.empty[Char, Int]
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxDist
+    for (i <- 0 to la) { d(i + 1)(0) = maxDist; d(i + 1)(1) = i }
+    for (j <- 0 to lb) { d(0)(j + 1) = maxDist; d(1)(j + 1) = j }
+    for (i <- 1 to la) {
+      var db = 0
+      for (j <- 1 to lb) {
+        val k = da.getOrElse(s2.charAt(j - 1), 0)
+        val l = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 }
+          else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1,
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+      }
+      da(s1.charAt(i - 1)) = i
+    }
+    d(la + 1)(lb + 1)
+  }
+
+  private[functions] def ngramSet(s: String, n: Int): Set[String] =
+    if (s.length < n) Set(s) else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+
+  private[functions] def lcsSubstrLen(s1: String, s2: String): Int = {
+    if (s1.isEmpty || s2.isEmpty) return 0
+    val prev = new Array[Int](s2.length + 1)
+    val cur = new Array[Int](s2.length + 1)
+    var best = 0
+    for (i <- 1 to s1.length) {
+      for (j <- 1 to s2.length) {
+        cur(j) = if (s1.charAt(i - 1) == s2.charAt(j - 1)) prev(j - 1) + 1
+          else 0
+        if (cur(j) > best) best = cur(j)
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+    }
+    best
+  }
+
+  private[functions] def lcsSubseqLen(s1: String, s2: String): Int = {
+    if (s1.isEmpty || s2.isEmpty) return 0
+    val prev = new Array[Int](s2.length + 1)
+    val cur = new Array[Int](s2.length + 1)
+    for (i <- 1 to s1.length) {
+      for (j <- 1 to s2.length) {
+        cur(j) = if (s1.charAt(i - 1) == s2.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+    }
+    prev(s2.length)
+  }
+
+  // ---------- Column API ------------------------------------------------
+
+  private def udf2d(f: (String, String) => Double) =
+    udf { (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(f(a, b))
+    }
+  private def udf2i(f: (String, String) => Int) =
+    udf { (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Integer.valueOf(f(a, b))
+    }
+
+  /** Jaro similarity. (string.py:439 str_jaro) */
+  def strJaro(a: Column, b: Column): Column = udf2d(jaroSim)(a, b)
+
+  /** Jaro–Winkler similarity. (string.py:404 str_jw) */
+  def strJaroWinkler(a: Column, b: Column): Column =
+    udf2d(jaroWinklerSim(_, _))(a, b)
+
+  /** Optimal-string-alignment distance. (string.py:643 str_osa) */
+  def strOsa(a: Column, b: Column): Column = udf2i(osaDist)(a, b)
+
+  /** Damerau–Levenshtein distance. (string.py:461 str_d_leven) */
+  def strDamerau(a: Column, b: Column): Column = udf2i(damerauDist)(a, b)
+
+  /** Hamming distance; null if lengths differ unless `pad` (then the
+    * shorter is right-padded, mismatches counted). (string.py:117) */
+  def strHamming(a: Column, b: Column, pad: Boolean = false): Column = {
+    val f = udf { (x: String, y: String) =>
+      if (x == null || y == null) null
+      else if (x.length != y.length && !pad) null
+      else {
+        val n = math.max(x.length, y.length)
+        var (c, i) = (0, 0)
+        while (i < n) {
+          val cx = if (i < x.length) x.charAt(i) else '\u0000'
+          val cy = if (i < y.length) y.charAt(i) else '\u0000'
+          if (cx != cy) c += 1
+          i += 1
+        }
+        java.lang.Integer.valueOf(c)
+      }
+    }
+    f(a, b)
+  }
+
+  /** Char n-gram Jaccard similarity. (string.py:230 str_jaccard) */
+  def strJaccard(a: Column, b: Column, n: Int = 2): Column =
+    udf2d { (x, y) =>
+      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
+      val inter = sa.intersect(sb).size.toDouble
+      val uni = sa.size + sb.size - inter
+      if (uni == 0) 1.0 else inter / uni
+    }(a, b)
+
+  /** Sørensen–Dice similarity over char n-grams. (string.py:308) */
+  def strSorensenDice(a: Column, b: Column, n: Int = 2): Column =
+    udf2d { (x, y) =>
+      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size * 2.0 / (sa.size + sb.size)
+    }(a, b)
+
+  /** Overlap coefficient over char n-grams. (string.py:269) */
+  def strOverlapCoeff(a: Column, b: Column, n: Int = 2): Column =
+    udf2d { (x, y) =>
+      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
+      val m = math.min(sa.size, sb.size)
+      if (m == 0) 0.0 else sa.intersect(sb).size.toDouble / m
+    }(a, b)
+
+  /** Tversky similarity with α,β weights over char n-grams.
+    * (string.py:347) */
+  def strTversky(a: Column, b: Column, alpha: Double, beta: Double,
+                 n: Int = 2): Column =
+    udf2d { (x, y) =>
+      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
+      val i = sa.intersect(sb).size.toDouble
+      val d = i + alpha * (sa.size - i) + beta * (sb.size - i)
+      if (d == 0) 0.0 else i / d
+    }(a, b)
+
+  /** Longest common substring length. (string.py:547 str_lcs_substr) */
+  def strLcsSubstr(a: Column, b: Column): Column = udf2i(lcsSubstrLen)(a, b)
+
+  /** Longest common subsequence length. (string.py:602 str_lcs_subseq) */
+  def strLcsSubseq(a: Column, b: Column): Column = udf2i(lcsSubseqLen)(a, b)
+
+  /** rapidfuzz-style indel ratio: 1 − indel/(|a|+|b|),
+    * indel = |a|+|b| − 2·LCSseq. (string.py:679 str_fuzz) */
+  def strFuzz(a: Column, b: Column): Column =
+    udf2d { (x, y) =>
+      val tot = x.length + y.length
+      if (tot == 0) 1.0
+      else 1.0 - (tot - 2.0 * lcsSubseqLen(x, y)) / tot
+    }(a, b)
+
+  /** Levenshtein similarity 1 − d/max(len). (string.py:504 return_sim) */
+  def strLevenSim(a: Column, b: Column): Column =
+    lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b)).cast("double")
+
+  /** Nearest word in a (small, broadcast) vocabulary by Levenshtein.
+    * (string.py:188 str_nearest; src/str_ext/nearest_str.rs) */
+  def strNearest(a: Column, vocab: Seq[String]): Column = {
+    val f = udf { (x: String) =>
+      if (x == null) null
+      else vocab.minBy { v =>
+        // small-vocab exact Levenshtein
+        val d = Array.tabulate(v.length + 1)(identity)
+        var prevDiag = 0
+        for (i <- 1 to x.length) {
+          prevDiag = d(0); d(0) = i
+          for (j <- 1 to v.length) {
+            val t = d(j)
+            d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+              prevDiag + (if (x.charAt(i - 1) == v.charAt(j - 1)) 0 else 1))
+            prevDiag = t
+          }
+        }
+        d(v.length)
+      }
+    }
+    f(a)
+  }
+
+  // ---------- case conversion / cleaning --------------------------------
+
+  private val camelBoundary = "([a-z0-9])([A-Z])".r
+
+  private def splitWords(s: String): Array[String] =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1 $2")
+      .split("[\\s_\\-]+").filter(_.nonEmpty)
+
+  /** to_snake_case. (string.py:152; src/str_ext/inflections.rs) */
+  def toSnakeCase(c: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null else splitWords(s).map(_.toLowerCase).mkString("_")
+    }
+    f(c)
+  }
+
+  /** to_camel_case. */
+  def toCamelCase(c: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val w = splitWords(s).map(_.toLowerCase)
+        if (w.isEmpty) ""
+        else w.head + w.tail.map(_.capitalize).mkString
+      }
+    }
+    f(c)
+  }
+
+  /** to_pascal_case. */
+  def toPascalCase(c: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else splitWords(s).map(_.toLowerCase.capitalize).mkString
+    }
+    f(c)
+  }
+
+  /** to_constant_case (SCREAMING_SNAKE). */
+  def toConstantCase(c: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null else splitWords(s).map(_.toUpperCase).mkString("_")
+    }
+    f(c)
+  }
+
+  /** Strip or replace non-ASCII chars — native regex, stays in codegen.
+    * (string.py:853 replace_non_ascii) */
+  def replaceNonAscii(c: Column, repl: String = ""): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", repl)
+
+  /** é→e etc: NFD-decompose then drop combining marks. (string.py:894) */
+  def removeDiacritics(c: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else Normalizer.normalize(s, Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+    }
+    f(c)
+  }
+
+  /** Unicode normalization NFC/NFD/NFKC/NFKD. (str_cleaning.rs:65) */
+  def normalizeString(c: Column, form: String): Column = {
+    val nf = Normalizer.Form.valueOf(form.toUpperCase)
+    val f = udf { (s: String) =>
+      if (s == null) null else Normalizer.normalize(s, nf)
+    }
+    f(c)
+  }
+
+  /** Collapse runs of whitespace to single spaces + trim. (string.py:963) */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Word-level dictionary replacement (broadcast map). (string.py:927) */
+  def mapWords(c: Column, mapping: Map[String, String]): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else s.split(" ").map(w => mapping.getOrElse(w, w)).mkString(" ")
+    }
+    f(c)
+  }
+
+  /** Extract all numbers as an array<double>. (string.py:762) */
+  def extractNumbers(c: Column): Column =
+    transform(
+      regexp_extract_all(c, lit("(-?[0-9]+\\.?[0-9]*)"), lit(1)),
+      v => v.cast("double"))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Strings
+
+/** Driver-contract queries for SURVEY §2.8 — string similarity and
+  * cleaning. Distances are aggregated (avg per group) so the oracle
+  * compares one row per group; DuckDB's built-in levenshtein /
+  * damerau_levenshtein / jaro(_winkler)_similarity / hamming / jaccard
+  * provide independent implementations of the same published
+  * algorithms. */
+object StringQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_distances" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("a", col("p_name"))
+        .withColumn("b", lower(col("p_type")))
+      p.groupBy(col("p_brand"))
+        .agg(
+          round(avg(levenshtein(col("a"), col("b"))), 6).as("lev"),
+          round(avg(Strings.strDamerau(col("a"), col("b"))), 6).as("dlev"),
+          round(avg(Strings.strJaccard(col("a"), col("b"), 1)), 6)
+            .as("jaccard1"),
+          round(avg(Strings.strSorensenDice(col("a"), col("b"), 1)), 6)
+            .as("dice1"),
+          round(avg(Strings.strHamming(
+            substring(concat(col("a"), lit("#####")), 1, 5),
+            substring(concat(col("b"), lit("#####")), 1, 5))), 6)
+            .as("hamming5"),
+          round(avg(Strings.strLevenSim(col("a"), col("b"))), 6)
+            .as("lev_sim"))
+        .orderBy("p_brand")
+    }),
+    // Jaro/JW transposition counting differs between engines on
+    // degenerate pairs; these follow the textbook algorithm (validated
+    // against published examples in StringsSpec) → rows-only check.
+    "q_str_fuzzy" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("a", col("p_name"))
+        .withColumn("b", lower(col("p_type")))
+      p.groupBy(col("p_brand"))
+        .agg(
+          round(avg(Strings.strJaro(col("a"), col("b"))), 6).as("jaro"),
+          round(avg(Strings.strJaroWinkler(col("a"), col("b"))), 6)
+            .as("jw"),
+          round(avg(Strings.strOsa(col("a"), col("b"))), 6).as("osa"),
+          round(avg(Strings.strLcsSubstr(col("a"), col("b"))), 6)
+            .as("lcs_substr"),
+          round(avg(Strings.strLcsSubseq(col("a"), col("b"))), 6)
+            .as("lcs_subseq"),
+          round(avg(Strings.strFuzz(col("a"), col("b"))), 6).as("fuzz"),
+          round(avg(Strings.strOverlapCoeff(col("a"), col("b"), 2)), 6)
+            .as("overlap2"),
+          round(avg(Strings.strTversky(col("a"), col("b"), 0.5, 0.5, 2)),
+            6).as("tversky2"))
+        .orderBy("p_brand")
+    }),
+    "q_str_clean" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(length(Strings.normalizeWhitespace(col("text"))))
+            .as("ws_len"),
+          sum(length(Strings.replaceNonAscii(col("text"), "")))
+            .as("ascii_len"),
+          sum(length(Strings.removeDiacritics(col("text"))))
+            .as("nodiac_len"),
+          count(when(col("text") =!=
+            Strings.normalizeWhitespace(col("text")), 1)).as("n_ws_changed"))
+        .orderBy("source")
+    }),
+    "q_str_case" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(length(Strings.toSnakeCase(col("p_name")))).as("snake_len"),
+          sum(length(Strings.toCamelCase(col("p_name")))).as("camel_len"),
+          sum(length(Strings.toPascalCase(col("p_name"))))
+            .as("pascal_len"),
+          countDistinct(Strings.toConstantCase(col("p_name")))
+            .as("n_const"))
+        .orderBy("p_brand")
+    }),
+    "q_extract_numbers" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("nums", Strings.extractNumbers(col("props")))
+        .groupBy(col("event_type"))
+        .agg(
+          round(sum(element_at(col("nums"), 1)), 2).as("sum_k"),
+          sum(size(col("nums"))).as("n_nums"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_str_distances" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_name a, LOWER(p_type) b FROM part)
+        |SELECT p_brand,
+        |  ROUND(AVG(levenshtein(a, b)), 6) AS lev,
+        |  ROUND(AVG(damerau_levenshtein(a, b)), 6) AS dlev,
+        |  ROUND(AVG(jaccard(a, b)), 6) AS jaccard1,
+        |  ROUND(AVG(2 * jaccard(a, b) / (1 + jaccard(a, b))), 6) AS dice1,
+        |  ROUND(AVG(hamming(LEFT(a || '#####', 5), LEFT(b || '#####', 5))),
+        |    6) AS hamming5,
+        |  ROUND(AVG(1 - levenshtein(a, b)::DOUBLE
+        |    / GREATEST(LENGTH(a), LENGTH(b))), 6) AS lev_sim
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_clean" ->
+      """SELECT source,
+        |  SUM(LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+        |    AS ws_len,
+        |  SUM(LENGTH(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g')))
+        |    AS ascii_len,
+        |  SUM(LENGTH(strip_accents(NFC_NORMALIZE(text)))) AS nodiac_len,
+        |  COUNT(CASE WHEN text <> TRIM(REGEXP_REPLACE(text, '\s+', ' ',
+        |    'g')) THEN 1 END) AS n_ws_changed
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_case" ->
+      """SELECT p_brand,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', '_'))) AS snake_len,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', ''))) AS camel_len,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', ''))) AS pascal_len,
+        |  COUNT(DISTINCT UPPER(REPLACE(p_name, ' ', '_'))) AS n_const
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_extract_numbers" ->
+      """SELECT event_type,
+        |  ROUND(SUM(CAST(regexp_extract(props, '(-?[0-9]+\.?[0-9]*)', 1)
+        |    AS DOUBLE)), 2) AS sum_k,
+        |  SUM(LENGTH(regexp_extract_all(props, '(-?[0-9]+\.?[0-9]*)', 1)))
+        |    AS n_nums
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
