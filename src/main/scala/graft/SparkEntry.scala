@@ -20,7 +20,8 @@ object SparkEntry {
     MetricQueries,
     StatQueries,
     TSQueries,
-    StringQueries
+    StringQueries,
+    LinRegQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+import org.apache.commons.math3.distribution.TDistribution
+
+/** Input row for the Gram aggregate: feature vector (bias already
+  * appended by the caller if wanted), target, weight. */
+case class LRIn(x: Seq[Double], y: Double, w: Double)
+
+/** Full OLS/WLS/ridge result (statsmodels-style report fields;
+  * reference lin_reg_report at src/num_ext/linear_regression.rs:815). */
+case class LinRegResult(coeffs: Seq[Double], stdErr: Seq[Double],
+                        tVals: Seq[Double], pVals: Seq[Double],
+                        r2: Double, adjR2: Double, n: Long)
+
+/** Distributed linear regression as a Gram-matrix Aggregator
+  * (SURVEY §2.9 design: the canonical Spark-native re-expression of the
+  * reference's faer QR solve, lr_solvers.rs:307).
+  *
+  * The buffer is a FIXED-SIZE array: X'WX (d²) + X'Wy (d) + [Σw, Σwy,
+  * Σwy², count] — O(d²) per partial state regardless of row count, so
+  * partial aggregation, map-side combine and shuffle all stay cheap at
+  * any scale. merge = elementwise add (associative & commutative — the
+  * property the reference never had to prove single-node).
+  *
+  * finish() solves (X'WX + λI)β = X'Wy by Gaussian elimination with
+  * partial pivoting and derives the report statistics from the same
+  * Gram matrix: var(β̂) = σ²(X'WX)⁻¹, σ² = SSR/(n−d).
+  */
+class LinRegAgg(d: Int, lambda: Double)
+    extends Aggregator[LRIn, Array[Double], LinRegResult] {
+
+  private val szXtX = d * d
+  // layout: [XtX | Xty | sumW, sumWy, sumWy2, count]
+  private val bufLen = szXtX + d + 4
+
+  def zero: Array[Double] = new Array[Double](bufLen)
+
+  def reduce(b: Array[Double], in: LRIn): Array[Double] = {
+    if (in.x != null && in.x.length == d && !in.y.isNaN) {
+      val x = in.x
+      val w = in.w
+      var i = 0
+      while (i < d) {
+        val wxi = w * x(i)
+        var j = 0
+        while (j < d) { b(i * d + j) += wxi * x(j); j += 1 }
+        b(szXtX + i) += wxi * in.y
+        i += 1
+      }
+      b(szXtX + d) += w
+      b(szXtX + d + 1) += w * in.y
+      b(szXtX + d + 2) += w * in.y * in.y
+      b(szXtX + d + 3) += 1.0
+    }
+    b
+  }
+
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < bufLen) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  def finish(b: Array[Double]): LinRegResult = {
+    val n = b(szXtX + d + 3)
+    if (n < d) return LinRegResult(Nil, Nil, Nil, Nil,
+      Double.NaN, Double.NaN, n.toLong)
+    // A = XtX + λI (copy), aug = [A | I] for inverse
+    val a = Array.ofDim[Double](d, 2 * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { a(i)(j) = b(i * d + j); j += 1 }
+      a(i)(i) += lambda
+      a(i)(d + i) = 1.0
+      i += 1
+    }
+    // Gauss-Jordan with partial pivoting → A⁻¹ in the right half
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (a(piv)(col) == 0.0)
+        return LinRegResult(Nil, Nil, Nil, Nil, Double.NaN, Double.NaN,
+          n.toLong)
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
+      val pv = a(col)(col)
+      var j = 0
+      while (j < 2 * d) { a(col)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          var j2 = 0
+          while (j2 < 2 * d) { a(r)(j2) -= f * a(col)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val inv = Array.tabulate(d, d)((i2, j2) => a(i2)(d + j2))
+    val beta = Array.tabulate(d) { i2 =>
+      var s = 0.0
+      var j2 = 0
+      while (j2 < d) { s += inv(i2)(j2) * b(szXtX + j2); j2 += 1 }
+      s
+    }
+    // SSR = Σwy² − 2β'X'Wy + β'(X'WX)β  (exact even with ridge)
+    val swy2 = b(szXtX + d + 2)
+    var btXty = 0.0
+    var btAb = 0.0
+    i = 0
+    while (i < d) {
+      btXty += beta(i) * b(szXtX + i)
+      var j = 0
+      while (j < d) { btAb += beta(i) * b(i * d + j) * beta(j); j += 1 }
+      i += 1
+    }
+    val ssRes = swy2 - 2.0 * btXty + btAb
+    val sw = b(szXtX + d)
+    val swy = b(szXtX + d + 1)
+    val ssTot = swy2 - swy * swy / sw
+    val r2 = 1.0 - ssRes / ssTot
+    val adjR2 = 1.0 - (1.0 - r2) * (n - 1.0) / (n - d)
+    val sigma2 = ssRes / (n - d)
+    val se = Array.tabulate(d)(i2 => math.sqrt(sigma2 * inv(i2)(i2)))
+    val tv = Array.tabulate(d)(i2 => beta(i2) / se(i2))
+    val td = new TDistribution(null, math.max(n - d, 1.0))
+    val pv2 = tv.map(t => 2.0 * td.cumulativeProbability(-math.abs(t)))
+    LinRegResult(beta.toSeq, se.toSeq, tv.toSeq, pv2.toSeq, r2, adjR2,
+      n.toLong)
+  }
+
+  def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoders.doubleArray
+  def outputEncoder: Encoder[LinRegResult] = Encoders.product[LinRegResult]
+}
+
+private object ExpressionEncoders {
+  val doubleArray: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+object LinRegAgg {
+  /** lin_reg as an aggregate Column: features array (append 1.0 yourself
+    * for a bias term), target, optional weight column. */
+  def linReg(features: Column, y: Column, d: Int, lambda: Double = 0.0,
+             weight: Column = functions.lit(1.0)): Column = {
+    val f = functions.udaf(new LinRegAgg(d, lambda), Encoders.product[LRIn])
+    f(features, y.cast("double"), weight.cast("double"))
+  }
+}

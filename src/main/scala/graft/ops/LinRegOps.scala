@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regression ops that stay in pure Column algebra (SURVEY §2.9).
+  * Multi-feature exact OLS lives in [[graft.agg.LinRegAgg]]; here are the
+  * closed-form single-feature paths and their rolling/expanding variants,
+  * plus the IRLS driver loop for logistic regression.
+  */
+object LinRegOps {
+
+  private val P = "__pds_"
+
+  /** Closed-form simple regression aggregates:
+    * slope = cov(x,y)/var(x) (expr_linear.py:44 simple_lin_reg). */
+  def simpleSlope(x: Column, y: Column): Column =
+    covar_samp(x, y) / var_samp(x)
+  def simpleIntercept(x: Column, y: Column): Column =
+    avg(y) - simpleSlope(x, y) * avg(x)
+
+  /** Rolling simple lin-reg over a fixed trailing window per group:
+    * per-row slope/intercept from window sums — O(1) state per row, no
+    * Woodbury needed for d=1 (reference pl_rolling_lr,
+    * linear_regression.rs:1199, specialised to one feature). */
+  def rollingSimpleLinReg(df: DataFrame, x: Column, y: Column,
+                          order: Column, groupNames: Seq[String],
+                          window: Int): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(order)
+      .rowsBetween(-(window - 1), 0)
+    slopeCols(df, x, y, w, "rolling_slope", "rolling_intercept")
+  }
+
+  /** Expanding-window ("recursive") simple lin-reg per row
+    * (reference pl_recursive_lr, linear_regression.rs:1114). */
+  def recursiveSimpleLinReg(df: DataFrame, x: Column, y: Column,
+                            order: Column, groupNames: Seq[String])
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    slopeCols(df, x, y, w, "recursive_slope", "recursive_intercept")
+  }
+
+  private def slopeCols(df: DataFrame, x: Column, y: Column,
+                        w: org.apache.spark.sql.expressions.WindowSpec,
+                        slopeName: String, interName: String): DataFrame = {
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val sxy = sum(x * y).over(w)
+    val sxx = sum(x * x).over(w)
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    df.withColumn(slopeName, slope)
+      .withColumn(interName, (sy - slope * sx) / n)
+  }
+
+  /** Binary logistic regression via IRLS — each iteration is ONE
+    * distributed weighted-Gram aggregate; β lives on the driver
+    * (d+1 doubles), never the data. (expr_linear.py:277 logistic_reg;
+    * solver src/linear/logistic/logistic_solver.rs:104 uses L-BFGS —
+    * IRLS reaches the same MLE.)
+    *
+    * @param features feature columns (bias appended automatically)
+    * @return fitted coefficients, bias last. */
+  def logisticFit(df: DataFrame, features: Seq[Column], y: Column,
+                  maxIter: Int = 25, tol: Double = 1e-10,
+                  lambda: Double = 0.0): Array[Double] = {
+    val d = features.length + 1
+    val fx = features :+ lit(1.0)
+    var beta = new Array[Double](d)
+    val cached = df.select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
+      .map { case (c, i) => if (i < d) c.cast("double").as(s"${P}f$i")
+        else c }: _*)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val eta = (0 until d).map(i => col(s"${P}f$i") * beta(i))
+        .reduce(_ + _)
+      val mu = lit(1.0) / (exp(-eta) + 1.0)
+      val wgt = mu * (lit(1.0) - mu) + 1e-10
+      // z = η + (y − μ)/w ; accumulate X'WX and X'Wz in one pass
+      val z = eta + (col(s"${P}y") - mu) / wgt
+      val gramCols =
+        (for (i <- 0 until d; j <- i until d)
+          yield sum(wgt * col(s"${P}f$i") * col(s"${P}f$j"))
+            .as(s"g_${i}_$j")) ++
+        (0 until d).map(i => sum(wgt * col(s"${P}f$i") * z).as(s"b_$i"))
+      val row = cached.agg(gramCols.head, gramCols.tail: _*).collect()(0)
+      val a = Array.ofDim[Double](d, d + 1)
+      var k = 0
+      for (i <- 0 until d; j <- i until d) {
+        a(i)(j) = row.getDouble(k); a(j)(i) = a(i)(j); k += 1
+      }
+      for (i <- 0 until d) { a(i)(d) = row.getDouble(k); k += 1 }
+      for (i <- 0 until d) a(i)(i) += lambda
+      val nb = solveInPlace(a, d)
+      delta = beta.zip(nb).map { case (o, x2) => math.abs(o - x2) }.max
+      beta = nb
+      iter += 1
+    }
+    beta
+  }
+
+  /** Gaussian elimination on [A|b] (d×(d+1)), returns x. */
+  private def solveInPlace(a: Array[Array[Double]], d: Int)
+      : Array[Double] = {
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
+      val pv = a(col)(col)
+      var j = col
+      while (j <= d) { a(col)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          var j2 = col
+          while (j2 <= d) { a(r)(j2) -= f * a(col)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(d)(i => a(i)(d))
+  }
+
+  /** Sigmoid prediction column from fitted coefficients (bias last). */
+  def logisticPredict(features: Seq[Column], beta: Array[Double]): Column = {
+    val eta = features.zipWithIndex
+      .map { case (c, i) => c * beta(i) }
+      .reduce(_ + _) + beta.last
+    lit(1.0) / (exp(-eta) + 1.0)
+  }
+}

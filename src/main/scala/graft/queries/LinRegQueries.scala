@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.LinRegAgg
+import graft.ops.LinRegOps
+
+/** Driver-contract queries for SURVEY §2.9 — the linear-regression
+  * family. Multi-feature OLS/ridge oracles solve the normal equations
+  * explicitly in SQL (Cramer's rule over power sums), a genuinely
+  * independent computation path from the Gram-aggregate + Gauss-Jordan
+  * Scala side. */
+object LinRegQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simple_lin_reg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(LinRegOps.simpleSlope(col("l_quantity"),
+            col("l_extendedprice")), 6).as("slope"),
+          round(LinRegOps.simpleIntercept(col("l_quantity"),
+            col("l_extendedprice")), 4).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+    "q_lin_reg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(LinRegAgg.linReg(
+          array(col("l_quantity"), col("l_discount"), lit(1.0)),
+          col("l_extendedprice"), 3).as("r"))
+        .select(col("l_returnflag"),
+          round(element_at(col("r.coeffs"), 1), 6).as("b_qty"),
+          round(element_at(col("r.coeffs"), 2), 4).as("b_disc"),
+          round(element_at(col("r.coeffs"), 3), 4).as("b0"),
+          round(col("r.r2"), 6).as("r2"),
+          round(col("r.adjR2"), 6).as("adj_r2"))
+        .orderBy("l_returnflag")
+    }),
+    "q_ridge" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(LinRegAgg.linReg(
+          array(col("l_quantity"), col("l_discount")),
+          col("l_extendedprice"), 2, lambda = 1.0).as("r"))
+        .select(col("l_returnflag"),
+          round(element_at(col("r.coeffs"), 1), 6).as("b_qty"),
+          round(element_at(col("r.coeffs"), 2), 4).as("b_disc"))
+        .orderBy("l_returnflag")
+    }),
+    // report std errors / t / p need incomplete beta — rows-only check;
+    // exactness covered by LinRegSpec numpy goldens.
+    "q_lin_reg_report" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(LinRegAgg.linReg(
+          array(col("l_quantity"), col("l_discount"), lit(1.0)),
+          col("l_extendedprice"), 3).as("r"))
+        .select(col("l_returnflag"),
+          round(element_at(col("r.coeffs"), 1), 6).as("beta_qty"),
+          round(element_at(col("r.stdErr"), 1), 6).as("se_qty"),
+          round(element_at(col("r.tVals"), 1), 4).as("t_qty"),
+          round(element_at(col("r.pVals"), 1), 8).as("p_qty"),
+          col("r.n").as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_rolling_lin_reg" -> ((s, dir) => {
+      val df = LinRegOps.rollingSimpleLinReg(t(s, dir, "events"),
+        col("value"), col("value") * 0.8 + col("event_id") % 13,
+        col("event_id"), Seq("event_type"), 50)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2)
+        .groupBy(col("event_type"))
+        .agg(round(avg("rolling_slope"), 6).as("avg_slope"),
+          round(avg("rolling_intercept"), 6).as("avg_intercept"))
+        .orderBy("event_type")
+    }),
+    "q_recursive_lin_reg" -> ((s, dir) => {
+      val df = LinRegOps.recursiveSimpleLinReg(t(s, dir, "events"),
+        col("value"), col("value") * 0.8 + col("event_id") % 13,
+        col("event_id"), Seq("event_type"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2)
+        .groupBy(col("event_type"))
+        .agg(round(avg("recursive_slope"), 6).as("avg_slope"))
+        .orderBy("event_type")
+    }),
+    // IRLS logistic — no SQL equivalent; numpy-golden tested.
+    "q_logistic_reg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x1", (col("value") + col("event_id") % 21 - 10) / 100.0)
+        .withColumn("yb", (col("value") > 50).cast("double"))
+      val beta = LinRegOps.logisticFit(ev, Seq(col("x1")), col("yb"))
+      import s.implicits._
+      Seq((beta(0), beta(1))).toDF("b_x1", "b0")
+        .select(round(col("b_x1"), 6).as("b_x1"),
+          round(col("b0"), 6).as("b0"))
+    })
+  )
+
+  private val sums =
+    """SELECT l_returnflag,
+      |  COUNT(*)::DOUBLE n,
+      |  SUM(l_quantity) s1, SUM(l_discount) s2,
+      |  SUM(l_quantity * l_quantity) s11,
+      |  SUM(l_quantity * l_discount) s12,
+      |  SUM(l_discount * l_discount) s22,
+      |  SUM(l_extendedprice) sy,
+      |  SUM(l_quantity * l_extendedprice) s1y,
+      |  SUM(l_discount * l_extendedprice) s2y,
+      |  SUM(l_extendedprice * l_extendedprice) syy
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_simple_lin_reg" ->
+      """SELECT l_returnflag,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+        |    AS intercept
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lin_reg" ->
+      s"""WITH s AS ($sums),
+         |d AS (
+         |  SELECT *,
+         |    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1)
+         |      + s1*(s12*s2 - s22*s1) AS det
+         |  FROM s),
+         |b AS (
+         |  SELECT l_returnflag, n, sy, syy,
+         |    (s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy)
+         |      + s1*(s2y*s2 - s22*sy)) / det AS b1,
+         |    (s11*(s2y*n - sy*s2) - s1y*(s12*n - s2*s1)
+         |      + s1*(s12*sy - s2y*s1)) / det AS b2,
+         |    (s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1)
+         |      + s1y*(s12*s2 - s22*s1)) / det AS b0,
+         |    s1y, s2y
+         |  FROM d)
+         |SELECT l_returnflag,
+         |  ROUND(b1, 6) AS b_qty, ROUND(b2, 4) AS b_disc,
+         |  ROUND(b0, 4) AS b0,
+         |  ROUND(1 - (syy - b1*s1y - b2*s2y - b0*sy)
+         |    / (syy - sy*sy/n), 6) AS r2,
+         |  ROUND(1 - (1 - (1 - (syy - b1*s1y - b2*s2y - b0*sy)
+         |    / (syy - sy*sy/n))) * (n-1) / (n-3), 6) AS adj_r2
+         |FROM b ORDER BY 1""".stripMargin,
+    "q_ridge" ->
+      s"""WITH s AS ($sums)
+         |SELECT l_returnflag,
+         |  ROUND((s1y*(s22+1) - s12*s2y)
+         |    / ((s11+1)*(s22+1) - s12*s12), 6) AS b_qty,
+         |  ROUND(((s11+1)*s2y - s12*s1y)
+         |    / ((s11+1)*(s22+1) - s12*s12), 4) AS b_disc
+         |FROM s ORDER BY 1""".stripMargin,
+    "q_rolling_lin_reg" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, value x,
+        |    value * 0.8 + event_id % 13 AS y
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER win rn,
+        |    COUNT(*) OVER win49::DOUBLE n,
+        |    SUM(x) OVER win49 sx, SUM(y) OVER win49 sy,
+        |    SUM(x*y) OVER win49 sxy, SUM(x*x) OVER win49 sxx
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY event_id),
+        |    win49 AS (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+        |sl AS (
+        |  SELECT event_type,
+        |    (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+        |    (sy - (sxy - sx*sy/n) / (sxx - sx*sx/n) * sx) / n AS icept
+        |  FROM w WHERE rn >= 2)
+        |SELECT event_type, ROUND(AVG(slope), 6) AS avg_slope,
+        |  ROUND(AVG(icept), 6) AS avg_intercept
+        |FROM sl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recursive_lin_reg" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, value x,
+        |    value * 0.8 + event_id % 13 AS y
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER win rn,
+        |    COUNT(*) OVER winu::DOUBLE n,
+        |    SUM(x) OVER winu sx, SUM(y) OVER winu sy,
+        |    SUM(x*y) OVER winu sxy, SUM(x*x) OVER winu sxx
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY event_id),
+        |    winu AS (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |  ROUND(AVG((sxy - sx*sy/n) / (sxx - sx*sx/n)), 6) AS avg_slope
+        |FROM w WHERE rn >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
