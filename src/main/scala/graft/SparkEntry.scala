@@ -21,7 +21,8 @@ object SparkEntry {
     StatQueries,
     TSQueries,
     StringQueries,
-    LinRegQueries
+    LinRegQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

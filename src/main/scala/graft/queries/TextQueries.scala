@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+import graft.sim.SimOps
+import graft.text.TextOps
+
+/** Driver-contract queries for the training-data-pipeline operators:
+  * text analysis, deduplication, similarity search, multimodal plumbing.
+  * Hash-based ops (minhash/simhash/LSH) have no SQL twin → rows-only;
+  * their recall/precision is measured against exact baselines in
+  * TextSimSpec. */
+object TextQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("pred", TextOps.langId(col("text")))
+        .groupBy(col("source"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "pred")
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("q", TextOps.qualityFeatures(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("q.n_chars")).as("chars"),
+          sum(col("q.n_tokens")).as("tokens"),
+          round(avg(col("q.mean_word_len")), 6).as("avg_mwl"),
+          round(avg(col("q.punct_ratio")), 6).as("avg_punct"),
+          round(avg(col("q.quality")), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+    "q_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextOps.tokenCountBpe(col("text"))).as("bpe_tokens"))
+        .orderBy("source")
+    }),
+    "q_fingerprint_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextOps.fingerprint64(col("text"))).as("n_distinct"))
+      val kept = TextOps.exactDedup(docs, col("text"), col("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after_dedup"))
+      n.join(kept, Seq("source")).orderBy("source")
+    }),
+    "q_jaccard_dup_pairs" -> ((s, dir) => {
+      TextOps.jaccardDupPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("source"), 0.5)
+        .groupBy(col("block").as("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jaccard"), 6).as("avg_jaccard"))
+        .withColumnRenamed("block", "source")
+        .orderBy("source")
+    }),
+    // hash-based dedup: no SQL twin (rows-only); exactness vs brute force
+    // covered in TextSimSpec.
+    "q_minhash_dup" -> ((s, dir) => {
+      TextOps.minHashDupPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), 0.6)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("est_jaccard"), 4).as("avg_est_jaccard"))
+    }),
+    "q_simhash_dup" -> ((s, dir) => {
+      TextOps.simHashDupPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), 8)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("hamming"), 4).as("avg_hamming"))
+    }),
+    "q_cosine_topk" -> ((s, dir) => {
+      // cast to double so the dot product runs in f64 on both engines
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      SimOps.cosineTopK(emb.filter(col("id") < 200), emb, 1)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+    }),
+    "q_cosine_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimOps.cosineDupPairs(emb, 0.95)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("cos"), 4).as("avg_cos"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimOps.lshCosineTopK(emb.filter(col("id") < 500), 1)
+        .agg(count(lit(1)).as("n_with_neighbor"),
+          round(avg("cos"), 4).as("avg_top1_cos"))
+    }),
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = MultimodalOps.mediaTable(
+        t(s, dir, "documents").withColumn("payload",
+          encode(col("text"), "UTF-8")),
+        col("payload"), col("doc_id"))
+        .join(t(s, dir, "documents").select(col("doc_id").as("media_id"),
+          col("source")), Seq("media_id"))
+      media.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.n_bytes")).as("total_bytes"),
+          count(when(col("meta.format") === "png", 1)).as("n_png"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_lang_id" -> {
+      // identical stopword scoring, literal replace both sides
+      def score(lang: String): String =
+        TextOps.langProfiles(lang).map(w =>
+          s"(LENGTH(p) - LENGTH(REPLACE(p, '$w', ''))) / ${w.length}.0")
+          .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT source, ' ' || LOWER(text) || ' ' AS p, text
+         |  FROM documents),
+         |sc AS (
+         |  SELECT source,
+         |    ${score("de")} AS s_de,
+         |    ${score("en")} AS s_en,
+         |    ${score("es")} AS s_es,
+         |    ${score("fr")} AS s_fr,
+         |    LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS cjk
+         |  FROM t),
+         |p AS (
+         |  SELECT source,
+         |    CASE WHEN cjk > 0 THEN 'zh'
+         |      WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+         |      WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END AS pred
+         |  FROM sc)
+         |SELECT source, pred, COUNT(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q_text_quality" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    LENGTH(text)::DOUBLE nc,
+        |    LENGTH(regexp_split_to_array(TRIM(text), '\s+'))::DOUBLE nt,
+        |    LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE np,
+        |    LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE nd
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, nc, nt,
+        |    (nc - nt + 1.0) / nt AS mwl,
+        |    np / nc AS punct, nd / nc AS digit
+        |  FROM q)
+        |SELECT source,
+        |  SUM(nc)::BIGINT AS chars, SUM(nt)::BIGINT AS tokens,
+        |  ROUND(AVG(mwl), 6) AS avg_mwl,
+        |  ROUND(AVG(punct), 6) AS avg_punct,
+        |  ROUND(AVG(CASE WHEN nt < 5 THEN 0.0 ELSE
+        |    LEAST(1.0, GREATEST(0.0,
+        |      1.0 - ABS(mwl - 5.0)/10.0 - punct*2.0 - digit*2.0))
+        |    END), 6) AS avg_quality
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_counts" ->
+      """SELECT source,
+        |  SUM(LENGTH(regexp_split_to_array(TRIM(text), '\s+')))
+        |    AS ws_tokens,
+        |  SUM(list_sum(list_transform(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |    w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1))))
+        |    AS bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fingerprint_dedup" ->
+      """WITH n AS (
+        |  SELECT source, COUNT(*) n_docs,
+        |    COUNT(DISTINCT LOWER(TRIM(regexp_replace(text, '\s+', ' ',
+        |      'g')))) n_distinct
+        |  FROM documents GROUP BY 1),
+        |k AS (
+        |  SELECT source, COUNT(*) n_after_dedup
+        |  FROM (
+        |    SELECT source, ROW_NUMBER() OVER (
+        |      PARTITION BY LOWER(TRIM(regexp_replace(text, '\s+', ' ',
+        |        'g'))) ORDER BY doc_id) rn
+        |    FROM documents)
+        |  WHERE rn = 1 GROUP BY 1)
+        |SELECT source, n_docs, n_distinct, n_after_dedup
+        |FROM n JOIN k USING (source) ORDER BY 1""".stripMargin,
+    "q_jaccard_dup_pairs" ->
+      """WITH w AS (
+        |  SELECT DISTINCT source b, doc_id i, UNNEST(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+')) w
+        |  FROM documents),
+        |nw AS (SELECT b, i, COUNT(*) n FROM w GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT l.b, l.i i1, r.i i2, COUNT(*) common
+        |  FROM w l JOIN w r ON l.b = r.b AND l.w = r.w AND l.i < r.i
+        |  GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT p.b, p.common::DOUBLE
+        |      / (n1.n + n2.n - p.common) AS jac
+        |  FROM pairs p
+        |  JOIN nw n1 ON n1.b = p.b AND n1.i = p.i1
+        |  JOIN nw n2 ON n2.b = p.b AND n2.i = p.i2
+        |  WHERE p.common::DOUBLE / (n1.n + n2.n - p.common) >= 0.5)
+        |SELECT b AS source, COUNT(*) AS n_pairs,
+        |  ROUND(AVG(jac), 6) AS avg_jaccard
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 200),
+        |c AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (
+        |  SELECT q.id qid, c.id cid,
+        |    list_cosine_similarity(q.v, c.v) cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) rk
+        |  FROM q JOIN c ON q.id <> c.id)
+        |SELECT qid, cid, ROUND(cos, 6) AS cos
+        |FROM s WHERE rk = 1 ORDER BY qid""".stripMargin,
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT source, strlen(text)::BIGINT n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  SUM(n) AS total_bytes,
+        |  COUNT(CASE WHEN n % 3 = 0 THEN 1 END) AS n_png
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

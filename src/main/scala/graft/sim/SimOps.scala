@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths, same API shape:
+  *  - [[cosineTopK]]: exact brute force — broadcast one side if small,
+  *    else a full shuffle join. The correctness baseline.
+  *  - [[lshCosineTopK]]: random-hyperplane LSH bucketing — candidates
+  *    only meet inside a bucket, so cost scales as Σ bucket² rather than
+  *    n². The 100 TB path; recall measured against the exact baseline in
+  *    SimSpec.
+  */
+object SimOps {
+
+  /** Cosine similarity between two array<float>/<double> columns as pure
+    * Column algebra (zip_with + aggregate → codegen, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    dot / sqrt(na * nb)
+  }
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 broadcastCorpus: Boolean = true): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val c0 = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    val c = if (broadcastCorpus) broadcast(c0) else c0
+    val joined = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * a splitmix64 avalanche mapped to (-1, 1). No RNG state, so executors
+    * regenerate identical planes with zero coordination. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var h = plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane signature: `nPlanes` sign bits packed in a long.
+    * Vectors with equal signatures land in the same bucket. */
+  def hyperplaneSig(vec: Column, nPlanes: Int = 16): Column = {
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * planeComponent(p, i); i += 1 }
+          if (dot > 0) sig |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    f(vec.cast("array<double>"))
+  }
+
+  /** Approximate top-k: bucket by hyperplane signature (optionally probe
+    * neighbouring buckets via multi-table repetition), exact cosine
+    * within buckets. `tables` independent hash tables raise recall. */
+  def lshCosineTopK(df: DataFrame, k: Int, nPlanes: Int = 12,
+                    tables: Int = 4): DataFrame = {
+    val base = df.select(col("id"), col("vec"))
+    val tabbed = (0 until tables).map { t =>
+      base.withColumn("tbl", lit(t))
+        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
+    }.reduce(_ unionByName _)
+    val l = tabbed.as("l")
+    val r = tabbed.as("r")
+    val cand = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("qid"), col("r.id").as("cid"),
+        col("l.vec").as("qv"), col("r.vec").as("cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
+    * (exact verify inside bucket). */
+  def cosineDupPairs(df: DataFrame, threshold: Double, nPlanes: Int = 12,
+                     tables: Int = 4): DataFrame = {
+    val base = df.select(col("id"), col("vec"))
+    val tabbed = (0 until tables).map { t =>
+      base.withColumn("tbl", lit(t))
+        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
+    }.reduce(_ unionByName _)
+    val l = tabbed.as("l")
+    val r = tabbed.as("r")
+    l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.vec").as("v1"), col("r.vec").as("v2"))
+      .distinct()
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MultimodalOps
+import graft.sim.SimOps
+import graft.text.TextOps
+
+/** Text-analysis, dedup, similarity-search and multimodal plumbing.
+  * Hash-based ops (minhash / simhash / LSH) are checked against exact
+  * brute-force baselines computed on the same small frame — the property
+  * that matters at 100 TB (recall of the bucketed path vs the exact
+  * path), measured where it is cheap.
+  */
+class TextSimSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private val docsDir = "/root/testdata/sf0.001"
+
+  test("langId picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is going to the park and it is nice", "en"),
+      ("el perro y la casa de los amigos que viven en la ciudad", "es"),
+      ("der hund und die katze ist das beste und der mann", "de"),
+      ("le chien et les amis des villes et le chat", "fr"),
+      ("中文文本处理", "zh")
+    ).toDF("text", "expected")
+    val got = df.withColumn("pred", TextOps.langId(col("text"))).collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"text='${r.getString(0)}'"))
+  }
+
+  test("quality features match hand math") {
+    import spark.implicits._
+    val text = "Hello world, this is a test."
+    val df = Seq(text).toDF("text")
+      .select(TextOps.qualityFeatures(col("text")).as("q"))
+      .select("q.*").collect()(0)
+    assert(df.getAs[Long]("n_chars") == text.length)
+    assert(df.getAs[Long]("n_tokens") == 6)
+    // mean word len = (28 - 6 + 1) / 6
+    assert(math.abs(df.getAs[Double]("mean_word_len") - 23.0 / 6) < 1e-12)
+    // punct = 2 of [.,;:!?] in 28 chars
+    assert(math.abs(df.getAs[Double]("punct_ratio") - 2.0 / 28) < 1e-12)
+  }
+
+  test("tokenCount / tokenCountBpe") {
+    import spark.implicits._
+    val df = Seq("one two three", "supercalifragilistic yes").toDF("text")
+    val r = df.select(TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.tokenCountBpe(col("text")).as("bpe")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(0).getLong(1) == 4L) // 1 + 1 + ceil(5/4)=2
+    assert(r(1).getInt(0) == 2)
+    assert(r(1).getLong(1) == 6L) // ceil(20/4)=5 + 1
+  }
+
+  test("fingerprint dedup keeps one row per normalized text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),   // same after normalization
+      (3L, "different doc")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.exactDedup(df, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("jaccardDupPairs finds exactly the overlapping pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "x"),
+      (2L, "a b c e", "x"),  // jaccard 3/5 = 0.6
+      (3L, "p q r s", "x"),
+      (4L, "a b c d", "y")   // other block - no cross-block pair
+    ).toDF("doc_id", "text", "src")
+    val pairs = TextOps.jaccardDupPairs(df, col("doc_id"), col("text"),
+      col("src"), 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id1") == 1L)
+    assert(pairs(0).getAs[Long]("id2") == 2L)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.6) < 1e-12)
+  }
+
+  test("minhash LSH recall vs exact jaccard on real documents") {
+    // unigram shingles (k=1) so the minhash estimates the same word-set
+    // jaccard the exact baseline computes; exact threshold 0.9 so every
+    // true pair has LSH candidate probability ~1 at 16 bands x 8 rows.
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), lit("all").as("blk"))
+    val exact = TextOps.jaccardDupPairs(docs, col("doc_id"), col("text"),
+        col("blk"), 0.9)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = TextOps.minHashDupPairs(docs, col("doc_id"), col("text"),
+        0.6, k = 1)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-duplicates")
+    val recall = exact.count(est.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall on ${exact.size} pairs")
+  }
+
+  test("simhash hamming distance is 0 for identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different sentence here")).toDF("doc_id", "text")
+    val pairs = TextOps.simHashDupPairs(df, col("doc_id"), col("text"), 3)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Int]("hamming") == 0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("cosine column algebra matches hand math") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+    val r = df.select(SimOps.cosine(col("a"), col("b"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12) // 1 / (sqrt2 * sqrt2)
+  }
+
+  test("LSH recalls planted near-duplicates vs brute force") {
+    // The raw test embeddings are near-random (top-1 cosine ~0.3-0.5);
+    // hyperplane LSH makes no recall promise there. Its contract is
+    // high-similarity recall, so plant near-duplicates (deterministic
+    // +-1% perturbation -> cos ~ 0.9999) and require LSH to find them.
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val planted = emb.filter(col("id") < 50)
+      .select((col("id") + 10000).as("id"),
+        transform(col("vec"), (x, i) =>
+          x * (lit(1.0) + (i % 5 - lit(2)) * 0.005)).as("vec"))
+    val all = emb.unionByName(planted)
+    // exact baseline confirms each planted vector's top-1 is its source
+    val exact = SimOps.cosineTopK(all.filter(col("id") >= 10000), all, 1)
+      .select("qid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (q, c) => c == q - 10000 })
+    val approx = SimOps.lshCosineTopK(all, 1)
+      .filter(col("qid") >= 10000)
+      .select("qid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, c) => approx.get(q).contains(c) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH planted-dup recall $recall over ${exact.size}")
+    // dup-pair variant finds the same planted pairs
+    val dups = SimOps.cosineDupPairs(all, 0.99)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupRecall = (0L until 50L).count(i =>
+      dups.contains((i, i + 10000))).toDouble / 50
+    assert(dupRecall >= 0.9, s"cosineDupPairs recall $dupRecall")
+  }
+
+  test("multimodal media table: schema, meta and feature plumbing") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef".getBytes), (2L, "xyz".getBytes))
+      .toDF("id", "payload")
+    val media = MultimodalOps.mediaTable(df, col("payload"), col("id"))
+    val rows = media.orderBy("media_id").collect()
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields ==
+      MultimodalOps.mediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val m0 = rows(0).getStruct(rows(0).fieldIndex("meta"))
+    assert(m0.getAs[Long]("n_bytes") == 6L)
+    assert(m0.getAs[String]("format") == "png") // 6 % 3 == 0
+    val feats = rows(0).getSeq[Float](rows(0).fieldIndex("features"))
+    assert(feats.length == 8)
+    assert(math.abs(feats.sum - 1.0f) < 1e-6) // normalized histogram
+    // resize keeps contract size
+    val resized = media.select(
+      MultimodalOps.resizeStub(col("features"), 4).as("r"))
+      .collect()(0).getSeq[Float](0)
+    assert(resized.length == 4)
+    // frame sampling yields n fingerprints
+    val frames = media.select(
+      MultimodalOps.sampleFramesStub(col("payload"), 3).as("f"))
+      .collect()(0).getSeq[Long](0)
+    assert(frames.length == 3)
+  }
+}
