@@ -52,6 +52,13 @@ for name, sql in sorted(oracle.items()):
         got = got.sort_values(list(got.columns)).reset_index(drop=True)
         for c in exp.columns:
             e, g = exp[c], got[c]
+            # the driver hashes exact values: int64 8570 vs float64 8570.0
+            # mismatch, so flag any dtype-kind difference (duckdb returns
+            # HUGEINT->float64 for integer SUM unless ::BIGINT-cast)
+            if e.dtype.kind != g.dtype.kind:
+                status, detail = "FAIL", (
+                    f"col {c} dtype kind exp={e.dtype} got={g.dtype}")
+                break
             if e.dtype.kind in "fc" or g.dtype.kind in "fc":
                 bad = ~((e.isna() & g.isna()) |
                         (abs(e.astype(float) - g.astype(float)) <= 1e-9))

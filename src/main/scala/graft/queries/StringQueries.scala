@@ -111,19 +111,20 @@ object StringQueries extends QueryPack {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_str_clean" ->
       """SELECT source,
-        |  SUM(LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+        |  SUM(LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))::BIGINT
         |    AS ws_len,
-        |  SUM(LENGTH(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g')))
+        |  SUM(LENGTH(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g')))::BIGINT
         |    AS ascii_len,
-        |  SUM(LENGTH(strip_accents(NFC_NORMALIZE(text)))) AS nodiac_len,
+        |  SUM(LENGTH(strip_accents(NFC_NORMALIZE(text))))::BIGINT
+        |    AS nodiac_len,
         |  COUNT(CASE WHEN text <> TRIM(REGEXP_REPLACE(text, '\s+', ' ',
         |    'g')) THEN 1 END) AS n_ws_changed
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_str_case" ->
       """SELECT p_brand,
-        |  SUM(LENGTH(REPLACE(p_name, ' ', '_'))) AS snake_len,
-        |  SUM(LENGTH(REPLACE(p_name, ' ', ''))) AS camel_len,
-        |  SUM(LENGTH(REPLACE(p_name, ' ', ''))) AS pascal_len,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', '_')))::BIGINT AS snake_len,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', '')))::BIGINT AS camel_len,
+        |  SUM(LENGTH(REPLACE(p_name, ' ', '')))::BIGINT AS pascal_len,
         |  COUNT(DISTINCT UPPER(REPLACE(p_name, ' ', '_'))) AS n_const
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_extract_numbers" ->
@@ -131,7 +132,7 @@ object StringQueries extends QueryPack {
         |  ROUND(SUM(CAST(regexp_extract(props, '(-?[0-9]+\.?[0-9]*)', 1)
         |    AS DOUBLE)), 2) AS sum_k,
         |  SUM(LENGTH(regexp_extract_all(props, '(-?[0-9]+\.?[0-9]*)', 1)))
-        |    AS n_nums
+        |    ::BIGINT AS n_nums
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

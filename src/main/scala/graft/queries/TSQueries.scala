@@ -132,7 +132,7 @@ object TSQueries extends QueryPack {
         |  ROUND(STDDEV_SAMP(value) / AVG(value), 6) AS cv,
         |  COUNT(DISTINCT value) AS count_uniques,
         |  SUM(CASE WHEN value >= 20.0 AND value < 80.0 THEN 1 ELSE 0 END)
-        |    AS range_count
+        |    ::BIGINT AS range_count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mean_n_abs_max" ->
       """WITH r AS (

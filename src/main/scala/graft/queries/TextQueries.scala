@@ -166,11 +166,11 @@ object TextQueries extends QueryPack {
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_counts" ->
       """SELECT source,
-        |  SUM(LENGTH(regexp_split_to_array(TRIM(text), '\s+')))
+        |  SUM(LENGTH(regexp_split_to_array(TRIM(text), '\s+')))::BIGINT
         |    AS ws_tokens,
         |  SUM(list_sum(list_transform(
         |    regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
-        |    w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1))))
+        |    w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1))))::BIGINT
         |    AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint_dedup" ->
@@ -227,7 +227,7 @@ object TextQueries extends QueryPack {
         |  SELECT source, strlen(text)::BIGINT n
         |  FROM documents)
         |SELECT source, COUNT(*) AS n,
-        |  SUM(n) AS total_bytes,
+        |  SUM(n)::BIGINT AS total_bytes,
         |  COUNT(CASE WHEN n % 3 = 0 THEN 1 END) AS n_png
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
