@@ -22,7 +22,8 @@ object SparkEntry {
     TSQueries,
     StringQueries,
     LinRegQueries,
-    TextQueries
+    TextQueries,
+    NumQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

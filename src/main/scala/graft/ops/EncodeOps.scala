@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Encoding / drift operators from SURVEY §2.6: target encoding, weight
+  * of evidence + information value, population stability index, detrend,
+  * scatter-add. Each is a direct DataFrame translation of the reference
+  * kernel's internal group-by lazyframe (woe_iv.rs:29-50, psi.rs:41-74,
+  * target_encode.rs:51) — Catalyst plans them as two-stage hash
+  * aggregations with map-side partials, so the shuffled state is one row
+  * per (group, bucket), independent of input row count: the shapes scale
+  * to 100 TB unchanged.
+  */
+object EncodeOps {
+
+  /** Mean-target encoding with sigmoid smoothing between the category
+    * mean and the global prior (num.py:1068; target_encode.rs:51).
+    * Returns (value, to) mapping rows per category.
+    * blend = 1/(1+exp(-(cnt - minSamplesLeaf)/smoothing)). */
+  def targetEncode(df: DataFrame, cat: Column, target: Column,
+                   minSamplesLeaf: Double = 20, smoothing: Double = 10.0)
+      : DataFrame = {
+    val agg = df.select(cat.as("value"), target.as("t"))
+    val prior = agg.agg(avg(col("t"))).head.getDouble(0)
+    agg.groupBy(col("value"))
+      .agg(count(lit(1)).as("cnt"), avg(col("t")).as("cond_p"))
+      .withColumn("alpha",
+        lit(1.0) / (lit(1.0) +
+          exp(-(col("cnt") - minSamplesLeaf) / smoothing)))
+      .select(col("value"),
+        (col("alpha") * col("cond_p") +
+          (lit(1.0) - col("alpha")) * prior).as("to"))
+  }
+
+  /** Weight of Evidence per discrete bin with the reference's +1
+    * smoothing on event counts (num.py:698 woe_discrete;
+    * woe_iv.rs:22-74). target is 0/1. */
+  def woeDiscrete(df: DataFrame, bin: Column, target: Column): DataFrame = {
+    val counts = df.select(bin.as("value"), target.cast("double").as("t"))
+      .groupBy(col("value"))
+      .agg(sum(col("t")).as("events"),
+        (count(lit(1)) - sum(col("t"))).as("non_events"))
+    val tot = counts.agg(sum("events"), sum("non_events")).head
+    val (te, tn) = (tot.getDouble(0), tot.getDouble(1))
+    counts.select(col("value"),
+      log(((col("events") + 1.0) / (te + 2.0)) /
+          ((col("non_events") + 1.0) / (tn + 2.0))).as("woe"))
+  }
+
+  /** Information value per bin (+ derived total via sum). (num.py:764
+    * info_value; woe_iv.rs:51) */
+  def infoValue(df: DataFrame, bin: Column, target: Column): DataFrame = {
+    val counts = df.select(bin.as("value"), target.cast("double").as("t"))
+      .groupBy(col("value"))
+      .agg(sum(col("t")).as("events"),
+        (count(lit(1)) - sum(col("t"))).as("non_events"))
+    val tot = counts.agg(sum("events"), sum("non_events")).head
+    val (te, tn) = (tot.getDouble(0), tot.getDouble(1))
+    val pe = (col("events") + 1.0) / (te + 2.0)
+    val pn = (col("non_events") + 1.0) / (tn + 2.0)
+    counts.select(col("value"), ((pe - pn) * log(pe / pn)).as("iv"))
+  }
+
+  /** PSI of `actual` against `baseline` using `nBins` baseline quantile
+    * breakpoints (num.py:511 psi; psi.rs:76, bucketing psi.rs:19-37).
+    * Returns the report frame: one row per bucket with
+    * (bp, baseline_pct, actual_pct, psi_bin); total PSI = sum(psi_bin).
+    * Both sides get the +smoothing count treatment only implicitly via
+    * the reference's cnt>0 convention — empty buckets keep pct=0 and the
+    * formula's log guards via a small epsilon. */
+  def psiReport(baseline: DataFrame, baseCol: Column,
+                actual: DataFrame, actCol: Column,
+                nBins: Int = 10): DataFrame = {
+    val probs = (1 to (nBins - 1)).map(_.toDouble / nBins)
+    // exact quantiles on the baseline (one pass; the breakpoint list is
+    // tiny and broadcast into the bucketing expressions)
+    val bps = baseline
+      .agg(percentile(baseCol,
+        array(probs.map(p => lit(p)): _*)))
+      .head.getSeq[Double](0).toArray
+    def bucket(c: Column): Column =
+      bps.indices.foldLeft(lit(nBins - 1)) { (acc, i) =>
+        when(c <= bps(bps.length - 1 - i), bps.length - 1 - i).otherwise(acc)
+      }
+    def pct(df: DataFrame, c: Column, name: String): DataFrame =
+      df.select(bucket(c).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn(name, col("n") / sum(col("n")).over(Window.partitionBy()))
+        .drop("n")
+    val b = pct(baseline, baseCol, "baseline_pct")
+    val a = pct(actual, actCol, "actual_pct")
+    val eps = 1e-12
+    b.join(a, Seq("bucket"), "full")
+      .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("psi_bin",
+        (col("actual_pct") - col("baseline_pct")) *
+          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+      .orderBy("bucket")
+  }
+
+  // (helper removed: Spark 4's Column no longer exposes .expr)
+
+  /** Discrete PSI: categories instead of quantile buckets.
+    * (num.py:600 psi_discrete; psi.rs:97) */
+  def psiDiscrete(baseline: DataFrame, baseCol: Column,
+                  actual: DataFrame, actCol: Column): DataFrame = {
+    def pct(df: DataFrame, c: Column, name: String): DataFrame =
+      df.select(c.as("value")).groupBy(col("value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn(name, col("n") / sum(col("n")).over(Window.partitionBy()))
+        .drop("n")
+    val eps = 1e-12
+    pct(baseline, baseCol, "baseline_pct")
+      .join(pct(actual, actCol, "actual_pct"), Seq("value"), "full")
+      .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("psi_bin",
+        (col("actual_pct") - col("baseline_pct")) *
+          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+  }
+
+  /** Remove the least-squares linear trend of x over an explicit order
+    * column, per group (num.py:1021 detrend). Two window aggregates (no
+    * shuffle beyond the group partitioning); method "mean" subtracts the
+    * group mean instead. */
+  def detrend(df: DataFrame, x: Column, order: Column,
+              groupNames: Seq[String], method: String = "linear",
+              out: String = "detrended"): DataFrame = {
+    val w = Window.partitionBy(groupNames.map(col): _*)
+    if (method == "mean") df.withColumn(out, x - avg(x).over(w))
+    else {
+      val i = order.cast("double")
+      val slope = (avg(i * x).over(w) - avg(i).over(w) * avg(x).over(w)) /
+        (avg(i * i).over(w) - avg(i).over(w) * avg(i).over(w))
+      val intercept = avg(x).over(w) - slope * avg(i).over(w)
+      df.withColumn(out, x - (slope * i + intercept))
+    }
+  }
+
+  /** Scatter-add out[idx] += x (num.py:1178 add_at;
+    * float_extras.rs:304): groupBy(idx).sum — the distributed-native
+    * form of the sequential kernel. */
+  def addAt(df: DataFrame, idx: Column, x: Column): DataFrame =
+    df.groupBy(idx.as("idx")).agg(sum(x).as("sum")).orderBy("idx")
+
+
+}
