@@ -23,7 +23,8 @@ object SparkEntry {
     StringQueries,
     LinRegQueries,
     TextQueries,
-    NumQueries
+    NumQueries,
+    KnnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,170 @@
+package graft.knn
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-level KNN operators (SURVEY §2.10; reference
+  * python/polars_ds/exprs/expr_knn.py + src/num_ext/knn.rs).
+  *
+  * Execution design: the reference builds one kd-tree over all rows and
+  * queries it per row, single-machine. The Spark-native equivalent is
+  * **collect reference points → build tree on driver → broadcast →
+  * mapPartitions** so every executor queries its partition's rows
+  * against the shared read-only tree — embarrassingly parallel, no
+  * shuffle at all. Exact results; memory bound = tree size per
+  * executor. For reference sets beyond executor heap, the approximate
+  * path is LSH bucketing (graft.sim.SimOps.lshCosineTopK) with the same
+  * shape.
+  *
+  * The reference's `data_mask` ("who can be a neighbor") maps to
+  * filtering `ref` before the build; `eval_mask` maps to filtering `df`.
+  */
+object KnnOps {
+
+  private def collectTree(ref: DataFrame, id: Column, features: Seq[Column],
+                          metric: String): KdTree = {
+    val rows = ref
+      .select(id.cast("long").as("_id"),
+        array(features.map(_.cast("double")): _*).as("_f"))
+      .na.drop()  // null rows are never neighbors (expr_knn.py:100 doc)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    KdTree.build(rows, metric)
+  }
+
+  private def withQueried[T](df: DataFrame, id: Column,
+                             features: Seq[Column], outSchema: Seq[StructField],
+                             fn: (KdTree, Long, Array[Double]) => Seq[Any],
+                             tree: KdTree): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(tree)
+    val withIn = df
+      .withColumn("_qid", id.cast("long"))
+      .withColumn("_qf", array(features.map(_.cast("double")): _*))
+    val schema = StructType(withIn.schema.fields ++ outSchema)
+    val out = withIn.rdd.mapPartitions { it =>
+      val t = bc.value
+      it.map { r =>
+        val qid = r.getAs[Long]("_qid")
+        val qf = r.getAs[scala.collection.Seq[Double]]("_qf").toArray
+        Row.fromSeq(r.toSeq ++ fn(t, qid, qf))
+      }
+    }
+    spark.createDataFrame(out, schema).drop("_qid", "_qf")
+  }
+
+  /** Per-row ids (and distances) of the k nearest neighbors, self
+    * excluded. (expr_knn.py:100 query_knn_ptwise; knn.rs:272,444) */
+  def knnPtwise(df: DataFrame, id: Column, features: Seq[Column], k: Int,
+                metric: String = "l2", returnDist: Boolean = false,
+                maxBound: Double = Double.PositiveInfinity,
+                epsilon: Double = 0.0): DataFrame = {
+    val tree = collectTree(df, id, features, metric)
+    val fields =
+      if (returnDist)
+        Seq(StructField("knn_ids", ArrayType(LongType)),
+          StructField("knn_dists", ArrayType(DoubleType)))
+      else Seq(StructField("knn_ids", ArrayType(LongType)))
+    withQueried(df, id, features, fields, (t, qid, qf) => {
+      val nn = t.knn(qf, k, exclude = qid, maxBound = maxBound,
+        epsilon = epsilon)
+      if (returnDist) Seq(nn.map(_._1).toSeq, nn.map(p => t.report(p._2)).toSeq)
+      else Seq(nn.map(_._1).toSeq)
+    }, tree)
+  }
+
+  /** KNN regression: mean of `target` over the k nearest neighbors
+    * (optionally inverse-distance weighted). (expr_knn.py:265
+    * query_knn_avg; knn.rs:88) */
+  def knnAvg(df: DataFrame, id: Column, features: Seq[Column],
+             target: Column, k: Int, metric: String = "l2",
+             weighted: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val targets = df.select(id.cast("long"), target.cast("double"))
+      .na.drop().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcT = spark.sparkContext.broadcast(targets)
+    val tree = collectTree(df, id, features, metric)
+    withQueried(df, id, features,
+      Seq(StructField("knn_avg", DoubleType)), (t, qid, qf) => {
+        val nn = t.knn(qf, k, exclude = qid)
+        val tv = bcT.value
+        val vals = nn.flatMap(p => tv.get(p._1).map(v => (v, t.report(p._2))))
+        if (vals.isEmpty) Seq(null)
+        else if (weighted) {
+          val w = vals.map { case (_, d) => 1.0 / (d + 1e-12) }
+          Seq(vals.zip(w).map { case ((v, _), wi) => v * wi }.sum / w.sum)
+        } else Seq(vals.map(_._1).sum / vals.length)
+      }, tree)
+  }
+
+  /** Distance to the k-th nearest neighbor (self excluded) — the
+    * density signal used for outlier detection. (expr_knn.py:52
+    * query_dist_from_kth_nb; knn.rs:211) */
+  def distFromKthNb(df: DataFrame, id: Column, features: Seq[Column],
+                    k: Int, metric: String = "l2"): DataFrame = {
+    val tree = collectTree(df, id, features, metric)
+    withQueried(df, id, features,
+      Seq(StructField("kth_dist", DoubleType)), (t, qid, qf) => {
+        val nn = t.knn(qf, k, exclude = qid)
+        Seq(if (nn.length < k) null else t.report(nn.last._2))
+      }, tree)
+  }
+
+  /** Ids within radius r of each row (self excluded), sorted by
+    * (dist, id). r is in the metric's reported unit. (expr_knn.py:471
+    * query_radius_ptwise; knn.rs:559) */
+  def radiusPtwise(df: DataFrame, id: Column, features: Seq[Column],
+                   r: Double, metric: String = "l2"): DataFrame = {
+    val raw = if (metric == "l2") r * r else r
+    val tree = collectTree(df, id, features, metric)
+    withQueried(df, id, features,
+      Seq(StructField("radius_ids", ArrayType(LongType))), (t, qid, qf) =>
+        Seq(t.rangeQuery(qf, raw, exclude = qid).map(_._1).toSeq), tree)
+  }
+
+  /** Count of neighbors within radius r (self excluded). (expr_knn.py:601
+    * query_nb_cnt; knn.rs:767) */
+  def nbCnt(df: DataFrame, id: Column, features: Seq[Column], r: Double,
+            metric: String = "l2"): DataFrame = {
+    val raw = if (metric == "l2") r * r else r
+    val tree = collectTree(df, id, features, metric)
+    withQueried(df, id, features,
+      Seq(StructField("nb_cnt", IntegerType)), (t, qid, qf) =>
+        Seq(t.countRange(qf, raw, exclude = qid)), tree)
+  }
+
+  /** Bool: is the row within distance r of a fixed point? Pure column
+    * math, no tree. (expr_knn.py:337 within_dist_from) */
+  def withinDistFrom(features: Seq[Column], point: Seq[Double], r: Double,
+                     metric: String = "l2"): Column = {
+    val diffs = features.zip(point).map { case (c, p) => c - lit(p) }
+    val d = metric match {
+      case "l1"   => diffs.map(abs).reduce(_ + _)
+      case "inf"  => greatest(diffs.map(abs): _*)
+      case "sql2" => diffs.map(c => c * c).reduce(_ + _)
+      case _      => sqrt(diffs.map(c => c * c).reduce(_ + _))
+    }
+    d <= r
+  }
+
+  /** Bool: is the row among the k closest rows to a fixed point?
+    * Window rank over the distance column — distributed, no tree.
+    * (expr_knn.py:404 is_knn_from) */
+  def isKnnFrom(df: DataFrame, features: Seq[Column], point: Seq[Double],
+                k: Int, tieBreak: Column, out: String = "is_knn",
+                metric: String = "l2"): DataFrame = {
+    val diffs = features.zip(point).map { case (c, p) => c - lit(p) }
+    val d = metric match {
+      case "l1"  => diffs.map(abs).reduce(_ + _)
+      case "inf" => greatest(diffs.map(abs): _*)
+      case _     => diffs.map(c => c * c).reduce(_ + _) // sql2 ranks = l2 ranks
+    }
+    df.withColumn("_d", d)
+      .withColumn(out,
+        row_number().over(Window.orderBy(col("_d"), tieBreak)) <= k)
+      .drop("_d")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.knn.KnnOps
+
+/** Driver-contract queries for SURVEY §2.10 — KNN / spatial operators.
+  * Feature space: two deterministic continuous columns derived from
+  * customer, so the DuckDB oracle can brute-force the same neighbors
+  * with a cross join at sf0.01 scale. Tie-breaks are (distance, id) on
+  * both sides, making neighbor identity — not just distance —
+  * hash-comparable. */
+object KnnQueries extends QueryPack {
+
+  private def feat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("f1", col("c_acctbal") / 100.0)
+      .withColumn("f2", (col("c_custkey") * 7919 % 1000) / 10.0)
+
+  private val featSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal / 100.0 f1,
+      |  (c_custkey * 7919 % 1000) / 10.0 f2
+      |FROM customer""".stripMargin
+
+  /** qid→neighbors ranked by (l2², id): the shared oracle skeleton. */
+  private val pairsSql =
+    s"""f AS ($featSql),
+       |pairs AS (
+       |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+       |    (a.f1 - b.f1) * (a.f1 - b.f1)
+       |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+       |  FROM f a JOIN f b ON a.c_custkey <> b.c_custkey),
+       |ranked AS (
+       |  SELECT qid, seg, cid, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+       |  FROM pairs)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_kth_dist" -> ((s, dir) => {
+      val df = feat(s, dir)
+      val kth = KnnOps.distFromKthNb(df, col("c_custkey"),
+        Seq(col("f1"), col("f2")), 3)
+      val ids = KnnOps.knnPtwise(df, col("c_custkey"),
+        Seq(col("f1"), col("f2")), 3)
+        .select(col("c_custkey"), element_at(col("knn_ids"), 1).as("nn1"))
+      kth.join(ids, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("kth_dist")), 6).as("avg_kth_dist"),
+          sum(col("nn1")).as("sum_nn1"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_knn_avg" -> ((s, dir) => {
+      KnnOps.knnAvg(feat(s, dir), col("c_custkey"),
+          Seq(col("f1"), col("f2")), col("c_acctbal"), 5)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("knn_avg")), 4).as("avg_knn_avg"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_knn_nb_cnt" -> ((s, dir) => {
+      KnnOps.nbCnt(feat(s, dir), col("c_custkey"),
+          Seq(col("f1"), col("f2")), 5.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("nb_cnt")), 6).as("avg_nb_cnt"),
+          max(col("nb_cnt")).as("max_nb_cnt"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_knn_radius" -> ((s, dir) => {
+      KnnOps.radiusPtwise(feat(s, dir), col("c_custkey"),
+          Seq(col("f1"), col("f2")), 3.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(size(col("radius_ids"))).as("n_pairs"),
+          sum(coalesce(element_at(col("radius_ids"), 1), lit(0L)))
+            .as("sum_first_id"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_knn_within" -> ((s, dir) => {
+      val df = KnnOps.isKnnFrom(feat(s, dir),
+        Seq(col("f1"), col("f2")), Seq(50.0, 50.0), 100, col("c_custkey"))
+      df.withColumn("within",
+          KnnOps.withinDistFrom(Seq(col("f1"), col("f2")),
+            Seq(50.0, 50.0), 30.0))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("is_knn").cast("long")).as("n_knn100"),
+          sum(col("within").cast("long")).as("n_within30"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_knn_kth_dist" ->
+      s"""WITH $pairsSql
+         |SELECT seg AS c_mktsegment,
+         |  ROUND(AVG(CASE WHEN rk = 3 THEN SQRT(d2) END), 6)
+         |    AS avg_kth_dist,
+         |  SUM(CASE WHEN rk = 1 THEN cid END)::BIGINT AS sum_nn1
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_avg" ->
+      s"""WITH $pairsSql,
+         |knn AS (
+         |  SELECT r.qid, r.seg, AVG(f.c_acctbal) knn_avg
+         |  FROM ranked r JOIN (SELECT * FROM customer) f
+         |    ON f.c_custkey = r.cid
+         |  WHERE r.rk <= 5 GROUP BY 1, 2)
+         |SELECT seg AS c_mktsegment,
+         |  ROUND(AVG(knn_avg), 4) AS avg_knn_avg
+         |FROM knn GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_nb_cnt" ->
+      s"""WITH f AS ($featSql),
+         |cnt AS (
+         |  SELECT a.c_custkey, a.c_mktsegment,
+         |    (SELECT COUNT(*) FROM f b
+         |     WHERE b.c_custkey <> a.c_custkey
+         |       AND (a.f1 - b.f1) * (a.f1 - b.f1)
+         |         + (a.f2 - b.f2) * (a.f2 - b.f2) <= 25.0) n
+         |  FROM f a)
+         |SELECT c_mktsegment,
+         |  ROUND(AVG(n), 6) AS avg_nb_cnt,
+         |  MAX(n)::INT AS max_nb_cnt
+         |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_radius" ->
+      s"""WITH $pairsSql,
+         |within AS (
+         |  SELECT qid, seg, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+         |  FROM pairs WHERE d2 <= 9.0),
+         |per_q AS (
+         |  SELECT f.c_custkey, f.c_mktsegment,
+         |    COALESCE(w.n, 0) n, COALESCE(w.first_id, 0) first_id
+         |  FROM f LEFT JOIN (
+         |    SELECT qid, COUNT(*) n,
+         |      MIN(CASE WHEN rk = 1 THEN cid END) first_id
+         |    FROM within GROUP BY 1) w ON w.qid = f.c_custkey)
+         |SELECT c_mktsegment,
+         |  SUM(n)::BIGINT AS n_pairs,
+         |  SUM(first_id)::BIGINT AS sum_first_id
+         |FROM per_q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_within" ->
+      s"""WITH f AS ($featSql),
+         |d AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    (f1 - 50.0) * (f1 - 50.0) + (f2 - 50.0) * (f2 - 50.0) d2,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      (f1 - 50.0) * (f1 - 50.0) + (f2 - 50.0) * (f2 - 50.0),
+         |      c_custkey) rk
+         |  FROM f)
+         |SELECT c_mktsegment,
+         |  SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_knn100,
+         |  SUM(CASE WHEN SQRT(d2) <= 30.0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_within30
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.knn.{KdTree, KnnOps}
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  // deterministic pseudo-random points (LCG; no external RNG deps)
+  private def points(n: Int, dim: Int, seed: Long): Array[(Long, Array[Double])] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 100.0
+    }
+    Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(next())))
+  }
+
+  private def bruteKnn(data: Array[(Long, Array[Double])], q: Array[Double],
+                       k: Int, exclude: Long, metric: String)
+      : Array[(Long, Double)] = {
+    def d(p: Array[Double]): Double = metric match {
+      case "l1"  => p.zip(q).map { case (a, b) => math.abs(a - b) }.sum
+      case "inf" => p.zip(q).map { case (a, b) => math.abs(a - b) }.max
+      case _     => p.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    data.filter(_._1 != exclude).map { case (id, p) => (id, d(p)) }
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+
+  test("kd-tree knn matches brute force for every metric") {
+    val data = points(500, 3, 42L)
+    for (metric <- Seq("l2", "sql2", "l1", "inf")) {
+      val tree = KdTree.build(data, metric)
+      for (qi <- 0 until 50) {
+        val q = data(qi)._2
+        val got = tree.knn(q, 7, exclude = qi.toLong)
+        val exp = bruteKnn(data, q, 7, qi.toLong, metric)
+        assert(got.map(_._1).toSeq == exp.map(_._1).toSeq,
+          s"metric=$metric query=$qi")
+        got.zip(exp).foreach { case ((_, gd), (_, ed)) =>
+          assert(math.abs(gd - ed) < 1e-12)
+        }
+      }
+    }
+  }
+
+  test("kd-tree knn breaks distance ties by ascending id") {
+    // 4 identical points + distinct ones: ids 0-3 all at origin
+    val dup = Array.tabulate(8)(i =>
+      (i.toLong, if (i < 4) Array(0.0, 0.0) else Array(i * 10.0, 0.0)))
+    val tree = KdTree.build(dup, "l2")
+    val nn = tree.knn(Array(0.0, 0.0), 3, exclude = 0L)
+    assert(nn.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("range query + count match brute force and are (dist,id)-sorted") {
+    val data = points(400, 2, 7L)
+    val tree = KdTree.build(data, "l2")
+    for (qi <- 0 until 30) {
+      val q = data(qi)._2
+      val r2 = 15.0 * 15.0
+      val got = tree.rangeQuery(q, r2, exclude = qi.toLong)
+      val exp = data.filter(_._1 != qi.toLong)
+        .map { case (id, p) =>
+          (id, p.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .filter(_._2 <= r2).sortBy(t => (t._2, t._1))
+      assert(got.map(_._1).toSeq == exp.map(_._1).toSeq)
+      assert(tree.countRange(q, r2, exclude = qi.toLong) == exp.length)
+    }
+  }
+
+  test("maxBound caps the search radius") {
+    val data = points(200, 2, 99L)
+    val tree = KdTree.build(data, "sql2")
+    val q = data(0)._2
+    val capped = tree.knn(q, 50, exclude = 0L, maxBound = 100.0)
+    assert(capped.forall(_._2 <= 100.0))
+    val full = tree.knn(q, 50, exclude = 0L)
+    assert(full.count(_._2 <= 100.0) == capped.length)
+  }
+
+  test("knnPtwise DataFrame op: neighbors of a known grid") {
+    import spark.implicits._
+    // 1-D line: ids 0..9 at x=0,1,...,9 → neighbors of 5 with k=2: 4,6
+    val df = (0 until 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = KnnOps.knnPtwise(df, col("id"), Seq(col("x")), 2)
+      .filter(col("id") === 5L)
+      .select(col("knn_ids")).head.getSeq[Long](0)
+    assert(out.toSet == Set(4L, 6L))
+    assert(out == Seq(4L, 5L).map(_ => out.head) || out.sorted == Seq(4L, 6L))
+  }
+
+  test("knnAvg equals hand mean; distFromKthNb on grid") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, i.toDouble, i * 2.0))
+      .toDF("id", "x", "t")
+    val avg5 = KnnOps.knnAvg(df, col("id"), Seq(col("x")), col("t"), 2)
+      .filter(col("id") === 5L).select("knn_avg").head.getDouble(0)
+    assert(avg5 == (8.0 + 12.0) / 2)  // neighbors 4 and 6 → t=8,12
+    val kth = KnnOps.distFromKthNb(df, col("id"), Seq(col("x")), 3)
+      .filter(col("id") === 0L).select("kth_dist").head.getDouble(0)
+    assert(kth == 3.0)
+  }
+}
