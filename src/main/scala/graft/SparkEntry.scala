@@ -24,7 +24,8 @@ object SparkEntry {
     LinRegQueries,
     TextQueries,
     NumQueries,
-    KnnQueries
+    KnnQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,306 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fit/transform pipeline (SURVEY §2.11; reference
+  * python/polars_ds/pipeline/pipeline.py Blueprint/Pipeline).
+  *
+  * Same two-phase architecture as the reference: a [[Blueprint]] records
+  * steps; fit steps compute statistics eagerly at `materialize()` (one
+  * Spark action per fit step over the train frame) and become literal
+  * SQL-expression steps; the resulting [[Pipeline]] is a serializable
+  * list of steps whose `transform(df)` folds into ONE Catalyst plan —
+  * every withColumns/filter is lazy, so the whole pipeline fuses into a
+  * single optimized job regardless of step count (mirrors
+  * `_generate_lazy_plan`, pipeline.py:110).
+  *
+  * Steps carry SQL expression *strings* (the Spark analog of the
+  * reference serializing expression trees to JSON, pipeline.py:129-187),
+  * which makes JSON round-trip trivial and keeps the transform side
+  * 100% whole-stage-codegen.
+  */
+sealed trait Step {
+  def apply(df: DataFrame): DataFrame
+}
+
+/** with_columns of named SQL expressions. */
+final case class ExprStep(cols: Seq[(String, String)]) extends Step {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumns(cols.map { case (n, e) => n -> expr(e) }.toMap)
+}
+/** filter by a SQL predicate. (Blueprint.filter, pipeline.py:337) */
+final case class FilterStep(cond: String) extends Step {
+  def apply(df: DataFrame): DataFrame = df.filter(expr(cond))
+}
+/** select a list of SQL expressions. */
+final case class SelectStep(exprs: Seq[String]) extends Step {
+  def apply(df: DataFrame): DataFrame = df.selectExpr(exprs: _*)
+}
+final case class DropStep(cols: Seq[String]) extends Step {
+  def apply(df: DataFrame): DataFrame = df.drop(cols: _*)
+}
+final case class SortStep(by: Seq[String], desc: Boolean) extends Step {
+  def apply(df: DataFrame): DataFrame =
+    df.orderBy(by.map(c => if (desc) col(c).desc else col(c).asc): _*)
+}
+/** full SQL over the current frame registered as `df`.
+  * (SQLStep, _step.py:98) */
+final case class SqlStep(query: String) extends Step {
+  def apply(df: DataFrame): DataFrame = {
+    val name = s"graft_pipeline_df_${System.identityHashCode(df)}"
+    df.createOrReplaceTempView(name)
+    df.sparkSession.sql(query.replace("{df}", name))
+  }
+}
+
+final case class Pipeline(steps: Seq[Step]) {
+  def transform(df: DataFrame): DataFrame =
+    steps.foldLeft(df)((d, s) => s(d))
+
+  /** JSON round-trip via json4s (ships with Spark). */
+  def toJson: String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val arr = steps.map {
+      case ExprStep(cols) =>
+        ("type" -> "expr") ~ ("cols" -> cols.map(c => List(c._1, c._2)))
+      case FilterStep(c) => ("type" -> "filter") ~ ("cond" -> c)
+      case SelectStep(e) => ("type" -> "select") ~ ("exprs" -> e)
+      case DropStep(c)   => ("type" -> "drop") ~ ("cols" -> c)
+      case SortStep(b, d) =>
+        ("type" -> "sort") ~ ("by" -> b) ~ ("desc" -> d)
+      case SqlStep(q)    => ("type" -> "sql") ~ ("query" -> q)
+    }
+    compact(render(arr))
+  }
+}
+
+object Pipeline {
+  def fromJson(json: String): Pipeline = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmt: Formats = DefaultFormats
+    val arr = parse(json).asInstanceOf[JArray].arr
+    Pipeline(arr.map { j =>
+      (j \ "type").extract[String] match {
+        case "expr" =>
+          ExprStep((j \ "cols").extract[Seq[Seq[String]]]
+            .map(c => (c(0), c(1))))
+        case "filter" => FilterStep((j \ "cond").extract[String])
+        case "select" => SelectStep((j \ "exprs").extract[Seq[String]])
+        case "drop"   => DropStep((j \ "cols").extract[Seq[String]])
+        case "sort"   => SortStep((j \ "by").extract[Seq[String]],
+          (j \ "desc").extract[Boolean])
+        case "sql"    => SqlStep((j \ "query").extract[String])
+        case t => throw new IllegalArgumentException(s"unknown step $t")
+      }
+    })
+  }
+}
+
+/** Step recorder: concrete steps pass through; fit steps hold a
+  * closure run against the train frame at materialize().
+  * (Blueprint, pipeline.py:250; FitStep _step.py:420) */
+final class Blueprint private (
+    train: DataFrame,
+    steps: Vector[Either[DataFrame => Step, Step]]) {
+
+  private def add(s: Step) = new Blueprint(train, steps :+ Right(s))
+  private def addFit(f: DataFrame => Seq[(String, String)]) =
+    new Blueprint(train, steps :+ Left(df => ExprStep(f(df))))
+  private def addFitStep(f: DataFrame => Step) =
+    new Blueprint(train, steps :+ Left(f))
+
+  // SQL literal for a double that survives round-trip exactly
+  private def dlit(v: Double): String =
+    if (v.isNaN) "cast('NaN' as double)"
+    else s"cast('${java.lang.Double.toString(v)}' as double)"
+  private def slit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---- fit transforms (transforms.py) ----
+
+  /** impute with train mean/median/mode. (transforms.py:26) */
+  def impute(cols: Seq[String], method: String = "mean"): Blueprint =
+    addFit { df =>
+      cols.map { c =>
+        val v = method match {
+          case "mean"   => df.agg(avg(col(c))).head.getDouble(0)
+          case "median" => df.agg(percentile(col(c), lit(0.5)))
+            .head.getDouble(0)
+          case "mode" => df.groupBy(col(c)).count()
+            .filter(col(c).isNotNull)
+            .orderBy(col("count").desc, col(c)).head.getDouble(0)
+          case m => throw new IllegalArgumentException(m)
+        }
+        c -> s"coalesce($c, ${dlit(v)})"
+      }
+    }
+
+  /** subtract train mean. (transforms.py:158 center) */
+  def center(cols: Seq[String]): Blueprint = addFit { df =>
+    cols.map { c =>
+      val m = df.agg(avg(col(c))).head.getDouble(0)
+      c -> s"$c - ${dlit(m)}"
+    }
+  }
+
+  /** standard / min_max / abs_max scaling. (transforms.py:186 scale) */
+  def scale(cols: Seq[String], method: String = "standard"): Blueprint =
+    addFit { df =>
+      cols.map { c =>
+        method match {
+          case "standard" =>
+            val r = df.agg(avg(col(c)), stddev_samp(col(c))).head
+            c -> s"($c - ${dlit(r.getDouble(0))}) / ${dlit(r.getDouble(1))}"
+          case "min_max" =>
+            val r = df.agg(min(col(c)), max(col(c))).head
+            val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+            c -> s"($c - ${dlit(lo)}) / ${dlit(hi - lo)}"
+          case "abs_max" =>
+            val m = df.agg(max(abs(col(c)))).head.getDouble(0)
+            c -> s"$c / ${dlit(m)}"
+          case m => throw new IllegalArgumentException(m)
+        }
+      }
+    }
+
+  /** (x - median) / IQR. (transforms.py:247 robust_scale) */
+  def robustScale(cols: Seq[String], q: Double = 0.25): Blueprint =
+    addFit { df =>
+      cols.map { c =>
+        val r = df.agg(percentile(col(c),
+          array(lit(q), lit(0.5), lit(1 - q)))).head.getSeq[Double](0)
+        c -> s"($c - ${dlit(r(1))}) / ${dlit(r(2) - r(0))}"
+      }
+    }
+
+  /** clip to train quantiles. (transforms.py:279 winsorize) */
+  def winsorize(cols: Seq[String], lower: Double = 0.05,
+                upper: Double = 0.95): Blueprint = addFit { df =>
+    cols.map { c =>
+      val r = df.agg(percentile(col(c), array(lit(lower), lit(upper))))
+        .head.getSeq[Double](0)
+      c -> s"least(greatest($c, ${dlit(r(0))}), ${dlit(r(1))})"
+    }
+  }
+
+  /** one column per distinct train value (sorted; optionally dropping
+    * the first — reference semantics: collects uniques at fit time).
+    * (transforms.py:320 one_hot_encode) */
+  def oneHotEncode(cols: Seq[String], dropFirst: Boolean = false,
+                   sep: String = "_"): Blueprint = addFit { df =>
+    cols.flatMap { c =>
+      val vals = df.select(col(c)).na.drop().distinct()
+        .orderBy(col(c)).collect().map(_.get(0).toString)
+      val use = if (dropFirst) vals.drop(1) else vals
+      use.toSeq.map(v =>
+        s"$c$sep$v" -> s"cast($c = ${slit(v)} as int)")
+    }
+  }
+
+  /** map sorted distinct values → 0..n-1. (transforms.py:371
+    * ordinal_encode) */
+  def ordinalEncode(cols: Seq[String]): Blueprint = addFit { df =>
+    cols.map { c =>
+      val vals = df.select(col(c)).na.drop().distinct()
+        .orderBy(col(c)).collect().map(_.get(0).toString)
+      val cases = vals.zipWithIndex
+        .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
+        .mkString(" ")
+      c -> s"CASE $cases ELSE NULL END"
+    }
+  }
+
+  /** ordered threshold encoding: value ≥ sorted-distinct[i] per level.
+    * (transforms.py:431 rank_hot_encode) */
+  def rankHotEncode(c: String, sep: String = "_ge_"): Blueprint =
+    addFit { df =>
+      val vals = df.select(col(c)).na.drop().distinct()
+        .orderBy(col(c)).collect().map(_.get(0).toString)
+      vals.drop(1).toSeq.map(v =>
+        s"$c$sep$v" -> s"cast($c >= ${slit(v)} as int)")
+    }
+
+  /** smoothed mean-target encoding (same math as
+    * EncodeOps.targetEncode). (transforms.py:503 target_encode) */
+  def targetEncode(c: String, target: String,
+                   minSamplesLeaf: Double = 20,
+                   smoothing: Double = 10.0): Blueprint = addFit { df =>
+    val mapping = graft.ops.EncodeOps
+      .targetEncode(df, col(c), col(target), minSamplesLeaf, smoothing)
+      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+    val cases = mapping
+      .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
+      .mkString(" ")
+    Seq(c -> s"CASE $cases ELSE NULL END")
+  }
+
+  /** WoE encoding. (transforms.py:562 woe_encode) */
+  def woeEncode(c: String, target: String): Blueprint = addFit { df =>
+    val mapping = graft.ops.EncodeOps
+      .woeDiscrete(df, col(c), col(target))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+    val cases = mapping
+      .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
+      .mkString(" ")
+    Seq(c -> s"CASE $cases ELSE NULL END")
+  }
+
+  /** drop columns whose train std is outside [lo, hi].
+    * (transforms.py:668 select_by_std) */
+  def selectByStd(cols: Seq[String], lo: Double, hi: Double): Blueprint =
+    addFitStep { df =>
+      val aggs = cols.map(c => stddev_samp(col(c)).as(c))
+      val r = df.agg(aggs.head, aggs.tail: _*).head
+      val dropCols = cols.zipWithIndex.collect {
+        case (c, i) if r.getDouble(i) < lo || r.getDouble(i) > hi => c
+      }
+      DropStep(dropCols)
+    }
+
+  /** pairwise products up to degree 2. (transforms.py:696
+    * polynomial_features) */
+  def polynomialFeatures(cols: Seq[String],
+                         interactionOnly: Boolean = false): Blueprint = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.length
+      if !(interactionOnly && i == j)
+    } yield (cols(i), cols(j))
+    add(ExprStep(pairs.map { case (a, b) => s"${a}_x_$b" -> s"$a * $b" }))
+  }
+
+  // ---- structural steps ----
+  def filter(cond: String): Blueprint = add(FilterStep(cond))
+  def withColumns(cols: (String, String)*): Blueprint =
+    add(ExprStep(cols.toSeq))
+  def select(exprs: String*): Blueprint = add(SelectStep(exprs.toSeq))
+  def drop(cols: String*): Blueprint = add(DropStep(cols.toSeq))
+  def sort(by: Seq[String], desc: Boolean = false): Blueprint =
+    add(SortStep(by, desc))
+  def sql(query: String): Blueprint = add(SqlStep(query))
+
+  /** Run every fit step against the (current) train frame and freeze
+    * the result. Each fit step sees the train frame with all PREVIOUS
+    * steps applied (reference semantics, pipeline.py:1027). */
+  def materialize(): Pipeline = {
+    var cur = train
+    val out = Vector.newBuilder[Step]
+    steps.foreach {
+      case Right(s) =>
+        out += s
+        cur = s(cur)
+      case Left(fit) =>
+        val s = fit(cur)
+        out += s
+        cur = s(cur)
+    }
+    Pipeline(out.result())
+  }
+
+  def fitTransform(df: DataFrame): DataFrame = materialize().transform(df)
+}
+
+object Blueprint {
+  def apply(train: DataFrame): Blueprint = new Blueprint(train, Vector.empty)
+}

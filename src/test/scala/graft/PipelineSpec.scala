@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Blueprint, Pipeline}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol
+
+  test("impute + scale produce zero-mean unit-var on train") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0), Some(5.0)).toDF("x")
+    val out = Blueprint(df)
+      .impute(Seq("x"), "mean")   // mean of 1,3,5 = 3
+      .scale(Seq("x"), "standard")
+      .fitTransform(df)
+      .agg(avg("x"), stddev_samp("x")).head
+    assert(approx(out.getDouble(0), 0.0))
+    assert(approx(out.getDouble(1), 1.0, 1e-9))
+  }
+
+  test("one-hot + ordinal follow sorted-distinct order") {
+    import spark.implicits._
+    val df = Seq("b", "a", "c", "a").toDF("c")
+    val out = Blueprint(df)
+      .oneHotEncode(Seq("c"))
+      .ordinalEncode(Seq("c"))
+      .fitTransform(df)
+      .orderBy("c_a", "c_b", "c_c")
+      .collect()
+    // ordinal: a→0, b→1, c→2
+    val m = out.map(r => (r.getAs[Int]("c_a"), r.getAs[Int]("c_b"),
+      r.getAs[Int]("c_c"), r.getAs[Int]("c")))
+    assert(m.contains((1, 0, 0, 0)))
+    assert(m.contains((0, 1, 0, 1)))
+    assert(m.contains((0, 0, 1, 2)))
+  }
+
+  test("JSON round-trip preserves every step type") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (3.0, 4.0), (10.0, 0.5)).toDF("x", "y")
+    val pipe = Blueprint(df)
+      .winsorize(Seq("x"), 0.0, 1.0)
+      .polynomialFeatures(Seq("x", "y"))
+      .filter("y > 0")
+      .sort(Seq("x"), desc = true)
+      .materialize()
+    val json = pipe.toJson
+    val pipe2 = Pipeline.fromJson(json)
+    assert(pipe2.toJson == json)
+    val a = pipe.transform(df).collect().map(_.toSeq)
+    val b = pipe2.transform(df).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("selectByStd drops constant columns") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "const")
+    val out = Blueprint(df)
+      .selectByStd(Seq("x", "const"), 1e-9, 100.0)
+      .fitTransform(df)
+    assert(out.columns.toSeq == Seq("x"))
+  }
+
+  test("fit statistics come from train, applied to test") {
+    import spark.implicits._
+    val train = Seq(0.0, 10.0).toDF("x")   // min 0, max 10
+    val test = Seq(5.0, 20.0).toDF("x")
+    val got = Blueprint(train).scale(Seq("x"), "min_max")
+      .materialize().transform(test)
+      .collect().map(_.getDouble(0)).sorted
+    assert(approx(got(0), 0.5) && approx(got(1), 2.0))
+  }
+}
