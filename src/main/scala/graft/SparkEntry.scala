@@ -25,7 +25,8 @@ object SparkEntry {
     TextQueries,
     NumQueries,
     KnnQueries,
-    PipelineQueries
+    PipelineQueries,
+    EdaQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eda.EdaOps
+import graft.sample.SampleOps
+
+class EdaSampleSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("volumeNeutral equalizes to the smallest group") {
+    import spark.implicits._
+    val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(20)("c"))
+      .zipWithIndex.toDF("g", "i")
+    val out = SampleOps.volumeNeutral(df, Seq("g"))
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 10L, "b" -> 10L, "c" -> 10L))
+  }
+
+  test("splitByRatio labels partition the frame with stable counts") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("i", "s")
+    val out = SampleOps.splitByRatio(df,
+      Seq(("train", 0.8), ("test", 0.2)), stratifyBy = Seq("s"))
+    assert(out.count() == 100)
+    val counts = out.groupBy("s", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // per stratum n=50: count(pr <= 0.8) = #{r: (r-1)/49 <= 0.8} = 40
+    assert(counts(("x", "train")) == 40L)
+    assert(counts(("x", "test")) == 10L)
+    assert(counts(("y", "train")) == 40L)
+  }
+
+  test("sampleN returns exactly n distinct rows") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("i")
+    val s = SampleOps.sampleN(df, 37)
+    assert(s.count() == 37)
+    assert(s.distinct().count() == 37)
+  }
+
+  test("specialValuesReport counts nan/null/zero") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(1.0), None, Some(Double.NaN),
+      Some(Double.PositiveInfinity)).toDF("x")
+    val r = EdaOps.specialValuesReport(df, Seq("x")).head
+    assert(r.getLong(1) == 1L)  // null
+    assert(r.getLong(2) == 1L)  // inf
+    assert(r.getLong(3) == 1L)  // nan
+    assert(r.getLong(4) == 1L)  // zero
+  }
+
+  test("inferReport flags const/binary/discrete") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (1, i % 2, i % 5, i)).toDF(
+      "c", "b", "d", "u")
+    val m = EdaOps.inferReport(df, Seq("c", "b", "d", "u"), 10, 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(m("c") == ((true, false, true)))
+    assert(m("b") == ((false, true, true)))
+    assert(m("d") == ((false, false, true)))
+    assert(m("u") == ((false, false, false)))
+  }
+
+  test("dependencyScore is 0 when y determines x") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i % 6, i % 3)).toDF("y", "x")
+    // x = y mod 3 → y determines x
+    val d = EdaOps.dependencyScore(df, col("x"), col("y"))
+    assert(math.abs(d) < 1e-12)
+  }
+}
