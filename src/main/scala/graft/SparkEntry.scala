@@ -26,7 +26,8 @@ object SparkEntry {
     NumQueries,
     KnnQueries,
     PipelineQueries,
-    EdaQueries
+    EdaQueries,
+    TSQueries2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TSOps2
+
+/** Driver-contract queries for SURVEY §2.7 second wave: AR coefficients,
+  * sample/approximate entropy, KNN entropy, subsequence similarity.
+  * Entropy queries run on the deterministic 1-in-10 subsample
+  * (event_id % 10 = 0) so the O(n²) oracle join stays cheap at sf0.01
+  * while the distributed Spark side is exercised the same way. */
+object TSQueries2 extends QueryPack {
+
+  private def sub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_id") % 10 === 0)
+
+  private val subSql = "SELECT * FROM events WHERE event_id % 10 = 0"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ar_coeffs" -> ((s, dir) => {
+      TSOps2.arCoeffs(t(s, dir, "events"), col("value"), col("event_id"),
+          Seq("event_type"), 2)
+        .select(col("event_type"),
+          round(element_at(col("ar_coeffs"), 1), 6).as("b1"),
+          round(element_at(col("ar_coeffs"), 2), 6).as("b2"),
+          round(element_at(col("ar_coeffs"), 3), 4).as("b0"))
+        .orderBy("event_type")
+    }),
+    "q_sample_entropy" -> ((s, dir) => {
+      TSOps2.sampleEntropy(sub(s, dir), col("value"), col("event_id"),
+          Seq("event_type"), 2, 0.5)
+        .select(col("event_type"),
+          round(col("sample_entropy"), 6).as("sample_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_approx_entropy" -> ((s, dir) => {
+      TSOps2.approxEntropy(sub(s, dir), col("value"), col("event_id"),
+          Seq("event_type"), 2, 0.2)
+        .select(col("event_type"),
+          round(col("approx_entropy"), 6).as("approx_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_knn_entropy" -> ((s, dir) => {
+      val d = sub(s, dir)
+        .withColumn("xj", col("value") + col("event_id") * 1e-9)
+      TSOps2.knnEntropy1d(d, col("xj"), Seq("event_type"), 3)
+        .select(col("event_type"),
+          round(col("knn_entropy"), 6).as("knn_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_subseq_sim" -> ((s, dir) => {
+      val q = Seq(120.5, 80.2, 95.0, 110.3)
+      val plain = TSOps2.subseqSimCount(t(s, dir, "events"), col("value"),
+        col("event_id"), Seq("event_type"), q, 5000.0)
+      val znorm = TSOps2.subseqSimCount(t(s, dir, "events"), col("value"),
+        col("event_id"), Seq("event_type"), q, 1.0, znormalize = true)
+        .withColumnRenamed("similar_count", "similar_count_z")
+      plain.join(znorm, "event_type").orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ar_coeffs" ->
+      """WITH l AS (
+        |  SELECT event_type, value y,
+        |    LAG(value, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      x1,
+        |    LAG(value, 2) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      x2
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE n,
+        |    SUM(x1 * x1) s11, SUM(x1 * x2) s12, SUM(x2 * x2) s22,
+        |    SUM(x1) s1, SUM(x2) s2, SUM(y) sy,
+        |    SUM(x1 * y) s1y, SUM(x2 * y) s2y
+        |  FROM l WHERE x1 IS NOT NULL AND x2 IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT *,
+        |    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1)
+        |      + s1*(s12*s2 - s22*s1) AS det
+        |  FROM s)
+        |SELECT event_type,
+        |  ROUND((s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy)
+        |    + s1*(s2y*s2 - s22*sy)) / det, 6) AS b1,
+        |  ROUND((s11*(s2y*n - sy*s2) - s1y*(s12*n - s2*s1)
+        |    + s1*(s12*sy - s2y*s1)) / det, 6) AS b2,
+        |  ROUND((s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1)
+        |    + s1y*(s12*s2 - s22*s1)) / det, 4) AS b0
+        |FROM d ORDER BY 1""".stripMargin,
+    "q_sample_entropy" ->
+      s"""WITH e AS ($subSql),
+         |r AS (
+         |  SELECT event_type, 0.5 * STDDEV_SAMP(value) r FROM e GROUP BY 1),
+         |s AS (
+         |  SELECT event_type, value x,
+         |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
+         |    ROW_NUMBER() OVER w rn
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |t AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+         |p AS (
+         |  SELECT a.event_type,
+         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+         |      <= r.r THEN 1 ELSE 0 END) bb,
+         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+         |        <= r.r AND ABS(a.x2 - b.x2) <= r.r
+         |      THEN 1 ELSE 0 END) aa
+         |  FROM t a
+         |  JOIN t b ON a.event_type = b.event_type AND a.rn < b.rn
+         |  JOIN r ON r.event_type = a.event_type
+         |  GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN aa = 0 OR bb = 0 THEN 'NaN'::DOUBLE
+         |    ELSE ROUND(-LN(aa::DOUBLE / bb::DOUBLE), 6) END
+         |    AS sample_entropy
+         |FROM p ORDER BY 1""".stripMargin,
+    "q_approx_entropy" ->
+      s"""WITH e AS ($subSql),
+         |r AS (
+         |  SELECT event_type, 0.2 * STDDEV_SAMP(value) r FROM e GROUP BY 1),
+         |s AS (
+         |  SELECT event_type, value x,
+         |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
+         |    ROW_NUMBER() OVER w rn
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |t2 AS (SELECT * FROM s WHERE x1 IS NOT NULL),
+         |t3 AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+         |n2 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t2 GROUP BY 1),
+         |n3 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t3 GROUP BY 1),
+         |c2 AS (
+         |  SELECT a.event_type, a.rn,
+         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+         |      <= r.r THEN 1 ELSE 0 END) c
+         |  FROM t2 a
+         |  JOIN t2 b ON a.event_type = b.event_type
+         |  JOIN r ON r.event_type = a.event_type
+         |  GROUP BY 1, 2),
+         |c3 AS (
+         |  SELECT a.event_type, a.rn,
+         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
+         |      ABS(a.x2 - b.x2)) <= r.r THEN 1 ELSE 0 END) c
+         |  FROM t3 a
+         |  JOIN t3 b ON a.event_type = b.event_type
+         |  JOIN r ON r.event_type = a.event_type
+         |  GROUP BY 1, 2),
+         |p2 AS (
+         |  SELECT c2.event_type, AVG(LN(c2.c::DOUBLE / n2.n)) p
+         |  FROM c2 JOIN n2 USING (event_type) GROUP BY 1),
+         |p3 AS (
+         |  SELECT c3.event_type, AVG(LN(c3.c::DOUBLE / n3.n)) p
+         |  FROM c3 JOIN n3 USING (event_type) GROUP BY 1)
+         |SELECT event_type, ROUND(p2.p - p3.p, 6) AS approx_entropy
+         |FROM p2 JOIN p3 USING (event_type) ORDER BY 1""".stripMargin,
+    "q_knn_entropy" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value + event_id * 1e-9 xj
+         |  FROM ($subSql)),
+         |p AS (
+         |  SELECT a.event_type, a.xj,
+         |    ABS(a.xj - b.xj) d,
+         |    ROW_NUMBER() OVER (PARTITION BY a.event_type, a.xj
+         |      ORDER BY ABS(a.xj - b.xj)) rk
+         |  FROM e a JOIN e b
+         |    ON a.event_type = b.event_type AND a.xj <> b.xj),
+         |k AS (
+         |  SELECT event_type, AVG(LN(d * 2.0)) m, COUNT(*)::DOUBLE n
+         |  FROM p WHERE rk = 3 GROUP BY 1)
+         |SELECT event_type,
+         |  ROUND(LN(n) - 1.0 / (2.0 * n) - 1.0 / (12.0 * n * n)
+         |    + 1.0 / (120.0 * POW(n, 4)) - 1.0 / (252.0 * POW(n, 6))
+         |    - 0.9227843350984671 + m, 6) AS knn_entropy
+         |FROM k ORDER BY 1""".stripMargin,
+    "q_subseq_sim" ->
+      """WITH s AS (
+        |  SELECT event_type, value x0,
+        |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
+        |    LEAD(value, 3) OVER w x3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+        |q AS (
+        |  SELECT (120.5 + 80.2 + 95.0 + 110.3) / 4.0 qm,
+        |    SQRT(((120.5 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |        * (120.5 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |      + (80.2 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |        * (80.2 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |      + (95.0 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |        * (95.0 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |      + (110.3 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)
+        |        * (110.3 - (120.5 + 80.2 + 95.0 + 110.3) / 4.0)) / 4.0) qs),
+        |h AS (
+        |  SELECT s.event_type,
+        |    CASE WHEN x3 IS NOT NULL AND
+        |      (x0 - 120.5) * (x0 - 120.5) + (x1 - 80.2) * (x1 - 80.2)
+        |      + (x2 - 95.0) * (x2 - 95.0) + (x3 - 110.3) * (x3 - 110.3)
+        |      <= 5000.0 THEN 1 ELSE 0 END hit,
+        |    CASE WHEN x3 IS NOT NULL AND (
+        |      ((x0 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (120.5 - q.qm) / q.qs)
+        |      * ((x0 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (120.5 - q.qm) / q.qs)
+        |      + ((x1 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (80.2 - q.qm) / q.qs)
+        |      * ((x1 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (80.2 - q.qm) / q.qs)
+        |      + ((x2 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (95.0 - q.qm) / q.qs)
+        |      * ((x2 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (95.0 - q.qm) / q.qs)
+        |      + ((x3 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (110.3 - q.qm) / q.qs)
+        |      * ((x3 - (x0+x1+x2+x3)/4.0) / SQRT(((x0 - (x0+x1+x2+x3)/4.0)
+        |          * (x0 - (x0+x1+x2+x3)/4.0)
+        |        + (x1 - (x0+x1+x2+x3)/4.0) * (x1 - (x0+x1+x2+x3)/4.0)
+        |        + (x2 - (x0+x1+x2+x3)/4.0) * (x2 - (x0+x1+x2+x3)/4.0)
+        |        + (x3 - (x0+x1+x2+x3)/4.0) * (x3 - (x0+x1+x2+x3)/4.0))
+        |        / 4.0) - (110.3 - q.qm) / q.qs))
+        |      <= 1.0 THEN 1 ELSE 0 END hitz
+        |  FROM s, q)
+        |SELECT event_type, SUM(hit)::BIGINT AS similar_count,
+        |  SUM(hitz)::BIGINT AS similar_count_z
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
