@@ -27,7 +27,8 @@ object SparkEntry {
     KnnQueries,
     PipelineQueries,
     EdaQueries,
-    TSQueries2
+    TSQueries2,
+    SeqQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

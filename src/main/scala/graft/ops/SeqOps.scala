@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TSOps2.collectSeries
+
+/** Whole-series kernels (SURVEY §2.6): isotonic regression, convolution,
+  * real DFT, smoothing spline, combinations/product.
+  *
+  * Execution shapes, by scaling class:
+  *  - convolve (small kernel): pure lead-Window algebra — distributed,
+  *    codegen, any scale. (The reference's FFT path only wins for
+  *    kernels ~ series length; for the common small-kernel case the
+  *    direct form IS the scalable plan.)
+  *  - isotonic / spline / DFT: inherently whole-series sequential →
+  *    collect per group (ordered array aggregate), run the O(n)–O(n²)
+  *    kernel in-executor. Memory = O(group); the documented trade-off
+  *    for order-sensitive kernels (SURVEY §2.15).
+  *  - combinations/product: explode/crossJoin — Catalyst handles
+  *    distribution.
+  */
+object SeqOps {
+
+  private val P = "__g_"
+
+  // ---- isotonic regression (num.py:1106; isotonic_regression.rs:74) ----
+
+  /** Pool-adjacent-violators on an ordered series (optionally weighted):
+    * the unique non-decreasing fit minimizing Σw(fit−y)². */
+  def pavaFit(ys: Seq[Double], ws: Option[Seq[Double]] = None)
+      : Array[Double] = {
+    val n = ys.length
+    val w = ws.map(_.toArray).getOrElse(Array.fill(n)(1.0))
+    // blocks as (weighted mean, weight, count)
+    val mean = new Array[Double](n)
+    val wt = new Array[Double](n)
+    val cnt = new Array[Int](n)
+    var m = 0 // number of blocks - 1 position
+    var i = 0
+    while (i < n) {
+      mean(m) = ys(i); wt(m) = w(i); cnt(m) = 1
+      while (m > 0 && mean(m - 1) > mean(m)) {
+        val tw = wt(m - 1) + wt(m)
+        mean(m - 1) = (mean(m - 1) * wt(m - 1) + mean(m) * wt(m)) / tw
+        wt(m - 1) = tw; cnt(m - 1) += cnt(m)
+        m -= 1
+      }
+      m += 1
+      i += 1
+    }
+    val out = new Array[Double](n)
+    var b = 0; var pos = 0
+    while (b < m) {
+      var c = 0
+      while (c < cnt(b)) { out(pos) = mean(b); pos += 1; c += 1 }
+      b += 1
+    }
+    out
+  }
+
+  val pavaUdf = udf((ys: Seq[Double]) => pavaFit(ys).toSeq)
+
+  /** Per-group isotonic fit: returns group rows with an `isotonic`
+    * array column aligned with ascending `order`. */
+  def isotonic(df: DataFrame, y: Column, order: Column,
+               groupNames: Seq[String]): DataFrame =
+    collectSeries(df, y, order, groupNames)
+      .withColumn("isotonic", pavaUdf(col("series")))
+
+  // ---- convolution (num.py:857; convolve.rs:190) ----
+
+  /** 1-D convolution with a small kernel as lead-Window algebra.
+    * mode "valid": output only where the kernel fully overlaps (rows
+    * with fewer than k successors get null); mode "same": zero-padded
+    * to input length. Kernel applied in the reference's correlation
+    * orientation: out[i] = Σ_j kernel[j]·x[i+j]. */
+  def convolveWin(df: DataFrame, x: Column, order: Column,
+                  groupNames: Seq[String], kernel: Seq[Double],
+                  mode: String = "valid", out: String = "conv")
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    val pre = df.select(gc ++ Seq(x.cast("double").as(s"${P}x"),
+      order.as(s"${P}o")): _*)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val terms = kernel.zipWithIndex.map { case (kv, j) =>
+      val c = if (j == 0) col(s"${P}x") else lead(col(s"${P}x"), j).over(w)
+      (c, kv)
+    }
+    val conv = mode match {
+      case "valid" =>
+        terms.map { case (c, kv) => c * kv }.reduce(_ + _)
+      case "same" =>
+        terms.map { case (c, kv) => coalesce(c, lit(0.0)) * kv }
+          .reduce(_ + _)
+      case m => throw new IllegalArgumentException(s"mode $m")
+    }
+    pre.withColumn(out, conv)
+  }
+
+  // ---- real DFT (num.py:1043 rfft; fft.rs:14) ----
+
+  /** Exact O(n·k) DFT of the first `nCoeffs` coefficients of each
+    * group's ordered series: re_k = Σ x_j cos(2πjk/n),
+    * im_k = −Σ x_j sin(2πjk/n). Returns array<struct<re,im>>.
+    * (For full-length transforms use nCoeffs = n; the reference's
+    * realfft returns n/2+1 coefficients.) */
+  val dftUdf = udf((xs: Seq[Double], nCoeffs: Int) => {
+    val n = xs.length
+    val a = xs.toArray
+    (0 until math.min(nCoeffs, n / 2 + 1)).map { k =>
+      var re = 0.0; var im = 0.0
+      var j = 0
+      while (j < n) {
+        val ang = 2.0 * math.Pi * j * k / n
+        re += a(j) * math.cos(ang)
+        im -= a(j) * math.sin(ang)
+        j += 1
+      }
+      (re, im)
+    }
+  })
+
+  def rfft(df: DataFrame, x: Column, order: Column,
+           groupNames: Seq[String], nCoeffs: Int): DataFrame =
+    collectSeries(df, x, order, groupNames)
+      .withColumn("fft", dftUdf(col("series"), lit(nCoeffs))
+        .cast("array<struct<re:double,im:double>>"))
+      .drop("series")
+
+  // ---- cubic smoothing spline (expr_spline.py:13; splines.rs:99) ----
+
+  /** Natural cubic smoothing spline fit at the knots (Reinsch 1967):
+    * minimizes Σ(y−f)² + λ∫f''². Tridiagonal-plus system solved via
+    * dense Gaussian elimination on the driver-free executor side
+    * (n per group). Returns fitted values aligned with ascending x.
+    * Equally-spaced assumption NOT required. */
+  def splineFit(xs: Seq[Double], ys: Seq[Double], lam: Double)
+      : Array[Double] = {
+    val n = xs.length
+    if (n < 3) return ys.toArray
+    val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
+    // second-derivative representation: (I + λ Q R⁻¹ Qᵀ) f = y with
+    // standard Reinsch matrices; build A = I + λ QR⁻¹Qᵀ densely (n³/3
+    // solve — fine for collected group sizes)
+    val Q = Array.ofDim[Double](n, n - 2)
+    for (j <- 1 until n - 1) {
+      Q(j - 1)(j - 1) = 1.0 / h(j - 1)
+      Q(j)(j - 1) = -1.0 / h(j - 1) - 1.0 / h(j)
+      Q(j + 1)(j - 1) = 1.0 / h(j)
+    }
+    val R = Array.ofDim[Double](n - 2, n - 2)
+    for (j <- 1 until n - 1) {
+      R(j - 1)(j - 1) = (h(j - 1) + h(j)) / 3.0
+      if (j < n - 2) { R(j - 1)(j) = h(j) / 6.0; R(j)(j - 1) = h(j) / 6.0 }
+    }
+    // gamma = R⁻¹ Qᵀ y ; iterate: solve (R + λ QᵀQ) γ = Qᵀ y, f = y − λQγ
+    val qty = Array.tabulate(n - 2)(c =>
+      (0 until n).map(r => Q(r)(c) * ys(r)).sum)
+    val qtq = Array.ofDim[Double](n - 2, n - 2)
+    for (c1 <- 0 until n - 2; c2 <- 0 until n - 2)
+      qtq(c1)(c2) = (0 until n).map(r => Q(r)(c1) * Q(r)(c2)).sum
+    val m = n - 2
+    val A = Array.tabulate(m, m)((i, j) => R(i)(j) + lam * qtq(i)(j))
+    val g = qty.clone()
+    // Gaussian elimination with partial pivoting
+    for (c <- 0 until m) {
+      var p = c
+      for (r2 <- c + 1 until m) if (math.abs(A(r2)(c)) > math.abs(A(p)(c))) p = r2
+      val tmp = A(c); A(c) = A(p); A(p) = tmp
+      val tg = g(c); g(c) = g(p); g(p) = tg
+      for (r2 <- c + 1 until m) {
+        val f = A(r2)(c) / A(c)(c)
+        for (c2 <- c until m) A(r2)(c2) -= f * A(c)(c2)
+        g(r2) -= f * g(c)
+      }
+    }
+    for (c <- m - 1 to 0 by -1) {
+      var s = g(c)
+      for (c2 <- c + 1 until m) s -= A(c)(c2) * g(c2)
+      g(c) = s / A(c)(c)
+    }
+    Array.tabulate(n)(r =>
+      ys(r) - lam * (0 until m).map(c => Q(r)(c) * g(c)).sum)
+  }
+
+  val splineUdf = udf((xs: Seq[Double], ys: Seq[Double], lam: Double) =>
+    splineFit(xs, ys, lam).toSeq)
+
+  def smoothSpline(df: DataFrame, xCol: Column, y: Column,
+                   groupNames: Seq[String], lam: Double): DataFrame = {
+    val gc = groupNames.map(col)
+    df.select(gc ++ Seq(xCol.cast("double").as(s"${P}xx"),
+      y.cast("double").as(s"${P}yy")): _*)
+      .groupBy(gc: _*)
+      .agg(array_sort(collect_list(struct(col(s"${P}xx"), col(s"${P}yy"))))
+        .as(s"${P}pts"))
+      .withColumn("spline", splineUdf(
+        transform(col(s"${P}pts"), p => p(s"${P}xx")),
+        transform(col(s"${P}pts"), p => p(s"${P}yy")), lit(lam)))
+      .drop(s"${P}pts")
+  }
+
+  // ---- combinations / product (expr_iter.py:85,13; iterations.rs) ----
+
+  /** All k=2 combinations (i<j by order) of a column's values per
+    * group — length-changing, realized by self-join (the distributed
+    * form of the reference's itertools kernel). */
+  def combinations2(df: DataFrame, x: Column, order: Column,
+                    groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val a = df.select(gc ++ Seq(x.as(s"${P}a"), order.as(s"${P}i")): _*)
+    val b = df.select(gc ++ Seq(x.as(s"${P}b"), order.as(s"${P}j")): _*)
+    a.join(b, groupNames).filter(col(s"${P}i") < col(s"${P}j"))
+      .select(gc ++ Seq(col(s"${P}a").as("c1"), col(s"${P}b").as("c2")): _*)
+  }
+
+  /** Cartesian product of two columns (expr_iter.py:13 product). */
+  def product(df1: DataFrame, x1: Column, df2: DataFrame, x2: Column)
+      : DataFrame =
+    df1.select(x1.as("p1")).crossJoin(df2.select(x2.as("p2")))
+}

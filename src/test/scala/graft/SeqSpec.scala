@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{PcaOps, SeqOps}
+
+class SeqSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean = {
+    val ok = math.abs(a - b) <= tol
+    if (!ok) info(s"got $a expected $b")
+    ok
+  }
+
+  test("PAVA matches the classic hand example") {
+    // sklearn doc-style case: y = [4,2,3,1,5]
+    // pooling: [4,2]→3,3 ; then 3,3,3 stays; [3,3,3,1]→2.5×4? check:
+    // sequential: 4|2 violate → [3,3]; 3 ok → [3,3,3]; 1 violates →
+    // pool(3,3,3,1) = 2.5 → [2.5]*4; 5 ok.
+    val fit = SeqOps.pavaFit(Seq(4, 2, 3, 1, 5).map(_.toDouble))
+    assert(fit.toSeq == Seq(2.5, 2.5, 2.5, 2.5, 5.0))
+    // weighted: w=[1,2] on y=[3,0] → mean = 3*1/3 = 1 → [1,1]
+    val wfit = SeqOps.pavaFit(Seq(3.0, 0.0), Some(Seq(1.0, 2.0)))
+    assert(wfit.toSeq == Seq(1.0, 1.0))
+  }
+
+  test("isotonic fit preserves the total sum and is monotone") {
+    import spark.implicits._
+    val ys = Seq(5.0, 3.0, 4.0, 1.0, 6.0, 2.0, 8.0)
+    val df = ys.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("i", "y", "g")
+    val fit = SeqOps.isotonic(df, col("y"), col("i"), Seq("g"))
+      .select("isotonic").head.getSeq[Double](0)
+    assert(approx(fit.sum, ys.sum, 1e-9))
+    assert(fit.sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("convolveWin valid mode equals hand convolution") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, "g") }.toDF("i", "x", "g")
+    val out = SeqOps.convolveWin(df, col("x"), col("i"), Seq("g"),
+        Seq(1.0, 0.5), "valid")
+      .orderBy("__g_o").select("conv").collect().map(r =>
+        Option(r.get(0)).map(_.asInstanceOf[Double]))
+    // out[i] = x[i] + 0.5 x[i+1] → [2.0, 3.5, 5.0, null]
+    assert(out(0).contains(2.0) && out(1).contains(3.5) &&
+      out(2).contains(5.0) && out(3).isEmpty)
+  }
+
+  test("DFT of a pure cosine concentrates at its frequency") {
+    import spark.implicits._
+    val n = 64
+    val xs = (0 until n).map(j => math.cos(2 * math.Pi * 4 * j / n))
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("i", "x", "g")
+    val fft = SeqOps.rfft(df, col("x"), col("i"), Seq("g"), 6)
+      .select("fft").head.getSeq[org.apache.spark.sql.Row](0)
+    // coefficient 4 should have |re| = n/2 = 32; others ~0
+    assert(approx(fft(4).getDouble(0), 32.0, 1e-9))
+    assert(math.abs(fft(1).getDouble(0)) < 1e-9)
+  }
+
+  test("spline: lambda=0 interpolates, huge lambda approaches the trend") {
+    val xs = Seq(0.0, 1.0, 2.0, 3.0, 4.0)
+    val ys = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    val f0 = SeqOps.splineFit(xs, ys, 0.0)
+    ys.indices.foreach(i => assert(approx(f0(i), ys(i), 1e-8)))
+    val fInf = SeqOps.splineFit(xs, ys, 1e9)
+    // linear fit of ys on xs: slope 0.8, intercept 1.4
+    xs.indices.foreach { i =>
+      assert(math.abs(fInf(i) - (1.4 + 0.8 * xs(i))) < 1e-3,
+        s"i=$i got ${fInf(i)}")
+    }
+  }
+
+  test("PCA singular values match a hand 2-D covariance") {
+    import spark.implicits._
+    // perfectly correlated: eigenvalues (2·var, 0)
+    val df = (1 to 10).map(i => (i.toDouble, i.toDouble, "g"))
+      .toDF("a", "b", "g")
+    val r = PcaOps.singularValues(df, Seq(col("a"), col("b")), Seq("g"))
+      .select(element_at(col("singular_values"), 1),
+        element_at(col("singular_values"), 2),
+        element_at(col("explained_variance_ratio"), 1)).head
+    val varA = (1 to 10).map(_.toDouble)
+      .map(v => (v - 5.5) * (v - 5.5)).sum / 9.0
+    assert(approx(r.getDouble(0), math.sqrt(2 * varA * 9), 1e-9))
+    assert(approx(r.getDouble(1), 0.0, 1e-6))
+    assert(approx(r.getDouble(2), 1.0, 1e-12))
+  }
+}
