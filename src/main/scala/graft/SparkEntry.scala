@@ -28,7 +28,8 @@ object SparkEntry {
     PipelineQueries,
     EdaQueries,
     TSQueries2,
-    SeqQueries
+    SeqQueries,
+    LinearQueries2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

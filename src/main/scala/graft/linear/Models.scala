@@ -1,0 +1,176 @@
+package graft.linear
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persistent models + GLM (SURVEY §2.9; reference
+  * python/polars_ds/linear_models.py LR/ElasticNet/OnlineLR/GLM backed
+  * by src/pymodels; GLM IRLS src/linear/glm/glm_solvers.rs:249).
+  *
+  * fit(df) = ONE distributed Gram aggregate per IRLS iteration (β and
+  * the d×d state live on the driver, never the data); predict(df) =
+  * a codegen'd dot-product column. The classic Spark-ML
+  * Estimator/Transformer split without MLlib Vector types.
+  */
+object Gram {
+
+  /** One-pass weighted Gram: returns (X'WX, X'Wy, n). `w` may be a
+    * literal 1.0 column for unweighted fits. */
+  def collect(df: DataFrame, features: Seq[Column], y: Column, w: Column)
+      : (Array[Array[Double]], Array[Double], Double) = {
+    val d = features.length
+    val fx = features.zipWithIndex.map { case (c, i) =>
+      c.cast("double").as(s"__f$i") }
+    val pre = df.select(fx ++ Seq(y.cast("double").as("__y"),
+      w.cast("double").as("__w")): _*)
+    val aggs =
+      (for (i <- 0 until d; j <- i until d) yield
+        sum(col("__w") * col(s"__f$i") * col(s"__f$j"))
+          .as(s"__g_${i}_$j")) ++
+      (0 until d).map(i =>
+        sum(col("__w") * col(s"__f$i") * col("__y")).as(s"__b_$i")) :+
+      count(lit(1)).cast("double").as("__n")
+    val r = pre.agg(aggs.head, aggs.tail: _*).head
+    val xtx = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      xtx(i)(j) = r.getDouble(idx); xtx(j)(i) = xtx(i)(j); idx += 1
+    }
+    val xty = Array.tabulate(d)(i => r.getDouble(idx + i))
+    (xtx, xty, r.getDouble(idx + d))
+  }
+
+  /** Dot-product prediction column. */
+  def predict(features: Seq[Column], beta: Array[Double]): Column =
+    features.zip(beta).map { case (c, b) => c.cast("double") * b }
+      .reduce(_ + _)
+}
+
+/** OLS/ridge persistent model (linear_models.py:127 LR). */
+class LR(lambda: Double = 0.0, addBias: Boolean = true) {
+  var coeffs: Array[Double] = _
+
+  private def fx(features: Seq[Column]) =
+    if (addBias) features :+ lit(1.0) else features
+
+  def fit(df: DataFrame, features: Seq[Column], target: Column): this.type = {
+    val (xtx, xty, _) = Gram.collect(df, fx(features), target, lit(1.0))
+    coeffs = Solvers.ridge(xtx, xty, lambda)
+    this
+  }
+
+  def predict(features: Seq[Column]): Column =
+    Gram.predict(fx(features), coeffs)
+
+  def predictDf(df: DataFrame, features: Seq[Column],
+                out: String = "prediction"): DataFrame =
+    df.withColumn(out, predict(features))
+}
+
+/** Elastic net persistent model (linear_models.py:343); bias
+  * unpenalized, matching the reference. */
+class ElasticNet(l1: Double, l2: Double, addBias: Boolean = true) {
+  var coeffs: Array[Double] = _
+
+  private def fx(features: Seq[Column]) =
+    if (addBias) features :+ lit(1.0) else features
+
+  def fit(df: DataFrame, features: Seq[Column], target: Column): this.type = {
+    val (xtx, xty, _) = Gram.collect(df, fx(features), target, lit(1.0))
+    val d = xty.length
+    coeffs = Solvers.elasticNet(xtx, xty, l1, l2,
+      penalize = j => !(addBias && j == d - 1))
+    this
+  }
+
+  def predict(features: Seq[Column]): Column =
+    Gram.predict(fx(features), coeffs)
+}
+
+/** Online (recursive) least squares with Woodbury rank-1 updates
+  * (linear_models.py:553 OnlineLR; lr_online_solvers.rs:307). State is
+  * P = (X'X + λI)⁻¹ and β, updated per observation on the driver. */
+class OnlineLR(d: Int, lambda: Double = 1e-6) {
+  private val p = Array.tabulate(d, d)((i, j) =>
+    if (i == j) 1.0 / lambda else 0.0)
+  val beta = new Array[Double](d)
+
+  def update(x: Array[Double], y: Double): this.type = {
+    val px = Array.tabulate(d)(i => (0 until d).map(j => p(i)(j) * x(j)).sum)
+    val denom = 1.0 + (0 until d).map(i => x(i) * px(i)).sum
+    val err = y - (0 until d).map(i => x(i) * beta(i)).sum
+    for (i <- 0 until d) beta(i) += px(i) * err / denom
+    for (i <- 0 until d; j <- 0 until d)
+      p(i)(j) -= px(i) * px(j) / denom
+    this
+  }
+
+  def predict(x: Array[Double]): Double =
+    (0 until d).map(i => x(i) * beta(i)).sum
+}
+
+/** GLM via IRLS — each iteration is one distributed weighted-Gram
+  * aggregate (glm_solvers.rs:249; families :18). Log link for
+  * poisson/gamma, logit for binomial, identity for normal. */
+class GLM(family: String, addBias: Boolean = true,
+          maxIter: Int = 50, tol: Double = 1e-12) {
+  var coeffs: Array[Double] = _
+  var iterations: Int = 0
+
+  private def fx(features: Seq[Column]) =
+    if (addBias) features :+ lit(1.0) else features
+
+  def fit(df: DataFrame, features: Seq[Column], target: Column): this.type = {
+    val feats = fx(features)
+    val d = feats.length
+    if (family == "normal") {
+      val (xtx, xty, _) = Gram.collect(df, feats, target, lit(1.0))
+      coeffs = Solvers.ridge(xtx, xty); iterations = 1
+      return this
+    }
+    var beta = new Array[Double](d)
+    // poisson/gamma start: log(mean(y)) on the bias term (if present)
+    val my = df.agg(avg(target.cast("double"))).head.getDouble(0)
+    if (addBias) beta(d - 1) = family match {
+      case "binomial" => math.log((my + 1e-12) / (1 - my + 1e-12))
+      case _          => math.log(math.max(my, 1e-12))
+    }
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta > tol) {
+      val eta = Gram.predict(feats, beta)
+      val (mu, wCol) = family match {
+        case "poisson"  => val m = exp(eta); (m, m)
+        case "gamma"    => val m = exp(eta); (m, lit(1.0))
+        case "binomial" =>
+          val m = lit(1.0) / (lit(1.0) + exp(-eta))
+          (m, m * (lit(1.0) - m))
+        case f => throw new IllegalArgumentException(f)
+      }
+      // working response z = η + (y − μ)·dη/dμ
+      val z = family match {
+        case "binomial" =>
+          eta + (target.cast("double") - mu) /
+            (mu * (lit(1.0) - mu))
+        case _ => eta + (target.cast("double") - mu) / mu
+      }
+      val (xtx, xty, _) = Gram.collect(df, feats, z, wCol)
+      val nb = Solvers.ridge(xtx, xty)
+      delta = beta.zip(nb).map { case (a, b) => math.abs(a - b) }.max
+      beta = nb
+      it += 1
+    }
+    coeffs = beta; iterations = it
+    this
+  }
+
+  /** Response-scale prediction (inverse link). */
+  def predict(features: Seq[Column]): Column = {
+    val eta = Gram.predict(fx(features), coeffs)
+    family match {
+      case "poisson" | "gamma" => exp(eta)
+      case "binomial"          => lit(1.0) / (lit(1.0) + exp(-eta))
+      case _                   => eta
+    }
+  }
+}

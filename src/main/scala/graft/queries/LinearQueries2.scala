@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.agg.LinRegAgg
+import graft.linear.{GLM, Solvers}
+
+/** Driver-contract queries for SURVEY §2.9 second wave: elastic net
+  * (coordinate descent on the Gram matrix), NNLS, rcond-SVD minimum-
+  * norm solve, GLM IRLS, and per-row lin-reg predictions.
+  *
+  * Oracle strategies: elastic net with l1=0 has the ridge closed form
+  * (penalized features only); NNLS on a deterministic target has a
+  * provably stable active set → reduced-OLS closed form; the rcond
+  * query uses an exactly collinear duplicated feature whose minimum-
+  * norm solution splits the coefficient ∝ (1,2)/5; GLM targets are
+  * exact inverse-link transforms of the linear predictor, making the
+  * literal coefficients the MLE. Lasso (l1>0) has no closed form →
+  * KKT-verified in LinearSpec2 instead. */
+object LinearQueries2 extends QueryPack {
+
+  /** Per-group Gram sums → driver-side solver → result rows. One
+    * aggregate pass; one output row per group. */
+  private def perGroupGram(df: DataFrame, group: String, d: Int,
+                           feats: Seq[org.apache.spark.sql.Column],
+                           y: org.apache.spark.sql.Column)
+      : Seq[(String, Array[Array[Double]], Array[Double], Double)] = {
+    val aggs =
+      (for (i <- 0 until d; j <- i until d) yield
+        sum(feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+      (0 until d).map(i => sum(feats(i) * y).as(s"b_$i")) :+
+      count(lit(1)).cast("double").as("n")
+    df.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val xtx = Array.ofDim[Double](d, d)
+        var idx = 1
+        for (i <- 0 until d; j <- i until d) {
+          xtx(i)(j) = r.getDouble(idx); xtx(j)(i) = xtx(i)(j); idx += 1
+        }
+        val xty = Array.tabulate(d)(i => r.getDouble(idx + i))
+        (r.getString(0), xtx, xty, r.getDouble(idx + d))
+      }
+  }
+
+  /** HALF_UP rounding, matching Spark's round() and DuckDB's ROUND. */
+  private def rnd(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def resultDf(s: SparkSession, group: String,
+                       rows: Seq[Row], fields: Seq[String]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows),
+      StructType(StructField(group, StringType) +:
+        fields.map(f => StructField(f, DoubleType))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_elastic_net" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq(col("l_quantity"), col("l_discount"), lit(1.0))
+      val sols = perGroupGram(li, "l_returnflag", 3, feats,
+        col("l_extendedprice"))
+        .map { case (g, xtx, xty, _) =>
+          val b = Solvers.elasticNet(xtx, xty, l1 = 0.0, l2 = 5.0,
+            penalize = j => j < 2, maxIter = 100000, tol = 1e-13)
+          Row(g, rnd(b(0), 6), rnd(b(1), 4), rnd(b(2), 4))
+        }
+      resultDf(s, "l_returnflag", sols, Seq("b_qty", "b_disc", "b0"))
+        .orderBy("l_returnflag")
+    }),
+    "q_nnls" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y",
+          col("l_quantity") * 100.0 - col("l_discount") * 2000.0 + 500.0)
+      val feats = Seq(col("l_quantity"), col("l_discount"), lit(1.0))
+      val sols = perGroupGram(li, "l_returnflag", 3, feats, col("y"))
+        .map { case (g, xtx, xty, _) =>
+          val b = Solvers.nnls(xtx, xty)
+          Row(g, rnd(b(0), 6), rnd(b(1), 6), rnd(b(2), 4))
+        }
+      resultDf(s, "l_returnflag", sols, Seq("b_qty", "b_disc", "b0"))
+        .orderBy("l_returnflag")
+    }),
+    "q_lr_rcond" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq(col("l_quantity"), col("l_quantity") * 2.0,
+        col("l_discount"), lit(1.0))
+      val sols = perGroupGram(li, "l_returnflag", 4, feats,
+        col("l_extendedprice"))
+        .map { case (g, xtx, xty, _) =>
+          val (b, _) = Solvers.svdRcond(xtx, xty, 1e-6)
+          Row(g, rnd(b(0), 6), rnd(b(1), 6), rnd(b(2), 4), rnd(b(3), 4))
+        }
+      resultDf(s, "l_returnflag", sols,
+        Seq("b_q1", "b_q2", "b_disc", "b0"))
+        .orderBy("l_returnflag")
+    }),
+    "q_glm" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y_pois",
+          exp(col("l_quantity") * 0.02 - col("l_discount") * 0.8 + 0.3))
+        .withColumn("y_bin",
+          lit(1.0) / (lit(1.0) +
+            exp(-(col("l_quantity") * 0.05 - col("l_discount") * 2.0
+              + 0.1))))
+      val pois = new GLM("poisson")
+        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_pois"))
+      val bin = new GLM("binomial")
+        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_bin"))
+      val r = Row(
+        rnd(pois.coeffs(0), 6), rnd(pois.coeffs(1), 6),
+        rnd(pois.coeffs(2), 6), rnd(bin.coeffs(0), 6),
+        rnd(bin.coeffs(1), 6), rnd(bin.coeffs(2), 6))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(r)),
+        StructType(Seq("p_qty", "p_disc", "p0", "bl_qty", "bl_disc", "bl0")
+          .map(f => StructField(f, DoubleType))))
+    }),
+    "q_lin_reg_pred" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val coeffs = li.groupBy(col("l_returnflag"))
+        .agg(LinRegAgg.linReg(
+          array(col("l_quantity"), col("l_discount"), lit(1.0)),
+          col("l_extendedprice"), 3).as("r"))
+        .select(col("l_returnflag"),
+          element_at(col("r.coeffs"), 1).as("b1"),
+          element_at(col("r.coeffs"), 2).as("b2"),
+          element_at(col("r.coeffs"), 3).as("b0"))
+      li.join(broadcast(coeffs), "l_returnflag")
+        .withColumn("pred",
+          col("b1") * col("l_quantity") + col("b2") * col("l_discount")
+            + col("b0"))
+        .withColumn("resid", col("l_extendedprice") - col("pred"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(abs(col("resid"))), 4).as("avg_abs_resid"),
+          round(avg(col("pred")), 4).as("avg_pred"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  private val gram3 =
+    """SELECT l_returnflag, COUNT(*)::DOUBLE n,
+      |  SUM(l_quantity * l_quantity) s11,
+      |  SUM(l_quantity * l_discount) s12, SUM(l_quantity) s1,
+      |  SUM(l_discount * l_discount) s22, SUM(l_discount) s2,
+      |  SUM(y) sy, SUM(l_quantity * y) s1y, SUM(l_discount * y) s2y
+      |FROM li GROUP BY 1""".stripMargin
+
+  /** Cramer solve of [[s11+r1,s12,s1],[s12,s22+r2,s2],[s1,s2,n]]β =
+    * [s1y,s2y,sy] shared by the ridge/pred oracles. */
+  private def cramer3(r1: String, r2: String) =
+    s"""d AS (
+       |  SELECT *,
+       |    (s11 + $r1) * ((s22 + $r2) * n - s2 * s2)
+       |      - s12 * (s12 * n - s2 * s1)
+       |      + s1 * (s12 * s2 - (s22 + $r2) * s1) AS det
+       |  FROM s),
+       |b AS (
+       |  SELECT *,
+       |    (s1y * ((s22 + $r2) * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+       |      + s1 * (s2y * s2 - (s22 + $r2) * sy)) / det AS b1,
+       |    ((s11 + $r1) * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+       |      + s1 * (s12 * sy - s2y * s1)) / det AS b2,
+       |    ((s11 + $r1) * ((s22 + $r2) * sy - s2y * s2)
+       |      - s12 * (s12 * sy - s2y * s1)
+       |      + s1y * (s12 * s2 - (s22 + $r2) * s1)) / det AS b0
+       |  FROM d)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_elastic_net" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_quantity, l_discount,
+         |    l_extendedprice y FROM lineitem),
+         |s AS ($gram3),
+         |${cramer3("5.0", "5.0")}
+         |SELECT l_returnflag, ROUND(b1, 6) AS b_qty,
+         |  ROUND(b2, 4) AS b_disc, ROUND(b0, 4) AS b0
+         |FROM b ORDER BY 1""".stripMargin,
+    "q_nnls" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_quantity q,
+        |    100 * l_quantity - 2000 * l_discount + 500 y FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*)::DOUBLE n, SUM(q * q) sqq,
+        |    SUM(q) sq, SUM(y) sy, SUM(q * y) sqy
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag,
+        |  ROUND((sqy * n - sq * sy) / (sqq * n - sq * sq), 6) AS b_qty,
+        |  0.0 AS b_disc,
+        |  ROUND((sy - (sqy * n - sq * sy) / (sqq * n - sq * sq) * sq)
+        |    / n, 4) AS b0
+        |FROM s ORDER BY 1""".stripMargin,
+    "q_lr_rcond" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_quantity, l_discount,
+         |    l_extendedprice y FROM lineitem),
+         |s AS ($gram3),
+         |${cramer3("0.0", "0.0")}
+         |SELECT l_returnflag,
+         |  ROUND(b1 / 5.0, 6) AS b_q1,
+         |  ROUND(b1 * 2.0 / 5.0, 6) AS b_q2,
+         |  ROUND(b2, 4) AS b_disc, ROUND(b0, 4) AS b0
+         |FROM b ORDER BY 1""".stripMargin,
+    "q_glm" ->
+      """SELECT 0.02 AS p_qty, -0.8 AS p_disc, 0.3 AS p0,
+        |  0.05 AS bl_qty, -2.0 AS bl_disc, 0.1 AS bl0""".stripMargin,
+    "q_lin_reg_pred" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_quantity, l_discount,
+         |    l_extendedprice y FROM lineitem),
+         |s AS ($gram3),
+         |${cramer3("0.0", "0.0")}
+         |SELECT li.l_returnflag,
+         |  ROUND(AVG(ABS(li.y - (b.b1 * li.l_quantity
+         |    + b.b2 * li.l_discount + b.b0))), 4) AS avg_abs_resid,
+         |  ROUND(AVG(b.b1 * li.l_quantity + b.b2 * li.l_discount + b.b0),
+         |    4) AS avg_pred
+         |FROM li JOIN b USING (l_returnflag)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
