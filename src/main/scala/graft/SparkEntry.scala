@@ -29,7 +29,8 @@ object SparkEntry {
     EdaQueries,
     TSQueries2,
     SeqQueries,
-    LinearQueries2
+    LinearQueries2,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RandomGen, Strings}
+import graft.util.Expander
+
+/** Driver-contract queries for SURVEY §2.5 random generators, §2.8
+  * vocabulary string ops, §2.2 distance filters, §2.14 expander.
+  * Random outputs can't be bit-compared cross-engine → structural
+  * oracles (exact counts + invariant booleans), mirroring the
+  * reference's own engine-compat smoke tests (tests/test_many.py:11). */
+object MiscQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_gen" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("u", RandomGen.randomUniform(10.0, 20.0, 42))
+        .withColumn("i", RandomGen.randomInt(0, 5, 43))
+        .withColumn("g", RandomGen.randomNormal(100.0, 5.0, 44))
+        .withColumn("e", RandomGen.randomExp(0.5, 45))
+        .withColumn("b", RandomGen.randomBinomial(10, 0.3, 46))
+        .withColumn("str", RandomGen.randomStr(8, 47)(col("event_id")))
+        .withColumn("nl", RandomGen.randomNull(col("value"), 0.5, 48))
+        .withColumn("p", RandomGen.perturb(col("value"), 0.1, 49))
+        .withColumn("j", RandomGen.jitter(col("value"), 1.0, 50))
+      ev.agg(
+        count(lit(1)).as("n"),
+        (min(col("u")) >= 10.0 && max(col("u")) < 20.0).as("u_in_range"),
+        (min(col("i")) >= 0 && max(col("i")) <= 4 &&
+          countDistinct(col("i")) === 5).as("i_in_range"),
+        (abs(avg(col("g")) - 100.0) < 1.0).as("g_centered"),
+        (min(col("e")) >= 0.0 && abs(avg(col("e")) - 2.0) < 0.5)
+          .as("e_positive"),
+        (min(col("b")) >= 0 && max(col("b")) <= 10 &&
+          abs(avg(col("b")) - 3.0) < 0.5).as("b_in_range"),
+        (min(length(col("str"))) === 8 && max(length(col("str"))) === 8 &&
+          countDistinct(col("str")) > count(lit(1)) * 0.5).as("str_ok"),
+        (sum(col("nl").isNull.cast("long")) > count(lit(1)) * 0.4 &&
+          sum(col("nl").isNull.cast("long")) < count(lit(1)) * 0.6)
+          .as("null_frac_ok"),
+        (max(abs(col("p") - col("value"))) <= 0.1).as("perturb_bounded"),
+        (abs(avg(col("j") - col("value"))) < 0.1).as("jitter_centered"))
+    }),
+    "q_str_vocab" -> ((s, dir) => {
+      val vocab = Seq("promo", "standard", "economy", "small", "large")
+      val d = t(s, dir, "part")
+        .withColumn("w", lower(split(col("p_type"), " ").getItem(0)))
+        .withColumn("nearest", Strings.strNearest(col("w"), vocab))
+        .withColumn("mapped", Strings.mapWords(lower(col("p_type")),
+          Map("brushed" -> "matte", "polished" -> "shiny")))
+        .withColumn("nfc_len",
+          length(Strings.normalizeString(col("p_name"), "NFC")))
+      d.groupBy(col("p_brand"))
+        .agg(
+          count(when(col("nearest") === "promo", 1)).as("n_promo"),
+          countDistinct(col("nearest")).as("n_distinct_nearest"),
+          sum(length(col("mapped"))).as("mapped_len"),
+          sum(col("nfc_len")).as("nfc_len"),
+          count(when(levenshtein(col("w"), lit("standard")) <= 3, 1))
+            .as("n_lev3"),
+          count(when(Strings.strHamming(
+            substring(concat(col("w"), lit("########")), 1, 8),
+            lit("standard")) <= 5, 1)).as("n_ham5"))
+        .orderBy("p_brand")
+    }),
+    "q_expander" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Expander.expand(Seq("l_quantity", "l_tax"),
+          Seq("mean" -> (c => round(avg(c), 6)),
+            "max" -> (c => max(c)),
+            "nulls" -> (c => sum(c.isNull.cast("long"))))).head,
+          Expander.expand(Seq("l_quantity", "l_tax"),
+            Seq("mean" -> (c => round(avg(c), 6)),
+              "max" -> (c => max(c)),
+              "nulls" -> (c => sum(c.isNull.cast("long"))))).tail: _*)
+        .orderBy("l_returnflag")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_random_gen" ->
+      """SELECT COUNT(*) AS n, TRUE AS u_in_range, TRUE AS i_in_range,
+        |  TRUE AS g_centered, TRUE AS e_positive, TRUE AS b_in_range,
+        |  TRUE AS str_ok, TRUE AS null_frac_ok, TRUE AS perturb_bounded,
+        |  TRUE AS jitter_centered
+        |FROM events""".stripMargin,
+    "q_str_vocab" -> {
+      // vocab with position: strNearest tie-breaks by FIRST match in
+      // vocab order (Scala minBy), so the oracle must too
+      val vocabSql = "VALUES (0, 'promo'), (1, 'standard'), " +
+        "(2, 'economy'), (3, 'small'), (4, 'large')"
+      s"""WITH d AS (
+         |  SELECT p_brand, p_name, p_type,
+         |    LOWER(string_split(p_type, ' ')[1]) w
+         |  FROM part),
+         |near AS (
+         |  SELECT d.p_brand, d.w, v.col1 cand,
+         |    ROW_NUMBER() OVER (PARTITION BY d.p_brand, d.w, d.rowid
+         |      ORDER BY levenshtein(d.w, v.col1), v.col0) rk,
+         |    d.rowid
+         |  FROM (SELECT *, ROW_NUMBER() OVER () rowid FROM d) d
+         |  CROSS JOIN ($vocabSql) v(col0, col1)),
+         |sel AS (
+         |  SELECT p_brand, w, cand nearest FROM near WHERE rk = 1),
+         |m AS (
+         |  SELECT p_brand,
+         |    array_to_string(list_transform(
+         |      string_split(LOWER(p_type), ' '),
+         |      x -> CASE x WHEN 'brushed' THEN 'matte'
+         |        WHEN 'polished' THEN 'shiny' ELSE x END), ' ') mapped,
+         |    LENGTH(NFC_NORMALIZE(p_name)) nfc_len,
+         |    LOWER(string_split(p_type, ' ')[1]) w
+         |  FROM part)
+         |SELECT m.p_brand,
+         |  (SELECT COUNT(*) FROM sel s2
+         |   WHERE s2.p_brand = m.p_brand AND s2.nearest = 'promo')
+         |    AS n_promo,
+         |  (SELECT COUNT(DISTINCT s2.nearest) FROM sel s2
+         |   WHERE s2.p_brand = m.p_brand) AS n_distinct_nearest,
+         |  SUM(LENGTH(mapped))::BIGINT AS mapped_len,
+         |  SUM(nfc_len)::BIGINT AS nfc_len,
+         |  COUNT(CASE WHEN levenshtein(w, 'standard') <= 3 THEN 1 END)
+         |    AS n_lev3,
+         |  COUNT(CASE WHEN hamming(LEFT(w || '########', 8), 'standard')
+         |    <= 5 THEN 1 END) AS n_ham5
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_expander" ->
+      """SELECT l_returnflag,
+        |  ROUND(AVG(l_quantity), 6) AS l_quantity_mean,
+        |  MAX(l_quantity) AS l_quantity_max,
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS l_quantity_nulls,
+        |  ROUND(AVG(l_tax), 6) AS l_tax_mean,
+        |  MAX(l_tax) AS l_tax_max,
+        |  SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS l_tax_nulls
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
