@@ -113,7 +113,7 @@ class OnlineLR(d: Int, lambda: Double = 1e-6) {
   * aggregate (glm_solvers.rs:249; families :18). Log link for
   * poisson/gamma, logit for binomial, identity for normal. */
 class GLM(family: String, addBias: Boolean = true,
-          maxIter: Int = 50, tol: Double = 1e-12) {
+          maxIter: Int = 50, tol: Double = 1e-10) {
   var coeffs: Array[Double] = _
   var iterations: Int = 0
 
@@ -121,16 +121,24 @@ class GLM(family: String, addBias: Boolean = true,
     if (addBias) features :+ lit(1.0) else features
 
   def fit(df: DataFrame, features: Seq[Column], target: Column): this.type = {
-    val feats = fx(features)
-    val d = feats.length
+    val feats0 = fx(features)
+    val d = feats0.length
     if (family == "normal") {
-      val (xtx, xty, _) = Gram.collect(df, feats, target, lit(1.0))
+      val (xtx, xty, _) = Gram.collect(df, feats0, target, lit(1.0))
       coeffs = Solvers.ridge(xtx, xty); iterations = 1
       return this
     }
+    // Materialize the projected frame ONCE: every IRLS iteration
+    // re-scans exactly these d+1 columns. Without the persist each
+    // iteration re-reads and re-decodes the source. (At cluster scale:
+    // MEMORY_AND_DISK on a narrow projection.)
+    val cached = df.select(feats0.zipWithIndex.map { case (c, i) =>
+      c.cast("double").as(s"__f$i") } :+ target.cast("double").as("__t"): _*)
+      .persist()
+    val feats = (0 until d).map(i => col(s"__f$i"))
+    val tgt = col("__t")
     var beta = new Array[Double](d)
-    // poisson/gamma start: log(mean(y)) on the bias term (if present)
-    val my = df.agg(avg(target.cast("double"))).head.getDouble(0)
+    val my = cached.agg(avg(tgt)).head.getDouble(0)
     if (addBias) beta(d - 1) = family match {
       case "binomial" => math.log((my + 1e-12) / (1 - my + 1e-12))
       case _          => math.log(math.max(my, 1e-12))
@@ -149,17 +157,16 @@ class GLM(family: String, addBias: Boolean = true,
       }
       // working response z = η + (y − μ)·dη/dμ
       val z = family match {
-        case "binomial" =>
-          eta + (target.cast("double") - mu) /
-            (mu * (lit(1.0) - mu))
-        case _ => eta + (target.cast("double") - mu) / mu
+        case "binomial" => eta + (tgt - mu) / (mu * (lit(1.0) - mu))
+        case _          => eta + (tgt - mu) / mu
       }
-      val (xtx, xty, _) = Gram.collect(df, feats, z, wCol)
+      val (xtx, xty, _) = Gram.collect(cached, feats, z, wCol)
       val nb = Solvers.ridge(xtx, xty)
       delta = beta.zip(nb).map { case (a, b) => math.abs(a - b) }.max
       beta = nb
       it += 1
     }
+    cached.unpersist()
     coeffs = beta; iterations = it
     this
   }

@@ -30,14 +30,72 @@ object SimOps {
     * `queries`/`corpus`: (id, vec). Self-matches excluded. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  broadcastCorpus: Boolean = true): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
-    val c0 = corpus.select(col("id").as("cid"), col("vec").as("cv"))
-    val c = if (broadcastCorpus) broadcast(c0) else c0
-    val joined = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    // Broadcast the QUERY matrix and scan the corpus once with fused
+    // primitive-array loops: each partition keeps a local top-k per
+    // query, so the shuffle is |queries|·k·partitions candidate rows
+    // instead of |queries|·|corpus| joined rows. Ties break toward the
+    // smaller corpus id, and the arithmetic (sequential dot, then
+    // dot/sqrt(na·nb)) matches the Column-algebra form bit-for-bit.
+    val spark = queries.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qArr = queries.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qNorm = qArr.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    val bcQ = spark.sparkContext.broadcast((qArr, qNorm))
+    val cPre = corpus.select(col("id").cast("long").as("cid"),
+      col("vec").cast("array<double>").as("cv"))
+    val localTop = cPre.rdd.mapPartitions { it =>
+      val (qs, qn) = bcQ.value
+      val nq = qs.length
+      // per-query bounded best list (k is small)
+      val best = Array.fill(nq)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] {
+            case (c, id) => (-c, id) // max = worst: lowest cos, largest id
+          }))
+      it.foreach { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Double](1).toArray
+        var nc = 0.0
+        var i = 0
+        while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+        var qi = 0
+        while (qi < nq) {
+          val (qid, qv) = qs(qi)
+          if (qid != cid) {
+            var dot = 0.0
+            var j = 0
+            while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+            val cos = dot / math.sqrt(qn(qi) * nc)
+            val h = best(qi)
+            if (h.size < k) h.enqueue((cos, cid))
+            else {
+              val (wc, wid) = h.head
+              if (cos > wc || (cos == wc && cid < wid)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      best.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, cid) => Row(qs(qi)._1, cid, cos) }
+      }
+    }
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("cid", LongType), StructField("cos", DoubleType)))
+    val candidates = spark.createDataFrame(localTop, schema)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    joined.withColumn("rk", row_number().over(w))
+    candidates.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("cos"), col("rk"))
   }

@@ -24,25 +24,47 @@ object TextOps {
     (length(c) - length(regexp_replace(c, pat, ""))).cast("double") /
       math.max(pat.length, 1)
 
-  /** Per-language stopword score: occurrences of profile words per 100
-    * chars. Returns a struct of scores + argmax prediction; "zh" wins if
-    * any CJK codepoints are present. */
+  /** Non-overlapping left-to-right substring count — the same count
+    * `regexp_replace` removal yields, without materializing a new
+    * string per pattern. */
+  private def occurrences(s: String, w: String): Int = {
+    var cnt = 0; var i = s.indexOf(w)
+    while (i >= 0) { cnt += 1; i = s.indexOf(w, i + w.length) }
+    cnt
+  }
+
+  /** Per-language stopword score with argmax prediction; "zh" wins if
+    * any CJK codepoints are present. One UDF pass per document (the
+    * naïve column form runs 20 regexp-replace passes, each allocating a
+    * document-sized string — 20× the memory traffic for the same
+    * counts). Tie-break: first language in code order. */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = langProfiles.map { case (lang, words) =>
-      lang -> words.map(w => countOcc(padded, w)).reduce(_ + _)
+    val ordered = langProfiles.toSeq.sortBy(_._1)
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        var hasCjk = false
+        var i = 0
+        while (i < t.length && !hasCjk) {
+          val c = t.charAt(i)
+          if (c >= 0x4e00 && c <= 0x9fff) hasCjk = true
+          i += 1
+        }
+        if (hasCjk) "zh"
+        else {
+          val padded = " " + t.toLowerCase + " "
+          var bestLang = ordered.head._1
+          var bestScore = -1.0
+          ordered.foreach { case (lang, words) =>
+            var s = 0.0
+            words.foreach(w => s += occurrences(padded, w).toDouble)
+            if (s > bestScore) { bestScore = s; bestLang = lang }
+          }
+          bestLang
+        }
+      }
     }
-    val hasCjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-      .cast("double")
-    // argmax with deterministic tie-break by language code order
-    val ordered = scores.toSeq.sortBy(_._1)
-    val best = ordered.tail.foldLeft(
-      struct(ordered.head._2.as("s"), lit(ordered.head._1).as("l"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("s"),
-          struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    when(hasCjk > 0, lit("zh")).otherwise(best.getField("l"))
+    f(text)
   }
 
   /** Whitespace token count. (pure algebra) */
@@ -120,30 +142,103 @@ object TextOps {
       .filter(col("__pds_rn") === 1).drop("__pds_rn")
   }
 
-  /** Distinct-word-set Jaccard near-duplicate PAIRS within a blocking
-    * key: explode distinct words → self-join on (block, word) → count
-    * common words per pair → filter jaccard ≥ threshold.
-    * Fully relational — this is the shape that scales (the join is on
-    * (block, word), so common-word skew is bounded by block size), and
-    * it is exactly reproducible in SQL for the oracle. */
+  /** Default path: collect each block's token sets and compare pairs
+    * block-locally — one shuffle (the groupBy), zero joins, exact.
+    * Right when blocks are bounded (dedup blocks usually are — that is
+    * their purpose); for unbounded blocks use
+    * [[jaccardDupPairsPrefix]], which never materializes a block. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
                       block: Column, threshold: Double): DataFrame = {
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row], t: Double) => {
+      val n = docs.length
+      val ids = new Array[Long](n)
+      val sets = new Array[java.util.HashSet[String]](n)
+      var i = 0
+      while (i < n) {
+        ids(i) = docs(i).getLong(0)
+        val s = new java.util.HashSet[String]()
+        docs(i).getSeq[String](1).foreach(s.add)
+        sets(i) = s
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val (small, big) =
+            if (sets(i).size <= sets(j).size) (sets(i), sets(j))
+            else (sets(j), sets(i))
+          var common = 0
+          val it = small.iterator()
+          while (it.hasNext) if (big.contains(it.next())) common += 1
+          val jac = common.toDouble / (sets(i).size + sets(j).size - common)
+          if (jac >= t) {
+            val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j))
+            else (ids(j), ids(i))
+            out += ((a, b, jac))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+    df.select(block.as("block"), id.cast("long").as("i"),
+        array_distinct(split(lower(trim(text)), "\\s+")).as("ws"))
+      .groupBy(col("block"))
+      .agg(collect_list(struct(col("i"), col("ws"))).as("docs"))
+      .select(col("block"),
+        explode(pairUdf(col("docs"), lit(threshold))).as("p"))
+      .select(col("block"), col("p._1").as("id1"), col("p._2").as("id2"),
+        col("p._3").as("jaccard"))
+  }
+
+  /** Prefix-filtered exact Jaccard pairs (Chaudhuri et al. SSJoin /
+    * Xiao et al. PPJoin candidate condition): order each doc's tokens
+    * by ascending global document frequency; two sets with J ≥ t MUST
+    * share a token within their first n − ⌈t·n⌉ + 1 tokens, so only
+    * prefix tokens enter the pair join — no quadratic blow-up on
+    * frequent tokens, no block materialization. Candidates are then
+    * verified with the true intersection. The unbounded-block path. */
+  def jaccardDupPairsPrefix(df: DataFrame, id: Column, text: Column,
+                            block: Column, threshold: Double): DataFrame = {
     val base = df.select(block.as("b"), id.as("i"),
       array_distinct(split(lower(trim(text)), "\\s+")).as("ws"))
       .withColumn("nw", size(col("ws")))
     val words = base.select(col("b"), col("i"), col("nw"),
       explode(col("ws")).as("w"))
-    val l = words.as("l")
-    val r = words.as("r")
-    l.join(r, col("l.b") === col("r.b") && col("l.w") === col("r.w") &&
-        col("l.i") < col("r.i"))
-      .groupBy(col("l.b").as("block"), col("l.i").as("id1"),
-        col("r.i").as("id2"), col("l.nw").as("n1"), col("r.nw").as("n2"))
-      .agg(count(lit(1)).as("common"))
+    // global df per (block, token) → rarity order
+    val dfreq = words.groupBy(col("b"), col("w"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = words.join(dfreq, Seq("b", "w"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b"), col("i"))
+          .orderBy(col("df"), col("w"))))
+      .withColumn("plen",
+        col("nw") - ceil(col("nw") * threshold).cast("int") + 1)
+      .filter(col("rn") <= col("plen"))
+      .select(col("b"), col("i"), col("w"))
+    // candidate pairs from prefix tokens only
+    val cand = ranked.as("l")
+      .join(ranked.as("r"),
+        col("l.b") === col("r.b") && col("l.w") === col("r.w") &&
+          col("l.i") < col("r.i"))
+      .select(col("l.b").as("b"), col("l.i").as("id1"),
+        col("r.i").as("id2"))
+      .distinct()
+    // verify candidates with the exact intersection
+    val s1 = base.select(col("b"), col("i").as("id1"),
+      col("ws").as("ws1"), col("nw").as("n1"))
+    val s2 = base.select(col("b"), col("i").as("id2"),
+      col("ws").as("ws2"), col("nw").as("n2"))
+    cand.join(s1, Seq("b", "id1")).join(s2, Seq("b", "id2"))
+      .withColumn("common", size(array_intersect(col("ws1"), col("ws2"))))
       .withColumn("jaccard", col("common") /
         (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("block"), col("id1"), col("id2"), col("jaccard"))
+      .select(col("b").as("block"), col("id1"), col("id2"), col("jaccard"))
   }
 
   // ---- MinHash + LSH ----------------------------------------------------
