@@ -30,7 +30,8 @@ object SparkEntry {
     TSQueries2,
     SeqQueries,
     LinearQueries2,
-    MiscQueries
+    MiscQueries,
+    InfoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -136,6 +136,23 @@ object KnnOps {
         Seq(t.countRange(qf, raw, exclude = qid)), tree)
   }
 
+  /** How often each point appears among other points' k nearest
+    * neighbors — knnPtwise → explode → count. (expr_knn.py:203
+    * query_knn_freq_cnt) */
+  def knnFreqCnt(df: DataFrame, id: Column, features: Seq[Column], k: Int,
+                 metric: String = "l2"): DataFrame =
+    knnPtwise(df, id, features, k, metric)
+      .select(explode(col("knn_ids")).as("nb_id"))
+      .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
+
+  /** Same for radius neighborhoods. (expr_knn.py:566
+    * query_radius_freq_cnt) */
+  def radiusFreqCnt(df: DataFrame, id: Column, features: Seq[Column],
+                    r: Double, metric: String = "l2"): DataFrame =
+    radiusPtwise(df, id, features, r, metric)
+      .select(explode(col("radius_ids")).as("nb_id"))
+      .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
+
   /** Bool: is the row within distance r of a fixed point? Pure column
     * math, no tree. (expr_knn.py:337 within_dist_from) */
   def withinDistFrom(features: Seq[Column], point: Seq[Double], r: Double,

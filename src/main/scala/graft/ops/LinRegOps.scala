@@ -44,6 +44,57 @@ object LinRegOps {
     slopeCols(df, x, y, w, "recursive_slope", "recursive_intercept")
   }
 
+  /** Two-feature (+ intercept) per-row OLS from windowed sums, solved
+    * by Cramer's rule in Column algebra — the multi-feature
+    * rolling/recursive path. Where the reference slides a Woodbury
+    * rank-1 update sequentially (lr_online_solvers.rs:180,148), the
+    * Spark-native form computes each row's normal equations from
+    * windowed partial sums: fully distributed, no sequential state, no
+    * accumulated FP drift. O(window) work per row via the frame. */
+  private def cramer2f(df: DataFrame, x1: Column, x2: Column, y: Column,
+                       w: org.apache.spark.sql.expressions.WindowSpec,
+                       prefix: String): DataFrame = {
+    val n = count(lit(1)).over(w).cast("double")
+    val s11 = sum(x1 * x1).over(w); val s12 = sum(x1 * x2).over(w)
+    val s22 = sum(x2 * x2).over(w)
+    val s1 = sum(x1).over(w); val s2 = sum(x2).over(w)
+    val sy = sum(y).over(w)
+    val s1y = sum(x1 * y).over(w); val s2y = sum(x2 * y).over(w)
+    val det = s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1) +
+      s1 * (s12 * s2 - s22 * s1)
+    val b1 = (s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy) +
+      s1 * (s2y * s2 - s22 * sy)) / det
+    val b2 = (s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1) +
+      s1 * (s12 * sy - s2y * s1)) / det
+    val b0 = (s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1) +
+      s1y * (s12 * s2 - s22 * s1)) / det
+    df.withColumn(s"${prefix}_b1", b1)
+      .withColumn(s"${prefix}_b2", b2)
+      .withColumn(s"${prefix}_b0", b0)
+      .withColumn(s"${prefix}_n", n)
+  }
+
+  /** Fixed-window multi-feature rolling OLS per row (reference
+    * pl_rolling_lr, full-feature form). Rows with an incomplete window
+    * carry n < window. */
+  def rollingLinReg2(df: DataFrame, x1: Column, x2: Column, y: Column,
+                     order: Column, groupNames: Seq[String],
+                     window: Int): DataFrame = {
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+      .rowsBetween(-(window - 1), 0)
+    cramer2f(df, x1, x2, y, w, "roll")
+  }
+
+  /** Expanding-window multi-feature OLS per row (reference
+    * pl_recursive_lr, full-feature form). Defined once n ≥ 3. */
+  def recursiveLinReg2(df: DataFrame, x1: Column, x2: Column, y: Column,
+                       order: Column, groupNames: Seq[String])
+      : DataFrame = {
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cramer2f(df, x1, x2, y, w, "rec")
+  }
+
   private def slopeCols(df: DataFrame, x: Column, y: Column,
                         w: org.apache.spark.sql.expressions.WindowSpec,
                         slopeName: String, interName: String): DataFrame = {

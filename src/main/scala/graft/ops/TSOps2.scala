@@ -191,6 +191,119 @@ object TSOps2 {
         col(s"${P}m")).as("knn_entropy"): _*)
   }
 
+  /** Generic d-dimensional Kozachenko–Leonenko entropy of a collected
+    * point set (Chebyshev metric, k=3): H = ψ(n) − ψ(3) +
+    * d·mean(ln(2·r_i)) with r_i the k-th NN distance. Brute-force O(n²)
+    * — callers feed bounded (sub-sampled or per-group) sets; the
+    * distributed 1-D case uses [[knnEntropy1d]] instead.
+    * (ts_features.py:635-733; entrophies.rs:217) */
+  def klEntropySeries(points: Seq[Seq[Double]], k: Int = 3): Double = {
+    val n = points.length
+    if (n <= k) return Double.NaN
+    val d = points.head.length
+    val pts = points.map(_.toArray).toArray
+    var sumLog = 0.0
+    var i = 0
+    while (i < n) {
+      val dists = new Array[Double](n - 1)
+      var m = 0
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          var cheb = 0.0
+          var t = 0
+          while (t < d) {
+            val df = math.abs(pts(i)(t) - pts(j)(t))
+            if (df > cheb) cheb = df
+            t += 1
+          }
+          dists(m) = cheb; m += 1
+        }
+        j += 1
+      }
+      java.util.Arrays.sort(dists)
+      sumLog += math.log(2.0 * dists(k - 1))
+      i += 1
+    }
+    digammaAsym(n.toDouble) - digamma3 + d * (sumLog / n)
+  }
+
+  private val klEntropyUdf =
+    udf((pts: Seq[Seq[Double]], k: Int) => klEntropySeries(pts, k))
+
+  /** Copula entropy per group: rank-transform (x, y) to (0,1)² and
+    * return −H of the empirical copula (copent convention) —
+    * negative MI. Ranks need unique x/y (jitter upstream for ties).
+    * (ts_features.py:660 query_copula_entropy) */
+  def copulaEntropy(df: DataFrame, x: Column, y: Column,
+                    groupNames: Seq[String], k: Int = 3): DataFrame = {
+    val gc = groupNames.map(col)
+    val pre = df.select(gc ++ Seq(x.cast("double").as(s"${P}x"),
+      y.cast("double").as(s"${P}y")): _*)
+    val wx = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+    val wy = Window.partitionBy(gc: _*).orderBy(col(s"${P}y"))
+    val wn = Window.partitionBy(gc: _*)
+    val ranked = pre
+      .withColumn(s"${P}n", count(lit(1)).over(wn).cast("double"))
+      .withColumn(s"${P}u",
+        (row_number().over(wx) - 1) / (col(s"${P}n") - 1.0))
+      .withColumn(s"${P}v",
+        (row_number().over(wy) - 1) / (col(s"${P}n") - 1.0))
+    ranked.groupBy(gc: _*)
+      .agg(collect_list(array(col(s"${P}u"), col(s"${P}v")))
+        .as(s"${P}pts"))
+      .select(gc :+
+        (-klEntropyUdf(col(s"${P}pts"), lit(k))).as("copula_entropy"): _*)
+  }
+
+  /** Transfer entropy x→y at lag 1 via the 4-term KL decomposition
+    * TE = H(y_t,y_l) + H(y_l,x_l) − H(y_l) − H(y_t,y_l,x_l).
+    * (ts_features.py:708 query_transfer_entropy) */
+  def transferEntropy(df: DataFrame, x: Column, y: Column, order: Column,
+                      groupNames: Seq[String], k: Int = 3): DataFrame = {
+    val gc = groupNames.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val pre = df.select(gc ++ Seq(x.cast("double").as(s"${P}x"),
+        y.cast("double").as(s"${P}y"), order.as(s"${P}o")): _*)
+      .withColumn(s"${P}yl", lag(col(s"${P}y"), 1).over(w))
+      .withColumn(s"${P}xl", lag(col(s"${P}x"), 1).over(w))
+      .na.drop(Seq(s"${P}yl", s"${P}xl"))
+    pre.groupBy(gc: _*)
+      .agg(
+        collect_list(array(col(s"${P}y"), col(s"${P}yl"))).as("p_yyl"),
+        collect_list(array(col(s"${P}yl"), col(s"${P}xl"))).as("p_ylxl"),
+        collect_list(array(col(s"${P}yl"))).as("p_yl"),
+        collect_list(array(col(s"${P}y"), col(s"${P}yl"),
+          col(s"${P}xl"))).as("p_yylxl"))
+      .select(gc :+
+        (klEntropyUdf(col("p_yyl"), lit(k)) +
+          klEntropyUdf(col("p_ylxl"), lit(k)) -
+          klEntropyUdf(col("p_yl"), lit(k)) -
+          klEntropyUdf(col("p_yylxl"), lit(k))).as("transfer_entropy"): _*)
+  }
+
+  /** Conditional-independence score: CMI I(x;y|z) = H(x,z) + H(y,z) −
+    * H(z) − H(x,y,z); ≈0 ⇒ x ⟂ y | z. (ts_features.py:686
+    * query_cond_indep) */
+  def condIndep(df: DataFrame, x: Column, y: Column, z: Column,
+                groupNames: Seq[String], k: Int = 3): DataFrame = {
+    val gc = groupNames.map(col)
+    val pre = df.select(gc ++ Seq(x.cast("double").as(s"${P}x"),
+      y.cast("double").as(s"${P}y"), z.cast("double").as(s"${P}z")): _*)
+    pre.groupBy(gc: _*)
+      .agg(
+        collect_list(array(col(s"${P}x"), col(s"${P}z"))).as("p_xz"),
+        collect_list(array(col(s"${P}y"), col(s"${P}z"))).as("p_yz"),
+        collect_list(array(col(s"${P}z"))).as("p_z"),
+        collect_list(array(col(s"${P}x"), col(s"${P}y"),
+          col(s"${P}z"))).as("p_xyz"))
+      .select(gc :+
+        (klEntropyUdf(col("p_xz"), lit(k)) +
+          klEntropyUdf(col("p_yz"), lit(k)) -
+          klEntropyUdf(col("p_z"), lit(k)) -
+          klEntropyUdf(col("p_xyz"), lit(k))).as("cond_mi"): _*)
+  }
+
   /** Count of length-w sliding windows within `threshold` (squared-l2)
     * of a fixed query pattern; optional z-normalization of each window.
     * Pure lead-Window algebra — runs at scan speed, any scale.

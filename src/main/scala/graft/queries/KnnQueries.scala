@@ -74,6 +74,22 @@ object KnnQueries extends QueryPack {
             .as("sum_first_id"))
         .orderBy("c_mktsegment")
     }),
+    "q_knn_freq" -> ((s, dir) => {
+      val df = feat(s, dir)
+      val kf = KnnOps.knnFreqCnt(df, col("c_custkey"),
+        Seq(col("f1"), col("f2")), 3)
+      val rf = KnnOps.radiusFreqCnt(df, col("c_custkey"),
+        Seq(col("f1"), col("f2")), 3.0)
+        .withColumnRenamed("freq", "rfreq")
+      df.select(col("c_custkey").as("nb_id"), col("c_mktsegment"))
+        .join(kf, Seq("nb_id"), "left")
+        .join(rf, Seq("nb_id"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(coalesce(col("freq"), lit(0L))).as("knn_freq_sum"),
+          max(coalesce(col("freq"), lit(0L))).as("knn_freq_max"),
+          sum(coalesce(col("rfreq"), lit(0L))).as("radius_freq_sum"))
+        .orderBy("c_mktsegment")
+    }),
     "q_knn_within" -> ((s, dir) => {
       val df = KnnOps.isKnnFrom(feat(s, dir),
         Seq(col("f1"), col("f2")), Seq(50.0, 50.0), 100, col("c_custkey"))
@@ -135,6 +151,21 @@ object KnnQueries extends QueryPack {
          |  SUM(n)::BIGINT AS n_pairs,
          |  SUM(first_id)::BIGINT AS sum_first_id
          |FROM per_q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_freq" ->
+      s"""WITH $pairsSql,
+         |kf AS (
+         |  SELECT cid nb_id, COUNT(*) freq FROM ranked WHERE rk <= 3
+         |  GROUP BY 1),
+         |rf AS (
+         |  SELECT cid nb_id, COUNT(*) rfreq FROM pairs WHERE d2 <= 9.0
+         |  GROUP BY 1)
+         |SELECT f.c_mktsegment,
+         |  SUM(COALESCE(kf.freq, 0))::BIGINT AS knn_freq_sum,
+         |  MAX(COALESCE(kf.freq, 0))::BIGINT AS knn_freq_max,
+         |  SUM(COALESCE(rf.rfreq, 0))::BIGINT AS radius_freq_sum
+         |FROM f LEFT JOIN kf ON kf.nb_id = f.c_custkey
+         |LEFT JOIN rf ON rf.nb_id = f.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_within" ->
       s"""WITH f AS ($featSql),
          |d AS (

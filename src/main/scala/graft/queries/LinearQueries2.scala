@@ -116,6 +116,33 @@ object LinearQueries2 extends QueryPack {
         StructType(Seq("p_qty", "p_disc", "p0", "bl_qty", "bl_disc", "bl0")
           .map(f => StructField(f, DoubleType))))
     }),
+    "q_rolling_lr2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x2", (col("event_id") % 997) / 10.0)
+        .withColumn("yy", col("value") + col("x2") * 2.0 + 5.0)
+      graft.ops.LinRegOps.rollingLinReg2(ev, col("value"), col("x2"),
+          col("yy"), col("event_id"), Seq("event_type"), 8)
+        .filter(col("roll_n") === 8.0)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("roll_b1")), 6).as("avg_b1"),
+          round(avg(col("roll_b2")), 6).as("avg_b2"),
+          round(avg(col("roll_b0")), 4).as("avg_b0"),
+          count(lit(1)).as("n_windows"))
+        .orderBy("event_type")
+    }),
+    "q_recursive_lr2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x2", (col("event_id") % 997) / 10.0)
+        .withColumn("yy", col("value") + col("x2") * 2.0 + 5.0)
+      graft.ops.LinRegOps.recursiveLinReg2(ev, col("value"), col("x2"),
+          col("yy"), col("event_id"), Seq("event_type"))
+        .filter(col("rec_n") >= 10.0)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("rec_b1")), 6).as("avg_b1"),
+          round(avg(col("rec_b2")), 6).as("avg_b2"),
+          round(avg(col("rec_b0")), 4).as("avg_b0"))
+        .orderBy("event_type")
+    }),
     "q_lin_reg_pred" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val coeffs = li.groupBy(col("l_returnflag"))
@@ -166,6 +193,44 @@ object LinearQueries2 extends QueryPack {
        |      + s1y * (s12 * s2 - (s22 + $r2) * s1)) / det AS b0
        |  FROM d)""".stripMargin
 
+  /** Shared windowed-Cramer oracle for the rolling/recursive queries —
+    * the same normal-equation expressions the Spark Column algebra
+    * evaluates per row. */
+  private def rollRecOracle(frame: String, cond: String,
+                            sel: String): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, value x1,
+       |    (event_id % 997) / 10.0 x2,
+       |    value + (event_id % 997) / 10.0 * 2.0 + 5.0 y
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type,
+       |    COUNT(*) OVER w::DOUBLE n,
+       |    SUM(x1 * x1) OVER w s11, SUM(x1 * x2) OVER w s12,
+       |    SUM(x2 * x2) OVER w s22, SUM(x1) OVER w s1,
+       |    SUM(x2) OVER w s2, SUM(y) OVER w sy,
+       |    SUM(x1 * y) OVER w s1y, SUM(x2 * y) OVER w s2y
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+       |    $frame)),
+       |b AS (
+       |  SELECT event_type, n,
+       |    (s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+       |      + s1 * (s2y * s2 - s22 * sy))
+       |      / (s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+       |        + s1 * (s12 * s2 - s22 * s1)) b1,
+       |    (s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+       |      + s1 * (s12 * sy - s2y * s1))
+       |      / (s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+       |        + s1 * (s12 * s2 - s22 * s1)) b2,
+       |    (s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1)
+       |      + s1y * (s12 * s2 - s22 * s1))
+       |      / (s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+       |        + s1 * (s12 * s2 - s22 * s1)) b0
+       |  FROM s)
+       |SELECT event_type, $sel
+       |FROM b WHERE $cond GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_elastic_net" ->
       s"""WITH li AS (
@@ -204,6 +269,14 @@ object LinearQueries2 extends QueryPack {
     "q_glm" ->
       """SELECT 0.02 AS p_qty, -0.8 AS p_disc, 0.3 AS p0,
         |  0.05 AS bl_qty, -2.0 AS bl_disc, 0.1 AS bl0""".stripMargin,
+    "q_rolling_lr2" -> rollRecOracle(
+      "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW", "n = 8",
+      """ROUND(AVG(b1), 6) AS avg_b1, ROUND(AVG(b2), 6) AS avg_b2,
+        |  ROUND(AVG(b0), 4) AS avg_b0, COUNT(*) AS n_windows""".stripMargin),
+    "q_recursive_lr2" -> rollRecOracle(
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "n >= 10",
+      """ROUND(AVG(b1), 6) AS avg_b1, ROUND(AVG(b2), 6) AS avg_b2,
+        |  ROUND(AVG(b0), 4) AS avg_b0""".stripMargin),
     "q_lin_reg_pred" ->
       s"""WITH li AS (
          |  SELECT l_returnflag, l_quantity, l_discount,
