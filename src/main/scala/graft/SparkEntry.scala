@@ -31,7 +31,8 @@ object SparkEntry {
     SeqQueries,
     LinearQueries2,
     MiscQueries,
-    InfoQueries
+    InfoQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -100,7 +100,33 @@ object EncodeOps {
       .orderBy("bucket")
   }
 
-  // (helper removed: Spark 4's Column no longer exposes .expr)
+  /** PSI against caller-supplied breakpoints (num.py:653
+    * psi_w_breakpoints): same report, bucketing fixed by `bps` instead
+    * of baseline quantiles. */
+  def psiWithBreakpoints(baseline: DataFrame, baseCol: Column,
+                         actual: DataFrame, actCol: Column,
+                         bps: Array[Double]): DataFrame = {
+    val nBins = bps.length + 1
+    def bucket(c: Column): Column =
+      bps.indices.foldLeft(lit(nBins - 1)) { (acc, i) =>
+        when(c <= bps(bps.length - 1 - i), bps.length - 1 - i)
+          .otherwise(acc)
+      }
+    def pct(df: DataFrame, c: Column, name: String): DataFrame =
+      df.select(bucket(c).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn(name,
+          col("n") / sum(col("n")).over(Window.partitionBy()))
+        .drop("n")
+    val eps = 1e-12
+    pct(baseline, baseCol, "baseline_pct")
+      .join(pct(actual, actCol, "actual_pct"), Seq("bucket"), "full")
+      .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("psi_bin",
+        (col("actual_pct") - col("baseline_pct")) *
+          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+      .orderBy("bucket")
+  }
 
   /** Discrete PSI: categories instead of quantile buckets.
     * (num.py:600 psi_discrete; psi.rs:97) */

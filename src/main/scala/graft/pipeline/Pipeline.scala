@@ -137,6 +137,36 @@ final class Blueprint private (
       }
     }
 
+  /** impute only where `cond` holds (SQL predicate), with the train
+    * statistic computed over the rows satisfying it.
+    * (transforms.py:53 conditional_impute) */
+  def conditionalImpute(cols: Seq[String], cond: String,
+                        method: String = "mean"): Blueprint =
+    addFit { df =>
+      val sub = df.filter(expr(cond))
+      cols.map { c =>
+        val v = method match {
+          case "mean"   => sub.agg(avg(col(c))).head.getDouble(0)
+          case "median" => sub.agg(percentile(col(c), lit(0.5)))
+            .head.getDouble(0)
+          case m => throw new IllegalArgumentException(m)
+        }
+        c -> (s"CASE WHEN ($cond) AND $c IS NULL THEN ${dlit(v)} " +
+          s"ELSE $c END")
+      }
+    }
+
+  /** fill nulls with a simple-regression prediction from `by`.
+    * (transforms.py:115 linear_impute) */
+  def linearImpute(c: String, by: String): Blueprint = addFit { df =>
+    val r = df.filter(col(c).isNotNull)
+      .agg((covar_samp(col(by), col(c)) / var_samp(col(by))).as("sl"),
+        avg(col(c)).as("my"), avg(col(by)).as("mx")).head
+    val slope = r.getDouble(0)
+    val inter = r.getDouble(1) - slope * r.getDouble(2)
+    Seq(c -> s"coalesce($c, ${dlit(slope)} * $by + ${dlit(inter)})")
+  }
+
   /** subtract train mean. (transforms.py:158 center) */
   def center(cols: Seq[String]): Blueprint = addFit { df =>
     cols.map { c =>

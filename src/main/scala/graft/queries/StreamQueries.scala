@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.EncodeOps
+import graft.pipeline.Blueprint
+import graft.streaming.StreamOps
+
+/** Driver-contract queries for time-bucketed aggregation (§1
+  * group_by_dynamic_agg), the conditional/linear imputes (§2.11) and
+  * PSI with fixed breakpoints (§2.6). */
+object StreamQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dynamic_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("etime", StreamOps.nanosToTimestamp(col("ts")))
+      StreamOps.dynamicGroupByAgg(ev, col("etime"), "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(avg(col("value")), 6)
+            .as("avg_value")))
+        .select(col("event_type"), col("window_start"), col("n"),
+          col("avg_value"))
+        .orderBy("event_type", "window_start")
+    }),
+    "q_pipeline_impute2" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .withColumn("bal",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      val pipe = Blueprint(base)
+        .conditionalImpute(Seq("bal"), "c_nationkey < 10", "mean")
+        .linearImpute("bal", "c_custkey")
+        .materialize()
+      pipe.transform(base)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("bal")), 2).as("sum_bal"),
+          count(when(col("bal").isNull, 1)).as("n_null"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_psi_breakpoints" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EncodeOps.psiWithBreakpoints(
+          ev.filter(col("event_type") === "click"), col("value"),
+          ev.filter(col("event_type") =!= "click"), col("value"),
+          Array(50.0, 100.0, 200.0, 300.0))
+        .select(col("bucket"),
+          round(col("baseline_pct"), 6).as("baseline_pct"),
+          round(col("actual_pct"), 6).as("actual_pct"),
+          round(col("psi_bin"), 8).as("psi_bin"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dynamic_agg" ->
+      """SELECT event_type, date_trunc('hour', ts) AS window_start,
+        |  COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pipeline_impute2" ->
+      """WITH b AS (
+        |  SELECT *, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+        |    bal
+        |  FROM customer),
+        |m1 AS (SELECT AVG(bal) v FROM b WHERE c_nationkey < 10),
+        |i1 AS (
+        |  SELECT b.*, CASE WHEN c_nationkey < 10 AND bal IS NULL
+        |    THEN m1.v ELSE bal END ib
+        |  FROM b, m1),
+        |r AS (
+        |  SELECT
+        |    (COUNT(*) * SUM(c_custkey * ib) - SUM(c_custkey) * SUM(ib))
+        |      / (COUNT(*) * SUM(c_custkey * c_custkey)
+        |        - SUM(c_custkey) * SUM(c_custkey)) sl,
+        |    AVG(ib) my, AVG(c_custkey) mx
+        |  FROM i1 WHERE ib IS NOT NULL),
+        |f AS (
+        |  SELECT i1.c_mktsegment,
+        |    COALESCE(ib, r.sl * c_custkey + (r.my - r.sl * r.mx)) fb
+        |  FROM i1, r)
+        |SELECT c_mktsegment, ROUND(SUM(fb), 2) AS sum_bal,
+        |  COUNT(CASE WHEN fb IS NULL THEN 1 END) AS n_null
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_psi_breakpoints" ->
+      """WITH bb AS (
+        |  SELECT LEAST(CASE WHEN value <= 50.0 THEN 0
+        |    WHEN value <= 100.0 THEN 1 WHEN value <= 200.0 THEN 2
+        |    WHEN value <= 300.0 THEN 3 ELSE 4 END, 4) bucket
+        |  FROM events WHERE event_type = 'click'),
+        |ab AS (
+        |  SELECT LEAST(CASE WHEN value <= 50.0 THEN 0
+        |    WHEN value <= 100.0 THEN 1 WHEN value <= 200.0 THEN 2
+        |    WHEN value <= 300.0 THEN 3 ELSE 4 END, 4) bucket
+        |  FROM events WHERE event_type <> 'click'),
+        |bp AS (
+        |  SELECT bucket, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM bb)
+        |    baseline_pct FROM bb GROUP BY 1),
+        |ap AS (
+        |  SELECT bucket, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM ab)
+        |    actual_pct FROM ab GROUP BY 1)
+        |SELECT bucket,
+        |  ROUND(COALESCE(baseline_pct, 0), 6) AS baseline_pct,
+        |  ROUND(COALESCE(actual_pct, 0), 6) AS actual_pct,
+        |  ROUND((COALESCE(actual_pct, 0) - COALESCE(baseline_pct, 0))
+        |    * LN((COALESCE(actual_pct, 0) + 1e-12)
+        |      / (COALESCE(baseline_pct, 0) + 1e-12)), 8) AS psi_bin
+        |FROM bp FULL JOIN ap USING (bucket)
+        |ORDER BY bucket""".stripMargin
+  )
+}
