@@ -32,7 +32,8 @@ object SparkEntry {
     LinearQueries2,
     MiscQueries,
     InfoQueries,
-    StreamQueries
+    StreamQueries,
+    CoverageQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

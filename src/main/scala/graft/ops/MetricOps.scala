@@ -107,6 +107,37 @@ object MetricOps {
     }
   }
 
+  /** sklearn-convention average precision per group:
+    * AP = Σ_n (R_n − R_{n−1})·P_n over descending score thresholds —
+    * the same distributed threshold-table + window machinery as
+    * [[tprFpr]]. (metrics.py:495 query_binary_metrics AP component) */
+  def averagePrecision(df: DataFrame, y: Column, score: Column,
+                       groupNames: Seq[String]): DataFrame = {
+    val (t, g) = keyed(df, groupNames.map(col),
+      Seq(y.cast("double").as(s"${P}y"), score.cast("double").as(s"${P}s")))
+    val gc = g.map(col)
+    val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
+    val wTot = Window.partitionBy(gc: _*)
+    val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
+    val res = thr
+      .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
+      .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
+      .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+      .withColumn(s"${P}r", col(s"${P}cumPos") / col(s"${P}npos"))
+      .withColumn(s"${P}p", col(s"${P}cumPos") / col(s"${P}cumCnt"))
+      .withColumn(s"${P}rPrev",
+        coalesce(lag(s"${P}r", 1).over(wLag), lit(0.0)))
+      .groupBy(gc: _*)
+      .agg(sum((col(s"${P}r") - col(s"${P}rPrev")) * col(s"${P}p"))
+        .as("avg_precision"))
+    groupNames.zipWithIndex.foldLeft(res) { case (d, (n, i)) =>
+      d.withColumnRenamed(s"${P}g$i", n)
+    }
+  }
+
   /** Precision/recall/F1/ROC-AUC combo per group
     * (reference query_binary_metrics, metrics.py:495). Score is binarized
     * at `threshold` for the count-based fields. */
