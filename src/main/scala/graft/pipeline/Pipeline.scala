@@ -44,6 +44,25 @@ final case class SortStep(by: Seq[String], desc: Boolean) extends Step {
   def apply(df: DataFrame): DataFrame =
     df.orderBy(by.map(c => if (desc) col(c).desc else col(c).asc): _*)
 }
+/** explode an array column in place. (pipeline.py explode step) */
+final case class ExplodeStep(column: String) extends Step {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, explode(col(column)))
+}
+/** rename columns. (pipeline.py rename step) */
+final case class RenameStep(mapping: Seq[(String, String)]) extends Step {
+  def apply(df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+}
+/** group-by + SQL aggregate expressions.
+  * (pipeline.py:930 group_by_agg) */
+final case class GroupByAggStep(keys: Seq[String], aggs: Seq[String])
+    extends Step {
+  def apply(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(aggs.head), aggs.tail.map(expr): _*)
+}
 /** full SQL over the current frame registered as `df`.
   * (SQLStep, _step.py:98) */
 final case class SqlStep(query: String) extends Step {
@@ -71,6 +90,11 @@ final case class Pipeline(steps: Seq[Step]) {
       case SortStep(b, d) =>
         ("type" -> "sort") ~ ("by" -> b) ~ ("desc" -> d)
       case SqlStep(q)    => ("type" -> "sql") ~ ("query" -> q)
+      case ExplodeStep(c) => ("type" -> "explode") ~ ("column" -> c)
+      case RenameStep(m) =>
+        ("type" -> "rename") ~ ("mapping" -> m.map(p => List(p._1, p._2)))
+      case GroupByAggStep(k, a) =>
+        ("type" -> "group_by_agg") ~ ("keys" -> k) ~ ("aggs" -> a)
     }
     compact(render(arr))
   }
@@ -93,6 +117,12 @@ object Pipeline {
         case "sort"   => SortStep((j \ "by").extract[Seq[String]],
           (j \ "desc").extract[Boolean])
         case "sql"    => SqlStep((j \ "query").extract[String])
+        case "explode" => ExplodeStep((j \ "column").extract[String])
+        case "rename" => RenameStep((j \ "mapping")
+          .extract[Seq[Seq[String]]].map(p => (p(0), p(1))))
+        case "group_by_agg" => GroupByAggStep(
+          (j \ "keys").extract[Seq[String]],
+          (j \ "aggs").extract[Seq[String]])
         case t => throw new IllegalArgumentException(s"unknown step $t")
       }
     })
@@ -309,6 +339,11 @@ final class Blueprint private (
   def sort(by: Seq[String], desc: Boolean = false): Blueprint =
     add(SortStep(by, desc))
   def sql(query: String): Blueprint = add(SqlStep(query))
+  def explodeCol(column: String): Blueprint = add(ExplodeStep(column))
+  def rename(mapping: (String, String)*): Blueprint =
+    add(RenameStep(mapping.toSeq))
+  def groupByAgg(keys: Seq[String], aggs: Seq[String]): Blueprint =
+    add(GroupByAggStep(keys, aggs))
 
   /** Run every fit step against the (current) train frame and freeze
     * the result. Each fit step sees the train frame with all PREVIOUS

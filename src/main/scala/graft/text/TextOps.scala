@@ -272,10 +272,17 @@ object TextOps {
           else (0 to words.length - k).map(i =>
             words.slice(i, i + k).mkString(" "))
         val sig = Array.fill(numHashes)(Long.MaxValue)
+        // hash each shingle ONCE, then derive the hash family by a
+        // splitmix64 finalizer over (base, i): same uniformity, and the
+        // string is scanned once instead of numHashes times
         shingles.foreach { sh =>
+          val base = saltedHash(sh, 0L)
           var i = 0
           while (i < numHashes) {
-            val h = saltedHash(sh, i.toLong)
+            var h = base + i.toLong * 0x9E3779B97F4A7C15L
+            h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+            h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+            h ^= (h >>> 31)
             if (h < sig(i)) sig(i) = h
             i += 1
           }

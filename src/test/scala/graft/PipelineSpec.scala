@@ -57,6 +57,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("explode/rename/groupByAgg steps survive JSON round-trip") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0, 5.0)))
+      .toDF("k", "vs")
+    val pipe = Blueprint(df)
+      .explodeCol("vs")
+      .rename("vs" -> "v")
+      .groupByAgg(Seq("k"), Seq("sum(v) as sum_v", "count(*) as n"))
+      .materialize()
+    val out = Pipeline.fromJson(pipe.toJson).transform(df)
+      .orderBy("k").collect()
+    assert(out(0).getDouble(1) == 3.0 && out(0).getLong(2) == 2L)
+    assert(out(1).getDouble(1) == 12.0 && out(1).getLong(2) == 3L)
+  }
+
   test("selectByStd drops constant columns") {
     import spark.implicits._
     val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "const")
