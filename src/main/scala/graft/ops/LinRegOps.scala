@@ -122,9 +122,10 @@ object LinRegOps {
     val d = features.length + 1
     val fx = features :+ lit(1.0)
     var beta = new Array[Double](d)
+    // persist the narrow projection: each IRLS iteration re-scans it
     val cached = df.select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
       .map { case (c, i) => if (i < d) c.cast("double").as(s"${P}f$i")
-        else c }: _*)
+        else c }: _*).persist()
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta > tol) {
@@ -152,6 +153,7 @@ object LinRegOps {
       beta = nb
       iter += 1
     }
+    cached.unpersist()
     beta
   }
 
