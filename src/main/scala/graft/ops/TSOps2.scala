@@ -72,6 +72,10 @@ object TSOps2 {
     * Template indices run 0..n−m−1 for BOTH lengths (the standard
     * Richman–Moorman estimator; reference entrophies.rs:102). */
   def sampleEntropySeries(xs: Seq[Double], m: Int, r: Double): Double = {
+    // O(n²) template count — fail loud past the documented cap
+    // (sub-sample upstream; SURVEY §7 order-sensitive-aggregate policy)
+    require(xs.length <= 100000,
+      s"sampleEntropy: series of ${xs.length} exceeds the O(n²) cap")
     val a = xs.toArray
     val nT = a.length - m          // templates comparable at m+1
     var bCnt = 0L; var aCnt = 0L

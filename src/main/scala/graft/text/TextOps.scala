@@ -151,6 +151,11 @@ object TextOps {
                       block: Column, threshold: Double): DataFrame = {
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row], t: Double) => {
       val n = docs.length
+      // fail loud instead of silently OOMing or going quadratic: past
+      // this, use jaccardDupPairsPrefix (no block materialization)
+      require(n <= 200000,
+        s"jaccardDupPairs: block of $n docs exceeds the collect cap; " +
+          "use jaccardDupPairsPrefix for unbounded blocks")
       val ids = new Array[Long](n)
       val sets = new Array[java.util.HashSet[String]](n)
       var i = 0

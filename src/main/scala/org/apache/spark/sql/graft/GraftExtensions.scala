@@ -1,0 +1,38 @@
+// Lives under org.apache.spark.sql so it can use the private[sql]
+// expression/codegen APIs (AbstractDataType, ExpressionUtils) — the
+// standard packaging for third-party native Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions
+  * as SQL functions (enable with
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`, or call
+  * [[GraftExtensions.install]] on an existing session builder).
+  *
+  * SURVEY §4.2 concluded no custom logical operators/rules are needed —
+  * the extension surface is exactly function registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_hamming(str, str) takes exactly two arguments")
+        HammingDistance(children.head, children(1))
+      }))
+  }
+}
+
+/** Column-DSL access to the native expressions (no session extension
+  * required). */
+object NativeFunctions {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def hammingNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(HammingDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
