@@ -207,27 +207,41 @@ object TSOps2 {
     val d = points.head.length
     val pts = points.map(_.toArray).toArray
     var sumLog = 0.0
-    var i = 0
-    while (i < n) {
-      val dists = new Array[Double](n - 1)
-      var m = 0
-      var j = 0
-      while (j < n) {
-        if (j != i) {
-          var cheb = 0.0
-          var t = 0
-          while (t < d) {
-            val df = math.abs(pts(i)(t) - pts(j)(t))
-            if (df > cheb) cheb = df
-            t += 1
+    if (n <= 512) {
+      // brute force: cheap below the crossover and allocation-free
+      var i = 0
+      while (i < n) {
+        val dists = new Array[Double](n - 1)
+        var m = 0
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            var cheb = 0.0
+            var t = 0
+            while (t < d) {
+              val df = math.abs(pts(i)(t) - pts(j)(t))
+              if (df > cheb) cheb = df
+              t += 1
+            }
+            dists(m) = cheb; m += 1
           }
-          dists(m) = cheb; m += 1
+          j += 1
         }
-        j += 1
+        java.util.Arrays.sort(dists)
+        sumLog += math.log(2.0 * dists(k - 1))
+        i += 1
       }
-      java.util.Arrays.sort(dists)
-      sumLog += math.log(2.0 * dists(k - 1))
-      i += 1
+    } else {
+      // kd-tree path: O(n log n) k-NN under the same Chebyshev metric,
+      // identical distances → identical estimate
+      val tree = graft.knn.KdTree.build(
+        Array.tabulate(n)(i => (i.toLong, pts(i))), "inf")
+      var i = 0
+      while (i < n) {
+        val nn = tree.knn(pts(i), k, exclude = i.toLong)
+        sumLog += math.log(2.0 * nn.last._2)
+        i += 1
+      }
     }
     digammaAsym(n.toDouble) - digamma3 + d * (sumLog / n)
   }
