@@ -154,15 +154,28 @@ object KnnOps {
       .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
 
   /** Bool: is the row within distance r of a fixed point? Pure column
-    * math, no tree. (expr_knn.py:337 within_dist_from) */
+    * math, no tree; metrics l1/l2/sql2/inf/cosine/haversine, matching
+    * the reference's full list. (expr_knn.py:337 within_dist_from) */
   def withinDistFrom(features: Seq[Column], point: Seq[Double], r: Double,
                      metric: String = "l2"): Column = {
-    val diffs = features.zip(point).map { case (c, p) => c - lit(p) }
+    lazy val diffs = features.zip(point).map { case (c, p) => c - lit(p) }
     val d = metric match {
       case "l1"   => diffs.map(abs).reduce(_ + _)
       case "inf"  => greatest(diffs.map(abs): _*)
       case "sql2" => diffs.map(c => c * c).reduce(_ + _)
-      case _      => sqrt(diffs.map(c => c * c).reduce(_ + _))
+      case "cosine" =>
+        // cosine DISTANCE 1 - cos_sim to the fixed point
+        val dot = features.zip(point)
+          .map { case (c, p) => c * p }.reduce(_ + _)
+        val nf = sqrt(features.map(c => c * c).reduce(_ + _))
+        val np = math.sqrt(point.map(p => p * p).sum)
+        lit(1.0) - dot / (nf * np)
+      case "haversine" =>
+        require(features.length == 2 && point.length == 2,
+          "haversine needs (lat, lon)")
+        graft.functions.NumFuncs.haversine(features(0), features(1),
+          lit(point(0)), lit(point(1)))
+      case _ => sqrt(diffs.map(c => c * c).reduce(_ + _))
     }
     d <= r
   }

@@ -141,48 +141,67 @@ object SeqOps {
     val n = xs.length
     if (n < 3) return ys.toArray
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
-    // second-derivative representation: (I + λ Q R⁻¹ Qᵀ) f = y with
-    // standard Reinsch matrices; build A = I + λ QR⁻¹Qᵀ densely (n³/3
-    // solve — fine for collected group sizes)
-    val Q = Array.ofDim[Double](n, n - 2)
-    for (j <- 1 until n - 1) {
-      Q(j - 1)(j - 1) = 1.0 / h(j - 1)
-      Q(j)(j - 1) = -1.0 / h(j - 1) - 1.0 / h(j)
-      Q(j + 1)(j - 1) = 1.0 / h(j)
-    }
-    val R = Array.ofDim[Double](n - 2, n - 2)
-    for (j <- 1 until n - 1) {
-      R(j - 1)(j - 1) = (h(j - 1) + h(j)) / 3.0
-      if (j < n - 2) { R(j - 1)(j) = h(j) / 6.0; R(j)(j - 1) = h(j) / 6.0 }
-    }
-    // gamma = R⁻¹ Qᵀ y ; iterate: solve (R + λ QᵀQ) γ = Qᵀ y, f = y − λQγ
-    val qty = Array.tabulate(n - 2)(c =>
-      (0 until n).map(r => Q(r)(c) * ys(r)).sum)
-    val qtq = Array.ofDim[Double](n - 2, n - 2)
-    for (c1 <- 0 until n - 2; c2 <- 0 until n - 2)
-      qtq(c1)(c2) = (0 until n).map(r => Q(r)(c1) * Q(r)(c2)).sum
     val m = n - 2
-    val A = Array.tabulate(m, m)((i, j) => R(i)(j) + lam * qtq(i)(j))
-    val g = qty.clone()
-    // Gaussian elimination with partial pivoting
-    for (c <- 0 until m) {
-      var p = c
-      for (r2 <- c + 1 until m) if (math.abs(A(r2)(c)) > math.abs(A(p)(c))) p = r2
-      val tmp = A(c); A(c) = A(p); A(p) = tmp
-      val tg = g(c); g(c) = g(p); g(p) = tg
-      for (r2 <- c + 1 until m) {
-        val f = A(r2)(c) / A(c)(c)
-        for (c2 <- c until m) A(r2)(c2) -= f * A(c)(c2)
-        g(r2) -= f * g(c)
+    // Reinsch system (R + λ QᵀQ) γ = Qᵀy, f = y − λQγ.
+    // Q has 3 nonzeros per column and R is tridiagonal, so QᵀQ is
+    // PENTADIAGONAL — everything below is O(n) band arithmetic (the
+    // dense form is O(n³) and melts down on collected groups).
+    // Column c of Q (0-based) has entries at rows c, c+1, c+2:
+    @inline def q0(c: Int) = 1.0 / h(c)
+    @inline def q1(c: Int) = -1.0 / h(c) - 1.0 / h(c + 1)
+    @inline def q2(c: Int) = 1.0 / h(c + 1)
+    val qty = Array.tabulate(m)(c =>
+      q0(c) * ys(c) + q1(c) * ys(c + 1) + q2(c) * ys(c + 2))
+    // band storage: a(k)(i) = A(i, i+k-2) for k=0..4 (2 sub, diag, 2 sup)
+    val band = Array.ofDim[Double](5, m)
+    for (i <- 0 until m) {
+      // diagonal: R(i,i) + λ·(q0²+q1²+q2²)
+      band(2)(i) = (h(i) + h(i + 1)) / 3.0 +
+        lam * (q0(i) * q0(i) + q1(i) * q1(i) + q2(i) * q2(i))
+      if (i + 1 < m) {
+        // first off-diagonal: R(i,i+1) + λ·(q1(i)q0(i+1) + q2(i)q1(i+1))
+        val v = h(i + 1) / 6.0 +
+          lam * (q1(i) * q0(i + 1) + q2(i) * q1(i + 1))
+        band(3)(i) = v  // A(i, i+1)
+        band(1)(i + 1) = v
+      }
+      if (i + 2 < m) {
+        // second off-diagonal: λ·q2(i)·q0(i+2)
+        val v = lam * (q2(i) * q0(i + 2))
+        band(4)(i) = v  // A(i, i+2)
+        band(0)(i + 2) = v
       }
     }
-    for (c <- m - 1 to 0 by -1) {
-      var s = g(c)
-      for (c2 <- c + 1 until m) s -= A(c)(c2) * g(c2)
-      g(c) = s / A(c)(c)
+    // banded LU without pivoting (A is SPD) — O(n)
+    val g = qty.clone()
+    for (i <- 0 until m) {
+      val piv = band(2)(i)
+      for (r <- 1 to 2 if i + r < m) {
+        // row i+r has A(i+r, i) at band(2-r)(i+r)
+        val f = band(2 - r)(i + r) / piv
+        if (f != 0.0) {
+          // eliminate: columns i..i+2 of row i map to band(2..4)(i)
+          for (cOff <- 0 to 2 if i + cOff < m) {
+            band(2 - r + cOff)(i + r) -= f * band(2 + cOff)(i)
+          }
+          g(i + r) -= f * g(i)
+        }
+      }
     }
-    Array.tabulate(n)(r =>
-      ys(r) - lam * (0 until m).map(c => Q(r)(c) * g(c)).sum)
+    for (i <- m - 1 to 0 by -1) {
+      var s = g(i)
+      for (cOff <- 1 to 2 if i + cOff < m)
+        s -= band(2 + cOff)(i) * g(i + cOff)
+      g(i) = s / band(2)(i)
+    }
+    // f = y − λ·Qγ: row r receives from columns r-2, r-1, r
+    Array.tabulate(n) { r =>
+      var s = 0.0
+      if (r - 2 >= 0 && r - 2 < m) s += q2(r - 2) * g(r - 2)
+      if (r - 1 >= 0 && r - 1 < m) s += q1(r - 1) * g(r - 1)
+      if (r < m) s += q0(r) * g(r)
+      ys(r) - lam * s
+    }
   }
 
   val splineUdf = udf((xs: Seq[Double], ys: Seq[Double], lam: Double) =>

@@ -51,12 +51,12 @@ object SeqQueries extends QueryPack {
       val valid = SeqOps.convolveWin(t(s, dir, "events"), col("value"),
           col("event_id"), Seq("event_type"), k, "valid")
         .groupBy(col("event_type"))
-        .agg(round(sum(col("conv")), 2).as("sum_valid"),
+        .agg(round(sum(col("conv")), 4).as("sum_valid"),
           count(col("conv")).as("n_valid"))
       val same = SeqOps.convolveWin(t(s, dir, "events"), col("value"),
           col("event_id"), Seq("event_type"), k, "same")
         .groupBy(col("event_type"))
-        .agg(round(sum(col("conv")), 2).as("sum_same"))
+        .agg(round(sum(col("conv")), 4).as("sum_same"))
       valid.join(same, "event_type").orderBy("event_type")
     }),
     "q_rfft" -> ((s, dir) => {
@@ -89,7 +89,7 @@ object SeqQueries extends QueryPack {
           col("event_id"), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("c1") * col("c2")), 2).as("sum_prod"))
+          round(sum(col("c1") * col("c2")), 4).as("sum_prod"))
       val prod = SeqOps.product(
         t(s, dir, "region"), col("r_regionkey"),
         t(s, dir, "nation"), col("n_nationkey"))
@@ -165,10 +165,10 @@ object SeqQueries extends QueryPack {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
         |SELECT event_type,
-        |  ROUND(SUM(x0 * 0.25 + x1 * 0.5 + x2 * 0.25), 2) AS sum_valid,
+        |  ROUND(SUM(x0 * 0.25 + x1 * 0.5 + x2 * 0.25), 4) AS sum_valid,
         |  COUNT(CASE WHEN x2 IS NOT NULL THEN 1 END) AS n_valid,
         |  ROUND(SUM(x0 * 0.25 + COALESCE(x1, 0) * 0.5
-        |    + COALESCE(x2, 0) * 0.25), 2) AS sum_same
+        |    + COALESCE(x2, 0) * 0.25), 4) AS sum_same
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rfft" ->
       s"""WITH e AS (
@@ -191,7 +191,7 @@ object SeqQueries extends QueryPack {
         |  SELECT * FROM events WHERE event_id % 100 = 0),
         |comb AS (
         |  SELECT a.event_type, COUNT(*) n_pairs,
-        |    ROUND(SUM(a.value * b.value), 2) sum_prod
+        |    ROUND(SUM(a.value * b.value), 4) sum_prod
         |  FROM small a JOIN small b
         |    ON a.event_type = b.event_type AND a.event_id < b.event_id
         |  GROUP BY 1),

@@ -18,10 +18,10 @@ object StreamQueries extends QueryPack {
         .withColumn("etime", StreamOps.nanosToTimestamp(col("ts")))
       StreamOps.dynamicGroupByAgg(ev, col("etime"), "1 hour",
           Seq(col("event_type")),
-          Seq(count(lit(1)).as("n"), round(avg(col("value")), 6)
-            .as("avg_value")))
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2)
+            .as("sum_value")))
         .select(col("event_type"), col("window_start"), col("n"),
-          col("avg_value"))
+          col("sum_value"))
         .orderBy("event_type", "window_start")
     }),
     "q_pipeline_impute2" -> ((s, dir) => {
@@ -54,7 +54,7 @@ object StreamQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_dynamic_agg" ->
       """SELECT event_type, date_trunc('hour', ts) AS window_start,
-        |  COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pipeline_impute2" ->
       """WITH b AS (

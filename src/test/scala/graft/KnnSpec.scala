@@ -93,6 +93,23 @@ class KnnSpec extends AnyFunSuite {
     assert(out == Seq(4L, 5L).map(_ => out.head) || out.sorted == Seq(4L, 6L))
   }
 
+  test("withinDistFrom cosine and haversine metrics") {
+    import spark.implicits._
+    val df = Seq((1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")
+    // cosine distance to (1,0): 0, 1, 1-1/sqrt(2)
+    val cos = df.withColumn("w", KnnOps.withinDistFrom(
+        Seq(col("x"), col("y")), Seq(1.0, 0.0), 0.5, "cosine"))
+      .collect().map(_.getAs[Boolean]("w"))
+    assert(cos.toSeq == Seq(true, false, true))
+    // Paris within 400 km of London, Berlin not
+    val cities = Seq((48.8566, 2.3522), (52.52, 13.405)).toDF("lat", "lon")
+    val hav = cities.withColumn("w", KnnOps.withinDistFrom(
+        Seq(col("lat"), col("lon")), Seq(51.5074, -0.1278), 400.0,
+        "haversine"))
+      .collect().map(_.getAs[Boolean]("w"))
+    assert(hav.toSeq == Seq(true, false))
+  }
+
   test("knnAvg equals hand mean; distFromKthNb on grid") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, i.toDouble, i * 2.0))
