@@ -6,11 +6,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet-footer paths so the first measured
-    // query isn't charged ~5s of session startup
+    // warm the JVM/codegen/parquet-footer/file-page paths so the first
+    // measured query isn't charged session startup. Deliberately warms
+    // with table scans only — never a measured query — so every query
+    // pays its own plan/codegen cost from the same cache state.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.foreach { t =>
+        val p = new java.io.File(s"$sfDir/$t.parquet")
+        if (p.exists()) {
+          import org.apache.spark.sql.functions.{col, hash, sum}
+          val df = spark.read.parquet(p.getPath)
+          df.select(hash(df.columns.map(col): _*).as("h"))
+            .agg(sum("h")).collect()
+        }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

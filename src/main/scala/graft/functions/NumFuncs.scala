@@ -124,8 +124,13 @@ object NumFuncs {
 
   def lcmCol(a: Column, b: Column): Column = {
     val g = gcdUdf(a.cast("long"), b.cast("long"))
+    // divide-before-multiply with integral `div`: keeps every intermediate
+    // at or below the true lcm in exact long arithmetic (abs(a*b) can
+    // overflow, and long `/` in Spark routes through double, losing
+    // precision above 2^53).
     when(g === 0L, 0L)
-      .otherwise((abs(a.cast("long") * b.cast("long")) / g).cast("long"))
+      .otherwise(call_function("div", abs(a.cast("long")), g) *
+        abs(b.cast("long")))
   }
 
   // ---- haversine: num.py:337; src/num_ext/haversine.rs:55 ----

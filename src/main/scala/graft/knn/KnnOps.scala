@@ -181,8 +181,15 @@ object KnnOps {
   }
 
   /** Bool: is the row among the k closest rows to a fixed point?
-    * Window rank over the distance column — distributed, no tree.
-    * (expr_knn.py:404 is_knn_from) */
+    * (expr_knn.py:404 is_knn_from)
+    *
+    * Distributed, no tree, no global window: the k-th smallest
+    * `(distance, tieBreak)` pair is found with `orderBy(...).limit(k)`
+    * (planned as TakeOrderedAndProject — per-partition top-k merged on
+    * the driver, never a single-partition shuffle), broadcast back, and
+    * each row compares lexicographically against it. With a unique
+    * tieBreak this marks exactly k rows — identical to a global
+    * `row_number <= k` but scale-safe. */
   def isKnnFrom(df: DataFrame, features: Seq[Column], point: Seq[Double],
                 k: Int, tieBreak: Column, out: String = "is_knn",
                 metric: String = "l2"): DataFrame = {
@@ -192,9 +199,13 @@ object KnnOps {
       case "inf" => greatest(diffs.map(abs): _*)
       case _     => diffs.map(c => c * c).reduce(_ + _) // sql2 ranks = l2 ranks
     }
-    df.withColumn("_d", d)
+    val withD = df.withColumn("_d", d)
+    val kth = withD.select(struct(col("_d"), tieBreak).as("_kth"))
+      .orderBy(col("_kth")).limit(k)
+      .agg(max(col("_kth")).as("_kth"))
+    withD.crossJoin(broadcast(kth))
       .withColumn(out,
-        row_number().over(Window.orderBy(col("_d"), tieBreak)) <= k)
-      .drop("_d")
+        coalesce(struct(col("_d"), tieBreak) <= col("_kth"), lit(false)))
+      .drop("_d", "_kth")
   }
 }

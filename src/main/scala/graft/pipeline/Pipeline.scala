@@ -67,10 +67,16 @@ final case class GroupByAggStep(keys: Seq[String], aggs: Seq[String])
   * (SQLStep, _step.py:98) */
 final case class SqlStep(query: String) extends Step {
   def apply(df: DataFrame): DataFrame = {
-    val name = s"graft_pipeline_df_${System.identityHashCode(df)}"
+    // unique per call: identity hashes can collide, and concurrent
+    // transforms in one session must not overwrite each other's view
+    val name = s"graft_pipeline_df_${SqlStep.viewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(name)
-    df.sparkSession.sql(query.replace("{df}", name))
+    try df.sparkSession.sql(query.replace("{df}", name))
+    finally df.sparkSession.catalog.dropTempView(name) // plan already resolved
   }
+}
+object SqlStep {
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 final case class Pipeline(steps: Seq[Step]) {

@@ -33,9 +33,12 @@ object StreamOps {
       .drop("window")
 
   /** Convert the testdata's TIMESTAMP(NANOS)-as-long column to a real
-    * timestamp (GraftSession reads nanos as LongType). */
+    * timestamp (GraftSession reads nanos as LongType). Uses integral
+    * division (`div`) so the nanos→micros conversion stays in exact long
+    * arithmetic: `c / 1000L` would round-trip through double, and epoch
+    * nanos (~1.7e18) exceed double's 2^53 exact-integer range. */
   def nanosToTimestamp(c: Column): Column =
-    timestamp_micros((c / 1000L).cast("long"))
+    timestamp_micros(call_function("div", c, lit(1000L)))
 
   /** Attach event time + watermark to a (possibly streaming) frame. */
   def withEventTime(df: DataFrame, eventTime: Column,
