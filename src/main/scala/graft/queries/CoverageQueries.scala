@@ -55,18 +55,25 @@ object CoverageQueries extends QueryPack {
         .orderBy("event_type")
     }),
     "q_jaccard_col" -> ((s, dir) => {
-      // set-of-values jaccard between click and non-click value buckets
+      // set-of-values jaccard between click and non-click value buckets.
+      // Single pass: per-bucket membership flags (one shuffle on bucket,
+      // map-side partial max), then a global sum — replaces the
+      // 3-action count/count/intersect-count shape, which shuffled the
+      // bucket sets three times and serialized the jobs on the driver.
       val ev = t(s, dir, "events")
         .withColumn("bucket", floor(col("value") / 5.0))
-      val a = ev.filter(col("event_type") === "click")
-        .select(col("bucket")).distinct()
-      val b = ev.filter(col("event_type") =!= "click")
-        .select(col("bucket")).distinct()
-      val na = a.count(); val nb = b.count()
-      val ni = a.intersect(b).count()
-      s.createDataFrame(Seq((na, nb, ni,
-        ni.toDouble / (na + nb - ni))))
-        .toDF("n_a", "n_b", "n_common", "jaccard_col")
+      ev.groupBy(col("bucket"))
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("in_a"),
+          max(when(col("event_type") =!= "click", 1L).otherwise(0L))
+            .as("in_b"))
+        .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+          sum(col("in_a") * col("in_b")).as("n_common"))
+        .select(col("n_a"), col("n_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")))
+            .as("jaccard_col"))
     }),
     "q_psi_discrete" -> ((s, dir) => {
       val ev = t(s, dir, "events")

@@ -104,10 +104,20 @@ object LinearQueries2 extends QueryPack {
           lit(1.0) / (lit(1.0) +
             exp(-(col("l_quantity") * 0.05 - col("l_discount") * 2.0
               + 0.1))))
-      val pois = new GLM("poisson")
-        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_pois"))
-      val bin = new GLM("binomial")
-        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_bin"))
+      // The two family fits are independent IRLS loops of small
+      // sequential Spark jobs; running them from separate threads lets
+      // the scheduler interleave the per-iteration Gram aggregates
+      // (roughly halving wall-clock here, and overlapping cluster
+      // utilization at scale).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fp = Future(new GLM("poisson")
+        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_pois")))
+      val fb = Future(new GLM("binomial")
+        .fit(li, Seq(col("l_quantity"), col("l_discount")), col("y_bin")))
+      val pois = Await.result(fp, Duration.Inf)
+      val bin = Await.result(fb, Duration.Inf)
       val r = Row(
         rnd(pois.coeffs(0), 6), rnd(pois.coeffs(1), 6),
         rnd(pois.coeffs(2), 6), rnd(bin.coeffs(0), 6),

@@ -142,15 +142,21 @@ object SimOps {
       base.withColumn("tbl", lit(t))
         .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
     }.reduce(_ unionByName _)
+      // persist: the self-join scans this twice; without it both sides
+      // recompute every hyperplane signature (nPlanes × dim flops/row)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = tabbed.as("l")
     val r = tabbed.as("r")
+    // cosine computed inside the join row so the cross-table dedup
+    // shuffles (qid, cid, cos) — never the embedding vectors; a pair
+    // found by t tables costs t dot products instead of t shuffled
+    // vector copies
     val cand = l.join(r,
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
           col("l.id") =!= col("r.id"))
       .select(col("l.id").as("qid"), col("r.id").as("cid"),
-        col("l.vec").as("qv"), col("r.vec").as("cv"))
+        cosine(col("l.vec"), col("r.vec")).as("cos"))
       .distinct()
-      .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     cand.withColumn("rk", row_number().over(w))
@@ -167,16 +173,18 @@ object SimOps {
       base.withColumn("tbl", lit(t))
         .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
     }.reduce(_ unionByName _)
+      // persist: self-join scans twice (see lshCosineTopK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = tabbed.as("l")
     val r = tabbed.as("r")
+    // cosine + threshold filter before the dedup: the distinct shuffles
+    // only surviving narrow rows, never the embedding vectors
     l.join(r,
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        col("l.vec").as("v1"), col("r.vec").as("v2"))
-      .distinct()
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+        cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), col("cos"))
+      .distinct()
   }
 }

@@ -142,59 +142,107 @@ object TextOps {
       .filter(col("__pds_rn") === 1).drop("__pds_rn")
   }
 
-  /** Default path: collect each block's token sets and compare pairs
-    * block-locally — one shuffle (the groupBy), zero joins, exact.
-    * Right when blocks are bounded (dedup blocks usually are — that is
-    * their purpose); for unbounded blocks use
-    * [[jaccardDupPairsPrefix]], which never materializes a block. */
+  /** Default path: exact all-pairs Jaccard within each block via
+    * triangle sub-block partitioning. Each doc is assigned a sub-group
+    * g = hash(id) mod G and replicated to the G buckets {(min(g,x),
+    * max(g,x)) : x < G}; bucket (a,a) compares within-group pairs,
+    * bucket (a,b), a<b, compares only cross-group pairs — every pair is
+    * examined in exactly one bucket, so the result is identical to a
+    * single block-local pass, but the quadratic work spreads over
+    * G·(G+1)/2 tasks per block and per-task memory drops ~G-fold.
+    * Tokens are pre-hashed (xxhash64) and sorted in codegen'd Column
+    * space so the pair kernel is a primitive sorted-long merge, with a
+    * size-ratio prefilter (J ≥ t ⟹ min·/max ≥ t) skipping hopeless
+    * pairs in O(1). For unbounded blocks where even a sub-group doesn't
+    * fit, use [[jaccardDupPairsPrefix]], which never materializes one. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
-                      block: Column, threshold: Double): DataFrame = {
-    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row], t: Double) => {
+                      block: Column, threshold: Double,
+                      subBlocks: Int = 4): DataFrame = {
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
+                       ga: Int, gb: Int, t: Double) => {
       val n = docs.length
       // fail loud instead of silently OOMing or going quadratic: past
-      // this, use jaccardDupPairsPrefix (no block materialization)
+      // this, raise subBlocks or use jaccardDupPairsPrefix
       require(n <= 200000,
-        s"jaccardDupPairs: block of $n docs exceeds the collect cap; " +
-          "use jaccardDupPairsPrefix for unbounded blocks")
+        s"jaccardDupPairs: bucket of $n docs exceeds the collect cap; " +
+          "raise subBlocks or use jaccardDupPairsPrefix")
       val ids = new Array[Long](n)
-      val sets = new Array[java.util.HashSet[String]](n)
+      val grp = new Array[Int](n)
+      val tok = new Array[Array[Long]](n)
       var i = 0
       while (i < n) {
         ids(i) = docs(i).getLong(0)
-        val s = new java.util.HashSet[String]()
-        docs(i).getSeq[String](1).foreach(s.add)
-        sets(i) = s
+        grp(i) = docs(i).getInt(1)
+        val s = docs(i).getSeq[Long](2)
+        val a = new Array[Long](s.length)
+        var q = 0
+        while (q < a.length) { a(q) = s(q); q += 1 }
+        tok(i) = a // already array_distinct + array_sort upstream
         i += 1
       }
       val out = Seq.newBuilder[(Long, Long, Double)]
-      i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          val (small, big) =
-            if (sets(i).size <= sets(j).size) (sets(i), sets(j))
-            else (sets(j), sets(i))
-          var common = 0
-          val it = small.iterator()
-          while (it.hasNext) if (big.contains(it.next())) common += 1
-          val jac = common.toDouble / (sets(i).size + sets(j).size - common)
+      def compare(i: Int, j: Int): Unit = {
+        val n1 = tok(i).length; val n2 = tok(j).length
+        if (math.min(n1, n2).toDouble >= t * math.max(n1, n2)) {
+          val x = tok(i); val y = tok(j)
+          var p = 0; var q = 0; var common = 0
+          while (p < n1 && q < n2) {
+            if (x(p) < y(q)) p += 1
+            else if (x(p) > y(q)) q += 1
+            else { common += 1; p += 1; q += 1 }
+          }
+          val jac = common.toDouble / (n1 + n2 - common)
           if (jac >= t) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j))
             else (ids(j), ids(i))
             out += ((a, b, jac))
           }
-          j += 1
         }
-        i += 1
+      }
+      if (ga == gb) {
+        // within-group bucket: triangular loop over all pairs
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { compare(i, j); j += 1 }
+          i += 1
+        }
+      } else {
+        // cross bucket: iterate exactly the |A|×|B| cross pairs — a
+        // triangular loop over the union would do ~2× the iterations
+        val ia = Array.newBuilder[Int]; val ib = Array.newBuilder[Int]
+        i = 0
+        while (i < n) {
+          if (grp(i) == ga) ia += i else ib += i
+          i += 1
+        }
+        val aIdx = ia.result(); val bIdx = ib.result()
+        var p = 0
+        while (p < aIdx.length) {
+          var q = 0
+          while (q < bIdx.length) { compare(aIdx(p), bIdx(q)); q += 1 }
+          p += 1
+        }
       }
       out.result()
     })
-    df.select(block.as("block"), id.cast("long").as("i"),
-        array_distinct(split(lower(trim(text)), "\\s+")).as("ws"))
-      .groupBy(col("block"))
-      .agg(collect_list(struct(col("i"), col("ws"))).as("docs"))
+    val g = pmod(hash(id.cast("long")), lit(subBlocks)).cast("int")
+    val base = df.select(block.as("block"), id.cast("long").as("i"),
+      g.as("g"),
+      array_sort(transform(
+        array_distinct(split(lower(trim(text)), "\\s+")),
+        w => xxhash64(w))).as("ws"))
+    val buckets = base.select(col("block"), col("i"), col("g"), col("ws"),
+      explode(array((0 until subBlocks).map(x =>
+        struct(least(col("g"), lit(x)).as("a"),
+          greatest(col("g"), lit(x)).as("b"))): _*)).as("bk"))
+    // the G buckets per doc are pairwise distinct: (g,g) once for x=g,
+    // and (min(g,x),max(g,x)) differs for every x≠g — no dedup needed
+    buckets.groupBy(col("block"), col("bk"))
+      .agg(collect_list(struct(col("i"), col("g"), col("ws"))).as("docs"))
       .select(col("block"),
-        explode(pairUdf(col("docs"), lit(threshold))).as("p"))
+        explode(pairUdf(col("docs"), col("bk.a"), col("bk.b"),
+          lit(threshold))).as("p"))
       .select(col("block"), col("p._1").as("id1"), col("p._2").as("id2"),
         col("p._3").as("jaccard"))
   }
@@ -325,24 +373,33 @@ object TextOps {
     val rows = numHashes / bands
     val withSig = df.select(id.as("i"),
       minHashSignature(text, k, numHashes).as("sig"))
+    // Persist the banded signatures: the self-join scans this frame
+    // twice, and without the persist BOTH sides re-shingle + re-minhash
+    // every document (the dominant cost — 128 hashes per shingle).
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing;
+    // signatures are ~1 KB/doc, orders of magnitude smaller than texts.
     val buckets = withSig
       .select(col("i"), col("sig"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("i"), col("sig"),
         col("band._1").as("b"), col("band._2").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = buckets.as("l")
     val r = buckets.as("r")
     val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
+    // Estimate jaccard and filter BEFORE the pair-dedup so the distinct
+    // shuffles three narrow columns, not two 128-long signature arrays
+    // (a pair colliding in b bands would otherwise ship b copies of both
+    // signatures). The UDF re-runs per colliding band — 128 comparisons,
+    // far cheaper than the array shuffle it replaces.
     l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
         col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"),
-        col("l.sig").as("s1"), col("r.sig").as("s2"))
-      .distinct()
-      .withColumn("est_jaccard", simUdf(col("s1"), col("s2")))
+        simUdf(col("l.sig"), col("r.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .distinct()
   }
 
   /** 64-bit SimHash over word hashes (unit weights). Near-dups have
@@ -389,15 +446,19 @@ object TextOps {
               .as("h"))): _*)).as("band"))
       .select(col("i"), col("sh"),
         col("band.b").as("b"), col("band.h").as("h"))
+      // persist: the self-join scans this twice; without it both sides
+      // re-tokenize + re-simHash every document
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.as("l")
     val r = banded.as("r")
+    // hamming filter before the pair-dedup: the distinct then shuffles
+    // only surviving (id1, id2, hamming) rows instead of every
+    // band-collision candidate
     l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
         col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"),
-        col("l.sh").as("sh1"), col("r.sh").as("sh2"))
-      .distinct()
-      .withColumn("hamming", simHashHamming(col("sh1"), col("sh2")))
+        simHashHamming(col("l.sh"), col("r.sh")).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
   }
 }
