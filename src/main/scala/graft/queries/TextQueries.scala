@@ -97,6 +97,13 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_with_neighbor"),
           round(avg("cos"), 4).as("avg_top1_cos"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimOps.ivfCosineTopK(emb.filter(col("id") < 500), emb, 1)
+        .agg(count(lit(1)).as("n_with_neighbor"),
+          round(avg("cos"), 4).as("avg_top1_cos"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       val media = MultimodalOps.mediaTable(
         t(s, dir, "documents").withColumn("payload",

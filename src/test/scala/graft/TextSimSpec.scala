@@ -157,6 +157,35 @@ class TextSimSpec extends AnyFunSuite {
     assert(dupRecall >= 0.9, s"cosineDupPairs recall $dupRecall")
   }
 
+  test("IVF recalls planted near-duplicates and spherical kmeans converges") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val planted = emb.filter(col("id") < 50)
+      .select((col("id") + 10000).as("id"),
+        transform(col("vec"), (x, i) =>
+          x * (lit(1.0) + (i % 5 - lit(2)) * 0.005)).as("vec"))
+    val all = emb.unionByName(planted)
+    // a near-duplicate pair lands in the same cell unless it straddles a
+    // centroid boundary; nProbe=4 of 8 cells must recover ≥90%
+    val approx = SimOps.ivfCosineTopK(
+        all.filter(col("id") >= 10000), all, 1, nCells = 8, nProbe = 4)
+      .select("qid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 50L).count(i =>
+      approx.get(i + 10000).contains(i))
+    assert(hits >= 45, s"IVF planted-dup recall ${hits / 50.0}")
+    // centroids are unit vectors and distinct
+    val sample = all.select(col("vec")).limit(500)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = SimOps.sphericalKMeans(sample, 8, 8)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    assert(cents.map(_.toSeq).distinct.length == cents.length)
+  }
+
   test("multimodal media table: schema, meta and feature plumbing") {
     import spark.implicits._
     val df = Seq((1L, "abcdef".getBytes), (2L, "xyz".getBytes))
