@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Time-bucketed and streaming aggregation (SURVEY §1 last row: the
   * reference's only temporal surface is `Blueprint.group_by_dynamic_agg`
@@ -55,4 +56,58 @@ object StreamOps {
       : DataFrame =
     df.groupBy((window(col(eventTimeCol), windowDuration) +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming twin of `TextOps.exactDedup`: drop documents whose
+    * normalized-text fingerprint was already seen, with state bounded
+    * by the watermark (`dropDuplicatesWithinWatermark` evicts
+    * fingerprints older than the watermark delay — without the bound,
+    * dedup state over an unbounded 100 TB stream grows forever). The
+    * input must already carry an `event_time` watermark
+    * ([[withEventTime]]). Works identically on a batch frame (where it
+    * degrades to plain dropDuplicates semantics). */
+  def streamingExactDedup(df: DataFrame, text: Column,
+                          fpCol: String = "__fp"): DataFrame = {
+    val withFp = df.withColumn(fpCol,
+      graft.text.TextOps.fingerprint64(text))
+    (if (withFp.isStreaming) withFp.dropDuplicatesWithinWatermark(fpCol)
+     else withFp.dropDuplicates(fpCol)).drop(fpCol)
+  }
+
+  /** Per-key running statistics state: Welford mean/M2 plus min/max. */
+  case class RunningStats(key: String, n: Long, mean: Double, m2: Double,
+                          min: Double, max: Double) {
+    def variance: Double = if (n < 2) 0.0 else m2 / (n - 1)
+  }
+
+  /** Custom streaming state via mapGroupsWithState (SURVEY §2.15's
+    * construct for stateful kernels Spark's windowed aggs can't
+    * express): per-key online mean/variance/min/max maintained with
+    * Welford updates — the streaming counterpart of the reference's
+    * OnlineLR-style incremental models. Emits the updated state per
+    * key per micro-batch; state size is O(keys), independent of stream
+    * length. `values` pairs are (key, value). Use with
+    * `writeStream.outputMode(Update)`. */
+  def streamingRunningStats(values: Dataset[(String, Double)])
+      : Dataset[RunningStats] = {
+    implicit val enc = Encoders.product[RunningStats]
+    values.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[RunningStats, RunningStats](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[RunningStats]) =>
+          var s = state.getOption.getOrElse(
+            RunningStats(key, 0L, 0.0, 0.0,
+              Double.PositiveInfinity, Double.NegativeInfinity))
+          rows.foreach { case (_, x) =>
+            val n1 = s.n + 1
+            val d = x - s.mean
+            val mean1 = s.mean + d / n1
+            val m21 = s.m2 + d * (x - mean1)
+            s = RunningStats(key, n1, mean1, m21,
+              math.min(s.min, x), math.max(s.max, x))
+          }
+          state.update(s)
+          s
+      }
+  }
 }

@@ -115,21 +115,11 @@ object TextOps {
   /** 64-bit FNV-1a fingerprint of whitespace-normalized lowercase text.
     * Deterministic across engines/runs; collision odds at 10⁹ docs
     * ≈ 2.7e-2 (birthday) — use 128-bit pairing for exactness at that
-    * scale. */
-  val fingerprint64 = udf { (s: String) =>
-    if (s == null) null
-    else {
-      val t = s.toLowerCase.trim.replaceAll("\\s+", " ")
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < t.length) {
-        h ^= t.charAt(i).toLong
-        h *= 0x100000001b3L
-        i += 1
-      }
-      java.lang.Long.valueOf(h)
-    }
-  }
+    * scale. Runs as a native codegen'd Catalyst expression
+    * ([[org.apache.spark.sql.graft.Fingerprint64]]) — no UDF SerDe on
+    * the per-document hot path. */
+  def fingerprint64(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.fingerprint64Native(text)
 
   /** Exact dedup: keep the first doc (min of `keep`) per normalized-text
     * fingerprint. One shuffle on the fingerprint — the hash-groupBy
@@ -297,20 +287,10 @@ object TextOps {
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic 64-bit string hash (splitmix-style avalanche of
-    * FNV-1a), salted by seed. */
-  private def saltedHash(s: String, seed: Long): Long = {
-    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    // finalize (splitmix64)
-    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
-    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
-    h ^ (h >>> 31)
-  }
+    * FNV-1a), salted by seed — shared with the native SimHash64
+    * expression so simhash and minhash agree on token hashes. */
+  private def saltedHash(s: String, seed: Long): Long =
+    org.apache.spark.sql.graft.SimHash64.saltedHash(s, seed)
 
   /** MinHash signature over `k`-word shingles, `numHashes` permutations.
     * Returns array<long>. (the shingle→minhash step of MinHash-LSH) */
@@ -403,29 +383,11 @@ object TextOps {
   }
 
   /** 64-bit SimHash over word hashes (unit weights). Near-dups have
-    * small Hamming distance between simhashes. */
-  def simHash(text: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null) null
-      else {
-        val words = s.toLowerCase.trim.split("\\s+")
-        val acc = new Array[Int](64)
-        words.foreach { w =>
-          val h = saltedHash(w, 0L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-            b += 1
-          }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(out)
-      }
-    }
-    f(text)
-  }
+    * small Hamming distance between simhashes. Runs as a native
+    * codegen'd Catalyst expression
+    * ([[org.apache.spark.sql.graft.SimHash64]]). */
+  def simHash(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.simHash64Native(text)
 
   /** Hamming distance between two 64-bit simhashes (native algebra —
     * bit_count is codegen'd). */

@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hamming(str, str) takes exactly two arguments")
         HammingDistance(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName,
+        "graft_fingerprint64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_fingerprint64(str) takes exactly one argument")
+        Fingerprint64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_simhash64(str) takes exactly one argument")
+        SimHash64(children.head)
+      }))
   }
 }
 
@@ -35,4 +52,10 @@ object NativeFunctions {
   def hammingNative(a: Column, b: Column): Column =
     ExpressionUtils.column(HammingDistance(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def fingerprint64Native(c: Column): Column =
+    ExpressionUtils.column(Fingerprint64(ExpressionUtils.expression(c)))
+
+  def simHash64Native(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 }

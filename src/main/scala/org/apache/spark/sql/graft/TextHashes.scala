@@ -1,0 +1,122 @@
+// Lives under org.apache.spark.sql so it can use the private[sql]
+// expression/codegen APIs — the standard packaging for third-party
+// native Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit FNV-1a fingerprint of whitespace-normalized lowercase
+  * text — the exact-dedup hash (reference: exact dedup is a training-
+  * data-pipeline addition; kernel mirrors graft.text.TextOps history).
+  *
+  * This is THE hottest text kernel at 100 TB (every document passes
+  * through it once during exact dedup), so it runs as a codegen'd
+  * expression: no UDF SerDe boundary, no row boxing — the generated
+  * code calls the static [[Fingerprint64.compute]] directly inside
+  * whole-stage codegen. Register as SQL `graft_fingerprint64` via
+  * [[GraftExtensions]] or use [[NativeFunctions.fingerprint64Native]].
+  */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    Fingerprint64.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = Fingerprint64.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Fingerprint64 = copy(child = newChild)
+}
+
+object Fingerprint64 {
+  /** Shared by interpreted eval and generated code. Semantics are
+    * frozen: lowercase, trim, collapse whitespace runs to single
+    * spaces, FNV-1a over the result's UTF-16 chars. */
+  def compute(s: UTF8String): Long = {
+    val t = s.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < t.length) {
+      h ^= t.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Native 64-bit SimHash over whitespace tokens (unit weights): each
+  * token's salted FNV-1a hash votes ±1 per bit; the sign of each vote
+  * total becomes the output bit. Near-duplicate documents differ in few
+  * bits. Codegen'd for the same reason as [[Fingerprint64]] — it runs
+  * over every document of the corpus during near-dedup. SQL
+  * `graft_simhash64`; DSL [[NativeFunctions.simHash64Native]]. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    SimHash64.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = SimHash64.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Deterministic 64-bit string hash (FNV-1a + splitmix64 finalizer),
+    * salted by seed. Identical to the MinHash base hash so simhash and
+    * minhash stay consistent on the same tokens. */
+  def saltedHash(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  def compute(s: UTF8String): Long = {
+    val words = s.toString.toLowerCase.trim.split("\\s+")
+    val acc = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = saltedHash(words(w), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

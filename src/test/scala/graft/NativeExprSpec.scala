@@ -34,6 +34,41 @@ class NativeExprSpec extends AnyFunSuite {
     assert(n == 100L) // the digit char differs on every row
   }
 
+  test("native fingerprint64 / simhash64: reference values, nulls, codegen") {
+    import spark.implicits._
+    // fingerprint is whitespace/case-normalizing: all three spell the
+    // same doc; the fourth differs
+    val df = Seq("Hello  World", "hello world", " hello\tworld ",
+      "hello worlds").toDF("t")
+    val fps = df.select(
+      NativeFunctions.fingerprint64Native(col("t")).as("fp")).collect()
+    assert(fps(0).getLong(0) == fps(1).getLong(0))
+    assert(fps(1).getLong(0) == fps(2).getLong(0))
+    assert(fps(3).getLong(0) != fps(0).getLong(0))
+    // null passthrough
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(NativeFunctions.fingerprint64Native(col("t"))).collect()
+    assert(nr(0).isNullAt(0))
+    // simhash: identical docs → distance 0; near docs → small distance;
+    // unrelated docs → large
+    val sh = Seq(("a quick brown fox jumps over the lazy dog",
+        "a quick brown fox jumps over the lazy cat"),
+      ("totally unrelated content with different words entirely",
+        "a quick brown fox jumps over the lazy dog"))
+      .toDF("x", "y")
+      .select(bit_count(NativeFunctions.simHash64Native(col("x"))
+        .bitwiseXOR(NativeFunctions.simHash64Native(col("y")))).as("d"))
+      .collect()
+    assert(sh(0).getInt(0) < sh(1).getInt(0))
+    // both stay inside WholeStageCodegen on a non-local source
+    val plan = spark.range(10)
+      .select(concat(lit("doc "), col("id")).as("t"))
+      .select(NativeFunctions.fingerprint64Native(col("t")),
+        NativeFunctions.simHash64Native(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")

@@ -53,6 +53,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops repeated docs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamed = StreamOps.withEventTime(
+      mem.toDF().toDF("t", "text"), col("t"), "1 hour", "event_time")
+    val deduped = StreamOps.streamingExactDedup(streamed, col("text"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("graft_dedup_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "Hello  World"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "hello world"),
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "other doc"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch is still dropped
+      mem.addData((Timestamp.valueOf("2026-01-01 10:03:00"), "HELLO WORLD"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM graft_dedup_test")
+        .head.getLong(0)
+      assert(n == 2L) // normalized "hello world" once + "other doc"
+    } finally q.stop()
+  }
+
+  test("streamingRunningStats maintains Welford state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val stats = StreamOps.streamingRunningStats(mem.toDS())
+    val q = stats.writeStream.format("memory")
+      .queryName("graft_stats_test").outputMode("update").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("a", 5.0))
+      q.processAllAvailable()
+      // update mode: take the latest emission per key
+      val a = spark.sql(
+        """SELECT n, mean, m2, min, max FROM graft_stats_test
+          |WHERE key = 'a' ORDER BY n DESC LIMIT 1""".stripMargin).head
+      assert(a.getLong(0) == 3L)
+      assert(math.abs(a.getDouble(1) - 3.0) < 1e-12)
+      assert(math.abs(a.getDouble(2) / 2 - 4.0) < 1e-12) // var = 4
+      assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 5.0)
+    } finally q.stop()
+  }
+
   test("nanosToTimestamp converts the testdata nanos encoding") {
     import spark.implicits._
     // 2026-01-01 00:00:00 UTC = 1767225600 s
