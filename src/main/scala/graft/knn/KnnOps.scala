@@ -208,4 +208,34 @@ object KnnOps {
         coalesce(struct(col("_d"), tieBreak) <= col("_kth"), lit(false)))
       .drop("_d", "_kth")
   }
+
+  /** Cross-frame KNN join: one output row per (left row, one of its k
+    * nearest right rows), with `nb_id`, `nb_dist` (metric units) and
+    * `rk` (1-based, ties by smaller id) appended to the left columns —
+    * the nearest-neighbor analogue of a left join. Right side is
+    * collected into a broadcast kd-tree (exact; right must fit executor
+    * memory — the same bound as any broadcast join); the left side
+    * streams through mapPartitions with NO shuffle. Left rows with no
+    * neighbor (empty right) survive with nulls. For a right side past
+    * broadcast size, use the approximate paths
+    * (`SimOps.lshCosineTopK` / `SimOps.ivfCosineTopK`). */
+  def knnJoin(left: DataFrame, leftId: Column, leftFeats: Seq[Column],
+              right: DataFrame, rightId: Column,
+              rightFeats: Seq[Column], k: Int,
+              metric: String = "l2"): DataFrame = {
+    val tree = collectTree(right, rightId, rightFeats, metric)
+    val fields = Seq(StructField("_nn", ArrayType(StructType(Seq(
+      StructField("nb_id", LongType), StructField("nb_dist", DoubleType))))))
+    withQueried(left, leftId, leftFeats, fields, (t, _, qf) => {
+      // no self-exclusion across frames
+      Seq(t.knn(qf, k).map { case (nid, d) =>
+        Row(nid, t.report(d)) }.toSeq)
+    }, tree)
+      .select(col("*"),
+        posexplode_outer(col("_nn")).as(Seq("_pos", "_nb")))
+      .withColumn("rk", (col("_pos") + 1).cast("int"))
+      .withColumn("nb_id", col("_nb.nb_id"))
+      .withColumn("nb_dist", col("_nb.nb_dist"))
+      .drop("_nn", "_pos", "_nb")
+  }
 }

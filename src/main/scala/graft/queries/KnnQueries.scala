@@ -100,6 +100,19 @@ object KnnQueries extends QueryPack {
         .agg(sum(col("is_knn").cast("long")).as("n_knn100"),
           sum(col("within").cast("long")).as("n_within30"))
         .orderBy("c_mktsegment")
+    }),
+    "q_knn_join" -> ((s, dir) => {
+      // cross-frame: every customer's 2 nearest suppliers in the shared
+      // (acctbal/100, key-derived) feature space — pair rows, exact
+      val cust = feat(s, dir)
+      val supp = t(s, dir, "supplier")
+        .withColumn("f1", col("s_acctbal") / 100.0)
+        .withColumn("f2", (col("s_suppkey") * 7919 % 1000) / 10.0)
+      KnnOps.knnJoin(cust, col("c_custkey"), Seq(col("f1"), col("f2")),
+          supp, col("s_suppkey"), Seq(col("f1"), col("f2")), 2)
+        .select(col("c_custkey").as("cid"), col("nb_id").as("sid"),
+          col("rk").cast("long").as("rk"),
+          round(col("nb_dist"), 6).as("dist"))
     })
   )
 
@@ -179,6 +192,24 @@ object KnnQueries extends QueryPack {
          |  SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_knn100,
          |  SUM(CASE WHEN SQRT(d2) <= 30.0 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_within30
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_join" ->
+      """WITH l AS (
+        |  SELECT c_custkey cid, c_acctbal / 100.0 f1,
+        |    (c_custkey * 7919 % 1000) / 10.0 f2 FROM customer),
+        |r AS (
+        |  SELECT s_suppkey sid, s_acctbal / 100.0 f1,
+        |    (s_suppkey * 7919 % 1000) / 10.0 f2 FROM supplier),
+        |d AS (
+        |  SELECT l.cid, r.sid,
+        |    (l.f1 - r.f1) * (l.f1 - r.f1)
+        |      + (l.f2 - r.f2) * (l.f2 - r.f2) d2
+        |  FROM l CROSS JOIN r),
+        |rk AS (
+        |  SELECT cid, sid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, sid) rk
+        |  FROM d)
+        |SELECT cid, sid, rk, ROUND(SQRT(d2), 6) AS dist
+        |FROM rk WHERE rk <= 2""".stripMargin
   )
 }

@@ -121,4 +121,41 @@ class KnnSpec extends AnyFunSuite {
       .filter(col("id") === 0L).select("kth_dist").head.getDouble(0)
     assert(kth == 3.0)
   }
+
+  test("knnJoin matches brute force across frames, keeps unmatched") {
+    import spark.implicits._
+    val lData = points(60, 2, 7L)
+    val rData = points(40, 2, 99L)
+    val left = lData.map { case (id, p) => (id, p(0), p(1)) }.toSeq
+      .toDF("id", "x", "y")
+    val right = rData.map { case (id, p) => (id + 1000L, p(0), p(1)) }
+      .toSeq.toDF("id", "x", "y")
+    val got = KnnOps.knnJoin(left, col("id"), Seq(col("x"), col("y")),
+        right, col("id"), Seq(col("x"), col("y")), 3)
+      .select(col("id"), col("nb_id"), col("rk"), col("nb_dist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got.size == 60 * 3)
+    val rShift = rData.map { case (id, p) => (id + 1000L, p) }
+    lData.foreach { case (qid, q) =>
+      val exp = bruteKnn(rShift, q, 3, exclude = -1L, "l2")
+      exp.zipWithIndex.foreach { case ((eid, ed2), i) =>
+        val (gid, gd) = got((qid, i + 1))
+        assert(gid == eid, s"q=$qid rk=${i + 1}")
+        assert(math.abs(gd - math.sqrt(ed2)) < 1e-12)
+      }
+    }
+    // no self-exclusion across frames: identical point → dist 0
+    val l1 = Seq((1L, 5.0)).toDF("id", "x")
+    val r1 = Seq((1L, 5.0)).toDF("id", "x")
+    val self = KnnOps.knnJoin(l1, col("id"), Seq(col("x")),
+      r1, col("id"), Seq(col("x")), 1).select("nb_dist").head.getDouble(0)
+    assert(self == 0.0)
+    // empty right side → left row survives with null neighbor
+    val r0 = Seq.empty[(Long, Double)].toDF("id", "x")
+    val empt = KnnOps.knnJoin(l1, col("id"), Seq(col("x")),
+      r0, col("id"), Seq(col("x")), 1).select("nb_id").collect()
+    assert(empt.length == 1 && empt(0).isNullAt(0))
+  }
 }
