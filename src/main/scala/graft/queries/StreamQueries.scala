@@ -38,6 +38,18 @@ object StreamQueries extends QueryPack {
           count(when(col("bal").isNull, 1)).as("n_null"))
         .orderBy("c_mktsegment")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // for every click, the user's most recent purchase value at or
+      // before the click time (backward as-of join; exact pair oracle)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.ops.AsOfJoin.asofBackward(clicks, purchases, Seq("user_id"),
+          col("ts"), col("ts"), col("value"), col("event_id"),
+          out = "lp")
+        .select(col("event_id"), col("user_id"),
+          round(col("lp"), 6).as("last_purchase"))
+    }),
     "q_psi_breakpoints" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       EncodeOps.psiWithBreakpoints(
@@ -80,6 +92,21 @@ object StreamQueries extends QueryPack {
         |SELECT c_mktsegment, ROUND(SUM(fb), 2) AS sum_bal,
         |  COUNT(CASE WHEN fb IS NULL THEN 1 END) AS n_null
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS rv,
+        |    event_id AS lid
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0 AS side, value AS rv, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *, LAST_VALUE(rv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) m
+        |  FROM u)
+        |SELECT lid AS event_id, user_id, ROUND(m, 6) AS last_purchase
+        |FROM w WHERE side = 1""".stripMargin,
     "q_psi_breakpoints" ->
       """WITH bb AS (
         |  SELECT LEAST(CASE WHEN value <= 50.0 THEN 0
