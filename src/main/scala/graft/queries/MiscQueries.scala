@@ -77,10 +77,59 @@ object MiscQueries extends QueryPack {
               "max" -> (c => max(c)),
               "nulls" -> (c => sum(c.isNull.cast("long"))))).tail: _*)
         .orderBy("l_returnflag")
+    }),
+    "q_salted_agg" -> ((s, dir) => {
+      // skew-safe two-phase agg must equal the direct groupBy
+      graft.ops.ScaleOps.saltedAgg(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), salt = 8,
+          Seq(("sum", "l_quantity", "sum_qty"),
+            ("avg", "l_extendedprice", "avg_price"),
+            ("min", "l_discount", "min_disc"),
+            ("max", "l_discount", "max_disc"),
+            ("count", "l_orderkey", "n")))
+        .select(col("l_returnflag"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          round(col("avg_price"), 4).as("avg_price"),
+          col("min_disc"), col("max_disc"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // every (event, supplier) pair where the event value falls in the
+      // supplier's ±2 band around s_acctbal/25 — binned equi-join shape
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal") / 25.0 - 2.0).as("lo"),
+          (col("s_acctbal") / 25.0 + 2.0).as("hi"))
+      graft.ops.ScaleOps.binnedPointIntervalJoin(ev, "value",
+          su, "lo", "hi", binWidth = 4.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("s_suppkey")).as("sum_suppkey"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  MIN(l_discount) AS min_disc,
+        |  MAX(l_discount) AS max_disc,
+        |  COUNT(l_orderkey) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_type,
+        |  COUNT(*) AS n_pairs,
+        |  SUM(s.s_suppkey)::BIGINT AS sum_suppkey,
+        |  ROUND(SUM(e.value), 2) AS sum_value
+        |FROM events e JOIN supplier s
+        |  ON e.value >= s.s_acctbal / 25.0 - 2.0
+        | AND e.value <= s.s_acctbal / 25.0 + 2.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_random_gen" ->
       """SELECT COUNT(*) AS n, TRUE AS u_in_range, TRUE AS i_in_range,
         |  TRUE AS g_centered, TRUE AS e_positive, TRUE AS b_in_range,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("saltedAgg equals direct groupBy on every supported aggregate") {
+    import spark.implicits._
+    val df = (0 until 1000).map { i =>
+      ("k" + (if (i % 10 == 0) 0 else i % 4), i.toDouble, i.toLong)
+    }.toDF("k", "v", "c")
+    val direct = df.groupBy("k").agg(
+        sum("v").as("s"), avg("v").as("a"), min("v").as("mn"),
+        max("v").as("mx"), count("c").as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    val salted = ScaleOps.saltedAgg(df, Seq("k"), 7,
+        Seq(("sum", "v", "s"), ("avg", "v", "a"), ("min", "v", "mn"),
+          ("max", "v", "mx"), ("count", "c", "n")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (s, a, mn, mx, n)) =>
+      val (s2, a2, mn2, mx2, n2) = salted(k)
+      assert(math.abs(s - s2) < 1e-6 && math.abs(a - a2) < 1e-9)
+      assert(mn == mn2 && mx == mx2 && n == n2)
+    }
+  }
+
+  test("binned range join equals cross-join filter, without cartesian plan") {
+    import spark.implicits._
+    val pts = (0 until 300).map(i => (i.toLong, (i % 97) * 1.37))
+      .toDF("pid", "p")
+    val ivs = (0 until 50).map { i =>
+      val lo = (i % 31) * 3.1; (1000L + i, lo, lo + (i % 7) * 2.0)
+    }.toDF("iid", "lo", "hi")
+    val got = ScaleOps.binnedPointIntervalJoin(pts, "p", ivs, "lo", "hi",
+        binWidth = 5.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp && exp.nonEmpty)
+    val plan = ScaleOps.binnedPointIntervalJoin(pts, "p", ivs, "lo", "hi",
+      binWidth = 5.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
