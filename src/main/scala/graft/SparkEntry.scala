@@ -33,7 +33,8 @@ object SparkEntry {
     MiscQueries,
     InfoQueries,
     StreamQueries,
-    CoverageQueries
+    CoverageQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,137 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components and duplicate-cluster utilities.
+  *
+  * A pair-emitting dedup operator (exact fingerprints, n-gram Jaccard,
+  * MinHash/SimHash/cosine candidates — TextOps/SimOps) answers "which
+  * pairs are near-duplicates", but a 100 TB dedup pipeline needs the
+  * transitive closure: A~B and B~C must collapse into ONE cluster with
+  * ONE surviving document. That closure is connected components over
+  * the pair graph.
+  *
+  * Implementation: alternating large-star / small-star rounds (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+  * — converges in O(log² n) rounds on any graph, each round expressed
+  * as algebraic `groupBy(min)` + equi-join, so partial aggregation is
+  * map-side and AQE's skew-join split handles the hot hub that forms
+  * around a giant component's minimum. No `collect_set` of
+  * neighborhoods is ever materialized (a hub row would OOM at scale);
+  * the only per-node state is a single min.
+  *
+  * The reference has no graph surface at all — this is a
+  * beyond-the-reference operator motivated by its dedup use-cases
+  * (e.g. python/polars_ds/exprs/str2.py similarity filters feeding
+  * training-data cleanup).
+  */
+object GraphOps {
+
+  /** Canonicalize an edge list: long ids, self-loops dropped,
+    * undirected edges stored once as (u = min, v = max). */
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Large-star round: every node connects its LARGER neighbors to the
+    * minimum of its closed neighborhood. Emitted edges stay canonical
+    * because m ≤ u < v. Pure agg + join — no neighborhood arrays. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node connects its SMALLER neighbors (and
+    * itself) to the minimum among them. Canonical in, canonical out. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
+    val rewired = e.join(mins, "v")
+      .filter(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+    val self = mins.select(col("m").as("u"), col("v"))
+    rewired.unionAll(self).distinct()
+  }
+
+  /** Connected components of the undirected graph given as an edge
+    * list. Returns one row per node that appears in `edges`:
+    * `(id, component)` with `component` = the minimum node id in its
+    * component (so a component's minimum maps to itself). Nodes with no
+    * edges don't appear — left-join and `coalesce(component, id)` to
+    * label isolated rows.
+    *
+    * Each round persists its (shrinking) edge set and cuts lineage with
+    * `localCheckpoint` — an iterative DataFrame loop otherwise grows
+    * the logical plan (and closure serialization) quadratically. On a
+    * real cluster prefer `sc.setCheckpointDir` + reliable checkpoints
+    * for fault tolerance; localCheckpoint keeps the hot path
+    * cluster-shaped while staying testable on local[*]. */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          maxIter: Int = 25): DataFrame = {
+    var e = canon(edges.select(src.cast("long").as("u"),
+        dst.cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // fixpoint detection on an order-independent checksum of the edge
+    // set — one tiny action per round on the already-persisted frame
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)).as("c"),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSum = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = checksum(next)
+      e.unpersist(false)
+      e = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter rounds")
+    // fixpoint is a forest of depth-1 stars rooted at each component min
+    e.select(col("v").as("id"), col("u").as("component"))
+      .unionAll(
+        e.select(col("u").as("id"), col("u").as("component")).distinct())
+  }
+
+  /** Transitive duplicate clusters from a pair frame (as produced by
+    * `TextOps.jaccardDupPairs`, `minHashDupPairs`,
+    * `SimOps.cosineDupPairs`, …): `(id, component, csize)` for every
+    * document involved in at least one duplicate pair. */
+  def dupClusters(pairs: DataFrame, id1: Column, id2: Column,
+                  maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(
+      pairs.select(id1.as("u"), id2.as("v")), col("u"), col("v"), maxIter)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    cc.join(sizes, "component").select(col("id"), col("component"),
+      col("csize"))
+  }
+
+  /** Survivorship: drop every clustered document except its cluster's
+    * minimum id (the canonical representative); unclustered documents
+    * pass through. The anti-join side is only the (tiny) loser id set —
+    * broadcastable even when `df` is the full corpus. */
+  def dedupByClusters(df: DataFrame, id: Column, pairs: DataFrame,
+                      id1: Column, id2: Column): DataFrame = {
+    val losers = dupClusters(pairs, id1, id2)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_loser"))
+    df.join(broadcast(losers), id.cast("long") === col("_loser"),
+      "left_anti")
+  }
+}

@@ -78,4 +78,64 @@ object ScaleOps {
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("_bin")
   }
+
+  /** Z-order (Morton) key: interleaves the low `bits` bits of each
+    * column so rows close in EVERY dimension get close keys. Sorting or
+    * range-partitioning parquet by this key clusters multi-dimensional
+    * locality into few files, which turns min/max footer statistics
+    * into effective data skipping for predicates on ANY of the
+    * interleaved columns — the layout story a 100 TB table needs, since
+    * a plain sort only skips on its leading column.
+    *
+    * Inputs must be non-negative after casting to long (pre-bucket with
+    * `pmod`/`width_bucket` as needed). Pure codegen'd column algebra
+    * (shift/and/add) — no UDF. `bits * cols.size` must fit in 63. */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderKey: no columns")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"zorderKey: $bits bits x ${cols.size} cols exceeds long range")
+    val n = cols.size
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * n + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Physically cluster a frame by the Z-order of `cols`: range-
+    * partition on the interleaved key (so each output file owns a
+    * compact key range), sort within partitions, drop the key. Write
+    * the result to parquet to materialize the skipping-friendly
+    * layout. */
+  def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int,
+               numPartitions: Int): DataFrame =
+    df.withColumn("_zkey", zorderKey(cols, bits))
+      .repartitionByRange(numPartitions, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+
+  /** Bloom-filter pre-join pruning: build a bloom filter over the small
+    * side's join key, broadcast it, and filter the big side BEFORE the
+    * shuffle join — rows that cannot match never enter the exchange.
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling only the ~matching fraction (plus fpp). The
+    * result is a SUPERSET of the true semi-join (bloom false positives
+    * survive); follow with the exact join, which removes them — so
+    * `bloomPrefilter(big, k, small, sk).join(small, ...)` is exactly
+    * `big.join(small, ...)`.
+    *
+    * Mirrors what Spark's runtime row-level filtering does for shuffle
+    * joins, but as an explicit operator usable on any boundary (e.g.
+    * before a window or an aggregation keyed by the filtered key). */
+  def bloomPrefilter(big: DataFrame, bigKey: Column,
+                     small: DataFrame, smallKey: Column,
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey.cast("long"),
+      expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    big.filter(might(bigKey.cast("long")))
+  }
 }

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+import graft.ops.ScaleOps
+import graft.text.TextOps
+
+/** Driver-contract queries for the scale-pattern operators added beyond
+  * the reference: transitive dup clustering (connected components over
+  * exact-Jaccard pairs), cluster survivorship, Z-order layout keys, and
+  * bloom-prefiltered joins.
+  *
+  * Oracles: components via a DuckDB RECURSIVE CTE (min-label closure
+  * over the symmetrized edge set — exact at sf scale), Z-order via the
+  * same bit-interleave formula spelled out in SQL, bloom via the plain
+  * join it must equal (false positives are removed by the exact join,
+  * so bloom-prefilter + join ≡ join). */
+object GraphQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = TextOps.jaccardDupPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("source"), 0.5)
+      GraphOps.dupClusters(pairs, col("id1"), col("id2"))
+        .select(col("id").as("doc_id"), col("component"), col("csize"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"),
+        col("text"), col("source"), 0.5)
+      GraphOps.dedupByClusters(docs, col("doc_id"), pairs,
+          col("id1"), col("id2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    }),
+    "q_zorder" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+          ScaleOps.zorderKey(
+            Seq(pmod(col("p_partkey"), lit(1024)), col("p_size")), 10)
+            .as("zkey"))
+        .orderBy(col("zkey"), col("p_partkey"))
+        .limit(30)
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pre = ScaleOps.bloomPrefilter(li, col("l_orderkey"),
+        urgent, col("o_orderkey"), expectedItems = 50000L, fpp = 0.01)
+      pre.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  /** Edge set shared by the clustering oracles: exact word-shingle
+    * Jaccard ≥ 0.5 within each source block (same construction as the
+    * q_jaccard_dup_pairs oracle). */
+  private val edgeSql =
+    """w AS (
+      |  SELECT DISTINCT source b, doc_id i, UNNEST(
+      |    regexp_split_to_array(LOWER(TRIM(text)), '\s+')) w
+      |  FROM documents),
+      |nw AS (SELECT b, i, COUNT(*) n FROM w GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT l.b, l.i i1, r.i i2, COUNT(*) common
+      |  FROM w l JOIN w r ON l.b = r.b AND l.w = r.w AND l.i < r.i
+      |  GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT i1, i2 FROM cand p
+      |  JOIN nw n1 ON n1.b = p.b AND n1.i = p.i1
+      |  JOIN nw n2 ON n2.b = p.b AND n2.i = p.i2
+      |  WHERE p.common::DOUBLE / (n1.n + n2.n - p.common) >= 0.5),
+      |sym AS (SELECT i1 u, i2 v FROM e UNION SELECT i2, i1 FROM e),
+      |walk(id, comp) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n(u)
+      |  UNION
+      |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
+      |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)""".stripMargin
+
+  /** The Z-order formula, spelled out bit-by-bit in SQL. */
+  private val zexpr = (0 until 10).flatMap(b => Seq(
+    s"((((p_partkey % 1024) >> $b) & 1) << ${2 * b})",
+    s"(((p_size::BIGINT >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $edgeSql,
+         |sz AS (SELECT comp, COUNT(*) c FROM cc GROUP BY 1)
+         |SELECT cc.id AS doc_id, cc.comp AS component,
+         |  sz.c AS csize
+         |FROM cc JOIN sz USING (comp) ORDER BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $edgeSql
+         |SELECT d.source, COUNT(*) AS n_survivors,
+         |  SUM(d.n_chars)::BIGINT AS chars_kept
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT p_partkey, p_size, ($zexpr) AS zkey
+         |FROM part ORDER BY zkey, p_partkey LIMIT 30""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

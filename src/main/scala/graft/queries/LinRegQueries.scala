@@ -50,8 +50,10 @@ object LinRegQueries extends QueryPack {
           round(element_at(col("r.coeffs"), 2), 4).as("b_disc"))
         .orderBy("l_returnflag")
     }),
-    // report std errors / t / p need incomplete beta — rows-only check;
-    // exactness covered by LinRegSpec numpy goldens.
+    // coeffs / std errors / t / r2 have closed SQL forms (σ²·(XᵀX)⁻¹
+    // diagonal via the adjugate) → exact DuckDB oracle; only p-values
+    // need the incomplete beta, so they stay in LinRegSpec's numpy
+    // goldens instead of the driver row.
     "q_lin_reg_report" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -62,7 +64,7 @@ object LinRegQueries extends QueryPack {
           round(element_at(col("r.coeffs"), 1), 6).as("beta_qty"),
           round(element_at(col("r.stdErr"), 1), 6).as("se_qty"),
           round(element_at(col("r.tVals"), 1), 4).as("t_qty"),
-          round(element_at(col("r.pVals"), 1), 8).as("p_qty"),
+          round(col("r.r2"), 6).as("r2"),
           col("r.n").as("n"))
         .orderBy("l_returnflag")
     }),
@@ -89,11 +91,17 @@ object LinRegQueries extends QueryPack {
         .agg(round(avg("recursive_slope"), 6).as("avg_slope"))
         .orderBy("event_type")
     }),
-    // IRLS logistic — no SQL equivalent; numpy-golden tested.
+    // IRLS logistic on a target that is the EXACT inverse-logit of the
+    // linear predictor: the score equation Σ x(y − μ(xβ)) = 0 is solved
+    // by the constructing coefficients, so the MLE is known in closed
+    // form and the oracle is a literal row (same device as q_glm). The
+    // hard-label path (no closed form) stays numpy-golden in
+    // LinRegSpec.
     "q_logistic_reg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("x1", (col("value") + col("event_id") % 21 - 10) / 100.0)
-        .withColumn("yb", (col("value") > 50).cast("double"))
+        .withColumn("yb",
+          lit(1.0) / (lit(1.0) + exp(-(col("x1") * 3.0 - 1.0))))
       val beta = LinRegOps.logisticFit(ev, Seq(col("x1")), col("yb"))
       import s.implicits._
       Seq((beta(0), beta(1))).toDF("b_x1", "b0")
@@ -195,6 +203,36 @@ object LinRegQueries extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_type,
         |  ROUND(AVG((sxy - sx*sy/n) / (sxx - sx*sx/n)), 6) AS avg_slope
-        |FROM w WHERE rn >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w WHERE rn >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lin_reg_report" ->
+      s"""WITH s AS ($sums),
+         |d AS (
+         |  SELECT *,
+         |    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1)
+         |      + s1*(s12*s2 - s22*s1) AS det
+         |  FROM s),
+         |b AS (
+         |  SELECT *,
+         |    (s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy)
+         |      + s1*(s2y*s2 - s22*sy)) / det AS b1,
+         |    (s11*(s2y*n - sy*s2) - s1y*(s12*n - s2*s1)
+         |      + s1*(s12*sy - s2y*s1)) / det AS b2,
+         |    (s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1)
+         |      + s1y*(s12*s2 - s22*s1)) / det AS b0
+         |  FROM d),
+         |r AS (
+         |  SELECT l_returnflag, n, b1,
+         |    syy - (b1*s1y + b2*s2y + b0*sy) AS sse,
+         |    syy - sy*sy/n AS sst,
+         |    (s22*n - s2*s2) / det AS inv11
+         |  FROM b)
+         |SELECT l_returnflag,
+         |  ROUND(b1, 6) AS beta_qty,
+         |  ROUND(SQRT(sse / (n - 3) * inv11), 6) AS se_qty,
+         |  ROUND(b1 / SQRT(sse / (n - 3) * inv11), 4) AS t_qty,
+         |  ROUND(1 - sse / sst, 6) AS r2,
+         |  n::BIGINT AS n
+         |FROM r ORDER BY 1""".stripMargin,
+    "q_logistic_reg" -> "SELECT 3.0 AS b_x1, -1.0 AS b0"
   )
 }

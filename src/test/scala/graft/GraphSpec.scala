@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphOps
+import graft.ops.ScaleOps
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  /** Local union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: component = min id (union by min keeps roots minimal)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    GraphOps.connectedComponents(df, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents on chain, star, cliques, isolates-by-edge") {
+    // one long chain (worst case for label propagation, fine for
+    // star-contraction), a star, two separate cliques, a 2-cycle
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (101L to 110L).map(v => (100L, v))
+    val cliqueA = for (i <- 200L to 205L; j <- (i + 1) to 205L) yield (i, j)
+    val twoCycle = Seq((300L, 301L), (301L, 300L), (302L, 302L))
+    val edges = chain ++ star ++ cliqueA ++ twoCycle
+    val got = ccMap(edges)
+    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    assert(got == want)
+    assert(got(39L) == 0L && got(110L) == 100L && got(205L) == 200L)
+    assert(got(301L) == 300L)
+    assert(!got.contains(302L)) // pure self-loop node drops out
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(150).toLong,
+      rnd.nextInt(150).toLong)).filter(e => e._1 != e._2)
+    assert(ccMap(edges) == ufComponents(edges))
+  }
+
+  test("dupClusters sizes and dedupByClusters survivorship") {
+    import spark.implicits._
+    // components {1,2,3}, {10,11}, isolated doc 99 (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val clusters = GraphOps.dupClusters(pairs, col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.toSet ==
+      Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+        (10L, 10L, 2L), (11L, 10L, 2L)))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = GraphOps.dedupByClusters(docs, col("doc_id"), pairs,
+      col("id1"), col("id2")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("zorderKey interleaves bits and preserves locality blocks") {
+    import spark.implicits._
+    val df = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        ScaleOps.zorderKey(Seq(col("x"), col("y")), 3).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 3).map(b => (((x >> b) & 1) << (2 * b)) |
+        (((y >> b) & 1) << (2 * b + 1))).sum.toLong
+    got.foreach { case ((x, y), z) => assert(z == morton(x, y)) }
+    // all 64 keys distinct, and the 4x4 sub-block [0,4)² owns keys 0-15
+    assert(got.values.toSet.size == 64)
+    assert(got.filter { case ((x, y), _) => x < 4 && y < 4 }
+      .values.forall(_ < 16))
+  }
+
+  test("bloomPrefilter keeps all matches; join after equals plain join") {
+    import spark.implicits._
+    val big = (0L until 5000L).map(i => (i, i % 7)).toDF("k", "p")
+    val small = (0L until 5000L by 50L).toDF("sk")
+    val pre = ScaleOps.bloomPrefilter(big, col("k"), small, col("sk"),
+      expectedItems = 200L, fpp = 0.03)
+    val preKeys = pre.select("k").collect().map(_.getLong(0)).toSet
+    // superset of true matches, subset bounded by fpp slack
+    assert((0L until 5000L by 50L).forall(preKeys.contains))
+    assert(preKeys.size <= 100 + (0.1 * 5000).toInt)
+    val joined = pre.join(small, col("k") === col("sk"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(joined == (0L until 5000L by 50L).toSet)
+  }
+}
