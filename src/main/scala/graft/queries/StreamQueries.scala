@@ -60,6 +60,23 @@ object StreamQueries extends QueryPack {
           round(col("baseline_pct"), 6).as("baseline_pct"),
           round(col("actual_pct"), 6).as("actual_pct"),
           round(col("psi_bin"), 8).as("psi_bin"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // 30-minute-gap sessions per user; spans kept in integer
+      // microseconds so Spark and the oracle never disagree on floats.
+      // The raw nanos are truncated to whole microseconds first: DuckDB
+      // reads the TIMESTAMP(NANOS) column at µs precision, so keeping
+      // Spark's sub-µs bits would skew spans by one µs.
+      val ev = t(s, dir, "events").withColumn("ts_t",
+        call_function("div", col("ts"), lit(1000L)) * 1000L)
+      graft.streaming.SessionOps.sessionStats(ev,
+          Seq(col("user_id")), col("ts_t"), 30L * 60L * 1000000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_events"),
+          sum(col("span_us")).as("total_span_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -131,6 +148,26 @@ object StreamQueries extends QueryPack {
         |    * LN((COALESCE(actual_pct, 0) + 1e-12)
         |      / (COALESCE(baseline_pct, 0) + 1e-12)), 8) AS psi_bin
         |FROM bp FULL JOIN ap USING (bucket)
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) tn FROM events),
+        |s AS (
+        |  SELECT user_id, tn,
+        |    CASE WHEN LAG(tn) OVER w IS NULL
+        |      OR tn - LAG(tn) OVER w > 1800000000000 THEN 1 ELSE 0 END ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
+        |s2 AS (
+        |  SELECT user_id, tn, SUM(ns) OVER (
+        |    PARTITION BY user_id ORDER BY tn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, sid, COUNT(*) ne,
+        |    (MAX(tn) - MIN(tn)) // 1000 span_us
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  SUM(ne)::BIGINT AS n_events, MAX(ne) AS max_events,
+        |  SUM(span_us)::BIGINT AS total_span_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

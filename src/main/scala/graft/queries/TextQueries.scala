@@ -51,6 +51,16 @@ object TextQueries extends QueryPack {
         .groupBy(col("source")).agg(count(lit(1)).as("n_after_dedup"))
       n.join(kept, Seq("source")).orderBy("source")
     }),
+    "q_tfidf" -> ((s, dir) => {
+      // rank on the rounded score (see tfIdfTopK) so cross-engine ulp
+      // noise in ln can't flip the order
+      TextOps.tfIdfTopK(t(s, dir, "documents")
+            .filter(col("doc_id") < 40),
+          col("doc_id"), col("text"), 3)
+        .select(col("doc").as("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("cnt"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
     "q_jaccard_dup_pairs" -> ((s, dir) => {
       TextOps.jaccardDupPairs(t(s, dir, "documents"), col("doc_id"),
           col("text"), col("source"), 0.5)
@@ -196,6 +206,29 @@ object TextQueries extends QueryPack {
         |  WHERE rn = 1 GROUP BY 1)
         |SELECT source, n_docs, n_distinct, n_after_dedup
         |FROM n JOIN k USING (source) ORDER BY 1""".stripMargin,
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |w AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(
+        |    LOWER(TRIM(text)), '\s+')) term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) cnt FROM w
+        |  WHERE LENGTH(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(cnt) dlen FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(*) dfc FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) n FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.cnt,
+        |    tf.cnt::DOUBLE / dl.dlen
+        |      * (LN((nd.n + 1.0) / (dfq.dfc + 1.0)) + 1.0) tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), nd),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY ROUND(tfidf, 6) DESC, term) rk
+        |  FROM sc)
+        |SELECT doc_id, rk, term, cnt, ROUND(tfidf, 6) AS tfidf
+        |FROM rk WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
     "q_jaccard_dup_pairs" ->
       """WITH w AS (
         |  SELECT DISTINCT source b, doc_id i, UNNEST(

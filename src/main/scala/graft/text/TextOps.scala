@@ -423,4 +423,44 @@ object TextOps {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Per-document TF-IDF scores for every term: tf = term count /
+    * document token count; idf = ln((1+N)/(1+df)) + 1 (the smoothed
+    * variant sklearn's TfidfVectorizer defaults to — never divides by
+    * zero, floor 1 keeps corpus-wide terms ranked).
+    *
+    * Shapes for scale: the document-frequency table is vocab-sized
+    * (partial-aggregated map-side), joined back on `term` — a shuffle
+    * join, NOT a broadcast, since a 100 TB corpus's vocabulary can
+    * exceed executor memory; the doc-count scalar rides a broadcast
+    * cross join. Output: (doc, term, cnt, tfidf). */
+  def tfIdf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("doc"),
+        explode(split(lower(trim(text)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dlen = tf.groupBy(col("doc")).agg(sum(col("cnt")).as("dlen"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col("doc")).as("n_docs"))
+    tf.join(dlen, "doc").join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("cnt").cast("double") / col("dlen") *
+          (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select(col("doc"), col("term"), col("cnt"), col("tfidf"))
+  }
+
+  /** Top-`k` TF-IDF terms per document; rank on the ROUNDED score (6
+    * dp) then term so the order is reproducible across engines whose
+    * `ln` differs in the last ulp. */
+  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+      .orderBy(round(col("tfidf"), 6).desc, col("term"))
+    tfIdf(df, id, text)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

@@ -77,6 +77,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize assigns gap-based sessions; streaming twin merges " +
+      "session windows across batches") {
+    import spark.implicits._
+    import graft.streaming.SessionOps
+    // batch: user 1 has events at 0s, 10s, 100s with a 30s gap → two
+    // sessions; user 2 one session
+    val base = 1700000000000000000L // nanos
+    val df = Seq(
+      (1L, base), (1L, base + 10L * 1000000000L),
+      (1L, base + 100L * 1000000000L),
+      (2L, base + 5L * 1000000000L))
+      .toDF("user_id", "tn")
+    val sess = SessionOps.sessionStats(df, Seq(col("user_id")),
+        col("tn"), 30L * 1000000000L)
+      .orderBy("user_id", "session_id").collect()
+    assert(sess.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(
+        (1L, 1L, 2L, 10000000L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+
+    // streaming: two events 5 min apart in DIFFERENT micro-batches
+    // merge into ONE session window (gap 10 min)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamed = StreamOps.withEventTime(
+      mem.toDF().toDF("t", "k", "v"), col("t"), "10 minutes", "event_time")
+    val agg = SessionOps.streamingSessionAgg(streamed, "10 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n")))
+    // session windows support append mode only: a session is emitted
+    // once the watermark passes its close
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_session_test").outputMode("append").start()
+    try {
+      mem.addData((Timestamp.valueOf("2026-01-01 10:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 10:05:00"), "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' close
+      mem.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "a", 3.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "a", 4.0))
+      q.processAllAvailable()
+      val merged = spark.sql(
+        "SELECT max(n) FROM graft_session_test").head.getLong(0)
+      assert(merged == 2L) // 10:00 + 10:05 merged into one session
+    } finally q.stop()
+  }
+
   test("streamingRunningStats maintains Welford state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
