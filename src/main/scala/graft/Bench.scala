@@ -25,6 +25,13 @@ object Bench {
       }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // untimed inter-query hygiene: drop caches left by the previous
+      // query (persisted signatures, CC edge sets, …) so each query is
+      // measured from the same cold-cache state and doesn't pay its
+      // predecessors' GC pressure
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -39,7 +39,9 @@ object GraphOps {
 
   /** Large-star round: every node connects its LARGER neighbors to the
     * minimum of its closed neighborhood. Emitted edges stay canonical
-    * because m ≤ u < v. Pure agg + join — no neighborhood arrays. */
+    * because m ≤ u < v. Pure agg + join — no neighborhood arrays. May
+    * emit duplicate edges; the following small-star round's distinct
+    * absorbs them (cheaper than an extra dedup shuffle per round). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -49,7 +51,6 @@ object GraphOps {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("m").as("u"), col("v"))
-      .distinct()
   }
 
   /** Small-star round: every node connects its SMALLER neighbors (and
@@ -75,9 +76,21 @@ object GraphOps {
     * the logical plan (and closure serialization) quadratically. On a
     * real cluster prefer `sc.setCheckpointDir` + reliable checkpoints
     * for fault tolerance; localCheckpoint keeps the hot path
-    * cluster-shaped while staying testable on local[*]. */
+    * cluster-shaped while staying testable on local[*].
+    *
+    * Hybrid finish: star rounds guarantee the edge set shrinks toward
+    * one edge per non-root node; once it fits comfortably on the driver
+    * (`localFinishThreshold` edges) the remaining contraction switches
+    * to an in-memory union-find — a dozen distributed rounds of
+    * millisecond-sized stages would otherwise dominate wall-clock. A
+    * 100 TB pair graph starts distributed and typically crosses the
+    * threshold after one or two rounds; pass `localFinishThreshold = 0`
+    * to force pure distributed execution. */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localFinishThreshold: Long = 2000000L)
+      : DataFrame = {
+    val spark = edges.sparkSession
     var e = canon(edges.select(src.cast("long").as("u"),
         dst.cast("long").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -88,10 +101,16 @@ object GraphOps {
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var prevSum = checksum(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && it < maxIter &&
+        prevSum._1 > localFinishThreshold) {
+      val t0 = System.nanoTime()
+      // localCheckpoint cuts lineage per round (the plan would
+      // otherwise grow geometrically — each round references the
+      // previous plan several times)
       val next = smallStar(largeStar(e)).localCheckpoint(false)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = checksum(next)
@@ -100,13 +119,50 @@ object GraphOps {
       converged = nextSum == prevSum
       prevSum = nextSum
       it += 1
+      if (debug) println(f"[cc] round $it: $nextSum " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    require(converged,
-      s"connectedComponents: no fixpoint after $maxIter rounds")
-    // fixpoint is a forest of depth-1 stars rooted at each component min
-    e.select(col("v").as("id"), col("u").as("component"))
-      .unionAll(
-        e.select(col("u").as("id"), col("u").as("component")).distinct())
+    val labels =
+      if (converged) {
+        // fixpoint = forest of depth-1 stars rooted at each component min
+        e.select(col("v").as("id"), col("u").as("component"))
+          .unionAll(e.select(col("u").as("id"), col("u").as("component"))
+            .distinct())
+      } else if (prevSum._1 <= localFinishThreshold) {
+        // local finish: collect the shrunken edge set, union-find with
+        // path compression, union-by-min roots
+        val rows = e.select(col("u"), col("v")).collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r)
+            r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        rows.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          ids.map(i => org.apache.spark.sql.Row(i, find(i))).toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("component",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } else throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds")
+    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before dropping the edge cache
+    e.unpersist(false)
+    out
   }
 
   /** Transitive duplicate clusters from a pair frame (as produced by

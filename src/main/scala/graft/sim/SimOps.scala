@@ -273,29 +273,110 @@ object SimOps {
                     nCells: Int = 16, nProbe: Int = 4,
                     sampleCap: Int = 20000, kmeansIter: Int = 8)
       : DataFrame = {
+    // Fused kernel, mirroring cosineTopK's shape: queries (≪ corpus)
+    // are collected, probe-cell-indexed, and broadcast; the corpus then
+    // streams through ONE mapPartitions that assigns each row's cell
+    // (dot with the 16 unit centroids) and scores it against only the
+    // queries probing that cell, keeping per-query local top-k heaps.
+    // Shuffle = |queries|·k·partitions candidate rows. The earlier
+    // join-then-Column-cosine formulation materialized every
+    // (query, cell-member) vector pair and paid interpreted
+    // higher-order-function arithmetic per pair — ~5-10× slower.
     val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val sample = corpus
       .select(col("id").cast("long").as("id"),
         col("vec").cast("array<double>").as("v"))
       .orderBy(col("id")).limit(sampleCap) // TakeOrderedAndProject
       .collect().map(_.getSeq[Double](1).toArray)
     val cents = sphericalKMeans(sample, nCells, kmeansIter)
-    val bc = spark.sparkContext.broadcast(cents)
-    val cCell = corpus.select(col("id").cast("long").as("cid"),
-        col("vec").cast("array<double>").as("cv"))
-      .withColumn("cell",
-        element_at(nearestCellsUdf(bc, 1)(col("cv")), 1))
-    val qProbe = queries.select(col("id").cast("long").as("qid"),
-        col("vec").cast("array<double>").as("qv"))
-      .withColumn("cell",
-        explode(nearestCellsUdf(bc, nProbe)(col("qv"))))
-    qProbe.join(cCell, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid"))))
+    def cellDots(v: Array[Double]): Array[Double] = {
+      val dots = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * cents(c)(i); i += 1 }
+        dots(c) = dot; c += 1
+      }
+      dots
+    }
+    val qArr = queries.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qNorm = qArr.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    // cell → indices of the queries probing it (nProbe nearest cells,
+    // ties toward the lower cell id — same order the UDF variant used)
+    val byCell: Array[Array[Int]] = {
+      val buf = Array.fill(cents.length)(Array.newBuilder[Int])
+      qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+        cellDots(qv).zipWithIndex.sortBy { case (d, i) => (-d, i) }
+          .take(nProbe).foreach { case (_, c) => buf(c) += qi }
+      }
+      buf.map(_.result())
+    }
+    val bc = spark.sparkContext.broadcast((cents, qArr, qNorm, byCell))
+    val cPre = corpus.select(col("id").cast("long").as("cid"),
+      col("vec").cast("array<double>").as("cv"))
+    val localTop = cPre.rdd.mapPartitions { it =>
+      val (cs, qs, qn, probes) = bc.value
+      val best = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] {
+            case (c, id) => (-c, id) // max = worst: lowest cos, largest id
+          }))
+      it.foreach { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Double](1).toArray
+        var nc = 0.0
+        var i = 0
+        while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+        // nearest cell for this corpus row
+        var bestC = 0; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var dot = 0.0; var j = 0
+          while (j < cv.length) { dot += cv(j) * cs(c)(j); j += 1 }
+          if (dot > bestD) { bestD = dot; bestC = c }
+          c += 1
+        }
+        val members = probes(bestC)
+        var m = 0
+        while (m < members.length) {
+          val qi = members(m)
+          val (qid, qv) = qs(qi)
+          if (qid != cid) {
+            var dot = 0.0
+            var j = 0
+            while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+            val cos = dot / math.sqrt(qn(qi) * nc)
+            val h = best(qi)
+            if (h.size < k) h.enqueue((cos, cid))
+            else {
+              val (wc, wid) = h.head
+              if (cos > wc || (cos == wc && cid < wid)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+          }
+          m += 1
+        }
+      }
+      best.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, cid) => Row(qs(qi)._1, cid, cos) }
+      }
+    }
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("cid", LongType), StructField("cos", DoubleType)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    spark.createDataFrame(localTop, schema)
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("cos"), col("rk"))
   }

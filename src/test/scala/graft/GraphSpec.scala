@@ -24,34 +24,41 @@ class GraphSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def ccMap(edges: Seq[(Long, Long)],
+                    localThreshold: Long): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("a", "b")
-    GraphOps.connectedComponents(df, col("a"), col("b"))
+    GraphOps.connectedComponents(df, col("a"), col("b"),
+        localFinishThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("connectedComponents on chain, star, cliques, isolates-by-edge") {
-    // one long chain (worst case for label propagation, fine for
-    // star-contraction), a star, two separate cliques, a 2-cycle
-    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val star = (101L to 110L).map(v => (100L, v))
-    val cliqueA = for (i <- 200L to 205L; j <- (i + 1) to 205L) yield (i, j)
-    val twoCycle = Seq((300L, 301L), (301L, 300L), (302L, 302L))
-    val edges = chain ++ star ++ cliqueA ++ twoCycle
-    val got = ccMap(edges)
-    val want = ufComponents(edges.filter(e => e._1 != e._2))
-    assert(got == want)
-    assert(got(39L) == 0L && got(110L) == 100L && got(205L) == 200L)
-    assert(got(301L) == 300L)
-    assert(!got.contains(302L)) // pure self-loop node drops out
-  }
+  // threshold 0 forces the distributed star rounds; the default covers
+  // the driver-side union-find finish — both must agree with the oracle
+  for ((mode, thr) <- Seq("distributed" -> 0L, "local-finish" -> 2000000L)) {
+    test(s"connectedComponents ($mode) on chain, star, cliques, 2-cycle") {
+      // one long chain (worst case for label propagation, fine for
+      // star-contraction), a star, two separate cliques, a 2-cycle
+      val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val star = (101L to 110L).map(v => (100L, v))
+      val cliqueA = for (i <- 200L to 205L; j <- (i + 1) to 205L)
+        yield (i, j)
+      val twoCycle = Seq((300L, 301L), (301L, 300L), (302L, 302L))
+      val edges = chain ++ star ++ cliqueA ++ twoCycle
+      val got = ccMap(edges, thr)
+      val want = ufComponents(edges.filter(e => e._1 != e._2))
+      assert(got == want)
+      assert(got(39L) == 0L && got(110L) == 100L && got(205L) == 200L)
+      assert(got(301L) == 300L)
+      assert(!got.contains(302L)) // pure self-loop node drops out
+    }
 
-  test("connectedComponents matches union-find on a random graph") {
-    val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(400)((rnd.nextInt(150).toLong,
-      rnd.nextInt(150).toLong)).filter(e => e._1 != e._2)
-    assert(ccMap(edges) == ufComponents(edges))
+    test(s"connectedComponents ($mode) matches union-find, random graph") {
+      val rnd = new scala.util.Random(7)
+      val edges = Seq.fill(400)((rnd.nextInt(150).toLong,
+        rnd.nextInt(150).toLong)).filter(e => e._1 != e._2)
+      assert(ccMap(edges, thr) == ufComponents(edges))
+    }
   }
 
   test("dupClusters sizes and dedupByClusters survivorship") {
