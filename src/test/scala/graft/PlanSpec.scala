@@ -66,4 +66,45 @@ class PlanSpec extends AnyFunSuite {
     // the row_number window must be keyed (hash-partitioned), not empty
     assert(plan.contains("hashpartitioning"), plan)
   }
+
+  test("zorderKey stays pure codegen'd column algebra (no UDF)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i % 7)).toDF("a", "b")
+    val plan = df.select(graft.ops.ScaleOps.zorderKey(
+        Seq(col("a"), col("b")), 8).as("z"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      plan)
+  }
+
+  test("sessionStats reuses the window's shuffle for the session agg") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = graft.streaming.SessionOps.sessionStats(ev,
+        Seq(col("user_id")), col("ts"), 1800000000000L)
+      .queryExecution.executedPlan.toString
+    // one exchange for the user_id window; the (user_id, session_id)
+    // groupBy is satisfied by the same hash partitioning — a second
+    // exchange would mean the plan re-shuffles already-co-located rows
+    val nExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(nExchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
+  test("bloomPrefilter filters the big side below the join exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pre = graft.ops.ScaleOps.bloomPrefilter(li, col("l_orderkey"),
+      ord, col("o_orderkey"), 1000L, 0.01)
+    val plan = pre.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // the UDF filter must sit between the lineitem scan and any
+    // exchange/join — i.e. the scan side's filter section mentions the
+    // bloom check before partial aggregation happens
+    val scanIdx = plan.indexOf("lineitem.parquet")
+    val filterIdx = plan.lastIndexOf("Filter ", scanIdx)
+    assert(filterIdx >= 0, plan)
+  }
 }
