@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 executor threads in ONE JVM: size the heap like
+  // 32 executors' worth of shuffle/agg buffers, not like a driver. 8g
+  // forced constant old-gen GC at sf0.1 (measured: 5-30x slowdowns on
+  // queries run late in a long session); the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

@@ -25,16 +25,16 @@ object Bench {
       }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // optional inter-query hygiene (GRAFT_BENCH_HYGIENE=1): drop
-      // caches left by the previous query so each is measured from a
-      // cold-cache state. Off by default — operators now clean up their
-      // own big caches, and the block-manager churn this triggers
-      // bleeds ~0.2 s of GC into the NEXT query's timed section
-      // (measured: +25 s over 131 queries).
-      if (sys.env.contains("GRAFT_BENCH_HYGIENE")) {
+      // inter-query hygiene, OUTSIDE the timed window: drop result
+      // blocks the previous query left behind (operators free their own
+      // big intermediates via Release.scoped, so this is cheap), then
+      // GC so the collection happens now rather than bleeding into the
+      // next query's timed section. Opt out: GRAFT_BENCH_NO_HYGIENE=1.
+      if (!sys.env.contains("GRAFT_BENCH_NO_HYGIENE")) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        System.gc()
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Reclaim dropped RDD/broadcast blocks promptly in long-lived
+      // sessions (default 30 min lets unreachable blocks pile up and
+      // evict useful cache on a busy cluster).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // Polars-style permissive numerics: x/0 → null, not an error.
       // The reference's kernels never raise on degenerate denominators
       // (e.g. confusion-matrix ratios with an empty class).

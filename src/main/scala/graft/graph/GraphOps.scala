@@ -91,6 +91,7 @@ object GraphOps {
                           localFinishThreshold: Long = 2000000L)
       : DataFrame = {
     val spark = edges.sparkSession
+    graft.util.Release.scoped(spark) {
     var e = canon(edges.select(src.cast("long").as("u"),
         dst.cast("long").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -159,10 +160,12 @@ object GraphOps {
               org.apache.spark.sql.types.LongType, nullable = false))))
       } else throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
-    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before dropping the edge cache
-    e.unpersist(false)
-    out
+    labels
+    // Release.scoped materializes the labels (so callers can scan them
+    // repeatedly) and frees the edge cache + every per-round
+    // localCheckpoint block the loop left behind. Callers that are
+    // done with the labels free them with Release.free.
+    }
   }
 
   /** Transitive duplicate clusters from a pair frame (as produced by
@@ -174,8 +177,14 @@ object GraphOps {
     val cc = connectedComponents(
       pairs.select(id1.as("u"), id2.as("v")), col("u"), col("v"), maxIter)
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-    cc.join(sizes, "component").select(col("id"), col("component"),
-      col("csize"))
+    // materialize the (small) cluster table, then drop the label blocks
+    // connectedComponents left resident — dupClusters is self-cleaning
+    val out = graft.util.Release.scoped(pairs.sparkSession) {
+      cc.join(sizes, "component").select(col("id"), col("component"),
+        col("csize"))
+    }
+    graft.util.Release.free(cc)
+    out
   }
 
   /** Survivorship: drop every clustered document except its cluster's

@@ -131,11 +131,18 @@ object ScaleOps {
   def bloomPrefilter(big: DataFrame, bigKey: Column,
                      small: DataFrame, smallKey: Column,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey.cast("long"),
+    // Bloom over a type-agnostic 64-bit hash of the key (NOT a cast:
+    // casting a non-numeric key to long yields null and would silently
+    // drop every such row from the big side). xxhash64 is codegen'd on
+    // both sides, so any join-able key type keeps the superset
+    // contract. Null big-side keys hash to the seed value and at worst
+    // survive the prefilter — the exact join drops them, as required.
+    val bf = small.stat.bloomFilter(xxhash64(smallKey),
       expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
-    big.filter(might(bigKey.cast("long")))
+      .withName("bloomMightContain") // visible marker in plan output
+    big.filter(might(xxhash64(bigKey)))
   }
 }

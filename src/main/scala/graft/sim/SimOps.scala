@@ -140,7 +140,8 @@ object SimOps {
     * neighbouring buckets via multi-table repetition), exact cosine
     * within buckets. `tables` independent hash tables raise recall. */
   def lshCosineTopK(df: DataFrame, k: Int, nPlanes: Int = 12,
-                    tables: Int = 4): DataFrame = {
+                    tables: Int = 4): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
     val base = df.select(col("id"), col("vec"))
     val tabbed = (0 until tables).map { t =>
       base.withColumn("tbl", lit(t))
@@ -166,12 +167,13 @@ object SimOps {
     cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("cos"), col("rk"))
-  }
+  }  // Release.scoped: top-k result materialized, signature cache freed
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
     * (exact verify inside bucket). */
   def cosineDupPairs(df: DataFrame, threshold: Double, nPlanes: Int = 12,
-                     tables: Int = 4): DataFrame = {
+                     tables: Int = 4): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
     val base = df.select(col("id"), col("vec"))
     val tabbed = (0 until tables).map { t =>
       base.withColumn("tbl", lit(t))
@@ -190,7 +192,7 @@ object SimOps {
         cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
-  }
+  }  // Release.scoped: pair result materialized, signature cache freed
 
   // ---- IVF -------------------------------------------------------------
 
@@ -268,11 +270,25 @@ object SimOps {
     * probes its `nProbe` nearest cells (explode → nProbe-fold query
     * replication, queries ≪ corpus), exact cosine inside probed cells,
     * window top-k. Misses only neighbours whose cell the query didn't
-    * probe — recall vs the exact baseline is spec-gated. */
+    * probe — recall vs the exact baseline is spec-gated.
+    *
+    * REQUIREMENT: the `queries` frame is collected to the driver and
+    * broadcast (that is what makes the corpus side a single
+    * zero-shuffle streaming pass), so it must fit on the driver —
+    * at most `queryCap` rows (default 1,000,000; raise it explicitly
+    * if your driver heap allows). The call fails fast with a clear
+    * message rather than OOMing mid-collect. The corpus side is
+    * unbounded. */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,
-                    sampleCap: Int = 20000, kmeansIter: Int = 8)
+                    sampleCap: Int = 20000, kmeansIter: Int = 8,
+                    queryCap: Long = 1000000L)
       : DataFrame = {
+    val nQ = queries.limit((queryCap + 1).toInt).count()
+    require(nQ <= queryCap,
+      s"ivfCosineTopK: queries frame exceeds queryCap=$queryCap rows; " +
+        "it is collected to the driver and broadcast. Pre-filter the " +
+        "queries or raise queryCap (with driver heap to match).")
     // Fused kernel, mirroring cosineTopK's shape: queries (≪ corpus)
     // are collected, probe-cell-indexed, and broadcast; the corpus then
     // streams through ONE mapPartitions that assigns each row's cell

@@ -349,7 +349,8 @@ object TextOps {
     * Scales as Σ bucket² instead of n². */
   def minHashDupPairs(df: DataFrame, id: Column, text: Column,
                       threshold: Double, k: Int = 3, numHashes: Int = 128,
-                      bands: Int = 16): DataFrame = {
+                      bands: Int = 16): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
     val rows = numHashes / bands
     val withSig = df.select(id.as("i"),
       minHashSignature(text, k, numHashes).as("sig"))
@@ -380,7 +381,7 @@ object TextOps {
         simUdf(col("l.sig"), col("r.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
-  }
+  }  // Release.scoped: pair result materialized, signature cache freed
 
   /** 64-bit SimHash over word hashes (unit weights). Near-dups have
     * small Hamming distance between simhashes. Runs as a native
@@ -399,7 +400,8 @@ object TextOps {
     * least one band identical — exact recall for maxDist ≤ 3, candidate
     * prefilter beyond). */
   def simHashDupPairs(df: DataFrame, id: Column, text: Column,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
     val withSh = df.select(id.as("i"), simHash(text).as("sh"))
     val banded = withSh.select(col("i"), col("sh"),
         explode(array((0 until 4).map(b =>
@@ -422,29 +424,35 @@ object TextOps {
         simHashHamming(col("l.sh"), col("r.sh")).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
-  }
+  }  // Release.scoped: pair result materialized, simhash cache freed
 
   /** Per-document TF-IDF scores for every term: tf = term count /
     * document token count; idf = ln((1+N)/(1+df)) + 1 (the smoothed
     * variant sklearn's TfidfVectorizer defaults to — never divides by
     * zero, floor 1 keeps corpus-wide terms ranked).
     *
-    * Shapes for scale: the document-frequency table is vocab-sized
-    * (partial-aggregated map-side), joined back on `term` — a shuffle
-    * join, NOT a broadcast, since a 100 TB corpus's vocabulary can
-    * exceed executor memory; the doc-count scalar rides a broadcast
-    * cross join. Output: (doc, term, cnt, tfidf). */
+    * Shapes for scale: document length and document frequency ride
+    * window aggregates over the (doc, term, cnt) frame — narrow rows,
+    * never the raw text — so there is NO cached intermediate and no
+    * join-back; the doc-count scalar comes from a separate lazy branch
+    * (one extra tokenization pass, which at 100 TB is cheaper than
+    * persisting a corpus-sized tf table to memory+disk and leaking it
+    * for the session's lifetime). Output: (doc, term, cnt, tfidf). */
   def tfIdf(df: DataFrame, id: Column, text: Column): DataFrame = {
     val words = df.select(id.as("doc"),
         explode(split(lower(trim(text)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = words.groupBy(col("doc"), col("term"))
+    // docs with >= 1 nonempty term (what a tf table's distinct doc
+    // count would be) — tiny scalar, broadcast cross join
+    val nDocs = words.agg(countDistinct(col("doc")).as("n_docs"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    words.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dlen = tf.groupBy(col("doc")).agg(sum(col("cnt")).as("dlen"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.select(countDistinct(col("doc")).as("n_docs"))
-    tf.join(dlen, "doc").join(dfreq, "term")
+      .withColumn("dlen", sum(col("cnt")).over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("cnt").cast("double") / col("dlen") *

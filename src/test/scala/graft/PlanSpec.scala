@@ -68,12 +68,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("zorderKey stays pure codegen'd column algebra (no UDF)") {
-    import spark.implicits._
-    val df = (0 until 100).map(i => (i.toLong, i % 7)).toDF("a", "b")
-    val plan = df.select(graft.ops.ScaleOps.zorderKey(
-        Seq(col("a"), col("b")), 8).as("z"))
+    // over a real scan — a local Seq would be folded to LocalTableScan
+    // by ConvertToLocalRelation and leave nothing to codegen
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = li.select(graft.ops.ScaleOps.zorderKey(
+        Seq(col("l_orderkey"), col("l_partkey")), 8).as("z"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // "*(n)" marks a WholeStageCodegen span in the compact plan string
+    assert(plan.contains("*(") && plan.contains("Project"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
       plan)
   }
@@ -98,13 +100,44 @@ class PlanSpec extends AnyFunSuite {
       .select(col("o_orderkey"))
     val pre = graft.ops.ScaleOps.bloomPrefilter(li, col("l_orderkey"),
       ord, col("o_orderkey"), 1000L, 0.01)
-    val plan = pre.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .queryExecution.executedPlan.toString
-    // the UDF filter must sit between the lineitem scan and any
-    // exchange/join — i.e. the scan side's filter section mentions the
-    // bloom check before partial aggregation happens
+    val joined = pre.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the bloom UDF specifically (not just any filter) must sit between
+    // the lineitem scan and the first exchange above it — i.e. rows are
+    // pruned BEFORE they enter the shuffle
     val scanIdx = plan.indexOf("lineitem.parquet")
-    val filterIdx = plan.lastIndexOf("Filter ", scanIdx)
-    assert(filterIdx >= 0, plan)
+    assert(scanIdx >= 0, plan)
+    val filterIdx = plan.lastIndexOf("bloomMightContain", scanIdx)
+    assert(filterIdx >= 0,
+      s"no bloomMightContain filter above the lineitem scan:\n$plan")
+    val between = plan.substring(filterIdx, scanIdx)
+    assert(!between.contains("Exchange"),
+      s"bloom filter sits above an exchange (not pushed to scan):\n$plan")
+    // and it must actually prune: only 1-URGENT orders' lineitems pass
+    // (modulo bloom false positives, far fewer than the full table)
+    val total = li.count()
+    val kept = pre.count()
+    assert(kept < total,
+      s"bloom prefilter kept all $total rows — no pruning happened")
+    // contract: prefilter + join == plain join (no silent row loss)
+    val exact = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == exact,
+      s"bloomPrefilter broke the join contract: ${joined.count()} != $exact")
+  }
+
+  test("bloomPrefilter holds the join contract for string keys") {
+    // a string key is not long-castable — the bloom must hash the raw
+    // key (xxhash64), never cast it (cast→null dropped every row)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val big = docs.select(col("doc_id"), col("source"))
+    val small = docs.select(col("source")).distinct()
+      .filter(col("source") > "m").select(col("source").as("src"))
+    val pre = graft.ops.ScaleOps.bloomPrefilter(big, col("source"),
+      small, col("src"), 100L, 0.01)
+    val exact = big.join(small, col("source") === col("src")).count()
+    val viaBloom = pre.join(small, col("source") === col("src")).count()
+    assert(exact > 0, "degenerate fixture: no matching rows")
+    assert(viaBloom == exact,
+      s"string-key bloom prefilter lost rows: $viaBloom != $exact")
   }
 }
