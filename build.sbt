@@ -14,6 +14,9 @@ run / fork := true
 // Pass the forked program's stdout through verbatim (no "[info] " prefix):
 // the bench/verify drivers scan stdout for a raw JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line so the bench
+// JSON line is the LAST stdout line a wrapper sees.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
