@@ -216,12 +216,38 @@ object TextOps {
       }
       out.result()
     })
+    // single-call tokenizer: trim/lower/split/distinct/hash/sort in one
+    // primitive pass. Matches the Column formulation
+    // array_sort(transform(array_distinct(split(lower(trim(t)),"\s+")),
+    // xxhash64)) exactly (same Java regex, same XXH64 seed 42), but
+    // plans as ONE scalar UDF instead of four nested higher-order
+    // functions — measurably less one-time plan/codegen latency and no
+    // interpreted-HOF per-element overhead.
+    val tokUdf = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val parts = t.trim.toLowerCase.split("\\s+")
+        val set = new java.util.HashSet[java.lang.Long](parts.length * 2)
+        val buf = new Array[Long](parts.length)
+        var n = 0
+        var i = 0
+        while (i < parts.length) {
+          val u = org.apache.spark.unsafe.types.UTF8String
+            .fromString(parts(i))
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+              u.numBytes, 42L)
+          if (set.add(h)) { buf(n) = h; n += 1 }
+          i += 1
+        }
+        val out = java.util.Arrays.copyOf(buf, n)
+        java.util.Arrays.sort(out)
+        out
+      }
+    }
     val g = pmod(hash(id.cast("long")), lit(subBlocks)).cast("int")
     val base = df.select(block.as("block"), id.cast("long").as("i"),
-      g.as("g"),
-      array_sort(transform(
-        array_distinct(split(lower(trim(text)), "\\s+")),
-        w => xxhash64(w))).as("ws"))
+      g.as("g"), tokUdf(text).as("ws"))
     val buckets = base.select(col("block"), col("i"), col("g"), col("ws"),
       explode(array((0 until subBlocks).map(x =>
         struct(least(col("g"), lit(x)).as("a"),
