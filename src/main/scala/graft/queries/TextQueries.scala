@@ -34,6 +34,24 @@ object TextQueries extends QueryPack {
           round(avg(col("q.quality")), 6).as("avg_quality"))
         .orderBy("source")
     }),
+    "q_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = TextOps.repetitionSignals(docs, col("doc_id"),
+        col("text"), 2)
+      docs.select(col("doc_id"), col("source"))
+        .join(sig, col("doc_id") === sig("doc"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(coalesce(col("dup_line_frac"), lit(0.0))), 6)
+            .as("dup_line_frac"),
+          round(avg(coalesce(col("dup_line_char_frac"), lit(0.0))), 6)
+            .as("dup_line_char_frac"),
+          round(avg(coalesce(col("top_ngram_frac"), lit(0.0))), 6)
+            .as("top_ngram_frac"),
+          round(avg(coalesce(col("dup_ngram_frac"), lit(0.0))), 6)
+            .as("dup_ngram_frac"))
+        .orderBy("source")
+    }),
     "q_token_counts" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -130,6 +148,44 @@ object TextQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id, TRIM(u.l) AS line
+        |  FROM documents, UNNEST(string_split(text, chr(10))) AS u(l)
+        |  WHERE LENGTH(TRIM(u.l)) > 0),
+        |lc AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY 1, 2),
+        |ls AS (
+        |  SELECT doc_id, SUM(c) n_lines, COUNT(*) nd,
+        |    SUM(c * LENGTH(line)) ca,
+        |    SUM(CASE WHEN c > 1 THEN c * LENGTH(line) ELSE 0 END) cd
+        |  FROM lc GROUP BY 1),
+        |tk AS (SELECT doc_id,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+') t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS g
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+        |  WHERE len(t) >= 2),
+        |nc AS (SELECT doc_id, g, COUNT(*) c FROM ng GROUP BY 1, 2),
+        |ns AS (
+        |  SELECT doc_id, SUM(c) n_ng, MAX(c) max_c,
+        |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) dup_c
+        |  FROM nc GROUP BY 1),
+        |sig AS (
+        |  SELECT d.doc_id, d.source,
+        |    COALESCE((ls.n_lines - ls.nd)::DOUBLE / ls.n_lines, 0.0) dlf,
+        |    COALESCE(ls.cd::DOUBLE / ls.ca, 0.0) dlcf,
+        |    COALESCE(ns.max_c::DOUBLE / ns.n_ng, 0.0) tnf,
+        |    COALESCE(ns.dup_c::DOUBLE / ns.n_ng, 0.0) dnf
+        |  FROM documents d
+        |  LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |  LEFT JOIN ns ON d.doc_id = ns.doc_id)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  ROUND(AVG(dlf), 6) AS dup_line_frac,
+        |  ROUND(AVG(dlcf), 6) AS dup_line_char_frac,
+        |  ROUND(AVG(tnf), 6) AS top_ngram_frac,
+        |  ROUND(AVG(dnf), 6) AS dup_ngram_frac
+        |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lang_id" -> {
       // identical stopword scoring, literal replace both sides
       def score(lang: String): String =

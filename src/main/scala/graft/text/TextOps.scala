@@ -112,6 +112,72 @@ object TextOps {
       score.as("quality"))
   }
 
+  /** Gopher-style repetition quality signals per document (Rae et al.
+    * 2021, "Scaling Language Models" §A1.1 repetition filters): the
+    * fraction of line instances that are repeats of an earlier line,
+    * the fraction of characters sitting in duplicated lines, the share
+    * of all word n-grams taken by the single most frequent one, and the
+    * fraction of n-gram instances that occur more than once. High
+    * values flag boilerplate/spam documents for pretraining-data
+    * filtering.
+    *
+    * Shapes for scale: lines and n-grams explode to narrow (doc, item)
+    * rows and aggregate with two hash shuffles each — never a
+    * quadratic, never a collect; the n-gram generator is pure Column
+    * algebra (`sequence` + `transform`). Docs whose text yields no
+    * qualifying lines/n-grams report 0.0 (no repetition).
+    *
+    * Output: (doc, n_lines, dup_line_frac, dup_line_char_frac,
+    * top_ngram_frac, dup_ngram_frac). */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column,
+                        n: Int = 2): DataFrame = {
+    require(n >= 1, "repetitionSignals: n-gram order must be >= 1")
+    val lines = df.select(id.as("doc"),
+        explode(split(text, "\n")).as("raw"))
+      .select(col("doc"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) > 0)
+    val lineCnt = lines.groupBy(col("doc"), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("line")).cast("long"))
+    val lineSig = lineCnt.groupBy(col("doc")).agg(
+      sum(col("c")).as("n_lines"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * col("len")).as("chars_all"),
+      sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
+        .as("chars_dup"))
+    val toks = df.select(id.as("doc"),
+      split(lower(trim(text)), "\\s+").as("t"))
+    val gram = transform(sequence(lit(0), size(col("t")) - n),
+      i => concat_ws(" ",
+        (0 until n).map(k => element_at(col("t"), i + k + 1)): _*))
+    val ngrams = toks
+      .select(col("doc"),
+        explode(when(size(col("t")) >= n, gram)
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val ngCnt = ngrams.groupBy(col("doc"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val ngSig = ngCnt.groupBy(col("doc")).agg(
+      sum(col("c")).as("n_ng"),
+      max(col("c")).as("max_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    // anchor on the input docs: a doc can lack lines (whitespace text)
+    // or n-grams (fewer than n tokens) independently and must still
+    // report zeros; all three joins hash on doc
+    df.select(id.as("doc"))
+      .join(lineSig, Seq("doc"), "left")
+      .join(ngSig, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("chars_dup").cast("double") / col("chars_all"),
+          lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("max_c").cast("double") / col("n_ng"), lit(0.0))
+          .as("top_ngram_frac"),
+        coalesce(col("dup_c").cast("double") / col("n_ng"), lit(0.0))
+          .as("dup_ngram_frac"))
+  }
+
   /** 64-bit FNV-1a fingerprint of whitespace-normalized lowercase text.
     * Deterministic across engines/runs; collision odds at 10⁹ docs
     * ≈ 2.7e-2 (birthday) — use 128-bit pairing for exactness at that

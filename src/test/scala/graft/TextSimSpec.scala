@@ -46,6 +46,37 @@ class TextSimSpec extends AnyFunSuite {
     assert(math.abs(df.getAs[Double]("punct_ratio") - 2.0 / 28) < 1e-12)
   }
 
+  test("repetition signals match hand math") {
+    import spark.implicits._
+    // doc 1: lines [a b, a b, c] → n_lines=3, distinct=2,
+    //   dup_line_frac = 1/3; dup chars = 2*3 of total 2*3+1 = 6/7
+    //   2-grams (tokens a b a b c): [a b, b a, a b, b c] → top "a b"
+    //   2/4, dup 2/4
+    // doc 2: single line, no repeated 2-gram
+    // doc 3: whitespace only → all signals 0
+    val df = Seq(
+      (1L, "a b\na b\nc"),
+      (2L, "x y z"),
+      (3L, "   ")).toDF("id", "text")
+    val got = TextOps.repetitionSignals(df, col("id"), col("text"), 2)
+      .orderBy("doc").collect()
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("n_lines") == 3)
+    assert(math.abs(r1.getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("dup_line_char_frac") - 6.0 / 7)
+      < 1e-12)
+    assert(math.abs(r1.getAs[Double]("top_ngram_frac") - 0.5) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("dup_ngram_frac") - 0.5) < 1e-12)
+    val r2 = got.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r2.getAs[Double]("top_ngram_frac") == 0.5) // 1 of 2 2-grams
+    assert(r2.getAs[Double]("dup_ngram_frac") == 0.0)
+    val r3 = got.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Long]("n_lines") == 0)
+    assert(r3.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r3.getAs[Double]("top_ngram_frac") == 0.0)
+  }
+
   test("tokenCount / tokenCountBpe") {
     import spark.implicits._
     val df = Seq("one two three", "supercalifragilistic yes").toDF("text")
