@@ -73,6 +73,75 @@ object StreamOps {
      else withFp.dropDuplicates(fpCol)).drop(fpCol)
   }
 
+  /** State for one SimHash band bucket: recently seen (id, simhash)
+    * pairs, newest first, capped at the operator's `maxPerBucket`. */
+  case class BandBucket(ids: Seq[Long], hashes: Seq[Long])
+
+  /** Streaming twin of `TextOps.simHashDupPairs`: emit near-duplicate
+    * candidate pairs (id1, id2, hamming) as documents arrive, via
+    * 16-bit SimHash band buckets kept in flatMapGroupsWithState state.
+    * Input rows are (id, simhash64) — compute the hash with
+    * `TextOps.simHash` upstream (it is a native expression and runs
+    * fine under streaming).
+    *
+    * Same pigeonhole guarantee as the batch op: a pair within
+    * `maxDist` ≤ 3 bits shares at least one of the 4 bands, so it is
+    * emitted by that band's group (possibly by several — pairs are
+    * canonically ordered, so a downstream
+    * `dropDuplicatesWithinWatermark` or `distinct` collapses them).
+    *
+    * State is O(buckets × maxPerBucket), independent of stream length:
+    * each bucket keeps its `maxPerBucket` newest signatures (16 bytes
+    * each), so recall against documents older than the eviction
+    * horizon degrades gracefully — the streaming analogue of the
+    * watermark bound on `streamingExactDedup`. Works identically on a
+    * batch Dataset (state starts empty per run). */
+  def streamingSimhashDupPairs(docs: Dataset[(Long, Long)], maxDist: Int,
+                               maxPerBucket: Int = 10000)
+      : Dataset[(Long, Long, Int)] = {
+    implicit val encLLL = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val encOut = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    implicit val encState = Encoders.product[BandBucket]
+    val banded = docs.flatMap { case (id, sh) =>
+      (0 until 4).map { b =>
+        ((b.toLong << 16) | ((sh >>> (b * 16)) & 0xffffL), id, sh)
+      }
+    }
+    banded.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[BandBucket, (Long, Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[BandBucket]) =>
+          var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
+          var hs = state.getOption.map(_.hashes.toList).getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Int)]
+          rows.foreach { case (_, id, sh) =>
+            var i = ids
+            var h = hs
+            while (i.nonEmpty) {
+              val oid = i.head
+              val osh = h.head
+              if (oid != id) {
+                val d = java.lang.Long.bitCount(sh ^ osh)
+                if (d <= maxDist) {
+                  val (a, b) = if (id < oid) (id, oid) else (oid, id)
+                  out += ((a, b, d))
+                }
+              }
+              i = i.tail
+              h = h.tail
+            }
+            ids = (id :: ids).take(maxPerBucket)
+            hs = (sh :: hs).take(maxPerBucket)
+          }
+          state.update(BandBucket(ids, hs))
+          out.result().iterator
+      }
+  }
+
   /** Per-key running statistics state: Welford mean/M2 plus min/max. */
   case class RunningStats(key: String, n: Long, mean: Double, m2: Double,
                           min: Double, max: Double) {

@@ -77,6 +77,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashDupPairs finds near-dups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pick hashes so the pair differs in 2 bits (same band 0 bucket
+    // untouched in bands 1-3? band0 = low 16 bits: flip bits 20 and 40
+    // → bands 1 and 2 differ, bands 0 and 3 identical → bucket match)
+    val h1 = 0x0123456789abcdefL
+    val h2 = h1 ^ (1L << 20) ^ (1L << 40)
+    val far = ~h1 // ~64 bits away from h1
+    val mem = MemoryStream[(Long, Long)]
+    val pairs = StreamOps.streamingSimhashDupPairs(mem.toDS(), maxDist = 3)
+    val q = pairs.toDF("id1", "id2", "hamming").writeStream
+      .format("memory").queryName("graft_simdup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, h1), (3L, far))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_simdup_test")
+        .head.getLong(0) == 0L) // nothing near yet
+      // near-dup of doc 1 arrives in a LATER micro-batch
+      mem.addData((2L, h2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT DISTINCT id1, id2, hamming FROM graft_simdup_test")
+        .collect()
+      assert(got.length == 1)
+      assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L &&
+        got(0).getInt(2) == 2)
+    } finally q.stop()
+  }
+
   test("sessionize assigns gap-based sessions; streaming twin merges " +
       "session windows across batches") {
     import spark.implicits._
