@@ -25,10 +25,16 @@ object KnnOps {
 
   private def collectTree(ref: DataFrame, id: Column, features: Seq[Column],
                           metric: String): KdTree = {
+    // na.drop BEFORE assembling the array: dropping on the array column
+    // never fires (the array itself is non-null even when an element
+    // is), and a null element would silently unbox to coordinate 0.0
+    val fx = features.zipWithIndex.map { case (c, i) =>
+      c.cast("double").as(s"_f$i") }
     val rows = ref
-      .select(id.cast("long").as("_id"),
-        array(features.map(_.cast("double")): _*).as("_f"))
+      .select(id.cast("long").as("_id") +: fx: _*)
       .na.drop()  // null rows are never neighbors (expr_knn.py:100 doc)
+      .select(col("_id"),
+        array(features.indices.map(i => col(s"_f$i")): _*).as("_f"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     KdTree.build(rows, metric)
@@ -123,6 +129,41 @@ object KnnOps {
     withQueried(df, id, features,
       Seq(StructField("radius_ids", ArrayType(LongType))), (t, qid, qf) =>
         Seq(t.rangeQuery(qf, raw, exclude = qid).map(_._1).toSeq), tree)
+  }
+
+  /** Null-safe variant of [[radiusPtwise]] (expr_knn.py:528
+    * query_radius_ptwise_null_safe): rows with any null feature are
+    * excluded from the kd-tree (collectTree already drops them — they
+    * can never be neighbors) and report a null `radius_ids` instead of
+    * failing the job, matching the reference's contract. */
+  def radiusPtwiseNullSafe(df: DataFrame, id: Column,
+                           features: Seq[Column], r: Double,
+                           metric: String = "l2"): DataFrame = {
+    val raw = if (metric == "l2") r * r else r
+    val tree = collectTree(df, id, features, metric)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(tree)
+    val withIn = df
+      .withColumn("_qid", id.cast("long"))
+      .withColumn("_qf", array(features.map(_.cast("double")): _*))
+    val schema = StructType(withIn.schema.fields :+
+      StructField("radius_ids", ArrayType(LongType)))
+    val out = withIn.rdd.mapPartitions { it =>
+      val t = bc.value
+      it.map { r0 =>
+        val qf = r0.getAs[scala.collection.Seq[java.lang.Double]]("_qf")
+        val res =
+          if (qf == null || qf.exists(_ == null)) null
+          else {
+            val qid = if (r0.isNullAt(r0.fieldIndex("_qid"))) -1L
+              else r0.getAs[Long]("_qid")
+            t.rangeQuery(qf.map(Double.unbox).toArray, raw,
+              exclude = qid).map(_._1).toSeq
+          }
+        Row.fromSeq(r0.toSeq :+ res)
+      }
+    }
+    spark.createDataFrame(out, schema).drop("_qid", "_qf")
   }
 
   /** Count of neighbors within radius r (self excluded). (expr_knn.py:601

@@ -59,4 +59,56 @@ object PcaOps {
       .select(gc ++ Seq(col("singular_values"),
         col("explained_variance_ratio"), col("__n").as("n")): _*)
   }
+
+  /** Per-row projection onto the top-`k` principal components
+    * (num.py:434 principal_components): appends `pc_1..pc_k` columns.
+    *
+    * Mechanism for scale: ONE algebraic aggregation collapses the frame
+    * to a d×d covariance on the driver (d² doubles — constant-size
+    * collect), the eigen-solve happens once, and the projection is pure
+    * codegen'd Column arithmetic with the eigenvector entries inlined as
+    * literals — a single streaming pass, no shuffle, no per-row UDF.
+    *
+    * Rows with any null feature project to null and are excluded from
+    * the fit. Eigenvector signs are normalized so each component's
+    * largest-magnitude entry is positive (first index wins ties) —
+    * deterministic across platforms, unlike raw LAPACK/faer output. */
+  def principalComponents(df: DataFrame, features: Seq[Column], k: Int,
+                          center: Boolean = true): DataFrame = {
+    val d = features.length
+    require(k >= 1 && k <= d,
+      s"principalComponents: need 1 <= k <= $d, got $k")
+    val fx = features.zipWithIndex.map { case (c, i) =>
+      c.cast("double").as(s"__f$i") }
+    val aggs =
+      (for (i <- 0 until d; j <- i until d) yield
+        sum(col(s"__f$i") * col(s"__f$j")).as(s"s_${i}_$j")) ++
+      (0 until d).map(i => sum(col(s"__f$i")).as(s"s_$i")) :+
+      count(lit(1)).cast("double").as("n")
+    val row = df.select(fx: _*).na.drop()
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Double]("n")
+    require(n > k, s"principalComponents: needs more than $k rows")
+    val mean = Array.tabulate(d)(i => row.getAs[Double](s"s_$i") / n)
+    val cov = DenseMatrix.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (row.getAs[Double](s"s_${a}_$b") - mean(i) * mean(j) * n) / (n - 1.0)
+    }
+    val es = eigSym(cov)
+    // eigenvalues ascending in breeze — take the top k, descending
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(d)(i => es.eigenvectors(i, c))
+      val m = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(x => -x) else v
+    }
+    val pcCols = comps.zipWithIndex.map { case (v, pi) =>
+      (0 until d).map { i =>
+        val centered = if (center) features(i).cast("double") - mean(i)
+          else features(i).cast("double")
+        centered * v(i)
+      }.reduce(_ + _).as(s"pc_${pi + 1}")
+    }
+    df.select(col("*") +: pcCols: _*)
+  }
 }

@@ -30,6 +30,21 @@ object SeqQueries extends QueryPack {
           col("n").cast("long").as("n"))
         .orderBy("l_returnflag")
     }),
+    "q_pca_project" -> ((s, dir) => {
+      // sign-invariant check of the per-row projection: the sample
+      // variance of PC i equals the i-th covariance eigenvalue (closed
+      // form for d=2 in the oracle), and the PCs are uncorrelated
+      val proj = PcaOps.principalComponents(
+        t(s, dir, "lineitem").select(col("l_quantity"),
+          (col("l_extendedprice") / 1000.0).as("y")),
+        Seq(col("l_quantity"), col("y")), 2)
+      proj.agg(
+        count(lit(1)).as("n"),
+        round(var_samp(col("pc_1")), 4).as("var_pc1"),
+        round(var_samp(col("pc_2")), 4).as("var_pc2"),
+        round(abs(covar_samp(col("pc_1"), col("pc_2"))), 4)
+          .as("cross_cov"))
+    }),
     "q_isotonic" -> ((s, dir) => {
       SeqOps.isotonic(sub(s, dir), col("value"), col("event_id"),
           Seq("event_type"))
@@ -100,6 +115,29 @@ object SeqQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pca_project" ->
+      """WITH f AS (
+        |  SELECT l_quantity x, l_extendedprice / 1000.0 y FROM lineitem),
+        |s AS (
+        |  SELECT COUNT(*)::DOUBLE n,
+        |    SUM(x * x) sxx, SUM(x * y) sxy, SUM(y * y) syy,
+        |    SUM(x) sx, SUM(y) sy
+        |  FROM f),
+        |c AS (
+        |  SELECT n,
+        |    (sxx - sx * sx / n) / (n - 1) c11,
+        |    (sxy - sx * sy / n) / (n - 1) c12,
+        |    (syy - sy * sy / n) / (n - 1) c22
+        |  FROM s)
+        |SELECT n::BIGINT AS n,
+        |  ROUND(((c11 + c22)
+        |    + SQRT((c11 - c22) * (c11 - c22) + 4 * c12 * c12)) / 2, 4)
+        |    AS var_pc1,
+        |  ROUND(((c11 + c22)
+        |    - SQRT((c11 - c22) * (c11 - c22) + 4 * c12 * c12)) / 2, 4)
+        |    AS var_pc2,
+        |  0.0 AS cross_cov
+        |FROM c""".stripMargin,
     "q_pca" ->
       """WITH f AS (
         |  SELECT l_returnflag, l_quantity x, l_extendedprice / 1000.0 y

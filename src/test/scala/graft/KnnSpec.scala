@@ -93,6 +93,24 @@ class KnnSpec extends AnyFunSuite {
     assert(out == Seq(4L, 5L).map(_ => out.head) || out.sorted == Seq(4L, 6L))
   }
 
+  test("radiusPtwiseNullSafe: parity on clean rows, null rows get null") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Some(0.0)), (1L, Some(1.0)), (2L, Some(2.0)),
+      (3L, None), (4L, Some(10.0))).toDF("id", "x")
+    val clean = df.filter(col("x").isNotNull)
+    val expect = KnnOps.radiusPtwise(clean, col("id"), Seq(col("x")), 1.5)
+      .select(col("id"), col("radius_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = KnnOps.radiusPtwiseNullSafe(df, col("id"), Seq(col("x")),
+        1.5)
+      .select(col("id"), col("radius_ids")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(3L) == null) // null feature → null output, no crash
+    expect.foreach { case (id, ids) => assert(got(id) == ids) }
+  }
+
   test("withinDistFrom cosine and haversine metrics") {
     import spark.implicits._
     val df = Seq((1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")

@@ -91,4 +91,34 @@ class SeqSpec extends AnyFunSuite {
     assert(approx(r.getDouble(1), 0.0, 1e-6))
     assert(approx(r.getDouble(2), 1.0, 1e-12))
   }
+
+  test("principalComponents: variances are the eigenvalues, PCs " +
+      "uncorrelated, nulls project to null") {
+    import spark.implicits._
+    // anisotropic cloud with a known 45° principal axis
+    val pts = (1 to 40).map { i =>
+      val t = i.toDouble
+      (t + 0.1 * (i % 3), t - 0.1 * (i % 3))
+    }
+    val df = pts.toDF("a", "b")
+      .union(Seq((Double.NaN, Double.NaN)).toDF("a", "b")
+        .select(lit(null).cast("double").as("a"),
+          lit(null).cast("double").as("b")))
+    val proj = PcaOps.principalComponents(df,
+      Seq(col("a"), col("b")), 2)
+    val stats = proj.agg(var_samp(col("pc_1")), var_samp(col("pc_2")),
+      covar_samp(col("pc_1"), col("pc_2")), count(col("pc_1"))).head
+    // eigenvalues of the 2x2 sample covariance, closed form
+    val n = pts.length.toDouble
+    val ma = pts.map(_._1).sum / n
+    val mb = pts.map(_._2).sum / n
+    val c11 = pts.map(p => (p._1 - ma) * (p._1 - ma)).sum / (n - 1)
+    val c22 = pts.map(p => (p._2 - mb) * (p._2 - mb)).sum / (n - 1)
+    val c12 = pts.map(p => (p._1 - ma) * (p._2 - mb)).sum / (n - 1)
+    val disc = math.sqrt((c11 - c22) * (c11 - c22) + 4 * c12 * c12)
+    assert(approx(stats.getDouble(0), (c11 + c22 + disc) / 2, 1e-8))
+    assert(approx(stats.getDouble(1), (c11 + c22 - disc) / 2, 1e-8))
+    assert(math.abs(stats.getDouble(2)) < 1e-8)
+    assert(stats.getLong(3) == 40L) // the null row projected to null
+  }
 }
