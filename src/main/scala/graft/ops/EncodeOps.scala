@@ -63,6 +63,49 @@ object EncodeOps {
     counts.select(col("value"), ((pe - pn) * log(pe / pn)).as("iv"))
   }
 
+  /** Continuous-feature WOE + IV (num.py:698 woe, num.py:760
+    * info_value — both qcut the feature then run the discrete kernel):
+    * exact equal-frequency quantile binning over the deterministic
+    * (x, tiebreak) total order, then the same +1-smoothed per-bin math
+    * as [[woeDiscrete]]/[[infoValue]]. Non-finite x rows are excluded
+    * (the reference filters is_finite before qcut).
+    *
+    * Binning is bin = ⌊idx·nBins/N⌋ over a distributed total sort +
+    * zipWithIndex — two passes, range-partitioned, no single-partition
+    * window. Exact qcut fundamentally costs a total sort (it does in
+    * the reference too); at 100 TB prefer fixed breakpoints
+    * ([[psiWithBreakpoints]]-style) if approximate bins are
+    * acceptable. Returns (bin, events, non_events, woe, iv); total IV
+    * = sum(iv). */
+  def woeContinuous(df: DataFrame, x: Column, target: Column,
+                    tiebreak: Column, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val proj = df.select(x.cast("double").as("__x"),
+        target.cast("double").as("__t"), tiebreak.as("__o"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__x") =!= Double.PositiveInfinity &&
+        col("__x") =!= Double.NegativeInfinity)
+    val sorted = proj.orderBy(col("__x"), col("__o")).select(col("__t"))
+    val indexed = sorted.rdd.zipWithIndex()
+    val n = indexed.count()
+    require(n > 0, "woeContinuous: no finite rows to bin")
+    val binned = spark.createDataFrame(
+      indexed.map { case (r, idx) => Row(idx * nBins / n, r.getDouble(0)) },
+      StructType(Seq(StructField("bin", LongType, nullable = false),
+        StructField("t", DoubleType, nullable = false))))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(col("t")).as("events"),
+        (count(lit(1)) - sum(col("t"))).as("non_events"))
+    val tot = counts.agg(sum("events"), sum("non_events")).head
+    val (te, tn) = (tot.getDouble(0), tot.getDouble(1))
+    val pe = (col("events") + 1.0) / (te + 2.0)
+    val pn = (col("non_events") + 1.0) / (tn + 2.0)
+    counts.select(col("bin"), col("events"), col("non_events"),
+      log(pe / pn).as("woe"), ((pe - pn) * log(pe / pn)).as("iv"))
+  }
+
   /** PSI of `actual` against `baseline` using `nBins` baseline quantile
     * breakpoints (num.py:511 psi; psi.rs:76, bucketing psi.rs:19-37).
     * Returns the report frame: one row per bucket with

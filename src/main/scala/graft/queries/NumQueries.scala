@@ -104,6 +104,19 @@ object NumQueries extends QueryPack {
           round(col("iv"), 8).as("iv"))
         .orderBy("value")
     }),
+    "q_woe_cont" -> ((s, dir) => {
+      // continuous woe: exact quantile bins over the deterministic
+      // (value, event_id) order — event_id is unique, so both engines
+      // agree on tie placement
+      val ev = t(s, dir, "events")
+        .withColumn("y",
+          (col("value") + col("event_id") % 7 > 52).cast("int"))
+      EncodeOps.woeContinuous(ev, col("value"), col("y"),
+          col("event_id"), 10)
+        .select(col("bin"), col("events").cast("long").as("events"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 8).as("iv"))
+        .orderBy("bin")
+    }),
     "q_target_encode" -> ((s, dir) => {
       EncodeOps.targetEncode(t(s, dir, "customer"), col("c_mktsegment"),
           (col("c_acctbal") > 0).cast("double"), 100, 50.0)
@@ -250,6 +263,30 @@ object NumQueries extends QueryPack {
         |    * LN(((events + 1.0) / (te + 2.0))
         |      / ((non_events + 1.0) / (tn + 2.0))), 8) AS iv
         |FROM c, tot ORDER BY value""".stripMargin,
+    "q_woe_cont" ->
+      """WITH f AS (
+        |  SELECT value x,
+        |    CASE WHEN value + (event_id % 7) > 52 THEN 1.0 ELSE 0.0 END y,
+        |    event_id o
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)),
+        |r AS (
+        |  SELECT y, ROW_NUMBER() OVER (ORDER BY x, o) - 1 AS idx,
+        |    COUNT(*) OVER () AS n
+        |  FROM f),
+        |b AS (SELECT (idx * 10) // n AS bin, y FROM r),
+        |c AS (
+        |  SELECT bin, SUM(y) events, COUNT(*) - SUM(y) non_events
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(events) te, SUM(non_events) tn FROM c)
+        |SELECT bin, events::BIGINT AS events,
+        |  ROUND(LN(((events + 1.0) / (te + 2.0))
+        |    / ((non_events + 1.0) / (tn + 2.0))), 6) AS woe,
+        |  ROUND(((events + 1.0) / (te + 2.0)
+        |      - (non_events + 1.0) / (tn + 2.0))
+        |    * LN(((events + 1.0) / (te + 2.0))
+        |      / ((non_events + 1.0) / (tn + 2.0))), 8) AS iv
+        |FROM c, tot ORDER BY bin""".stripMargin,
     "q_target_encode" ->
       """WITH t AS (
         |  SELECT c_mktsegment AS value,
