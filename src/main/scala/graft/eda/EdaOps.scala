@@ -119,6 +119,22 @@ object EdaOps {
         "is_discrete", "high_null")
   }
 
+  /** Columns that could hold probabilities: every non-null value lies
+    * in [0, 1]. One aggregation over all candidates.
+    * (diagnosis.py:492 infer_prob) */
+  def inferProb(df: DataFrame, cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty) Nil
+    else {
+      val aggs = cols.map(c =>
+        min(when(col(c).isNotNull,
+          col(c).between(0.0, 1.0).cast("int"))).as(c))
+      val r = df.agg(aggs.head, aggs.tail: _*).head
+      cols.zipWithIndex.collect {
+        case (c, i) if !r.isNullAt(i) && r.getInt(i) == 1 => c
+      }
+    }
+  }
+
   /** H(x|y): conditional-entropy dependency score used by
     * infer_dependency (diagnosis.py:772) — 0 means y determines x. */
   def dependencyScore(df: DataFrame, x: Column, y: Column): Double =

@@ -313,6 +313,47 @@ final class Blueprint private (
     Seq(c -> s"CASE $cases ELSE NULL END")
   }
 
+  /** Information-Value encoding: category → its IV component (same +1
+    * smoothing as EncodeOps.infoValue). (transforms.py:615 iv_encode) */
+  def ivEncode(c: String, target: String): Blueprint = addFit { df =>
+    val mapping = graft.ops.EncodeOps
+      .infoValue(df, col(c), col(target))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+    val cases = mapping
+      .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
+      .mkString(" ")
+    Seq(c -> s"CASE $cases ELSE NULL END")
+  }
+
+  /** NaN → null in every float/double column. (pipeline.py:415
+    * nan_to_null; the reference's cs.float() selector → schema scan) */
+  def nanToNull(): Blueprint = addFit { df =>
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    df.schema.fields.toSeq
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(f => f.name ->
+        s"CASE WHEN isnan(${f.name}) THEN NULL ELSE ${f.name} END")
+  }
+
+  /** Cast every integer column to float (f32) or double. (pipeline.py:422
+    * int_to_float) */
+  def intToFloat(f32: Boolean = true): Blueprint = addFit { df =>
+    import org.apache.spark.sql.types._
+    val target = if (f32) "float" else "double"
+    df.schema.fields.toSeq
+      .filter(f => Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType))
+      .map(f => f.name -> s"cast(${f.name} as $target)")
+  }
+
+  /** Cast every boolean column to an integer type. (pipeline.py:367
+    * cast_bools; Spark has no unsigned — int replaces UInt8) */
+  def castBools(dtype: String = "int"): Blueprint = addFit { df =>
+    import org.apache.spark.sql.types.BooleanType
+    df.schema.fields.toSeq.filter(_.dataType == BooleanType)
+      .map(f => f.name -> s"cast(${f.name} as $dtype)")
+  }
+
   /** drop columns whose train std is outside [lo, hi].
     * (transforms.py:668 select_by_std) */
   def selectByStd(cols: Seq[String], lo: Double, hi: Double): Blueprint =

@@ -42,6 +42,14 @@ class EdaSampleSpec extends AnyFunSuite {
     assert(s.distinct().count() == 37)
   }
 
+  test("inferProb flags [0,1]-bounded columns only") {
+    import spark.implicits._
+    val df = Seq((0.2, 1.5, 0.0), (0.9, 0.4, 1.0), (0.5, -0.1, 0.7))
+      .toDF("p", "notp", "edge")
+    assert(graft.eda.EdaOps.inferProb(df,
+      Seq("p", "notp", "edge")) == Seq("p", "edge"))
+  }
+
   test("specialValuesReport counts nan/null/zero") {
     import spark.implicits._
     val df = Seq(Some(0.0), Some(1.0), None, Some(Double.NaN),

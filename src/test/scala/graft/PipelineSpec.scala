@@ -81,6 +81,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("x"))
   }
 
+  test("schema-driven steps: nanToNull, intToFloat, castBools, ivEncode") {
+    import spark.implicits._
+    val df = Seq((1, true, Double.NaN, "a", 1.0),
+      (2, false, 2.5, "b", 0.0), (3, true, 3.5, "a", 1.0))
+      .toDF("i", "b", "x", "c", "y")
+    val out = Blueprint(df)
+      .nanToNull()
+      .intToFloat(f32 = false)
+      .castBools()
+      .ivEncode("c", "y")
+      .fitTransform(df)
+    val sch = out.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toMap
+    assert(sch("i") == "double") // int → double
+    assert(sch("b") == "integer") // bool → int
+    val rows = out.orderBy("y", "c").collect()
+    assert(rows.exists(_.isNullAt(rows.head.fieldIndex("x")))) // NaN→null
+    // iv components: a → (events 2, non 0), b → (0, 1); totals (2, 1)
+    val peA = 3.0 / 4; val pnA = 1.0 / 3
+    val ivA = (peA - pnA) * math.log(peA / pnA)
+    val gotA = out.filter(col("i") === 1.0).select("c").head.getDouble(0)
+    assert(approx(gotA, ivA, 1e-12))
+  }
+
   test("fit statistics come from train, applied to test") {
     import spark.implicits._
     val train = Seq(0.0, 10.0).toDF("x")   // min 0, max 10
