@@ -91,9 +91,24 @@ object GraphOps {
                           localFinishThreshold: Long = 2000000L)
       : DataFrame = {
     val spark = edges.sparkSession
-    graft.util.Release.scoped(spark) {
-    var e = canon(edges.select(src.cast("long").as("u"),
-        dst.cast("long").as("v")))
+    val canonEdges = canon(edges.select(src.cast("long").as("u"),
+      dst.cast("long").as("v")))
+    // Fast path: ONE limit-collect both decides small-vs-large and,
+    // when small, already delivers the edge set — no persist, no
+    // checksum job, no second action. A dedup pair graph usually IS
+    // small (edges ≈ duplicates, not documents), so this is the
+    // common case; the distributed loop below is the 100 TB path.
+    val cap = math.min(localFinishThreshold, Int.MaxValue - 8L).toInt
+    val sampled =
+      if (localFinishThreshold > 0L) canonEdges.limit(cap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localFinishThreshold > 0L && sampled.length <= cap)
+      graft.util.Release.scoped(spark) {
+        unionFindLabels(spark,
+          sampled.map(r => (r.getLong(0), r.getLong(1))))
+      }
+    else graft.util.Release.scoped(spark) {
+    var e = canonEdges
       .persist(StorageLevel.MEMORY_AND_DISK)
     // fixpoint detection on an order-independent checksum of the edge
     // set — one tiny action per round on the already-persisted frame
@@ -130,34 +145,10 @@ object GraphOps {
           .unionAll(e.select(col("u").as("id"), col("u").as("component"))
             .distinct())
       } else if (prevSum._1 <= localFinishThreshold) {
-        // local finish: collect the shrunken edge set, union-find with
-        // path compression, union-by-min roots
+        // local finish: collect the shrunken edge set, union-find
         val rows = e.select(col("u"), col("v")).collect()
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r)
-            r = parent.getOrDefault(r, r)
-          var c = x
-          while (parent.getOrDefault(c, c) != c) {
-            val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
-          }
-          r
-        }
-        rows.foreach { r =>
-          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
-          .distinct
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(
-          ids.map(i => org.apache.spark.sql.Row(i, find(i))).toSeq.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("component",
-              org.apache.spark.sql.types.LongType, nullable = false))))
+        unionFindLabels(spark,
+          rows.map(r => (r.getLong(0), r.getLong(1))))
       } else throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
@@ -168,6 +159,36 @@ object GraphOps {
     }
   }
 
+  /** Driver-side union-find (path compression, union-by-min) over a
+    * collected edge list → (id, component) frame. */
+  private def unionFindLabels(spark: org.apache.spark.sql.SparkSession,
+                              pairs: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r)
+        r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      val (ra, rb) = (find(u), find(v))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      ids.map(i => org.apache.spark.sql.Row(i, find(i))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Transitive duplicate clusters from a pair frame (as produced by
     * `TextOps.jaccardDupPairs`, `minHashDupPairs`,
     * `SimOps.cosineDupPairs`, …): `(id, component, csize)` for every
@@ -176,12 +197,15 @@ object GraphOps {
                   maxIter: Int = 25): DataFrame = {
     val cc = connectedComponents(
       pairs.select(id1.as("u"), id2.as("v")), col("u"), col("v"), maxIter)
-    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-    // materialize the (small) cluster table, then drop the label blocks
-    // connectedComponents left resident — dupClusters is self-cleaning
+    // csize via a window on the labels frame: one shuffle on component,
+    // no aggregate-then-join round trip. Materialize the (small)
+    // cluster table, then drop the label blocks connectedComponents
+    // left resident — dupClusters is self-cleaning.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
     val out = graft.util.Release.scoped(pairs.sparkSession) {
-      cc.join(sizes, "component").select(col("id"), col("component"),
-        col("csize"))
+      cc.select(col("id"), col("component"),
+        count(lit(1)).over(w).as("csize"))
     }
     graft.util.Release.free(cc)
     out
