@@ -17,6 +17,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Drop sbt's trailing "[success] Total time: ..." line so the bench
 // JSON line is the LAST stdout line a wrapper sees.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,7 +284,8 @@ object SimOps {
                     sampleCap: Int = 20000, kmeansIter: Int = 8,
                     queryCap: Long = 1000000L)
       : DataFrame = {
-    val nQ = queries.limit((queryCap + 1).toInt).count()
+    val nQ = queries
+      .limit(math.min(queryCap + 1, Int.MaxValue - 8L).toInt).count()
     require(nQ <= queryCap,
       s"ivfCosineTopK: queries frame exceeds queryCap=$queryCap rows; " +
         "it is collected to the driver and broadcast. Pre-filter the " +
