@@ -97,6 +97,18 @@ object SeqQueries extends QueryPack {
             .as("sum_spline"))
         .orderBy("event_type")
     }),
+    "q_spline_interp" -> ((s, dir) => {
+      // lambda = 0 → the smoothing spline interpolates: fitted values
+      // at the knots ARE the inputs (SeqSpec proves it), which gives
+      // the spline plumbing an exact SQL oracle; the lambda > 0 math
+      // stays golden-tested in SeqSpec.
+      SeqOps.smoothSpline(sub(s, dir), col("event_id"), col("value"),
+          Seq("event_type"), 0.0)
+        .select(col("event_type"),
+          round(aggregate(col("spline"), lit(0.0), _ + _), 2)
+            .as("sum_spline"))
+        .orderBy("event_type")
+    }),
     "q_combinations" -> ((s, dir) => {
       val small = t(s, dir, "events")
         .filter(col("event_id") % 100 === 0)
@@ -115,6 +127,10 @@ object SeqQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_spline_interp" ->
+      s"""WITH s AS ($subSql)
+         |SELECT event_type, ROUND(SUM(value), 2) AS sum_spline
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pca_project" ->
       """WITH f AS (
         |  SELECT l_quantity x, l_extendedprice / 1000.0 y FROM lineitem),
