@@ -30,13 +30,23 @@ object KnnOps {
     // is), and a null element would silently unbox to coordinate 0.0
     val fx = features.zipWithIndex.map { case (c, i) =>
       c.cast("double").as(s"_f$i") }
+    // loud cap instead of a silent driver OOM: the broadcast-kd-tree
+    // strategy needs the reference set on the driver (then on every
+    // executor). Past this size, pre-filter/sample the reference or
+    // use the LSH path (SimOps.lshCosineTopK), which never collects.
+    val cap = 10000000
     val rows = ref
       .select(id.cast("long").as("_id") +: fx: _*)
       .na.drop()  // null rows are never neighbors (expr_knn.py:100 doc)
       .select(col("_id"),
         array(features.indices.map(i => col(s"_f$i")): _*).as("_f"))
+      .limit(cap + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.length <= cap,
+      s"KnnOps: reference set exceeds $cap rows — the broadcast kd-tree " +
+        "must fit on the driver and every executor. Pre-filter the " +
+        "reference frame or use the LSH/IVF paths in graft.sim.SimOps.")
     KdTree.build(rows, metric)
   }
 

@@ -31,9 +31,21 @@ object SimOps {
   }
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
-    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+    * `queries`/`corpus`: (id, vec). Self-matches excluded.
+    *
+    * REQUIREMENT: the query frame is collected and broadcast (that is
+    * what keeps the corpus side a single zero-shuffle pass) — at most
+    * `queryCap` rows; fails fast with a clear message rather than
+    * OOMing the driver. The corpus side is unbounded. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                 broadcastCorpus: Boolean = true): DataFrame = {
+                 broadcastCorpus: Boolean = true,
+                 queryCap: Long = 1000000L): DataFrame = {
+    val nQ = queries
+      .limit(math.min(queryCap + 1, Int.MaxValue - 8L).toInt).count()
+    require(nQ <= queryCap,
+      s"cosineTopK: queries frame exceeds queryCap=$queryCap rows; " +
+        "it is collected to the driver and broadcast. Pre-filter the " +
+        "queries or raise queryCap (with driver heap to match).")
     // Broadcast the QUERY matrix and scan the corpus once with fused
     // primitive-array loops: each partition keeps a local top-k per
     // query, so the shuffle is |queries|·k·partitions candidate rows
