@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bucketed-table writes (sources.Bucketing) register external
+      // tables; keep the managed-table root out of the repo tree.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       // Reclaim dropped RDD/broadcast blocks promptly in long-lived
       // sessions (default 30 min lets unreachable blocks pile up and
       // evict useful cache on a busy cluster).

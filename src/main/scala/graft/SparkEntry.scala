@@ -34,7 +34,9 @@ object SparkEntry {
     InfoQueries,
     StreamQueries,
     CoverageQueries,
-    GraphQueries
+    GraphQueries,
+    StorageQueries,
+    SketchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -13,6 +13,8 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
     val fn = SparkEntry.queries(name)
+    if (sys.env.contains("GRAFT_SHOW"))
+      fn(spark, sfDir).show(50, truncate = false)
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

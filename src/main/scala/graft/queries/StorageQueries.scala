@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+/** Driver-contract queries for the storage-layout operators (SURVEY
+  * §2.1 — the reference inherits Polars IO; Spark-side we own layout):
+  * bucketed external tables whose co-bucketed joins run with no
+  * Exchange. The oracle is layout-independent (a plain SQL join), so
+  * the hash gate proves the bucketed physical path returns exactly the
+  * shuffled plan's rows. */
+object StorageQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join" -> ((s, dir) => {
+      // Re-layout both sides bucketed by the join key, then join via
+      // the catalog tables: EnsureRequirements sees matching
+      // HashPartitioning(o_custkey | c_custkey, 8) on both sides and
+      // plans the sort-merge join with zero Exchange (PlanSpec pins
+      // this). Paths are keyed by the sf dir so repeat runs overwrite.
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_buckets$tag"
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        s"graft_bo$tag", s"$root/orders", 8, Seq("o_custkey"))
+      Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        s"graft_bc$tag", s"$root/customer", 8, Seq("o_custkey"))
+      Bucketing.bucketedJoin(s, s"graft_bo$tag", s"graft_bc$tag",
+          Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_bucket_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -140,4 +140,39 @@ class PlanSpec extends AnyFunSuite {
     assert(viaBloom == exact,
       s"string-key bloom prefilter lost rows: $viaBloom != $exact")
   }
+
+  test("co-bucketed join plans with zero Exchange") {
+    import graft.sources.Bucketing
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_custkey", "o_totalprice"),
+      "spec_bo", s"$root/orders", 4, Seq("o_custkey"))
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "spec_bc", s"$root/customer", 4, Seq("o_custkey"))
+    // disable broadcast so the only shuffle-free path is the bucket
+    // layout itself (a broadcast join would hide a broken layout)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "spec_bo", "spec_bc",
+        Seq("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+      // and the result matches the plain (shuffled) join
+      val exact = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .join(spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
+        .count()
+      assert(joined.count() == exact,
+        s"bucketed join row count ${joined.count()} != $exact")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
