@@ -79,6 +79,35 @@ object ScaleOps {
       .drop("_bin")
   }
 
+  /** Interval-overlap join via binning: BOTH sides explode into the
+    * bins their interval touches, the join is a plain equi-join on the
+    * bin, and the exact overlap check (`lHi >= rLo && rHi >= lLo`,
+    * closed intervals) filters false bin-neighbors. An overlapping
+    * pair shares every bin its intersection covers, so to meet exactly
+    * once the match is only accepted in the CANONICAL bin — the bin of
+    * `greatest(lLo, rLo)`, the intersection's left edge. No dedup
+    * shuffle needed.
+    *
+    * Same scale story as [[binnedPointIntervalJoin]]: replaces the
+    * cartesian/BNLJ plan with shuffle cost |L|·(span/bin+1) +
+    * |R|·(span/bin+1). Pick binWidth near the median interval width;
+    * column names must be disjoint (alias before calling). */
+  def binnedIntervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                                right: DataFrame, rLo: String, rHi: String,
+                                binWidth: Double,
+                                keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("_bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    bins(left, lLo, lHi).join(bins(right, rLo, rHi), keys :+ "_bin")
+      .filter(col(lHi) >= col(rLo) && col(rHi) >= col(lLo) &&
+        col("_bin") === floor(greatest(col(lLo), col(rLo)) / binWidth)
+          .cast("long"))
+      .drop("_bin")
+  }
+
   /** Z-order (Morton) key: interleaves the low `bits` bits of each
     * column so rows close in EVERY dimension get close keys. Sorting or
     * range-partitioning parquet by this key clusters multi-dimensional

@@ -50,6 +50,33 @@ object SketchOps {
         abs(col("_p95")) * relTol).as("p95_ok"))
   }
 
+  /** Heavy hitters: `df.stat.freqItems` (Karp-Papadimitriou-Shenker
+    * one-pass counters, fixed memory) against the exact count twin.
+    * freqItems' contract is one-sided — every item with frequency >
+    * `support` IS returned (plus possible false positives); `hh_ok`
+    * asserts that containment held. Output: the exact top-`topK` keys
+    * by count (ties broken by key — deterministic across engines) with
+    * the contract flag on each row. */
+  def heavyHitters(df: DataFrame, key: String, support: Double,
+                   topK: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val cached = counts.persist()
+    try {
+      val total = cached.agg(sum(col("n"))).head().getLong(0)
+      val trueHH = cached.filter(col("n") > total * support)
+        .select(col(key)).collect().map(_.get(0)).toSet
+      val approx = df.stat.freqItems(Seq(key), support)
+        .head().getSeq[Any](0).toSet
+      val ok = trueHH.subsetOf(approx)
+      // materialize the tiny top-k before dropping the counts cache so
+      // the caller's consume doesn't recompute the aggregation
+      cached.orderBy(col("n").desc, col(key))
+        .limit(topK)
+        .withColumn("hh_ok", lit(ok))
+        .localCheckpoint(true)
+    } finally { cached.unpersist() }
+  }
+
   /** Per-group sketched median with its exact twin and error flag —
     * the groupBy form is where the mergeable-sketch property pays:
     * one shuffle of fixed-size sketch partials instead of all values. */

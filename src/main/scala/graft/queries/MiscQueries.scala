@@ -109,10 +109,37 @@ object MiscQueries extends QueryPack {
           sum(col("s_suppkey")).as("sum_suppkey"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy("event_type")
+    }),
+    "q_overlap_join" -> ((s, dir) => {
+      // supplier vs customer account-balance bands that overlap —
+      // interval×interval join, binned (no cartesian); each pair is
+      // accepted only in its canonical bin so the count is exact
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          (col("s_acctbal") / 25.0 - 2.0).as("slo"),
+          (col("s_acctbal") / 25.0 + 2.0).as("shi"))
+      val cu = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_acctbal") / 25.0 - 1.5).as("clo"),
+          (col("c_acctbal") / 25.0 + 1.5).as("chi"))
+      graft.ops.ScaleOps.binnedIntervalOverlapJoin(su, "slo", "shi",
+          cu, "clo", "chi", binWidth = 4.0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c_custkey")).as("sum_custkey"))
+        .orderBy("s_nationkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_overlap_join" ->
+      """SELECT s_nationkey,
+        |  COUNT(*) AS n_pairs,
+        |  SUM(c_custkey)::BIGINT AS sum_custkey
+        |FROM supplier, customer
+        |WHERE s_acctbal / 25.0 + 2.0 >= c_acctbal / 25.0 - 1.5
+        |  AND c_acctbal / 25.0 + 1.5 >= s_acctbal / 25.0 - 2.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

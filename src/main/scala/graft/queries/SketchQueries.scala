@@ -20,7 +20,12 @@ object SketchQueries extends QueryPack {
     "q_sketch_quantile_grp" -> ((s, dir) =>
       SketchOps.groupedQuantileReport(t(s, dir, "lineitem"),
           col("l_returnflag"), col("l_extendedprice"), 0.5)
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "q_heavy_hitters" -> ((s, dir) =>
+      SketchOps.heavyHitters(
+        t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("int").as("qty")),
+        "qty", support = 0.015, topK = 5))
   )
 
   def oracles: Map[String, String] = Map(
@@ -36,6 +41,11 @@ object SketchQueries extends QueryPack {
       """SELECT l_returnflag,
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q_exact,
         |       true AS q_ok
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT CAST(l_quantity AS INT) AS qty, COUNT(*) AS n,
+        |       true AS hh_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n DESC, qty LIMIT 5""".stripMargin
   )
 }

@@ -15,6 +15,27 @@ import graft.text.TextOps
 object TextQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_redact_pii" -> ((s, dir) => {
+      // documents carry no natural PII, so append deterministic
+      // synthetic PII derived from doc_id — built with the identical
+      // string expression in the oracle SQL, which makes the scrub
+      // output itself cross-engine comparable (patterns are RE2-safe).
+      import graft.text.RedactOps
+      val aug = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("https://ex.com/p/"), col("doc_id"),
+          lit(" at 10.0.0."), pmod(col("doc_id"), lit(256)),
+          lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      aug.select(col("doc_id"),
+          RedactOps.piiProfile(col("aug")).as("p"),
+          md5(RedactOps.redactPii(col("aug"))).as("red_md5"))
+        .select(col("doc_id"), col("p.n_emails"), col("p.n_urls"),
+          col("p.n_ips"), col("p.n_phones"), col("red_md5"))
+        .orderBy("doc_id")
+    }),
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("pred", TextOps.langId(col("text")))
@@ -148,6 +169,31 @@ object TextQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or ' ||
+        |    'https://ex.com/p/' || doc_id || ' at 10.0.0.' ||
+        |    (doc_id % 256) || ' call 555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(aug,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(aug,
+        |    '(?:\+[0-9]{1,3}[-. ])?\b(?:[0-9]{2,4}[-. ])?[0-9]{3,4}[-. ][0-9]{4}\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |    'https?://[^\s]+', '[URL]', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '(?:\+[0-9]{1,3}[-. ])?\b(?:[0-9]{2,4}[-. ])?[0-9]{3,4}[-. ][0-9]{4}\b',
+        |    '[PHONE]', 'g') ) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH l AS (
         |  SELECT doc_id, TRIM(u.l) AS line

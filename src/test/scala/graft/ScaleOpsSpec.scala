@@ -54,4 +54,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("binned interval-overlap join equals cross-join filter, once per pair") {
+    import spark.implicits._
+    // interval widths straddle the bin width (some zero-width, some
+    // spanning many bins) to stress the canonical-bin dedup
+    val l = (0 until 120).map { i =>
+      val lo = (i % 37) * 1.9; (i.toLong, lo, lo + (i % 5) * 3.3)
+    }.toDF("lid", "llo", "lhi")
+    val r = (0 until 80).map { i =>
+      val lo = (i % 29) * 2.3; (1000L + i, lo, lo + (i % 9) * 1.1)
+    }.toDF("rid", "rlo", "rhi")
+    val gotAll = ScaleOps.binnedIntervalOverlapJoin(l, "llo", "lhi",
+        r, "rlo", "rhi", binWidth = 4.0)
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    // exactly once per qualifying pair — no multi-bin duplicates
+    assert(gotAll.length == gotAll.toSet.size,
+      s"${gotAll.length} rows vs ${gotAll.toSet.size} distinct pairs")
+    val exp = l.crossJoin(r)
+      .filter(col("lhi") >= col("rlo") && col("rhi") >= col("llo"))
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(gotAll.toSet == exp && exp.nonEmpty)
+  }
 }
