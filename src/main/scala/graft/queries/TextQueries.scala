@@ -43,6 +43,28 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("source", "pred")
     }),
+    "q_clean_corpus" -> ((s, dir) => {
+      // the end-to-end pretraining-data cleaning pipeline, one plan:
+      // predicted-language filter → quality gate → exact dedup →
+      // PII scrub → per-source survivor stats. Every stage is the
+      // operator already oracle-checked in isolation; this query pins
+      // their composition (filters push into one scan; dedup is the
+      // only shuffle before the final agg).
+      import graft.text.RedactOps
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .filter(TextOps.langId(col("text")) === "en")
+        .withColumn("q", TextOps.qualityFeatures(col("text")))
+        .filter(col("q.quality") >= 0.5)
+      TextOps.exactDedup(gated, col("text"), col("doc_id"))
+        .select(col("source"), col("q.n_tokens").as("n_tokens"),
+          length(RedactOps.redactPii(col("text"))).as("scrub_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("scrub_chars")).as("scrub_chars"))
+        .orderBy("source")
+    }),
     "q_text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("q", TextOps.qualityFeatures(col("text")))
@@ -260,6 +282,56 @@ object TextQueries extends QueryPack {
          |  FROM sc)
          |SELECT source, pred, COUNT(*) AS n
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q_clean_corpus" -> {
+      def score(lang: String): String =
+        TextOps.langProfiles(lang).map(w =>
+          s"(LENGTH(p) - LENGTH(REPLACE(p, '$w', ''))) / ${w.length}.0")
+          .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, ' ' || LOWER(text) || ' ' AS p
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, text,
+         |    ${score("de")} AS s_de,
+         |    ${score("en")} AS s_en,
+         |    ${score("es")} AS s_es,
+         |    ${score("fr")} AS s_fr,
+         |    LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS cjk
+         |  FROM t),
+         |en AS (
+         |  SELECT doc_id, source, text FROM sc
+         |  WHERE cjk = 0 AND NOT s_de >= GREATEST(s_en, s_es, s_fr)
+         |    AND s_en >= GREATEST(s_es, s_fr)),
+         |q AS (
+         |  SELECT doc_id, source, text,
+         |    LENGTH(regexp_split_to_array(TRIM(text), '\\s+'))::BIGINT nt
+         |  FROM (
+         |    SELECT *, LENGTH(text)::DOUBLE nc,
+         |      LENGTH(regexp_split_to_array(TRIM(text), '\\s+'))::DOUBLE ntd,
+         |      LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE np,
+         |      LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE nd
+         |    FROM en)
+         |  WHERE (CASE WHEN ntd < 5 THEN 0.0 ELSE
+         |    LEAST(1.0, GREATEST(0.0,
+         |      1.0 - ABS((nc - ntd + 1.0) / ntd - 5.0)/10.0
+         |        - np/nc*2.0 - nd/nc*2.0)) END) >= 0.5),
+         |d AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY LOWER(TRIM(regexp_replace(text, '\\s+', ' ',
+         |      'g'))) ORDER BY doc_id) rn
+         |  FROM q)
+         |SELECT source, COUNT(*) AS n_docs, SUM(nt)::BIGINT AS tokens,
+         |  SUM(LENGTH(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '[EMAIL]', 'g'),
+         |    'https?://[^\\s]+', '[URL]', 'g'),
+         |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g'),
+         |    '(?:\\+[0-9]{1,3}[-. ])?\\b(?:[0-9]{2,4}[-. ])?[0-9]{3,4}[-. ][0-9]{4}\\b',
+         |    '[PHONE]', 'g')))::BIGINT AS scrub_chars
+         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_text_quality" ->
       """WITH q AS (

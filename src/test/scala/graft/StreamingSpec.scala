@@ -53,6 +53,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct runs incrementally (mergeable sketch state)") {
+    // approx_count_distinct's HLL partials merge associatively, so it
+    // composes with stateful streaming aggregation — the per-window
+    // distinct-user count a 100 TB event stream needs without keeping
+    // the user set in state. At this cardinality HLL is exact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val streamed = StreamOps.withEventTime(
+      mem.toDF().toDF("t", "user"), col("t"), "10 minutes", "event_time")
+    val agg = StreamOps.streamingWindowedAgg(streamed, "1 hour", Nil,
+      Seq(approx_count_distinct(col("user")).as("n_users")))
+    val q = agg.writeStream.format("memory").queryName("graft_hll_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData((1 to 40).map(i =>
+        (Timestamp.valueOf("2026-01-01 10:05:00"), (i % 20).toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 30).map(i =>
+        (Timestamp.valueOf("2026-01-01 10:40:00"), (i % 30).toLong)): _*)
+      q.processAllAvailable()
+      // latest update for the 10:00 window: distinct of {0..19}∪{0..29}
+      val n = spark.sql(
+        "SELECT max(n_users) FROM graft_hll_stream").head.getLong(0)
+      assert(n == 30L, s"windowed distinct merged wrong: $n")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
