@@ -13,6 +13,38 @@ object LinRegOps {
 
   private val P = "__pds_"
 
+  /** The reference's null policies for regression inputs
+    * (python/polars_ds/typing.py:25, src/linear/mod.rs:33 —
+    * raise | skip | zero | one; `ignore` maps to skip here, since the
+    * Gram aggregate already drops null rows). Returns the frame with
+    * the policy applied to `cols`:
+    *  - skip/ignore — drop rows where any input is null or NaN (the
+    *    aggregator would skip them anyway; filtering first lets the
+    *    predicate push into the scan),
+    *  - zero / one  — impute the constant,
+    *  - raise       — fail fast with a count of offending rows (one
+    *    extra aggregate job; use in validation pipelines, not hot
+    *    paths). */
+  def applyNullPolicy(df: DataFrame, cols: Seq[Column],
+                      policy: String): DataFrame = policy match {
+    case "skip" | "ignore" =>
+      df.filter(cols.map(c => c.isNotNull && !isnan(c)).reduce(_ && _))
+    case "zero" =>
+      cols.foldLeft(df)((d, c) => d.withColumn(c.toString,
+        coalesce(nanvl(c, lit(null)), lit(0.0))))
+    case "one" =>
+      cols.foldLeft(df)((d, c) => d.withColumn(c.toString,
+        coalesce(nanvl(c, lit(null)), lit(1.0))))
+    case "raise" =>
+      val bad = df.filter(cols.map(c =>
+        c.isNull || isnan(c)).reduce(_ || _)).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"null policy 'raise': $bad rows have null/NaN inputs")
+      df
+    case other => throw new IllegalArgumentException(
+      s"unknown null policy '$other' (raise|skip|zero|one|ignore)")
+  }
+
   /** Closed-form simple regression aggregates:
     * slope = cov(x,y)/var(x) (expr_linear.py:44 simple_lin_reg). */
   def simpleSlope(x: Column, y: Column): Column =

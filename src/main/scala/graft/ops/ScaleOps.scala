@@ -144,6 +144,24 @@ object ScaleOps {
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
 
+  /** Exact top-k rows per group by `score` (desc, ties toward smaller
+    * `id`) via the bounded-heap [[graft.agg.TopKAgg]] — NOT a window
+    * `row_number`: the window plan sorts and shuffles every row of
+    * every group, while the aggregate's partial state is ≤ k pairs, so
+    * map-side combine cuts shuffle volume to k·partitions per group.
+    * Output: group keys + (rk, score, id), rk 1-based. */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], score: Column,
+                   id: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    val f = F.udaf(new graft.agg.TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    df.groupBy(keys: _*)
+      .agg(f(score.cast("double"), id.cast("long")).as("_topk"))
+      .select(keys :+ posexplode(col("_topk")): _*)
+      .select((keys :+ (col("pos") + 1).as("rk") :+
+        col("col._1").as("score") :+ col("col._2").as("id")): _*)
+  }
+
   /** Bloom-filter pre-join pruning: build a bloom filter over the small
     * side's join key, broadcast it, and filter the big side BEFORE the
     * shuffle join — rows that cannot match never enter the exchange.

@@ -128,10 +128,29 @@ object MiscQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("c_custkey")).as("sum_custkey"))
         .orderBy("s_nationkey")
+    }),
+    "q_topk_group" -> ((s, dir) => {
+      // top-3 orders by totalprice per priority — bounded-heap
+      // aggregate, not a window sort (k rows per partition shuffle)
+      graft.ops.ScaleOps.topKPerGroup(t(s, dir, "orders"),
+          Seq(col("o_orderpriority")), col("o_totalprice"),
+          col("o_orderkey"), 3)
+        .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+          round(col("score"), 2).as("price"),
+          col("id").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_topk_group" ->
+      """SELECT o_orderpriority, rk, price, o_orderkey FROM (
+        |  SELECT o_orderpriority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |    ROUND(o_totalprice, 2) AS price, o_orderkey
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q_overlap_join" ->
       """SELECT s_nationkey,
         |  COUNT(*) AS n_pairs,

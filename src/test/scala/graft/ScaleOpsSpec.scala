@@ -78,4 +78,45 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(row => (row.getLong(0), row.getLong(1))).toSet
     assert(gotAll.toSet == exp && exp.nonEmpty)
   }
+
+  test("topKPerGroup equals window row_number, including ties") {
+    import spark.implicits._
+    // scores collide heavily (i % 7) so tie-breaking is exercised
+    val df = (0 until 500).map(i =>
+      ("g" + (i % 3), (i % 7).toDouble, i.toLong)).toDF("g", "s", "id")
+    val got = ScaleOps.topKPerGroup(df, Seq(col("g")), col("s"),
+        col("id"), 5)
+      .select("g", "rk", "score", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val exp = df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("s").desc, col("id"))))
+      .filter(col("rk") <= 5)
+      .select("g", "rk", "s", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == exp && exp.size == 15)
+  }
+
+  test("applyNullPolicy: skip drops, zero/one impute, raise throws") {
+    import spark.implicits._
+    import graft.ops.LinRegOps
+    val df = Seq((Some(1.0), 2.0), (None, 3.0), (Some(Double.NaN), 4.0),
+      (Some(5.0), 6.0)).toDF("x", "y")
+    val cols = Seq(col("x"))
+    assert(LinRegOps.applyNullPolicy(df, cols, "skip").count() == 2)
+    val zeroed = LinRegOps.applyNullPolicy(df, cols, "zero")
+      .select("x").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(zeroed == Seq(0.0, 0.0, 1.0, 5.0))
+    val oned = LinRegOps.applyNullPolicy(df, cols, "one")
+      .select("x").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(oned == Seq(1.0, 1.0, 1.0, 5.0))
+    intercept[IllegalArgumentException] {
+      LinRegOps.applyNullPolicy(df, cols, "raise")
+    }
+    // clean frame passes through raise
+    val clean = df.filter(col("x").isNotNull && !isnan(col("x")))
+    assert(LinRegOps.applyNullPolicy(clean, cols, "raise").count() == 2)
+  }
 }
