@@ -43,6 +43,23 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("source", "pred")
     }),
+    "q_contamination" -> ((s, dir) => {
+      // docs 0-9 stand in for a benchmark suite; count 5-gram overlap
+      // per source across the whole corpus (the bench docs themselves
+      // stay in — fully-contaminated rows prove the screen catches
+      // verbatim inclusion)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      val hits = TextOps.ngramContamination(docs, col("doc_id"),
+        col("text"), bench, col("text"), n = 5)
+      docs.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_hits")).as("n_contaminated"),
+          sum(coalesce(col("n_hits"), lit(0L))).as("total_hits"))
+        .orderBy("source")
+    }),
     "q_clean_corpus" -> ((s, dir) => {
       // the end-to-end pretraining-data cleaning pipeline, one plan:
       // predicted-language filter → quality gate → exact dedup →
@@ -283,6 +300,26 @@ object TextQueries extends QueryPack {
          |SELECT source, pred, COUNT(*) AS n
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "q_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+') t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    t[s.i] || ' ' || t[s.i+1] || ' ' || t[s.i+2] || ' ' ||
+        |    t[s.i+3] || ' ' || t[s.i+4] AS g
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+        |  WHERE len(t) >= 5),
+        |bg AS (SELECT DISTINCT g FROM ng WHERE doc_id < 10),
+        |h AS (
+        |  SELECT doc_id, COUNT(DISTINCT g) n_hits
+        |  FROM ng JOIN bg USING (g) GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  COUNT(h.n_hits) AS n_contaminated,
+        |  SUM(COALESCE(h.n_hits, 0))::BIGINT AS total_hits
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_clean_corpus" -> {
       def score(lang: String): String =
         TextOps.langProfiles(lang).map(w =>

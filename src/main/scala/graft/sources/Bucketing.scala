@@ -47,6 +47,22 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Hive-style partitioned parquet layout (`path/col=value/...`):
+    * the other storage-pruning lever. Equality/IN predicates on the
+    * partition columns never touch non-matching files at all (plan
+    * shows them under PartitionFilters, not PushedFilters — directory
+    * pruning, stronger than footer-stats skipping). Partition by
+    * low-cardinality routing columns (source, date, lang); high-
+    * cardinality keys belong in buckets or Z-order instead (millions
+    * of tiny directories kill the file listing). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: no partition cols")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Read a bucketed table back (bucket metadata comes from the
     * catalog, so joins/aggs on the bucket keys skip their Exchange). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =

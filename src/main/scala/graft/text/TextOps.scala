@@ -129,6 +129,43 @@ object TextOps {
     *
     * Output: (doc, n_lines, dup_line_frac, dup_line_char_frac,
     * top_ngram_frac, dup_ngram_frac). */
+  /** Word n-grams of `text` as an array column (lowercased, whitespace
+    * tokens; empty array when the text has fewer than n tokens). Pure
+    * Column algebra — `sequence` + `transform`, codegen'd, no UDF. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "wordNgrams: n must be >= 1")
+    val t = split(lower(trim(text)), "\\s+")
+    val gram = transform(sequence(lit(0), size(t) - n),
+      i => concat_ws(" ",
+        (0 until n).map(k => element_at(t, i + k + 1)): _*))
+    when(size(t) >= n, gram).otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination check: which training documents share any
+    * word `n`-gram with a benchmark/eval corpus (the standard membership
+    * screen run before pretraining — e.g. GPT-3 appendix C's 13-gram
+    * overlap). Returns (doc_id, n_hits) where n_hits counts DISTINCT
+    * contaminated n-grams per document; clean documents are absent
+    * (left-join downstream for a full report).
+    *
+    * Scale shape: the benchmark side is small by construction (eval
+    * suites, not the corpus), so its distinct gram set broadcasts; the
+    * corpus side explodes and probes the broadcast hash BEFORE any
+    * shuffle — the only exchange is the per-doc count over the
+    * (rare) surviving hits. */
+  def ngramContamination(docs: DataFrame, docId: Column, docText: Column,
+                         bench: DataFrame, benchText: Column,
+                         n: Int = 8): DataFrame = {
+    val bg = bench.select(explode(wordNgrams(benchText, n)).as("g"))
+      .distinct()
+    docs.select(docId.as("doc_id"),
+        explode(wordNgrams(docText, n)).as("g"))
+      .join(broadcast(bg), "g")
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def repetitionSignals(df: DataFrame, id: Column, text: Column,
                         n: Int = 2): DataFrame = {
     require(n >= 1, "repetitionSignals: n-gram order must be >= 1")

@@ -141,6 +141,24 @@ class PlanSpec extends AnyFunSuite {
       s"string-key bloom prefilter lost rows: $viaBloom != $exact")
   }
 
+  test("partitioned layout prunes directories via PartitionFilters") {
+    import graft.sources.Bucketing
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_part_spec"
+    Bucketing.writePartitioned(
+      spark.read.parquet(s"$dir/documents.parquet"), root, Seq("source"))
+    val q = spark.read.parquet(root).filter(col("source") === "src1")
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    // the source predicate must be a partition (directory) filter, not
+    // a data filter evaluated per row
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters: \\[[^]]*src1[^]]*\\].*"), plan)
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src1").count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("co-bucketed join plans with zero Exchange") {
     import graft.sources.Bucketing
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
