@@ -49,6 +49,25 @@ class AggLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg: any split+merge equals sequential top-k, exactly") {
+    val topk = new graft.agg.TopKAgg(5)
+    def red(rs: Seq[(Double, Long)]) =
+      rs.foldLeft(topk.zero)((b, r) => topk.reduce(b, r))
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 100) {
+      // duplicate scores on purpose: ties must resolve identically
+      // (score desc, id asc) no matter how the rows were partitioned
+      val rs = List.fill(40)((rng.nextInt(6).toDouble, rng.nextLong(1000)))
+      val cut = rng.nextInt(41)
+      val (l, r) = rs.splitAt(cut)
+      val merged = topk.finish(topk.merge(red(l), red(r)))
+      val seq = topk.finish(red(rs))
+      assert(merged == seq, s"split at $cut: $merged != $seq")
+      val shuffled = topk.finish(red(rng.shuffle(rs)))
+      assert(shuffled == seq)
+    }
+  }
+
   test("finish is stable under row shuffling (partition order)") {
     val rng = new scala.util.Random(99)
     for (_ <- 1 to 50) {

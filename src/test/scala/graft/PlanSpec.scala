@@ -159,6 +159,45 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() == expected && expected > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key owns ~95% of the left side — the classic straggler.
+    // With thresholds scaled to the fixture, AQE's OptimizeSkewedJoin
+    // must split the hot partition (skew=true in the final plan); this
+    // pins the config contract saltedAgg/docs rely on for joins (AQE
+    // handles skewed JOINS; salting remains for skewed aggregations).
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select((when(col("id") % 20 =!= 0, lit(7L))
+          .otherwise(col("id") % 1000)).as("k"), col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's plan (count() would build a separate
+      // QueryExecution and leave j's adaptive plan un-finalized)
+      assert(j.collect().length == 200000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split in adaptive plan:\n$finalPlan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("co-bucketed join plans with zero Exchange") {
     import graft.sources.Bucketing
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
