@@ -1,0 +1,46 @@
+package graft
+
+/** Scaling-curve probe: times a flagship query set across the sf0.001 /
+  * sf0.01 / sf0.1 fixtures in one warm session (best of `reps`), to
+  * document how operator cost grows with data size — the evidence that
+  * per-query wall-clock is dominated by fixed scheduling/codegen cost
+  * at small SF and grows sub-linearly toward the data-bound regime.
+  *
+  * Usage: runMain graft.Scaling [reps] [q1 q2 ...]
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q_roc_auc", "q_lin_reg_report", "q_knn_join",
+        "q_jaccard_dup_pairs", "q_dup_clusters", "q_cosine_topk",
+        "q_tfidf", "q_clean_corpus", "q_topk_group", "q_bucket_join",
+        "q_sessionize")
+    val sfs = Seq("0.001", "0.01", "0.1")
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val results = for (n <- names) yield {
+      val times = for (sf <- sfs) yield {
+        val fn = SparkEntry.queries(n)
+        val best = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, s"/root/testdata/sf$sf").count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        best
+      }
+      println(f"[scaling] ${n}%-22s " +
+        times.zip(sfs).map { case (t, sf) => f"sf$sf=${t}%.2fs" }
+          .mkString("  "))
+      (n, times)
+    }
+    // summary: cost ratio sf0.1/sf0.001 (100x data)
+    results.foreach { case (n, ts) =>
+      println(f"[scaling-ratio] ${n}%-22s x${ts.last / ts.head}%.1f over 100x data")
+    }
+    spark.stop()
+  }
+}
