@@ -179,4 +179,56 @@ object StreamOps {
           s
       }
   }
+
+  /** Per-key online least-squares state: inverse-Gram P (flattened
+    * d×d), coefficients, observation count. */
+  case class OnlineLRState(key: String, n: Long, p: Seq[Double],
+                           beta: Seq[Double])
+
+  /** Streaming online linear regression — the streaming twin of
+    * [[graft.linear.OnlineLR]] (reference linear_models.py:553):
+    * per-key Woodbury rank-1 updates inside mapGroupsWithState, so
+    * coefficients refresh every micro-batch with O(d²) state per key
+    * and zero re-scans of history. Rows are (key, order, features, y);
+    * each batch's rows apply in `order` (cross-batch order is stream
+    * arrival — the same contract as any online model). Emits the
+    * updated per-key state each batch; use outputMode(Update). */
+  def streamingOnlineLR(rows: Dataset[(String, Long, Seq[Double], Double)],
+                        d: Int, lambda: Double = 1e-6)
+      : Dataset[OnlineLRState] = {
+    implicit val enc = Encoders.product[OnlineLRState]
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[OnlineLRState, OnlineLRState](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Seq[Double], Double)],
+         state: GroupState[OnlineLRState]) =>
+          val s0 = state.getOption.getOrElse(OnlineLRState(key, 0L,
+            Seq.tabulate(d * d)(i =>
+              if (i % d == i / d) 1.0 / lambda else 0.0),
+            Seq.fill(d)(0.0)))
+          val p = s0.p.toArray
+          val beta = s0.beta.toArray
+          var n = s0.n
+          it.toSeq.sortBy(_._2).foreach { case (_, _, xs, y) =>
+            val x = xs.toArray
+            val px = Array.tabulate(d)(i =>
+              (0 until d).map(j => p(i * d + j) * x(j)).sum)
+            val denom = 1.0 + (0 until d).map(i => x(i) * px(i)).sum
+            val err = y - (0 until d).map(i => x(i) * beta(i)).sum
+            var i = 0
+            while (i < d) {
+              beta(i) += px(i) * err / denom
+              var j = 0
+              while (j < d) {
+                p(i * d + j) -= px(i) * px(j) / denom; j += 1
+              }
+              i += 1
+            }
+            n += 1
+          }
+          val s1 = OnlineLRState(key, n, p.toSeq, beta.toSeq)
+          state.update(s1)
+          s1
+      }
+  }
 }

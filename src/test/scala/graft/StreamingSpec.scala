@@ -183,6 +183,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingOnlineLR matches the batch OnlineLR across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // y = 2x1 - 3x2 + noiseless bias 0.5 via bias feature
+    def row(i: Int): (String, Long, Seq[Double], Double) = {
+      val x1 = (i % 7).toDouble; val x2 = (i % 5).toDouble
+      ("k", i.toLong, Seq(x1, x2, 1.0), 2.0 * x1 - 3.0 * x2 + 0.5)
+    }
+    val mem = MemoryStream[(String, Long, Seq[Double], Double)]
+    val out = StreamOps.streamingOnlineLR(mem.toDS(), d = 3)
+    val q = out.writeStream.format("memory").queryName("graft_olr")
+      .outputMode("update").start()
+    try {
+      mem.addData((0 until 20).map(row): _*)
+      q.processAllAvailable()
+      mem.addData((20 until 40).map(row): _*)
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT beta, n FROM graft_olr ORDER BY n DESC LIMIT 1").head
+      assert(last.getLong(1) == 40L)
+      val got = last.getSeq[Double](0)
+      val ref = new graft.linear.OnlineLR(3)
+      (0 until 40).map(row).foreach { case (_, _, x, y) =>
+        ref.update(x.toArray, y) }
+      got.zip(ref.beta).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$got vs ${ref.beta.toSeq}") }
+      // and it converged to the generating coefficients
+      assert(math.abs(got(0) - 2.0) < 1e-3 &&
+        math.abs(got(1) + 3.0) < 1e-3 && math.abs(got(2) - 0.5) < 1e-2)
+    } finally q.stop()
+  }
+
   test("streamingRunningStats maintains Welford state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
