@@ -213,8 +213,9 @@ object SeqOps {
     df.select(gc ++ Seq(xCol.cast("double").as(s"${P}xx"),
       y.cast("double").as(s"${P}yy")): _*)
       .groupBy(gc: _*)
-      .agg(array_sort(collect_list(struct(col(s"${P}xx"), col(s"${P}yy"))))
-        .as(s"${P}pts"))
+      .agg(graft.util.Guard.cappedSeries(
+        array_sort(collect_list(struct(col(s"${P}xx"), col(s"${P}yy")))),
+        "smoothSpline").as(s"${P}pts"))
       .withColumn("spline", splineUdf(
         transform(col(s"${P}pts"), p => p(s"${P}xx")),
         transform(col(s"${P}pts"), p => p(s"${P}yy")), lit(lam)))

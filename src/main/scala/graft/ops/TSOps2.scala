@@ -52,9 +52,9 @@ object TSOps2 {
     val gc = groupNames.map(col)
     df.select(gc ++ Seq(order.as(s"${P}o"), x.cast("double").as(s"${P}x")): _*)
       .groupBy(gc: _*)
-      .agg(transform(
+      .agg(graft.util.Guard.cappedSeries(transform(
         array_sort(collect_list(struct(col(s"${P}o"), col(s"${P}x")))),
-        s => s(s"${P}x")).as(out))
+        s => s(s"${P}x")), "collectSeries").as(out))
   }
 
   private def chebWithin(xs: Array[Double], i: Int, j: Int, m: Int,
@@ -268,8 +268,9 @@ object TSOps2 {
       .withColumn(s"${P}v",
         (row_number().over(wy) - 1) / (col(s"${P}n") - 1.0))
     ranked.groupBy(gc: _*)
-      .agg(collect_list(array(col(s"${P}u"), col(s"${P}v")))
-        .as(s"${P}pts"))
+      .agg(graft.util.Guard.cappedSeries(
+        collect_list(array(col(s"${P}u"), col(s"${P}v"))),
+        "copulaEntropy").as(s"${P}pts"))
       .select(gc :+
         (-klEntropyUdf(col(s"${P}pts"), lit(k))).as("copula_entropy"): _*)
   }
@@ -288,7 +289,10 @@ object TSOps2 {
       .na.drop(Seq(s"${P}yl", s"${P}xl"))
     pre.groupBy(gc: _*)
       .agg(
-        collect_list(array(col(s"${P}y"), col(s"${P}yl"))).as("p_yyl"),
+        // one capped column guards the group (all four share its size)
+        graft.util.Guard.cappedSeries(
+          collect_list(array(col(s"${P}y"), col(s"${P}yl"))),
+          "transferEntropy").as("p_yyl"),
         collect_list(array(col(s"${P}yl"), col(s"${P}xl"))).as("p_ylxl"),
         collect_list(array(col(s"${P}yl"))).as("p_yl"),
         collect_list(array(col(s"${P}y"), col(s"${P}yl"),
@@ -310,7 +314,10 @@ object TSOps2 {
       y.cast("double").as(s"${P}y"), z.cast("double").as(s"${P}z")): _*)
     pre.groupBy(gc: _*)
       .agg(
-        collect_list(array(col(s"${P}x"), col(s"${P}z"))).as("p_xz"),
+        // one capped column guards the group (all four share its size)
+        graft.util.Guard.cappedSeries(
+          collect_list(array(col(s"${P}x"), col(s"${P}z"))),
+          "condIndep").as("p_xz"),
         collect_list(array(col(s"${P}y"), col(s"${P}z"))).as("p_yz"),
         collect_list(array(col(s"${P}z"))).as("p_z"),
         collect_list(array(col(s"${P}x"), col(s"${P}y"),

@@ -59,4 +59,24 @@ class UtilSpec extends AnyFunSuite {
     assert(math.abs(treeSide - brute) < 1e-12,
       s"tree=$treeSide brute=$brute")
   }
+
+  test("Guard.cappedSeries passes small groups and raises past the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => ("g" + (i % 2), i.toDouble))
+      .toDF("g", "x")
+    val collected = df.groupBy("g")
+      .agg(graft.util.Guard.cappedSeries(
+        collect_list(col("x")), "specOp", cap = 60).as("s"))
+    // 50-element groups pass untouched
+    assert(collected.collect().forall(_.getSeq[Double](1).length == 50))
+    val tight = df.groupBy("g")
+      .agg(graft.util.Guard.cappedSeries(
+        collect_list(col("x")), "specOp", cap = 10).as("s"))
+    val e = intercept[Exception] { tight.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("graft.specOp") &&
+      m.contains("exceeds cap 10")), msgs(e).mkString(" | "))
+  }
 }
