@@ -90,4 +90,19 @@ class StringsSpec extends AnyFunSuite {
     assert(one(Strings.strNearest(col("a"),
       Seq("apple", "banana", "cherry")), "banan", "") == "banana")
   }
+
+  test("SqlFunctions exposes the kernels to spark.sql with null safety") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_str_jaro('martha', 'marhta') AS jaro,
+        |  graft_str_osa('ca', 'abc') AS osa,
+        |  graft_str_d_leven('ca', 'abc') AS dl,
+        |  graft_str_lcs_substr('abcdef', 'zabcy') AS lcs,
+        |  graft_str_lcs_subseq('abcdef', 'aXcYeZ') AS lcss,
+        |  graft_str_jaro(NULL, 'x') AS n1""".stripMargin).head
+    assert(math.abs(r.getDouble(0) - 0.9444444444444445) < 1e-12)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 3 && r.getInt(4) == 3)
+    assert(r.isNullAt(5))
+  }
 }
