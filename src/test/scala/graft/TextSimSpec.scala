@@ -245,4 +245,19 @@ class TextSimSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(frames.length == 3)
   }
+
+  test("decodeBatch (mapPartitions) matches the scalar decode UDF") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val viaUdf = docs
+      .select(col("doc_id"),
+        MultimodalOps.decodeStub(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaBatch = MultimodalOps.decodeBatch(
+        docs.as[(Long, Array[Byte])]).collect().toMap
+    assert(viaBatch.keySet == viaUdf.keySet && viaBatch.nonEmpty)
+    viaBatch.foreach { case (id, f) => assert(f == viaUdf(id), s"id $id") }
+  }
 }
