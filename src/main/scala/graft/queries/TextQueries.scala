@@ -178,19 +178,40 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           round(avg("cos"), 4).as("avg_cos"))
     }),
+    // ANN queries: the hash-dependent candidates have no SQL twin, but
+    // the exact-side aggregate AND the subset contract do — an ANN
+    // result can never beat the exact top-1 (it searches a subset), so
+    // `subset_ok` is deterministic whatever the hash luck, and catches
+    // an ANN path whose similarity math drifts from the exact kernel.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      SimOps.lshCosineTopK(emb.filter(col("id") < 500), 1)
-        .agg(count(lit(1)).as("n_with_neighbor"),
-          round(avg("cos"), 4).as("avg_top1_cos"))
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val sub = emb.filter(col("id") < 500)
+      val exact = SimOps.cosineTopK(sub, sub, 1)
+        .select(col("qid"), col("cos").as("ecos"))
+      val ann = SimOps.lshCosineTopK(sub, 1)
+        .select(col("qid"), col("cos").as("acos"))
+      exact.join(ann, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("ecos")), 6).as("avg_exact_cos"),
+          bool_and(coalesce(col("acos") <= col("ecos") + 1e-9,
+            lit(true))).as("subset_ok"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      SimOps.ivfCosineTopK(emb.filter(col("id") < 500), emb, 1)
-        .agg(count(lit(1)).as("n_with_neighbor"),
-          round(avg("cos"), 4).as("avg_top1_cos"))
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val sub = emb.filter(col("id") < 500)
+      val exact = SimOps.cosineTopK(sub, emb, 1)
+        .select(col("qid"), col("cos").as("ecos"))
+      val ann = SimOps.ivfCosineTopK(sub, emb, 1)
+        .select(col("qid"), col("cos").as("acos"))
+      exact.join(ann, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("ecos")), 6).as("avg_exact_cos"),
+          bool_and(coalesce(col("acos") <= col("ecos") + 1e-9,
+            lit(true))).as("subset_ok"))
     }),
     "q_multimodal_meta" -> ((s, dir) => {
       val media = MultimodalOps.mediaTable(
@@ -460,6 +481,33 @@ object TextQueries extends QueryPack {
         |SELECT b AS source, COUNT(*) AS n_pairs,
         |  ROUND(AVG(jac), 6) AS avg_jaccard
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 500),
+        |s AS (
+        |  SELECT q.id qid, list_cosine_similarity(q.v, c.v) cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) rk
+        |  FROM e q JOIN e c ON q.id <> c.id)
+        |SELECT COUNT(*) AS n_queries,
+        |  ROUND(AVG(cos), 6) AS avg_exact_cos,
+        |  true AS subset_ok
+        |FROM s WHERE rk = 1""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 500),
+        |c AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (
+        |  SELECT q.id qid, list_cosine_similarity(q.v, c.v) cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) rk
+        |  FROM q JOIN c ON q.id <> c.id)
+        |SELECT COUNT(*) AS n_queries,
+        |  ROUND(AVG(cos), 6) AS avg_exact_cos,
+        |  true AS subset_ok
+        |FROM s WHERE rk = 1""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
