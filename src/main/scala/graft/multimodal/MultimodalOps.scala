@@ -122,16 +122,17 @@ object MultimodalOps {
     media.mapPartitions { it =>
       // per-partition setup happens HERE, once (codec/session init)
       it.map { case (id, b) =>
-        val hist = new Array[Float](8)
-        if (b != null) {
+        if (b == null) (id, null) // undecodable stays NULL, like decodeStub
+        else {
+          val hist = new Array[Float](8)
           var i = 0
           while (i < b.length) { hist((b(i) & 0xff) >>> 5) += 1f; i += 1 }
           if (b.length > 0) {
             var j = 0
             while (j < 8) { hist(j) /= b.length; j += 1 }
           }
+          (id, hist.toSeq)
         }
-        (id, hist.toSeq)
       }
     }
   }

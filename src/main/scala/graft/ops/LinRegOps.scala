@@ -29,12 +29,20 @@ object LinRegOps {
                       policy: String): DataFrame = policy match {
     case "skip" | "ignore" =>
       df.filter(cols.map(c => c.isNotNull && !isnan(c)).reduce(_ && _))
-    case "zero" =>
-      cols.foldLeft(df)((d, c) => d.withColumn(c.toString,
-        coalesce(nanvl(c, lit(null)), lit(0.0))))
-    case "one" =>
-      cols.foldLeft(df)((d, c) => d.withColumn(c.toString,
-        coalesce(nanvl(c, lit(null)), lit(1.0))))
+    case "zero" | "one" =>
+      // imputation rewrites the column in place, which only works for
+      // bare column references — a derived expression would silently
+      // ADD a new column and leave the original untouched
+      val names = cols.map { c =>
+        val name = c.toString
+        require(df.columns.contains(name),
+          s"null policy '$policy' needs bare column references; " +
+            s"'$name' is not a column of the frame")
+        name
+      }
+      val v = if (policy == "zero") 0.0 else 1.0
+      names.foldLeft(df)((d, name) => d.withColumn(name,
+        coalesce(nanvl(col(name).cast("double"), lit(null)), lit(v))))
     case "raise" =>
       val bad = df.filter(cols.map(c =>
         c.isNull || isnan(c)).reduce(_ || _)).count()

@@ -149,13 +149,16 @@ object ScaleOps {
     * `row_number`: the window plan sorts and shuffles every row of
     * every group, while the aggregate's partial state is ≤ k pairs, so
     * map-side combine cuts shuffle volume to k·partitions per group.
-    * Output: group keys + (rk, score, id), rk 1-based. */
+    * Output: group keys + (rk, score, id), rk 1-based. Rows with a
+    * null score or id are dropped first (the aggregate's tuple encoder
+    * is primitive; nulls can never rank anyway). */
   def topKPerGroup(df: DataFrame, keys: Seq[Column], score: Column,
                    id: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.{functions => F, Encoders}
     val f = F.udaf(new graft.agg.TopKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    df.groupBy(keys: _*)
+    df.filter(score.isNotNull && id.isNotNull)
+      .groupBy(keys: _*)
       .agg(f(score.cast("double"), id.cast("long")).as("_topk"))
       .select(keys :+ posexplode(col("_topk")): _*)
       .select((keys :+ (col("pos") + 1).as("rk") :+

@@ -52,20 +52,25 @@ object SketchOps {
 
   /** Heavy hitters: `df.stat.freqItems` (Karp-Papadimitriou-Shenker
     * one-pass counters, fixed memory) against the exact count twin.
-    * freqItems' contract is one-sided — every item with frequency >
-    * `support` IS returned (plus possible false positives); `hh_ok`
-    * asserts that containment held. Output: the exact top-`topK` keys
-    * by count (ties broken by key — deterministic across engines) with
-    * the contract flag on each row. */
+    * freqItems' contract is one-sided — every sufficiently frequent
+    * item IS returned (plus possible false positives); `hh_ok` asserts
+    * that containment held. Spark sizes the KPS map as
+    * floor(1/support), which only guarantees items with frequency >
+    * 1/floor(1/support) — slightly WEAKER than `> support` — so the
+    * sketch runs at support/2 to make its guarantee cover our
+    * threshold. Output: the exact top-`topK` keys by count (ties
+    * broken by key — deterministic across engines) with the contract
+    * flag on each row; empty input yields an empty frame. */
   def heavyHitters(df: DataFrame, key: String, support: Double,
                    topK: Int): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val cached = counts.persist()
     try {
-      val total = cached.agg(sum(col("n"))).head().getLong(0)
+      val total = Option(cached.agg(sum(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val trueHH = cached.filter(col("n") > total * support)
         .select(col(key)).collect().map(_.get(0)).toSet
-      val approx = df.stat.freqItems(Seq(key), support)
+      val approx = df.stat.freqItems(Seq(key), support / 2)
         .head().getSeq[Any](0).toSet
       val ok = trueHH.subsetOf(approx)
       // materialize the tiny top-k before dropping the counts cache so

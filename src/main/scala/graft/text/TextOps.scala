@@ -112,25 +112,10 @@ object TextOps {
       score.as("quality"))
   }
 
-  /** Gopher-style repetition quality signals per document (Rae et al.
-    * 2021, "Scaling Language Models" §A1.1 repetition filters): the
-    * fraction of line instances that are repeats of an earlier line,
-    * the fraction of characters sitting in duplicated lines, the share
-    * of all word n-grams taken by the single most frequent one, and the
-    * fraction of n-gram instances that occur more than once. High
-    * values flag boilerplate/spam documents for pretraining-data
-    * filtering.
-    *
-    * Shapes for scale: lines and n-grams explode to narrow (doc, item)
-    * rows and aggregate with two hash shuffles each — never a
-    * quadratic, never a collect; the n-gram generator is pure Column
-    * algebra (`sequence` + `transform`). Docs whose text yields no
-    * qualifying lines/n-grams report 0.0 (no repetition).
-    *
-    * Output: (doc, n_lines, dup_line_frac, dup_line_char_frac,
-    * top_ngram_frac, dup_ngram_frac). */
   /** Word n-grams of `text` as an array column (lowercased, whitespace
-    * tokens; empty array when the text has fewer than n tokens). Pure
+    * tokens; empty array when the text has fewer than n tokens — also
+    * for blank/whitespace-only text, where split would otherwise yield
+    * one empty-string token and n=1 would emit a bogus "" gram). Pure
     * Column algebra — `sequence` + `transform`, codegen'd, no UDF. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "wordNgrams: n must be >= 1")
@@ -138,7 +123,8 @@ object TextOps {
     val gram = transform(sequence(lit(0), size(t) - n),
       i => concat_ws(" ",
         (0 until n).map(k => element_at(t, i + k + 1)): _*))
-    when(size(t) >= n, gram).otherwise(array().cast("array<string>"))
+    when(length(trim(text)) > 0 && size(t) >= n, gram)
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Benchmark-contamination check: which training documents share any
@@ -166,6 +152,23 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Gopher-style repetition quality signals per document (Rae et al.
+    * 2021, "Scaling Language Models" §A1.1 repetition filters): the
+    * fraction of line instances that are repeats of an earlier line,
+    * the fraction of characters sitting in duplicated lines, the share
+    * of all word n-grams taken by the single most frequent one, and the
+    * fraction of n-gram instances that occur more than once. High
+    * values flag boilerplate/spam documents for pretraining-data
+    * filtering.
+    *
+    * Shapes for scale: lines and n-grams explode to narrow (doc, item)
+    * rows and aggregate with two hash shuffles each — never a
+    * quadratic, never a collect; the n-gram generator is pure Column
+    * algebra (`sequence` + `transform`). Docs whose text yields no
+    * qualifying lines/n-grams report 0.0 (no repetition).
+    *
+    * Output: (doc, n_lines, dup_line_frac, dup_line_char_frac,
+    * top_ngram_frac, dup_ngram_frac). */
   def repetitionSignals(df: DataFrame, id: Column, text: Column,
                         n: Int = 2): DataFrame = {
     require(n >= 1, "repetitionSignals: n-gram order must be >= 1")

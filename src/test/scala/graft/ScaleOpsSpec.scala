@@ -81,9 +81,12 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("topKPerGroup equals window row_number, including ties") {
     import spark.implicits._
-    // scores collide heavily (i % 7) so tie-breaking is exercised
+    // scores collide heavily (i % 7) so tie-breaking is exercised; a
+    // null-score row must be dropped, not crash the primitive encoder
     val df = (0 until 500).map(i =>
-      ("g" + (i % 3), (i % 7).toDouble, i.toLong)).toDF("g", "s", "id")
+        ("g" + (i % 3), Some((i % 7).toDouble), i.toLong))
+      .toDF("g", "s", "id")
+      .union(Seq(("g0", None: Option[Double], 9999L)).toDF("g", "s", "id"))
     val got = ScaleOps.topKPerGroup(df, Seq(col("g")), col("s"),
         col("id"), 5)
       .select("g", "rk", "score", "id").collect()

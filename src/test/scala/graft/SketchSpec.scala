@@ -21,6 +21,23 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("p95_ok"))
   }
 
+  test("heavyHitters: containment holds past the sketch capacity; empty ok") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 distinct keys >> floor(1/0.015)=66 sketch slots; key 0 is a
+    // genuine heavy hitter at ~6%, the rest uniform noise — containment
+    // must survive counter evictions (the support/2 sizing)
+    val df = (0 until 10000).map(i =>
+      if (i % 16 == 0) 0L else (i % 199 + 1).toLong).toDF("k")
+    val rows = graft.ops.SketchOps.heavyHitters(df, "k", 0.015, 3)
+      .collect()
+    assert(rows.forall(_.getAs[Boolean]("hh_ok")))
+    assert(rows.head.getAs[Long]("k") == 0L)
+    val empty = graft.ops.SketchOps.heavyHitters(
+      df.filter(lit(false)), "k", 0.015, 3)
+    assert(empty.count() == 0L)
+  }
+
   test("groupedQuantileReport: per-group exact median + flag") {
     import spark.implicits._
     val df = (for (g <- Seq("a", "b"); i <- 1 to 101)

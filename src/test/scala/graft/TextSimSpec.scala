@@ -259,5 +259,18 @@ class TextSimSpec extends AnyFunSuite {
         docs.as[(Long, Array[Byte])]).collect().toMap
     assert(viaBatch.keySet == viaUdf.keySet && viaBatch.nonEmpty)
     viaBatch.foreach { case (id, f) => assert(f == viaUdf(id), s"id $id") }
+    // null payload stays null on BOTH paths (undecodable ≠ zero histogram)
+    val withNull = Seq((1L, "ab".getBytes), (2L, null: Array[Byte]))
+      .toDS()
+    val batched = MultimodalOps.decodeBatch(withNull).collect().toMap
+    assert(batched(2L) == null && batched(1L) != null)
+  }
+
+  test("wordNgrams: blank text yields no grams even at n=1") {
+    import spark.implicits._
+    val r = Seq("   ", "", "one two").toDF("t")
+      .select(TextOps.wordNgrams(col("t"), 1).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0).isEmpty && r(1).isEmpty && r(2) == Seq("one", "two"))
   }
 }
