@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,6 +295,112 @@ object SimOps {
                     nCells: Int = 16, nProbe: Int = 4,
                     sampleCap: Int = 20000, kmeansIter: Int = 8,
                     queryCap: Long = 1000000L)
+      : DataFrame =
+    ivfSearch(queries, corpus, k,
+      buildIvfIndex(corpus, nCells, sampleCap, kmeansIter).centroids,
+      nProbe, queryCap)
+
+  /** A trained IVF index: L2-normalized cell centroids. Train once on
+    * a corpus sample ([[buildIvfIndex]]), persist ([[saveIvfIndex]]),
+    * and reuse across sessions/queries — retraining spherical k-means
+    * per query batch is wasted work and, worse, changes cell
+    * boundaries between runs. */
+  case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nCells: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** Train an IVF index over a deterministic corpus sample (first
+    * `sampleCap` ids; at real scale pass a hash-sampled frame). */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
+                    sampleCap: Int = 20000, kmeansIter: Int = 8)
+      : IvfIndex = {
+    val sample = corpus
+      .select(col("id").cast("long").as("id"),
+        col("vec").cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    IvfIndex(sphericalKMeans(sample, nCells, kmeansIter))
+  }
+
+  /** Persist / restore an index as a tiny (cell, centroid) parquet. */
+  def saveIvfIndex(idx: IvfIndex, spark: SparkSession,
+                   path: String): Unit = {
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray))
+
+  /** Nearest-centroid cell id for one vector (max dot product, ties
+    * toward the lower cell id — matching the search kernel). */
+  private def nearestCell(cents: Array[Array[Double]])
+                         (v: Seq[Double]): Int = {
+    var bestC = 0; var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var j = 0
+      while (j < cents(c).length) { dot += v(j) * cents(c)(j); j += 1 }
+      if (dot > bestD) { bestD = dot; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  /** Write the corpus Hive-partitioned by its IVF cell
+    * (`path/cell=N/...`): the at-rest half of ANN at 100 TB. A later
+    * [[ivfCosineTopKIndexed]] search reads ONLY the directories of
+    * probed cells (directory pruning — unprobed cells cost zero IO),
+    * so search IO scales with nProbe/nCells of the corpus, not its
+    * size. */
+  def writeIvfPartitioned(corpus: DataFrame, idx: IvfIndex,
+                          path: String): Unit = {
+    val cents = idx.centroids
+    val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
+    corpus.select(col("id").cast("long").as("id"),
+        col("vec").cast("array<double>").as("vec"))
+      .withColumn("cell", cellUdf(col("vec")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Search a cell-partitioned corpus with a persisted index: compute
+    * the union of every query's `nProbe` probe cells, scan only those
+    * partitions, and run the same fused kernel (per-query cell
+    * restriction preserved, so results are IDENTICAL to
+    * [[ivfCosineTopK]] with the same centroids — the pruning only
+    * removes rows no query would score). */
+  def ivfCosineTopKIndexed(queries: DataFrame, corpusPath: String,
+                           idx: IvfIndex, k: Int, nProbe: Int = 4,
+                           queryCap: Long = 1000000L): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = idx.centroids
+    val probed = queries.select(col("vec").cast("array<double>"))
+      .limit(math.min(queryCap, Int.MaxValue - 8L).toInt)
+      .collect()
+      .flatMap { r =>
+        val v = r.getSeq[Double](0).toArray
+        val dots = cents.map { c =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { d += v(j) * c(j); j += 1 }
+          d
+        }
+        dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+          .take(nProbe).map(_._2)
+      }.distinct.toSeq
+    val pruned = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), col("vec"))
+    ivfSearch(queries, pruned, k, cents, nProbe, queryCap)
+  }
+
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                        cents: Array[Array[Double]], nProbe: Int,
+                        queryCap: Long)
       : DataFrame = {
     val nQ = queries
       .limit(math.min(queryCap + 1, Int.MaxValue - 8L).toInt).count()
@@ -314,12 +420,6 @@ object SimOps {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val sample = corpus
-      .select(col("id").cast("long").as("id"),
-        col("vec").cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(sampleCap) // TakeOrderedAndProject
-      .collect().map(_.getSeq[Double](1).toArray)
-    val cents = sphericalKMeans(sample, nCells, kmeansIter)
     def cellDots(v: Array[Double]): Array[Double] = {
       val dots = new Array[Double](cents.length)
       var c = 0

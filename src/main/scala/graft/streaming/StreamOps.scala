@@ -73,6 +73,24 @@ object StreamOps {
      else withFp.dropDuplicates(fpCol)).drop(fpCol)
   }
 
+  /** Streaming twin of the q_clean_corpus pipeline: predicted-language
+    * filter → quality gate → exact dedup. The two gates are stateless
+    * Column predicates (they fuse into the scan of each micro-batch);
+    * dedup is the only stateful stage, bounded by the input's
+    * watermark. Same code path runs a batch frame (dedup degrades to
+    * dropDuplicates), so backfill and live ingest share one
+    * definition — the lambda-architecture collapse Structured
+    * Streaming exists for. */
+  def streamingCleanCorpus(df: DataFrame, text: Column,
+                           lang: String = "en",
+                           minQuality: Double = 0.5): DataFrame =
+    streamingExactDedup(
+      df.filter(graft.text.TextOps.langId(text) === lang)
+        .withColumn("__q", graft.text.TextOps.qualityFeatures(text))
+        .filter(col("__q.quality") >= minQuality)
+        .drop("__q"),
+      text)
+
   /** State for one SimHash band bucket: recently seen (id, simhash)
     * pairs, newest first, capped at the operator's `maxPerBucket`. */
   case class BandBucket(ids: Seq[Long], hashes: Seq[Long])

@@ -183,6 +183,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCleanCorpus matches the batch pipeline across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val streamed = StreamOps.withEventTime(
+      mem.toDF().toDF("t", "doc_id", "text"), col("t"), "1 hour")
+    val cleaned = StreamOps.streamingCleanCorpus(streamed, col("text"))
+    val q = cleaned.writeStream.format("memory").queryName("graft_clean")
+      .outputMode("append").start()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+      // batch 2 re-sends half of batch 1 (cross-batch duplicates) plus
+      // the rest of the corpus
+      mem.addData(docs.take(120).map(d => (ts, d._1, d._2)): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(60).map(d => (ts, d._1, d._2)): _*)
+      q.processAllAvailable()
+      val streamFps = spark.sql("SELECT text FROM graft_clean")
+        .select(graft.text.TextOps.fingerprint64(col("text")).as("fp"))
+        .collect().map(_.getLong(0))
+      // exactly once per surviving text, despite the re-sends
+      assert(streamFps.length == streamFps.toSet.size)
+      val batchFps = StreamOps.streamingCleanCorpus(
+          docs.toSeq.toDF("doc_id", "text"), col("text"))
+        .select(graft.text.TextOps.fingerprint64(col("text")).as("fp"))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamFps.toSet == batchFps && batchFps.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingOnlineLR matches the batch OnlineLR across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

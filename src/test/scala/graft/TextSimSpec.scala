@@ -246,6 +246,35 @@ class TextSimSpec extends AnyFunSuite {
     assert(frames.length == 3)
   }
 
+  test("persisted IVF index + cell-partitioned corpus reproduces " +
+      "in-memory IVF search exactly") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
+    val idx = SimOps.buildIvfIndex(emb)
+    SimOps.saveIvfIndex(idx, spark, s"$root/index")
+    val loaded = SimOps.loadIvfIndex(spark, s"$root/index")
+    assert(loaded.nCells == idx.nCells && loaded.dim == idx.dim)
+    assert(loaded.centroids.flatten.toSeq == idx.centroids.flatten.toSeq)
+    SimOps.writeIvfPartitioned(emb, loaded, s"$root/corpus")
+    val queries = emb.filter(col("id") < 50)
+    val fromDisk = SimOps.ivfCosineTopKIndexed(
+        queries, s"$root/corpus", loaded, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    val inMem = SimOps.ivfCosineTopK(queries, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    assert(fromDisk == inMem && inMem.nonEmpty)
+    // and the at-rest layout prunes: the scan of the partitioned
+    // corpus must carry a cell partition filter
+    val probedPlan = spark.read.parquet(s"$root/corpus")
+      .filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(probedPlan.contains("PartitionFilters"), probedPlan)
+  }
+
   test("decodeBatch (mapPartitions) matches the scalar decode UDF") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
