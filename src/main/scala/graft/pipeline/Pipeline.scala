@@ -173,13 +173,16 @@ final class Blueprint private (
       }
     }
 
-  /** impute only where `cond` holds (SQL predicate), with the train
-    * statistic computed over the rows satisfying it.
-    * (transforms.py:53 conditional_impute) */
+  /** Replace every value where `cond` holds (SQL predicate) with the
+    * train statistic learned on the rows where it does NOT hold —
+    * the condition marks the BAD values, so matching rows are replaced
+    * whether null or not, and the statistic never learns from them
+    * (transforms.py:53-85 conditional_impute: `filter(rule.not_())`
+    * then `when(rule).then(stat).otherwise(col)`). */
   def conditionalImpute(cols: Seq[String], cond: String,
                         method: String = "mean"): Blueprint =
     addFit { df =>
-      val sub = df.filter(expr(cond))
+      val sub = df.filter(!expr(cond))
       cols.map { c =>
         val v = method match {
           case "mean"   => sub.agg(avg(col(c))).head.getDouble(0)
@@ -187,9 +190,28 @@ final class Blueprint private (
             .head.getDouble(0)
           case m => throw new IllegalArgumentException(m)
         }
-        c -> (s"CASE WHEN ($cond) AND $c IS NULL THEN ${dlit(v)} " +
-          s"ELSE $c END")
+        c -> s"CASE WHEN ($cond) THEN ${dlit(v)} ELSE $c END"
       }
+    }
+
+  /** Fill nulls in `c` with a multi-feature OLS prediction, fit on the
+    * rows where target and every feature are non-null — the exact
+    * reference semantics (transforms.py:115 linear_impute:
+    * null_policy="skip", `add_bias=False` by default). */
+  def linearImputeMulti(c: String, features: Seq[String],
+                        addBias: Boolean = false): Blueprint =
+    addFit { df =>
+      val feats = features.map(f => col(f).cast("double")) ++
+        (if (addBias) Seq(lit(1.0)) else Nil)
+      val clean = df.filter((col(c) +: features.map(col))
+        .map(_.isNotNull).reduce(_ && _))
+      val (xtx, xty, _) = graft.linear.Gram.collect(clean, feats,
+        col(c).cast("double"), lit(1.0))
+      val beta = graft.linear.Solvers.solve(xtx, xty)
+      val terms = features.zip(beta).map { case (f, b) =>
+        s"${dlit(b)} * $f" } ++
+        (if (addBias) Seq(dlit(beta.last)) else Nil)
+      Seq(c -> s"coalesce(cast($c as double), ${terms.mkString(" + ")})")
     }
 
   /** fill nulls with a simple-regression prediction from `by`.

@@ -90,9 +90,9 @@ object StreamQueries extends QueryPack {
         |  SELECT *, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
         |    bal
         |  FROM customer),
-        |m1 AS (SELECT AVG(bal) v FROM b WHERE c_nationkey < 10),
+        |m1 AS (SELECT AVG(bal) v FROM b WHERE NOT (c_nationkey < 10)),
         |i1 AS (
-        |  SELECT b.*, CASE WHEN c_nationkey < 10 AND bal IS NULL
+        |  SELECT b.*, CASE WHEN c_nationkey < 10
         |    THEN m1.v ELSE bal END ib
         |  FROM b, m1),
         |r AS (

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Strings
+
+/** The reference's OWN test vectors, replayed verbatim against this
+  * library — the literal fixtures from
+  * /root/reference/tests/test_string.py, with the source line cited per
+  * case. Where StringsSpec checks published textbook examples, this
+  * spec checks that a user porting off the reference sees identical
+  * outputs on the inputs the reference itself ships. */
+class ReferenceGoldenSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("2").getOrCreate()
+  import org.apache.spark.sql.Column
+
+  private def run[T](pairs: Seq[(String, String)], c: Column): Seq[Any] = {
+    import spark.implicits._
+    pairs.toDF("a", "b").select(c.as("r")).collect().map(_.get(0)).toSeq
+  }
+
+  test("str_hamming vector (test_string.py:69-84)") {
+    val got = run(Seq("karolin" -> "kathrin", "karolin" -> "kerstin",
+      "kathrin" -> "kerstin", "0000" -> "1111", "2173896" -> "2233796"),
+      Strings.strHamming(col("a"), col("b")))
+    assert(got == Seq(3, 3, 4, 4, 3))
+  }
+
+  test("str_leven vectors incl. unicode surnames (test_string.py:183-251)") {
+    val got1 = run(Seq("kitten" -> "sitting", "mary" -> "merry",
+      "may" -> "mayer"), levenshtein(col("a"), col("b")))
+    assert(got1 == Seq(3, 2, 2))
+    val a = Seq("Ostroróg", "Hätönen", "Kõivsaar", "Pöitel", "Vystrčil",
+      "Särki", "Chreptavičienė", "Väänänen", "Führus", "Könönen",
+      "Väänänen", "Łaszczyński", "Pärnselg", "Könönen", "Piątkowski",
+      "D’Amore", "Körber", "Särki", "Kärson", "Węgrzyn")
+    val b = Seq("Könönen", "Hätönen", "Wyżewski", "Jäger", "Hätönen",
+      "Mäns", "Chreptavičienė", "Väänänen", "Ahısha", "Jürist",
+      "Vainjärv", "Łaszczyński", "Pärnselg", "Führus", "Kübarsepp",
+      "Németi", "Räheso", "Käri", "Jäger", "Setälä")
+    val exp = Seq(8, 0, 8, 5, 7, 4, 0, 0, 6, 7, 6, 0, 0, 7, 10, 6, 6,
+      2, 5, 7)
+    assert(run(a.zip(b), levenshtein(col("a"), col("b"))) == exp)
+  }
+
+  test("filter_by_levenshtein bound=2 (test_string.py:270-283)") {
+    import spark.implicits._
+    val got = Seq(Some("kitten") -> "sitting", Some("mary") -> "merry",
+      Some("may") -> "mayer", (None: Option[String]) -> "")
+      .toDF("a", "b")
+      .select((levenshtein(col("a"), col("b")) <= 2).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(false, true, true, null))
+  }
+
+  test("str_osa vector with null (test_string.py:355-369)") {
+    import spark.implicits._
+    val got = Seq(Some("CA") -> "ABC", Some("AB") -> "BA",
+      (None: Option[String]) -> "a").toDF("a", "b")
+      .select(Strings.strOsa(col("a"), col("b")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(got.toSeq == Seq(3, 1, null))
+  }
+
+  test("str_sorensen_dice kitten/sitting = 4/11 (test_string.py:378-390)") {
+    val got = run(Seq("kitten" -> "sitting"),
+      Strings.strSorensenDice(col("a"), col("b"), 2))
+    assert(math.abs(got.head.asInstanceOf[Double] - 4.0 / 11.0) < 1e-12)
+  }
+
+  test("str_jaccard at substr_size 2 and 3 (test_string.py:393-411)") {
+    val pairs = Seq("apple" -> "let", "test" -> "tests", "moon" -> "sun")
+    val got2 = run(pairs, Strings.strJaccard(col("a"), col("b"), 2))
+      .map(_.asInstanceOf[Double])
+    assert(got2.zip(Seq(0.2, 0.75, 0.0)).forall {
+      case (g, e) => math.abs(g - e) < 1e-12 })
+    val got3 = run(pairs, Strings.strJaccard(col("a"), col("b"), 3))
+      .map(_.asInstanceOf[Double])
+    assert(got3.zip(Seq(0.0, 2.0 / 3.0, 0.0)).forall {
+      case (g, e) => math.abs(g - e) < 1e-12 })
+  }
+
+  test("str_nearest abc|bbb|ccc ~ abd -> abc (test_string.py:340-352)") {
+    val got = run(Seq("abd" -> ""),
+      Strings.strNearest(col("a"), Seq("abc", "bbb", "ccc")))
+    assert(got == Seq("abc"))
+  }
+
+  test("replace_non_ascii with replacement (test_string.py:9-25)") {
+    val inputs = Seq("mercy" -> "", "xbĤ" -> "", "ĤŇƏ" -> "")
+    assert(run(inputs, Strings.replaceNonAscii(col("a"))) ==
+      Seq("mercy", "xb", ""))
+    assert(run(inputs, Strings.replaceNonAscii(col("a"), "?")) ==
+      Seq("mercy", "xb?", "???"))
+    assert(run(inputs, Strings.replaceNonAscii(col("a"), "??")) ==
+      Seq("mercy", "xb??", "??????"))
+  }
+
+  test("remove_diacritics (test_string.py:27-34)") {
+    val inputs = Seq("mercy" -> "", "mèrcy" -> "", "françoise" -> "",
+      "über" -> "")
+    assert(run(inputs, Strings.removeDiacritics(col("a"))) ==
+      Seq("mercy", "mercy", "francoise", "uber"))
+  }
+
+  test("map_words (test_string.py:37-53)") {
+    val inputs = Seq("one two three" -> "", "onetwo three" -> "")
+    assert(run(inputs, Strings.mapWords(col("a"), Map("two" -> "2"))) ==
+      Seq("one 2 three", "onetwo three"))
+    assert(run(inputs, Strings.mapWords(col("a"),
+      Map("two" -> "2", "three" -> "3"))) ==
+      Seq("one 2 3", "onetwo 3"))
+    assert(run(inputs, Strings.mapWords(col("a"), Map("four" -> "4"))) ==
+      Seq("one two three", "onetwo three"))
+  }
+
+  test("normalize_whitespace (test_string.py:56-61)") {
+    val inputs = Seq("a   b" -> "", "ab" -> "", "a b" -> "",
+      "a\t\nb" -> "", "a \rb" -> "")
+    assert(run(inputs, Strings.normalizeWhitespace(col("a"))) ==
+      Seq("a b", "ab", "a b", "a b", "a b"))
+  }
+
+  test("ordinal_encode default keeps nulls null (test_transforms.py:8-31)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val dfFit = Seq(Some("M") -> 1, Some("F") -> 2, Some("F") -> 3,
+      (None: Option[String]) -> 4).toDF("gender", "data")
+    val pipe = Blueprint(dfFit).ordinalEncode(Seq("gender")).materialize()
+    val got = pipe.transform(dfFit).select("gender").collect()
+      .map(r => if (r.isNullAt(0)) null else r.get(0))
+    // M = 1, F = 0 (sorted value order), null stays null (the
+    // reference emits the same codes as floats; ours are ints)
+    assert(got.toSeq == Seq(1, 0, 0, null))
+  }
+
+  test("conditional_impute learns on rule-false rows (test_transforms.py:52-68)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq(Some(Double.NaN), None, Some(Double.PositiveInfinity),
+      Some(9999.0), Some(100.0), Some(100.0), Some(100.0), Some(800.0))
+      .toDF("a")
+    val cond =
+      "a IS NULL OR isnan(a) OR abs(a) = double('Infinity') OR a > 899"
+    val pipe = Blueprint(df).conditionalImpute(Seq("a"), cond, "mean")
+      .materialize()
+    val got = pipe.transform(df).select("a").collect()
+      .map(_.getDouble(0)).toSeq
+    // mean of the valid rows (100,100,100,800) = 275 replaces the bad 4
+    assert(got == Seq(275.0, 275.0, 275.0, 275.0, 100.0, 100.0, 100.0,
+      800.0))
+  }
+
+  test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val a = Seq(3, 2, 3, 4, 5, 6, 7, 8, 9, 11).map(_.toDouble)
+    val b = (1 to 10).map(_.toDouble)
+    val c = a.zip(b).map { case (x, y) => Some(x + y) }
+      .updated(2, None: Option[Double])
+    val df = a.indices.map(i => (a(i), b(i), c(i))).toDF("a", "b", "c")
+    val pipe = Blueprint(df).linearImputeMulti("c", Seq("a", "b"))
+      .materialize()
+    val got = pipe.transform(df).select("c").collect()
+      .map(_.getDouble(0)).toSeq
+    val exp = a.zip(b).map { case (x, y) => x + y }
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"$got") }
+  }
+}
