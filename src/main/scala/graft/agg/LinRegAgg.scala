@@ -30,7 +30,8 @@ case class LinRegResult(coeffs: Seq[Double], stdErr: Seq[Double],
   * partial pivoting and derives the report statistics from the same
   * Gram matrix: var(β̂) = σ²(X'WX)⁻¹, σ² = SSR/(n−d).
   */
-class LinRegAgg(d: Int, lambda: Double)
+class LinRegAgg(d: Int, lambda: Double,
+                singularXTol: Double = 1e-12)
     extends Aggregator[LRIn, Array[Double], LinRegResult] {
 
   private val szXtX = d * d
@@ -72,11 +73,13 @@ class LinRegAgg(d: Int, lambda: Double)
     // A = XtX + λI (copy), aug = [A | I] for inverse
     val a = Array.ofDim[Double](d, 2 * d)
     var i = 0
+    var maxDiag = 0.0
     while (i < d) {
       var j = 0
       while (j < d) { a(i)(j) = b(i * d + j); j += 1 }
       a(i)(i) += lambda
       a(i)(d + i) = 1.0
+      maxDiag = math.max(maxDiag, math.abs(a(i)(i)))
       i += 1
     }
     // Gauss-Jordan with partial pivoting → A⁻¹ in the right half
@@ -88,7 +91,14 @@ class LinRegAgg(d: Int, lambda: Double)
         if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
         r += 1
       }
-      if (a(piv)(col) == 0.0)
+      // Singular-design gate (reference singular_x_tol, default
+      // 1e-12, lr_solvers.rs): a pivot vanishing RELATIVE to the
+      // Gram's scale means rank deficiency (e.g. collinear features);
+      // float noise makes it tiny-but-nonzero, and dividing through
+      // would return huge garbage coefficients. Degenerate result
+      // instead, like the exact-zero case. Set singularXTol = 0 to
+      // disable (min-norm-ish behavior of plain elimination).
+      if (math.abs(a(piv)(col)) <= singularXTol * maxDiag)
         return LinRegResult(Nil, Nil, Nil, Nil, Double.NaN, Double.NaN,
           n.toLong)
       if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }

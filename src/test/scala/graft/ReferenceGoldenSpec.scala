@@ -152,6 +152,28 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       800.0))
   }
 
+  test("singular_x_tol gates collinear designs to degenerate " +
+      "(test_linear_exprs.py:1205-1232)") {
+    import spark.implicits._
+    // x2 = 2*x1 exactly → X'X rank deficient; float pivots are tiny
+    // but nonzero, so only the relative gate catches it
+    val df = (1 to 64).map { i =>
+      val x1 = math.sin(i * 1.7) * 3.0
+      (Seq(x1, 2.0 * x1), math.cos(i * 0.9))
+    }.toDF("x", "y")
+    val gated = df.agg(graft.agg.LinRegAgg.linReg(col("x"), col("y"), 2)
+      .as("r")).select("r.coeffs").head.getSeq[Double](0)
+    assert(gated.isEmpty, s"collinear design not gated: $gated")
+    // well-conditioned: not gated, recovers the generating coeffs
+    val good = (1 to 64).map { i =>
+      val x1 = math.sin(i * 1.7); val x2 = math.cos(i * 2.3)
+      (Seq(x1, x2), 2.0 * x1 - 0.5 * x2)
+    }.toDF("x", "y")
+    val c = good.agg(graft.agg.LinRegAgg.linReg(col("x"), col("y"), 2)
+      .as("r")).select("r.coeffs").head.getSeq[Double](0)
+    assert(math.abs(c(0) - 2.0) < 1e-9 && math.abs(c(1) + 0.5) < 1e-9)
+  }
+
   test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
     import spark.implicits._
     import graft.pipeline.Blueprint
