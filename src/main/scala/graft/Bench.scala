@@ -40,10 +40,40 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full per-query timings → a file (the harness that captures our
+    // stdout keeps only a bounded tail, so the complete map can't ride
+    // on the JSON line once the query count is large).
+    val fullJson = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{\"total\":" + fmt(total) + ",\"n\":" + results.size +
+        ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(out,
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
+    // ONE compact JSON line, last on stdout, packed to a hard character
+    // budget: the consumer keeps a ~2000-char stdout tail, and a line
+    // that overflows it is unparseable (rounds 1-3 lost all numbers this
+    // way). Slowest queries first — they carry the performance signal.
+    val budget = 1600
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    entries.foreach { e =>
+      val add = (if (first) 0 else 1) + e.length
+      if (sb.length + add + 2 <= budget) {
+        if (!first) sb.append(','); sb.append(e); first = false
+      }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }

@@ -84,7 +84,10 @@ object SeqOps {
     val pre = df.select(gc ++ Seq(x.cast("double").as(s"${P}x"),
       order.as(s"${P}o")): _*)
     val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
-    val terms = kernel.zipWithIndex.map { case (kv, j) =>
+    // TRUE convolution (kernel flipped, like np.convolve and the
+    // reference's fft.rs kernel): row i carries the valid-mode output
+    // whose window is x[i..i+k-1]
+    val terms = kernel.reverse.zipWithIndex.map { case (kv, j) =>
       val c = if (j == 0) col(s"${P}x") else lead(col(s"${P}x"), j).over(w)
       (c, kv)
     }
@@ -97,6 +100,49 @@ object SeqOps {
       case m => throw new IllegalArgumentException(s"mode $m")
     }
     pre.withColumn(out, conv)
+  }
+
+  /** Exact reference convolution per group, all five modes
+    * (num.py:857 convolve; modes per brianmcfee ch03): `full`
+    * (n+k−1 outputs), `valid` (n−k+1), `same` (centered n), `left` /
+    * `right` (left-/right-aligned n). Output-length ≠ input-length
+    * modes cannot be a per-row column, so the result is one array per
+    * group (collect-based — the whole-series kernel contract, capped
+    * by [[graft.util.Guard]] inside collectSeries). */
+  def convolveSeries(df: DataFrame, x: Column, order: Column,
+                     groupNames: Seq[String], kernel: Seq[Double],
+                     mode: String = "full", out: String = "conv")
+      : DataFrame = {
+    val k = kernel.toArray
+    val convUdf = udf { (xs: Seq[Double]) =>
+      val n = xs.length
+      if (n == 0) Seq.empty[Double]
+      else {
+        val full = new Array[Double](n + k.length - 1)
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < k.length) { full(i + j) += xs(i) * k(j); j += 1 }
+          i += 1
+        }
+        val res = mode match {
+          case "full"  => full
+          case "valid" =>
+            if (n < k.length) Array.empty[Double]
+            else full.slice(k.length - 1, n)
+          case "same"  =>
+            val start = (k.length - 1) / 2
+            full.slice(start, start + n)
+          case "left"  => full.take(n)
+          case "right" => full.takeRight(n)
+          case m => throw new IllegalArgumentException(s"mode $m")
+        }
+        res.toSeq
+      }
+    }
+    graft.ops.TSOps2.collectSeries(df, x, order, groupNames, s"${P}s")
+      .withColumn(out, convUdf(col(s"${P}s")))
+      .drop(s"${P}s")
   }
 
   // ---- real DFT (num.py:1043 rfft; fft.rs:14) ----

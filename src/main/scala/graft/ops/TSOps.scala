@@ -109,13 +109,17 @@ object TSOps {
           .otherwise(0))
       .withColumn(s"${P}sid", sum(s"${P}chg").over(
         wo.rowsBetween(Window.unboundedPreceding, 0)))
-    val runs = withId.filter(col(s"${P}c") === 1)
-      .groupBy(gc :+ col(s"${P}sid"): _*)
-      .agg(count(lit(1)).as(s"${P}len"))
+    // keep every run (true, false, null) so a group whose condition
+    // never holds still aggregates to ONE row with streak 0 — the
+    // reference's `.fill_null(0)` contract (ts_features.py:146,180)
+    val runs = withId.groupBy(gc :+ col(s"${P}sid"): _*)
+      .agg(sum(when(col(s"${P}c") === 1, 1).otherwise(0)).as(s"${P}len"))
     runs.groupBy(gc: _*).agg(
-      max(s"${P}len").as("longest_streak"),
-      avg(s"${P}len").as("avg_streak"),
-      count(lit(1)).as("n_streaks"))
+      coalesce(max(when(col(s"${P}len") > 0, col(s"${P}len"))), lit(0L))
+        .as("longest_streak"),
+      coalesce(avg(when(col(s"${P}len") > 0, col(s"${P}len"))), lit(0.0))
+        .as("avg_streak"),
+      sum(when(col(s"${P}len") > 0, 1).otherwise(0)).as("n_streaks"))
   }
 
   /** Trapezoidal integration of y over explicit abscissa x (num.py:830

@@ -174,6 +174,78 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(math.abs(c(0) - 2.0) < 1e-9 && math.abs(c(1) + 0.5) < 1e-9)
   }
 
+  test("convolve all five modes (test_many.py:254-270)") {
+    import spark.implicits._
+    val df = Seq(5, 6, 7, 8, 9).zipWithIndex
+      .map { case (v, i) => ("g", i, v.toDouble) }.toDF("g", "o", "a")
+    def modes(m: String): Seq[Double] =
+      graft.ops.SeqOps.convolveSeries(df, col("a"), col("o"), Seq("g"),
+        Seq(1.0, 0.0, -1.0), m)
+        .head.getSeq[Double](1)
+    assert(modes("full") == Seq(5.0, 6.0, 2.0, 2.0, 2.0, -8.0, -9.0))
+    assert(modes("valid") == Seq(2.0, 2.0, 2.0))
+    assert(modes("same") == Seq(6.0, 2.0, 2.0, 2.0, -8.0))
+    assert(modes("left") == Seq(5.0, 6.0, 2.0, 2.0, 2.0))
+    assert(modes("right") == Seq(2.0, 2.0, 2.0, -8.0, -9.0))
+    // the per-row windowed form carries the same valid outputs
+    val winValid = graft.ops.SeqOps.convolveWin(df, col("a"), col("o"),
+        Seq("g"), Seq(1.0, 0.0, -1.0), "valid")
+      .orderBy("o").collect().flatMap(r =>
+        if (r.isNullAt(r.fieldIndex("conv"))) None
+        else Some(r.getDouble(r.fieldIndex("conv"))))
+    assert(winValid.toSeq == Seq(2.0, 2.0, 2.0))
+  }
+
+  test("query_longest_streak with nulls (test_many.py:225-250)") {
+    import spark.implicits._
+    val df = Seq(Some(1), Some(2), Some(3), Some(4), Some(5), None)
+      .zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("g", "o", "a")
+    def longest(cond: org.apache.spark.sql.Column): Long =
+      graft.ops.TSOps.streaks(df, cond, col("o"), Seq("g"))
+        .select("longest_streak").head.getLong(0)
+    assert(longest(col("a") >= 2) == 4L)
+    assert(longest(col("a") >= 6) == 0L)
+    assert(longest(col("a") <= 2) == 2L)
+    assert(longest(col("a") <= 6) == 5L) // null doesn't count
+  }
+
+  test("cond_entropy and cat_cross_entropy literals (test_many.py:506-553)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (0, "b"), (1, "c"), (1, "a"), (1, "b"),
+      (0, "c"), (0, "a"), (1, "a")).map { case (y, a) => ("g", y, a) }
+      .toDF("g", "y", "a")
+    val h = graft.ops.TSOps.condEntropy(df, col("y"), col("a"), Seq("g"))
+      .select("cond_entropy").head.getDouble(0)
+    assert(math.abs(h - 0.6277411625893767) < 1e-12)
+    val ce = Seq((0, Seq(0.1, 0.5, 0.4)), (1, Seq(0.2, 0.6, 0.2)),
+      (2, Seq(0.4, 0.1, 0.5)), (0, Seq(0.9, 0.05, 0.05)),
+      (1, Seq(0.2, 0.5, 0.3))).toDF("y", "pred")
+      .agg(graft.functions.Metrics.catCrossEntropy(col("y"), col("pred"))
+        .as("ce")).head.getDouble(0)
+    assert(math.abs(ce - 0.8610131187075506) < 1e-12)
+  }
+
+  test("jaccard_row / jaccard_col literals (test_many.py:556-590)") {
+    import spark.implicits._
+    import graft.functions.NumFuncs
+    val got = Seq((Seq(1, 2, 3), Seq(1, 3)), (Seq(2, 3), Seq(1)))
+      .toDF("a", "b")
+      .select(NumFuncs.jaccardRow(col("a"), col("b")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(got(0) - 2.0 / 3.0) < 1e-12 && got(1) == 0.0)
+    val gotS = Seq((Seq("a", "b", "c"), Seq("a", "b")),
+      (Seq("b", "c"), Seq("c"))).toDF("a", "b")
+      .select(NumFuncs.jaccardRow(col("a"), col("b")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(gotS(0) - 2.0 / 3.0) < 1e-12 && gotS(1) == 0.5)
+    // jaccard_col: distinct-set jaccard of two columns
+    val jc = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6)).toDF("a", "b")
+    val inter = jc.select(col("a")).intersect(jc.select(col("b"))).count()
+    val union = jc.select(col("a")).union(jc.select(col("b")))
+      .distinct().count()
+    assert(math.abs(inter.toDouble / union - 2.0 / 3.0) < 1e-12)
+  }
+
   test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
     import spark.implicits._
     import graft.pipeline.Blueprint

@@ -45,9 +45,10 @@ class SeqSpec extends AnyFunSuite {
         Seq(1.0, 0.5), "valid")
       .orderBy("__g_o").select("conv").collect().map(r =>
         Option(r.get(0)).map(_.asInstanceOf[Double]))
-    // out[i] = x[i] + 0.5 x[i+1] → [2.0, 3.5, 5.0, null]
-    assert(out(0).contains(2.0) && out(1).contains(3.5) &&
-      out(2).contains(5.0) && out(3).isEmpty)
+    // TRUE convolution (kernel flipped, np.convolve parity):
+    // out[i] = 0.5 x[i] + 1.0 x[i+1] → [2.5, 4.0, 5.5, null]
+    assert(out(0).contains(2.5) && out(1).contains(4.0) &&
+      out(2).contains(5.5) && out(3).isEmpty)
   }
 
   test("DFT of a pure cosine concentrates at its frequency") {
