@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * path is LSH bucketing (graft.sim.SimOps.lshCosineTopK) with the same
   * shape.
   *
-  * The reference's `data_mask` ("who can be a neighbor") maps to
-  * filtering `ref` before the build; `eval_mask` maps to filtering `df`.
+  * The reference's `data_mask` ("who can be a neighbor") filters the
+  * tree build; `eval_mask` nulls out results for masked rows without
+  * dropping them (both first-class params on [[knnPtwise]]).
   */
 object KnnOps {
 
@@ -53,42 +54,91 @@ object KnnOps {
   private def withQueried[T](df: DataFrame, id: Column,
                              features: Seq[Column], outSchema: Seq[StructField],
                              fn: (KdTree, Long, Array[Double]) => Seq[Any],
-                             tree: KdTree): DataFrame = {
+                             tree: KdTree,
+                             evalMask: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(tree)
     val withIn = df
       .withColumn("_qid", id.cast("long"))
       .withColumn("_qf", array(features.map(_.cast("double")): _*))
+      // eval_mask (expr_knn.py:147): rows where false keep their place
+      // in the frame but get null results — NOT a filter
+      .withColumn("_qe", evalMask.getOrElse(lit(true)).cast("boolean"))
     val schema = StructType(withIn.schema.fields ++ outSchema)
+    val (iQid, iQf, iQe) = (withIn.schema.fieldIndex("_qid"),
+      withIn.schema.fieldIndex("_qf"), withIn.schema.fieldIndex("_qe"))
+    val nOut = outSchema.length
     val out = withIn.rdd.mapPartitions { it =>
       val t = bc.value
       it.map { r =>
-        val qid = r.getAs[Long]("_qid")
-        val qf = r.getAs[scala.collection.Seq[Double]]("_qf").toArray
-        Row.fromSeq(r.toSeq ++ fn(t, qid, qf))
+        // a row with a null id, a masked-out eval, or any null/NaN
+        // feature gets null outputs (expr_knn.py:117: "Any row with a
+        // null/NaN will never be a neighbor and will have null as its
+        // neighbor") instead of querying the tree with garbage
+        val qfRaw =
+          if (r.isNullAt(iQf)) null
+          else r.getAs[scala.collection.Seq[Any]](iQf)
+        val evalOk = !r.isNullAt(iQe) && r.getBoolean(iQe) &&
+          !r.isNullAt(iQid)
+        val finite = qfRaw != null && qfRaw.forall {
+          case d: java.lang.Double => !d.isNaN
+          case null => false
+          case _ => true
+        }
+        if (!evalOk || !finite)
+          Row.fromSeq(r.toSeq ++ Seq.fill(nOut)(null))
+        else {
+          val qid = r.getLong(iQid)
+          val qf = new Array[Double](qfRaw.length)
+          var i = 0
+          while (i < qf.length) {
+            qf(i) = qfRaw(i).asInstanceOf[Double]; i += 1
+          }
+          Row.fromSeq(r.toSeq ++ fn(t, qid, qf))
+        }
       }
     }
-    spark.createDataFrame(out, schema).drop("_qid", "_qf")
+    spark.createDataFrame(out, schema).drop("_qid", "_qf", "_qe")
   }
 
   /** Per-row ids (and distances) of the k nearest neighbors, self
-    * excluded. (expr_knn.py:100 query_knn_ptwise; knn.rs:272,444) */
+    * excluded by default. (expr_knn.py:100 query_knn_ptwise;
+    * knn.rs:272,444)
+    *
+    * Reference-parity knobs:
+    *  - `includeSelf=true` reproduces the reference's "k+1 neighbors
+    *    including the point itself" contract (expr_knn.py:114-117):
+    *    the tree is queried for k+1 with no self-exclusion, so the row
+    *    appears in its own list unless `dataMask` removed it from the
+    *    pool (then k+1 distinct others return, as the reference
+    *    documents).
+    *  - `evalMask`: rows where false stay in the frame with null
+    *    results (never a filter).
+    *  - `dataMask`: restricts who can BE a neighbor (filters the tree
+    *    build only — masked rows are still evaluated). */
   def knnPtwise(df: DataFrame, id: Column, features: Seq[Column], k: Int,
                 metric: String = "l2", returnDist: Boolean = false,
                 maxBound: Double = Double.PositiveInfinity,
-                epsilon: Double = 0.0): DataFrame = {
-    val tree = collectTree(df, id, features, metric)
+                epsilon: Double = 0.0,
+                includeSelf: Boolean = false,
+                evalMask: Option[Column] = None,
+                dataMask: Option[Column] = None): DataFrame = {
+    val pool = dataMask.map(df.filter).getOrElse(df)
+    val tree = collectTree(pool, id, features, metric)
     val fields =
       if (returnDist)
         Seq(StructField("knn_ids", ArrayType(LongType)),
           StructField("knn_dists", ArrayType(DoubleType)))
       else Seq(StructField("knn_ids", ArrayType(LongType)))
     withQueried(df, id, features, fields, (t, qid, qf) => {
-      val nn = t.knn(qf, k, exclude = qid, maxBound = maxBound,
-        epsilon = epsilon)
+      val nn =
+        if (includeSelf) t.knn(qf, k + 1, maxBound = maxBound,
+          epsilon = epsilon)
+        else t.knn(qf, k, exclude = qid, maxBound = maxBound,
+          epsilon = epsilon)
       if (returnDist) Seq(nn.map(_._1).toSeq, nn.map(p => t.report(p._2)).toSeq)
       else Seq(nn.map(_._1).toSeq)
-    }, tree)
+    }, tree, evalMask)
   }
 
   /** KNN regression: mean of `target` over the k nearest neighbors

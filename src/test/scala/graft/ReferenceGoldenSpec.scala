@@ -246,6 +246,60 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(math.abs(inter.toDouble / union - 2.0 / 3.0) < 1e-12)
   }
 
+  test("knn_ptwise eval_mask + self-inclusion (test_many.py:1005-1030)") {
+    import spark.implicits._
+    val df = Seq((0L, 0.1, 0.1, 0.1, 1), (1L, 0.2, 0.2, 0.2, 0),
+      (2L, 0.3, 0.3, 0.3, 1), (3L, 0.4, 0.4, 0.4, 1))
+      .toDF("id", "a1", "a2", "a3", "can_eval")
+    val r = graft.knn.KnnOps.knnPtwise(df, col("id"),
+        Seq(col("a1"), col("a2"), col("a3")), k = 1, metric = "sql2",
+        includeSelf = true, evalMask = Some(col("can_eval") === 1))
+      .orderBy("id").select("knn_ids").collect()
+    // row 1 is skipped by eval_mask → null; row 0 still sees id 1 as a
+    // neighbor, plus itself (the reference's k+1 self-inclusion)
+    assert(r(1).isNullAt(0), "eval-masked row must be null")
+    assert(r(0).getSeq[Long](0).sorted == Seq(0L, 1L))
+    assert(r(2).getSeq[Long](0).sorted == Seq(1L, 2L))
+  }
+
+  test("knn_ptwise max_bound truncates lists (test_many.py:971-1002)") {
+    import spark.implicits._
+    val df = Seq((0L, 0.1, 0.15, 0.12), (1L, 1.0, 1.5, 1.2),
+      (2L, 10.0, 15.0, 12.0), (3L, 100.0, 150.0, 120.0))
+      .toDF("id", "a", "b", "c")
+    val r = graft.knn.KnnOps.knnPtwise(df, col("id"),
+        Seq(col("a"), col("b"), col("c")), k = 2, metric = "sql2",
+        maxBound = 4.0, includeSelf = true)
+      .orderBy("id").select("knn_ids").collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    assert(r == Seq(Seq(0L, 1L), Seq(1L, 0L), Seq(2L), Seq(3L)))
+  }
+
+  test("knn_avg: null/NaN rows are no one's neighbor and get null " +
+      "(test_many.py:935-967)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0.0, Some(0.1), Some(0.15), Some(0.12)),
+      (1L, 1.0, Some(1.0), Some(1.5), Some(1.2)),
+      (2L, 2.0, Some(10.0), Some(15.0), Some(12.0)),
+      (3L, 3.0, Some(100.0), Some(150.0), Some(120.0)),
+      (4L, 4.0, Some(Double.NaN), Some(1.0), Some(2.0)),
+      (5L, 5.0, Some(1.0), None, Some(2.0)))
+      .toDF("id", "values", "a", "b", "c")
+    val r = graft.knn.KnnOps.knnAvg(df, col("id"),
+        Seq(col("a"), col("b"), col("c")), col("values"), k = 2,
+        metric = "sql2")
+      .orderBy("id").select("knn_avg").collect()
+    val want = Seq(Some(1.5), Some(1.0), Some(0.5), Some(1.5), None, None)
+    r.zip(want).zipWithIndex.foreach { case ((row, w), i) =>
+      w match {
+        case Some(v) => assert(!row.isNullAt(0) && row.getDouble(0) == v,
+          s"row $i: got $row want $v")
+        case None => assert(row.isNullAt(0), s"row $i: want null got $row")
+      }
+    }
+  }
+
   test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
     import spark.implicits._
     import graft.pipeline.Blueprint
