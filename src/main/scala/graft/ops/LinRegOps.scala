@@ -148,6 +148,111 @@ object LinRegOps {
       .withColumn(interName, (sy - slope * sx) / n)
   }
 
+  /** General-d fixed-window rolling OLS/ridge per row (reference
+    * pl_rolling_lr, lr_online_solvers.rs:180, any feature count;
+    * null-skipping variant :218). Where the reference slides a
+    * sequential Woodbury add/remove update, the Spark-native form
+    * computes every row's normal equations from windowed partial sums
+    * (the d(d+1)/2 Gram entries + cross terms, ONE window pass, all
+    * codegen'd) and solves the (d+bias)² system per row in a tiny
+    * UDF — fully distributed across groups AND rows, no sequential
+    * state, no accumulated FP drift.
+    *
+    * Null semantics (matches the reference's `null_policy="skip"` +
+    * `min_valid_rows`, test_linear_exprs.py:857): the window is
+    * POSITIONAL (always `window` physical rows); rows with any
+    * null/NaN input are excluded from the sums; output is null until
+    * the window is full or when fewer than `minValidRows` valid rows
+    * remain (default: every row valid when `nullSkip=false`, else
+    * d+bias). Output: array column `out` = coefficients, bias LAST
+    * (null when gated or singular). */
+  def rollingLinReg(df: DataFrame, features: Seq[Column], y: Column,
+                    order: Column, groupNames: Seq[String], window: Int,
+                    lambda: Double = 0.0, addBias: Boolean = true,
+                    nullSkip: Boolean = false, minValidRows: Int = -1,
+                    out: String = "coeffs"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+      .rowsBetween(-(window - 1), 0)
+    windowedOls(df, features, y, w, window, lambda, addBias, nullSkip,
+      minValidRows, out)
+  }
+
+  /** General-d expanding-window ("recursive") OLS/ridge per row
+    * (reference pl_recursive_lr, lr_online_solvers.rs:148): row i
+    * carries the fit over rows 0..i of its group, null until
+    * `startWith` rows have arrived. Same distributed windowed-sums
+    * design as [[rollingLinReg]]. */
+  def recursiveLinReg(df: DataFrame, features: Seq[Column], y: Column,
+                      order: Column, groupNames: Seq[String],
+                      startWith: Int, lambda: Double = 0.0,
+                      addBias: Boolean = true, nullSkip: Boolean = false,
+                      out: String = "coeffs"): DataFrame = {
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    windowedOls(df, features, y, w, startWith, lambda, addBias, nullSkip,
+      -1, out)
+  }
+
+  private def windowedOls(df: DataFrame, features: Seq[Column], y: Column,
+                          w: org.apache.spark.sql.expressions.WindowSpec,
+                          requireRows: Int, lambda: Double,
+                          addBias: Boolean, nullSkip: Boolean,
+                          minValidRows: Int, out: String): DataFrame = {
+    val d = features.length
+    require(d >= 1, "need at least one feature")
+    val dTot = d + (if (addBias) 1 else 0)
+    val fx = features.map(_.cast("double"))
+    val yd = y.cast("double")
+    val valid = (fx :+ yd)
+      .map(c => c.isNotNull && !isnan(c)).reduce(_ && _)
+    def m(c: Column) = when(valid, c).otherwise(lit(0.0))
+    val gram = for { j <- 0 until d; k <- j until d }
+      yield sum(m(fx(j) * fx(k))).over(w)
+    val sx = fx.map(c => sum(m(c)).over(w))
+    val sxy = fx.map(c => sum(m(c * yd)).over(w))
+    val sy = sum(m(yd)).over(w)
+    val nValid = sum(when(valid, 1).otherwise(0)).over(w).cast("double")
+    val nRows = count(lit(1)).over(w).cast("double")
+    val packed = array(gram ++ sx ++ sxy ++ Seq(sy, nValid, nRows): _*)
+    val minValid = if (minValidRows > 0) minValidRows
+      else if (nullSkip) dTot else requireRows
+    val nGram = d * (d + 1) / 2
+    val solver = udf { (p: Seq[Double]) =>
+      val nR = p(nGram + 2 * d + 2)
+      val nV = p(nGram + 2 * d + 1)
+      if (nR < requireRows || nV < minValid || nV < dTot) null
+      else {
+        val a = Array.ofDim[Double](dTot, dTot + 1)
+        var idx = 0
+        var j = 0
+        while (j < d) {
+          var k = j
+          while (k < d) {
+            a(j)(k) = p(idx); a(k)(j) = p(idx); k += 1; idx += 1
+          }
+          j += 1
+        }
+        j = 0
+        while (j < d) {
+          if (addBias) { a(j)(d) = p(nGram + j); a(d)(j) = p(nGram + j) }
+          a(j)(dTot) = p(nGram + d + j)
+          j += 1
+        }
+        if (addBias) {
+          a(d)(d) = nV
+          a(d)(dTot) = p(nGram + 2 * d)
+        }
+        var i = 0
+        while (i < dTot) { a(i)(i) += lambda; i += 1 }
+        val beta = solveInPlace(a, dTot)
+        if (beta.exists(b => b.isNaN || b.isInfinite)) null
+        else beta.toSeq
+      }
+    }
+    df.withColumn(out, solver(packed))
+  }
+
   /** Binary logistic regression via IRLS — each iteration is ONE
     * distributed weighted-Gram aggregate; β lives on the driver
     * (d+1 doubles), never the data. (expr_linear.py:277 logistic_reg;

@@ -130,13 +130,20 @@ object LinearQueries2 extends QueryPack {
       val ev = t(s, dir, "events")
         .withColumn("x2", (col("event_id") % 997) / 10.0)
         .withColumn("yy", col("value") + col("x2") * 2.0 + 5.0)
-      graft.ops.LinRegOps.rollingLinReg2(ev, col("value"), col("x2"),
+      // exercises the general-d windowed-Gram rolling path (d=2
+      // instance) so the DuckDB Cramer oracle gates it; the Column-
+      // algebra twin rollingLinReg2 stays spec-covered
+      graft.ops.LinRegOps.rollingLinReg(ev, Seq(col("value"), col("x2")),
           col("yy"), col("event_id"), Seq("event_type"), 8)
-        .filter(col("roll_n") === 8.0)
+        .filter(col("coeffs").isNotNull)
+        .select(col("event_type"),
+          element_at(col("coeffs"), 1).as("b1"),
+          element_at(col("coeffs"), 2).as("b2"),
+          element_at(col("coeffs"), 3).as("b0"))
         .groupBy(col("event_type"))
-        .agg(round(avg(col("roll_b1")), 6).as("avg_b1"),
-          round(avg(col("roll_b2")), 6).as("avg_b2"),
-          round(avg(col("roll_b0")), 4).as("avg_b0"),
+        .agg(round(avg(col("b1")), 6).as("avg_b1"),
+          round(avg(col("b2")), 6).as("avg_b2"),
+          round(avg(col("b0")), 4).as("avg_b0"),
           count(lit(1)).as("n_windows"))
         .orderBy("event_type")
     }),

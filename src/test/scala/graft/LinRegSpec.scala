@@ -87,4 +87,163 @@ class LinRegSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(approx(last.getAs[Double]("recursive_slope"), full, 1e-9))
   }
+
+  // local normal-equations solve (bias last) for brute-force windows
+  private def localOls(rows: Seq[(Array[Double], Double)],
+                       lambda: Double = 0.0): Array[Double] = {
+    val d = rows.head._1.length + 1
+    val a = Array.ofDim[Double](d, d + 1)
+    rows.foreach { case (x, yv) =>
+      val xb = x :+ 1.0
+      for (j <- 0 until d; k <- 0 until d) a(j)(k) += xb(j) * xb(k)
+      for (j <- 0 until d) a(j)(d) += xb(j) * yv
+    }
+    for (j <- 0 until d) a(j)(j) += lambda
+    for (c <- 0 until d) {
+      val piv = (c until d).maxBy(r => math.abs(a(r)(c)))
+      val t = a(piv); a(piv) = a(c); a(c) = t
+      val pv = a(c)(c)
+      for (j <- c to d) a(c)(j) /= pv
+      for (r <- 0 until d if r != c) {
+        val f = a(r)(c)
+        if (f != 0.0) for (j <- c to d) a(r)(j) -= f * a(c)(j)
+      }
+    }
+    Array.tabulate(d)(i => a(i)(d))
+  }
+
+  test("general-d rolling OLS matches brute-force per-window fits " +
+      "(test_linear_exprs.py:813-853 device)") {
+    import spark.implicits._
+    // LCG-mixed features: modular ramps like i%10 are affine in i
+    // inside any no-wrap window, which makes the design genuinely
+    // singular — hash the index instead so every window is full rank
+    def u(i: Int, salt: Int): Double = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val raw = (0 until 60).map { i =>
+      val x1 = u(i, 1); val x2 = u(i, 2); val x3 = u(i, 3)
+      val y = 0.5 * x1 + 0.25 * x2 - 0.15 * x3 + u(i, 4) / 100.0
+      (i.toLong, x1, x2, x3, y)
+    }
+    val df = raw.toDF("o", "x1", "x2", "x3", "y").withColumn("g", lit("a"))
+    for (window <- Seq(5, 8, 12)) {
+      val got = LinRegOps.rollingLinReg(df,
+          Seq(col("x1"), col("x2"), col("x3")), col("y"), col("o"),
+          Seq("g"), window)
+        .orderBy("o").select("coeffs").collect()
+      raw.indices.foreach { i =>
+        if (i < window - 1)
+          assert(got(i).isNullAt(0), s"row $i window $window: want null")
+        else {
+          val want = localOls(raw.slice(i - window + 1, i + 1)
+            .map(r => (Array(r._2, r._3, r._4), r._5)))
+          val g = got(i).getSeq[Double](0)
+          want.indices.foreach(j => assert(approx(g(j), want(j), 1e-7),
+            s"row $i window $window coeff $j"))
+        }
+      }
+    }
+  }
+
+  test("rolling OLS null-skip + min_valid_rows gate " +
+      "(test_linear_exprs.py:857-913)") {
+    import spark.implicits._
+    val window = 6
+    val minValid = 5
+    val raw = (0 until 80).map { i =>
+      val nullX1 = (i * 13) % 7 == 0
+      val x1 = if (nullX1) None else Some((i % 10).toDouble)
+      val x2 = ((i * 7) % 13).toDouble
+      val y = x1.map(v => 0.15 * v + 0.3 * x2 + ((i * 37) % 11) / 100.0)
+      (i.toLong, x1, x2, y)
+    }
+    val df = raw.toDF("o", "x1", "x2", "y").withColumn("g", lit("a"))
+    val got = LinRegOps.rollingLinReg(df, Seq(col("x1"), col("x2")),
+        col("y"), col("o"), Seq("g"), window, nullSkip = true,
+        minValidRows = minValid)
+      .orderBy("o").select("coeffs").collect()
+    raw.indices.foreach { i =>
+      val lo = i - window + 1
+      val validRows = if (lo < 0) Nil
+        else raw.slice(lo, i + 1).collect {
+          case (_, Some(x1), x2, Some(yv)) => (Array(x1, x2), yv)
+        }
+      if (lo < 0 || validRows.length < minValid)
+        assert(got(i).isNullAt(0), s"row $i: want null")
+      else {
+        val want = localOls(validRows)
+        val g = got(i).getSeq[Double](0)
+        want.indices.foreach(j => assert(approx(g(j), want(j), 1e-7),
+          s"row $i coeff $j"))
+      }
+    }
+  }
+
+  test("Column-algebra Cramer twins agree with the general windowed path") {
+    import spark.implicits._
+    def u(i: Int, salt: Int): Double = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val raw = (0 until 50).map { i =>
+      (i.toLong, u(i, 1), u(i, 2),
+        0.4 * u(i, 1) - 0.7 * u(i, 2) + u(i, 3) / 50.0)
+    }
+    val df = raw.toDF("o", "x1", "x2", "y").withColumn("g", lit("a"))
+    val cramer = LinRegOps.rollingLinReg2(df, col("x1"), col("x2"),
+        col("y"), col("o"), Seq("g"), 9)
+      .filter(col("roll_n") === 9.0).orderBy("o")
+      .select("roll_b1", "roll_b2", "roll_b0").collect()
+    val general = LinRegOps.rollingLinReg(df, Seq(col("x1"), col("x2")),
+        col("y"), col("o"), Seq("g"), 9)
+      .filter(col("coeffs").isNotNull).orderBy("o")
+      .select("coeffs").collect()
+    assert(cramer.length == general.length && cramer.nonEmpty)
+    cramer.zip(general).zipWithIndex.foreach { case ((c, g), i) =>
+      val gs = g.getSeq[Double](0)
+      assert(approx(c.getDouble(0), gs(0), 1e-8), s"win $i b1")
+      assert(approx(c.getDouble(1), gs(1), 1e-8), s"win $i b2")
+      assert(approx(c.getDouble(2), gs(2), 1e-8), s"win $i b0")
+    }
+  }
+
+  test("general-d recursive OLS matches brute-force prefix fits; " +
+      "ridge matches local ridge (test_linear_exprs.py:717-811)") {
+    import spark.implicits._
+    val raw = (0 until 40).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      val y = 0.5 * x1 + 0.25 * x2 + ((i * 37) % 11) / 100.0
+      (i.toLong, x1, x2, y)
+    }
+    val df = raw.toDF("o", "x1", "x2", "y").withColumn("g", lit("a"))
+    val got = LinRegOps.recursiveLinReg(df, Seq(col("x1"), col("x2")),
+        col("y"), col("o"), Seq("g"), startWith = 4)
+      .orderBy("o").select("coeffs").collect()
+    raw.indices.foreach { i =>
+      if (i < 3) assert(got(i).isNullAt(0), s"row $i: want null")
+      else {
+        val want = localOls(raw.take(i + 1)
+          .map(r => (Array(r._2, r._3), r._4)))
+        val g = got(i).getSeq[Double](0)
+        want.indices.foreach(j => assert(approx(g(j), want(j), 1e-7),
+          s"row $i coeff $j"))
+      }
+    }
+    // rolling ridge (test_linear_exprs.py:122 rolling_ridge)
+    val gotR = LinRegOps.rollingLinReg(df, Seq(col("x1"), col("x2")),
+        col("y"), col("o"), Seq("g"), 8, lambda = 0.5)
+      .orderBy("o").select("coeffs").collect()
+    (7 until raw.length).foreach { i =>
+      val want = localOls(raw.slice(i - 7, i + 1)
+        .map(r => (Array(r._2, r._3), r._4)), lambda = 0.5)
+      val g = gotR(i).getSeq[Double](0)
+      want.indices.foreach(j => assert(approx(g(j), want(j), 1e-7),
+        s"ridge row $i coeff $j"))
+    }
+  }
 }
