@@ -253,6 +253,171 @@ object LinRegOps {
     df.withColumn(out, solver(packed))
   }
 
+  /** Heteroskedasticity-consistent (HC0–HC3) standard errors for the
+    * per-group OLS fit — statsmodels-parity robust errors (reference
+    * lin_reg_report `std_err` kwarg, expr_linear.py:561;
+    * test_linear_exprs.py:168 checks against statsmodels HC*_se).
+    *
+    * Spark-native two-pass design: pass 1 is one distributed Gram
+    * aggregate per group (A = X'X, X'y → β, A⁻¹ on the driver, d² work
+    * per group); pass 2 broadcasts (β, A⁻¹) back and aggregates the
+    * sandwich "meat" Σ xxᵀ·e²/(1−h)^p per group with h = xᵀA⁻¹x and e
+    * computed in pure codegen'd Column algebra — no row ever leaves the
+    * executors, each pass is one shuffle of d²-sized partial states.
+    *
+    *  - HC0: A⁻¹ M A⁻¹,           M = Σ xxᵀe²
+    *  - HC1: n/(n−d) · HC0
+    *  - HC2: A⁻¹ Σ xxᵀe²/(1−h) A⁻¹
+    *  - HC3: A⁻¹ Σ xxᵀe²/(1−h)² A⁻¹
+    *
+    * Output (one row per group): group keys, `coeffs`, `se` (classical
+    * σ²A⁻¹), `hc0_se`..`hc3_se` — arrays ordered like `features`, bias
+    * LAST when `addBias`. Groups whose design is singular are dropped.
+    * Null/NaN rows are excluded from both passes. */
+  def hcReport(df: DataFrame, features: Seq[Column], y: Column,
+               groupNames: Seq[String] = Nil, addBias: Boolean = true)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val d = features.length
+    val dTot = d + (if (addBias) 1 else 0)
+    val fx0 = features.map(_.cast("double"))
+    val yd = y.cast("double")
+    val valid = (fx0 :+ yd).map(c => c.isNotNull && !isnan(c))
+      .reduce(_ && _)
+    val base = df.filter(valid)
+    val xb: Seq[Column] = if (addBias) fx0 :+ lit(1.0) else fx0
+    val gc = groupNames.map(col)
+    val gramAggs =
+      (for { j <- 0 until dTot; k <- j until dTot }
+        yield sum(xb(j) * xb(k)).as(s"_g${j}_$k")) ++
+      (0 until dTot).map(j => sum(xb(j) * yd).as(s"_xy$j")) :+
+      count(lit(1)).as("_n")
+    val pass1 = base.groupBy(gc: _*).agg(gramAggs.head, gramAggs.tail: _*)
+      .collect()
+    // driver: per group solve A β = X'y and invert A (d² doubles each)
+    case class Fit(key: Seq[Any], n: Long, beta: Array[Double],
+                   ainv: Array[Array[Double]])
+    val fits = pass1.flatMap { r =>
+      val a = Array.ofDim[Double](dTot, dTot)
+      for (j <- 0 until dTot; k <- j until dTot) {
+        val v = r.getDouble(r.fieldIndex(s"_g${j}_$k"))
+        a(j)(k) = v; a(k)(j) = v
+      }
+      val xy = Array.tabulate(dTot)(j => r.getDouble(r.fieldIndex(s"_xy$j")))
+      val n = r.getLong(r.fieldIndex("_n"))
+      val aug = Array.tabulate(dTot)(j =>
+        Array.tabulate(dTot + 1)(k => if (k < dTot) a(j)(k) else xy(j)))
+      val beta = solveInPlace(aug, dTot)
+      val inv = invert(a, dTot)
+      if (beta.exists(b => b.isNaN || b.isInfinite) || inv == null) None
+      else Some(Fit(groupNames.indices.map(r.get), n, beta, inv))
+    }
+    if (fits.isEmpty)
+      throw new IllegalStateException("hcReport: every group singular")
+    // pass 2: broadcast (β, A⁻¹) as a tiny keyed frame; e, h, and the
+    // three weight variants are plain Column algebra over it
+    import spark.implicits._
+    val fitRows = fits.map(f => (f.key.map(String.valueOf).mkString(""),
+      f.n, f.beta.toSeq, f.ainv.flatten.toSeq)).toSeq
+      .toDF("_fk", "_fn", "_beta", "_ainv")
+    val keyed = base.withColumn("_fk",
+      if (groupNames.isEmpty) lit("")
+      else concat_ws("", gc.map(_.cast("string")): _*))
+      .join(broadcast(fitRows), "_fk")
+    val pred = (0 until dTot).map(j =>
+      xb(j) * element_at(col("_beta"), j + 1)).reduce(_ + _)
+    val e2 = pow(yd - pred, 2.0)
+    val h = (for { j <- 0 until dTot; k <- 0 until dTot }
+      yield xb(j) * xb(k) *
+        element_at(col("_ainv"), j * dTot + k + 1)).reduce(_ + _)
+    val w0 = e2
+    val w2 = e2 / (lit(1.0) - h)
+    val w3 = e2 / pow(lit(1.0) - h, 2.0)
+    val meatAggs =
+      (for { j <- 0 until dTot; k <- j until dTot; (wc, t) <-
+          Seq((w0, "a"), (w2, "b"), (w3, "c")) }
+        yield sum(xb(j) * xb(k) * wc).as(s"_m$t${j}_$k")) :+
+      sum(e2).as("_sse")
+    val pass2 = keyed.groupBy(col("_fk"))
+      .agg(meatAggs.head, meatAggs.tail: _*).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val outRows = fits.flatMap { f =>
+      val fk = f.key.map(String.valueOf).mkString("")
+      pass2.get(fk).map { r =>
+        def meat(t: String): Array[Array[Double]] = {
+          val m = Array.ofDim[Double](dTot, dTot)
+          for (j <- 0 until dTot; k <- j until dTot) {
+            val v = r.getDouble(r.fieldIndex(s"_m$t${j}_$k"))
+            m(j)(k) = v; m(k)(j) = v
+          }
+          m
+        }
+        def sandwichSe(m: Array[Array[Double]], scale: Double)
+            : Seq[Double] = {
+          val ai = f.ainv
+          (0 until dTot).map { i =>
+            var s = 0.0
+            for (j <- 0 until dTot; k <- 0 until dTot)
+              s += ai(i)(j) * m(j)(k) * ai(k)(i)
+            math.sqrt(s * scale)
+          }
+        }
+        val sse = r.getDouble(r.fieldIndex("_sse"))
+        val sigma2 = sse / (f.n - dTot)
+        val seClassic = (0 until dTot)
+          .map(i => math.sqrt(sigma2 * f.ainv(i)(i)))
+        org.apache.spark.sql.Row.fromSeq(f.key ++ Seq(
+          f.beta.toSeq, seClassic,
+          sandwichSe(meat("a"), 1.0),
+          sandwichSe(meat("a"), f.n.toDouble / (f.n - dTot)),
+          sandwichSe(meat("b"), 1.0),
+          sandwichSe(meat("c"), 1.0)))
+      }
+    }
+    val keySchema = groupNames.map(n =>
+      df.schema(df.schema.fieldIndex(n)))
+    val schema = org.apache.spark.sql.types.StructType(keySchema ++
+      Seq("coeffs", "se", "hc0_se", "hc1_se", "hc2_se", "hc3_se").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
+  }
+
+  /** Gauss–Jordan inverse; null when singular. */
+  private def invert(a0: Array[Array[Double]], d: Int)
+      : Array[Array[Double]] = {
+    val a = Array.tabulate(d)(j =>
+      Array.tabulate(2 * d)(k =>
+        if (k < d) a0(j)(k) else if (k - d == j) 1.0 else 0.0))
+    var c = 0
+    while (c < d) {
+      var piv = c
+      var r = c + 1
+      while (r < d) {
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv)(c)) < 1e-300) return null
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+      val pv = a(c)(c)
+      var j = c
+      while (j < 2 * d) { a(c)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != c && a(r)(c) != 0.0) {
+          val f = a(r)(c)
+          var j2 = c
+          while (j2 < 2 * d) { a(r)(j2) -= f * a(c)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    Array.tabulate(d)(j => Array.tabulate(d)(k => a(j)(k + d)))
+  }
+
   /** Binary logistic regression via IRLS — each iteration is ONE
     * distributed weighted-Gram aggregate; β lives on the driver
     * (d+1 doubles), never the data. (expr_linear.py:277 logistic_reg;

@@ -160,6 +160,22 @@ object LinearQueries2 extends QueryPack {
           round(avg(col("rec_b0")), 4).as("avg_b0"))
         .orderBy("event_type")
     }),
+    // HC0-HC3 robust standard errors, d=1+bias per group so the oracle
+    // can spell the sandwich in closed form (A⁻¹MA⁻¹ entry 0,0 =
+    // (n²M₀₀ − 2n·sx·M₀₁ + sx²M₁₁)/det²)
+    "q_hc_se" -> ((s, dir) => {
+      graft.ops.LinRegOps.hcReport(t(s, dir, "lineitem"),
+          Seq(col("l_quantity")), col("l_extendedprice"),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(element_at(col("coeffs"), 1), 6).as("b1"),
+          round(element_at(col("se"), 1), 6).as("se1"),
+          round(element_at(col("hc0_se"), 1), 6).as("hc0"),
+          round(element_at(col("hc1_se"), 1), 6).as("hc1"),
+          round(element_at(col("hc2_se"), 1), 6).as("hc2"),
+          round(element_at(col("hc3_se"), 1), 6).as("hc3"))
+        .orderBy("l_returnflag")
+    }),
     "q_lin_reg_pred" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val coeffs = li.groupBy(col("l_returnflag"))
@@ -294,6 +310,47 @@ object LinearQueries2 extends QueryPack {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "n >= 10",
       """ROUND(AVG(b1), 6) AS avg_b1, ROUND(AVG(b2), 6) AS avg_b2,
         |  ROUND(AVG(b0), 4) AS avg_b0""".stripMargin),
+    "q_hc_se" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*)::DOUBLE n, SUM(l_quantity) sx,
+        |    SUM(l_quantity * l_quantity) sxx, SUM(l_extendedprice) sy,
+        |    SUM(l_quantity * l_extendedprice) sxy
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) b1,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n b0,
+        |    n * sxx - sx * sx det
+        |  FROM s),
+        |r AS (
+        |  SELECT li.l_returnflag, li.l_quantity x,
+        |    li.l_extendedprice - b.b1 * li.l_quantity - b.b0 e,
+        |    (b.n * li.l_quantity * li.l_quantity
+        |      - 2 * b.sx * li.l_quantity + b.sxx) / b.det h
+        |  FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag),
+        |m AS (
+        |  SELECT r.l_returnflag,
+        |    SUM(e * e) sse,
+        |    SUM(x * x * e * e) ma11, SUM(x * e * e) ma12,
+        |    SUM(e * e) ma22,
+        |    SUM(x * x * e * e / (1 - h)) mb11,
+        |    SUM(x * e * e / (1 - h)) mb12, SUM(e * e / (1 - h)) mb22,
+        |    SUM(x * x * e * e / ((1 - h) * (1 - h))) mc11,
+        |    SUM(x * e * e / ((1 - h) * (1 - h))) mc12,
+        |    SUM(e * e / ((1 - h) * (1 - h))) mc22
+        |  FROM r GROUP BY 1)
+        |SELECT b.l_returnflag, ROUND(b.b1, 6) AS b1,
+        |  ROUND(SQRT(m.sse / (b.n - 2) * b.n / b.det), 6) AS se1,
+        |  ROUND(SQRT((b.n * b.n * m.ma11 - 2 * b.n * b.sx * m.ma12
+        |    + b.sx * b.sx * m.ma22) / (b.det * b.det)), 6) AS hc0,
+        |  ROUND(SQRT(b.n / (b.n - 2) * (b.n * b.n * m.ma11
+        |    - 2 * b.n * b.sx * m.ma12 + b.sx * b.sx * m.ma22)
+        |    / (b.det * b.det)), 6) AS hc1,
+        |  ROUND(SQRT((b.n * b.n * m.mb11 - 2 * b.n * b.sx * m.mb12
+        |    + b.sx * b.sx * m.mb22) / (b.det * b.det)), 6) AS hc2,
+        |  ROUND(SQRT((b.n * b.n * m.mc11 - 2 * b.n * b.sx * m.mc12
+        |    + b.sx * b.sx * m.mc22) / (b.det * b.det)), 6) AS hc3
+        |FROM b JOIN m ON b.l_returnflag = m.l_returnflag
+        |ORDER BY 1""".stripMargin,
     "q_lin_reg_pred" ->
       s"""WITH li AS (
          |  SELECT l_returnflag, l_quantity, l_discount,

@@ -182,6 +182,93 @@ class LinRegSpec extends AnyFunSuite {
     }
   }
 
+  test("hcReport HC0-HC3 match the statsmodels sandwich formulas " +
+      "(test_linear_exprs.py:168-202 device)") {
+    import spark.implicits._
+    def u(i: Int, salt: Int): Double = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    // heteroskedastic noise (scales with x1) so HC0-3 differ from se
+    val raw = (0 until 60).map { i =>
+      val x1 = u(i, 1); val x2 = u(i, 2)
+      (i.toLong, x1, x2, 0.3 * x1 - 0.2 * x2 + 0.1 +
+        (u(i, 3) - 0.5) * x1 * 0.2)
+    }
+    val df = raw.toDF("o", "x1", "x2", "y").withColumn("g", lit("a"))
+    val got = LinRegOps.hcReport(df, Seq(col("x1"), col("x2")), col("y"),
+      Seq("g")).collect()(0)
+    // brute force
+    val dTot = 3
+    val xs = raw.map(r => Array(r._2, r._3, 1.0))
+    val ys = raw.map(_._4)
+    val a = Array.ofDim[Double](dTot, dTot)
+    val xy = new Array[Double](dTot)
+    xs.zip(ys).foreach { case (x, yv) =>
+      for (j <- 0 until dTot; k <- 0 until dTot) a(j)(k) += x(j) * x(k)
+      for (j <- 0 until dTot) xy(j) += x(j) * yv
+    }
+    val beta = localOls(raw.map(r => (Array(r._2, r._3), r._4)))
+    // invert A by solving A X = I column-wise with localOls-style solve
+    def solveCol(b: Array[Double]): Array[Double] = {
+      val m = Array.tabulate(dTot)(j =>
+        Array.tabulate(dTot + 1)(k => if (k < dTot) a(j)(k) else b(j)))
+      for (c <- 0 until dTot) {
+        val piv = (c until dTot).maxBy(r => math.abs(m(r)(c)))
+        val t = m(piv); m(piv) = m(c); m(c) = t
+        val pv = m(c)(c)
+        for (j <- c to dTot) m(c)(j) /= pv
+        for (r <- 0 until dTot if r != c) {
+          val f = m(r)(c)
+          if (f != 0.0) for (j <- c to dTot) m(r)(j) -= f * m(c)(j)
+        }
+      }
+      Array.tabulate(dTot)(i => m(i)(dTot))
+    }
+    val ainv = Array.tabulate(dTot)(j =>
+      solveCol(Array.tabulate(dTot)(k => if (k == j) 1.0 else 0.0)))
+        .transpose
+    val resid = xs.zip(ys).map { case (x, yv) =>
+      yv - x.zip(beta).map(p => p._1 * p._2).sum }
+    val hs = xs.map { x =>
+      (for (j <- 0 until dTot; k <- 0 until dTot)
+        yield x(j) * ainv(j)(k) * x(k)).sum }
+    def sandwich(ws: Seq[Double], scale: Double): Seq[Double] = {
+      val m = Array.ofDim[Double](dTot, dTot)
+      xs.zip(ws).foreach { case (x, wv) =>
+        for (j <- 0 until dTot; k <- 0 until dTot)
+          m(j)(k) += x(j) * x(k) * wv }
+      (0 until dTot).map { i =>
+        var s = 0.0
+        for (j <- 0 until dTot; k <- 0 until dTot)
+          s += ainv(i)(j) * m(j)(k) * ainv(k)(i)
+        math.sqrt(s * scale)
+      }
+    }
+    val n = raw.length
+    val e2 = resid.map(e => e * e)
+    val wantHc0 = sandwich(e2, 1.0)
+    val wantHc1 = sandwich(e2, n.toDouble / (n - dTot))
+    val wantHc2 = sandwich(e2.zip(hs).map(p => p._1 / (1 - p._2)), 1.0)
+    val wantHc3 = sandwich(e2.zip(hs).map(p =>
+      p._1 / math.pow(1 - p._2, 2)), 1.0)
+    val sigma2 = e2.sum / (n - dTot)
+    val wantSe = (0 until dTot).map(i => math.sqrt(sigma2 * ainv(i)(i)))
+    def arr(name: String) =
+      got.getSeq[Double](got.fieldIndex(name))
+    (0 until dTot).foreach { i =>
+      assert(approx(arr("coeffs")(i), beta(i), 1e-8), s"beta $i")
+      assert(approx(arr("se")(i), wantSe(i), 1e-8), s"se $i")
+      assert(approx(arr("hc0_se")(i), wantHc0(i), 1e-8), s"hc0 $i")
+      assert(approx(arr("hc1_se")(i), wantHc1(i), 1e-8), s"hc1 $i")
+      assert(approx(arr("hc2_se")(i), wantHc2(i), 1e-8), s"hc2 $i")
+      assert(approx(arr("hc3_se")(i), wantHc3(i), 1e-8), s"hc3 $i")
+    }
+    // HCs must genuinely differ from the classical se on this data
+    assert(math.abs(wantHc0.head - wantSe.head) > 1e-6)
+  }
+
   test("Column-algebra Cramer twins agree with the general windowed path") {
     import spark.implicits._
     def u(i: Int, salt: Int): Double = {
