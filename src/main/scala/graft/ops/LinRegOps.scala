@@ -253,6 +253,97 @@ object LinRegOps {
     df.withColumn(out, solver(packed))
   }
 
+  /** Multi-target OLS/ridge: fit the SAME design matrix against `m`
+    * target columns in one pass, sharing the Gram matrix across
+    * targets (reference lin_reg with `target=[y1, y2, ...]`,
+    * test_linear_exprs.py:1068; the struct fields follow the same
+    * positional `target_i` convention).
+    *
+    * One distributed groupBy aggregate carries X'X once plus the m
+    * X'yᵢ vectors; the per-group solve UDF runs ONE Gauss–Jordan
+    * elimination with m right-hand sides — m× cheaper than m separate
+    * fits on both shuffle volume and factorization work. Output: group
+    * keys + `target_0..target_{m-1}` coefficient arrays (bias LAST;
+    * null when the shared design is singular). Null/NaN rows (any
+    * feature or any target) are excluded, mirroring how the reference
+    * builds one row mask for the shared X. */
+  def linRegMultiTarget(df: DataFrame, features: Seq[Column],
+                        targets: Seq[Column], groupNames: Seq[String] = Nil,
+                        lambda: Double = 0.0, addBias: Boolean = true)
+      : DataFrame = {
+    val d = features.length
+    val m = targets.length
+    require(d >= 1 && m >= 1, "need features and targets")
+    val dTot = d + (if (addBias) 1 else 0)
+    val fx0 = features.map(_.cast("double"))
+    val ys = targets.map(_.cast("double"))
+    val valid = (fx0 ++ ys).map(c => c.isNotNull && !isnan(c))
+      .reduce(_ && _)
+    val xb: Seq[Column] = if (addBias) fx0 :+ lit(1.0) else fx0
+    val gram = for { j <- 0 until dTot; k <- j until dTot }
+      yield sum(when(valid, xb(j) * xb(k)).otherwise(0.0))
+    val cross = for { t <- 0 until m; j <- 0 until dTot }
+      yield sum(when(valid, xb(j) * ys(t)).otherwise(0.0))
+    val packed = array(gram ++ cross :+
+      sum(when(valid, 1).otherwise(0)).cast("double"): _*)
+    val nGram = dTot * (dTot + 1) / 2
+    val solver = udf { (p: Seq[Double]) =>
+      val n = p(nGram + m * dTot)
+      if (n < dTot) null
+      else {
+        val a = Array.ofDim[Double](dTot, dTot + m)
+        var idx = 0
+        var j = 0
+        while (j < dTot) {
+          var k = j
+          while (k < dTot) {
+            a(j)(k) = p(idx); a(k)(j) = p(idx); k += 1; idx += 1
+          }
+          a(j)(j) += lambda
+          j += 1
+        }
+        for (t <- 0 until m; j2 <- 0 until dTot)
+          a(j2)(dTot + t) = p(nGram + t * dTot + j2)
+        // one Gauss-Jordan over [A | Y'X] solves every target at once
+        var c = 0
+        var singular = false
+        while (c < dTot && !singular) {
+          var piv = c
+          var r = c + 1
+          while (r < dTot) {
+            if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+            r += 1
+          }
+          if (math.abs(a(piv)(c)) < 1e-300) singular = true
+          else {
+            if (piv != c) { val t0 = a(piv); a(piv) = a(c); a(c) = t0 }
+            val pv = a(c)(c)
+            var j3 = c
+            while (j3 < dTot + m) { a(c)(j3) /= pv; j3 += 1 }
+            r = 0
+            while (r < dTot) {
+              if (r != c && a(r)(c) != 0.0) {
+                val f = a(r)(c)
+                var j4 = c
+                while (j4 < dTot + m) { a(r)(j4) -= f * a(c)(j4); j4 += 1 }
+              }
+              r += 1
+            }
+          }
+          c += 1
+        }
+        if (singular) null
+        else Seq.tabulate(m)(t => Seq.tabulate(dTot)(i => a(i)(dTot + t)))
+      }
+    }
+    val gc = groupNames.map(col)
+    val agged = df.groupBy(gc: _*).agg(packed.as("_p"))
+      .withColumn("_betas", solver(col("_p")))
+    (0 until m).foldLeft(agged) { (acc, t) =>
+      acc.withColumn(s"target_$t", element_at(col("_betas"), t + 1))
+    }.drop("_p", "_betas")
+  }
+
   /** Heteroskedasticity-consistent (HC0–HC3) standard errors for the
     * per-group OLS fit — statsmodels-parity robust errors (reference
     * lin_reg_report `std_err` kwarg, expr_linear.py:561;

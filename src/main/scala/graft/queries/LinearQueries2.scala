@@ -176,6 +176,25 @@ object LinearQueries2 extends QueryPack {
           round(element_at(col("hc3_se"), 1), 6).as("hc3"))
         .orderBy("l_returnflag")
     }),
+    // shared-Gram multi-target fit: target_0 is gated by the Cramer
+    // oracle; target_1 is an exact linear function of the features, so
+    // its coefficients are literally (3, -7, 2) — same closed-form
+    // device as q_glm
+    "q_multi_target" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("y2",
+        col("l_quantity") * 3.0 - col("l_discount") * 7.0 + 2.0)
+      graft.ops.LinRegOps.linRegMultiTarget(li,
+          Seq(col("l_quantity"), col("l_discount")),
+          Seq(col("l_extendedprice"), col("y2")), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(element_at(col("target_0"), 1), 6).as("b1_t0"),
+          round(element_at(col("target_0"), 2), 4).as("b2_t0"),
+          round(element_at(col("target_0"), 3), 4).as("b0_t0"),
+          round(element_at(col("target_1"), 1), 6).as("b1_t1"),
+          round(element_at(col("target_1"), 2), 6).as("b2_t1"),
+          round(element_at(col("target_1"), 3), 6).as("b0_t1"))
+        .orderBy("l_returnflag")
+    }),
     "q_lin_reg_pred" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val coeffs = li.groupBy(col("l_returnflag"))
@@ -310,6 +329,16 @@ object LinearQueries2 extends QueryPack {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "n >= 10",
       """ROUND(AVG(b1), 6) AS avg_b1, ROUND(AVG(b2), 6) AS avg_b2,
         |  ROUND(AVG(b0), 4) AS avg_b0""".stripMargin),
+    "q_multi_target" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_quantity, l_discount,
+         |    l_extendedprice y FROM lineitem),
+         |s AS ($gram3),
+         |${cramer3("0.0", "0.0")}
+         |SELECT l_returnflag, ROUND(b1, 6) AS b1_t0,
+         |  ROUND(b2, 4) AS b2_t0, ROUND(b0, 4) AS b0_t0,
+         |  3.0 AS b1_t1, -7.0 AS b2_t1, 2.0 AS b0_t1
+         |FROM b ORDER BY 1""".stripMargin,
     "q_hc_se" ->
       """WITH s AS (
         |  SELECT l_returnflag, COUNT(*)::DOUBLE n, SUM(l_quantity) sx,

@@ -182,6 +182,23 @@ class LinRegSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-target shared-Gram fit equals per-target fits " +
+      "(test_linear_exprs.py:1068-1113)") {
+    val got = data.withColumn("y2", col("y") * 0.5 - col("x1") * 2.0)
+    val multi = LinRegOps.linRegMultiTarget(got,
+      Seq(col("x1"), col("x2")), Seq(col("y"), col("y2"))).collect()(0)
+    def single(t: org.apache.spark.sql.Column) = got.agg(LinRegAgg.linReg(
+        array(col("x1"), col("x2"), lit(1.0)), t, 3).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    val w0 = single(col("y")); val w1 = single(col("y2"))
+    val g0 = multi.getSeq[Double](multi.fieldIndex("target_0"))
+    val g1 = multi.getSeq[Double](multi.fieldIndex("target_1"))
+    (0 until 3).foreach { i =>
+      assert(approx(g0(i), w0(i), 1e-9), s"t0 coeff $i")
+      assert(approx(g1(i), w1(i), 1e-9), s"t1 coeff $i")
+    }
+  }
+
   test("hcReport HC0-HC3 match the statsmodels sandwich formulas " +
       "(test_linear_exprs.py:168-202 device)") {
     import spark.implicits._
