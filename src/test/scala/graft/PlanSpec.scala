@@ -47,6 +47,36 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("rolling OLS plans ONE window exchange; sums are partial-free " +
+      "window aggs, the solve is the only UDF") {
+    import spark.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toLong, i * 0.7 % 3, i * 1.3 % 5, i * 0.1, "g")).toDF(
+      "o", "x1", "x2", "y", "g")
+    val plan = graft.ops.LinRegOps.rollingLinReg(df,
+        Seq(col("x1"), col("x2")), col("y"), col("o"), Seq("g"), 8)
+      .queryExecution.executedPlan.toString
+    // all Gram/cross sums ride one Window operator over one exchange —
+    // a second exchange would mean the sums shuffled twice
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      plan)
+    assert(plan.linesIterator.count(_.contains("- Window ")) == 1, plan)
+  }
+
+  test("hcReport end-to-end on real groups: finite robust errors, " +
+      "one row per group (pass 2 joins via an explicit broadcast hint)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = graft.ops.LinRegOps.hcReport(li, Seq(col("l_quantity")),
+      col("l_extendedprice"), Seq("l_returnflag"))
+    // correctness smoke: one row per returnflag, finite ses
+    val rows = out.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val se = r.getSeq[Double](r.fieldIndex("hc3_se"))
+      assert(se.forall(v => !v.isNaN && !v.isInfinite && v > 0))
+    }
+  }
+
   test("isKnnFrom finds the k-th threshold via TakeOrderedAndProject") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
