@@ -89,7 +89,10 @@ object NumFuncs {
 
   /** x·log(y), 0 when x=0 (even if y=0). (num.py:1151 xlogy) */
   def xlogy(x: Column, y: Column): Column =
-    when(x === 0.0, 0.0).otherwise(x * log(y))
+    // x==0 shortcuts to 0 ONLY when y is not NaN — scipy/reference
+    // contract (float_extras.rs xlogy; test_many.py:1452: 0·log(NaN)
+    // stays NaN)
+    when(x === 0.0 && !isnan(y), 0.0).otherwise(x * log(y))
 
   /** Γ(x) via commons-math (num.py:926 gamma; float_extras.rs:67). */
   val gammaFn: Column => Column = {

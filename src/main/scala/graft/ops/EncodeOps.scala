@@ -134,12 +134,15 @@ object EncodeOps {
         .drop("n")
     val b = pct(baseline, baseCol, "baseline_pct")
     val a = pct(actual, actCol, "actual_pct")
-    val eps = 1e-12
+    // the reference clamps both pcts at 0.0001 (clip_min, psi.rs:58-63)
+    // so empty cells contribute a large-but-finite psi term
     b.join(a, Seq("bucket"), "full")
       .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("baseline_pct", greatest(col("baseline_pct"), lit(1e-4)))
+      .withColumn("actual_pct", greatest(col("actual_pct"), lit(1e-4)))
       .withColumn("psi_bin",
         (col("actual_pct") - col("baseline_pct")) *
-          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+          log(col("actual_pct") / col("baseline_pct")))
       .orderBy("bucket")
   }
 
@@ -161,13 +164,15 @@ object EncodeOps {
         .withColumn(name,
           col("n") / sum(col("n")).over(Window.partitionBy()))
         .drop("n")
-    val eps = 1e-12
+    // same 0.0001 clamp as psiReport (psi.rs:58-63)
     pct(baseline, baseCol, "baseline_pct")
       .join(pct(actual, actCol, "actual_pct"), Seq("bucket"), "full")
       .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("baseline_pct", greatest(col("baseline_pct"), lit(1e-4)))
+      .withColumn("actual_pct", greatest(col("actual_pct"), lit(1e-4)))
       .withColumn("psi_bin",
         (col("actual_pct") - col("baseline_pct")) *
-          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+          log(col("actual_pct") / col("baseline_pct")))
       .orderBy("bucket")
   }
 
@@ -180,13 +185,15 @@ object EncodeOps {
         .agg(count(lit(1)).as("n"))
         .withColumn(name, col("n") / sum(col("n")).over(Window.partitionBy()))
         .drop("n")
-    val eps = 1e-12
+    // same 0.0001 clamp as psiReport (psi.rs:58-63)
     pct(baseline, baseCol, "baseline_pct")
       .join(pct(actual, actCol, "actual_pct"), Seq("value"), "full")
       .na.fill(0.0, Seq("baseline_pct", "actual_pct"))
+      .withColumn("baseline_pct", greatest(col("baseline_pct"), lit(1e-4)))
+      .withColumn("actual_pct", greatest(col("actual_pct"), lit(1e-4)))
       .withColumn("psi_bin",
         (col("actual_pct") - col("baseline_pct")) *
-          log((col("actual_pct") + eps) / (col("baseline_pct") + eps)))
+          log(col("actual_pct") / col("baseline_pct")))
   }
 
   /** Remove the least-squares linear trend of x over an explicit order

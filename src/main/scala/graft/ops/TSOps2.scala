@@ -77,22 +77,29 @@ object TSOps2 {
     require(xs.length <= 100000,
       s"sampleEntropy: series of ${xs.length} exceeds the O(n²) cap")
     val a = xs.toArray
-    val nT = a.length - m          // templates comparable at m+1
+    // the reference's template ranges (ts_features.py:552 rows =
+    // n−m+1; entrophies.rs:139-175): B counts m-dim template pairs
+    // over ALL n−m+1 templates, A counts (m+1)-dim pairs over the
+    // first n−m — one more B template than the naive symmetric loop,
+    // which is what tsfresh computes too
+    val nTm = a.length - m + 1
+    if (nTm <= 1) return Double.NaN
     var bCnt = 0L; var aCnt = 0L
     var i = 0
-    while (i < nT) {
+    while (i < nTm) {
       var j = i + 1
-      while (j < nT) {
+      while (j < nTm) {
         if (chebWithin(a, i, j, m, r)) {
           bCnt += 1
-          if (math.abs(a(i + m) - a(j + m)) <= r) aCnt += 1
+          if (j < nTm - 1 &&
+              math.abs(a(i + m) - a(j + m)) <= r) aCnt += 1
         }
         j += 1
       }
       i += 1
     }
     if (aCnt == 0 || bCnt == 0) Double.NaN
-    else -math.log(aCnt.toDouble / bCnt.toDouble)
+    else math.log(bCnt.toDouble / aCnt.toDouble)
   }
 
   /** Approximate entropy φ(m) − φ(m+1), self-matches included
@@ -116,7 +123,8 @@ object TSOps2 {
       }
       s / n
     }
-    phi(m) - phi(m + 1)
+    // the reference returns |φ(m+1) − φ(m)| (entrophies.rs:99)
+    math.abs(phi(m) - phi(m + 1))
   }
 
   val sampleEntropyUdf =
@@ -124,14 +132,16 @@ object TSOps2 {
   val approxEntropyUdf =
     udf((xs: Seq[Double], m: Int, r: Double) => approxEntropySeries(xs, m, r))
 
-  /** SampEn per group with r = rFactor · sample-std of the group.
+  /** SampEn per group with r = rFactor · POPULATION std of the group —
+    * the reference scales by `std(ddof=0)` here (ts_features.py:551),
+    * unlike ApEn which uses sample std.
     * (ts_features.py:519 query_sample_entropy) */
   def sampleEntropy(df: DataFrame, x: Column, order: Column,
                     groupNames: Seq[String], m: Int = 2,
                     rFactor: Double = 0.2): DataFrame = {
     val gc = groupNames.map(col)
     val rs = df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
-      .groupBy(gc: _*).agg(stddev_samp(col(s"${P}x")).as(s"${P}sd"))
+      .groupBy(gc: _*).agg(stddev_pop(col(s"${P}x")).as(s"${P}sd"))
     collectSeries(df, x, order, groupNames)
       .join(rs, groupNames)
       .withColumn("sample_entropy",

@@ -193,11 +193,15 @@ object CoverageQueries extends QueryPack {
         |    actual_pct
         |  FROM events WHERE user_id % 2 <> 0 GROUP BY 1)
         |SELECT "value",
-        |  ROUND(COALESCE(baseline_pct, 0), 6) AS baseline_pct,
-        |  ROUND(COALESCE(actual_pct, 0), 6) AS actual_pct,
-        |  ROUND((COALESCE(actual_pct, 0) - COALESCE(baseline_pct, 0))
-        |    * LN((COALESCE(actual_pct, 0) + 1e-12)
-        |      / (COALESCE(baseline_pct, 0) + 1e-12)), 8) AS psi_bin
+        |  ROUND(GREATEST(COALESCE(baseline_pct, 0), 0.0001), 6)
+        |    AS baseline_pct,
+        |  ROUND(GREATEST(COALESCE(actual_pct, 0), 0.0001), 6)
+        |    AS actual_pct,
+        |  ROUND((GREATEST(COALESCE(actual_pct, 0), 0.0001)
+        |      - GREATEST(COALESCE(baseline_pct, 0), 0.0001))
+        |    * LN(GREATEST(COALESCE(actual_pct, 0), 0.0001)
+        |      / GREATEST(COALESCE(baseline_pct, 0), 0.0001)), 8)
+        |    AS psi_bin
         |FROM bp FULL JOIN ap USING ("value") ORDER BY "value"""".stripMargin,
     "q_wls" ->
       """WITH li AS (

@@ -238,11 +238,15 @@ object NumQueries extends QueryPack {
         |    / (SELECT COUNT(*) FROM ab) actual_pct
         |  FROM ab GROUP BY 1)
         |SELECT bucket,
-        |  ROUND(COALESCE(baseline_pct, 0), 6) AS baseline_pct,
-        |  ROUND(COALESCE(actual_pct, 0), 6) AS actual_pct,
-        |  ROUND((COALESCE(actual_pct, 0) - COALESCE(baseline_pct, 0))
-        |    * LN((COALESCE(actual_pct, 0) + 1e-12)
-        |        / (COALESCE(baseline_pct, 0) + 1e-12)), 8) AS psi_bin
+        |  ROUND(GREATEST(COALESCE(baseline_pct, 0), 0.0001), 6)
+        |    AS baseline_pct,
+        |  ROUND(GREATEST(COALESCE(actual_pct, 0), 0.0001), 6)
+        |    AS actual_pct,
+        |  ROUND((GREATEST(COALESCE(actual_pct, 0), 0.0001)
+        |      - GREATEST(COALESCE(baseline_pct, 0), 0.0001))
+        |    * LN(GREATEST(COALESCE(actual_pct, 0), 0.0001)
+        |        / GREATEST(COALESCE(baseline_pct, 0), 0.0001)), 8)
+        |    AS psi_bin
         |FROM bp_pct FULL JOIN ap_pct USING (bucket)
         |ORDER BY bucket""".stripMargin,
     "q_woe_iv" ->

@@ -91,19 +91,20 @@ object TSQueries2 extends QueryPack {
     "q_sample_entropy" ->
       s"""WITH e AS ($subSql),
          |r AS (
-         |  SELECT event_type, 0.5 * STDDEV_SAMP(value) r FROM e GROUP BY 1),
+         |  SELECT event_type, 0.5 * STDDEV_POP(value) r FROM e GROUP BY 1),
          |s AS (
          |  SELECT event_type, value x,
          |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
          |    ROW_NUMBER() OVER w rn
          |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
-         |t AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+         |t AS (SELECT * FROM s WHERE x1 IS NOT NULL),
          |p AS (
          |  SELECT a.event_type,
          |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
          |      <= r.r THEN 1 ELSE 0 END) bb,
          |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
-         |        <= r.r AND ABS(a.x2 - b.x2) <= r.r
+         |        <= r.r AND b.x2 IS NOT NULL
+         |        AND ABS(a.x2 - b.x2) <= r.r
          |      THEN 1 ELSE 0 END) aa
          |  FROM t a
          |  JOIN t b ON a.event_type = b.event_type AND a.rn < b.rn
@@ -111,7 +112,7 @@ object TSQueries2 extends QueryPack {
          |  GROUP BY 1)
          |SELECT event_type,
          |  CASE WHEN aa = 0 OR bb = 0 THEN 'NaN'::DOUBLE
-         |    ELSE ROUND(-LN(aa::DOUBLE / bb::DOUBLE), 6) END
+         |    ELSE ROUND(LN(bb::DOUBLE / aa::DOUBLE), 6) END
          |    AS sample_entropy
          |FROM p ORDER BY 1""".stripMargin,
     "q_approx_entropy" ->
@@ -149,7 +150,7 @@ object TSQueries2 extends QueryPack {
          |p3 AS (
          |  SELECT c3.event_type, AVG(LN(c3.c::DOUBLE / n3.n)) p
          |  FROM c3 JOIN n3 USING (event_type) GROUP BY 1)
-         |SELECT event_type, ROUND(p2.p - p3.p, 6) AS approx_entropy
+         |SELECT event_type, ROUND(ABS(p2.p - p3.p), 6) AS approx_entropy
          |FROM p2 JOIN p3 USING (event_type) ORDER BY 1""".stripMargin,
     "q_knn_entropy" ->
       s"""WITH e AS (

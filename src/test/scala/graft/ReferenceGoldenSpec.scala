@@ -246,6 +246,86 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(math.abs(inter.toDouble / union - 2.0 / 3.0) < 1e-12)
   }
 
+  test("psi continuous + discrete literal 3.4041141744549024 " +
+      "(test_many.py:1304-1349)") {
+    import spark.implicits._
+    val ref = (0 until 1000).map(_.toDouble).toDF("v")
+    val act = ((0 until 500).map(_.toDouble) ++ Seq.fill(500)(600.0))
+      .toDF("v")
+    val psi = graft.ops.EncodeOps.psiReport(ref, col("v"), act, col("v"), 10)
+      .agg(sum("psi_bin")).head.getDouble(0)
+    assert(math.abs(psi - 3.4041141744549024) < 1e-9, s"psi=$psi")
+    val refD = (0 until 10).flatMap(d => Seq.fill(100)(d)).toDF("v")
+    val actD = ((0 until 5).flatMap(d => Seq.fill(100)(d)) ++
+      Seq.fill(500)(6)).toDF("v")
+    val psiD = graft.ops.EncodeOps.psiDiscrete(refD, col("v"), actD, col("v"))
+      .agg(sum("psi_bin")).head.getDouble(0)
+    assert(math.abs(psiD - 3.4041141744549024) < 1e-9, s"psiD=$psiD")
+  }
+
+  test("sample_entropy literals (test_many.py:1253-1266)") {
+    import graft.ops.TSOps2
+    val s1 = (0 until 100).map(_.toDouble)
+    // the reference scales SampEn's r by POPULATION std
+    // (ts_features.py:551 std(ddof=0))
+    def sdPop(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    }
+    val e1 = TSOps2.sampleEntropySeries(s1, 2, 0.2 * sdPop(s1))
+    assert(math.abs(e1 - 0.010471299867295437) < 1e-12, s"e1=$e1")
+    val s2 = (0 until 3000).map(j => math.sin(2 * math.Pi * j / 100))
+    val e2 = TSOps2.sampleEntropySeries(s2, 2, 0.2 * sdPop(s2))
+    assert(math.abs(e2 - 0.16367903754688098) < 1e-12, s"e2=$e2")
+  }
+
+  test("approximate_entropy literals incl. edge case " +
+      "(test_many.py:1269-1313)") {
+    import graft.ops.TSOps2
+    def sd(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val cases: Seq[(Seq[Double], Double, Boolean, Double)] = Seq(
+      (Seq.fill(10)(Seq(12.0, 13, 15, 16, 17)).flatten, 0.9, true,
+        0.282456191276673),
+      (Seq(1.4, -1.3, 1.7, -1.2), 0.5, false, 0.0566330122651324),
+      (Seq.fill(8)(Seq(0.0, 1.0)).flatten, 0.5, false,
+        0.002223871246127107),
+      (Seq(0, 1, 0, 0, 1, 0, 1, 0, 0, 1, 1, 1, 1, 0, 0, 1)
+        .map(_.toDouble), 0.5, false, 0.47133806162842484),
+      (Seq.fill(17)(Seq(85.0, 80, 89)).flatten, 3.0, false,
+        1.099654110658932e-05),
+      (Seq.fill(17)(Seq(85.0, 80, 89)).flatten, 3.0, true, 0.0))
+    cases.zipWithIndex.foreach { case ((s, r, scale, want), i) =>
+      val rAbs = if (scale) r * sd(s) else r
+      val got = TSOps2.approxEntropySeries(s, 2, rAbs)
+      assert(math.abs(got - want) < 1e-12, s"case $i: got $got want $want")
+    }
+    // m + 1 > length → NaN, not a crash
+    assert(TSOps2.approxEntropySeries(Seq(1.0), 2, 0.1).isNaN)
+  }
+
+  test("haversine literal London-NYC (test_many.py:1230-1251)") {
+    import spark.implicits._
+    val d = Seq((51.5007, 0.1246, 40.6892, 74.0445))
+      .toDF("x1", "x2", "y1", "y2")
+      .select(graft.functions.NumFuncs.haversine(col("x1"), col("x2"),
+        col("y1"), col("y2")).as("dist")).head.getDouble(0)
+    assert(math.abs(d - 5574.840456848555) < 1e-9, s"d=$d")
+  }
+
+  test("xlogy null/NaN contract (test_many.py:1452-1463)") {
+    import spark.implicits._
+    val got = Seq((0.0, 1.0), (0.0, Double.NaN), (Double.NaN, 1.0),
+      (3.0, 4.0)).toDF("a", "b")
+      .select(graft.functions.NumFuncs.xlogy(col("a"), col("b")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(got(1).isNaN && got(2).isNaN)
+    assert(math.abs(got(3) - 3.0 * math.log(4.0)) < 1e-12)
+  }
+
   test("knn_ptwise eval_mask + self-inclusion (test_many.py:1005-1030)") {
     import spark.implicits._
     val df = Seq((0L, 0.1, 0.1, 0.1, 1), (1L, 0.2, 0.2, 0.2, 0),

@@ -34,18 +34,21 @@ class TS2Spec extends AnyFunSuite {
   }
 
   test("sampleEntropySeries on a constant series is degenerate-NaN-free") {
-    // constant series: all templates match → A=B → SampEn = 0
+    // constant series, n=50, m=2: B counts all pairs of the n−m+1=49
+    // m-templates (reference template convention, ts_features.py:552),
+    // A all pairs of the first 48 → SampEn = ln(C(49,2)/C(48,2))
+    // = ln(49/47)
     val s = TSOps2.sampleEntropySeries(Seq.fill(50)(1.0), 2, 0.1)
-    assert(s == 0.0)
+    assert(math.abs(s - math.log(49.0 / 47.0)) < 1e-12, s"s=$s")
   }
 
   test("sampleEntropySeries matches a hand-checked alternating series") {
-    // x = 0,1,0,1,... with r=0.5: every m-template matches templates of
-    // the same parity; the m+1 extension also matches exactly those →
-    // A = B → SampEn = 0
+    // x = 0,1,0,1,... n=40, r=0.5: templates match iff same parity.
+    // B over 39 m-templates (20 even + 19 odd starts):
+    // C(20,2)+C(19,2) = 361; A over 38 (19+19): 2·C(19,2) = 342
     val xs = (0 until 40).map(i => (i % 2).toDouble)
     val s = TSOps2.sampleEntropySeries(xs, 2, 0.5)
-    assert(s == 0.0)
+    assert(math.abs(s - math.log(361.0 / 342.0)) < 1e-12, s"s=$s")
   }
 
   test("approxEntropySeries: regular series has lower ApEn than irregular") {
