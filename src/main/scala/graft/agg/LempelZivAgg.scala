@@ -23,17 +23,24 @@ class LempelZivAgg(asRatio: Boolean)
     val s = buf.sortBy(_._1).map(_._2).toArray
     val n = s.length
     if (n == 0) return 0.0
-    var (i, c, u, v, vmax) = (0, 1, 1, 1, 1)
-    while (u + v <= n) {
-      if (s(i + v - 1) == s(u + v - 1)) v += 1
-      else {
-        vmax = math.max(v, vmax)
-        i += 1
-        if (i == u) { c += 1; u += vmax; v = 1; i = 0; vmax = 1 }
-        else v = 1
-      }
+    // the reference's dictionary parse (lempel_ziv.rs:18-31, the
+    // tsfresh variant): grow a window until the substring is NEW, add
+    // it, restart after it — complexity = number of distinct phrases.
+    // (NOT the Kaspar–Schuster LZ76 scan, which counts differently:
+    // 6 vs the reference's 8 on its own 16-bit test vector)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val sb = new StringBuilder
+    var ind = 0
+    var inc = 1
+    while (ind + inc <= n) {
+      sb.setLength(0)
+      var i = ind
+      while (i < ind + inc) { sb.append(if (s(i)) '1' else '0'); i += 1 }
+      val sub = sb.toString
+      if (seen.contains(sub)) inc += 1
+      else { seen += sub; ind += inc; inc = 1 }
     }
-    if (v != 1) c += 1
+    val c = seen.size
     if (asRatio) c.toDouble / n else c.toDouble
   }
 

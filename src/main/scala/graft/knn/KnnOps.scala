@@ -183,12 +183,17 @@ object KnnOps {
     * (dist, id). r is in the metric's reported unit. (expr_knn.py:471
     * query_radius_ptwise; knn.rs:559) */
   def radiusPtwise(df: DataFrame, id: Column, features: Seq[Column],
-                   r: Double, metric: String = "l2"): DataFrame = {
+                   r: Double, metric: String = "l2",
+                   includeSelf: Boolean = false): DataFrame = {
     val raw = if (metric == "l2") r * r else r
     val tree = collectTree(df, id, features, metric)
     withQueried(df, id, features,
       Seq(StructField("radius_ids", ArrayType(LongType))), (t, qid, qf) =>
-        Seq(t.rangeQuery(qf, raw, exclude = qid).map(_._1).toSeq), tree)
+        // includeSelf reproduces the reference's lists, which carry the
+        // row itself first (dist 0; test_many.py:1128 [[1,2],[2,1],[3]])
+        Seq(t.rangeQuery(qf, raw,
+          exclude = if (includeSelf) Long.MinValue else qid)
+          .map(_._1).toSeq), tree)
   }
 
   /** Null-safe variant of [[radiusPtwise]] (expr_knn.py:528

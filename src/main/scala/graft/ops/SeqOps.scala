@@ -282,8 +282,11 @@ object SeqOps {
       .select(gc ++ Seq(col(s"${P}a").as("c1"), col(s"${P}b").as("c2")): _*)
   }
 
-  /** Cartesian product of two columns (expr_iter.py:13 product). */
+  /** Cartesian product of two columns, nulls dropped from both sides
+    * first (expr_iter.py:13 product; test_many.py:1536: [1,null,null]
+    * x [1,2,3] yields three pairs). */
   def product(df1: DataFrame, x1: Column, df2: DataFrame, x2: Column)
       : DataFrame =
-    df1.select(x1.as("p1")).crossJoin(df2.select(x2.as("p2")))
+    df1.select(x1.as("p1")).filter(col("p1").isNotNull)
+      .crossJoin(df2.select(x2.as("p2")).filter(col("p2").isNotNull))
 }

@@ -380,6 +380,63 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("lempel_ziv literals 8/9/10 (test_many.py:637-717)") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq(1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0), 8),
+      (Seq(1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+        1, 0), 9),
+      (Seq(1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+        1, 0, 1, 0), 10))
+    cases.zipWithIndex.foreach { case ((bits, want), ci) =>
+      val df = bits.zipWithIndex.map { case (b, i) => ("g", i, b > 0) }
+        .toDF("g", "o", "b")
+      val got = df.groupBy("g")
+        .agg(graft.agg.LempelZivAgg.lempelZiv(col("o"), col("b"))
+          .as("lz")).head.getDouble(1)
+      assert(got == want.toDouble, s"case $ci: got $got want $want")
+    }
+  }
+
+  test("radius_ptwise with self-inclusion (test_many.py:1112-1133)") {
+    import spark.implicits._
+    val df = Seq((1L, 0.1, 0.1, 0.1), (2L, 0.2, 0.3, 0.4),
+      (3L, 5.0, 10.0, 11.0)).toDF("id", "val1", "val2", "val3")
+    val got = graft.knn.KnnOps.radiusPtwise(df, col("id"),
+        Seq(col("val1"), col("val2"), col("val3")), r = 0.3,
+        metric = "sql2", includeSelf = true)
+      .orderBy("id").select("radius_ids").collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(3L)))
+  }
+
+  test("combinations per group and null-dropping product " +
+      "(test_many.py:1512-1546)") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5))
+      .toDF("category", "values")
+      .withColumn("o", monotonically_increasing_id())
+    val combos = graft.ops.SeqOps.combinations2(df, col("values"),
+        col("o"), Seq("category"))
+      .orderBy("category", "c1", "c2")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(combos.toSeq == Seq(("a", 1, 2), ("a", 1, 3), ("a", 2, 3),
+      ("b", 4, 5)))
+    // unique=True on the category column: distinct first
+    val uniq = graft.ops.SeqOps.combinations2(
+        df.select(col("category")).distinct()
+          .withColumn("o", col("category")),
+        col("category"), col("o"), Seq.empty[String])
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(uniq.toSeq == Seq(("a", "b")))
+    val prod = graft.ops.SeqOps.product(
+        Seq(Some(1), None, None).toDF("a"), col("a"),
+        Seq(1, 2, 3).toDF("b"), col("b"))
+      .orderBy("p1", "p2").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(prod.toSeq == Seq((1, 1), (1, 2), (1, 3)))
+  }
+
   test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
     import spark.implicits._
     import graft.pipeline.Blueprint

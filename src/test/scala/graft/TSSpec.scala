@@ -48,10 +48,17 @@ class TSSpec extends AnyFunSuite {
       df.groupBy("g").agg(LempelZivAgg.lempelZiv(col("o"), col("b"))
         .as("c")).collect()(0).getAs[Double]("c")
     }
-    assert(run("0001101001000101") == 6.0)
+    // dictionary-parse variant (the reference's lempel_ziv.rs, the
+    // tsfresh convention — NOT the Kaspar-Schuster LZ76 scan):
+    // hand-parsed phrase sets
+    // 0|00|1|10|100|1000|101
+    assert(run("0001101001000101") == 7.0)
+    // 0|00
     assert(run("0000") == 2.0)
-    assert(run("010101010101") == 3.0)
-    assert(run("1011010100010") == 6.0) // Lempel & Ziv (1976) example
+    // 0|1|01|010|10|101
+    assert(run("010101010101") == 6.0)
+    // 1|0|11|01|010|00|10
+    assert(run("1011010100010") == 7.0)
   }
 
   test("kaplanMeier: all-event cohort steps 2/3, 1/3, 0") {
