@@ -78,8 +78,12 @@ object NumFuncs {
     * (num.py:991 fract) */
   def fract(x: Column): Column = x - x.cast("long").cast("double")
 
-  /** Integer part toward zero. (num.py:999 trunc) */
-  def truncCol(x: Column): Column = x.cast("long").cast("double")
+  /** Integer part toward zero; NaN/±Inf pass through unchanged (the
+    * long cast would clamp them — test_many.py:421 keeps trunc(NaN)
+    * NaN). (num.py:999 trunc) */
+  def truncCol(x: Column): Column =
+    when(isnan(x) || abs(x) === Double.PositiveInfinity, x)
+      .otherwise(x.cast("long").cast("double"))
 
   /** Normalized sinc: sin(πx)/(πx), 1 at 0. (num.py:1139 sinc) */
   def sinc(x: Column): Column = {

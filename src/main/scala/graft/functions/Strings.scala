@@ -413,9 +413,10 @@ object Strings {
     f(c)
   }
 
-  /** Extract all numbers as an array<double>. (string.py:762) */
+  /** Extract all numbers as their RAW matched strings
+    * (string.py:762 extract_numbers: "25" stays "25", not "25.0" —
+    * the reference's dtype/join_by args cast or join afterwards; use
+    * `transform(_, _.cast(...))` / `array_join` on the result). */
   def extractNumbers(c: Column): Column =
-    transform(
-      regexp_extract_all(c, lit("(-?[0-9]+\\.?[0-9]*)"), lit(1)),
-      v => v.cast("double"))
+    regexp_extract_all(c, lit("(-?[0-9]+\\.?[0-9]*)"), lit(1))
 }

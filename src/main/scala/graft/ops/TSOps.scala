@@ -198,10 +198,17 @@ object TSOps {
   def benford(df: DataFrame, x: Column, groupNames: Seq[String])
       : DataFrame = {
     val gc = groupNames.map(col)
-    // first significant digit: floor(|x| / 10^floor(log10|x|))
+    // first significant digit: floor(|x| / 10^floor(log10|x|)).
+    // Non-finite and zero values are excluded (benford.rs formats via
+    // scientific notation, which silently skips them). log10 of an
+    // exact power of ten can land an ulp off in either direction, so
+    // clamp the two boundary artifacts: ratio 10 → digit 1 (floor an
+    // exponent low), ratio <1 → digit 9 (floor an exponent high).
     val ax = abs(x.cast("double"))
-    val digit = floor(ax / pow(lit(10.0), floor(log10(ax)))).cast("int")
-    df.filter(x.isNotNull && ax > 0)
+    val raw = floor(ax / pow(lit(10.0), floor(log10(ax)))).cast("int")
+    val digit = when(raw === 10, 1).when(raw === 0, 9).otherwise(raw)
+    df.filter(x.isNotNull && ax > 0 && !isnan(ax) &&
+        ax < Double.PositiveInfinity)
       .select(gc :+ digit.as("digit"): _*)
       .groupBy(gc :+ col("digit"): _*)
       .agg(count(lit(1)).as("cnt"))

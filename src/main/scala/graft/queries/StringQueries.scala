@@ -89,7 +89,8 @@ object StringQueries extends QueryPack {
         .withColumn("nums", Strings.extractNumbers(col("props")))
         .groupBy(col("event_type"))
         .agg(
-          round(sum(element_at(col("nums"), 1)), 2).as("sum_k"),
+          round(sum(element_at(col("nums"), 1).cast("double")), 2)
+            .as("sum_k"),
           sum(size(col("nums"))).as("n_nums"))
         .orderBy("event_type")
     })

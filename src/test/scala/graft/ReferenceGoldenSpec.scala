@@ -380,6 +380,84 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("benford first-digit vectors incl. sub-1 floats, powers of 10, " +
+      "non-finite (test_many.py:143-165)") {
+    import spark.implicits._
+    val cases: Seq[(Seq[Option[Double]], Seq[Int])] = Seq(
+      (Seq(1.0, -12, 2, -22, 3, 0).map(Some(_)),
+        Seq(2, 2, 1, 0, 0, 0, 0, 0, 0)),
+      (Seq(0.001, 0.00025, 0.0312, 400.0, -0.5).map(Some(_)),
+        Seq(1, 1, 1, 1, 1, 0, 0, 0, 0)),
+      (Seq(1e10, 2e15, 999.0).map(Some(_)),
+        Seq(1, 1, 0, 0, 0, 0, 0, 0, 1)),
+      ((0 until 24).map(i => Some(i.toDouble)),
+        Seq(11, 5, 1, 1, 1, 1, 1, 1, 1)),
+      (Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0),
+        Some(Double.NaN), Some(Double.PositiveInfinity), None),
+        Seq(1, 1, 1, 1, 0, 0, 0, 0, 0)))
+    cases.zipWithIndex.foreach { case ((data, want), ci) =>
+      val df = data.map(v => ("g", v)).toDF("g", "a")
+      val got = graft.ops.TSOps.benford(df, col("a"), Seq("g"))
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+      val counts = (1 to 9).map(d => got.getOrElse(d, 0L).toInt)
+      assert(counts == want, s"case $ci: got $counts want $want")
+    }
+  }
+
+  test("trunc/fract preserve null and NaN (test_many.py:421-447)") {
+    import spark.implicits._
+    import graft.functions.NumFuncs
+    val df = Seq(Some(2.123), None, Some(-2.111), Some(Double.NaN))
+      .toDF("a")
+    val got = df.select(NumFuncs.truncCol(col("a")).as("t"),
+      NumFuncs.fract(col("a")).as("f")).collect()
+    assert(got(0).getDouble(0) == 2.0 &&
+      math.abs(got(0).getDouble(1) - 0.123) < 1e-12)
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(got(2).getDouble(0) == -2.0 &&
+      math.abs(got(2).getDouble(1) + 0.111) < 1e-12)
+    assert(got(3).getDouble(0).isNaN && got(3).getDouble(1).isNaN)
+  }
+
+  test("gcd/lcm scalar and column vectors (test_many.py:449-500)") {
+    import spark.implicits._
+    import graft.functions.NumFuncs
+    val df = Seq((1, 1), (2, 2), (3, 2), (4, 2), (5, 10)).toDF("a", "b")
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(c.cast("long").as("r")).collect().map(_.getLong(0)).toSeq
+    assert(run(NumFuncs.gcdCol(col("a"), lit(3))) == Seq(1, 1, 3, 1, 1))
+    assert(run(NumFuncs.gcdCol(col("a"), col("b"))) == Seq(1, 2, 1, 2, 5))
+    assert(run(NumFuncs.lcmCol(col("a"), lit(3))) == Seq(3, 6, 3, 12, 15))
+    assert(run(NumFuncs.lcmCol(col("a"), col("b"))) == Seq(1, 2, 6, 4, 10))
+  }
+
+  test("integrate_trapz with scalar dx (test_many.py:503-512)") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("g", i * 0.1, v) }.toDF("g", "x", "y")
+    val got = graft.ops.TSOps.trapz(df, col("y"), col("x"), Seq("g"))
+      .head.getDouble(1)
+    assert(math.abs(got - 0.4) < 1e-12, s"got $got")
+  }
+
+  test("extract_numbers as ints and joined strings " +
+      "(test_many.py:591-632)") {
+    import spark.implicits._
+    import graft.functions.Strings
+    val texts = Seq("0% of my time", "1% to 25% of my time",
+      "75% to 99% of my time", "50% to 74% of my time",
+      "75% to 99% of my time", "50% to 74% of my time")
+    val df = texts.toDF("a")
+    val ints = df.select(transform(Strings.extractNumbers(col("a")),
+        s => s.cast("long")).as("r"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(ints == Seq(Seq(0L), Seq(1L, 25L), Seq(75L, 99L),
+      Seq(50L, 74L), Seq(75L, 99L), Seq(50L, 74L)))
+    val joined = df.select(array_join(Strings.extractNumbers(col("a")),
+        "-").as("r")).collect().map(_.getString(0)).toSeq
+    assert(joined == Seq("0", "1-25", "75-99", "50-74", "75-99", "50-74"))
+  }
+
   test("lempel_ziv literals 8/9/10 (test_many.py:637-717)") {
     import spark.implicits._
     val cases = Seq(

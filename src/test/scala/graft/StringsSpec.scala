@@ -80,10 +80,11 @@ class StringsSpec extends AnyFunSuite {
 
   test("extractNumbers pulls signed decimals") {
     import spark.implicits._
+    // raw matched strings ("42" stays "42"); cast at the call site
     val r = Seq("x -1.5 and 42 then 0.25").toDF("a")
       .select(Strings.extractNumbers(col("a")).as("n"))
-      .collect()(0).getSeq[Double](0)
-    assert(r == Seq(-1.5, 42.0, 0.25))
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("-1.5", "42", "0.25"))
   }
 
   test("strNearest snaps to closest vocab word") {
