@@ -237,6 +237,89 @@ object Strings {
   /** Longest common subsequence length. (string.py:602 str_lcs_subseq) */
   def strLcsSubseq(a: Column, b: Column): Column = udf2i(lcsSubseqLen)(a, b)
 
+  /** The longest common substring ITSELF (the reference's default
+    * str_lcs_substr return, test_string.py:155). DP runs over code
+    * points, not Java chars — the reference's own vectors include
+    * surrogate-pair emoji where char-level DP would split a pair. */
+  def strLcsSubstrStr(a: Column, b: Column): Column = {
+    val f = udf { (x: String, y: String) =>
+      if (x == null || y == null) null
+      else {
+        val s1 = x.codePoints.toArray; val s2 = y.codePoints.toArray
+        var bestLen = 0; var bestEnd = 0
+        val prev = new Array[Int](s2.length + 1)
+        val cur = new Array[Int](s2.length + 1)
+        var i = 1
+        while (i <= s1.length) {
+          var j = 1
+          while (j <= s2.length) {
+            cur(j) = if (s1(i - 1) == s2(j - 1)) prev(j - 1) + 1 else 0
+            if (cur(j) > bestLen) { bestLen = cur(j); bestEnd = i }
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, cur.length)
+          i += 1
+        }
+        new String(s1, bestEnd - bestLen, bestLen)
+      }
+    }
+    f(a, b)
+  }
+
+  /** The longest common subsequence ITSELF (string.py:602
+    * str_lcs_subseq; test_string.py:174 AGGTAB/GXTXAYB -> GTAB),
+    * code-point DP with backtracking. */
+  def strLcsSubseqStr(a: Column, b: Column): Column = {
+    val f = udf { (x: String, y: String) =>
+      if (x == null || y == null) null
+      else {
+        val s1 = x.codePoints.toArray; val s2 = y.codePoints.toArray
+        val dp = Array.ofDim[Int](s1.length + 1, s2.length + 1)
+        var i = 1
+        while (i <= s1.length) {
+          var j = 1
+          while (j <= s2.length) {
+            dp(i)(j) =
+              if (s1(i - 1) == s2(j - 1)) dp(i - 1)(j - 1) + 1
+              else math.max(dp(i - 1)(j), dp(i)(j - 1))
+            j += 1
+          }
+          i += 1
+        }
+        val out = new Array[Int](dp(s1.length)(s2.length))
+        var k = out.length; var ii = s1.length; var jj = s2.length
+        while (k > 0) {
+          if (s1(ii - 1) == s2(jj - 1)) {
+            k -= 1; out(k) = s1(ii - 1); ii -= 1; jj -= 1
+          } else if (dp(ii - 1)(jj) >= dp(ii)(jj - 1)) ii -= 1
+          else jj -= 1
+        }
+        new String(out, 0, out.length)
+      }
+    }
+    f(a, b)
+  }
+
+  /** LCS-subsequence distance max(|a|,|b|) − LCSseq (code points;
+    * string.py:563 str_lcs_subseq_dist, test_string.py:129). */
+  def strLcsSubseqDist(a: Column, b: Column): Column =
+    udf2i { (x, y) =>
+      val s1 = x.codePoints.toArray; val s2 = y.codePoints.toArray
+      val dp = Array.ofDim[Int](s1.length + 1, s2.length + 1)
+      var i = 1
+      while (i <= s1.length) {
+        var j = 1
+        while (j <= s2.length) {
+          dp(i)(j) =
+            if (s1(i - 1) == s2(j - 1)) dp(i - 1)(j - 1) + 1
+            else math.max(dp(i - 1)(j), dp(i)(j - 1))
+          j += 1
+        }
+        i += 1
+      }
+      math.max(s1.length, s2.length) - dp(s1.length)(s2.length)
+    }(a, b)
+
   /** rapidfuzz-style indel ratio: 1 − indel/(|a|+|b|),
     * indel = |a|+|b| − 2·LCSseq. (string.py:679 str_fuzz) */
   def strFuzz(a: Column, b: Column): Column =

@@ -404,6 +404,64 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("lcs substring/subsequence strings incl. emoji " +
+      "(test_string.py:129-182)") {
+    import spark.implicits._
+    val substrCases = Seq(
+      ("ABCDEF", "ZBCDG", "BCD"), ("abc", "xyz", ""),
+      ("common", "common", "common"), ("", "test", ""),
+      ("abcdefg", "xabcdey", "abcde"),
+      ("你好世界", "世界和平",
+        "世界"),
+      ("🚀🛰️🌌",
+        "🛰️✨🌟", "🛰️"))
+    val gotSub = substrCases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(Strings.strLcsSubstrStr(col("a"), col("b")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(gotSub == substrCases.map(_._3))
+    val subseqCases = Seq(
+      ("AGGTAB", "GXTXAYB", "GTAB"), ("abc", "xyz", ""),
+      ("你好世界和平",
+        "世界a和平", "世界和平"),
+      ("🚀🛰️🌌",
+        "🛰️✨🌟", "🛰️"))
+    val gotSeq = subseqCases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(Strings.strLcsSubseqStr(col("a"), col("b")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(gotSeq == subseqCases.map(_._3))
+    // FAREMVIEL vs FARMVILLE: lcs_seq 7 -> dist max(9,9)-7 = 2
+    val d = Seq(("FAREMVIEL", "FARMVILLE")).toDF("a", "b")
+      .select(Strings.strLcsSubseqDist(col("a"), col("b")).as("r"))
+      .head.getInt(0)
+    assert(d == 2)
+  }
+
+  test("jaro wikipedia vector FAREMVIEL/FARMVILLE " +
+      "(test_string.py:88-106)") {
+    import spark.implicits._
+    val got = Seq(("FAREMVIEL", "FARMVILLE")).toDF("a", "b")
+      .select(Strings.strJaro(col("a"), col("b")).as("r"))
+      .head.getDouble(0)
+    assert(math.abs(got - (1.0 / 3.0) * (16.0 / 9.0 + 7.0 / 8.0)) < 1e-12,
+      s"got $got")
+  }
+
+  test("tversky alpha/beta vectors (test_string.py:431-451)") {
+    import spark.implicits._
+    val df = Seq(("apple", "let"), ("test", "tests"), ("moon", "sun"))
+      .toDF("a", "b")
+    val g1 = df.select(Strings.strTversky(col("a"), col("b"), 0.5, 0.5, 2)
+      .as("r")).collect().map(_.getDouble(0))
+    assert(math.abs(g1(0) - 0.3333333333333333) < 1e-12)
+    assert(math.abs(g1(1) - 0.8571428571428571) < 1e-12)
+    assert(g1(2) == 0.0)
+    val g2 = df.select(Strings.strTversky(col("a"), col("b"), 0.1, 0.9, 3)
+      .as("r")).collect().map(_.getDouble(0))
+    assert(g2(0) == 0.0)
+    assert(math.abs(g2(1) - 0.6896551724137931) < 1e-12)
+    assert(g2(2) == 0.0)
+  }
+
   test("trunc/fract preserve null and NaN (test_many.py:421-447)") {
     import spark.implicits._
     import graft.functions.NumFuncs
