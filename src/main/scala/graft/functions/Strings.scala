@@ -334,6 +334,35 @@ object Strings {
     lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b)).cast("double")
 
+  /** Vocabulary-similarity gate (string.py:702 similar_to_vocab):
+    * true when the column is similar to the vocab words under the
+    * chosen metric ("lv" | "dlv" | "osa" | "jw" similarity) and
+    * strategy ("avg" mean-sim ≥ t, "all", "any"). Pure Column
+    * algebra — one expression per vocab word, no UDF dispatch beyond
+    * the underlying distance kernels. */
+  def similarToVocab(c: Column, vocab: Seq[String], threshold: Double,
+                     metric: String = "lv", strategy: String = "avg")
+      : Column = {
+    require(vocab.nonEmpty, "similarToVocab: empty vocab")
+    def sim(w: String): Column = metric match {
+      case "lv" => strLevenSim(c, lit(w))
+      case "dlv" => lit(1.0) - strDamerau(c, lit(w)).cast("double") /
+        greatest(length(c), lit(w.length))
+      case "osa" => lit(1.0) - strOsa(c, lit(w)).cast("double") /
+        greatest(length(c), lit(w.length))
+      case "jw" => strJaroWinkler(c, lit(w))
+      case m => throw new IllegalArgumentException(s"metric $m")
+    }
+    val sims = vocab.map(sim)
+    strategy match {
+      case "all" => sims.map(_ >= threshold).reduce(_ && _)
+      case "any" => sims.map(_ >= threshold).reduce(_ || _)
+      case "avg" =>
+        (sims.reduce(_ + _) / vocab.length.toDouble) >= threshold
+      case s => throw new IllegalArgumentException(s"strategy $s")
+    }
+  }
+
   /** Nearest word in a (small, broadcast) vocabulary by Levenshtein.
     * (string.py:188 str_nearest; src/str_ext/nearest_str.rs) */
   def strNearest(a: Column, vocab: Seq[String]): Column = {

@@ -87,6 +87,21 @@ class StringsSpec extends AnyFunSuite {
     assert(r == Seq("-1.5", "42", "0.25"))
   }
 
+  test("similarToVocab strategies: avg/any/all with lv sims") {
+    import spark.implicits._
+    // lev(karolin, kathrin) = 3, lev(karolin, karl) = 3 → sims 4/7 each
+    val df = Seq("karolin").toDF("a")
+    def run(t: Double, strat: String): Boolean =
+      df.select(Strings.similarToVocab(col("a"),
+        Seq("kathrin", "karl"), t, "lv", strat).as("r"))
+        .head.getBoolean(0)
+    assert(run(0.55, "avg"))
+    assert(!run(0.6, "avg"))
+    assert(run(0.57, "any"))
+    assert(!run(0.58, "all"))
+    assert(run(0.5, "all"))
+  }
+
   test("strNearest snaps to closest vocab word") {
     assert(one(Strings.strNearest(col("a"),
       Seq("apple", "banana", "cherry")), "banan", "") == "banana")
