@@ -231,15 +231,19 @@ object KnnOps {
     spark.createDataFrame(out, schema).drop("_qid", "_qf")
   }
 
-  /** Count of neighbors within radius r (self excluded). (expr_knn.py:601
-    * query_nb_cnt; knn.rs:767) */
+  /** Count of neighbors within radius r; `includeSelf=true` counts the
+    * point itself like the reference ("a point is always its own
+    * neighbor", test_many.py:1199). (expr_knn.py:601 query_nb_cnt;
+    * knn.rs:767) */
   def nbCnt(df: DataFrame, id: Column, features: Seq[Column], r: Double,
-            metric: String = "l2"): DataFrame = {
+            metric: String = "l2", includeSelf: Boolean = false)
+      : DataFrame = {
     val raw = if (metric == "l2") r * r else r
     val tree = collectTree(df, id, features, metric)
     withQueried(df, id, features,
       Seq(StructField("nb_cnt", IntegerType)), (t, qid, qf) =>
-        Seq(t.countRange(qf, raw, exclude = qid)), tree)
+        Seq(t.countRange(qf, raw,
+          exclude = if (includeSelf) Long.MinValue else qid)), tree)
   }
 
   /** How often each point appears among other points' k nearest
@@ -303,6 +307,12 @@ object KnnOps {
     val d = metric match {
       case "l1"  => diffs.map(abs).reduce(_ + _)
       case "inf" => greatest(diffs.map(abs): _*)
+      case "cosine" =>
+        val dot = features.zip(point)
+          .map { case (c, p) => c * p }.reduce(_ + _)
+        val nf = sqrt(features.map(c => c * c).reduce(_ + _))
+        val np = math.sqrt(point.map(p => p * p).sum)
+        lit(1.0) - dot / (nf * np)
       case _     => diffs.map(c => c * c).reduce(_ + _) // sql2 ranks = l2 ranks
     }
     val withD = df.withColumn("_d", d)

@@ -326,6 +326,56 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(math.abs(got(3) - 3.0 * math.log(4.0)) < 1e-12)
   }
 
+  test("knn_ptwise base vector with self-inclusion " +
+      "(test_many.py:909-933)") {
+    import spark.implicits._
+    val df = (0 until 5).map(i =>
+      (i.toLong, i.toDouble, i.toDouble, i.toDouble))
+      .toDF("id", "val1", "val2", "val3")
+    val got = graft.knn.KnnOps.knnPtwise(df, col("id"),
+        Seq(col("val1"), col("val2"), col("val3")), k = 2, metric = "l2",
+        includeSelf = true)
+      .orderBy("id").select("knn_ids").collect()
+      .map(_.getSeq[Long](0).sorted.toSeq).toSeq
+    assert(got == Seq(Seq(0L, 1, 2), Seq(0L, 1, 2), Seq(1L, 2, 3),
+      Seq(2L, 3, 4), Seq(2L, 3, 4)))
+  }
+
+  test("nb_cnt counts the point itself (test_many.py:1186-1228)") {
+    import spark.implicits._
+    val d1 = (0 until 5).map(i =>
+      (i.toLong, i.toDouble, i.toDouble, i.toDouble))
+      .toDF("id", "x", "y", "z")
+    val g1 = graft.knn.KnnOps.nbCnt(d1, col("id"),
+        Seq(col("x"), col("y"), col("z")), r = 4.0, metric = "sql2",
+        includeSelf = true)
+      .orderBy("id").select("nb_cnt").collect().map(_.getInt(0)).toSeq
+    assert(g1 == Seq(2, 3, 3, 3, 2))
+    val d2 = Seq((0L, 0.1, 0.1, 0.1), (1L, 0.2, 0.3, 0.4),
+      (2L, 0.5, 0.6, 0.8), (3L, 0.9, 1.1, 1.2), (4L, 2.1, 3.3, 4.1))
+      .toDF("id", "x", "y", "z")
+    val g2 = graft.knn.KnnOps.nbCnt(d2, col("id"),
+        Seq(col("x"), col("y"), col("z")), r = 1.0, metric = "l1",
+        includeSelf = true)
+      .orderBy("id").select("nb_cnt").collect().map(_.getInt(0)).toSeq
+    assert(g2 == Seq(2, 3, 2, 1, 1))
+  }
+
+  test("is_knn_from picks different neighbors under l2 vs cosine " +
+      "(test_many.py:1070-1110)") {
+    import spark.implicits._
+    val df = Seq((1L, 0.1, 0.1, 0.1), (2L, 0.2, 0.3, 0.4),
+      (3L, 5.0, 10.0, 11.0)).toDF("id", "val1", "val2", "val3")
+    def ids(metric: String): Seq[Long] =
+      graft.knn.KnnOps.isKnnFrom(df,
+          Seq(col("val1"), col("val2"), col("val3")), Seq(0.5, 0.5, 0.5),
+          k = 1, tieBreak = col("id"), metric = metric)
+        .filter(col("is_knn")).select("id").collect()
+        .map(_.getLong(0)).toSeq
+    assert(ids("l2") == Seq(2L))
+    assert(ids("cosine") == Seq(1L))
+  }
+
   test("knn_ptwise eval_mask + self-inclusion (test_many.py:1005-1030)") {
     import spark.implicits._
     val df = Seq((0L, 0.1, 0.1, 0.1, 1), (1L, 0.2, 0.2, 0.2, 0),
