@@ -210,6 +210,31 @@ object MetricOps {
         (sum(s"${P}g") / sum(s"${P}ig")).as("ndcg"))
   }
 
+  /** Tie-averaged DCG/NDCG (sklearn's `ignore_ties=False` semantics,
+    * which the reference's query_dcg_score follows, metrics.py:670):
+    * rows whose scores tie form a block, and every position a block
+    * occupies earns the block's AVERAGE relevance — the result is
+    * invariant to tie ordering, no tie-break column needed. Ideal DCG
+    * ranks by relevance, where tie order never matters. */
+  def ndcgTieAveraged(df: DataFrame, rel: Column, score: Column,
+                      groupNames: Seq[String], k: Int = Int.MaxValue)
+      : DataFrame = {
+    val gc = groupNames.map(col)
+    val wScore = Window.partitionBy(gc: _*).orderBy(score.desc)
+    val wBlock = Window.partitionBy(gc :+ score: _*)
+    val wIdeal = Window.partitionBy(gc: _*).orderBy(rel.desc)
+    val rk = row_number().over(wScore)
+    val irk = row_number().over(wIdeal)
+    val avgRel = avg(rel.cast("double")).over(wBlock)
+    val gain = when(rk <= k, avgRel / log2(rk + 1.0)).otherwise(0.0)
+    val igain = when(irk <= k, rel.cast("double") / log2(irk + 1.0))
+      .otherwise(0.0)
+    df.select((gc :+ gain.as(s"${P}g") :+ igain.as(s"${P}ig")): _*)
+      .groupBy(gc: _*)
+      .agg(sum(s"${P}g").as("dcg"),
+        (sum(s"${P}g") / sum(s"${P}ig")).as("ndcg"))
+  }
+
   /** Macro-average one-vs-rest multiclass ROC-AUC.
     * `probs` is an array column of per-class scores; class labels are
     * 0..nClasses-1. Weighted = prevalence-weighted average.

@@ -54,6 +54,22 @@ class MetricsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("r2"), 1 - 0.74))
   }
 
+  test("tie-averaged DCG/NDCG (sklearn ignore_ties=False semantics)") {
+    import spark.implicits._
+    import graft.ops.MetricOps
+    val df = Seq((3, 1.0), (2, 1.0), (3, 0.5)).map { case (r, s) =>
+      ("g", r, s) }.toDF("g", "rel", "score")
+    val full = MetricOps.ndcgTieAveraged(df, col("rel"), col("score"),
+      Seq("g")).head
+    // tied block at score 1.0 earns avg rel 2.5 at positions 1 and 2
+    assert(math.abs(full.getAs[Double]("dcg") - 5.5773243839286435) < 1e-12)
+    assert(math.abs(full.getAs[Double]("ndcg") - 0.9464659496838199) < 1e-12)
+    val top2 = MetricOps.ndcgTieAveraged(df, col("rel"), col("score"),
+      Seq("g"), k = 2).head
+    assert(math.abs(top2.getAs[Double]("dcg") - 4.0773243839286435) < 1e-12)
+    assert(math.abs(top2.getAs[Double]("ndcg") - 0.8333333333333333) < 1e-12)
+  }
+
   test("mcc matches sklearn matthews_corrcoef example") {
     import spark.implicits._
     // sklearn docs: y_true=[+1,+1,+1,-1], y_pred=[+1,-1,+1,+1] -> -1/3
