@@ -282,8 +282,11 @@ final class Blueprint private (
       val vals = df.select(col(c)).na.drop().distinct()
         .orderBy(col(c)).collect().map(_.get(0).toString)
       val use = if (dropFirst) vals.drop(1) else vals
+      // null-safe equality: the reference uses eq_missing so a null
+      // row yields 0 in every indicator, never null
+      // (transforms.py:357 "Need only True and False, not null")
       use.toSeq.map(v =>
-        s"$c$sep$v" -> s"cast($c = ${slit(v)} as int)")
+        s"$c$sep$v" -> s"cast($c <=> ${slit(v)} as int)")
     }
   }
 

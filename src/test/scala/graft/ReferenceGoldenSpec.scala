@@ -623,6 +623,45 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(prod.toSeq == Seq((1, 1), (1, 2), (1, 3)))
   }
 
+  test("one_hot_encode naming/null/drop_first options " +
+      "(test_transforms.py:150-172)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq(None, Some("a"), Some("a"), Some("c"), Some("d"),
+      Some("a"), Some("a"), None, Some("b"), Some("c"))
+      .zipWithIndex.map { case (b, i) => (i + 1, b) }.toDF("a", "b")
+    val t1 = Blueprint(df).oneHotEncode(Seq("b")).fitTransform(df)
+    assert(t1.columns.toSeq == Seq("a", "b", "b_a", "b_b", "b_c", "b_d"))
+    val t2 = Blueprint(df).oneHotEncode(Seq("b"), sep = "|")
+      .fitTransform(df)
+    assert(t2.columns.toSeq == Seq("a", "b", "b|a", "b|b", "b|c", "b|d"))
+    val t3 = Blueprint(df).oneHotEncode(Seq("b"), dropFirst = true,
+      sep = "|").fitTransform(df)
+    assert(t3.columns.toSeq == Seq("a", "b", "b|b", "b|c", "b|d"))
+    // nulls are never encoded: null rows have 0 in every indicator
+    val nullRows = t1.filter(col("b").isNull)
+      .select(col("b_a") + col("b_b") + col("b_c") + col("b_d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(nullRows == Seq(0, 0))
+  }
+
+  test("polynomial_features degree-2 column set " +
+      "(test_transforms.py:100-123)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq((2.0, 3.0), (5.0, 7.0)).toDF("x1", "x2")
+    val full = Blueprint(df).polynomialFeatures(Seq("x1", "x2"))
+      .fitTransform(df)
+    assert(full.columns.toSeq ==
+      Seq("x1", "x2", "x1_x_x1", "x1_x_x2", "x2_x_x2"))
+    val r = full.orderBy("x1").collect()(0)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 6.0 &&
+      r.getDouble(4) == 9.0)
+    val inter = Blueprint(df).polynomialFeatures(Seq("x1", "x2"),
+      interactionOnly = true).fitTransform(df)
+    assert(inter.columns.toSeq == Seq("x1", "x2", "x1_x_x2"))
+  }
+
   test("linear_impute fits no-bias OLS on skip-null rows (test_transforms.py:34-49)") {
     import spark.implicits._
     import graft.pipeline.Blueprint
