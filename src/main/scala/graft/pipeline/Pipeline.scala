@@ -304,7 +304,7 @@ final class Blueprint private (
   }
 
   /** ordered threshold encoding: value ≥ sorted-distinct[i] per level.
-    * (transforms.py:431 rank_hot_encode) */
+    * (transforms.py:431 rank_hot_encode, auto-ranking convenience) */
   def rankHotEncode(c: String, sep: String = "_ge_"): Blueprint =
     addFit { df =>
       val vals = df.select(col(c)).na.drop().distinct()
@@ -312,6 +312,21 @@ final class Blueprint private (
       vals.drop(1).toSeq.map(v =>
         s"$c$sep$v" -> s"cast($c >= ${slit(v)} as int)")
     }
+
+  /** The reference's exact rank_hot_encode: the RANKING IS USER-GIVEN
+    * (e.g. bad < neutral < good — not lexicographic); indicator i is
+    * rank(value) ≥ i, and values outside the ranking (or null) get
+    * null in every indicator (test_transforms.py:322-343). */
+  def rankHotEncode(c: String, ranking: Seq[String], sep: String)
+      : Blueprint = {
+    require(ranking.size >= 2, "ranking needs at least two levels")
+    val rankExpr = "CASE " + ranking.zipWithIndex
+      .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
+      .mkString(" ") + " ELSE NULL END"
+    add(ExprStep(ranking.drop(1).zipWithIndex.map { case (v, i) =>
+      s"$c$sep$v" -> s"cast(($rankExpr) >= ${i + 1} as int)"
+    }))
+  }
 
   /** smoothed mean-target encoding (same math as
     * EncodeOps.targetEncode). (transforms.py:503 target_encode) */

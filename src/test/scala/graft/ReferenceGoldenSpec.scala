@@ -623,6 +623,26 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(prod.toSeq == Seq((1, 1), (1, 2), (1, 3)))
   }
 
+  test("rank_hot_encode with a user ranking, unknowns null " +
+      "(test_transforms.py:296-343)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq(Some("bad"), Some("bad"), Some("good"), Some("neutral"),
+      Some("neutral"), Some("neutral"), Some("bad"), Some("good"), None,
+      Some("unknown")).toDF("col")
+    val out = Blueprint(df)
+      .rankHotEncode("col", Seq("bad", "neutral", "good"), "_ge_")
+      .fitTransform(df)
+    assert(out.columns.toSeq ==
+      Seq("col", "col_ge_neutral", "col_ge_good"))
+    def ind(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getInt(i)
+    val got = out.collect().map(r => (ind(r, 1), ind(r, 2))).toSeq
+    val want = Seq((0, 0), (0, 0), (1, 1), (1, 0), (1, 0), (1, 0),
+      (0, 0), (1, 1), (null, null), (null, null))
+    assert(got == want, s"got $got")
+  }
+
   test("one_hot_encode naming/null/drop_first options " +
       "(test_transforms.py:150-172)") {
     import spark.implicits._
