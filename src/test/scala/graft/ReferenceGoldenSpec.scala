@@ -623,6 +623,38 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(prod.toSeq == Seq((1, 1), (1, 2), (1, 3)))
   }
 
+  test("impute mean/median matches sklearn SimpleImputer vector " +
+      "(test_transforms.py:268-296)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq((Some(1.0), Some(3.0)), (None, None), (Some(2.0), None),
+      (Some(3.0), Some(3.0)), (Some(3.0), Some(2.0)), (Some(3.0), Some(2.0)),
+      (Some(3.0), Some(1.0)), (Some(4.0), Some(4.0))).toDF("a", "b")
+    val mean = Blueprint(df).impute(Seq("a", "b"), "mean")
+      .fitTransform(df).collect()
+    assert(math.abs(mean(1).getDouble(0) - 19.0 / 7.0) < 1e-12)
+    assert(math.abs(mean(1).getDouble(1) - 2.5) < 1e-12)
+    assert(math.abs(mean(2).getDouble(1) - 2.5) < 1e-12)
+    val med = Blueprint(df).impute(Seq("a", "b"), "median")
+      .fitTransform(df).collect()
+    assert(med(1).getDouble(0) == 3.0)  // median of 7 values
+    assert(med(1).getDouble(1) == 2.5)  // even count: midpoint, sklearn
+  }
+
+  test("GLM with max_iter=1 stays finite (test_linear_models.py:256)") {
+    import spark.implicits._
+    val df = (0 until 200).map { i =>
+      val x = math.sin(i * 2.39996) // low-discrepancy-ish in [-1,1]
+      val y = math.exp(math.min(math.max(x * 0.2, -2.0), 2.0)) +
+        (i % 7) * 0.1
+      (x, y)
+    }.toDF("x", "y")
+    val glm = new graft.linear.GLM("poisson", maxIter = 1, tol = 1e-12)
+      .fit(df, Seq(col("x")), col("y"))
+    assert(glm.coeffs != null && glm.coeffs.forall(c =>
+      !c.isNaN && !c.isInfinite))
+  }
+
   test("rank_hot_encode with a user ranking, unknowns null " +
       "(test_transforms.py:296-343)") {
     import spark.implicits._
