@@ -142,34 +142,45 @@ object Metrics {
     val fp = sum(when(yl === 0 && p === 1, 1L).otherwise(0L)).cast("double")
     val tn = sum(when(yl === 0 && p === 0, 1L).otherwise(0L)).cast("double")
     val fn = sum(when(yl === 1 && p === 0, 1L).otherwise(0L)).cast("double")
-    val precision = tp / (tp + fp)
-    val recall = tp / (tp + fn)          // = tpr
-    val specificity = tn / (tn + fp)     // = tnr
+    // the reference's nandiv convention (test_metrics.py:42): an
+    // undefined ratio (zero denominator, e.g. fpr with no negatives)
+    // is NaN, never null — Spark's divide would yield null instead
+    def nd(a: Column, b: Column): Column =
+      when(b === 0.0, lit(Double.NaN)).otherwise(a / b)
+    val precision = nd(tp, tp + fp)
+    val recall = nd(tp, tp + fn)         // = tpr
+    val specificity = nd(tn, tn + fp)    // = tnr
+    val fpr = nd(fp, fp + tn)
+    val plr = nd(recall, lit(1.0) - specificity)
+    val nlr = nd(lit(1.0) - recall, specificity)
     struct(
       tp.cast("long").as("tp"), fp.cast("long").as("fp"),
       tn.cast("long").as("tn"), fn.cast("long").as("fn"),
-      (tp / (tp + fn)).as("tpr"),
-      (fp / (fp + tn)).as("fpr"),
-      (fn / (fn + tp)).as("fnr"),
-      (tn / (tn + fp)).as("tnr"),
+      recall.as("tpr"),
+      fpr.as("fpr"),
+      nd(fn, fn + tp).as("fnr"),
+      specificity.as("tnr"),
       precision.as("precision"),
       recall.as("recall"),
-      ((tp + fn) / (tp + fp + tn + fn)).as("prevalence"),
-      (fn / (fn + tn)).as("false_omission_rate"),
-      (tp / (tp + fp + fn)).as("threat_score"),
-      ((tp + tn) / (tp + fp + tn + fn)).as("accuracy"),
-      (tp * 2.0 / (tp * 2.0 + fp + fn)).as("f1"),
-      ((tp * tn - fp * fn) /
+      nd(tp + fn, tp + fp + tn + fn).as("prevalence"),
+      nd(sqrt(recall * fpr) - fpr, recall - fpr)
+        .as("prevalence_threshold"),
+      nd(fn, fn + tn).as("false_omission_rate"),
+      nd(tp, tp + fp + fn).as("threat_score"),
+      nd(tp + tn, tp + fp + tn + fn).as("accuracy"),
+      nd(tp * 2.0, tp * 2.0 + fp + fn).as("f1"),
+      nd(tp * tn - fp * fn,
         sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))).as("mcc"),
       (recall + specificity - 1.0).as("informedness"),
-      (fn / (fn + tp)).as("miss_rate"),
-      (fp / (fp + tp)).as("false_discovery_rate"),
-      (tn / (tn + fn)).as("npv"),
-      (recall / (lit(1.0) - specificity)).as("plr"),
-      ((lit(1.0) - recall) / specificity).as("nlr"),
-      (precision + (tn / (tn + fn)) - 1.0).as("markedness"),
+      nd(fn, fn + tp).as("miss_rate"),
+      nd(fp, fp + tp).as("false_discovery_rate"),
+      nd(tn, tn + fn).as("npv"),
+      plr.as("plr"),
+      nlr.as("nlr"),
+      (precision + nd(tn, tn + fn) - 1.0).as("markedness"),
       ((recall + specificity) / 2.0).as("balanced_accuracy"),
-      (sqrt(precision * recall)).as("fowlkes_mallows")
+      (sqrt(precision * recall)).as("fowlkes_mallows"),
+      nd(plr, nlr).as("dor")
     )
   }
 

@@ -54,6 +54,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("r2"), 1 - 0.74))
   }
 
+  test("confusion matrix degenerate single-class input: defined " +
+      "fields exact, undefined fields NaN (test_metrics.py:15-121)") {
+    import spark.implicits._
+    import graft.functions.Metrics
+    val df = Seq.fill(4)((1, 0.9)).toDF("y", "p")
+    val cm = df.agg(Metrics.confusionMatrix(col("y"), col("p"), 0.5)
+      .as("cm")).select("cm.*").head
+    def f(n: String): Double = cm.getAs[Double](n)
+    assert(cm.getAs[Long]("tp") == 4L && cm.getAs[Long]("fp") == 0L &&
+      cm.getAs[Long]("tn") == 0L && cm.getAs[Long]("fn") == 0L)
+    assert(f("tpr") == 1.0 && f("precision") == 1.0 && f("f1") == 1.0 &&
+      f("accuracy") == 1.0 && f("prevalence") == 1.0)
+    // no negatives exist → fpr/tnr/mcc and their derivations are NaN,
+    // the reference's nandiv convention — never null
+    Seq("fpr", "tnr", "mcc", "npv", "false_omission_rate", "plr",
+      "dor", "prevalence_threshold").foreach { n =>
+      assert(!cm.isNullAt(cm.fieldIndex(n)) && f(n).isNaN,
+        s"$n: expected NaN, got ${cm.get(cm.fieldIndex(n))}")
+    }
+  }
+
   test("tie-averaged DCG/NDCG (sklearn ignore_ties=False semantics)") {
     import spark.implicits._
     import graft.ops.MetricOps
