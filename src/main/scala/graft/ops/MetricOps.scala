@@ -55,12 +55,15 @@ object MetricOps {
         coalesce(sum(s"${P}cnt").over(w), lit(0L)))
       .withColumn(s"${P}posRank",
         col(s"${P}pos") * (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0))
-    // 3. final per-group reduction
+    // 3. final per-group reduction. A single-class group has no curve:
+    // the reference returns NaN there ("when all classes are 0,
+    // roc_auc returns NaN", test_metrics.py:139), never null
     val nPos = sum(s"${P}pos")
     val nNeg = sum(s"${P}cnt") - nPos
     ranked.groupBy(gc: _*).agg(
-      ((sum(s"${P}posRank") - nPos * (nPos + 1.0) / 2.0) /
-        (nPos * nNeg)).as(outName))
+      when(nPos === 0.0 || nNeg === 0.0, lit(Double.NaN))
+        .otherwise((sum(s"${P}posRank") - nPos * (nPos + 1.0) / 2.0) /
+          (nPos * nNeg)).as(outName))
   }
 
   /** rocAuc keeping given output names for the group columns. */

@@ -54,6 +54,34 @@ class MetricsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("r2"), 1 - 0.74))
   }
 
+  test("roc_auc edge cases: all-zero targets NaN, constant score 0.5, " +
+      "binary scores match sklearn trapezoid (test_metrics.py:124-172)") {
+    import spark.implicits._
+    import graft.ops.MetricOps
+    def auc(pairs: Seq[(Int, Double)]): Any = {
+      val r = MetricOps.rocAuc(
+        pairs.map { case (y, s) => ("g", y, s) }.toDF("g", "y", "s"),
+        col("y"), col("s"), Seq(col("g"))).head
+      if (r.isNullAt(r.fieldIndex("roc_auc"))) null
+      else r.getDouble(r.fieldIndex("roc_auc"))
+    }
+    // all classes 0 → NaN (reference: "roc_auc returns NaN")
+    val zero = auc((1 to 10).map(i => (0, i / 10.0)))
+    assert(zero != null && zero.asInstanceOf[Double].isNaN,
+      s"all-zero targets: got $zero")
+    // constant prediction → exactly 0.5 (the zero-padding edge case)
+    assert(auc(Seq((0, 0.5), (1, 0.5))) == 0.5)
+    // binary scores (test_roc_auc_2 literal): single threshold point,
+    // sklearn trapezoid = (1 + tpr - fpr)/2 = (1 + 6/11 - 6/10)/2
+    val yt = Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+      1, 1, 1)
+    val yp = Seq(1, 0, 0, 1, 1, 0, 1, 0, 1, 1, 1, 1, 0, 1, 0, 0, 1, 0,
+      0, 1, 1).map(_.toDouble)
+    val got = auc(yt.zip(yp)).asInstanceOf[Double]
+    val want = (1.0 + 6.0 / 11.0 - 6.0 / 10.0) / 2.0
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
   test("confusion matrix degenerate single-class input: defined " +
       "fields exact, undefined fields NaN (test_metrics.py:15-121)") {
     import spark.implicits._
