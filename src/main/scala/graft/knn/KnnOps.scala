@@ -203,7 +203,8 @@ object KnnOps {
     * failing the job, matching the reference's contract. */
   def radiusPtwiseNullSafe(df: DataFrame, id: Column,
                            features: Seq[Column], r: Double,
-                           metric: String = "l2"): DataFrame = {
+                           metric: String = "l2",
+                           includeSelf: Boolean = false): DataFrame = {
     val raw = if (metric == "l2") r * r else r
     val tree = collectTree(df, id, features, metric)
     val spark = df.sparkSession
@@ -220,7 +221,9 @@ object KnnOps {
         val res =
           if (qf == null || qf.exists(_ == null)) null
           else {
-            val qid = if (r0.isNullAt(r0.fieldIndex("_qid"))) -1L
+            val qid =
+              if (includeSelf || r0.isNullAt(r0.fieldIndex("_qid")))
+                Long.MinValue
               else r0.getAs[Long]("_qid")
             t.rangeQuery(qf.map(Double.unbox).toArray, raw,
               exclude = qid).map(_._1).toSeq

@@ -361,6 +361,24 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(g2 == Seq(2, 3, 2, 1, 1))
   }
 
+  test("radius_ptwise_null_safe skips null rows, keeps self " +
+      "(test_many.py:1153-1176, bug-029 regression)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(0.1), Some(0.1), Some(0.1)),
+      (2L, None, Some(0.3), Some(0.4)),
+      (3L, Some(5.0), Some(10.0), Some(11.0)),
+      (4L, Some(0.2), None, Some(0.3)))
+      .toDF("id", "val1", "val2", "val3")
+    val out = graft.knn.KnnOps.radiusPtwiseNullSafe(df, col("id"),
+        Seq(col("val1"), col("val2"), col("val3")), r = 0.3,
+        metric = "sql2", includeSelf = true)
+      .orderBy("id").select("radius_ids").collect()
+    assert(out(1).isNullAt(0) && out(3).isNullAt(0),
+      "null-feature rows must get null lists")
+    assert(out(0).getSeq[Long](0).toSeq == Seq(1L))
+    assert(out(2).getSeq[Long](0).toSeq == Seq(3L))
+  }
+
   test("is_knn_from picks different neighbors under l2 vs cosine " +
       "(test_many.py:1070-1110)") {
     import spark.implicits._
