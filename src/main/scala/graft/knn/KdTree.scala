@@ -136,6 +136,10 @@ object KdTree {
     * happens once on the driver, then the tree is broadcast. */
   def build(data: Array[(Long, Array[Double])], metric: String = "l2")
       : KdTree = {
+    // fail loud on a bad metric string instead of silently ranking
+    // under a default (the reference raises too, test_many.py:1616)
+    require(Set("l1", "l2", "sql2", "inf").contains(metric),
+      s"KdTree: unknown metric '$metric' (l1|l2|sql2|inf)")
     val n = data.length
     val dim = if (n > 0) data(0)._2.length else 0
     val pts = new Array[Array[Double]](n)

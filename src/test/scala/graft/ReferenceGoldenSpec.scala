@@ -361,6 +361,33 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(g2 == Seq(2, 3, 2, 1, 1))
   }
 
+  test("knn runs under every dist string; unknown dist raises " +
+      "(test_many.py:1591-1620)") {
+    import spark.implicits._
+    val df = (0 until 10).map { i =>
+      var h = i.toLong * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      def u(s: Int) = (((h >>> (s * 11)) & 0x7FF).toDouble) / 2048.0
+      (i.toLong, u(0), u(1), u(2))
+    }.toDF("id", "f0", "f1", "f2")
+    Seq("l1", "l2", "sql2", "inf").foreach { dist =>
+      val got = graft.knn.KnnOps.knnPtwise(df, col("id"),
+          Seq(col("f0"), col("f1"), col("f2")), k = 3, metric = dist,
+          includeSelf = true)
+        .select("knn_ids").collect()
+      assert(got.length == 10, dist)
+      got.foreach { r =>
+        val ids = r.getSeq[Long](0)
+        assert(ids.nonEmpty && ids.length <= 4 &&
+          ids.forall(i => i >= 0 && i < 10), s"$dist: $ids")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      graft.knn.KnnOps.knnPtwise(df, col("id"),
+        Seq(col("f0"), col("f1"), col("f2")), k = 3, metric = "nope")
+    }
+  }
+
   test("radius_ptwise_null_safe skips null rows, keeps self " +
       "(test_many.py:1153-1176, bug-029 regression)") {
     import spark.implicits._
