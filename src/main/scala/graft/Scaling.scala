@@ -15,7 +15,8 @@ object Scaling {
       else Seq("q1_agg", "q_roc_auc", "q_lin_reg_report", "q_knn_join",
         "q_jaccard_dup_pairs", "q_dup_clusters", "q_cosine_topk",
         "q_tfidf", "q_clean_corpus", "q_topk_group", "q_bucket_join",
-        "q_sessionize")
+        "q_sessionize", "q_rolling_lr2", "q_hc_se", "q_multi_target",
+        "q_minhash_dup")
     val sfs = Seq("0.001", "0.01", "0.1")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
