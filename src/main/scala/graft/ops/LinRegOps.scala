@@ -253,6 +253,40 @@ object LinRegOps {
     df.withColumn(out, solver(packed))
   }
 
+  /** Per-row prediction + residual from a per-group OLS/ridge fit
+    * (the reference's lin_reg `return_pred=True` with
+    * `null_policy="skip"`, expr_linear.py:105; skip-null vector
+    * test_linear_exprs.py:410): rows with any null/NaN input are
+    * excluded from the fit AND carry null pred/resid — they stay in
+    * the frame. One Gram aggregate per group; betas broadcast back. */
+  def linRegPred(df: DataFrame, features: Seq[Column], y: Column,
+                 groupNames: Seq[String] = Nil, addBias: Boolean = false,
+                 lambda: Double = 0.0,
+                 predName: String = "pred", residName: String = "resid")
+      : DataFrame = {
+    val d = features.length
+    val dTot = d + (if (addBias) 1 else 0)
+    val fx = features.map(_.cast("double"))
+    val yd = y.cast("double")
+    val valid = (fx :+ yd).map(c => c.isNotNull && !isnan(c))
+      .reduce(_ && _)
+    val xb: Seq[Column] = if (addBias) fx :+ lit(1.0) else fx
+    val gc = groupNames.map(col)
+    val betas = df.filter(valid).groupBy(gc: _*)
+      .agg(graft.agg.LinRegAgg.linReg(array(xb: _*), yd, dTot, lambda)
+        .as("_r"))
+      .select(gc :+ col("_r.coeffs").as("_beta"): _*)
+    val joined =
+      if (groupNames.isEmpty) df.crossJoin(broadcast(betas))
+      else df.join(broadcast(betas), groupNames, "left")
+    val pred = (0 until dTot)
+      .map(i => xb(i) * element_at(col("_beta"), i + 1)).reduce(_ + _)
+    joined
+      .withColumn(predName, when(valid, pred))
+      .withColumn(residName, when(valid, yd - col(predName)))
+      .drop("_beta")
+  }
+
   /** Multi-target OLS/ridge: fit the SAME design matrix against `m`
     * target columns in one pass, sharing the Gram matrix across
     * targets (reference lin_reg with `target=[y1, y2, ...]`,

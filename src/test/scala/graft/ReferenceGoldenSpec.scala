@@ -668,6 +668,26 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(prod.toSeq == Seq((1, 1), (1, 2), (1, 3)))
   }
 
+  test("lin_reg return_pred with null_policy=skip " +
+      "(test_linear_exprs.py:410-432)") {
+    import spark.implicits._
+    val df = Seq((None: Option[Double], 1.0, 1.0),
+      (Some(9.5), 9.0, 0.5), (Some(10.5), 10.0, 0.5),
+      (Some(11.5), 11.0, 0.5), (Some(12.5), 12.0, 0.5))
+      .toDF("y", "a", "b").withColumn("o", monotonically_increasing_id())
+    val got = graft.ops.LinRegOps.linRegPred(df,
+        Seq(col("a"), col("b")), col("y"))
+      .orderBy("o").select("pred", "resid").collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1),
+      "skipped row must carry null pred/resid")
+    val want = Seq(9.5, 10.5, 11.5, 12.5)
+    (1 to 4).foreach { i =>
+      assert(math.abs(got(i).getDouble(0) - want(i - 1)) < 1e-9,
+        s"pred $i")
+      assert(math.abs(got(i).getDouble(1)) < 1e-9, s"resid $i")
+    }
+  }
+
   test("impute mean/median matches sklearn SimpleImputer vector " +
       "(test_transforms.py:268-296)") {
     import spark.implicits._
