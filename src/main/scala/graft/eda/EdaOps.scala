@@ -140,4 +140,46 @@ object EdaOps {
   def dependencyScore(df: DataFrame, x: Column, y: Column): Double =
     graft.ops.TSOps.condEntropy(df, x, y, Nil)
       .head.getDouble(0)
+
+  /** Column-rule validation report (diagnosis.py:236 col_validation):
+    * each rule is (columnName, aggregate boolean Column, message); all
+    * rules evaluate in ONE action, and only the failing ones are
+    * returned as (column, __reason__) rows. A rule evaluating to null
+    * counts as failed. */
+  def colValidation(df: DataFrame,
+                    rules: Seq[(String, Column, String)]): DataFrame = {
+    require(rules.nonEmpty, "colValidation: no rules")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.select(rules.zipWithIndex.map { case ((_, c, _), i) =>
+      c.cast("boolean").as(s"_r$i") }: _*).head
+    rules.zipWithIndex.collect {
+      case ((name, _, msg), i) if row.isNullAt(i) || !row.getBoolean(i) =>
+        (name, msg)
+    }.toDF("column", "__reason__")
+  }
+
+  /** Row-rule validation report (diagnosis.py:268 row_validation):
+    * rules are per-row boolean Columns with a violation message;
+    * output keeps only violating rows with the id (default: a
+    * generated `__index__`), any `keep` columns, and either the first
+    * violation reason (`__reason__`) or all of them (`__reasons__`).
+    * A null rule value counts as a violation, like a failed filter. */
+  def rowValidation(df: DataFrame, rules: Seq[(Column, String)],
+                    idCol: Option[Column] = None,
+                    keep: Seq[Column] = Nil,
+                    allReasons: Boolean = false): DataFrame = {
+    require(rules.nonEmpty, "rowValidation: no rules")
+    val id = idCol.getOrElse(
+      monotonically_increasing_id().as("__index__"))
+    val reasons = rules.map { case (c, msg) =>
+      when(!coalesce(c.cast("boolean"), lit(false)), lit(msg)) }
+    val arr = array_compact(array(reasons: _*))
+    val base = df.select((id +: keep) :+ arr.as("__reasons__"): _*)
+      .filter(size(col("__reasons__")) > 0)
+    if (allReasons) base
+    else base
+      .withColumn("__reason__", element_at(col("__reasons__"), 1))
+      .drop("__reasons__")
+  }
 }

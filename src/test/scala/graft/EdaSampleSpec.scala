@@ -74,6 +74,40 @@ class EdaSampleSpec extends AnyFunSuite {
     assert(m("u") == ((false, false, false)))
   }
 
+  test("colValidation keeps only failed rules, one action " +
+      "(diagnosis.py:236)") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 100.0)).toDF("a", "b")
+    val got = EdaOps.colValidation(df, Seq(
+        ("a", max(col("a")) <= 3.0, "a exceeds 3"),
+        ("b", max(col("b")) <= 10.0, "b exceeds 10"),
+        ("a", min(col("a")) > 0.0, "a not positive")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("b", "b exceeds 10")))
+  }
+
+  test("rowValidation reports violating rows with reasons " +
+      "(diagnosis.py:268)") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, Some(1.0)), (2L, -1.0, Some(2.0)),
+      (3L, 2.0, None)).toDF("id", "x", "z")
+    val first = EdaOps.rowValidation(df, Seq(
+        (col("x") > 0.0, "x not positive"),
+        (col("z").isNotNull, "z missing")),
+      idCol = Some(col("id")))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(first == Seq((2L, "x not positive"), (3L, "z missing")))
+    val all = EdaOps.rowValidation(df, Seq(
+        (col("x") > 0.0, "x not positive"),
+        (col("z") > 1.5, "z too small or missing")),
+      idCol = Some(col("id")), allReasons = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+    assert(all == Seq((1L, Seq("z too small or missing")),
+      (2L, Seq("x not positive")), (3L, Seq("z too small or missing"))))
+  }
+
   test("dependencyScore is 0 when y determines x") {
     import spark.implicits._
     val df = (1 to 60).map(i => (i % 6, i % 3)).toDF("y", "x")
