@@ -103,6 +103,18 @@ object MetricQueries extends QueryPack {
         .withColumn("ndcg", round(col("ndcg"), 6))
         .orderBy("event_type")
     }),
+    // coarse score = heavy ties → exercises the sklearn tie-averaged
+    // path, whose result is invariant to tie order (safe to hash)
+    "q_ndcg_ties" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("rel", (floor(col("value")) % 10).cast("int"))
+        .withColumn("score", floor(col("value") / 50.0))
+      MetricOps.ndcgTieAveraged(ev, col("rel"), col("score"),
+          Seq("event_type"))
+        .select(col("event_type"), round(col("dcg"), 4).as("dcg"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("event_type")
+    }),
     "q_multi_roc_auc" -> ((s, dir) => {
       val df = t(s, dir, "events")
         .withColumn("y_cls", col("user_id") % 3)
@@ -238,6 +250,25 @@ object MetricQueries extends QueryPack {
          |  ROUND(cum_pos / npos, 6) AS tpr,
          |  ROUND((cum_cnt - cum_pos) / (n - npos), 6) AS fpr
          |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_ndcg_ties" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value) AS INT) % 10 AS rel,
+        |    FLOOR(value / 50.0) AS score
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, rel,
+        |    AVG(rel) OVER (PARTITION BY event_type, score) avg_rel,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC) rk,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY rel DESC) irk
+        |  FROM e)
+        |SELECT event_type,
+        |  ROUND(SUM(avg_rel / LOG2(rk + 1)), 4) AS dcg,
+        |  ROUND(SUM(avg_rel / LOG2(rk + 1))
+        |    / SUM(rel / LOG2(irk + 1)), 6) AS ndcg
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ndcg" ->
       s"""WITH t AS (
          |  SELECT event_type, event_id,
