@@ -62,7 +62,10 @@ object MiscQueries extends QueryPack {
             .as("n_lev3"),
           count(when(Strings.strHamming(
             substring(concat(col("w"), lit("########")), 1, 8),
-            lit("standard")) <= 5, 1)).as("n_ham5"))
+            lit("standard")) <= 5, 1)).as("n_ham5"),
+          count(when(Strings.similarToVocab(col("w"),
+            Seq("promo", "standard"), 0.5, "lv", "any"), 1))
+            .as("n_similar"))
         .orderBy("p_brand")
     }),
     "q_expander" -> ((s, dir) => {
@@ -220,7 +223,13 @@ object MiscQueries extends QueryPack {
          |  COUNT(CASE WHEN levenshtein(w, 'standard') <= 3 THEN 1 END)
          |    AS n_lev3,
          |  COUNT(CASE WHEN hamming(LEFT(w || '########', 8), 'standard')
-         |    <= 5 THEN 1 END) AS n_ham5
+         |    <= 5 THEN 1 END) AS n_ham5,
+         |  COUNT(CASE WHEN
+         |      1 - levenshtein(w, 'promo')::DOUBLE
+         |        / GREATEST(LENGTH(w), 5) >= 0.5
+         |      OR 1 - levenshtein(w, 'standard')::DOUBLE
+         |        / GREATEST(LENGTH(w), 8) >= 0.5
+         |    THEN 1 END) AS n_similar
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_expander" ->
