@@ -434,7 +434,10 @@ object LinRegOps {
         Array.tabulate(dTot + 1)(k => if (k < dTot) a(j)(k) else xy(j)))
       val beta = solveInPlace(aug, dTot)
       val inv = invert(a, dTot)
-      if (beta.exists(b => b.isNaN || b.isInfinite) || inv == null) None
+      // n > dTot: classical sigma^2 divides by n − d, and HC2/HC3
+      // leverages hit 1 exactly when a group is saturated
+      if (n <= dTot || beta.exists(b => b.isNaN || b.isInfinite) ||
+        inv == null) None
       else Some(Fit(groupNames.indices.map(r.get), n, beta, inv))
     }
     if (fits.isEmpty)
