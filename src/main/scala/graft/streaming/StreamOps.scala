@@ -203,6 +203,105 @@ object StreamOps {
   case class OnlineLRState(key: String, n: Long, p: Seq[Double],
                            beta: Seq[Double])
 
+  /** Per-key rolling-window regression state: the last `window` rows'
+    * flattened features + targets (a ring buffer in arrival order). */
+  case class RollingLRState(key: String, xs: Seq[Double], ys: Seq[Double])
+
+  /** Streaming rolling-regression emission: key, rows seen in the
+    * current window, coefficients (null until the window fills). */
+  case class RollingLROut(key: String, n: Long, beta: Seq[Double])
+
+  /** Streaming fixed-window rolling regression — the streaming twin of
+    * [[graft.ops.LinRegOps.rollingLinReg]] (reference pl_rolling_lr):
+    * each key holds a ring buffer of its last `window` rows inside
+    * mapGroupsWithState (O(window·d) state per key — the minimum any
+    * rolling fit needs, since old rows must be retired exactly) and
+    * emits the coefficients of the CURRENT window each micro-batch
+    * (null until the window fills, bias last like the batch twin).
+    * Rows are (key, order, features, y), applied in `order` within a
+    * batch; use outputMode(Update). */
+  def streamingRollingLR(rows: Dataset[(String, Long, Seq[Double], Double)],
+                         d: Int, window: Int, lambda: Double = 0.0,
+                         addBias: Boolean = true)
+      : Dataset[RollingLROut] = {
+    implicit val stateEnc = Encoders.product[RollingLRState]
+    implicit val outEnc = Encoders.product[RollingLROut]
+    val dTot = d + (if (addBias) 1 else 0)
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[RollingLRState,
+        RollingLROut](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Seq[Double], Double)],
+         state: GroupState[RollingLRState]) =>
+          val s0 = state.getOption
+            .getOrElse(RollingLRState(key, Seq.empty, Seq.empty))
+          var xs = s0.xs.toVector
+          var ys = s0.ys.toVector
+          it.toSeq.sortBy(_._2).foreach { case (_, _, x, y) =>
+            xs = (xs ++ x).takeRight(window * d)
+            ys = (ys :+ y).takeRight(window)
+          }
+          state.update(RollingLRState(key, xs, ys))
+          val n = ys.length
+          val beta: Seq[Double] =
+            if (n < window) null
+            else {
+              // solve the window's normal equations from scratch —
+              // window·d² work per key per batch, no accumulated drift
+              val a = Array.ofDim[Double](dTot, dTot + 1)
+              var r = 0
+              while (r < n) {
+                val xb = new Array[Double](dTot)
+                var j = 0
+                while (j < d) { xb(j) = xs(r * d + j); j += 1 }
+                if (addBias) xb(d) = 1.0
+                var i = 0
+                while (i < dTot) {
+                  var k = 0
+                  while (k < dTot) { a(i)(k) += xb(i) * xb(k); k += 1 }
+                  a(i)(dTot) += xb(i) * ys(r)
+                  i += 1
+                }
+                r += 1
+              }
+              var i = 0
+              while (i < dTot) { a(i)(i) += lambda; i += 1 }
+              val b = solveNormal(a, dTot)
+              if (b == null) null else b.toSeq
+            }
+          RollingLROut(key, n.toLong, beta)
+      }
+  }
+
+  /** Gaussian elimination on [A|b]; null when singular. */
+  private def solveNormal(a: Array[Array[Double]], d: Int)
+      : Array[Double] = {
+    var c = 0
+    while (c < d) {
+      var piv = c
+      var r = c + 1
+      while (r < d) {
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv)(c)) < 1e-300) return null
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+      val pv = a(c)(c)
+      var j = c
+      while (j <= d) { a(c)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != c && a(r)(c) != 0.0) {
+          val f = a(r)(c)
+          var j2 = c
+          while (j2 <= d) { a(r)(j2) -= f * a(c)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    Array.tabulate(d)(i => a(i)(d))
+  }
+
   /** Streaming online linear regression — the streaming twin of
     * [[graft.linear.OnlineLR]] (reference linear_models.py:553):
     * per-key Woodbury rank-1 updates inside mapGroupsWithState, so

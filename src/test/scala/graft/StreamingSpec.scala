@@ -249,6 +249,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingRollingLR matches the batch rolling fit across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def u(i: Int, salt: Int): Double = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def row(i: Int): (String, Long, Seq[Double], Double) = {
+      val x1 = u(i, 1); val x2 = u(i, 2)
+      ("k", i.toLong, Seq(x1, x2), 0.7 * x1 - 0.2 * x2 + u(i, 3) / 100.0)
+    }
+    val window = 9
+    val mem = MemoryStream[(String, Long, Seq[Double], Double)]
+    val out = StreamOps.streamingRollingLR(mem.toDS(), d = 2,
+      window = window)
+    val q = out.writeStream.format("memory").queryName("graft_rlr")
+      .outputMode("update").start()
+    try {
+      mem.addData((0 until 4).map(row): _*)
+      q.processAllAvailable()
+      // window not yet full → null coeffs
+      val early = spark.sql("SELECT beta FROM graft_rlr LIMIT 1").head
+      assert(early.isNullAt(0))
+      mem.addData((4 until 25).map(row): _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT beta FROM graft_rlr WHERE beta IS NOT NULL").collect()
+        .last.getSeq[Double](0)
+      // batch twin over the same 25 rows, last full window
+      val df = (0 until 25).map { i =>
+        val r = row(i); (r._2, r._3(0), r._3(1), r._4)
+      }.toDF("o", "x1", "x2", "y").withColumn("g", lit("k"))
+      val want = graft.ops.LinRegOps.rollingLinReg(df,
+          Seq(col("x1"), col("x2")), col("y"), col("o"), Seq("g"), window)
+        .orderBy(col("o").desc).limit(1)
+        .select("coeffs").head.getSeq[Double](0)
+      got.zip(want).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$got vs $want") }
+    } finally q.stop()
+  }
+
   test("streamingRunningStats maintains Welford state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
