@@ -80,9 +80,11 @@ object NumFuncs {
 
   /** Integer part toward zero; NaN/±Inf pass through unchanged (the
     * long cast would clamp them — test_many.py:421 keeps trunc(NaN)
-    * NaN). (num.py:999 trunc) */
+    * NaN), and any |x| ≥ 2^53 passes through too: such doubles are
+    * already integral and the long cast would saturate past 2^63.
+    * (num.py:999 trunc) */
   def truncCol(x: Column): Column =
-    when(isnan(x) || abs(x) === Double.PositiveInfinity, x)
+    when(isnan(x) || abs(x) >= lit(9007199254740992.0), x)
       .otherwise(x.cast("long").cast("double"))
 
   /** Normalized sinc: sin(πx)/(πx), 1 at 0. (num.py:1139 sinc) */

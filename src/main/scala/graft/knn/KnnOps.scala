@@ -219,7 +219,7 @@ object KnnOps {
       it.map { r0 =>
         val qf = r0.getAs[scala.collection.Seq[java.lang.Double]]("_qf")
         val res =
-          if (qf == null || qf.exists(_ == null)) null
+          if (qf == null || qf.exists(v => v == null || v.isNaN)) null
           else {
             val qid =
               if (includeSelf || r0.isNullAt(r0.fieldIndex("_qid")))

@@ -442,16 +442,27 @@ object LinRegOps {
     }
     if (fits.isEmpty)
       throw new IllegalStateException("hcReport: every group singular")
-    // pass 2: broadcast (β, A⁻¹) as a tiny keyed frame; e, h, and the
-    // three weight variants are plain Column algebra over it
-    import spark.implicits._
-    val fitRows = fits.map(f => (f.key.map(String.valueOf).mkString(""),
-      f.n, f.beta.toSeq, f.ainv.flatten.toSeq)).toSeq
-      .toDF("_fk", "_fn", "_beta", "_ainv")
-    val keyed = base.withColumn("_fk",
-      if (groupNames.isEmpty) lit("")
-      else concat_ws("", gc.map(_.cast("string")): _*))
-      .join(broadcast(fitRows), "_fk")
+    // pass 2: broadcast the fits back keyed by the REAL group columns
+    // (never a rendered string - string concat can collide across
+    // groups, and driver/executor renderings of the same value differ)
+    val keyFields = groupNames.map(n => df.schema(df.schema.fieldIndex(n)))
+    val fitSchema = org.apache.spark.sql.types.StructType(keyFields ++ Seq(
+      org.apache.spark.sql.types.StructField("_fn",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_beta",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("_ainv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val fitRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(fits.toSeq.map(f =>
+        org.apache.spark.sql.Row.fromSeq(
+          f.key ++ Seq(f.n, f.beta.toSeq, f.ainv.flatten.toSeq))), 1),
+      fitSchema)
+    val keyed =
+      if (groupNames.isEmpty) base.crossJoin(broadcast(fitRows))
+      else base.join(broadcast(fitRows), groupNames)
     val pred = (0 until dTot).map(j =>
       xb(j) * element_at(col("_beta"), j + 1)).reduce(_ + _)
     val e2 = pow(yd - pred, 2.0)
@@ -466,12 +477,11 @@ object LinRegOps {
           Seq((w0, "a"), (w2, "b"), (w3, "c")) }
         yield sum(xb(j) * xb(k) * wc).as(s"_m$t${j}_$k")) :+
       sum(e2).as("_sse")
-    val pass2 = keyed.groupBy(col("_fk"))
+    val pass2 = keyed.groupBy(gc: _*)
       .agg(meatAggs.head, meatAggs.tail: _*).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => groupNames.indices.map(r.get).toList -> r).toMap
     val outRows = fits.flatMap { f =>
-      val fk = f.key.map(String.valueOf).mkString("")
-      pass2.get(fk).map { r =>
+      pass2.get(f.key.toList).map { r =>
         def meat(t: String): Array[Array[Double]] = {
           val m = Array.ofDim[Double](dTot, dTot)
           for (j <- 0 until dTot; k <- j until dTot) {
@@ -502,9 +512,7 @@ object LinRegOps {
           sandwichSe(meat("c"), 1.0)))
       }
     }
-    val keySchema = groupNames.map(n =>
-      df.schema(df.schema.fieldIndex(n)))
-    val schema = org.apache.spark.sql.types.StructType(keySchema ++
+    val schema = org.apache.spark.sql.types.StructType(keyFields ++
       Seq("coeffs", "se", "hc0_se", "hc1_se", "hc2_se", "hc3_se").map(n =>
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.ArrayType(
@@ -595,7 +603,13 @@ object LinRegOps {
     beta
   }
 
-  /** Gaussian elimination on [A|b] (d×(d+1)), returns x. */
+  /** Gaussian elimination on [A|b] (d×(d+1)), returns x. Shared by
+    * the batch solvers and the streaming rolling twin so the pivot
+    * behavior can never diverge between them; singular systems come
+    * back as NaN/Inf entries for the caller to gate. */
+  private[graft] def solveAugmented(a: Array[Array[Double]], d: Int)
+      : Array[Double] = solveInPlace(a, d)
+
   private def solveInPlace(a: Array[Array[Double]], d: Int)
       : Array[Double] = {
     var col = 0

@@ -74,8 +74,8 @@ object SeqOps {
   /** 1-D convolution with a small kernel as lead-Window algebra.
     * mode "valid": output only where the kernel fully overlaps (rows
     * with fewer than k successors get null); mode "same": zero-padded
-    * to input length. Kernel applied in the reference's correlation
-    * orientation: out[i] = Σ_j kernel[j]·x[i+j]. */
+    * to input length. TRUE convolution (kernel flipped, np.convolve
+    * and convolve.rs parity): out[i] = Σ_j kernel[k−1−j]·x[i+j]. */
   def convolveWin(df: DataFrame, x: Column, order: Column,
                   groupNames: Seq[String], kernel: Seq[Double],
                   mode: String = "valid", out: String = "conv")
@@ -108,7 +108,11 @@ object SeqOps {
     * `right` (left-/right-aligned n). Output-length ≠ input-length
     * modes cannot be a per-row column, so the result is one array per
     * group (collect-based — the whole-series kernel contract, capped
-    * by [[graft.util.Guard]] inside collectSeries). */
+    * by [[graft.util.Guard]] inside collectSeries). Series shorter
+    * than the kernel: `valid` yields an EMPTY array and `same` yields
+    * n outputs — the reference's own slicing convention
+    * (convolve.rs:97-103 uses (m−1, n−m+1) without numpy's
+    * commutative swap; it cannot represent n < m), made non-crashing. */
   def convolveSeries(df: DataFrame, x: Column, order: Column,
                      groupNames: Seq[String], kernel: Seq[Double],
                      mode: String = "full", out: String = "conv")

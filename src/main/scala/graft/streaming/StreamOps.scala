@@ -236,7 +236,13 @@ object StreamOps {
             .getOrElse(RollingLRState(key, Seq.empty, Seq.empty))
           var xs = s0.xs.toVector
           var ys = s0.ys.toVector
-          it.toSeq.sortBy(_._2).foreach { case (_, _, x, y) =>
+          it.toSeq.sortBy(_._2).foreach { case (_, o, x, y) =>
+            // fail loud: a wrong-length vector would shift every later
+            // row in the flat ring buffer and corrupt the key forever
+            require(x != null && x.length == d,
+              s"streamingRollingLR key=$key order=$o: feature vector " +
+                s"of length ${if (x == null) "null" else x.length}, " +
+                s"expected $d")
             xs = (xs ++ x).takeRight(window * d)
             ys = (ys :+ y).takeRight(window)
           }
@@ -265,42 +271,14 @@ object StreamOps {
               }
               var i = 0
               while (i < dTot) { a(i)(i) += lambda; i += 1 }
-              val b = solveNormal(a, dTot)
-              if (b == null) null else b.toSeq
+              val b = graft.ops.LinRegOps.solveAugmented(a, dTot)
+              if (b.exists(v => v.isNaN || v.isInfinite)) null
+              else b.toSeq
             }
           RollingLROut(key, n.toLong, beta)
       }
   }
 
-  /** Gaussian elimination on [A|b]; null when singular. */
-  private def solveNormal(a: Array[Array[Double]], d: Int)
-      : Array[Double] = {
-    var c = 0
-    while (c < d) {
-      var piv = c
-      var r = c + 1
-      while (r < d) {
-        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
-        r += 1
-      }
-      if (math.abs(a(piv)(c)) < 1e-300) return null
-      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
-      val pv = a(c)(c)
-      var j = c
-      while (j <= d) { a(c)(j) /= pv; j += 1 }
-      r = 0
-      while (r < d) {
-        if (r != c && a(r)(c) != 0.0) {
-          val f = a(r)(c)
-          var j2 = c
-          while (j2 <= d) { a(r)(j2) -= f * a(c)(j2); j2 += 1 }
-        }
-        r += 1
-      }
-      c += 1
-    }
-    Array.tabulate(d)(i => a(i)(d))
-  }
 
   /** Streaming online linear regression — the streaming twin of
     * [[graft.linear.OnlineLR]] (reference linear_models.py:553):
