@@ -286,6 +286,31 @@ class LinRegSpec extends AnyFunSuite {
     assert(math.abs(wantHc0.head - wantSe.head) > 1e-6)
   }
 
+  test("hcReport keeps colliding-concat groups distinct (two string " +
+      "keys whose concatenation is identical)") {
+    import spark.implicits._
+    def u(i: Int, salt: Int): Double = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    // ("x","yz") and ("xy","z") concatenate to the same "xyz" — a
+    // string-keyed join would merge the groups
+    val rows = (0 until 40).flatMap { i =>
+      val x = u(i, 1)
+      Seq(("x", "yz", x, 1.0 * x + 0.1 + (u(i, 2) - 0.5) * 0.01),
+        ("xy", "z", x, -2.0 * x + 0.4 + (u(i, 3) - 0.5) * 0.01))
+    }
+    val df = rows.toDF("g1", "g2", "x", "y")
+    val got = LinRegOps.hcReport(df, Seq(col("x")), col("y"),
+      Seq("g1", "g2")).collect()
+    assert(got.length == 2, s"want 2 groups, got ${got.length}")
+    val byKey = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getSeq[Double](r.fieldIndex("coeffs"))).toMap
+    assert(math.abs(byKey(("x", "yz"))(0) - 1.0) < 0.01)
+    assert(math.abs(byKey(("xy", "z"))(0) + 2.0) < 0.01)
+  }
+
   test("Column-algebra Cramer twins agree with the general windowed path") {
     import spark.implicits._
     def u(i: Int, salt: Int): Double = {
