@@ -27,6 +27,26 @@ object SampleOps {
                      seed: Long = 42): DataFrame =
     df.sample(withReplacement, fraction, seed)
 
+  /** Exact-n sampling WITH replacement (sample_and_split.py:15 with
+    * `replace=True`): draw n uniform row indices and join them against
+    * the zipWithIndex'd frame — fully distributed (one hash join on
+    * the index), never a driver-side collect, and rows drawn k times
+    * appear k times. */
+  def sampleNWithReplacement(df: DataFrame, n: Long, seed: Long = 42)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val total = df.count()
+    require(total > 0, "sampleNWithReplacement: empty frame")
+    val schema = df.schema.add("_idx",
+      org.apache.spark.sql.types.LongType)
+    val indexed = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    val picks = spark.range(n)
+      .select(floor(rand(seed) * total).cast("long").as("_idx"))
+    indexed.join(picks, "_idx").drop("_idx")
+  }
+
   /** Equalize group sizes down to the smallest group (or `target`):
     * keep a uniform random subset of each group.
     * (sample_and_split.py:140 volume_neutral) */

@@ -74,6 +74,21 @@ class EdaSampleSpec extends AnyFunSuite {
     assert(m("u") == ((false, false, false)))
   }
 
+  test("sampleNWithReplacement draws exactly n rows incl. repeats") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("v")
+    val out = graft.sample.SampleOps.sampleNWithReplacement(df, 100, 7)
+      .collect().map(_.getInt(0))
+    assert(out.length == 100)
+    assert(out.forall(v => v >= 1 && v <= 10))
+    // with 100 draws from 10 values, some value repeats w.p. ~1
+    assert(out.distinct.length < out.length)
+    // deterministic under the seed
+    val again = graft.sample.SampleOps.sampleNWithReplacement(df, 100, 7)
+      .collect().map(_.getInt(0))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("colValidation keeps only failed rules, one action " +
       "(diagnosis.py:236)") {
     import spark.implicits._
