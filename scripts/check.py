@@ -11,14 +11,21 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--only=")
+        and a != "--skip-verify"]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-verify" not in sys.argv:
+    flt = f" {','.join(sorted(ONLY))}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{flt}'],
         capture_output=True, text=True, cwd="/root/repo")
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
     if r.returncode != 0:
@@ -31,6 +38,8 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.loads(Path(OUT, "oracle_sql.json").read_text())
+if ONLY:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:

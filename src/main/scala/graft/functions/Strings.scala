@@ -54,12 +54,22 @@ object Strings {
       i += 1
     }
     val m = matches.toDouble
-    (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+    // rapidfuzz convention (the reference delegates to rapidfuzz jaro,
+    // src/str_ext/jaro.rs:14-17): the half-transposition count is
+    // INTEGER-halved — an odd count floors, unlike the textbook t/2.
+    // DuckDB shares this convention, which gives the fuzzy queries a
+    // cross-engine oracle.
+    (m / la + m / lb + (m - t / 2) / m) / 3.0
   }
 
   private[functions] def jaroWinklerSim(s1: String, s2: String,
                                         p: Double = 0.1): Double = {
     val j = jaroSim(s1, s2)
+    // rapidfuzz convention (the reference delegates to rapidfuzz
+    // jaro_winkler, src/str_ext/jaro.rs:20-26): the prefix boost only
+    // applies when the Jaro similarity clears 0.7 — below that the
+    // score IS the Jaro score. DuckDB implements the same convention.
+    if (j <= 0.7) return j
     var l = 0
     val maxL = math.min(4, math.min(s1.length, s2.length))
     while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1

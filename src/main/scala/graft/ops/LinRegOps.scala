@@ -564,7 +564,7 @@ object LinRegOps {
     * @return fitted coefficients, bias last. */
   def logisticFit(df: DataFrame, features: Seq[Column], y: Column,
                   maxIter: Int = 25, tol: Double = 1e-10,
-                  lambda: Double = 0.0): Array[Double] = {
+                  lambda: Double = 0.0, l1: Double = 0.0): Array[Double] = {
     val d = features.length + 1
     val fx = features :+ lit(1.0)
     var beta = new Array[Double](d)
@@ -572,6 +572,9 @@ object LinRegOps {
     val cached = df.select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
       .map { case (c, i) => if (i < d) c.cast("double").as(s"${P}f$i")
         else c }: _*).persist()
+    // row count only needed to scale the l1 threshold (reference loss
+    // is mean log loss, so its l1_reg is relative to loss/m)
+    lazy val mCount = cached.count().toDouble
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta > tol) {
@@ -594,7 +597,17 @@ object LinRegOps {
       }
       for (i <- 0 until d) { a(i)(d) = row.getDouble(k); k += 1 }
       for (i <- 0 until d) a(i)(i) += lambda
-      val nb = solveInPlace(a, d)
+      // l1_reg (expr_linear.py:281): solve the IRLS quadratic with
+      // glmnet-style coordinate descent instead — soft-threshold on
+      // the non-bias coordinates; lambda (l2) stays on the full diag
+      // via the augmentation above for back-compat.
+      val nb =
+        if (l1 > 0.0) {
+          val xtx = Array.tabulate(d, d)((i, j) => a(i)(j))
+          val xty = Array.tabulate(d)(i => a(i)(d))
+          graft.linear.Solvers.elasticNet(xtx, xty, l1 = mCount * l1,
+            l2 = 0.0, penalize = _ < d - 1)
+        } else solveInPlace(a, d)
       delta = beta.zip(nb).map { case (o, x2) => math.abs(o - x2) }.max
       beta = nb
       iter += 1
@@ -636,6 +649,123 @@ object LinRegOps {
       col += 1
     }
     Array.tabulate(d)(i => a(i)(d))
+  }
+
+  /** Per-GROUP binary logistic regression — the reference's headline
+    * pattern of regressions inside `group_by().agg()`
+    * (expr_linear.py:277 used under group_by throughout
+    * tests/test_linear_exprs.py). Batch IRLS: every iteration is ONE
+    * distributed `groupBy(keys).agg(weighted Gram)` pass computing all
+    * groups' normal equations simultaneously; the driver holds one
+    * (d+1)-vector per group and broadcasts them back as a literal
+    * frame, so the data never leaves the executors and iteration count
+    * does not multiply per group.
+    *
+    * Regularization follows the reference's loss scaling (mean log
+    * loss, logistic_solver.rs:70 `total_loss / m`): `l2` adds m·l2 to
+    * the non-bias Gram diagonal; `l1 > 0` routes the per-group solve
+    * through glmnet-style coordinate descent on the IRLS quadratic
+    * ([[graft.linear.Solvers.elasticNet]]) with threshold m·l1. The
+    * bias is never penalized (sklearn/glmnet convention; the
+    * reference's OWL-QN quirk of l1-penalizing the bias is a
+    * documented divergence).
+    *
+    * The per-group driver state is d+1 doubles; `groupCap` bounds the
+    * collected Gram rows ((d+1)² doubles per group) with a loud error
+    * instead of a driver OOM.
+    *
+    * @return one row per group: (groupCols*, beta array<double> with
+    *         bias LAST, iters). */
+  def logisticFitGrouped(df: DataFrame, groupCols: Seq[String],
+                         features: Seq[Column], y: Column,
+                         maxIter: Int = 30, tol: Double = 1e-9,
+                         l1: Double = 0.0, l2: Double = 0.0,
+                         groupCap: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val d = features.length + 1
+    val gc = groupCols.map(col)
+    val proj = df.select(gc ++
+      features.zipWithIndex.map { case (c, i) =>
+        c.cast("double").as(s"${P}f$i") } ++
+      Seq(lit(1.0).as(s"${P}f${d - 1}"), y.cast("double").as(s"${P}y")): _*)
+      .persist()
+    try {
+      // group inventory + sizes in one pass; fail fast on cardinality
+      val sizes = proj.groupBy(gc: _*)
+        .agg(count(lit(1)).cast("double").as("m"))
+        .limit(groupCap + 1).collect()
+      require(sizes.length <= groupCap,
+        s"logisticFitGrouped: more than $groupCap groups; the per-group " +
+          "Gram rows are collected to the driver. Reduce the key " +
+          "cardinality or raise groupCap (with driver heap to match).")
+      val keys = sizes.map(r => Seq.tabulate(groupCols.length)(r.get))
+      val mOf = keys.zip(sizes.map(_.getDouble(groupCols.length))).toMap
+      var betas: Map[Seq[Any], Array[Double]] =
+        keys.map(_ -> new Array[Double](d)).toMap
+      var iters = 0
+      var delta = Double.MaxValue
+      val keySchema = org.apache.spark.sql.types.StructType(
+        proj.schema.fields.take(groupCols.length))
+      val betaSchema = keySchema
+        .add(s"${P}beta", "array<double>")
+      while (iters < maxIter && delta > tol) {
+        val betaRows = betas.toSeq.map { case (k, b) =>
+          org.apache.spark.sql.Row.fromSeq(k :+ b.toSeq) }
+        val betaDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(betaRows, 1), betaSchema)
+        val joined = proj.join(broadcast(betaDf), groupCols)
+        val eta = (0 until d).map(i =>
+          col(s"${P}f$i") * element_at(col(s"${P}beta"), i + 1))
+          .reduce(_ + _)
+        val mu = lit(1.0) / (exp(-eta) + 1.0)
+        val wgt = mu * (lit(1.0) - mu) + 1e-10
+        val z = eta + (col(s"${P}y") - mu) / wgt
+        val gramCols =
+          (for (i <- 0 until d; j <- i until d)
+            yield sum(wgt * col(s"${P}f$i") * col(s"${P}f$j"))
+              .as(s"g_${i}_$j")) ++
+          (0 until d).map(i => sum(wgt * col(s"${P}f$i") * z).as(s"b_$i"))
+        val rows = joined.groupBy(gc: _*)
+          .agg(gramCols.head, gramCols.tail: _*).collect()
+        delta = 0.0
+        betas = rows.map { r =>
+          val key = Seq.tabulate(groupCols.length)(r.get)
+          val base = groupCols.length
+          val xtx = Array.ofDim[Double](d, d)
+          var k = base
+          for (i <- 0 until d; j <- i until d) {
+            xtx(i)(j) = r.getDouble(k); xtx(j)(i) = xtx(i)(j); k += 1
+          }
+          val xty = Array.tabulate(d)(i => r.getDouble(k + i))
+          val m = mOf(key)
+          val nb =
+            if (l1 > 0.0)
+              graft.linear.Solvers.elasticNet(xtx, xty,
+                l1 = m * l1, l2 = m * l2, penalize = _ < d - 1)
+            else {
+              val a = Array.tabulate(d, d + 1)((i, j) =>
+                if (j < d) xtx(i)(j) + (if (i == j && i < d - 1) m * l2
+                  else 0.0)
+                else xty(i))
+              solveInPlace(a, d)
+            }
+          val old = betas(key)
+          var dm = 0.0
+          var i = 0
+          while (i < d) {
+            dm = math.max(dm, math.abs(nb(i) - old(i))); i += 1
+          }
+          delta = math.max(delta, dm)
+          key -> nb
+        }.toMap
+        iters += 1
+      }
+      val outRows = betas.toSeq.map { case (k, b) =>
+        org.apache.spark.sql.Row.fromSeq(k ++ Seq(b.toSeq, iters)) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows, 1),
+        keySchema.add("beta", "array<double>").add("iters", "int"))
+    } finally proj.unpersist()
   }
 
   /** Sigmoid prediction column from fitted coefficients (bias last). */

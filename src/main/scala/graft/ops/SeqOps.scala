@@ -266,9 +266,9 @@ object SeqOps {
       .agg(graft.util.Guard.cappedSeries(
         array_sort(collect_list(struct(col(s"${P}xx"), col(s"${P}yy")))),
         "smoothSpline").as(s"${P}pts"))
-      .withColumn("spline", splineUdf(
-        transform(col(s"${P}pts"), p => p(s"${P}xx")),
-        transform(col(s"${P}pts"), p => p(s"${P}yy")), lit(lam)))
+      .withColumn("xs", transform(col(s"${P}pts"), p => p(s"${P}xx")))
+      .withColumn("ys", transform(col(s"${P}pts"), p => p(s"${P}yy")))
+      .withColumn("spline", splineUdf(col("xs"), col("ys"), lit(lam)))
       .drop(s"${P}pts")
   }
 

@@ -107,6 +107,65 @@ object LinRegQueries extends QueryPack {
       Seq((beta(0), beta(1))).toDF("b_x1", "b0")
         .select(round(col("b_x1"), 6).as("b_x1"),
           round(col("b0"), 6).as("b0"))
+    }),
+    // Per-group logistic (logisticFitGrouped): the oracle is the MLE
+    // score equation itself — at the optimum Σ(μ−y) = 0 per group and
+    // Σ xⱼ(μ−y) = 0 per feature, so the residual sums are literal 0.0
+    // in SQL while n / sum_y are real value checks. `+ 0.0` normalizes
+    // IEEE −0.0 from rounding a tiny negative residual.
+    "q_logistic_grp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x1", col("l_quantity") / 10.0)
+        .withColumn("x2", col("l_discount") * 10.0)
+        .withColumn("yb", (col("l_extendedprice") > 30000).cast("double"))
+      val fit = LinRegOps.logisticFitGrouped(li, Seq("l_returnflag"),
+        Seq(col("x1"), col("x2")), col("yb"), maxIter = 60, tol = 1e-12)
+      li.join(broadcast(fit), Seq("l_returnflag"))
+        .withColumn("mu", lit(1.0) / (lit(1.0) +
+          exp(-(col("x1") * element_at(col("beta"), 1)
+              + col("x2") * element_at(col("beta"), 2)
+              + element_at(col("beta"), 3)))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("yb")), 1).as("sum_y"),
+          (round(sum(col("mu") - col("yb")), 3) + 0.0).as("score_bias"),
+          (round(sum(col("x1") * (col("mu") - col("yb"))), 3) + 0.0)
+            .as("score_x1"),
+          (round(sum(col("x2") * (col("mu") - col("yb"))), 3) + 0.0)
+            .as("score_x2"))
+        .orderBy("l_returnflag")
+    }),
+    // l1-regularized logistic (expr_linear.py:281): no closed form, so
+    // the oracle pins the KKT conditions of the lasso optimum — the
+    // unpenalized bias keeps a zero score residual, and the penalized
+    // coordinate satisfies |Σx(μ−y)| ≤ m·l1 (zero coef) or
+    // Σx(μ−y) = −m·l1·sign(β) — as a deterministic boolean.
+    "q_logistic_l1" -> ((s, dir) => {
+      val lam = 0.02
+      val ev = t(s, dir, "events")
+        .withColumn("x1", (col("value") + col("event_id") % 21 - 10) / 100.0)
+        .withColumn("yb",
+          lit(1.0) / (lit(1.0) + exp(-(col("x1") * 3.0 - 1.0))))
+      val beta = LinRegOps.logisticFit(ev, Seq(col("x1")), col("yb"),
+        maxIter = 60, tol = 1e-13, l1 = lam)
+      val scored = ev.agg(
+        count(lit(1)).cast("double").as("m"),
+        sum(LinRegOps.logisticPredict(Seq(col("x1")), beta) - col("yb"))
+          .as("sb"),
+        sum(col("x1") *
+          (LinRegOps.logisticPredict(Seq(col("x1")), beta) - col("yb")))
+          .as("sx")).collect()(0)
+      val (m, sb, sx) =
+        (scored.getDouble(0), scored.getDouble(1), scored.getDouble(2))
+      val kktOk =
+        if (beta(0) == 0.0) math.abs(sx) <= m * lam + 1e-6 * m
+        else math.abs(sx + m * lam * math.signum(beta(0))) <= 1e-6 * m
+      import s.implicits._
+      Seq((math.round(m), sb, kktOk, beta(0) != 0.0))
+        .toDF("n", "score_bias", "kkt_ok", "coef_nonzero")
+        .select(col("n"),
+          (round(col("score_bias"), 3) + 0.0).as("score_bias"),
+          col("kkt_ok"), col("coef_nonzero"))
     })
   )
 
@@ -233,6 +292,15 @@ object LinRegQueries extends QueryPack {
          |  ROUND(1 - sse / sst, 6) AS r2,
          |  n::BIGINT AS n
          |FROM r ORDER BY 1""".stripMargin,
-    "q_logistic_reg" -> "SELECT 3.0 AS b_x1, -1.0 AS b0"
+    "q_logistic_reg" -> "SELECT 3.0 AS b_x1, -1.0 AS b0",
+    "q_logistic_grp" ->
+      """SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |  ROUND(SUM(CASE WHEN l_extendedprice > 30000 THEN 1.0
+        |    ELSE 0.0 END), 1) AS sum_y,
+        |  0.0 AS score_bias, 0.0 AS score_x1, 0.0 AS score_x2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_logistic_l1" ->
+      """SELECT COUNT(*)::BIGINT AS n, 0.0 AS score_bias,
+        |  true AS kkt_ok, true AS coef_nonzero FROM events""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{PcaOps, SeqOps}
@@ -8,8 +8,8 @@ import graft.ops.{PcaOps, SeqOps}
 /** Driver-contract queries for SURVEY §2.6 whole-series kernels + PCA.
   * Isotonic regression's oracle uses the exact minimax characterization
   * fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) — O(n²) in SQL, which the
-  * 1-in-10 subsample keeps cheap. The spline has no SQL twin →
-  * rows-only + golden-value spec. */
+  * 1-in-10 subsample keeps cheap. The spline is oracle-gated through
+  * its Reinsch invariants (Σf̂ = Σy, Σx·f̂ = Σx·y) plus golden specs. */
 object SeqQueries extends QueryPack {
 
   private def sub(s: SparkSession, dir: String): DataFrame =
@@ -87,14 +87,30 @@ object SeqQueries extends QueryPack {
           ), 4).as("mag2"))
         .orderBy("event_type")
     }),
-    // smoothing spline: no SQL twin (rows-only); golden values in
-    // SeqSpec (λ=0 interpolation, λ→∞ → linear trend).
+    // smoothing spline at λ=10, oracle-gated via the Reinsch-form
+    // invariants: f̂ = y − λQγ where every column of Q annihilates
+    // constants AND linears in x (second-difference coefficients), so
+    // Σf̂ = Σy and Σx·f̂ = Σx·y EXACTLY — sum_spline is a real value
+    // check against SUM(value) in SQL, wsum_ratio pins the x-weighted
+    // identity, shrink_ok pins that smoothing contracts variance.
+    // The λ>0 pointwise values stay golden-tested in SeqSpec.
     "q_spline" -> ((s, dir) => {
-      SeqOps.smoothSpline(sub(s, dir), col("event_id"), col("value"),
-          Seq("event_type"), 10.0)
-        .select(col("event_type"),
+      val fit = SeqOps.smoothSpline(sub(s, dir), col("event_id"),
+        col("value"), Seq("event_type"), 10.0)
+      val n = size(col("ys")).cast("double")
+      val ybar = aggregate(col("ys"), lit(0.0), _ + _) / n
+      val sse = (a: Column) => aggregate(a, lit(0.0),
+        (acc, v) => acc + (v - ybar) * (v - ybar))
+      fit.select(col("event_type"),
           round(aggregate(col("spline"), lit(0.0), _ + _), 2)
-            .as("sum_spline"))
+            .as("sum_spline"),
+          round(
+            aggregate(zip_with(col("xs"), col("spline"), _ * _),
+              lit(0.0), _ + _) /
+            aggregate(zip_with(col("xs"), col("ys"), _ * _),
+              lit(0.0), _ + _), 6).as("wsum_ratio"),
+          (sse(col("spline")) <= sse(col("ys")) + lit(1e-9))
+            .as("shrink_ok"))
         .orderBy("event_type")
     }),
     "q_spline_interp" -> ((s, dir) => {
@@ -127,6 +143,14 @@ object SeqQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // Reinsch invariants: the smoother preserves Σy and Σx·y (columns
+    // of Q are second differences → orthogonal to constants and to x),
+    // so SUM(value) is the true expected sum of the λ=10 fit.
+    "q_spline" ->
+      s"""WITH s AS ($subSql)
+         |SELECT event_type, ROUND(SUM(value), 2) AS sum_spline,
+         |  1.0 AS wsum_ratio, true AS shrink_ok
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_spline_interp" ->
       s"""WITH s AS ($subSql)
          |SELECT event_type, ROUND(SUM(value), 2) AS sum_spline

@@ -34,9 +34,11 @@ object StringQueries extends QueryPack {
             .as("lev_sim"))
         .orderBy("p_brand")
     }),
-    // Jaro/JW transposition counting differs between engines on
-    // degenerate pairs; these follow the textbook algorithm (validated
-    // against published examples in StringsSpec) → rows-only check.
+    // Jaro/JW follow the rapidfuzz convention (0.7 boost threshold),
+    // which DuckDB shares — so the fuzzy metrics get a real SQL twin:
+    // jaro/jw via DuckDB built-ins, overlap/tversky via bigram-set
+    // algebra. The non-SQL-expressible metrics (osa/lcs/fuzz) are
+    // oracle-gated in q_str_golden against independent vectors.
     "q_str_fuzzy" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .withColumn("a", col("p_name"))
@@ -46,17 +48,34 @@ object StringQueries extends QueryPack {
           round(avg(Strings.strJaro(col("a"), col("b"))), 6).as("jaro"),
           round(avg(Strings.strJaroWinkler(col("a"), col("b"))), 6)
             .as("jw"),
-          round(avg(Strings.strOsa(col("a"), col("b"))), 6).as("osa"),
-          round(avg(Strings.strLcsSubstr(col("a"), col("b"))), 6)
-            .as("lcs_substr"),
-          round(avg(Strings.strLcsSubseq(col("a"), col("b"))), 6)
-            .as("lcs_subseq"),
-          round(avg(Strings.strFuzz(col("a"), col("b"))), 6).as("fuzz"),
           round(avg(Strings.strOverlapCoeff(col("a"), col("b"), 2)), 6)
             .as("overlap2"),
           round(avg(Strings.strTversky(col("a"), col("b"), 0.5, 0.5, 2)),
             6).as("tversky2"))
         .orderBy("p_brand")
+    }),
+    // Golden fixture: reference-published vectors (tests/test_string.py
+    // jaro :95, osa :368, lcs_substr :146, lcs_subseq :165) plus
+    // independently computed textbook values; the oracle is a VALUES
+    // literal, so every metric is a hard value check.
+    "q_str_golden" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1, "FAREMVIEL", "FARMVILLE"), (2, "CA", "ABC"), (3, "AB", "BA"),
+        (4, "AGGTAB", "GXTXAYB"), (5, "kitten", "sitting"),
+        (6, "common", "common"), (7, "", "test"), (8, "mary", "merry"),
+        (9, "DIXON", "DICKSONX"), (10, "apple", "let"))
+      pairs.toDF("pair_id", "a", "b")
+        .select(col("pair_id"),
+          round(Strings.strJaro(col("a"), col("b")), 6).as("jaro"),
+          round(Strings.strJaroWinkler(col("a"), col("b")), 6).as("jw"),
+          Strings.strOsa(col("a"), col("b")).cast("long").as("osa"),
+          Strings.strLcsSubstr(col("a"), col("b")).cast("long")
+            .as("lcs_substr"),
+          Strings.strLcsSubseq(col("a"), col("b")).cast("long")
+            .as("lcs_subseq"),
+          round(Strings.strFuzz(col("a"), col("b")), 6).as("fuzz"))
+        .orderBy("pair_id")
     }),
     "q_str_clean" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -97,6 +116,44 @@ object StringQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_str_fuzzy" ->
+      """WITH p AS (
+        |  SELECT p_partkey k, p_brand, p_name a, LOWER(p_type) b
+        |  FROM part),
+        |ga AS (SELECT DISTINCT k, substr(a, s.i, 2) g
+        |  FROM p, UNNEST(generate_series(1, LENGTH(a) - 1)) s(i)),
+        |gb AS (SELECT DISTINCT k, substr(b, s.i, 2) g
+        |  FROM p, UNNEST(generate_series(1, LENGTH(b) - 1)) s(i)),
+        |na AS (SELECT k, COUNT(*) n FROM ga GROUP BY 1),
+        |nb AS (SELECT k, COUNT(*) n FROM gb GROUP BY 1),
+        |cm AS (SELECT ga.k, COUNT(*) c FROM ga
+        |  JOIN gb ON ga.k = gb.k AND ga.g = gb.g GROUP BY 1),
+        |m AS (
+        |  SELECT p.k, p.p_brand, p.a, p.b, na.n na, nb.n nb,
+        |    COALESCE(cm.c, 0) c
+        |  FROM p JOIN na ON p.k = na.k JOIN nb ON p.k = nb.k
+        |  LEFT JOIN cm ON p.k = cm.k)
+        |SELECT p_brand,
+        |  ROUND(AVG(jaro_similarity(a, b)), 6) AS jaro,
+        |  ROUND(AVG(jaro_winkler_similarity(a, b)), 6) AS jw,
+        |  ROUND(AVG(c::DOUBLE / LEAST(na, nb)), 6) AS overlap2,
+        |  ROUND(AVG(c::DOUBLE / (c + 0.5 * (na - c) + 0.5 * (nb - c))),
+        |    6) AS tversky2
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_golden" ->
+      """SELECT * FROM (VALUES
+        |  (1, 0.884259, 0.918981, 3, 3, 7, 0.777778),
+        |  (2, 0.0, 0.0, 3, 1, 1, 0.4),
+        |  (3, 0.0, 0.0, 1, 1, 1, 0.5),
+        |  (4, 0.746032, 0.746032, 4, 1, 4, 0.615385),
+        |  (5, 0.746032, 0.746032, 3, 3, 4, 0.615385),
+        |  (6, 1.0, 1.0, 0, 6, 6, 1.0),
+        |  (7, 0.0, 0.0, 4, 0, 0, 0.0),
+        |  (8, 0.783333, 0.805, 2, 2, 3, 0.666667),
+        |  (9, 0.766667, 0.813333, 4, 2, 4, 0.615385),
+        |  (10, 0.0, 0.0, 4, 2, 2, 0.5))
+        |  AS t(pair_id, jaro, jw, osa, lcs_substr, lcs_subseq, fuzz)
+        |ORDER BY pair_id""".stripMargin,
     "q_str_distances" ->
       """WITH p AS (
         |  SELECT p_brand, p_name a, LOWER(p_type) b FROM part)

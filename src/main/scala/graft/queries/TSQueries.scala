@@ -88,7 +88,9 @@ object TSQueries extends QueryPack {
         .withColumn("survival", round(col("survival"), 6))
         .orderBy("event_type", "time")
     }),
-    // LZ76 complexity has no SQL equivalent — rows-only check (no oracle).
+    // LZ76 dictionary-parse complexity: the parse is sequential, but it
+    // IS SQL-expressible — a recursive CTE carrying (position, phrase
+    // set) replays the exact scan, so the query gets a full value oracle.
     "q_lempel_ziv" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -99,6 +101,31 @@ object TSQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // LZ76 dictionary parse (the tsfresh variant LempelZivAgg implements):
+    // at position ind, the next phrase is the shortest prefix of the tail
+    // not yet in the phrase set. A phrase longer than maxlen+1 can never
+    // collide with the set, so the candidate search is bounded by
+    // maxlen+1 — the recursion does O(c · maxlen) work, not O(c · n).
+    "q_lempel_ziv" ->
+      """WITH RECURSIVE seqs AS (
+        |  SELECT event_type, string_agg(
+        |    CASE WHEN value > 50.0 THEN '1' ELSE '0' END, ''
+        |    ORDER BY event_id) s
+        |  FROM events GROUP BY 1),
+        |st(event_type, s, n, ind, seen, maxlen, c) AS (
+        |  SELECT event_type, s, strlen(s)::INT, 1, []::VARCHAR[], 0, 0
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT event_type, s, n, ind + L,
+        |    list_append(seen, s[ind:ind+L-1]), GREATEST(maxlen, L), c + 1
+        |  FROM (
+        |    SELECT *, list_min(list_filter(
+        |      range(1, LEAST(n - ind + 1, maxlen + 1) + 1),
+        |      l -> NOT list_contains(seen, s[ind:ind+l-1])))::INT L
+        |    FROM st WHERE ind <= n)
+        |  WHERE L IS NOT NULL)
+        |SELECT event_type, ROUND(MAX(c)::DOUBLE / MAX(n), 6) AS lz_ratio
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ts_lag_features" ->
       """WITH t AS (
         |  SELECT event_type, value x,

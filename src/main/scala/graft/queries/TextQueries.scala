@@ -9,9 +9,10 @@ import graft.text.TextOps
 
 /** Driver-contract queries for the training-data-pipeline operators:
   * text analysis, deduplication, similarity search, multimodal plumbing.
-  * Hash-based ops (minhash/simhash/LSH) have no SQL twin → rows-only;
-  * their recall/precision is measured against exact baselines in
-  * TextSimSpec. */
+  * Hash-based ops (minhash/simhash/LSH) are oracle-gated through exact
+  * twins: the exact pair set is SQL-checkable and the hash path's
+  * recall against it is deterministic (fixed seeds + data), asserted as
+  * a literal boolean. Quality margins stay spec-bound in TextSimSpec. */
 object TextQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,19 +149,61 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("block", "source")
         .orderBy("source")
     }),
-    // hash-based dedup: no SQL twin (rows-only); exactness vs brute force
-    // covered in TextSimSpec.
+    // hash-based dedup, oracle-gated via exact twins (the q_ann_lsh
+    // pattern): the exact pair set and its aggregates are SQL-checkable;
+    // the hash path's recall against it is a deterministic boolean
+    // (fixed seeds + fixed data), asserted as a literal in the oracle.
     "q_minhash_dup" -> ((s, dir) => {
-      TextOps.minHashDupPairs(t(s, dir, "documents"), col("doc_id"),
-          col("text"), 0.6)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("est_jaccard"), 4).as("avg_est_jaccard"))
+      val docs = t(s, dir, "documents")
+      // exact 3-word-shingle jaccard pairs at the same threshold the
+      // minhash estimates (tokenization mirrors minHashSignature,
+      // including the <=3-words whole-text edge case)
+      val tks = split(lower(trim(col("text"))), "\\s+")
+      val gs = array_distinct(
+        when(size(tks) <= 3, array(concat_ws(" ", tks)))
+          .otherwise(TextOps.wordNgrams(col("text"), 3)))
+      val base = docs.select(col("doc_id").as("d"), gs.as("gs"))
+        .withColumn("n", size(col("gs")))
+      val ex = base.select(col("d"), col("n"), explode(col("gs")).as("g"))
+      val exact = ex.as("l").join(ex.as("r"),
+          col("l.g") === col("r.g") && col("l.d") < col("r.d"))
+        .groupBy(col("l.d").as("i1"), col("r.d").as("i2"),
+          col("l.n").as("n1"), col("r.n").as("n2"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jac",
+          col("common") / (col("n1") + col("n2") - col("common")))
+        .filter(col("jac") >= 0.6)
+        .select(col("i1"), col("i2"), col("jac"))
+      val mh = TextOps.minHashDupPairs(docs, col("doc_id"), col("text"),
+          0.6)
+        .select(col("id1"), col("id2"), lit(1).as("hit"))
+      exact.join(mh,
+          exact("i1") === mh("id1") && exact("i2") === mh("id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          round(avg(col("jac")), 6).as("avg_exact_jaccard"),
+          (count(col("hit")) >= count(lit(1)) * 0.9).as("recall_ok"))
     }),
     "q_simhash_dup" -> ((s, dir) => {
-      TextOps.simHashDupPairs(t(s, dir, "documents"), col("doc_id"),
-          col("text"), 8)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("hamming"), 4).as("avg_hamming"))
+      val docs = t(s, dir, "documents")
+      // exact side: identical normalized word sequences — such pairs
+      // have IDENTICAL simhashes (hamming 0, every band matches), so
+      // the banded candidate generator must find all of them: recall
+      // is exactly 1 and the matched pairs' hamming is exactly 0,
+      // whatever the hash function. Near-dup quality stays spec-bound
+      // in TextSimSpec.
+      val norm = docs.select(col("doc_id").as("d"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+")).as("t"))
+      val exact = norm.as("l").join(norm.as("r"),
+          col("l.t") === col("r.t") && col("l.d") < col("r.d"))
+        .select(col("l.d").as("i1"), col("r.d").as("i2"))
+      val sh = TextOps.simHashDupPairs(docs, col("doc_id"), col("text"), 8)
+        .select(col("id1"), col("id2"), col("hamming"))
+      exact.join(sh,
+          exact("i1") === sh("id1") && exact("i2") === sh("id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hamming")) === count(lit(1))).as("recall_ok"),
+          round(coalesce(avg(col("hamming")), lit(0.0)), 4)
+            .as("avg_hamming"))
     }),
     "q_cosine_topk" -> ((s, dir) => {
       // cast to double so the dot product runs in f64 on both engines
@@ -172,11 +215,32 @@ object TextQueries extends QueryPack {
         .orderBy("qid")
     }),
     "q_cosine_dup" -> ((s, dir) => {
+      // the synthetic embeddings have no natural near-dups (max pair
+      // cosine ≈ 0.5), so plant one perturbed twin per vector with the
+      // SAME deterministic construction in the oracle SQL — the exact
+      // pair set (≥ 0.95) is then precisely the planted twins, its
+      // count/avg SQL-checkable, and LSH recall against it is a
+      // deterministic boolean.
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      SimOps.cosineDupPairs(emb, 0.95)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("cos"), 4).as("avg_cos"))
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val pert = emb.select((col("id") + 10000).as("id"),
+        concat(array(element_at(col("vec"), 1) + lit(0.05)),
+          slice(col("vec"), 2, 100000)).as("vec"))
+      val all = emb.unionByName(pert)
+      val l = all.select(col("id").as("i1"), col("vec").as("v1"))
+      val r = all.select(col("id").as("i2"), col("vec").as("v2"))
+      val exact = l.join(r, col("i1") < col("i2"))
+        .select(col("i1"), col("i2"),
+          SimOps.cosine(col("v1"), col("v2")).as("cos"))
+        .filter(col("cos") >= 0.95)
+      val lsh = SimOps.cosineDupPairs(all, 0.95)
+        .select(col("id1"), col("id2"), lit(1).as("hit"))
+      exact.join(lsh,
+          exact("i1") === lsh("id1") && exact("i2") === lsh("id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          round(avg(col("cos")), 4).as("avg_cos"),
+          (count(col("hit")) >= count(lit(1)) * 0.95).as("recall_ok"))
     }),
     // ANN queries: the hash-dependent candidates have no SQL twin, but
     // the exact-side aggregate AND the subset contract do — an ANN
@@ -481,6 +545,52 @@ object TextQueries extends QueryPack {
         |SELECT b AS source, COUNT(*) AS n_pairs,
         |  ROUND(AVG(jac), 6) AS avg_jaccard
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_minhash_dup" ->
+      """WITH tk AS (
+        |  SELECT doc_id d, regexp_split_to_array(LOWER(TRIM(text)),
+        |    '\s+') t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT d,
+        |    CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+        |      ELSE t[s.i] || ' ' || t[s.i+1] || ' ' || t[s.i+2] END g
+        |  FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1)))
+        |    AS s(i)),
+        |ns AS (SELECT d, COUNT(*) n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.d i1, r.d i2, COUNT(*) common
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.d < r.d GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.common::DOUBLE / (n1.n + n2.n - p.common) jac
+        |  FROM pairs p
+        |  JOIN ns n1 ON n1.d = p.i1 JOIN ns n2 ON n2.d = p.i2
+        |  WHERE p.common::DOUBLE / (n1.n + n2.n - p.common) >= 0.6)
+        |SELECT COUNT(*)::BIGINT AS n_exact,
+        |  ROUND(AVG(jac), 6) AS avg_exact_jaccard,
+        |  true AS recall_ok
+        |FROM j""".stripMargin,
+    "q_simhash_dup" ->
+      """WITH n AS (
+        |  SELECT doc_id d, array_to_string(regexp_split_to_array(
+        |    LOWER(TRIM(text)), '\s+'), ' ') t
+        |  FROM documents)
+        |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
+        |  0.0 AS avg_hamming
+        |FROM n l JOIN n r ON l.t = r.t AND l.d < r.d""".stripMargin,
+    "q_cosine_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (
+        |  SELECT id + 10000 id, list_concat([v[1] + 0.05], v[2:]) v
+        |  FROM e),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |j AS (
+        |  SELECT list_cosine_similarity(l.v, r.v) c
+        |  FROM u l JOIN u r ON l.id < r.id
+        |  WHERE list_cosine_similarity(l.v, r.v) >= 0.95)
+        |SELECT COUNT(*)::BIGINT AS n_exact, ROUND(AVG(c), 4) AS avg_cos,
+        |  true AS recall_ok
+        |FROM j""".stripMargin,
     "q_ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings

@@ -128,8 +128,13 @@ object SimOps {
   }
 
   /** Random-hyperplane signature: `nPlanes` sign bits packed in a long.
-    * Vectors with equal signatures land in the same bucket. */
-  def hyperplaneSig(vec: Column, nPlanes: Int = 16): Column = {
+    * Vectors with equal signatures land in the same bucket. `salt`
+    * selects a disjoint plane family (plane indices salt·64 + p) so
+    * multi-table LSH draws INDEPENDENT tables — nested tables (e.g.
+    * table t = table 0's planes plus one more) would never amplify
+    * recall, because the widest table agreeing implies all others do. */
+  def hyperplaneSig(vec: Column, nPlanes: Int = 16, salt: Int = 0)
+      : Column = {
     val f = udf { (v: Seq[Double]) =>
       if (v == null) null
       else {
@@ -138,7 +143,9 @@ object SimOps {
         while (p < nPlanes) {
           var dot = 0.0
           var i = 0
-          while (i < v.length) { dot += v(i) * planeComponent(p, i); i += 1 }
+          while (i < v.length) {
+            dot += v(i) * planeComponent(salt * 64 + p, i); i += 1
+          }
           if (dot > 0) sig |= (1L << p)
           p += 1
         }
@@ -157,7 +164,7 @@ object SimOps {
     val base = df.select(col("id"), col("vec"))
     val tabbed = (0 until tables).map { t =>
       base.withColumn("tbl", lit(t))
-        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
+        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes, salt = t))
     }.reduce(_ unionByName _)
       // persist: the self-join scans this twice; without it both sides
       // recompute every hyperplane signature (nPlanes × dim flops/row)
@@ -189,7 +196,7 @@ object SimOps {
     val base = df.select(col("id"), col("vec"))
     val tabbed = (0 until tables).map { t =>
       base.withColumn("tbl", lit(t))
-        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes + t))
+        .withColumn("sig", hyperplaneSig(col("vec"), nPlanes, salt = t))
     }.reduce(_ unionByName _)
       // persist: self-join scans twice (see lshCosineTopK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
