@@ -65,20 +65,58 @@ object EncodeOps {
 
   /** Continuous-feature WOE + IV (num.py:698 woe, num.py:760
     * info_value — both qcut the feature then run the discrete kernel):
-    * exact equal-frequency quantile binning over the deterministic
-    * (x, tiebreak) total order, then the same +1-smoothed per-bin math
-    * as [[woeDiscrete]]/[[infoValue]]. Non-finite x rows are excluded
-    * (the reference filters is_finite before qcut).
+    * equal-frequency bins from the nBins−1 EXACT percentile
+    * breakpoints (one `percentile` aggregate pass, the same device as
+    * [[psiReport]]), then a codegen'd when-chain bucketing and the
+    * +1-smoothed per-bin math of [[woeDiscrete]]/[[infoValue]].
+    * Non-finite x rows are excluded (the reference filters is_finite
+    * before qcut).
     *
-    * Binning is bin = ⌊idx·nBins/N⌋ over a distributed total sort +
-    * zipWithIndex — two passes, range-partitioned, no single-partition
-    * window. Exact qcut fundamentally costs a total sort (it does in
-    * the reference too); at 100 TB prefer fixed breakpoints
-    * ([[psiWithBreakpoints]]-style) if approximate bins are
-    * acceptable. Returns (bin, events, non_events, woe, iv); total IV
-    * = sum(iv). */
+    * This is the 100 TB plan: two codegen'd scans, no total sort, no
+    * RDD hop. Heavily tied values can land a whole tie-run in one bin
+    * (breakpoint binning cannot split equal values); for the
+    * reference's exact rank-split of ties use [[woeContinuousExact]].
+    * Returns (bin, events, non_events, woe, iv); total IV = sum(iv). */
   def woeContinuous(df: DataFrame, x: Column, target: Column,
-                    tiebreak: Column, nBins: Int = 10): DataFrame = {
+                    nBins: Int = 10): DataFrame = {
+    val proj = df.select(x.cast("double").as("__x"),
+        target.cast("double").as("__t"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__x") =!= Double.PositiveInfinity &&
+        col("__x") =!= Double.NegativeInfinity)
+    val probs = (1 to (nBins - 1)).map(_.toDouble / nBins)
+    val bps = proj
+      .agg(percentile(col("__x"), array(probs.map(p => lit(p)): _*)))
+      .head.getSeq[Double](0).toArray
+    require(bps.nonEmpty, "woeContinuous: no finite rows to bin")
+    def bucket(c: Column): Column =
+      bps.indices.foldLeft(lit(nBins - 1)) { (acc, i) =>
+        when(c <= bps(bps.length - 1 - i), bps.length - 1 - i)
+          .otherwise(acc)
+      }
+    val counts = proj
+      .select(bucket(col("__x")).cast("long").as("bin"),
+        col("__t").as("t"))
+      .groupBy(col("bin"))
+      .agg(sum(col("t")).as("events"),
+        (count(lit(1)) - sum(col("t"))).as("non_events"))
+    val tot = counts.agg(sum("events"), sum("non_events")).head
+    val (te, tn) = (tot.getDouble(0), tot.getDouble(1))
+    val pe = (col("events") + 1.0) / (te + 2.0)
+    val pn = (col("non_events") + 1.0) / (tn + 2.0)
+    counts.select(col("bin"), col("events"), col("non_events"),
+      log(pe / pn).as("woe"), ((pe - pn) * log(pe / pn)).as("iv"))
+  }
+
+  /** Tie-exact variant of [[woeContinuous]]: the reference's qcut
+    * rank-splits ties via the deterministic (x, tiebreak) total order,
+    * bin = ⌊idx·nBins/N⌋. Costs a distributed total sort +
+    * zipWithIndex (range-partitioned, no single-partition window, but
+    * an RDD hop out of codegen) — opt-in where tie placement must
+    * match the reference bit-for-bit; the breakpoint path above is
+    * the scale default. */
+  def woeContinuousExact(df: DataFrame, x: Column, target: Column,
+                         tiebreak: Column, nBins: Int = 10): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -90,7 +128,7 @@ object EncodeOps {
     val sorted = proj.orderBy(col("__x"), col("__o")).select(col("__t"))
     val indexed = sorted.rdd.zipWithIndex()
     val n = indexed.count()
-    require(n > 0, "woeContinuous: no finite rows to bin")
+    require(n > 0, "woeContinuousExact: no finite rows to bin")
     val binned = spark.createDataFrame(
       indexed.map { case (r, idx) => Row(idx * nBins / n, r.getDouble(0)) },
       StructType(Seq(StructField("bin", LongType, nullable = false),

@@ -279,8 +279,8 @@ final class Blueprint private (
   def oneHotEncode(cols: Seq[String], dropFirst: Boolean = false,
                    sep: String = "_"): Blueprint = addFit { df =>
     cols.flatMap { c =>
-      val vals = df.select(col(c)).na.drop().distinct()
-        .orderBy(col(c)).collect().map(_.get(0).toString)
+      val vals = graft.util.Guard.cappedDistinct(df, c, "oneHotEncode")
+        .map(_.toString)
       val use = if (dropFirst) vals.drop(1) else vals
       // null-safe equality: the reference uses eq_missing so a null
       // row yields 0 in every indicator, never null
@@ -294,8 +294,8 @@ final class Blueprint private (
     * ordinal_encode) */
   def ordinalEncode(cols: Seq[String]): Blueprint = addFit { df =>
     cols.map { c =>
-      val vals = df.select(col(c)).na.drop().distinct()
-        .orderBy(col(c)).collect().map(_.get(0).toString)
+      val vals = graft.util.Guard.cappedDistinct(df, c, "ordinalEncode")
+        .map(_.toString)
       val cases = vals.zipWithIndex
         .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
         .mkString(" ")
@@ -307,8 +307,8 @@ final class Blueprint private (
     * (transforms.py:431 rank_hot_encode, auto-ranking convenience) */
   def rankHotEncode(c: String, sep: String = "_ge_"): Blueprint =
     addFit { df =>
-      val vals = df.select(col(c)).na.drop().distinct()
-        .orderBy(col(c)).collect().map(_.get(0).toString)
+      val vals = graft.util.Guard.cappedDistinct(df, c, "rankHotEncode")
+        .map(_.toString)
       vals.drop(1).toSeq.map(v =>
         s"$c$sep$v" -> s"cast($c >= ${slit(v)} as int)")
     }

@@ -105,13 +105,24 @@ object NumQueries extends QueryPack {
         .orderBy("value")
     }),
     "q_woe_cont" -> ((s, dir) => {
-      // continuous woe: exact quantile bins over the deterministic
+      // continuous woe, scale path: percentile breakpoints + codegen'd
+      // bucketing (no total sort); DuckDB mirrors with quantile_cont
+      val ev = t(s, dir, "events")
+        .withColumn("y",
+          (col("value") + col("event_id") % 7 > 52).cast("int"))
+      EncodeOps.woeContinuous(ev, col("value"), col("y"), 10)
+        .select(col("bin"), col("events").cast("long").as("events"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 8).as("iv"))
+        .orderBy("bin")
+    }),
+    "q_woe_cont_exact" -> ((s, dir) => {
+      // tie-exact variant: rank bins over the deterministic
       // (value, event_id) order — event_id is unique, so both engines
       // agree on tie placement
       val ev = t(s, dir, "events")
         .withColumn("y",
           (col("value") + col("event_id") % 7 > 52).cast("int"))
-      EncodeOps.woeContinuous(ev, col("value"), col("y"),
+      EncodeOps.woeContinuousExact(ev, col("value"), col("y"),
           col("event_id"), 10)
         .select(col("bin"), col("events").cast("long").as("events"),
           round(col("woe"), 6).as("woe"), round(col("iv"), 8).as("iv"))
@@ -268,6 +279,31 @@ object NumQueries extends QueryPack {
         |      / ((non_events + 1.0) / (tn + 2.0))), 8) AS iv
         |FROM c, tot ORDER BY value""".stripMargin,
     "q_woe_cont" ->
+      """WITH f AS (
+        |  SELECT value x,
+        |    CASE WHEN value + (event_id % 7) > 52 THEN 1.0 ELSE 0.0 END y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)),
+        |bp AS (
+        |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |    0.8, 0.9]) bps
+        |  FROM f),
+        |b AS (
+        |  SELECT len(list_filter(bp.bps, e -> f.x > e))::BIGINT AS bin, y
+        |  FROM f, bp),
+        |c AS (
+        |  SELECT bin, SUM(y) events, COUNT(*) - SUM(y) non_events
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(events) te, SUM(non_events) tn FROM c)
+        |SELECT bin, events::BIGINT AS events,
+        |  ROUND(LN(((events + 1.0) / (te + 2.0))
+        |    / ((non_events + 1.0) / (tn + 2.0))), 6) AS woe,
+        |  ROUND(((events + 1.0) / (te + 2.0)
+        |      - (non_events + 1.0) / (tn + 2.0))
+        |    * LN(((events + 1.0) / (te + 2.0))
+        |      / ((non_events + 1.0) / (tn + 2.0))), 8) AS iv
+        |FROM c, tot ORDER BY bin""".stripMargin,
+    "q_woe_cont_exact" ->
       """WITH f AS (
         |  SELECT value x,
         |    CASE WHEN value + (event_id % 7) > 52 THEN 1.0 ELSE 0.0 END y,

@@ -36,10 +36,13 @@ object SimOps {
     * REQUIREMENT: the query frame is collected and broadcast (that is
     * what keeps the corpus side a single zero-shuffle pass) — at most
     * `queryCap` rows; fails fast with a clear message rather than
-    * OOMing the driver. The corpus side is unbounded. */
+    * OOMing the driver. The default budgets ~50 MB of broadcast at
+    * d=64 (raise it explicitly with driver/executor heap to match —
+    * at d=768 each 100k queries cost ~600 MB). The corpus side is
+    * unbounded. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  broadcastCorpus: Boolean = true,
-                 queryCap: Long = 1000000L): DataFrame = {
+                 queryCap: Long = 100000L): DataFrame = {
     val nQ = queries
       .limit(math.min(queryCap + 1, Int.MaxValue - 8L).toInt).count()
     require(nQ <= queryCap,

@@ -29,4 +29,28 @@ object Guard {
         "whole group in one task; split the group, pre-aggregate, " +
         "or raise -Dgraft.maxSeriesLen"))))
       .otherwise(c)
+
+  /** Default cap for fit-time distinct-value collects (pipeline
+    * encoders). Override with JVM property `graft.maxFitCardinality`.
+    * Well past this, a when-chain encoder is the wrong tool anyway
+    * (the generated CASE has one branch per level). */
+  def fitCardinalityCap: Int =
+    sys.props.get("graft.maxFitCardinality").map(_.toInt).getOrElse(10000)
+
+  /** Collect the distinct values of a column for fit-time encoding,
+    * failing fast past `cap` — a high-cardinality key would otherwise
+    * OOM the driver (and emit a million-branch CASE) long after the
+    * scan ran. */
+  def cappedDistinct(df: org.apache.spark.sql.DataFrame, c: String,
+                     op: String, cap: Int = fitCardinalityCap)
+      : Array[Any] = {
+    val vals = df.select(col(c)).na.drop().distinct()
+      .orderBy(col(c)).limit(cap + 1).collect().map(_.get(0))
+    require(vals.length <= cap,
+      s"graft.$op: column '$c' has more than $cap distinct values — " +
+        "fit-time encoders collect the level set to the driver and " +
+        "emit one CASE branch per level. Reduce cardinality (bucket / " +
+        "hash the column) or raise -Dgraft.maxFitCardinality.")
+    vals
+  }
 }

@@ -65,6 +65,65 @@ class LinRegSpec extends AnyFunSuite {
     assert(approx(beta(2), -0.8846088843652475, 1e-6))
   }
 
+  test("grouped logistic equals per-group single-frame IRLS") {
+    // two groups with genuinely different MLEs: "b" rescales x1, so a
+    // shared fit would satisfy neither score equation
+    val df = data.withColumn("g", lit("a")).unionByName(
+      data.withColumn("x1", col("x1") * 2.0).withColumn("g", lit("b")))
+    val fit = LinRegOps.logisticFitGrouped(df, Seq("g"),
+        Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+      .collect().map(r =>
+        r.getAs[String]("g") -> r.getSeq[Double](1)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = LinRegOps.logisticFit(df.filter(col("g") === g),
+        Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+      solo.indices.foreach(i =>
+        assert(approx(fit(g)(i), solo(i), 1e-6), s"group $g coeff $i"))
+    }
+  }
+
+  test("grouped logistic l2/l1 match the single-frame solves") {
+    val df = data.withColumn("g", lit("a"))
+    // NOTE: single-frame `lambda` penalizes the full diagonal and is
+    // unscaled (back-compat); the grouped l2 is reference-scaled
+    // (m·l2, bias exempt) — so compare through the l1 path, which
+    // shares the m-scaled bias-exempt convention
+    val g1 = LinRegOps.logisticFitGrouped(df, Seq("g"),
+        Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12,
+        l1 = 0.02)
+      .collect()(0).getSeq[Double](1)
+    val s1 = LinRegOps.logisticFit(df, Seq(col("x1"), col("x2")),
+      col("yl"), maxIter = 40, tol = 1e-12, l1 = 0.02)
+    s1.indices.foreach(i => assert(approx(g1(i), s1(i), 1e-6), s"l1 $i"))
+  }
+
+  test("l1 logistic satisfies the lasso KKT conditions") {
+    val lam = 0.05
+    val beta = LinRegOps.logisticFit(data, Seq(col("x1"), col("x2")),
+      col("yl"), maxIter = 60, tol = 1e-13, l1 = lam)
+    val mu = LinRegOps.logisticPredict(Seq(col("x1"), col("x2")), beta)
+    val r = data.agg(
+      count(lit(1)).cast("double"),
+      sum(mu - col("yl")),
+      sum(col("x1") * (mu - col("yl"))),
+      sum(col("x2") * (mu - col("yl")))).collect()(0)
+    val m = r.getDouble(0)
+    // unpenalized bias: exact zero score
+    assert(math.abs(r.getDouble(1)) <= 1e-6 * m, "bias score")
+    for ((score, j) <- Seq(r.getDouble(2), r.getDouble(3)).zipWithIndex) {
+      if (beta(j) == 0.0)
+        assert(math.abs(score) <= m * lam + 1e-6 * m, s"kkt zero $j")
+      else
+        assert(math.abs(score + m * lam * math.signum(beta(j))) <=
+          1e-5 * m, s"kkt active $j")
+    }
+    // shrinkage sanity: the penalized coefficients are no larger
+    val free = LinRegOps.logisticFit(data, Seq(col("x1"), col("x2")),
+      col("yl"), maxIter = 60, tol = 1e-13)
+    assert(math.abs(beta(0)) <= math.abs(free(0)) + 1e-9)
+    assert(math.abs(beta(1)) <= math.abs(free(1)) + 1e-9)
+  }
+
   test("simple slope/intercept equal the d=1 closed form") {
     val r = data.agg(
       LinRegOps.simpleSlope(col("x1"), col("y")).as("s"),

@@ -114,4 +114,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).sorted
     assert(approx(got(0), 0.5) && approx(got(1), 2.0))
   }
+
+  test("fit encoders fail loud past the cardinality cap") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => s"v$i").toDF("c")
+    sys.props("graft.maxFitCardinality") = "5"
+    try {
+      val e = intercept[Exception] {
+        Blueprint(df).oneHotEncode(Seq("c")).materialize()
+      }
+      assert(e.getMessage.contains("distinct values"))
+      assert(e.getMessage.contains("maxFitCardinality"))
+      val e2 = intercept[Exception] {
+        Blueprint(df).ordinalEncode(Seq("c")).materialize()
+      }
+      assert(e2.getMessage.contains("ordinalEncode"))
+    } finally sys.props.remove("graft.maxFitCardinality")
+    // under the cap the encoder still works
+    assert(Blueprint(df).ordinalEncode(Seq("c")).fitTransform(df)
+      .agg(max("c")).head.getInt(0) == 19)
+  }
 }
