@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * (image/audio/video) travels as opaque `binary` columns with a typed
   * metadata struct alongside. The Spark-side machinery — schema,
   * partition-sized batch processing, feature-extraction signatures — is
-  * real and tested; the actual codec calls are STUBBED (deterministic
-  * fakes) because no image/audio libraries ship in this environment.
-  * Swap `decodeStub` for a real decoder (e.g. TwelveMonkeys/JavaCV) and
+  * real and tested, and [[sniffMeta]] is a REAL container-header
+  * parser (magic bytes + dimensions, pure JVM, no codec dependency).
+  * Only the pixel/sample decode is STUBBED (deterministic fakes)
+  * because no image/audio libraries ship in this environment — swap
+  * `decodeStub` for a real decoder (e.g. TwelveMonkeys/JavaCV) and
   * nothing else changes.
   */
 object MultimodalOps {
@@ -22,17 +24,92 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** Wrap a binary payload with (fake-)sniffed metadata. The sniffing
-    * here derives deterministic dimensions from the byte length — STUB:
-    * a real implementation reads the container header. */
+  /** Parsed container metadata: `width`/`height` are None for
+    * dimensionless media (wav) and unrecognized payloads ("bin"). */
+  case class MediaMeta(format: String, width: Option[Int],
+                       height: Option[Int], n_bytes: Long)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+      u8(b, i + 3)
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le24(b, i) | (u8(b, i + 3) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k))
+
+  /** Real header sniffing: format from magic bytes, dimensions from
+    * the container header. Covers PNG (IHDR), JPEG (SOF segment scan),
+    * GIF (logical screen descriptor), WebP (VP8/VP8L/VP8X chunks),
+    * BMP (BITMAPINFOHEADER), WAV (RIFF/WAVE, dimensionless).
+    * Unrecognized payloads come back as format="bin" with null
+    * dimensions — nothing is guessed. */
+  private[graft] def parseMeta(b: Array[Byte]): MediaMeta = {
+    val n = b.length.toLong
+    def dims(f: String, w: Int, h: Int) = MediaMeta(f, Some(w), Some(h), n)
+    if (n >= 24 && u8(b, 0) == 0x89 && ascii(b, 1, "PNG") &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+        u8(b, 7) == 0x0a && ascii(b, 12, "IHDR"))
+      dims("png", be32(b, 16), be32(b, 20))
+    else if (n >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      // JPEG: walk the segment chain to the first SOFn frame header
+      // (C0-CF minus C4/C8/CC): len(2) precision(1) height(2) width(2)
+      var i = 2
+      var out: MediaMeta = MediaMeta("jpeg", None, None, n)
+      var done = false
+      while (!done && i + 3 < b.length) {
+        if (u8(b, i) != 0xff) i += 1 // tolerate fill bytes
+        else {
+          val m = u8(b, i + 1)
+          if (m == 0xff) i += 1
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+          else if (m == 0xd9 || m == 0xda) done = true // EOI / scan data
+          else {
+            val len = be16(b, i + 2)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                m != 0xcc) {
+              if (i + 8 < b.length)
+                out = dims("jpeg", be16(b, i + 7), be16(b, i + 5))
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      out
+    }
+    else if (n >= 13 && (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+      dims("gif", le16(b, 6), le16(b, 8))
+    else if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WEBP")) {
+      if (n >= 30 && ascii(b, 12, "VP8X"))
+        dims("webp", le24(b, 24) + 1, le24(b, 27) + 1)
+      else if (n >= 30 && ascii(b, 12, "VP8 ") && u8(b, 23) == 0x9d &&
+          u8(b, 24) == 0x01 && u8(b, 25) == 0x2a)
+        dims("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      else if (n >= 25 && ascii(b, 12, "VP8L") && u8(b, 20) == 0x2f) {
+        val bits = le32(b, 21)
+        dims("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+      } else MediaMeta("webp", None, None, n)
+    }
+    else if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
+      MediaMeta("wav", None, None, n)
+    else if (n >= 26 && ascii(b, 0, "BM"))
+      dims("bmp", le32(b, 18), le32(b, 22))
+    else MediaMeta("bin", None, None, n)
+  }
+
+  /** Wrap a binary payload with sniffed metadata (real header parse —
+    * see [[parseMeta]]). */
   def sniffMeta(payload: Column): Column = {
-    val n = length(payload).cast("long")
-    struct(
-      when(n % 3 === 0, "png").when(n % 3 === 1, "jpeg").otherwise("webp")
-        .as("format"),
-      (n % 1024 + 32).cast("int").as("width"),
-      ((n / 7) % 1024 + 32).cast("int").as("height"),
-      n.as("n_bytes"))
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null else parseMeta(b)
+    }
+    f(payload)
   }
 
   /** STUB decoder: a real implementation would return pixel data; this
@@ -98,6 +175,49 @@ object MultimodalOps {
       }
     }
     f(payload)
+  }
+
+  /** Deterministic synthetic media payloads for contract tests: REAL
+    * container headers (the same layouts [[parseMeta]] reads) with
+    * dimensions and padding derived from `id`, so an oracle can predict
+    * format/width/height/size from id arithmetic alone:
+    * format = id%4 → png/jpeg/gif/webp(VP8X); w = 16 + id%512;
+    * h = 16 + (id·7)%512; pad = id%64 zero bytes appended.
+    * Byte budgets: png 29+pad, jpeg 17+pad, gif 13+pad, webp 30+pad. */
+  def syntheticPayload(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val w = (16 + i % 512).toInt
+        val h = (16 + (i * 7) % 512).toInt
+        val pad = (i % 64).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+        def s(t: String): Unit = t.foreach(c => out.write(c.toInt))
+        def be32(x: Int): Unit = b(x >>> 24, x >>> 16, x >>> 8, x)
+        def le16(x: Int): Unit = b(x, x >>> 8)
+        def le24(x: Int): Unit = b(x, x >>> 8, x >>> 16)
+        def le32(x: Int): Unit = b(x, x >>> 8, x >>> 16, x >>> 24)
+        (i % 4) match {
+          case 0 => // PNG: signature + IHDR
+            b(0x89); s("PNG"); b(0x0d, 0x0a, 0x1a, 0x0a)
+            be32(13); s("IHDR"); be32(w); be32(h); b(8, 6, 0, 0, 0)
+          case 1 => // JPEG: SOI + SOF0(len 11, 1 component) + EOI
+            b(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 8)
+            b(h >>> 8, h, w >>> 8, w, 1, 1, 0x11, 0)
+            b(0xff, 0xd9)
+          case 2 => // GIF89a + logical screen descriptor
+            s("GIF89a"); le16(w); le16(h); b(0, 0, 0)
+          case _ => // WebP VP8X extended header
+            s("RIFF"); le32(22 + pad); s("WEBP"); s("VP8X"); le32(10)
+            b(0, 0, 0, 0); le24(w - 1); le24(h - 1)
+        }
+        out.write(new Array[Byte](pad))
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
   }
 
   /** Assemble a media table from any binary source column: payload +

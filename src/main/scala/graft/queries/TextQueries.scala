@@ -278,16 +278,25 @@ object TextQueries extends QueryPack {
             lit(true))).as("subset_ok"))
     }),
     "q_multimodal_meta" -> ((s, dir) => {
+      // payloads carry REAL container headers (PNG/JPEG/GIF/WebP) with
+      // dimensions planted from doc_id arithmetic; sniffMeta must
+      // recover format/width/height by actually parsing the headers,
+      // and the oracle predicts every value from doc_id alone.
       val media = MultimodalOps.mediaTable(
         t(s, dir, "documents").withColumn("payload",
-          encode(col("text"), "UTF-8")),
+          MultimodalOps.syntheticPayload(col("doc_id"))),
         col("payload"), col("doc_id"))
         .join(t(s, dir, "documents").select(col("doc_id").as("media_id"),
           col("source")), Seq("media_id"))
       media.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("meta.n_bytes")).as("total_bytes"),
-          count(when(col("meta.format") === "png", 1)).as("n_png"))
+          count(when(col("meta.format") === "png", 1)).as("n_png"),
+          count(when(col("meta.format") === "jpeg", 1)).as("n_jpeg"),
+          count(when(col("meta.format") === "gif", 1)).as("n_gif"),
+          count(when(col("meta.format") === "webp", 1)).as("n_webp"),
+          sum(col("meta.width")).as("sum_w"),
+          sum(col("meta.height")).as("sum_h"))
         .orderBy("source")
     })
   )
@@ -633,11 +642,18 @@ object TextQueries extends QueryPack {
         |FROM s WHERE rk = 1 ORDER BY qid""".stripMargin,
     "q_multimodal_meta" ->
       """WITH m AS (
-        |  SELECT source, strlen(text)::BIGINT n
+        |  SELECT source, doc_id id, doc_id % 4 f,
+        |    16 + doc_id % 512 w, 16 + (doc_id * 7) % 512 h,
+        |    doc_id % 64 pad
         |  FROM documents)
         |SELECT source, COUNT(*) AS n,
-        |  SUM(n)::BIGINT AS total_bytes,
-        |  COUNT(CASE WHEN n % 3 = 0 THEN 1 END) AS n_png
+        |  SUM(CASE f WHEN 0 THEN 29 WHEN 1 THEN 17 WHEN 2 THEN 13
+        |    ELSE 30 END + pad)::BIGINT AS total_bytes,
+        |  COUNT(CASE WHEN f = 0 THEN 1 END) AS n_png,
+        |  COUNT(CASE WHEN f = 1 THEN 1 END) AS n_jpeg,
+        |  COUNT(CASE WHEN f = 2 THEN 1 END) AS n_gif,
+        |  COUNT(CASE WHEN f = 3 THEN 1 END) AS n_webp,
+        |  SUM(w)::BIGINT AS sum_w, SUM(h)::BIGINT AS sum_h
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -230,7 +230,9 @@ class TextSimSpec extends AnyFunSuite {
       MultimodalOps.mediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
     val m0 = rows(0).getStruct(rows(0).fieldIndex("meta"))
     assert(m0.getAs[Long]("n_bytes") == 6L)
-    assert(m0.getAs[String]("format") == "png") // 6 % 3 == 0
+    // raw text bytes carry no container magic → honest "bin", no dims
+    assert(m0.getAs[String]("format") == "bin")
+    assert(m0.isNullAt(m0.fieldIndex("width")))
     val feats = rows(0).getSeq[Float](rows(0).fieldIndex("features"))
     assert(feats.length == 8)
     assert(math.abs(feats.sum - 1.0f) < 1e-6) // normalized histogram
@@ -244,6 +246,73 @@ class TextSimSpec extends AnyFunSuite {
       MultimodalOps.sampleFramesStub(col("payload"), 3).as("f"))
       .collect()(0).getSeq[Long](0)
     assert(frames.length == 3)
+  }
+
+  test("header sniffing parses real container layouts") {
+    import MultimodalOps.{parseMeta, MediaMeta}
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG 3×2 (planted IHDR dims)
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 0, 3, 0, 0, 0, 2, 8, 6, 0, 0, 0)
+    assert(parseMeta(png) == MediaMeta("png", Some(3), Some(2), 29L))
+    // JPEG with an APP0 segment BEFORE the SOF0 (segment scan must skip)
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0 len 4
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x01, 0x00, 0x02, 0x80, 1, 1, 0x11, 0,
+      0xff, 0xd9)
+    assert(parseMeta(jpeg) == MediaMeta("jpeg", Some(640), Some(256),
+      jpeg.length.toLong))
+    // GIF 100×50 little-endian
+    val gif = "GIF89a".getBytes ++ bytes(100, 0, 50, 0, 0, 0, 0)
+    assert(parseMeta(gif) == MediaMeta("gif", Some(100), Some(50), 13L))
+    // WebP VP8X 256×17 (stored minus-one, 24-bit LE)
+    val vp8x = "RIFF".getBytes ++ bytes(22, 0, 0, 0) ++
+      "WEBPVP8X".getBytes ++ bytes(10, 0, 0, 0, 0, 0, 0, 0) ++
+      bytes(0xff, 0, 0) ++ bytes(16, 0, 0)
+    assert(parseMeta(vp8x) == MediaMeta("webp", Some(256), Some(17), 30L))
+    // WebP lossy VP8 with the 9D 01 2A sync code, 320×240
+    val vp8 = "RIFF".getBytes ++ bytes(24, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes ++ bytes(12, 0, 0, 0, 0, 0, 0) ++
+      bytes(0x9d, 0x01, 0x2a, 64, 1, 240, 0)
+    assert(parseMeta(vp8) == MediaMeta("webp", Some(320), Some(240),
+      vp8.length.toLong))
+    // WebP lossless VP8L, 2×3: bits = (w-1) | (h-1)<<14
+    val bitsWH = 1 | (2 << 14)
+    val vp8l = "RIFF".getBytes ++ bytes(17, 0, 0, 0) ++
+      "WEBPVP8L".getBytes ++ bytes(5, 0, 0, 0, 0x2f,
+        bitsWH & 0xff, (bitsWH >> 8) & 0xff, (bitsWH >> 16) & 0xff,
+        (bitsWH >> 24) & 0xff)
+    assert(parseMeta(vp8l) == MediaMeta("webp", Some(2), Some(3),
+      vp8l.length.toLong))
+    // WAV: format recognized, dimensionless
+    val wav = "RIFF".getBytes ++ bytes(4, 0, 0, 0) ++ "WAVE".getBytes
+    assert(parseMeta(wav) == MediaMeta("wav", None, None, 12L))
+    // BMP 7×9 (BITMAPINFOHEADER offsets)
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(7, 0, 0, 0, 9, 0, 0, 0)
+    assert(parseMeta(bmp) == MediaMeta("bmp", Some(7), Some(9), 26L))
+    // garbage and truncated magic stay honest
+    assert(parseMeta("hello world".getBytes).format == "bin")
+    assert(parseMeta(bytes(0x89, 'P')).format == "bin")
+    assert(parseMeta(Array.emptyByteArray) ==
+      MediaMeta("bin", None, None, 0L))
+    // the synthetic fixture round-trips through the parser
+    val spark2 = spark
+    import spark2.implicits._
+    val fix = Seq(0L, 1L, 2L, 3L, 100L, 101L, 102L, 103L).toDF("id")
+      .select(col("id"),
+        MultimodalOps.sniffMeta(MultimodalOps.syntheticPayload(col("id")))
+          .as("m"))
+      .collect()
+    fix.foreach { r =>
+      val id = r.getLong(0)
+      val m = r.getStruct(1)
+      val wantFmt = Seq("png", "jpeg", "gif", "webp")((id % 4).toInt)
+      assert(m.getAs[String]("format") == wantFmt, s"id $id")
+      assert(m.getAs[Int]("width") == 16 + id % 512, s"id $id width")
+      assert(m.getAs[Int]("height") == 16 + (id * 7) % 512, s"id $id height")
+    }
   }
 
   test("persisted IVF index + cell-partitioned corpus reproduces " +
