@@ -113,22 +113,53 @@ object SeqOps {
     * n outputs — the reference's own slicing convention
     * (convolve.rs:97-103 uses (m−1, n−m+1) without numpy's
     * commutative swap; it cannot represent n < m), made non-crashing. */
+  /** Full linear convolution via commons-math3 FFT (radix-2, zero-
+    * padded to the next power of two ≥ n+k−1): transform both inputs,
+    * multiply spectra, inverse-transform, take the real part — the
+    * same method="fft" path as the reference (convolve.rs:190,
+    * realfft). O((n+k)·log(n+k)) vs the direct O(n·k); the win starts
+    * at kernel lengths in the hundreds. */
+  private[graft] def fftConvolveFull(a: Array[Double], k: Array[Double])
+      : Array[Double] = {
+    import org.apache.commons.math3.transform.{DftNormalization,
+      FastFourierTransformer, TransformType}
+    val n = a.length + k.length - 1
+    var size = 1
+    while (size < n) size <<= 1
+    val fft = new FastFourierTransformer(DftNormalization.STANDARD)
+    val fa = fft.transform(java.util.Arrays.copyOf(a, size),
+      TransformType.FORWARD)
+    val fk = fft.transform(java.util.Arrays.copyOf(k, size),
+      TransformType.FORWARD)
+    val prod = Array.tabulate(size)(i => fa(i).multiply(fk(i)))
+    val inv = fft.transform(prod, TransformType.INVERSE)
+    Array.tabulate(n)(i => inv(i).getReal)
+  }
+
   def convolveSeries(df: DataFrame, x: Column, order: Column,
                      groupNames: Seq[String], kernel: Seq[Double],
-                     mode: String = "full", out: String = "conv")
+                     mode: String = "full", out: String = "conv",
+                     method: String = "direct")
       : DataFrame = {
+    require(method == "direct" || method == "fft",
+      s"convolveSeries: method must be direct|fft, got $method")
     val k = kernel.toArray
     val convUdf = udf { (xs: Seq[Double]) =>
       val n = xs.length
       if (n == 0) Seq.empty[Double]
       else {
-        val full = new Array[Double](n + k.length - 1)
-        var i = 0
-        while (i < n) {
-          var j = 0
-          while (j < k.length) { full(i + j) += xs(i) * k(j); j += 1 }
-          i += 1
-        }
+        val full =
+          if (method == "fft") fftConvolveFull(xs.toArray, k)
+          else {
+            val acc = new Array[Double](n + k.length - 1)
+            var i = 0
+            while (i < n) {
+              var j = 0
+              while (j < k.length) { acc(i + j) += xs(i) * k(j); j += 1 }
+              i += 1
+            }
+            acc
+          }
         val res = mode match {
           case "full"  => full
           case "valid" =>

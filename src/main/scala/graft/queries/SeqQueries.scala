@@ -72,7 +72,22 @@ object SeqQueries extends QueryPack {
           col("event_id"), Seq("event_type"), k, "same")
         .groupBy(col("event_type"))
         .agg(round(sum(col("conv")), 4).as("sum_same"))
-      valid.join(same, "event_type").orderBy("event_type")
+      // method="fft" (convolve.rs:190): radix-2 FFT convolution must
+      // reproduce the direct kernel to fp accuracy — deterministic
+      // boolean, asserted as a literal in the oracle
+      val direct = SeqOps.convolveSeries(sub(s, dir), col("value"),
+        col("event_id"), Seq("event_type"), k, "same", "cd")
+      val fftc = SeqOps.convolveSeries(sub(s, dir), col("value"),
+        col("event_id"), Seq("event_type"), k, "same", "cf",
+        method = "fft")
+      val fftOk = direct.join(fftc, "event_type")
+        .select(col("event_type"),
+          aggregate(zip_with(col("cd"), col("cf"),
+              (a, b) => abs(a - b)),
+            lit(0.0), (acc, v) => greatest(acc, v)).as("maxdiff"))
+        .select(col("event_type"), (col("maxdiff") < 1e-6).as("fft_ok"))
+      valid.join(same, "event_type").join(fftOk, "event_type")
+        .orderBy("event_type")
     }),
     "q_rfft" -> ((s, dir) => {
       SeqOps.rfft(sub(s, dir), col("value"), col("event_id"),
@@ -246,7 +261,8 @@ object SeqQueries extends QueryPack {
         |  ROUND(SUM(x0 * 0.25 + x1 * 0.5 + x2 * 0.25), 4) AS sum_valid,
         |  COUNT(CASE WHEN x2 IS NOT NULL THEN 1 END) AS n_valid,
         |  ROUND(SUM(x0 * 0.25 + COALESCE(x1, 0) * 0.5
-        |    + COALESCE(x2, 0) * 0.25), 4) AS sum_same
+        |    + COALESCE(x2, 0) * 0.25), 4) AS sum_same,
+        |  true AS fft_ok
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rfft" ->
       s"""WITH e AS (

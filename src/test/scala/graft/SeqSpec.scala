@@ -51,6 +51,30 @@ class SeqSpec extends AnyFunSuite {
       out(2).contains(5.5) && out(3).isEmpty)
   }
 
+  test("fft convolution matches direct on every mode (convolve.rs " +
+      "method parity)") {
+    import spark.implicits._
+    // awkward sizes on purpose: n not a power of two, kernel even/odd
+    val xs = (0 until 37).map(i => math.sin(i * 0.7) * 10 + i % 5)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("i", "x", "g")
+    for (kernel <- Seq(Seq(0.25, 0.5, 0.25), Seq(1.0, -2.0, 3.0, -4.0));
+         mode <- Seq("full", "valid", "same", "left", "right")) {
+      val d = SeqOps.convolveSeries(df, col("x"), col("i"), Seq("g"),
+        kernel, mode, "c").select("c").collect()(0).getSeq[Double](0)
+      val f = SeqOps.convolveSeries(df, col("x"), col("i"), Seq("g"),
+        kernel, mode, "c", method = "fft")
+        .select("c").collect()(0).getSeq[Double](0)
+      assert(d.length == f.length, s"$mode $kernel length")
+      d.zip(f).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$mode $kernel: $a vs $b") }
+    }
+    // pure-Scala kernel sanity: [1,2,3] * [1,1] full = [1,3,5,3]
+    assert(SeqOps.fftConvolveFull(Array(1.0, 2.0, 3.0), Array(1.0, 1.0))
+      .zip(Array(1.0, 3.0, 5.0, 3.0)).forall {
+        case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("DFT of a pure cosine concentrates at its frequency") {
     import spark.implicits._
     val n = 64
