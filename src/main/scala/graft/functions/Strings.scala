@@ -76,9 +76,13 @@ object Strings {
     j + l * p * (1.0 - j)
   }
 
-  /** Optimal string alignment (restricted Damerau) distance.
-    * (src/str_ext/osa.rs) */
-  private[functions] def osaDist(s1: String, s2: String): Int = {
+  /** Optimal string alignment (restricted Damerau) distance, over
+    * CODE POINTS like the reference's rapidfuzz chars() iteration
+    * (src/str_ext/osa.rs) — a surrogate-pair character is one edit,
+    * not two. */
+  private[functions] def osaDist(str1: String, str2: String): Int = {
+    val s1 = str1.codePoints.toArray
+    val s2 = str2.codePoints.toArray
     val (la, lb) = (s1.length, s2.length)
     if (la == 0) return lb
     if (lb == 0) return la
@@ -86,24 +90,26 @@ object Strings {
     for (i <- 0 to la) d(i)(0) = i
     for (j <- 0 to lb) d(0)(j) = j
     for (i <- 1 to la; j <- 1 to lb) {
-      val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) 0 else 1
+      val cost = if (s1(i - 1) == s2(j - 1)) 0 else 1
       d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
         d(i - 1)(j - 1) + cost)
-      if (i > 1 && j > 1 && s1.charAt(i - 1) == s2.charAt(j - 2) &&
-          s1.charAt(i - 2) == s2.charAt(j - 1))
+      if (i > 1 && j > 1 && s1(i - 1) == s2(j - 2) &&
+          s1(i - 2) == s2(j - 1))
         d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
     }
     d(la)(lb)
   }
 
-  /** Full Damerau–Levenshtein (unrestricted transpositions).
-    * (src/str_ext/levenshtein.rs:261 str_d_leven) */
-  private[functions] def damerauDist(s1: String, s2: String): Int = {
+  /** Full Damerau–Levenshtein (unrestricted transpositions), over
+    * CODE POINTS (src/str_ext/levenshtein.rs:261 str_d_leven). */
+  private[functions] def damerauDist(str1: String, str2: String): Int = {
+    val s1 = str1.codePoints.toArray
+    val s2 = str2.codePoints.toArray
     val (la, lb) = (s1.length, s2.length)
     if (la == 0) return lb
     if (lb == 0) return la
     val maxDist = la + lb
-    val da = scala.collection.mutable.HashMap.empty[Char, Int]
+    val da = scala.collection.mutable.HashMap.empty[Int, Int]
     val d = Array.ofDim[Int](la + 2, lb + 2)
     d(0)(0) = maxDist
     for (i <- 0 to la) { d(i + 1)(0) = maxDist; d(i + 1)(1) = i }
@@ -111,16 +117,16 @@ object Strings {
     for (i <- 1 to la) {
       var db = 0
       for (j <- 1 to lb) {
-        val k = da.getOrElse(s2.charAt(j - 1), 0)
+        val k = da.getOrElse(s2(j - 1), 0)
         val l = db
-        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 }
+        val cost = if (s1(i - 1) == s2(j - 1)) { db = j; 0 }
           else 1
         d(i + 1)(j + 1) = math.min(
           math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
           math.min(d(i)(j + 1) + 1,
             d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
       }
-      da(s1.charAt(i - 1)) = i
+      da(s1(i - 1)) = i
     }
     d(la + 1)(lb + 1)
   }
@@ -354,12 +360,17 @@ object Strings {
                      metric: String = "lv", strategy: String = "avg")
       : Column = {
     require(vocab.nonEmpty, "similarToVocab: empty vocab")
+    // normalization lengths in CODE POINTS on both sides, matching the
+    // units the distance kernels count: Spark's length() already counts
+    // code points, and the vocab word uses codePointCount (w.length
+    // would count UTF-16 units and skew the denominator for any vocab
+    // word containing surrogate pairs)
     def sim(w: String): Column = metric match {
       case "lv" => strLevenSim(c, lit(w))
       case "dlv" => lit(1.0) - strDamerau(c, lit(w)).cast("double") /
-        greatest(length(c), lit(w.length))
+        greatest(length(c), lit(w.codePointCount(0, w.length)))
       case "osa" => lit(1.0) - strOsa(c, lit(w)).cast("double") /
-        greatest(length(c), lit(w.length))
+        greatest(length(c), lit(w.codePointCount(0, w.length)))
       case "jw" => strJaroWinkler(c, lit(w))
       case m => throw new IllegalArgumentException(s"metric $m")
     }

@@ -245,8 +245,12 @@ object LinRegOps {
         }
         var i = 0
         while (i < dTot) { a(i)(i) += lambda; i += 1 }
-        val beta = solveInPlace(a, dTot)
-        if (beta.exists(b => b.isNaN || b.isInfinite)) null
+        // relative pivot gate (reference singular_x_tol): a nearly-
+        // collinear window yields finite-but-huge garbage without it —
+        // the NaN/Inf check below only catches EXACT singularity
+        val beta = solveGated(a, dTot)
+        if (beta == null || beta.exists(b => b.isNaN || b.isInfinite))
+          null
         else beta.toSeq
       }
     }
@@ -400,7 +404,8 @@ object LinRegOps {
     * LAST when `addBias`. Groups whose design is singular are dropped.
     * Null/NaN rows are excluded from both passes. */
   def hcReport(df: DataFrame, features: Seq[Column], y: Column,
-               groupNames: Seq[String] = Nil, addBias: Boolean = true)
+               groupNames: Seq[String] = Nil, addBias: Boolean = true,
+               groupCap: Int = 100000)
       : DataFrame = {
     val spark = df.sparkSession
     val d = features.length
@@ -417,8 +422,16 @@ object LinRegOps {
         yield sum(xb(j) * xb(k)).as(s"_g${j}_$k")) ++
       (0 until dTot).map(j => sum(xb(j) * yd).as(s"_xy$j")) :+
       count(lit(1)).as("_n")
+    // fail fast on group cardinality BEFORE collecting Gram rows —
+    // a high-cardinality key would OOM the driver here long after the
+    // expensive aggregate already ran (same contract as
+    // logisticFitGrouped / the Guard series caps)
     val pass1 = base.groupBy(gc: _*).agg(gramAggs.head, gramAggs.tail: _*)
-      .collect()
+      .limit(groupCap + 1).collect()
+    require(pass1.length <= groupCap,
+      s"hcReport: more than $groupCap groups — one Gram row per group " +
+        "is collected to the driver (twice). Reduce the key " +
+        "cardinality or raise groupCap (with driver heap to match).")
     // driver: per group solve A β = X'y and invert A (d² doubles each)
     case class Fit(key: Seq[Any], n: Long, beta: Array[Double],
                    ainv: Array[Array[Double]])
@@ -622,6 +635,46 @@ object LinRegOps {
     * back as NaN/Inf entries for the caller to gate. */
   private[graft] def solveAugmented(a: Array[Array[Double]], d: Int)
       : Array[Double] = solveInPlace(a, d)
+
+  /** [[solveInPlace]] with the reference's relative pivot gate
+    * (singular_x_tol = 1e-12, lr_solvers.rs): a pivot vanishing
+    * relative to the Gram diagonal's scale means rank deficiency —
+    * return null instead of dividing float noise into garbage
+    * coefficients. Same contract as LinRegAgg's gate, so batch and
+    * windowed solves can never diverge on degenerate windows. */
+  private[graft] def solveGated(a: Array[Array[Double]], d: Int,
+                                tol: Double = 1e-12): Array[Double] = {
+    var maxDiag = 0.0
+    var i = 0
+    while (i < d) {
+      maxDiag = math.max(maxDiag, math.abs(a(i)(i))); i += 1
+    }
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv)(col)) <= tol * maxDiag) return null
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
+      val pv = a(col)(col)
+      var j = col
+      while (j <= d) { a(col)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          var j2 = col
+          while (j2 <= d) { a(r)(j2) -= f * a(col)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(d)(i2 => a(i2)(d))
+  }
 
   private def solveInPlace(a: Array[Array[Double]], d: Int)
       : Array[Double] = {

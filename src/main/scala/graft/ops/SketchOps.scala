@@ -70,7 +70,16 @@ object SketchOps {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       val trueHH = cached.filter(col("n") > total * support)
         .select(col(key)).collect().map(_.get(0)).toSet
-      val approx = df.stat.freqItems(Seq(key), support / 2)
+      // freqItems requires its support ≥ 1e-4, so floor the sketch
+      // support there. The containment guarantee survives: freqItems(s)
+      // returns every item with frequency > s·total, and the floored s
+      // stays ≤ `support`, so true heavy hitters (> support·total) are
+      // still covered. Below 1e-4 the sketch cannot honor the contract
+      // at all — fail loud instead of throwing Spark's opaque error.
+      require(support >= 1e-4,
+        s"heavyHitters: support=$support is below Spark freqItems' " +
+          "1e-4 minimum; use exact counting (groupBy) for rarer items")
+      val approx = df.stat.freqItems(Seq(key), math.max(support / 2, 1e-4))
         .head().getSeq[Any](0).toSet
       val ok = trueHH.subsetOf(approx)
       // materialize the tiny top-k before dropping the counts cache so

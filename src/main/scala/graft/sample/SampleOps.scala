@@ -42,8 +42,12 @@ object SampleOps {
     val indexed = spark.createDataFrame(
       df.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    // clamp: rand() can reach 1−2⁻⁵³, and for large `total` the product
+    // rounds up to exactly `total` — an index that joins to nothing and
+    // silently shorts the exact-n contract by a row
     val picks = spark.range(n)
-      .select(floor(rand(seed) * total).cast("long").as("_idx"))
+      .select(least(floor(rand(seed) * total), lit(total - 1))
+        .cast("long").as("_idx"))
     indexed.join(picks, "_idx").drop("_idx")
   }
 

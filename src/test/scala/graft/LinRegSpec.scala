@@ -124,6 +124,53 @@ class LinRegSpec extends AnyFunSuite {
     assert(math.abs(beta(1)) <= math.abs(free(1)) + 1e-9)
   }
 
+  test("singular_x_tol gates rank-deficient large-scale designs, " +
+      "keeps full-rank (test_linear_exprs.py:1292-1341 replay)") {
+    import spark.implicits._
+    val n = 2000
+    val feats = 7
+    // deterministic gaussian-ish data at the reference's 1e3 scale
+    // (the fixture's structure matters, not its RNG stream)
+    val rngS = new scala.util.Random(3)
+    val rngF = new scala.util.Random(4)
+    // rank-1 collinear: x_i = base·(i+1) — must gate to a degenerate
+    // result, not finite garbage (Π diag(X'X) overflow regression)
+    val sing = (0 until n).map { _ =>
+      val base = rngS.nextGaussian() * 1e3
+      ((0 until feats).map(i => base * (i + 1)),
+        rngS.nextGaussian() * 1e3)
+    }.toDF("xs", "y")
+    val singFull = sing.agg(LinRegAgg.linReg(
+      array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+      col("y"), feats).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    assert(singFull.isEmpty || singFull.forall(_.isNaN),
+      s"collinear design must be gated, got $singFull")
+    // full rank with y = Σx_i exactly → β ≈ 1 everywhere, NOT nulled
+    val full = (0 until n).map { _ =>
+      val xs = (0 until feats).map(_ => rngF.nextGaussian() * 1e3)
+      (xs, xs.sum)
+    }.toDF("xs", "y")
+    val fullRes = full.agg(LinRegAgg.linReg(
+      array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+      col("y"), feats).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    assert(fullRes.length == feats, "full-rank design must not be nulled")
+    fullRes.foreach(b => assert(approx(b, 1.0, 1e-6)))
+    // the windowed solver shares the gate: a collinear window comes
+    // back null, not garbage (ADVICE: relative pivot tolerance)
+    val dfw = (0 until 30).map { i =>
+      val x1 = math.sin(i * 0.9) * 1e3
+      (i.toLong, x1, x1 * 3.0, math.cos(i * 1.3) * 1e3, "g")
+    }.toDF("o", "x1", "x2", "y", "g")
+    val rolled = LinRegOps.rollingLinReg(dfw,
+        Seq(col("x1"), col("x2")), col("y"), col("o"), Seq("g"), 8,
+        addBias = false)
+      .select("coeffs").collect()
+    assert(rolled.drop(7).forall(_.isNullAt(0)),
+      "collinear rolling windows must be gated to null")
+  }
+
   test("simple slope/intercept equal the d=1 closed form") {
     val r = data.agg(
       LinRegOps.simpleSlope(col("x1"), col("y")).as("s"),
