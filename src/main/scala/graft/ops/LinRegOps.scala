@@ -733,7 +733,26 @@ object LinRegOps {
                          features: Seq[Column], y: Column,
                          maxIter: Int = 30, tol: Double = 1e-9,
                          l1: Double = 0.0, l2: Double = 0.0,
-                         groupCap: Int = 100000): DataFrame = {
+                         groupCap: Int = 100000): DataFrame =
+    glmFitGrouped(df, groupCols, features, y, "binomial", maxIter, tol,
+      l1, l2, groupCap)
+
+  /** Per-GROUP GLM (families normal/poisson/binomial/gamma, links as
+    * [[graft.linear.GLM]]: log for poisson/gamma, logit for binomial,
+    * identity for normal) — the same batch-IRLS engine as
+    * [[logisticFitGrouped]]: one distributed per-group weighted-Gram
+    * aggregate per iteration for ALL groups, per-group β on the
+    * driver, broadcast back as a literal frame. Per-group bias init
+    * from the group mean on the link scale (the solo GLM's device)
+    * keeps exp-link groups from overflowing on the first step. */
+  def glmFitGrouped(df: DataFrame, groupCols: Seq[String],
+                    features: Seq[Column], y: Column,
+                    family: String = "binomial",
+                    maxIter: Int = 30, tol: Double = 1e-9,
+                    l1: Double = 0.0, l2: Double = 0.0,
+                    groupCap: Int = 100000): DataFrame = {
+    require(Seq("normal", "poisson", "binomial", "gamma").contains(family),
+      s"glmFitGrouped: unknown family $family")
     val spark = df.sparkSession
     val d = features.length + 1
     val gc = groupCols.map(col)
@@ -743,18 +762,30 @@ object LinRegOps {
       Seq(lit(1.0).as(s"${P}f${d - 1}"), y.cast("double").as(s"${P}y")): _*)
       .persist()
     try {
-      // group inventory + sizes in one pass; fail fast on cardinality
+      // group inventory + sizes + mean(y) in one pass; fail fast on
+      // cardinality
       val sizes = proj.groupBy(gc: _*)
-        .agg(count(lit(1)).cast("double").as("m"))
+        .agg(count(lit(1)).cast("double").as("m"),
+          avg(col(s"${P}y")).as("my"))
         .limit(groupCap + 1).collect()
       require(sizes.length <= groupCap,
-        s"logisticFitGrouped: more than $groupCap groups; the per-group " +
+        s"glmFitGrouped: more than $groupCap groups; the per-group " +
           "Gram rows are collected to the driver. Reduce the key " +
           "cardinality or raise groupCap (with driver heap to match).")
       val keys = sizes.map(r => Seq.tabulate(groupCols.length)(r.get))
       val mOf = keys.zip(sizes.map(_.getDouble(groupCols.length))).toMap
       var betas: Map[Seq[Any], Array[Double]] =
-        keys.map(_ -> new Array[Double](d)).toMap
+        keys.zip(sizes.map(_.getDouble(groupCols.length + 1))).map {
+          case (k, my) =>
+            val b = new Array[Double](d)
+            b(d - 1) = family match {
+              case "binomial" =>
+                math.log((my + 1e-12) / (1 - my + 1e-12))
+              case "poisson" | "gamma" => math.log(math.max(my, 1e-12))
+              case _ => 0.0
+            }
+            k -> b
+        }.toMap
       var iters = 0
       var delta = Double.MaxValue
       val keySchema = org.apache.spark.sql.types.StructType(
@@ -770,9 +801,19 @@ object LinRegOps {
         val eta = (0 until d).map(i =>
           col(s"${P}f$i") * element_at(col(s"${P}beta"), i + 1))
           .reduce(_ + _)
-        val mu = lit(1.0) / (exp(-eta) + 1.0)
-        val wgt = mu * (lit(1.0) - mu) + 1e-10
-        val z = eta + (col(s"${P}y") - mu) / wgt
+        val (mu, wgt) = family match {
+          case "binomial" =>
+            val m = lit(1.0) / (exp(-eta) + 1.0)
+            (m, m * (lit(1.0) - m) + 1e-10)
+          case "poisson" => val m = exp(eta); (m, m + 1e-10)
+          case "gamma"   => val m = exp(eta); (m, lit(1.0))
+          case _         => (eta, lit(1.0)) // normal: one-step solve
+        }
+        val z = family match {
+          case "normal" => col(s"${P}y")
+          case "gamma"  => eta + (col(s"${P}y") - mu) / mu
+          case _        => eta + (col(s"${P}y") - mu) / wgt
+        }
         val gramCols =
           (for (i <- 0 until d; j <- i until d)
             yield sum(wgt * col(s"${P}f$i") * col(s"${P}f$j"))

@@ -135,6 +135,51 @@ object LinRegQueries extends QueryPack {
             .as("score_x2"))
         .orderBy("l_returnflag")
     }),
+    // Per-group GLM (glmFitGrouped): same score-equation device as
+    // q_logistic_grp. Poisson/log is the canonical link, so the MLE
+    // satisfies Σ xⱼ(y−μ) = 0; gamma/log is non-canonical and its
+    // score is the μ-weighted Σ xⱼ(y−μ)/μ = 0 — both literal 0.0.
+    "q_glm_grp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x1", col("l_quantity") / 10.0)
+        .withColumn("x2", col("l_discount") * 10.0)
+        .withColumn("yp",
+          exp(col("x1") * 0.2 - col("x2") * 0.08 + 0.3))
+      // the two family fits are independent IRLS loops of small
+      // sequential jobs — overlap them (same device as q_glm)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fp = Future(LinRegOps.glmFitGrouped(li, Seq("l_returnflag"),
+        Seq(col("x1"), col("x2")), col("yp"), "poisson",
+        maxIter = 60, tol = 1e-12))
+      val fg = Future(LinRegOps.glmFitGrouped(li, Seq("l_returnflag"),
+        Seq(col("x1"), col("x2")), col("yp"), "gamma",
+        maxIter = 60, tol = 1e-12))
+      val fitP = Await.result(fp, Duration.Inf)
+      val fitG = Await.result(fg, Duration.Inf)
+        .withColumnRenamed("beta", "beta_g").drop("iters")
+      def muOf(b: String) = exp(col("x1") * element_at(col(b), 1)
+        + col("x2") * element_at(col(b), 2) + element_at(col(b), 3))
+      li.join(broadcast(fitP), Seq("l_returnflag"))
+        .join(broadcast(fitG), Seq("l_returnflag"))
+        .withColumn("mp", muOf("beta"))
+        .withColumn("mg", muOf("beta_g"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("yp") - col("mp")), 3) + 0.0).as("score_p0"),
+          (round(sum(col("x1") * (col("yp") - col("mp"))), 3) + 0.0)
+            .as("score_p1"),
+          (round(sum(col("x2") * (col("yp") - col("mp"))), 3) + 0.0)
+            .as("score_p2"),
+          (round(sum((col("yp") - col("mg")) / col("mg")), 3) + 0.0)
+            .as("score_g0"),
+          (round(sum(col("x1") * (col("yp") - col("mg")) / col("mg")), 3)
+            + 0.0).as("score_g1"),
+          (round(sum(col("x2") * (col("yp") - col("mg")) / col("mg")), 3)
+            + 0.0).as("score_g2"))
+        .orderBy("l_returnflag")
+    }),
     // l1-regularized logistic (expr_linear.py:281): no closed form, so
     // the oracle pins the KKT conditions of the lasso optimum — the
     // unpenalized bias keeps a zero score residual, and the penalized
@@ -301,6 +346,11 @@ object LinRegQueries extends QueryPack {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_logistic_l1" ->
       """SELECT COUNT(*)::BIGINT AS n, 0.0 AS score_bias,
-        |  true AS kkt_ok, true AS coef_nonzero FROM events""".stripMargin
+        |  true AS kkt_ok, true AS coef_nonzero FROM events""".stripMargin,
+    "q_glm_grp" ->
+      """SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |  0.0 AS score_p0, 0.0 AS score_p1, 0.0 AS score_p2,
+        |  0.0 AS score_g0, 0.0 AS score_g1, 0.0 AS score_g2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

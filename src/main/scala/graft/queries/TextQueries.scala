@@ -157,12 +157,16 @@ object TextQueries extends QueryPack {
       val docs = t(s, dir, "documents")
       // exact 3-word-shingle jaccard pairs at the same threshold the
       // minhash estimates (tokenization mirrors minHashSignature,
-      // including the <=3-words whole-text edge case)
+      // including the <=3-words whole-text edge case). The twin runs
+      // on a FIXED 500-doc base so its all-pairs-via-shingle join
+      // costs the same at every scale factor — the minhash path under
+      // test still scans the full corpus.
       val tks = split(lower(trim(col("text"))), "\\s+")
       val gs = array_distinct(
         when(size(tks) <= 3, array(concat_ws(" ", tks)))
           .otherwise(TextOps.wordNgrams(col("text"), 3)))
-      val base = docs.select(col("doc_id").as("d"), gs.as("gs"))
+      val base = docs.filter(col("doc_id") < 500)
+        .select(col("doc_id").as("d"), gs.as("gs"))
         .withColumn("n", size(col("gs")))
       val ex = base.select(col("d"), col("n"), explode(col("gs")).as("g"))
       val exact = ex.as("l").join(ex.as("r"),
@@ -221,7 +225,11 @@ object TextQueries extends QueryPack {
       // pair set (≥ 0.95) is then precisely the planted twins, its
       // count/avg SQL-checkable, and LSH recall against it is a
       // deterministic boolean.
+      // fixed 250-vector base so the exact twin costs the same 125k
+      // pairs at every scale factor (the LSH path under test is the
+      // scale path; the twin is the oracle contract)
       val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 250)
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("vec"))
       val pert = emb.select((col("id") + 10000).as("id"),
@@ -558,7 +566,7 @@ object TextQueries extends QueryPack {
       """WITH tk AS (
         |  SELECT doc_id d, regexp_split_to_array(LOWER(TRIM(text)),
         |    '\s+') t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 500),
         |sh AS (
         |  SELECT DISTINCT d,
         |    CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
@@ -588,7 +596,8 @@ object TextQueries extends QueryPack {
         |FROM n l JOIN n r ON l.t = r.t AND l.d < r.d""".stripMargin,
     "q_cosine_dup" ->
       """WITH e AS (
-        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 250),
         |p AS (
         |  SELECT id + 10000 id, list_concat([v[1] + 0.05], v[2:]) v
         |  FROM e),

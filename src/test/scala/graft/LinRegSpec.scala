@@ -97,6 +97,36 @@ class LinRegSpec extends AnyFunSuite {
     s1.indices.foreach(i => assert(approx(g1(i), s1(i), 1e-6), s"l1 $i"))
   }
 
+  test("grouped GLM matches the solo GLM per group (poisson + gamma)") {
+    import graft.linear.GLM
+    val base = data
+      .withColumn("yp", exp(col("x1") * 0.15 - col("x2") * 0.1 + 0.2))
+    val df = base.withColumn("g", lit("a")).unionByName(
+      base.withColumn("yp", col("yp") * 2.0).withColumn("g", lit("b")))
+    for (fam <- Seq("poisson", "gamma")) {
+      val grouped = LinRegOps.glmFitGrouped(df, Seq("g"),
+          Seq(col("x1"), col("x2")), col("yp"), fam,
+          maxIter = 50, tol = 1e-12)
+        .collect().map(r => r.getAs[String]("g") -> r.getSeq[Double](1))
+        .toMap
+      for (g <- Seq("a", "b")) {
+        val solo = new GLM(fam, maxIter = 50, tol = 1e-12)
+          .fit(df.filter(col("g") === g),
+            Seq(col("x1"), col("x2")), col("yp")).coeffs
+        solo.indices.foreach(i =>
+          assert(approx(grouped(g)(i), solo(i), 1e-7), s"$fam $g $i"))
+      }
+    }
+    // normal family: one-step weighted least squares == OLS
+    val gn = LinRegOps.glmFitGrouped(df.filter(col("g") === "a"),
+        Seq("g"), Seq(col("x1"), col("x2")), col("y"), "normal")
+      .collect()(0).getSeq[Double](1)
+    val ols = data.agg(LinRegAgg.linReg(
+      array(col("x1"), col("x2"), lit(1.0)), col("y"), 3).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    ols.indices.foreach(i => assert(approx(gn(i), ols(i), 1e-8)))
+  }
+
   test("l1 logistic satisfies the lasso KKT conditions") {
     val lam = 0.05
     val beta = LinRegOps.logisticFit(data, Seq(col("x1"), col("x2")),
