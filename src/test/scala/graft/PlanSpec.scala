@@ -34,6 +34,23 @@ class PlanSpec extends AnyFunSuite {
       !schemaLine.contains("l_orderkey"), schemaLine)
   }
 
+  test("woeContinuous default path stays in codegen (no RDD hop, " +
+      "two scans); the exact variant is the one that pays the sort") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("y", (col("value") > 50).cast("int"))
+    val plan = graft.ops.EncodeOps
+      .woeContinuous(ev, col("value"), col("y"), 10)
+      .queryExecution.executedPlan.toString
+    // breakpoint binning = when-chain over a scan: no zipWithIndex RDD
+    // scan, no global Sort in the plan
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Sort "), plan)
+    val exact = graft.ops.EncodeOps
+      .woeContinuousExact(ev, col("value"), col("y"), col("event_id"), 10)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("ExistingRDD"), exact) // documented trade-off
+  }
+
   test("q1_agg aggregates with a map-side partial phase") {
     val plan = SparkEntry.queries("q1_agg")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -541,6 +541,29 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("jaro floors the half-transposition count and JW boosts only " +
+      "above 0.7 (rapidfuzz conventions, src/str_ext/jaro.rs:14-26)") {
+    import spark.implicits._
+    val rows = Seq(
+      // odd half-transposition count (3): textbook t/2.0 would give
+      // 0.402778 / 0.477778 — rapidfuzz (and DuckDB) floor to 1
+      ("red anvil", "standard", 0.458333, 0.458333),
+      ("red anvil", "large", 0.533333, 0.533333),
+      // jaro 0.583 with a 3-char common prefix: boost must NOT apply
+      ("abcxxxxx", "abczzzzz", 0.583333, 0.583333),
+      // jaro 0.767 > 0.7 with 2-char prefix: boost applies
+      ("DIXON", "DICKSONX", 0.766667, 0.813333))
+    val got = rows.map { case (a, b, _, _) => (a, b) }
+      .toDF("a", "b")
+      .select(round(Strings.strJaro(col("a"), col("b")), 6),
+        round(Strings.strJaroWinkler(col("a"), col("b")), 6))
+      .collect()
+    rows.zip(got).foreach { case ((a, b, j, jw), r) =>
+      assert(r.getDouble(0) == j, s"jaro $a/$b")
+      assert(r.getDouble(1) == jw, s"jw $a/$b")
+    }
+  }
+
   test("tversky alpha/beta vectors (test_string.py:431-451)") {
     import spark.implicits._
     val df = Seq(("apple", "let"), ("test", "tests"), ("moon", "sun"))
