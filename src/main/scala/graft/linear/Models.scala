@@ -21,8 +21,16 @@ object Gram {
     val d = features.length
     val fx = features.zipWithIndex.map { case (c, i) =>
       c.cast("double").as(s"__f$i") }
-    val pre = df.select(fx ++ Seq(y.cast("double").as("__y"),
-      w.cast("double").as("__w")): _*)
+    // null_policy="skip" (linear_models.py:38-126 sanitizes before the
+    // solver): drop any-null/NaN rows whole — letting them reach sum()
+    // would drop different rows from different Gram ENTRIES and corrupt
+    // the normal equations silently
+    val validRow = (features.map(_.cast("double")) ++
+        Seq(y.cast("double"), w.cast("double")))
+      .map(c => c.isNotNull && !isnan(c)).reduce(_ && _)
+    val pre = df.filter(validRow)
+      .select(fx ++ Seq(y.cast("double").as("__y"),
+        w.cast("double").as("__w")): _*)
     val aggs =
       (for (i <- 0 until d; j <- i until d) yield
         sum(col("__w") * col(s"__f$i") * col(s"__f$j"))
@@ -131,8 +139,13 @@ class GLM(family: String, addBias: Boolean = true,
     // Materialize the projected frame ONCE: every IRLS iteration
     // re-scans exactly these d+1 columns. Without the persist each
     // iteration re-reads and re-decodes the source. (At cluster scale:
-    // MEMORY_AND_DISK on a narrow projection.)
-    val cached = df.select(feats0.zipWithIndex.map { case (c, i) =>
+    // MEMORY_AND_DISK on a narrow projection.) null_policy="skip" on
+    // the way in, same contract as Gram.collect.
+    val validRow = (features.map(_.cast("double")) :+
+        target.cast("double"))
+      .map(c => c.isNotNull && !isnan(c)).reduce(_ && _)
+    val cached = df.filter(validRow)
+      .select(feats0.zipWithIndex.map { case (c, i) =>
       c.cast("double").as(s"__f$i") } :+ target.cast("double").as("__t"): _*)
       .persist()
     val feats = (0 until d).map(i => col(s"__f$i"))

@@ -581,8 +581,13 @@ object LinRegOps {
     val d = features.length + 1
     val fx = features :+ lit(1.0)
     var beta = new Array[Double](d)
+    // null_policy="skip": drop any-null/NaN rows before the Gram sums
+    // (see glmFitGrouped)
+    val validRow = (features.map(_.cast("double")) :+ y.cast("double"))
+      .map(c => c.isNotNull && !isnan(c)).reduce(_ && _)
     // persist the narrow projection: each IRLS iteration re-scans it
-    val cached = df.select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
+    val cached = df.filter(validRow)
+      .select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
       .map { case (c, i) => if (i < d) c.cast("double").as(s"${P}f$i")
         else c }: _*).persist()
     // row count only needed to scale the l1 threshold (reference loss
@@ -756,7 +761,13 @@ object LinRegOps {
     val spark = df.sparkSession
     val d = features.length + 1
     val gc = groupCols.map(col)
-    val proj = df.select(gc ++
+    // null_policy="skip" (typing.py:25): a row with any null/NaN input
+    // is dropped BEFORE the Gram sums — letting nulls reach sum() would
+    // drop different rows from different Gram entries and corrupt the
+    // normal equations silently
+    val validRow = (features.map(_.cast("double")) :+ y.cast("double"))
+      .map(c => c.isNotNull && !isnan(c)).reduce(_ && _)
+    val proj = df.filter(validRow).select(gc ++
       features.zipWithIndex.map { case (c, i) =>
         c.cast("double").as(s"${P}f$i") } ++
       Seq(lit(1.0).as(s"${P}f${d - 1}"), y.cast("double").as(s"${P}y")): _*)

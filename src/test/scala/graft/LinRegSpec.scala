@@ -127,6 +127,47 @@ class LinRegSpec extends AnyFunSuite {
     ols.indices.foreach(i => assert(approx(gn(i), ols(i), 1e-8)))
   }
 
+  test("null/NaN rows are skipped whole by logistic/GLM/LR fits " +
+      "(null_policy=skip), never partially summed") {
+    import spark.implicits._
+    import graft.linear.{GLM, LR}
+    val poison = Seq(
+      (None, Some(3.0), Some(0.0)),          // null feature
+      (Some(Double.NaN), Some(1.0), Some(1.0)), // NaN feature
+      (Some(2.0), Some(1.0), None))          // null target
+      .toDF("x1", "x2", "yl")
+    val dirty = data.select(
+        col("x1").cast("double").as("x1"),
+        col("x2").cast("double").as("x2"), col("yl"))
+      .unionByName(poison.select(col("x1"), col("x2"), col("yl")))
+    val clean = LinRegOps.logisticFit(data,
+      Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+    val withPoison = LinRegOps.logisticFit(dirty,
+      Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+    clean.indices.foreach(i =>
+      assert(approx(withPoison(i), clean(i), 1e-9), s"logistic $i"))
+    val glmClean = new GLM("poisson").fit(
+      data.withColumn("yp", exp(col("x1") * 0.1 + 0.2)),
+      Seq(col("x1"), col("x2")), col("yp")).coeffs
+    val glmDirty = new GLM("poisson").fit(
+      data.withColumn("yp", exp(col("x1") * 0.1 + 0.2))
+        .select(col("x1").cast("double").as("x1"),
+          col("x2").cast("double").as("x2"), col("yp"))
+        .unionByName(Seq((Option.empty[Double], Some(1.0), Some(2.0)))
+          .toDF("x1", "x2", "yp")),
+      Seq(col("x1"), col("x2")), col("yp")).coeffs
+    glmClean.indices.foreach(i =>
+      assert(approx(glmDirty(i), glmClean(i), 1e-9), s"glm $i"))
+    val lrClean = new LR().fit(data, Seq(col("x1")), col("y")).coeffs
+    val lrDirty = new LR().fit(
+      data.select(col("x1").cast("double").as("x1"), col("y"))
+        .unionByName(Seq((Some(Double.NaN), Some(1.0)))
+          .toDF("x1", "y")),
+      Seq(col("x1")), col("y")).coeffs
+    lrClean.indices.foreach(i =>
+      assert(approx(lrDirty(i), lrClean(i), 1e-9), s"lr $i"))
+  }
+
   test("l1 logistic satisfies the lasso KKT conditions") {
     val lam = 0.05
     val beta = LinRegOps.logisticFit(data, Seq(col("x1"), col("x2")),
