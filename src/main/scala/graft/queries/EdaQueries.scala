@@ -25,6 +25,28 @@ object EdaQueries extends QueryPack {
       |FROM events""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // col/row validation reports (diagnosis.py:236/:268): the rule
+    // sets are fixed, so which column rules fail and the per-reason
+    // violating-row counts are plain SQL facts
+    "q_eda_validation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val colRep = EdaOps.colValidation(li, Seq(
+          ("l_quantity", min(col("l_quantity")) >= 1, "qty >= 1"),
+          ("l_discount", max(col("l_discount")) <= 0.05, "disc cap"),
+          ("l_tax", min(col("l_tax")) >= 0, "tax >= 0")))
+        .select(lit("col").as("kind"), col("column").as("name"),
+          lit(1L).as("n"))
+      val rowRep = EdaOps.rowValidation(li,
+          Seq((col("l_quantity") <= 30, "qty > 30"),
+            (col("l_discount") <= 0.06, "disc > 0.06")),
+          idCol = Some((col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("rid")))
+        .groupBy(col("__reason__"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("row").as("kind"), col("__reason__").as("name"),
+          col("n"))
+      colRep.unionByName(rowRep).orderBy("kind", "name")
+    }),
     "q_split_ratio" -> ((s, dir) => {
       SampleOps.splitByRatio(t(s, dir, "events"),
           Seq(("train", 0.7), ("val", 0.2), ("test", 0.1)),
@@ -90,6 +112,20 @@ object EdaQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_eda_validation" ->
+      """WITH rowv AS (
+        |  SELECT CASE WHEN NOT (l_quantity <= 30) THEN 'qty > 30'
+        |              WHEN NOT (l_discount <= 0.06) THEN 'disc > 0.06'
+        |         END r
+        |  FROM lineitem),
+        |rv AS (
+        |  SELECT 'row' AS kind, r AS name, COUNT(*)::BIGINT AS n
+        |  FROM rowv WHERE r IS NOT NULL GROUP BY 2),
+        |cv AS (
+        |  SELECT 'col' AS kind, 'l_discount' AS name, 1::BIGINT AS n
+        |  FROM (SELECT MAX(l_discount) m FROM lineitem) WHERE m > 0.05)
+        |SELECT * FROM cv UNION ALL SELECT * FROM rv
+        |ORDER BY kind, name""".stripMargin,
     "q_split_ratio" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) n FROM events GROUP BY 1),

@@ -63,7 +63,8 @@ object MetricQueries extends QueryPack {
           round(Metrics.smape(col("yy"), col("pp")), 6).as("smape"),
           round(Metrics.msle(col("yy"), col("pp")), 6).as("msle"),
           round(Metrics.huberLoss(col("yy"), col("pp"), 1000.0), 4)
-            .as("huber"))
+            .as("huber"),
+          round(Metrics.logCosh(col("yy"), col("pp")), 4).as("log_cosh"))
         .orderBy("l_returnflag")
     }),
     "q_confusion_matrix" -> ((s, dir) => {
@@ -196,7 +197,9 @@ object MetricQueries extends QueryPack {
          |  ROUND(AVG(POW(LN(1 + yy) - LN(1 + pp), 2)), 6) AS msle,
          |  ROUND(AVG(CASE WHEN ABS(yy - pp) < 1000.0
          |    THEN (yy - pp) * (yy - pp) / 2.0
-         |    ELSE 1000.0 * (ABS(yy - pp) - 500.0) END), 4) AS huber
+         |    ELSE 1000.0 * (ABS(yy - pp) - 500.0) END), 4) AS huber,
+         |  ROUND(AVG(ABS(yy - pp)
+         |    + LN(1 + EXP(-2 * ABS(yy - pp))) - LN(2)), 4) AS log_cosh
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_confusion_matrix" ->
       s"""WITH t AS ($scoredEventsSql),
