@@ -76,6 +76,26 @@ object Stats {
     struct(t.as("statistic"), df.as("df"))
   }
 
+  /** Two-sample t from PRECOMPUTED stats (stats.py:170
+    * ttest_ind_from_stats): the same algebra as [[tTestInd]] /
+    * [[tTestWelch]], but over caller-supplied mean/std/count columns —
+    * scalar math, usable on already-aggregated rows. */
+  def tTestIndFromStats(m1: Column, s1: Column, n1: Column,
+                        m2: Column, s2: Column, n2: Column,
+                        equalVar: Boolean = true): Column =
+    if (equalVar) {
+      val df = n1 + n2 - 2.0
+      val sp2 = ((n1 - 1.0) * s1 * s1 + (n2 - 1.0) * s2 * s2) / df
+      val t = (m1 - m2) / sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2))
+      struct(t.as("statistic"), df.as("df"))
+    } else {
+      val (se1, se2) = (s1 * s1 / n1, s2 * s2 / n2)
+      val t = (m1 - m2) / sqrt(se1 + se2)
+      val df = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+      struct(t.as("statistic"), df.as("df"))
+    }
+
   /** One-sample t vs population mean mu0. */
   def tTest1Samp(x: Column, mu0: Double): Column = {
     val n = count(x).cast("double")

@@ -27,6 +27,28 @@ object StatQueries extends QueryPack {
           round(col("tw.statistic"), 6).as("t_welch"),
           round(col("tw.df"), 4).as("df_welch"))
     }),
+    // from-stats variant (stats.py:170): stats aggregated per group
+    // first, then the scalar t algebra applied to the aggregated row
+    "q_ttest_from_stats" -> ((s, dir) => {
+      val st = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("m1"),
+          stddev_samp(col("l_quantity")).as("s1"),
+          count(col("l_quantity")).cast("double").as("n1"),
+          avg(col("l_extendedprice") / 1000.0).as("m2"),
+          stddev_samp(col("l_extendedprice") / 1000.0).as("s2"),
+          count(col("l_extendedprice")).cast("double").as("n2"))
+      val eq = Stats.tTestIndFromStats(col("m1"), col("s1"), col("n1"),
+        col("m2"), col("s2"), col("n2"))
+      val we = Stats.tTestIndFromStats(col("m1"), col("s1"), col("n1"),
+        col("m2"), col("s2"), col("n2"), equalVar = false)
+      st.select(col("l_returnflag"),
+          round(eq("statistic"), 6).as("t_eq"),
+          round(eq("df"), 1).as("df_eq"),
+          round(we("statistic"), 6).as("t_welch"),
+          round(we("df"), 4).as("df_welch"))
+        .orderBy("l_returnflag")
+    }),
     "q_ttest_1samp" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -155,6 +177,24 @@ object StatQueries extends QueryPack {
         |    / (POW(v1/n1, 2)/(n1-1) + POW(v2/n2, 2)/(n2-1)), 4)
         |    AS df_welch
         |FROM m""".stripMargin,
+    "q_ttest_from_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    AVG(l_quantity) m1, STDDEV_SAMP(l_quantity) s1,
+        |    COUNT(l_quantity)::DOUBLE n1,
+        |    AVG(l_extendedprice / 1000.0) m2,
+        |    STDDEV_SAMP(l_extendedprice / 1000.0) s2,
+        |    COUNT(l_extendedprice)::DOUBLE n2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  ROUND((m1 - m2) / SQRT(((n1-1)*s1*s1 + (n2-1)*s2*s2)
+        |    / (n1+n2-2) * (1.0/n1 + 1.0/n2)), 6) AS t_eq,
+        |  ROUND(n1 + n2 - 2, 1) AS df_eq,
+        |  ROUND((m1 - m2) / SQRT(s1*s1/n1 + s2*s2/n2), 6) AS t_welch,
+        |  ROUND(POW(s1*s1/n1 + s2*s2/n2, 2)
+        |    / (POW(s1*s1/n1, 2)/(n1-1) + POW(s2*s2/n2, 2)/(n2-1)), 4)
+        |    AS df_welch
+        |FROM m ORDER BY 1""".stripMargin,
     "q_ttest_1samp" ->
       """SELECT event_type,
         |  ROUND((AVG(value) - 50.0)
