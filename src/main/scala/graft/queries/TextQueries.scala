@@ -236,12 +236,12 @@ object TextQueries extends QueryPack {
         concat(array(element_at(col("vec"), 1) + lit(0.05)),
           slice(col("vec"), 2, 100000)).as("vec"))
       val all = emb.unionByName(pert)
-      val l = all.select(col("id").as("i1"), col("vec").as("v1"))
-      val r = all.select(col("id").as("i2"), col("vec").as("v2"))
-      val exact = l.join(r, col("i1") < col("i2"))
-        .select(col("i1"), col("i2"),
-          SimOps.cosine(col("v1"), col("v2")).as("cos"))
-        .filter(col("cos") >= 0.95)
+      // exact twin via the fused broadcast threshold join (one corpus
+      // pass, primitive-array dots) instead of an interpreted
+      // higher-order-function crossJoin
+      val exact = SimOps.cosineThresholdJoin(all, all, 0.95)
+        .filter(col("qid") < col("cid"))
+        .select(col("qid").as("i1"), col("cid").as("i2"), col("cos"))
       val lsh = SimOps.cosineDupPairs(all, 0.95)
         .select(col("id1"), col("id2"), lit(1).as("hit"))
       exact.join(lsh,

@@ -119,6 +119,66 @@ object SimOps {
       .select(col("qid"), col("cid"), col("cos"), col("rk"))
   }
 
+  /** Exact cosine THRESHOLD join: every (query, corpus) pair with
+    * cos ≥ threshold — the brute-force exact baseline for
+    * [[cosineDupPairs]] (and a similarity join in its own right for
+    * corpora small enough to scan). Same shape as [[cosineTopK]]:
+    * queries collected + broadcast (capped, fail-loud), ONE
+    * zero-shuffle pass over the corpus with fused primitive-array
+    * dots; the output is only the surviving pairs. Self-matches
+    * excluded. */
+  def cosineThresholdJoin(queries: DataFrame, corpus: DataFrame,
+                          threshold: Double,
+                          queryCap: Long = 100000L): DataFrame = {
+    val nQ = queries
+      .limit(math.min(queryCap + 1, Int.MaxValue - 8L).toInt).count()
+    require(nQ <= queryCap,
+      s"cosineThresholdJoin: queries frame exceeds queryCap=$queryCap " +
+        "rows; it is collected to the driver and broadcast. Pre-filter " +
+        "the queries or raise queryCap (with driver heap to match).")
+    val spark = queries.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qArr = queries.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qNorm = qArr.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    val bcQ = spark.sparkContext.broadcast((qArr, qNorm))
+    val cPre = corpus.select(col("id").cast("long").as("cid"),
+      col("vec").cast("array<double>").as("cv"))
+    val hits = cPre.rdd.mapPartitions { it =>
+      val (qs, qn) = bcQ.value
+      val nq = qs.length
+      it.flatMap { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Double](1).toArray
+        var nc = 0.0
+        var i = 0
+        while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+        (0 until nq).iterator.flatMap { qi =>
+          val (qid, qv) = qs(qi)
+          if (qid == cid) Iterator.empty
+          else {
+            var dot = 0.0
+            var j = 0
+            while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+            val cos = dot / math.sqrt(qn(qi) * nc)
+            if (cos >= threshold) Iterator.single(Row(qid, cid, cos))
+            else Iterator.empty
+          }
+        }
+      }
+    }
+    spark.createDataFrame(hits, StructType(Seq(
+      StructField("qid", LongType), StructField("cid", LongType),
+      StructField("cos", DoubleType))))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * a splitmix64 avalanche mapped to (-1, 1). No RNG state, so executors
     * regenerate identical planes with zero coordination. */

@@ -248,6 +248,32 @@ class TextSimSpec extends AnyFunSuite {
     assert(frames.length == 3)
   }
 
+  test("cosineThresholdJoin matches the Column-algebra cosine pairs") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.7 + d * 1.3)))
+    }.toDF("id", "vec")
+    val fused = SimOps.cosineThresholdJoin(vecs, vecs, 0.5)
+      .filter(col("qid") < col("cid"))
+      .select(col("qid"), col("cid"), round(col("cos"), 9).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val l = vecs.select(col("id").as("qid"), col("vec").as("v1"))
+    val r = vecs.select(col("id").as("cid"), col("vec").as("v2"))
+    val algebra = l.join(r, col("qid") < col("cid"))
+      .select(col("qid"), col("cid"),
+        round(SimOps.cosine(col("v1"), col("v2")), 9).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .toSet
+    assert(fused.nonEmpty && fused == algebra)
+    // cap fails loud
+    val e = intercept[IllegalArgumentException] {
+      SimOps.cosineThresholdJoin(vecs, vecs, 0.5, queryCap = 10)
+    }
+    assert(e.getMessage.contains("queryCap"))
+  }
+
   test("header sniffing parses real container layouts") {
     import MultimodalOps.{parseMeta, MediaMeta}
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
