@@ -161,23 +161,11 @@ object TextQueries extends QueryPack {
       // on a FIXED 500-doc base so its all-pairs-via-shingle join
       // costs the same at every scale factor — the minhash path under
       // test still scans the full corpus.
-      val tks = split(lower(trim(col("text"))), "\\s+")
-      val gs = array_distinct(
-        when(size(tks) <= 3, array(concat_ws(" ", tks)))
-          .otherwise(TextOps.wordNgrams(col("text"), 3)))
-      val base = docs.filter(col("doc_id") < 500)
-        .select(col("doc_id").as("d"), gs.as("gs"))
-        .withColumn("n", size(col("gs")))
-      val ex = base.select(col("d"), col("n"), explode(col("gs")).as("g"))
-      val exact = ex.as("l").join(ex.as("r"),
-          col("l.g") === col("r.g") && col("l.d") < col("r.d"))
-        .groupBy(col("l.d").as("i1"), col("r.d").as("i2"),
-          col("l.n").as("n1"), col("r.n").as("n2"))
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jac",
-          col("common") / (col("n1") + col("n2") - col("common")))
-        .filter(col("jac") >= 0.6)
-        .select(col("i1"), col("i2"), col("jac"))
+      val exact = TextOps.jaccardDupPairs(
+          docs.filter(col("doc_id") < 500), col("doc_id"), col("text"),
+          lit("all"), 0.6, shingleK = 3)
+        .select(col("id1").as("i1"), col("id2").as("i2"),
+          col("jaccard").as("jac"))
       val mh = TextOps.minHashDupPairs(docs, col("doc_id"), col("text"),
           0.6)
         .select(col("id1"), col("id2"), lit(1).as("hit"))

@@ -251,9 +251,13 @@ object TextOps {
     * size-ratio prefilter (J ≥ t ⟹ min·/max ≥ t) skipping hopeless
     * pairs in O(1). For unbounded blocks where even a sub-group doesn't
     * fit, use [[jaccardDupPairsPrefix]], which never materializes one. */
+  /** `shingleK = 1` (default) compares word SETS; `shingleK > 1`
+    * compares k-word shingle sets — the similarity MinHash estimates —
+    * with [[minHashSignature]]'s whole-text edge case for docs of ≤ k
+    * words, so this doubles as minhash's exact twin. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
                       block: Column, threshold: Double,
-                      subBlocks: Int = 4): DataFrame = {
+                      subBlocks: Int = 4, shingleK: Int = 1): DataFrame = {
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
                        ga: Int, gb: Int, t: Double) => {
       val n = docs.length
@@ -333,13 +337,20 @@ object TextOps {
       if (t == null) null
       else {
         val parts = t.trim.toLowerCase.split("\\s+")
-        val set = new java.util.HashSet[java.lang.Long](parts.length * 2)
-        val buf = new Array[Long](parts.length)
+        // shingleK > 1: k-word shingles (single whole-text shingle for
+        // docs of <= k words, mirroring minHashSignature)
+        val units: Array[String] =
+          if (shingleK <= 1) parts
+          else if (parts.length <= shingleK) Array(parts.mkString(" "))
+          else Array.tabulate(parts.length - shingleK + 1)(i =>
+            parts.slice(i, i + shingleK).mkString(" "))
+        val set = new java.util.HashSet[java.lang.Long](units.length * 2)
+        val buf = new Array[Long](units.length)
         var n = 0
         var i = 0
-        while (i < parts.length) {
+        while (i < units.length) {
           val u = org.apache.spark.unsafe.types.UTF8String
-            .fromString(parts(i))
+            .fromString(units(i))
           val h = org.apache.spark.sql.catalyst.expressions.XXH64
             .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
               u.numBytes, 42L)
