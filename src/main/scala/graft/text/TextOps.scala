@@ -14,11 +14,20 @@ object TextOps {
   /** Stopword profiles for the n-gram language heuristic. Intentionally
     * tiny — the point is the *mechanism* (profile scoring as relational
     * algebra); swap in real profiles for production. */
+  /** Space-delimited high-frequency function words per language. The
+    * q_lang_id / q_clean_corpus oracle SQL is GENERATED from this map,
+    * so profile changes stay engine-consistent automatically. Shared
+    * words across languages (la/de/que/…) are fine — scoring is
+    * comparative. */
   val langProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
-    "es" -> Seq(" el ", " la ", " de ", " que ", " los "),
-    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
-    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "))
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in ",
+      " that ", " it ", " was ", " for ", " with ", " as "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", " las ",
+      " en ", " una ", " por ", " con ", " para ", " del "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " nicht ",
+      " ein ", " eine ", " mit ", " auf ", " den ", " von "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " une ",
+      " dans ", " est ", " pour ", " que ", " qui ", " au "))
 
   private def countOcc(c: Column, pat: String): Column =
     (length(c) - length(regexp_replace(c, pat, ""))).cast("double") /
