@@ -800,7 +800,8 @@ object LinRegOps {
       var iters = 0
       var delta = Double.MaxValue
       val keySchema = org.apache.spark.sql.types.StructType(
-        proj.schema.fields.take(groupCols.length))
+        proj.schema.fields.take(groupCols.length).zipWithIndex.map {
+          case (f, i) => f.copy(name = s"${P}k$i") })
       val betaSchema = keySchema
         .add(s"${P}beta", "array<double>")
       while (iters < maxIter && delta > tol) {
@@ -808,7 +809,12 @@ object LinRegOps {
           org.apache.spark.sql.Row.fromSeq(k :+ b.toSeq) }
         val betaDf = spark.createDataFrame(
           spark.sparkContext.parallelize(betaRows, 1), betaSchema)
-        val joined = proj.join(broadcast(betaDf), groupCols)
+        // null-safe key equality: groupBy treats NULL as a real group,
+        // so a plain equi-join would silently drop a null-keyed
+        // group's β and freeze it at the init value
+        val joinCond = groupCols.zipWithIndex.map { case (c, i) =>
+          proj(c) <=> betaDf(s"${P}k$i") }.reduce(_ && _)
+        val joined = proj.join(broadcast(betaDf), joinCond)
         val eta = (0 until d).map(i =>
           col(s"${P}f$i") * element_at(col(s"${P}beta"), i + 1))
           .reduce(_ + _)
@@ -867,9 +873,11 @@ object LinRegOps {
       }
       val outRows = betas.toSeq.map { case (k, b) =>
         org.apache.spark.sql.Row.fromSeq(k ++ Seq(b.toSeq, iters)) }
+      val outSchema = org.apache.spark.sql.types.StructType(
+        proj.schema.fields.take(groupCols.length))
+        .add("beta", "array<double>").add("iters", "int")
       spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, 1),
-        keySchema.add("beta", "array<double>").add("iters", "int"))
+        spark.sparkContext.parallelize(outRows, 1), outSchema)
     } finally proj.unpersist()
   }
 

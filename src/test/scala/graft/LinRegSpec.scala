@@ -97,6 +97,21 @@ class LinRegSpec extends AnyFunSuite {
     s1.indices.foreach(i => assert(approx(g1(i), s1(i), 1e-6), s"l1 $i"))
   }
 
+  test("grouped logistic treats a NULL group key as a real group") {
+    val df = data.withColumn("g", lit("a")).unionByName(
+      data.withColumn("x1", col("x1") * 2.0)
+        .withColumn("g", lit(null).cast("string")))
+    val fit = LinRegOps.logisticFitGrouped(df, Seq("g"),
+        Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+      .collect().map(r =>
+        Option(r.getAs[String]("g")) -> r.getSeq[Double](1)).toMap
+    assert(fit.contains(None) && fit.contains(Some("a")))
+    val soloNull = LinRegOps.logisticFit(df.filter(col("g").isNull),
+      Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+    soloNull.indices.foreach(i =>
+      assert(approx(fit(None)(i), soloNull(i), 1e-6), s"null-group $i"))
+  }
+
   test("grouped GLM matches the solo GLM per group (poisson + gamma)") {
     import graft.linear.GLM
     val base = data
