@@ -60,6 +60,7 @@ object SimOps {
     import org.apache.spark.sql.types._
     val qArr = queries.select(col("id").cast("long"),
         col("vec").cast("array<double>"))
+      .filter(col("id").isNotNull && col("vec").isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qNorm = qArr.map { case (_, v) =>
@@ -68,8 +69,10 @@ object SimOps {
       s
     }
     val bcQ = spark.sparkContext.broadcast((qArr, qNorm))
+    // null rows are never neighbors (the KNN-family convention)
     val cPre = corpus.select(col("id").cast("long").as("cid"),
       col("vec").cast("array<double>").as("cv"))
+      .filter(col("cid").isNotNull && col("cv").isNotNull)
     val localTop = cPre.rdd.mapPartitions { it =>
       val (qs, qn) = bcQ.value
       val nq = qs.length
@@ -141,6 +144,7 @@ object SimOps {
     import org.apache.spark.sql.types._
     val qArr = queries.select(col("id").cast("long"),
         col("vec").cast("array<double>"))
+      .filter(col("id").isNotNull && col("vec").isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qNorm = qArr.map { case (_, v) =>
@@ -149,8 +153,10 @@ object SimOps {
       s
     }
     val bcQ = spark.sparkContext.broadcast((qArr, qNorm))
+    // null rows are never neighbors (the KNN-family convention)
     val cPre = corpus.select(col("id").cast("long").as("cid"),
       col("vec").cast("array<double>").as("cv"))
+      .filter(col("cid").isNotNull && col("cv").isNotNull)
     val hits = cPre.rdd.mapPartitions { it =>
       val (qs, qn) = bcQ.value
       val nq = qs.length
