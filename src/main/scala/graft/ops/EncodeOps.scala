@@ -79,6 +79,7 @@ object EncodeOps {
     * Returns (bin, events, non_events, woe, iv); total IV = sum(iv). */
   def woeContinuous(df: DataFrame, x: Column, target: Column,
                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"woeContinuous: nBins must be >= 2, got $nBins")
     val proj = df.select(x.cast("double").as("__x"),
         target.cast("double").as("__t"))
       .filter(col("__x").isNotNull && !isnan(col("__x")) &&

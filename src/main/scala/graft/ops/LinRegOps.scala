@@ -881,6 +881,34 @@ object LinRegOps {
     } finally proj.unpersist()
   }
 
+  /** Response-scale per-row predictions from a [[glmFitGrouped]] /
+    * [[logisticFitGrouped]] result: null-safe broadcast join of the
+    * per-group betas, linear predictor via element_at, inverse link by
+    * family. Adds `out`; rows whose group has no fit get null. */
+  def glmPredictGrouped(df: DataFrame, fit: DataFrame,
+                        groupCols: Seq[String], features: Seq[Column],
+                        family: String = "binomial",
+                        out: String = "prediction"): DataFrame = {
+    val betas = fit.select(
+      groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"${P}k$i") } :+ col("beta").as(s"${P}beta"): _*)
+    val joinCond = groupCols.zipWithIndex.map { case (c, i) =>
+      df(c) <=> betas(s"${P}k$i") }.reduce(_ && _)
+    val joined = df.join(broadcast(betas), joinCond, "left")
+    val d = features.length + 1
+    val eta = features.zipWithIndex.map { case (c, i) =>
+      c.cast("double") * element_at(col(s"${P}beta"), i + 1) }
+      .reduce(_ + _) + element_at(col(s"${P}beta"), d)
+    val mu = family match {
+      case "poisson" | "gamma" => exp(eta)
+      case "binomial"          => lit(1.0) / (exp(-eta) + 1.0)
+      case _                   => eta
+    }
+    joined.withColumn(out, mu)
+      .drop((0 until groupCols.length).map(i => s"${P}k$i") :+
+        s"${P}beta": _*)
+  }
+
   /** Sigmoid prediction column from fitted coefficients (bias last). */
   def logisticPredict(features: Seq[Column], beta: Array[Double]): Column = {
     val eta = features.zipWithIndex

@@ -112,6 +112,26 @@ class LinRegSpec extends AnyFunSuite {
       assert(approx(fit(None)(i), soloNull(i), 1e-6), s"null-group $i"))
   }
 
+  test("glmPredictGrouped applies the per-group fit with inverse link") {
+    val df = data.withColumn("g", lit("a")).unionByName(
+      data.withColumn("x1", col("x1") * 2.0).withColumn("g", lit("b")))
+    val fit = LinRegOps.logisticFitGrouped(df, Seq("g"),
+      Seq(col("x1"), col("x2")), col("yl"), maxIter = 40, tol = 1e-12)
+    val pred = LinRegOps.glmPredictGrouped(df, fit, Seq("g"),
+      Seq(col("x1"), col("x2")))
+    // per-group mean prediction equals the group's event rate (the
+    // intercept score equation) and all predictions are in (0,1)
+    val rows = pred.groupBy(col("g"))
+      .agg(avg(col("prediction")).as("mp"), avg(col("yl")).as("my"),
+        min(col("prediction")).as("lo"), max(col("prediction")).as("hi"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(approx(r.getDouble(1), r.getDouble(2), 1e-6), r.toString)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
   test("grouped GLM matches the solo GLM per group (poisson + gamma)") {
     import graft.linear.GLM
     val base = data
