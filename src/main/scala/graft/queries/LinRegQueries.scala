@@ -120,11 +120,8 @@ object LinRegQueries extends QueryPack {
         .withColumn("yb", (col("l_extendedprice") > 30000).cast("double"))
       val fit = LinRegOps.logisticFitGrouped(li, Seq("l_returnflag"),
         Seq(col("x1"), col("x2")), col("yb"), maxIter = 60, tol = 1e-12)
-      li.join(broadcast(fit), Seq("l_returnflag"))
-        .withColumn("mu", lit(1.0) / (lit(1.0) +
-          exp(-(col("x1") * element_at(col("beta"), 1)
-              + col("x2") * element_at(col("beta"), 2)
-              + element_at(col("beta"), 3)))))
+      LinRegOps.glmPredictGrouped(li, fit, Seq("l_returnflag"),
+          Seq(col("x1"), col("x2")), out = "mu")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("yb")), 1).as("sum_y"),
@@ -158,13 +155,10 @@ object LinRegQueries extends QueryPack {
         maxIter = 60, tol = 1e-12))
       val fitP = Await.result(fp, Duration.Inf)
       val fitG = Await.result(fg, Duration.Inf)
-        .withColumnRenamed("beta", "beta_g").drop("iters")
-      def muOf(b: String) = exp(col("x1") * element_at(col(b), 1)
-        + col("x2") * element_at(col(b), 2) + element_at(col(b), 3))
-      li.join(broadcast(fitP), Seq("l_returnflag"))
-        .join(broadcast(fitG), Seq("l_returnflag"))
-        .withColumn("mp", muOf("beta"))
-        .withColumn("mg", muOf("beta_g"))
+      val withP = LinRegOps.glmPredictGrouped(li, fitP,
+        Seq("l_returnflag"), Seq(col("x1"), col("x2")), "poisson", "mp")
+      LinRegOps.glmPredictGrouped(withP, fitG,
+          Seq("l_returnflag"), Seq(col("x1"), col("x2")), "gamma", "mg")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           (round(sum(col("yp") - col("mp")), 3) + 0.0).as("score_p0"),
