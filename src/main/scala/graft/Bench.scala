@@ -24,7 +24,15 @@ object Bench {
         }
       }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // GRAFT_BENCH_ONLY=q_a,q_b : time just those queries (local
+    // iteration aid; the driver never sets it)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // inter-query hygiene, OUTSIDE the timed window: drop result
       // blocks the previous query left behind (operators free their own
       // big intermediates via Release.scoped, so this is cheap), then

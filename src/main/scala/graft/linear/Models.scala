@@ -156,31 +156,38 @@ class GLM(family: String, addBias: Boolean = true,
       case "binomial" => math.log((my + 1e-12) / (1 - my + 1e-12))
       case _          => math.log(math.max(my, 1e-12))
     }
-    var it = 0
-    var delta = Double.MaxValue
-    while (it < maxIter && delta > tol) {
-      val eta = Gram.predict(feats, beta)
-      val (mu, wCol) = family match {
-        case "poisson"  => val m = exp(eta); (m, m)
-        case "gamma"    => val m = exp(eta); (m, lit(1.0))
-        case "binomial" =>
-          val m = lit(1.0) / (lit(1.0) + exp(-eta))
-          (m, m * (lit(1.0) - m))
-        case f => throw new IllegalArgumentException(f)
+    // IRLS inner loop on the shared primitive-RDD engine (see
+    // LinRegOps.irlsEngine): w = μ·dμ/dη, z = η + (y − μ)·dη/dμ —
+    // the exact per-row math of the previous Column-algebra loop
+    val wz: (Double, Double) => (Double, Double) = family match {
+      case "poisson" => (eta, y) => {
+        val mu = math.exp(eta)
+        (mu, eta + (y - mu) / mu)
       }
-      // working response z = η + (y − μ)·dη/dμ
-      val z = family match {
-        case "binomial" => eta + (tgt - mu) / (mu * (lit(1.0) - mu))
-        case _          => eta + (tgt - mu) / mu
+      case "gamma" => (eta, y) => {
+        val mu = math.exp(eta)
+        (1.0, eta + (y - mu) / mu)
       }
-      val (xtx, xty, _) = Gram.collect(cached, feats, z, wCol)
-      val nb = Solvers.ridge(xtx, xty)
-      delta = beta.zip(nb).map { case (a, b) => math.abs(a - b) }.max
-      beta = nb
-      it += 1
+      case "binomial" => (eta, y) => {
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val w = mu * (1.0 - mu)
+        (w, eta + (y - mu) / w)
+      }
+      case f => throw new IllegalArgumentException(f)
     }
-    cached.unpersist()
-    coeffs = beta; iterations = it
+    val data = cached.rdd.map { r =>
+      val arr = new Array[Double](d + 1)
+      var i = 0
+      while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
+      (0, arr)
+    }.persist()
+    val solve = (xtx: Array[Array[Double]], xty: Array[Double], _: Int) =>
+      Solvers.ridge(xtx, xty)
+    try {
+      val (fit, it) = graft.ops.LinRegOps.irlsEngine(
+        data, 1, d, Array(beta), wz, solve, maxIter, tol)
+      coeffs = fit(0); iterations = it
+    } finally { data.unpersist(); cached.unpersist() }
     this
   }
 

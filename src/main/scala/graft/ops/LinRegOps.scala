@@ -567,6 +567,117 @@ object LinRegOps {
     Array.tabulate(d)(j => Array.tabulate(d)(k => a(j)(k + d)))
   }
 
+  /** Shared IRLS inner loop over a cached primitive-array RDD — the
+    * MLlib shape (see e.g. Spark's own mllib GradientDescent): the
+    * data is converted ONCE to `(groupIdx, [x0..x{d-1}, y])`, and each
+    * iteration is a single `treeAggregate` job with the betas in a
+    * broadcast — no Catalyst analysis/codegen/broadcast-exchange per
+    * step, which otherwise dominates the fit (measured ~0.5-0.7 s per
+    * iteration of plan rebuild vs ~30 ms for the aggregate itself).
+    *
+    * Numerical behavior is owned by the caller: `wz(eta, y)` returns
+    * the working weight and response for one row (each caller passes
+    * its exact family math so results are bit-compatible with its
+    * previous Column-algebra loop modulo sum order), and
+    * `solve(xtx, xty, g)` turns a group's normal equations into new
+    * coefficients (regularization included). A `null` solve freezes
+    * the group at its previous β.
+    *
+    * Scale shape: the accumulator is dense `k·(d(d+1)/2+d)` doubles,
+    * so callers must gate `k·gram` against [[denseGramBudget]] and
+    * fall back to a shuffling `groupBy(...).agg` loop beyond it; every
+    * group index in [0,k) must have at least one data row. */
+  private[graft] def irlsEngine(
+      data: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+      k: Int, d: Int, init: Array[Array[Double]],
+      wz: (Double, Double) => (Double, Double),
+      solve: (Array[Array[Double]], Array[Double], Int) => Array[Double],
+      maxIter: Int, tol: Double): (Array[Array[Double]], Int) = {
+    val sc = data.sparkContext
+    val nTri = d * (d + 1) / 2
+    val nG = nTri + d
+    var betas = init
+    var iters = 0
+    var delta = Double.MaxValue
+    while (iters < maxIter && delta > tol) {
+      val bc = sc.broadcast(betas)
+      // zero value is null, lazily allocated per partition: the real
+      // zero array would be serialized into every task closure
+      val acc = data.treeAggregate(null.asInstanceOf[Array[Double]])(
+        (a0, kv) => {
+          val a = if (a0 == null) new Array[Double](k * nG) else a0
+          val g = kv._1
+          val arr = kv._2
+          val b = bc.value(g)
+          var eta = 0.0
+          var i = 0
+          while (i < d) { eta += b(i) * arr(i); i += 1 }
+          val wzr = wz(eta, arr(d))
+          val w = wzr._1
+          val z = wzr._2
+          val off = g * nG
+          var p = off
+          i = 0
+          while (i < d) {
+            val wxi = w * arr(i)
+            var j = i
+            while (j < d) { a(p) += wxi * arr(j); p += 1; j += 1 }
+            i += 1
+          }
+          i = 0
+          while (i < d) { a(off + nTri + i) += w * arr(i) * z; i += 1 }
+          a
+        },
+        (x, y) =>
+          if (x == null) y
+          else if (y == null) x
+          else {
+            var i = 0
+            while (i < x.length) { x(i) += y(i); i += 1 }
+            x
+          })
+      bc.destroy()
+      if (acc == null) return (betas, iters) // no rows at all
+      delta = 0.0
+      val nb = new Array[Array[Double]](k)
+      var g = 0
+      while (g < k) {
+        val off = g * nG
+        val xtx = Array.ofDim[Double](d, d)
+        var p = off
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            xtx(i)(j) = acc(p); xtx(j)(i) = acc(p); p += 1; j += 1
+          }
+          i += 1
+        }
+        val xty = Array.tabulate(d)(i => acc(off + nTri + i))
+        val sb = solve(xtx, xty, g)
+        val old = betas(g)
+        val out = if (sb == null) old else sb
+        var dm = 0.0
+        i = 0
+        while (i < d) {
+          dm = math.max(dm, math.abs(out(i) - old(i))); i += 1
+        }
+        delta = math.max(delta, dm)
+        nb(g) = out
+        g += 1
+      }
+      betas = nb
+      iters += 1
+    }
+    (betas, iters)
+  }
+
+  /** Dense per-group Gram accumulator budget for [[irlsEngine]]:
+    * 2M doubles = 16 MB per in-flight task accumulator. Beyond this
+    * (many groups × wide feature sets) the grouped fits fall back to
+    * the shuffling `groupBy.agg` loop, which scales in group count. */
+  private[graft] val denseGramBudget = 2000000L
+
   /** Binary logistic regression via IRLS — each iteration is ONE
     * distributed weighted-Gram aggregate; β lives on the driver
     * (d+1 doubles), never the data. (expr_linear.py:277 logistic_reg;
@@ -593,45 +704,33 @@ object LinRegOps {
     // row count only needed to scale the l1 threshold (reference loss
     // is mean log loss, so its l1_reg is relative to loss/m)
     lazy val mCount = cached.count().toDouble
-    var iter = 0
-    var delta = Double.MaxValue
-    while (iter < maxIter && delta > tol) {
-      val eta = (0 until d).map(i => col(s"${P}f$i") * beta(i))
-        .reduce(_ + _)
-      val mu = lit(1.0) / (exp(-eta) + 1.0)
-      val wgt = mu * (lit(1.0) - mu) + 1e-10
-      // z = η + (y − μ)/w ; accumulate X'WX and X'Wz in one pass
-      val z = eta + (col(s"${P}y") - mu) / wgt
-      val gramCols =
-        (for (i <- 0 until d; j <- i until d)
-          yield sum(wgt * col(s"${P}f$i") * col(s"${P}f$j"))
-            .as(s"g_${i}_$j")) ++
-        (0 until d).map(i => sum(wgt * col(s"${P}f$i") * z).as(s"b_$i"))
-      val row = cached.agg(gramCols.head, gramCols.tail: _*).collect()(0)
-      val a = Array.ofDim[Double](d, d + 1)
-      var k = 0
-      for (i <- 0 until d; j <- i until d) {
-        a(i)(j) = row.getDouble(k); a(j)(i) = a(i)(j); k += 1
-      }
-      for (i <- 0 until d) { a(i)(d) = row.getDouble(k); k += 1 }
-      for (i <- 0 until d) a(i)(i) += lambda
-      // l1_reg (expr_linear.py:281): solve the IRLS quadratic with
-      // glmnet-style coordinate descent instead — soft-threshold on
-      // the non-bias coordinates; lambda (l2) stays on the full diag
-      // via the augmentation above for back-compat.
-      val nb =
-        if (l1 > 0.0) {
-          val xtx = Array.tabulate(d, d)((i, j) => a(i)(j))
-          val xty = Array.tabulate(d)(i => a(i)(d))
-          graft.linear.Solvers.elasticNet(xtx, xty, l1 = mCount * l1,
-            l2 = 0.0, penalize = _ < d - 1)
-        } else solveInPlace(a, d)
-      delta = beta.zip(nb).map { case (o, x2) => math.abs(o - x2) }.max
-      beta = nb
-      iter += 1
+    val data = cached.rdd.map { r =>
+      val arr = new Array[Double](d + 1)
+      var i = 0
+      while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
+      (0, arr)
+    }.persist()
+    // w = μ(1−μ)+ε ; z = η + (y − μ)/w — one weighted-Gram pass per step
+    val wz = (eta: Double, y: Double) => {
+      val mu = 1.0 / (math.exp(-eta) + 1.0)
+      val w = mu * (1.0 - mu) + 1e-10
+      (w, eta + (y - mu) / w)
     }
-    cached.unpersist()
-    beta
+    // l1_reg (expr_linear.py:281): solve the IRLS quadratic with
+    // glmnet-style coordinate descent instead — soft-threshold on
+    // the non-bias coordinates; lambda (l2) stays on the full diag
+    // for back-compat.
+    val solve = (xtx: Array[Array[Double]], xty: Array[Double], _: Int) =>
+      if (l1 > 0.0)
+        graft.linear.Solvers.elasticNet(xtx, xty, l1 = mCount * l1,
+          l2 = 0.0, penalize = _ < d - 1)
+      else {
+        val a = Array.tabulate(d, d + 1)((i, j) =>
+          if (j < d) xtx(i)(j) + (if (i == j) lambda else 0.0) else xty(i))
+        solveInPlace(a, d)
+      }
+    try irlsEngine(data, 1, d, Array(beta), wz, solve, maxIter, tol)._1(0)
+    finally { data.unpersist(); cached.unpersist() }
   }
 
   /** Gaussian elimination on [A|b] (d×(d+1)), returns x. Shared by
@@ -799,6 +898,62 @@ object LinRegOps {
         }.toMap
       var iters = 0
       var delta = Double.MaxValue
+      val k = keys.length
+      val nGram = d.toLong * (d + 1) / 2 + d
+      if (k.toLong * nGram <= denseGramBudget) {
+        // fast path: primitive-array RDD + one treeAggregate per
+        // iteration (see irlsEngine) — identical per-row math to the
+        // SQL loop below, just without the per-iteration plan rebuild
+        val keyIdx = keys.zipWithIndex.toMap
+        val bcIdx = spark.sparkContext.broadcast(keyIdx)
+        val gLen = groupCols.length
+        val data = proj.rdd.map { r =>
+          val key: Seq[Any] = Seq.tabulate(gLen)(r.get)
+          val arr = new Array[Double](d + 1)
+          var i = 0
+          while (i <= d) { arr(i) = r.getDouble(gLen + i); i += 1 }
+          (bcIdx.value(key), arr)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mArr = keys.map(mOf)
+        val wz: (Double, Double) => (Double, Double) = family match {
+          case "binomial" => (eta, y) => {
+            val mu = 1.0 / (math.exp(-eta) + 1.0)
+            val w = mu * (1.0 - mu) + 1e-10
+            (w, eta + (y - mu) / w)
+          }
+          case "poisson" => (eta, y) => {
+            val mu = math.exp(eta)
+            val w = mu + 1e-10
+            (w, eta + (y - mu) / w)
+          }
+          case "gamma" => (eta, y) => {
+            val mu = math.exp(eta)
+            (1.0, eta + (y - mu) / mu)
+          }
+          case _ => (_, y) => (1.0, y) // normal: one-step solve
+        }
+        val solve =
+          (xtx: Array[Array[Double]], xty: Array[Double], g: Int) => {
+            val m = mArr(g)
+            if (l1 > 0.0)
+              graft.linear.Solvers.elasticNet(xtx, xty,
+                l1 = m * l1, l2 = m * l2, penalize = _ < d - 1)
+            else {
+              val a = Array.tabulate(d, d + 1)((i, j) =>
+                if (j < d) xtx(i)(j) + (if (i == j && i < d - 1) m * l2
+                  else 0.0)
+                else xty(i))
+              solveInPlace(a, d)
+            }
+          }
+        try {
+          val (fit, it) = irlsEngine(data, k, d,
+            keys.map(betas), wz, solve, maxIter, tol)
+          betas = keys.zip(fit).toMap
+          iters = it
+        } finally { data.unpersist(); bcIdx.destroy() }
+        delta = 0.0 // converged or maxIter — skip the SQL loop
+      }
       val keySchema = org.apache.spark.sql.types.StructType(
         proj.schema.fields.take(groupCols.length).zipWithIndex.map {
           case (f, i) => f.copy(name = s"${P}k$i") })
