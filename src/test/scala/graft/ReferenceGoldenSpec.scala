@@ -818,4 +818,27 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     got.zip(exp).foreach { case (g, e) =>
       assert(math.abs(g - e) < 1e-9, s"$got") }
   }
+
+  test("kaplan_meier hand-computed curve incl. censored ties and " +
+      "censored-only times (test_survival.py:7-25; kaplan_meier.rs:12)") {
+    import spark.implicits._
+    // sksurv convention the reference mirrors: EVERY distinct time
+    // gets a row; censored rows leave the risk set without an event,
+    // so a censored-only time repeats the previous probability.
+    //   t=1 event | t=2 censor+event (tie) | t=3 censor only
+    //   t=5 two events | t=6 censor only
+    val rows = Seq((1.0, 1), (2.0, 0), (2.0, 1), (3.0, 0),
+      (5.0, 1), (5.0, 1), (6.0, 0))
+    val df = rows.toDF("t", "status").withColumn("g", lit("a"))
+    val got = graft.ops.TSOps.kaplanMeier(df, col("t"), col("status"),
+        Seq("g")).orderBy("time")
+      .select("time", "survival").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // S: 6/7, ×5/6=5/7, ×1, ×(1-2/3)=5/21, ×1
+    val exp = Seq(1.0 -> 6.0 / 7, 2.0 -> 5.0 / 7, 3.0 -> 5.0 / 7,
+      5.0 -> 5.0 / 21, 6.0 -> 5.0 / 21)
+    assert(got.map(_._1) == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-12, s"$got") }
+  }
 }
