@@ -218,15 +218,60 @@ object StatOps {
   }
 
   /** Winsorized mean: clip at [lo, hi] percentiles then average.
-    * (stats.py:375 winsorize — the transform; this is its agg use) */
+    * (stats.py:375 winsorize — the transform; this is its agg use.)
+    * Quantile `method` follows the reference's default "nearest"
+    * (polars interpolation); also supports lower/higher/midpoint/
+    * linear. Bounds come from one in-group rank pass: row_number +
+    * per-group count, then a conditional min on the method's rank —
+    * one sort-shuffle on the group key, no global sort. */
   def winsorizedMean(df: DataFrame, x: Column, groupNames: Seq[String],
                      lo: Double = 0.05, hi: Double = 0.95,
-                     outName: String = "wmean"): DataFrame = {
+                     outName: String = "wmean",
+                     method: String = "nearest"): DataFrame = {
+    require(graft.util.Quantiles.methods(method),
+      s"unknown quantile method '$method'")
     val gc = groupNames.map(col)
     val t = df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
-    val bounds = t.groupBy(gc: _*).agg(
-      expr(s"percentile(${P}x, $lo)").as(s"${P}lo"),
-      expr(s"percentile(${P}x, $hi)").as(s"${P}hi"))
+      .where(col(s"${P}x").isNotNull)
+    val wRank = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+    val wGrp = Window.partitionBy(gc: _*)
+    val ranked = t
+      .withColumn(s"${P}rn", row_number().over(wRank).cast("double") - 1)
+      .withColumn(s"${P}n", count(lit(1)).over(wGrp).cast("double"))
+    // order statistics at the floor/ceil/method rank of q·(n−1),
+    // per group, via conditional aggregation (exactly one row matches)
+    def stat(q: Double, tag: String): Seq[Column] = {
+      val idx = lit(q) * (col(s"${P}n") - 1.0)
+      val k = method match {
+        case "lower"   => floor(idx)
+        case "higher"  => ceil(idx)
+        case "nearest" => round(idx) // HALF_UP = half away for idx >= 0
+        case _         => null
+      }
+      if (k != null)
+        Seq(min(when(col(s"${P}rn") === k, col(s"${P}x")))
+          .as(s"${P}$tag"))
+      else
+        Seq(min(when(col(s"${P}rn") === floor(idx), col(s"${P}x")))
+            .as(s"${P}${tag}_f"),
+          min(when(col(s"${P}rn") === ceil(idx), col(s"${P}x")))
+            .as(s"${P}${tag}_c"),
+          first(idx).as(s"${P}${tag}_i"))
+    }
+    def combine(tag: String): Column = method match {
+      case "midpoint" =>
+        (col(s"${P}${tag}_f") + col(s"${P}${tag}_c")) / 2.0
+      case "linear" =>
+        col(s"${P}${tag}_f") +
+          (col(s"${P}${tag}_i") - floor(col(s"${P}${tag}_i"))) *
+            (col(s"${P}${tag}_c") - col(s"${P}${tag}_f"))
+      case _ => col(s"${P}$tag")
+    }
+    val aggCols = stat(lo, "lo") ++ stat(hi, "hi")
+    val bounds = ranked.groupBy(gc: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(gc ++ Seq(combine("lo").as(s"${P}lo"),
+        combine("hi").as(s"${P}hi")): _*)
     t.join(broadcast(bounds), groupNames)
       .groupBy(gc: _*)
       .agg(avg(least(greatest(col(s"${P}x"), col(s"${P}lo")),

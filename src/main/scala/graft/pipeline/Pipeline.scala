@@ -233,43 +233,63 @@ final class Blueprint private (
     }
   }
 
-  /** standard / min_max / abs_max scaling. (transforms.py:186 scale) */
+  /** standard / min_max / abs_max scaling. (transforms.py:173 scale)
+    * Standard uses the POPULATION std (polars std(ddof=0),
+    * transforms.py:198 — what sklearn's StandardScaler does), and a
+    * degenerate column (zero std / min==max / all-zero) is left
+    * untransformed rather than divided by zero (transforms.py:204). */
   def scale(cols: Seq[String], method: String = "standard"): Blueprint =
     addFit { df =>
-      cols.map { c =>
+      cols.flatMap { c =>
         method match {
           case "standard" =>
-            val r = df.agg(avg(col(c)), stddev_samp(col(c))).head
-            c -> s"($c - ${dlit(r.getDouble(0))}) / ${dlit(r.getDouble(1))}"
+            val r = df.agg(avg(col(c)), stddev_pop(col(c))).head
+            if (r.getDouble(1) == 0.0) None
+            else Some(c ->
+              s"($c - ${dlit(r.getDouble(0))}) / ${dlit(r.getDouble(1))}")
           case "min_max" =>
             val r = df.agg(min(col(c)), max(col(c))).head
             val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-            c -> s"($c - ${dlit(lo)}) / ${dlit(hi - lo)}"
+            if (hi == lo) None
+            else Some(c -> s"($c - ${dlit(lo)}) / ${dlit(hi - lo)}")
           case "abs_max" =>
             val m = df.agg(max(abs(col(c)))).head.getDouble(0)
-            c -> s"$c / ${dlit(m)}"
+            if (m == 0.0) None else Some(c -> s"$c / ${dlit(m)}")
           case m => throw new IllegalArgumentException(m)
         }
       }
     }
 
-  /** (x - median) / IQR. (transforms.py:247 robust_scale) */
-  def robustScale(cols: Seq[String], q: Double = 0.25): Blueprint =
+  /** (x - q_low) / (q_high - q_low) on train quantiles — shifted by
+    * the LOW quantile, not centered on the median.
+    * (transforms.py:238 robust_scale; default method "midpoint") */
+  def robustScale(cols: Seq[String], qLow: Double = 0.25,
+                  qHigh: Double = 0.75,
+                  method: String = "midpoint"): Blueprint = {
+    require(qLow >= 0.0 && qHigh <= 1.0 && qLow < qHigh,
+      s"robustScale bounds must satisfy 0 <= $qLow < $qHigh <= 1")
     addFit { df =>
       cols.map { c =>
-        val r = df.agg(percentile(col(c),
-          array(lit(q), lit(0.5), lit(1 - q)))).head.getSeq[Double](0)
-        c -> s"($c - ${dlit(r(1))}) / ${dlit(r(2) - r(0))}"
+        val qs = graft.util.Quantiles.exact(df, c, Seq(qLow, qHigh),
+          method)
+        c -> s"($c - ${dlit(qs(0))}) / ${dlit(qs(1) - qs(0))}"
       }
     }
+  }
 
-  /** clip to train quantiles. (transforms.py:279 winsorize) */
+  /** clip to train quantiles. (transforms.py:279 winsorize; default
+    * method "nearest", polars' quantile default) */
   def winsorize(cols: Seq[String], lower: Double = 0.05,
-                upper: Double = 0.95): Blueprint = addFit { df =>
-    cols.map { c =>
-      val r = df.agg(percentile(col(c), array(lit(lower), lit(upper))))
-        .head.getSeq[Double](0)
-      c -> s"least(greatest($c, ${dlit(r(0))}), ${dlit(r(1))})"
+                upper: Double = 0.95,
+                method: String = "nearest"): Blueprint = {
+    require(lower >= 0.0 && upper <= 1.0 && lower < upper,
+      s"winsorize bounds must satisfy 0 <= $lower < $upper <= 1")
+    addFit { df =>
+      cols.map { c =>
+        val qs = graft.util.Quantiles.exact(df, c, Seq(lower, upper),
+          method)
+        c -> s"least(greatest($c, ${dlit(qs(0))}), ${dlit(qs(1))})"
+      }
     }
   }
 

@@ -78,7 +78,7 @@ object PipelineQueries extends QueryPack {
       s"""WITH b AS ($baseSql),
          |m1 AS (SELECT AVG(bal) v FROM b),
          |i AS (SELECT b.*, COALESCE(bal, m1.v) ib FROM b, m1),
-         |m2 AS (SELECT AVG(ib) mu, STDDEV_SAMP(ib) sd FROM i),
+         |m2 AS (SELECT AVG(ib) mu, STDDEV_POP(ib) sd FROM i),
          |tr AS (
          |  SELECT c_nationkey % 5 grp, (ib - m2.mu) / m2.sd sb,
          |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END h_auto,
@@ -94,13 +94,28 @@ object PipelineQueries extends QueryPack {
          |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_json" ->
       s"""WITH b AS ($baseSql),
-         |q AS (SELECT quantile_cont(c_acctbal, 0.1) lo,
-         |  quantile_cont(c_acctbal, 0.9) hi FROM b),
+         |rk AS (SELECT c_acctbal v,
+         |  ROW_NUMBER() OVER (ORDER BY c_acctbal) - 1 rn,
+         |  COUNT(*) OVER () n FROM b WHERE c_acctbal IS NOT NULL),
+         |q AS (SELECT
+         |  MIN(CASE WHEN rn = CAST(ROUND(0.1*(n-1)) AS BIGINT)
+         |    THEN v END) lo,
+         |  MIN(CASE WHEN rn = CAST(ROUND(0.9*(n-1)) AS BIGINT)
+         |    THEN v END) hi FROM rk),
          |w AS (SELECT b.*, LEAST(GREATEST(c_acctbal, q.lo), q.hi) wb
          |  FROM b, q),
-         |r AS (SELECT quantile_cont(wb, 0.25) q1,
-         |  quantile_cont(wb, 0.5) med, quantile_cont(wb, 0.75) q3 FROM w),
-         |s AS (SELECT w.*, (wb - r.med) / (r.q3 - r.q1) rb FROM w, r)
+         |rk2 AS (SELECT wb v, ROW_NUMBER() OVER (ORDER BY wb) - 1 rn,
+         |  COUNT(*) OVER () n FROM w WHERE wb IS NOT NULL),
+         |r AS (SELECT
+         |  (MIN(CASE WHEN rn = CAST(FLOOR(0.25*(n-1)) AS BIGINT)
+         |     THEN v END)
+         |   + MIN(CASE WHEN rn = CAST(CEIL(0.25*(n-1)) AS BIGINT)
+         |     THEN v END)) / 2.0 q1,
+         |  (MIN(CASE WHEN rn = CAST(FLOOR(0.75*(n-1)) AS BIGINT)
+         |     THEN v END)
+         |   + MIN(CASE WHEN rn = CAST(CEIL(0.75*(n-1)) AS BIGINT)
+         |     THEN v END)) / 2.0 q3 FROM rk2),
+         |s AS (SELECT w.*, (wb - r.q1) / (r.q3 - r.q1) rb FROM w, r)
          |SELECT c_mktsegment,
          |  ROUND(AVG(rb), 6) AS avg_robust,
          |  ROUND(SUM(rb * rb), 4) AS sum_sq,

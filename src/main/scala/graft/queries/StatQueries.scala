@@ -267,11 +267,19 @@ object StatQueries extends QueryPack {
         |    / SUM(l_quantity)), 4) AS wgmean
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_winsorized_mean" ->
-      """WITH b AS (
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) - 1 rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
         |  SELECT l_returnflag,
-        |    QUANTILE_CONT(l_extendedprice, 0.05) lo,
-        |    QUANTILE_CONT(l_extendedprice, 0.95) hi
-        |  FROM lineitem GROUP BY 1)
+        |    MIN(CASE WHEN rn = CAST(ROUND(0.05*(n-1)) AS BIGINT)
+        |      THEN v END) lo,
+        |    MIN(CASE WHEN rn = CAST(ROUND(0.95*(n-1)) AS BIGINT)
+        |      THEN v END) hi
+        |  FROM r GROUP BY 1)
         |SELECT l.l_returnflag,
         |  ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)), 4)
         |    AS wmean

@@ -18,8 +18,9 @@ class PipelineSpec extends AnyFunSuite {
       .impute(Seq("x"), "mean")   // mean of 1,3,5 = 3
       .scale(Seq("x"), "standard")
       .fitTransform(df)
-      .agg(avg("x"), stddev_samp("x")).head
+      .agg(avg("x"), stddev_pop("x")).head
     assert(approx(out.getDouble(0), 0.0))
+    // unit POPULATION variance: the reference scales by std(ddof=0)
     assert(approx(out.getDouble(1), 1.0, 1e-9))
   }
 

@@ -819,6 +819,52 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       assert(math.abs(g - e) < 1e-9, s"$got") }
   }
 
+  test("winsorize 'nearest' and robust_scale 'midpoint' quantile " +
+      "conventions (test_transforms.py:79-100,125-150; transforms.py:" +
+      "238,279)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = (1 to 10).map(_.toDouble).toDF("x")
+    // n=10, q=0.25 → idx=2.25 → nearest rank 2 → 3.0; q=0.75 →
+    // idx=6.75 → rank 7 → 8.0. Linear interpolation would clip at
+    // 3.25/7.75 instead — this pins the polars 'nearest' default.
+    val w = Blueprint(df).winsorize(Seq("x"), 0.25, 0.75)
+      .fitTransform(df).agg(min("x"), max("x")).head
+    assert(w.getDouble(0) == 3.0 && w.getDouble(1) == 8.0)
+    // robust_scale subtracts the LOW quantile (not the median) and
+    // defaults to 'midpoint': q1=(3+4)/2=3.5, q3=(7+8)/2=7.5 →
+    // (x−3.5)/4
+    val r = Blueprint(df).robustScale(Seq("x"))
+      .fitTransform(df).agg(min("x"), max("x")).head
+    assert(math.abs(r.getDouble(0) - (1.0 - 3.5) / 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (10.0 - 3.5) / 4.0) < 1e-12)
+    // explicit 'linear' matches the old interpolating convention
+    val rl = Blueprint(df).robustScale(Seq("x"), 0.25, 0.75, "linear")
+      .fitTransform(df).agg(min("x")).head
+    assert(math.abs(rl.getDouble(0) - (1.0 - 3.25) / 4.5) < 1e-12)
+  }
+
+  test("scale 'standard' divides by the population std and leaves " +
+      "degenerate columns alone (test_transforms.py:241-265; " +
+      "transforms.py:198,204)") {
+    import spark.implicits._
+    import graft.pipeline.Blueprint
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0), (4.0, 7.0))
+      .toDF("x", "k")
+    val out = Blueprint(df).scale(Seq("x", "k"), "standard")
+      .fitTransform(df).orderBy("x").collect()
+    // sklearn StandardScaler: mean 2.5, std(ddof=0)=sqrt(1.25)
+    val sd = math.sqrt(1.25)
+    assert(math.abs(out(0).getDouble(0) - (1.0 - 2.5) / sd) < 1e-12)
+    assert(math.abs(out(3).getDouble(0) - (4.0 - 2.5) / sd) < 1e-12)
+    // zero-std column untransformed (NOT divided by zero)
+    assert(out.forall(_.getDouble(1) == 7.0))
+    // min==max likewise for min_max scaling
+    val mm = Blueprint(df).scale(Seq("k"), "min_max")
+      .fitTransform(df).agg(min("k")).head
+    assert(mm.getDouble(0) == 7.0)
+  }
+
   test("kaplan_meier hand-computed curve incl. censored ties and " +
       "censored-only times (test_survival.py:7-25; kaplan_meier.rs:12)") {
     import spark.implicits._
