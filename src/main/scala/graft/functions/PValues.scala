@@ -45,6 +45,28 @@ object PValues {
       2.0 * stdNorm.cumulativeProbability(-math.abs(z)))
   }
 
+  /** One-sided normal survival function sf(z) = P(Z > z). */
+  val normSf = udf { (z: java.lang.Double) =>
+    if (z == null) null
+    else java.lang.Double.valueOf(1.0 - stdNorm.cumulativeProbability(z))
+  }
+
+  /** t p-value under a scipy-style alternative (t_test.rs:26-58):
+    * two-sided 2·sf(|t|), less sf(−t) = cdf(t), greater sf(t). */
+  val tSfAlt = udf { (t: java.lang.Double, df: java.lang.Double,
+                      alt: String) =>
+    if (t == null || df == null || df.isNaN || df <= 0) null
+    else {
+      val d = new TDistribution(null, df)
+      val p = alt match {
+        case "less"    => d.cumulativeProbability(t)
+        case "greater" => 1.0 - d.cumulativeProbability(t)
+        case _         => 2.0 * d.cumulativeProbability(-math.abs(t))
+      }
+      java.lang.Double.valueOf(p)
+    }
+  }
+
   /** Kolmogorov–Smirnov asymptotic two-sample p-value:
     * p = 2 Σ_{k≥1} (−1)^{k−1} exp(−2 k² λ²), λ = D·sqrt(n1·n2/(n1+n2)).
     * (reference src/stats/ks.rs uses the same asymptotic form) */
@@ -66,9 +88,16 @@ object PValues {
 
   /** Apply the two-sided t p-value to a struct{statistic, df} column,
     * producing struct{statistic, pvalue}. */
-  def withTPValue(ts: Column): Column = {
+  def withTPValue(ts: Column): Column = withTPValue(ts, "two-sided")
+
+  /** Same with a scipy alternative: two-sided / less / greater
+    * (stats.py:58 ttest_ind(alternative=...)). */
+  def withTPValue(ts: Column, alternative: String): Column = {
     import org.apache.spark.sql.functions._
+    require(Set("two-sided", "less", "greater")(alternative),
+      s"unknown alternative '$alternative'")
     struct(ts.getField("statistic").as("statistic"),
-      tSf(ts.getField("statistic"), ts.getField("df")).as("pvalue"))
+      tSfAlt(ts.getField("statistic"), ts.getField("df"),
+        lit(alternative)).as("pvalue"))
   }
 }

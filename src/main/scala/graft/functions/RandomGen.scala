@@ -52,13 +52,30 @@ object RandomGen {
   def randomNull(c: Column, fraction: Double, seed: Long): Column =
     when(rand(seed) < fraction, lit(null)).otherwise(c)
 
-  /** Uniform noise in ±eps. (stats.py:406 perturb;
-    * src/stats/sample.rs:120) */
-  def perturb(c: Column, eps: Double, seed: Long): Column =
-    c + (rand(seed) - 0.5) * (2.0 * eps)
+  /** Uniform noise in [−ε/2, ε/2), or [0, ε) with `positive=true`
+    * (stats.py:406 perturb; src/stats/sample.rs:120). */
+  def perturb(c: Column, eps: Double, seed: Long,
+              positive: Boolean = false): Column = {
+    require(!eps.isNaN && !eps.isInfinite,
+      "epsilon must be a finite value")
+    val e = math.abs(eps)
+    if (positive) c + rand(seed) * e
+    else c + (rand(seed) - 0.5) * e
+  }
 
   /** Gaussian noise with the given sd. (stats.py:447 jitter /
     * add_noise; sample.rs:165) */
   def jitter(c: Column, sd: Double, seed: Long): Column =
     c + randn(seed) * sd
+
+  /** add_noise dispatcher (stats.py:471): "gaussian" → [[jitter]],
+    * "uniform" → [[perturb]]. */
+  def addNoise(c: Column, noiseType: String = "gaussian",
+               scale: Double = 1.0, seed: Long = 0L): Column =
+    noiseType match {
+      case "gaussian" => jitter(c, scale, seed)
+      case "uniform"  => perturb(c, scale, seed)
+      case t => throw new IllegalArgumentException(
+        s"the noise_type $t is not currently supported")
+    }
 }

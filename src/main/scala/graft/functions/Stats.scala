@@ -19,10 +19,15 @@ object Stats {
   /** Σwx / Σw */
   def weightedMean(x: Column, w: Column): Column = sum(w * x) / sum(w)
 
-  /** Weighted variance (population convention: /Σw).
-    * Algebraic: (Σwx² − (Σwx)²/Σw) / Σw */
-  def weightedVar(x: Column, w: Column): Column =
-    (sum(w * x * x) - sum(w * x) * sum(w * x) / sum(w)) / sum(w)
+  /** Weighted variance. Default is the reference's biased convention
+    * (/Σw); `freqWeights=true` treats w as unnormalized frequency
+    * weights and divides by Σw − 1 (stats.py:852 weighted_var).
+    * Algebraic: (Σwx² − (Σwx)²/Σw) / denom */
+  def weightedVar(x: Column, w: Column,
+                  freqWeights: Boolean = false): Column = {
+    val summand = sum(w * x * x) - sum(w * x) * sum(w * x) / sum(w)
+    if (freqWeights) summand / (sum(w) - 1.0) else summand / sum(w)
+  }
 
   /** Weighted covariance (population convention). */
   def weightedCov(x: Column, y: Column, w: Column): Column =

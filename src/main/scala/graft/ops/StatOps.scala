@@ -51,8 +51,16 @@ object StatOps {
   /** Mann–Whitney U (two-sided, normal approx with tie correction and
     * continuity correction, matching scipy's default asymptotic method).
     * Returns {u, z, pvalue} per group. (stats.py:331) */
+  /** Mann–Whitney U with tie correction; `alternative` follows the
+    * reference (mann_whitney_u.rs:47-52): two-sided tests max(U1,U2)
+    * with factor 2, less tests U2, greater tests U1; p uses the
+    * normal approximation with the +0.5 continuity shift, clamped to
+    * [0,1]. The reported statistic is always U1. */
   def mannWhitneyU(df: DataFrame, x: Column, inFirst: Column,
-                   groupNames: Seq[String]): DataFrame = {
+                   groupNames: Seq[String],
+                   alternative: String = "two-sided"): DataFrame = {
+    require(Set("two-sided", "less", "greater")(alternative),
+      s"unknown alternative '$alternative'")
     val gc = groupNames.map(col)
     val t = df.select(gc :+ x.cast("double").as(s"${P}x")
       :+ inFirst.cast("int").as(s"${P}s1"): _*)
@@ -76,10 +84,15 @@ object StatOps {
     val mu = n1 * n2 / 2.0
     val sigma = sqrt(n1 * n2 / 12.0 *
       ((n + 1.0) - col(s"${P}ties") / (n * (n - 1.0))))
-    val bigU = greatest(u1, n1 * n2 - u1)
-    val z = (bigU - mu - 0.5) / sigma
-    agg.select(gc ++ Seq(u1.as("u"), z.as("z"),
-      PValues.normSf2(z).as("pvalue")): _*)
+    val (testU, factor) = alternative match {
+      case "less"    => (n1 * n2 - u1, 1.0)
+      case "greater" => (u1, 1.0)
+      case _         => (greatest(u1, n1 * n2 - u1), 2.0)
+    }
+    val z = (testU - mu - 0.5) / sigma
+    val p = least(greatest(PValues.normSf(z) * factor, lit(0.0)),
+      lit(1.0))
+    agg.select(gc ++ Seq(u1.as("u"), z.as("z"), p.as("pvalue")): _*)
   }
 
   /** One-way ANOVA F test: `value` across the levels of `factor`,
@@ -136,6 +149,38 @@ object StatOps {
     res.withColumn("pvalue", PValues.chi2Sf(col("statistic"), col("df")))
   }
 
+  /** chi2(return_full=True) (stats.py:301; src/stats/chi2.rs:94
+    * pl_chi2_full): one row per OBSERVED contingency cell carrying the
+    * cell's expected frequency alongside the test result. The labels
+    * (`a`, `b`) are included — strictly more informative than the
+    * reference's positional E[freq] series. Same plan as [[chi2]] plus
+    * a broadcast join of the per-group scalars back onto the cells. */
+  def chi2Full(df: DataFrame, a: Column, b: Column,
+               groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val obs = df.select(gc :+ a.as(s"${P}a") :+ b.as(s"${P}b"): _*)
+      .groupBy(gc :+ col(s"${P}a") :+ col(s"${P}b"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}o"))
+    val wA = Window.partitionBy(gc :+ col(s"${P}a"): _*)
+    val wB = Window.partitionBy(gc :+ col(s"${P}b"): _*)
+    val wT = Window.partitionBy(gc: _*)
+    val withE = obs
+      .withColumn(s"${P}e", sum(s"${P}o").over(wA) *
+        sum(s"${P}o").over(wB) / sum(s"${P}o").over(wT))
+    val scalars = withE.groupBy(gc: _*).agg(
+      sum(pow(col(s"${P}o") - col(s"${P}e"), 2) / col(s"${P}e"))
+        .as("statistic"),
+      ((countDistinct(s"${P}a") - 1) * (countDistinct(s"${P}b") - 1))
+        .cast("double").as("dof"))
+      .withColumn("pvalue", PValues.chi2Sf(col("statistic"), col("dof")))
+    val joined =
+      if (groupNames.isEmpty) withE.crossJoin(broadcast(scalars))
+      else withE.join(broadcast(scalars), groupNames)
+    joined.select(gc ++ Seq(col(s"${P}a").as("a"), col(s"${P}b").as("b"),
+      col(s"${P}o").as("observed"), col(s"${P}e").as("expected"),
+      col("statistic"), col("dof"), col("pvalue")): _*)
+  }
+
   /** Spearman rank correlation via average ranks + Pearson corr on ranks.
     * (stats.py corr(method="spearman")) */
   def spearman(df: DataFrame, x: Column, y: Column,
@@ -160,7 +205,8 @@ object StatOps {
     * r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥ y_i}.
     * (stats.py:1039; src/stats/xi_corr.rs) */
   def xiCorr(df: DataFrame, x: Column, y: Column, groupNames: Seq[String],
-             outName: String = "xi"): DataFrame = {
+             outName: String = "xi",
+             returnP: Boolean = false): DataFrame = {
     val gc = groupNames.map(col)
     val t = df.select(gc :+ x.cast("double").as(s"${P}x")
       :+ y.cast("double").as(s"${P}y"): _*)
@@ -176,11 +222,23 @@ object StatOps {
       .withColumn(s"${P}l", count(lit(1)).over(wYge).cast("double"))
       .withColumn(s"${P}n", count(lit(1)).over(wT).cast("double"))
       .withColumn(s"${P}rNext", lead(col(s"${P}r"), 1).over(wX))
-    withRanks.groupBy(gc: _*).agg(
+    val agg = withRanks.groupBy(gc: _*).agg(
       (lit(1.0) - first(col(s"${P}n")) *
         sum(abs(col(s"${P}rNext") - col(s"${P}r"))) /
         (sum(col(s"${P}l") * (col(s"${P}n") - col(s"${P}l"))) * 2.0))
-        .as(outName))
+        .as(outName),
+      first(col(s"${P}n")).as(s"${P}nn"))
+    if (!returnP) agg.drop(s"${P}nn")
+    else {
+      // xi_corr.rs:36-43: NaN under n<30, else the asymptotic
+      // two-sided normal p with Var(√n·ξ) = 2/5
+      val z = sqrt(col(s"${P}nn")) * abs(col(outName)) /
+        math.sqrt(0.4)
+      agg.withColumn("pvalue",
+          when(col(s"${P}nn") < 30.0, lit(Double.NaN))
+            .otherwise(PValues.normSf(z) * 2.0))
+        .drop(s"${P}nn")
+    }
   }
 
   /** Biweight midcorrelation (astropy semantics: median/MAD weights,

@@ -40,7 +40,8 @@ object MiscQueries extends QueryPack {
         (sum(col("nl").isNull.cast("long")) > count(lit(1)) * 0.4 &&
           sum(col("nl").isNull.cast("long")) < count(lit(1)) * 0.6)
           .as("null_frac_ok"),
-        (max(abs(col("p") - col("value"))) <= 0.1).as("perturb_bounded"),
+        // reference range is [-eps/2, eps/2) (stats.py:420)
+        (max(abs(col("p") - col("value"))) <= 0.05).as("perturb_bounded"),
         (abs(avg(col("j") - col("value"))) < 0.1).as("jitter_centered"))
     }),
     "q_str_vocab" -> ((s, dir) => {

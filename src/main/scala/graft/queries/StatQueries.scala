@@ -70,6 +70,17 @@ object StatQueries extends QueryPack {
         .select(round(col("statistic"), 6).as("statistic"),
           round(col("df"), 1).as("df"))
     }),
+    // chi2(return_full=True): per-cell expected frequencies
+    "q_chi2_full" -> ((s, dir) => {
+      StatOps.chi2Full(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_linestatus"), Nil)
+        .select(col("a"), col("b"),
+          col("observed").cast("long").as("observed"),
+          round(col("expected"), 4).as("expected"),
+          round(col("statistic"), 6).as("statistic"),
+          round(col("dof"), 1).as("dof"))
+        .orderBy("a", "b")
+    }),
     "q_weighted_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -78,6 +89,8 @@ object StatQueries extends QueryPack {
             col("l_quantity")), 4).as("wmean"),
           round(Stats.weightedVar(col("l_extendedprice"),
             col("l_quantity")), 2).as("wvar"),
+          round(Stats.weightedVar(col("l_extendedprice"),
+            col("l_quantity"), freqWeights = true), 2).as("wvar_freq"),
           round(Stats.weightedCorr(col("l_extendedprice"),
             col("l_discount"), col("l_quantity")), 6).as("wcorr"),
           round(Stats.cosineSim(col("l_extendedprice"),
@@ -130,12 +143,18 @@ object StatQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
     "q_mann_whitney" -> ((s, dir) => {
-      StatOps.mannWhitneyU(
-          t(s, dir, "events")
-            .filter(col("event_type").isin("click", "view"))
-            .withColumn("g", lit(1)),
-          col("value"), col("event_type") === "click", Seq("g"))
-        .select(round(col("u"), 1).as("u"), round(col("z"), 6).as("z"))
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("g", lit(1))
+      val in1 = col("event_type") === "click"
+      val two = StatOps.mannWhitneyU(ev, col("value"), in1, Seq("g"))
+      val less = StatOps.mannWhitneyU(ev, col("value"), in1, Seq("g"),
+        alternative = "less")
+      val grt = StatOps.mannWhitneyU(ev, col("value"), in1, Seq("g"),
+        alternative = "greater")
+      two.select(round(col("u"), 1).as("u"), round(col("z"), 6).as("z"))
+        .crossJoin(less.select(round(col("z"), 6).as("z_less")))
+        .crossJoin(grt.select(round(col("z"), 6).as("z_greater")))
     }),
     "q_ks_2samp" -> ((s, dir) => {
       StatOps.ks2Samp(
@@ -229,6 +248,23 @@ object StatQueries extends QueryPack {
         |SELECT ROUND(SUM((o - exp_) * (o - exp_) / exp_), 6) AS statistic,
         |  ROUND(ANY_VALUE(d.df), 1) AS df
         |FROM e, d""".stripMargin,
+    "q_chi2_full" ->
+      """WITH o AS (
+        |  SELECT l_returnflag a, l_linestatus b, COUNT(*)::DOUBLE o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (
+        |  SELECT a, b, o,
+        |    SUM(o) OVER (PARTITION BY a) * SUM(o) OVER (PARTITION BY b)
+        |      / SUM(o) OVER () AS exp_
+        |  FROM o),
+        |s AS (
+        |  SELECT SUM((o - exp_) * (o - exp_) / exp_) stat,
+        |    (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) dof
+        |  FROM e)
+        |SELECT e.a, e.b, e.o::BIGINT AS observed,
+        |  ROUND(e.exp_, 4) AS expected,
+        |  ROUND(s.stat, 6) AS statistic, ROUND(s.dof, 1) AS dof
+        |FROM e, s ORDER BY 1, 2""".stripMargin,
     "q_weighted_stats" ->
       """SELECT l_returnflag,
         |  ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4)
@@ -237,6 +273,10 @@ object StatQueries extends QueryPack {
         |    - SUM(l_quantity * l_extendedprice)
         |      * SUM(l_quantity * l_extendedprice) / SUM(l_quantity))
         |    / SUM(l_quantity), 2) AS wvar,
+        |  ROUND((SUM(l_quantity * l_extendedprice * l_extendedprice)
+        |    - SUM(l_quantity * l_extendedprice)
+        |      * SUM(l_quantity * l_extendedprice) / SUM(l_quantity))
+        |    / (SUM(l_quantity) - 1), 2) AS wvar_freq,
         |  ROUND(((SUM(l_quantity * l_extendedprice * l_discount)
         |      - SUM(l_quantity * l_extendedprice)
         |        * SUM(l_quantity * l_discount) / SUM(l_quantity))
@@ -376,16 +416,19 @@ object StatQueries extends QueryPack {
         |a AS (
         |  SELECT SUM(CASE WHEN s1 = 1 THEN ar END) r1,
         |    SUM(s1)::DOUBLE n1, COUNT(*) - SUM(s1)::DOUBLE n2
-        |  FROM r)
+        |  FROM r),
+        |u AS (
+        |  SELECT r1 - n1 * (n1 + 1) / 2.0 u1, n1 * n2 mn,
+        |    n1 * n2 / 2.0 mu,
+        |    SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+        |      - tt / ((n1 + n2) * (n1 + n2 - 1.0)))) sd
+        |  FROM a, tie)
         |SELECT
-        |  ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u,
-        |  ROUND((GREATEST(r1 - n1 * (n1 + 1) / 2.0,
-        |      n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0))
-        |    - n1 * n2 / 2.0 - 0.5)
-        |    / SQRT(n1 * n2 / 12.0
-        |      * ((n1 + n2 + 1.0) - tt / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
-        |    AS z
-        |FROM a, tie""".stripMargin,
+        |  ROUND(u1, 1) AS u,
+        |  ROUND((GREATEST(u1, mn - u1) - mu - 0.5) / sd, 6) AS z,
+        |  ROUND((mn - u1 - mu - 0.5) / sd, 6) AS z_less,
+        |  ROUND((u1 - mu - 0.5) / sd, 6) AS z_greater
+        |FROM u""".stripMargin,
     "q_ks_2samp" ->
       """WITH t AS (
         |  SELECT value x,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.agg.KendallTauAgg
-import graft.functions.{PValues, Stats}
+import graft.functions.{PValues, RandomGen, Stats}
 import graft.ops.StatOps
 
 class StatsSpec extends AnyFunSuite {
@@ -80,8 +80,92 @@ class StatsSpec extends AnyFunSuite {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").withColumn("w", lit(1.0))
     val r = df.agg(
       Stats.weightedMean(col("x"), col("w")).as("m"),
-      Stats.weightedVar(col("x"), col("w")).as("v")).collect()(0)
+      Stats.weightedVar(col("x"), col("w")).as("v"),
+      Stats.weightedVar(col("x"), col("w"), freqWeights = true)
+        .as("vf")).collect()(0)
     assert(approx(r.getAs[Double]("m"), 2.5))
     assert(approx(r.getAs[Double]("v"), 1.25)) // population var
+    // freq_weights: /(Σw − 1) = sample var with unit weights
+    // (stats.py:876)
+    assert(approx(r.getAs[Double]("vf"), 5.0 / 3.0))
+  }
+
+  test("t-test alternatives follow scipy (t_test.rs:26-58): " +
+      "less = cdf(t), greater = sf(t), two-sided = 2·sf(|t|)") {
+    import spark.implicits._
+    val df = Seq((1.0, 4.5), (2.0, 5.0), (3.0, 6.5), (2.5, 4.0))
+      .toDF("a", "b")
+    val ts = Stats.tTestInd(col("a"), col("b"))
+    val r = df.agg(
+      PValues.withTPValue(ts, "two-sided").as("p2"),
+      PValues.withTPValue(ts, "less").as("pl"),
+      PValues.withTPValue(ts, "greater").as("pg")).collect()(0)
+    val p2 = r.getStruct(0).getDouble(1)
+    val pl = r.getStruct(1).getDouble(1)
+    val pg = r.getStruct(2).getDouble(1)
+    assert(approx(pl + pg, 1.0, 1e-12))
+    assert(approx(p2, 2.0 * math.min(pl, pg), 1e-12))
+    assert(pl < 0.05 && pg > 0.95) // a is clearly less than b here
+  }
+
+  test("mannWhitneyU alternatives: scipy asymptotic literals on " +
+      "[1,2,3] vs [4,5,6] (mann_whitney_u.rs:47-58)") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false))
+      .toDF("x", "s").withColumn("g", lit(1))
+    // U1=0, U2=9, mu=4.5, sd=sqrt(5.25); scipy method='asymptotic':
+    // two-sided p=2·sf((9−4.5−0.5)/sd)=0.08086..., less tests U2,
+    // greater tests U1 → p=sf((0−5)/sd)=0.98545...
+    def p(alt: String) = StatOps.mannWhitneyU(df, col("x"), col("s"),
+      Seq("g"), alt).collect()(0).getAs[Double]("pvalue")
+    val sd = math.sqrt(5.25)
+    val nd = new org.apache.commons.math3.distribution
+      .NormalDistribution(null, 0.0, 1.0)
+    def sf(z: Double) = 1.0 - nd.cumulativeProbability(z)
+    assert(approx(p("two-sided"), 2.0 * sf(4.0 / sd), 1e-12))
+    assert(approx(p("less"), sf(4.0 / sd), 1e-12))
+    assert(approx(p("greater"), sf(-5.0 / sd), 1e-12))
+  }
+
+  test("xiCorr return_p: NaN under n=30, asymptotic 2·sf(√n·ξ/√0.4) " +
+      "at n≥30 (xi_corr.rs:36-43)") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => (i.toDouble, i.toDouble * 2))
+      .toDF("x", "y").withColumn("g", lit(1))
+    val rs = StatOps.xiCorr(small, col("x"), col("y"), Seq("g"),
+      returnP = true).collect()(0)
+    assert(rs.getAs[Double]("pvalue").isNaN)
+    val big = (1 to 40).map(i => (i.toDouble, i.toDouble * 2))
+      .toDF("x", "y").withColumn("g", lit(1))
+    val rb = StatOps.xiCorr(big, col("x"), col("y"), Seq("g"),
+      returnP = true).collect()(0)
+    val xi = rb.getAs[Double]("xi")
+    val nd = new org.apache.commons.math3.distribution
+      .NormalDistribution(null, 0.0, 1.0)
+    val exp = 2.0 * (1.0 - nd.cumulativeProbability(
+      math.sqrt(40.0) * math.abs(xi) / math.sqrt(0.4)))
+    assert(approx(rb.getAs[Double]("pvalue"), exp, 1e-12))
+  }
+
+  test("perturb stays in [−ε/2, ε/2) / [0, ε) and addNoise " +
+      "dispatches (stats.py:406-491)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(_.toDouble).toDF("x")
+      .withColumn("p", RandomGen.perturb(col("x"), 0.1, 7))
+      .withColumn("pp",
+        RandomGen.perturb(col("x"), 0.1, 8, positive = true))
+      .withColumn("an", RandomGen.addNoise(col("x"), "uniform", 0.1, 9))
+    val r = df.select(
+      max(abs(col("p") - col("x"))).as("m"),
+      min(col("pp") - col("x")).as("lo"),
+      max(col("pp") - col("x")).as("hi"),
+      max(abs(col("an") - col("x"))).as("nu")).collect()(0)
+    assert(r.getAs[Double]("m") <= 0.05)
+    assert(r.getAs[Double]("lo") >= 0.0 && r.getAs[Double]("hi") < 0.1)
+    assert(r.getAs[Double]("nu") <= 0.05)
+    intercept[IllegalArgumentException] {
+      RandomGen.addNoise(col("x"), "laplace")
+    }
   }
 }
