@@ -25,9 +25,20 @@ object NumFuncs {
   def l2SqHorizontal(cols: Column*): Column =
     cols.map(c => c * c).reduce(_ + _)
 
-  /** max|xᵢ| across columns. (num.py:110 l_inf_horizontal) */
+  /** max|xᵢ| across columns. (num.py:74 l_inf_horizontal) */
   def lInfHorizontal(cols: Column*): Column =
     greatest(cols.map(abs): _*)
+
+  // normalize=True variants: divide by the dimension (num.py:74-127)
+  def l1Horizontal(cols: Seq[Column], normalize: Boolean): Column =
+    if (normalize) l1Horizontal(cols: _*) / cols.length
+    else l1Horizontal(cols: _*)
+  def l2SqHorizontal(cols: Seq[Column], normalize: Boolean): Column =
+    if (normalize) l2SqHorizontal(cols: _*) / cols.length
+    else l2SqHorizontal(cols: _*)
+  def lInfHorizontal(cols: Seq[Column], normalize: Boolean): Column =
+    if (normalize) lInfHorizontal(cols: _*) / cols.length
+    else lInfHorizontal(cols: _*)
 
   // ---- array (fixed-dim vector) math: num.py:128-216 ----
 
@@ -62,6 +73,34 @@ object NumFuncs {
   def jaccardRow(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
+
+  /** Column-set Jaccard |A∩B|/|A∪B| over the DISTINCT values of two
+    * columns (num.py:487 jaccard_col); `countNull=true` counts null as
+    * a distinct element of each side. One row out. Plan: union the two
+    * sides tagged, one shuffle on value with per-side membership
+    * max-flags (map-side combinable), then a global sum — never
+    * materializes either set. */
+  def jaccardCol(df: org.apache.spark.sql.DataFrame, a: Column,
+                 b: Column, countNull: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val P = "__jc_"
+    def side(c: Column, tag: Int) = {
+      val base = df.select(c.as(s"${P}v"))
+      (if (countNull) base else base.where(col(s"${P}v").isNotNull))
+        .withColumn(s"${P}s", lit(tag))
+    }
+    side(a, 0).unionByName(side(b, 1))
+      .groupBy(s"${P}v")
+      .agg(max(when(col(s"${P}s") === 0, 1L).otherwise(0L))
+          .as(s"${P}ina"),
+        max(when(col(s"${P}s") === 1, 1L).otherwise(0L)).as(s"${P}inb"))
+      .agg(sum(s"${P}ina").as("n_a"), sum(s"${P}inb").as("n_b"),
+        sum(col(s"${P}ina") * col(s"${P}inb")).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard_col"))
+  }
 
   // ---- elementwise special functions: num.py:926-1177 ----
 

@@ -62,12 +62,41 @@ object SeqOps {
 
   val pavaUdf = udf((ys: Seq[Double]) => pavaFit(ys).toSeq)
 
+  private val pavaFullUdf =
+    udf((ys: Seq[Double], ws: Seq[Double], inc: Boolean) => {
+      val yy = if (inc) ys else ys.map(v => -v)
+      val fit = pavaFit(yy, Option(ws))
+      (if (inc) fit else fit.map(v => -v)).toSeq
+    })
+
   /** Per-group isotonic fit: returns group rows with an `isotonic`
-    * array column aligned with ascending `order`. */
+    * array column aligned with ascending `order`. `weights` and
+    * `increasing` follow num.py:1106 (scipy.optimize
+    * .isotonic_regression); decreasing = −PAVA(−y) with the same
+    * weights. */
   def isotonic(df: DataFrame, y: Column, order: Column,
-               groupNames: Seq[String]): DataFrame =
-    collectSeries(df, y, order, groupNames)
-      .withColumn("isotonic", pavaUdf(col("series")))
+               groupNames: Seq[String],
+               weights: Option[Column] = None,
+               increasing: Boolean = true): DataFrame = weights match {
+    case None if increasing =>
+      collectSeries(df, y, order, groupNames)
+        .withColumn("isotonic", pavaUdf(col("series")))
+    case _ =>
+      val gc = groupNames.map(col)
+      val w = weights.getOrElse(lit(1.0))
+      val paired = df.select(gc ++ Seq(order.as(s"${P}o"),
+          y.cast("double").as(s"${P}x"),
+          w.cast("double").as(s"${P}w")): _*)
+        .groupBy(gc: _*)
+        .agg(array_sort(collect_list(struct(col(s"${P}o"),
+          col(s"${P}x"), col(s"${P}w")))).as(s"${P}s"))
+      paired
+        .withColumn("series", graft.util.Guard.cappedSeries(
+          transform(col(s"${P}s"), s => s(s"${P}x")), "isotonic"))
+        .withColumn("isotonic", pavaFullUdf(col("series"),
+          transform(col(s"${P}s"), s => s(s"${P}w")), lit(increasing)))
+        .drop(s"${P}s")
+  }
 
   // ---- convolution (num.py:857; convolve.rs:190) ----
 
@@ -209,6 +238,45 @@ object SeqOps {
       .withColumn("fft", dftUdf(col("series"), lit(nCoeffs))
         .cast("array<struct<re:double,im:double>>"))
       .drop("series")
+
+  /** rfft with the reference's full signature (num.py:1043): `n`
+    * crops or zero-pads the series before the transform; `returnFull`
+    * emits the whole length-n spectrum via conjugate symmetry
+    * (coefficient n−k = conj(k)) instead of the first n/2+1. */
+  private val rfftFullUdf =
+    udf((xs: Seq[Double], nReq: Int, full: Boolean) => {
+      val src = xs.toArray
+      val n = if (nReq > 0) nReq else src.length
+      val a = if (n <= src.length) src.take(n)
+        else src ++ Array.fill(n - src.length)(0.0)
+      val half = n / 2 + 1
+      val head = (0 until half).map { k =>
+        var re = 0.0; var im = 0.0
+        var j = 0
+        while (j < n) {
+          val ang = 2.0 * math.Pi * j * k / n
+          re += a(j) * math.cos(ang)
+          im -= a(j) * math.sin(ang)
+          j += 1
+        }
+        (re, im)
+      }
+      if (!full) head
+      else head ++ (half until n).map { k =>
+        val (re, im) = head(n - k); (re, -im)
+      }
+    })
+
+  def rfftFull(df: DataFrame, x: Column, order: Column,
+               groupNames: Seq[String], n: Option[Int] = None,
+               returnFull: Boolean = false): DataFrame = {
+    n.foreach(v => require(v > 1, "Input `n` should be > 1."))
+    collectSeries(df, x, order, groupNames)
+      .withColumn("fft",
+        rfftFullUdf(col("series"), lit(n.getOrElse(0)), lit(returnFull))
+          .cast("array<struct<re:double,im:double>>"))
+      .drop("series")
+  }
 
   // ---- cubic smoothing spline (expr_spline.py:13; splines.rs:99) ----
 

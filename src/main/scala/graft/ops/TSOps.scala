@@ -60,7 +60,12 @@ object TSOps {
       min(when(col(s"${P}l1").isNotNull, (d >= 0).cast("int")))
         .cast("boolean").as("is_increasing"),
       min(when(col(s"${P}l1").isNotNull, (d <= 0).cast("int")))
-        .cast("boolean").as("is_decreasing"))
+        .cast("boolean").as("is_decreasing"),
+      // strict=True variants: diff() > 0 / < 0 (num.py:229,248)
+      min(when(col(s"${P}l1").isNotNull, (d > 0).cast("int")))
+        .cast("boolean").as("is_increasing_strict"),
+      min(when(col(s"${P}l1").isNotNull, (d < 0).cast("int")))
+        .cast("boolean").as("is_decreasing_strict"))
   }
 
   /** Order-free aggregate features, one row per group: mid_range,

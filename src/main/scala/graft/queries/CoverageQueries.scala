@@ -55,25 +55,14 @@ object CoverageQueries extends QueryPack {
         .orderBy("event_type")
     }),
     "q_jaccard_col" -> ((s, dir) => {
-      // set-of-values jaccard between click and non-click value buckets.
-      // Single pass: per-bucket membership flags (one shuffle on bucket,
-      // map-side partial max), then a global sum — replaces the
-      // 3-action count/count/intersect-count shape, which shuffled the
-      // bucket sets three times and serialized the jobs on the driver.
+      // set-of-values jaccard between click and non-click value buckets
+      // via NumFuncs.jaccardCol (num.py:487): the null-dropping default
+      // turns the two when() projections into the two sides' sets.
       val ev = t(s, dir, "events")
         .withColumn("bucket", floor(col("value") / 5.0))
-      ev.groupBy(col("bucket"))
-        .agg(
-          max(when(col("event_type") === "click", 1L).otherwise(0L))
-            .as("in_a"),
-          max(when(col("event_type") =!= "click", 1L).otherwise(0L))
-            .as("in_b"))
-        .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
-          sum(col("in_a") * col("in_b")).as("n_common"))
-        .select(col("n_a"), col("n_b"), col("n_common"),
-          (col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")))
-            .as("jaccard_col"))
+      graft.functions.NumFuncs.jaccardCol(ev,
+        when(col("event_type") === "click", col("bucket")),
+        when(col("event_type") =!= "click", col("bucket")))
     }),
     "q_psi_discrete" -> ((s, dir) => {
       val ev = t(s, dir, "events")

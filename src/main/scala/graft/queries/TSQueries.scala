@@ -20,7 +20,8 @@ object TSQueries extends QueryPack {
           round(col("c3"), 2).as("c3"),
           round(col("time_reversal_asymmetry"), 2).as("tra"),
           round(col("auto_corr"), 6).as("auto_corr"),
-          col("is_increasing"), col("is_decreasing"))
+          col("is_increasing"), col("is_decreasing"),
+          col("is_increasing_strict"), col("is_decreasing_strict"))
         .orderBy("event_type")
     }),
     "q_ts_basic" -> ((s, dir) => {
@@ -146,7 +147,13 @@ object TSQueries extends QueryPack {
         |    AS is_increasing,
         |  MIN(CASE WHEN l1 IS NOT NULL
         |    THEN CASE WHEN x - l1 <= 0 THEN 1 ELSE 0 END END) = 1
-        |    AS is_decreasing
+        |    AS is_decreasing,
+        |  MIN(CASE WHEN l1 IS NOT NULL
+        |    THEN CASE WHEN x - l1 > 0 THEN 1 ELSE 0 END END) = 1
+        |    AS is_increasing_strict,
+        |  MIN(CASE WHEN l1 IS NOT NULL
+        |    THEN CASE WHEN x - l1 < 0 THEN 1 ELSE 0 END END) = 1
+        |    AS is_decreasing_strict
         |FROM t
         |JOIN (SELECT event_type, AVG(value) mean,
         |        AVG(value * value) - AVG(value) * AVG(value) varp

@@ -134,4 +134,35 @@ class NumSpec extends AnyFunSuite {
       .agg(sum(abs(col("detrended")))).head.getDouble(0)
     assert(approx(res, 0.0, 1e-8))
   }
+
+  test("horizontal norms with normalize divide by the dimension " +
+      "(num.py:74-127)") {
+    import spark.implicits._
+    val df = Seq((3.0, -4.0)).toDF("a", "b")
+    val cols = Seq(col("a"), col("b"))
+    val r = df.select(
+      NumFuncs.l1Horizontal(cols, normalize = true).as("l1"),
+      NumFuncs.l2SqHorizontal(cols, normalize = true).as("l2"),
+      NumFuncs.lInfHorizontal(cols, normalize = true).as("li"))
+      .head
+    assert(approx(r.getDouble(0), 3.5))   // (3+4)/2
+    assert(approx(r.getDouble(1), 12.5))  // (9+16)/2
+    assert(approx(r.getDouble(2), 2.0))   // 4/2
+  }
+
+  test("jaccardCol count_null counts null as a distinct element " +
+      "(num.py:487)") {
+    import spark.implicits._
+    val df = Seq((Some(1), Some(1)), (Some(2), Some(3)),
+      (None: Option[Int], Some(3)), (Some(1), None: Option[Int]))
+      .toDF("a", "b")
+    // sets without nulls: A={1,2}, B={1,3} → 1/3
+    val r0 = NumFuncs.jaccardCol(df, col("a"), col("b")).head
+    assert(approx(r0.getAs[Double]("jaccard_col"), 1.0 / 3))
+    // with nulls: A={1,2,null}, B={1,3,null} → 2/4
+    val r1 = NumFuncs.jaccardCol(df, col("a"), col("b"),
+      countNull = true).head
+    assert(approx(r1.getAs[Double]("jaccard_col"), 0.5))
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 3L)
+  }
 }

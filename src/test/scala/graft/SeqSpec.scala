@@ -37,6 +37,60 @@ class SeqSpec extends AnyFunSuite {
     assert(fit.sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("isotonic weights and increasing=false follow scipy " +
+      "(num.py:1106)") {
+    import spark.implicits._
+    // scipy.optimize.isotonic_regression([5,3,4], weights=[1,1,2]):
+    // pool(5,3)→4,4; 4<=4 ok → [4,4,4]. With weights [2,1,1]:
+    // pool(5,3) weighted → (2·5+1·3)/3 = 13/3; 13/3 > 4 → pool all:
+    // (2·5+1·3+1·4)/4 = 17/4 → [4.25, 4.25, 4.25]
+    val df = Seq((0L, 5.0, 2.0, "g"), (1L, 3.0, 1.0, "g"),
+      (2L, 4.0, 1.0, "g")).toDF("i", "y", "w", "g")
+    val fit = SeqOps.isotonic(df, col("y"), col("i"), Seq("g"),
+        weights = Some(col("w")))
+      .select("isotonic").head.getSeq[Double](0)
+    assert(fit.forall(v => approx(v, 4.25, 1e-12)), fit.toString)
+    // decreasing = −PAVA(−y): [1,2,3] decreasing → all pooled to 2
+    val dfd = Seq((0L, 1.0, "g"), (1L, 2.0, "g"), (2L, 3.0, "g"))
+      .toDF("i", "y", "g")
+    val fd = SeqOps.isotonic(dfd, col("y"), col("i"), Seq("g"),
+        increasing = false)
+      .select("isotonic").head.getSeq[Double](0)
+    assert(fd.forall(v => approx(v, 2.0, 1e-12)), fd.toString)
+    // an already-decreasing series is returned unchanged
+    val dfd2 = Seq((0L, 3.0, "g"), (1L, 2.0, "g"), (2L, 1.0, "g"))
+      .toDF("i", "y", "g")
+    val fd2 = SeqOps.isotonic(dfd2, col("y"), col("i"), Seq("g"),
+        increasing = false)
+      .select("isotonic").head.getSeq[Double](0)
+    assert(fd2 == Seq(3.0, 2.0, 1.0), fd2.toString)
+  }
+
+  test("rfftFull crop/pad and full-spectrum conjugate symmetry " +
+      "(num.py:1043)") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("i", "x", "g")
+    // full spectrum of the zero-padded length-6 series
+    val full = SeqOps.rfftFull(df, col("x"), col("i"), Seq("g"),
+        n = Some(6), returnFull = true)
+      .select("fft").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(full.length == 6)
+    // conjugate symmetry: coeff 5 = conj(coeff 1), 4 = conj(2)
+    assert(approx(full(5).getDouble(0), full(1).getDouble(0), 1e-9))
+    assert(approx(full(5).getDouble(1), -full(1).getDouble(1), 1e-9))
+    assert(approx(full(4).getDouble(0), full(2).getDouble(0), 1e-9))
+    // DC term = padded sum
+    assert(approx(full(0).getDouble(0), xs.sum, 1e-9))
+    // crop to n=4: DC = 1+2+3+4
+    val crop = SeqOps.rfftFull(df, col("x"), col("i"), Seq("g"),
+        n = Some(4))
+      .select("fft").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(crop.length == 3)
+    assert(approx(crop(0).getDouble(0), 10.0, 1e-9))
+  }
+
   test("convolveWin valid mode equals hand convolution") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
