@@ -50,7 +50,8 @@ class LempelZivAgg(asRatio: Boolean)
 }
 
 object LempelZivAgg {
-  def lempelZiv(order: Column, bit: Column, asRatio: Boolean = false)
+  // default as_ratio=true matches ts_features.py:314 query_lempel_ziv
+  def lempelZiv(order: Column, bit: Column, asRatio: Boolean = true)
       : Column = {
     val f = functions.udaf(new LempelZivAgg(asRatio), Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaBoolean))

@@ -26,12 +26,15 @@ object Metrics {
   private def clip01(p: Column, eps: Double): Column =
     least(greatest(p, lit(eps)), lit(1.0 - eps))
 
-  /** Mean absolute error. (metrics.py:141 query_l1) */
-  def l1Loss(y: Column, p: Column): Column = avg(abs(y - p))
+  /** Mean absolute error; normalize=false returns the sum.
+    * (metrics.py:162 query_l1) */
+  def l1Loss(y: Column, p: Column, normalize: Boolean = true): Column =
+    if (normalize) avg(abs(y - p)) else sum(abs(y - p))
 
-  /** Mean squared error (sum convention follows reference: total squared
-    * error / n). (metrics.py:166 query_l2) */
-  def l2Loss(y: Column, p: Column): Column = avg((y - p) * (y - p))
+  /** Mean squared error; normalize=false returns the sum.
+    * (metrics.py:141 query_l2) */
+  def l2Loss(y: Column, p: Column, normalize: Boolean = true): Column =
+    if (normalize) avg((y - p) * (y - p)) else sum((y - p) * (y - p))
 
   /** Max absolute error. (metrics.py:186 query_l_inf) */
   def lInfLoss(y: Column, p: Column): Column = max(abs(y - p))
@@ -51,9 +54,12 @@ object Metrics {
     if (double) base * 2.0 else base
   }
 
-  /** Mean squared log error. (metrics.py:334 query_msle) */
-  def msle(y: Column, p: Column): Column =
-    avg(pow(log1p(y) - log1p(p), 2))
+  /** Mean squared log error; normalize=false returns the sum.
+    * (metrics.py:334 query_msle) */
+  def msle(y: Column, p: Column, normalize: Boolean = true): Column = {
+    val se = pow(log1p(y) - log1p(p), 2)
+    if (normalize) avg(se) else sum(se)
+  }
 
   /** R-squared. Algebraic expansion: SS_tot = Σy² − (Σy)²/n so no nested
     * aggregate is needed. (metrics.py:64 query_r2) */

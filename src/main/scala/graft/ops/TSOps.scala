@@ -46,6 +46,10 @@ object TSOps {
     t.groupBy(gc: _*).agg(
       avg(abs(d)).as("mean_abs_change"),
       sqrt(sum(d * d)).as("cid_ce"),
+      // normalize=True (ts_features.py:356): z-normalize first, which
+      // algebraically is cid_ce / std(ddof=1)
+      (sqrt(sum(d * d)) / stddev_samp(col(s"${P}x")))
+        .as("cid_ce_normalized"),
       avg(col(s"${P}x") * col(s"${P}l1") * col(s"${P}l2")).as("c3"),
       avg(col(s"${P}l2") * col(s"${P}l2") * col(s"${P}l1") -
         col(s"${P}l1") * col(s"${P}x") * col(s"${P}x"))
@@ -72,13 +76,23 @@ object TSOps {
     * abs_energy, coefficient of variation, count_uniques, range_count.
     * (ts_features.py:51-106) */
   def basicFeatures(df: DataFrame, x: Column, groupNames: Seq[String],
-                    rangeLo: Double, rangeHi: Double): DataFrame = {
+                    rangeLo: Double, rangeHi: Double,
+                    cvDdof: Int = 1): DataFrame = {
     val gc = groupNames.map(col)
+    // cv std with a general ddof (ts_features.py:92 query_cv); the
+    // default ddof=1 keeps Spark's stddev_samp (bit-stable with the
+    // SQL oracle), other ddof use the power-sum form
+    val n = count(col(s"${P}x")).cast("double")
+    val m = avg(s"${P}x")
+    val cvStd =
+      if (cvDdof == 1) stddev_samp(col(s"${P}x"))
+      else sqrt((sum(col(s"${P}x") * col(s"${P}x")) - n * m * m) /
+        (n - cvDdof))
     df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
       .groupBy(gc: _*).agg(
         ((max(s"${P}x") + min(s"${P}x")) / 2.0).as("mid_range"),
         sum(col(s"${P}x") * col(s"${P}x")).as("abs_energy"),
-        (stddev_samp(col(s"${P}x")) / avg(s"${P}x")).as("cv"),
+        (cvStd / m).as("cv"),
         countDistinct(col(s"${P}x")).as("count_uniques"),
         sum((col(s"${P}x") >= rangeLo && col(s"${P}x") < rangeHi)
           .cast("long")).as("range_count"))
@@ -96,6 +110,56 @@ object TSOps {
       .filter(col(s"${P}rk") <= n)
       .groupBy(gc: _*)
       .agg(avg(abs(col(s"${P}x"))).as("mean_n_abs_max"))
+  }
+
+  /** Autocorrelation at `lag` with the reference's options
+    * (ts_features.py:393 query_auto_corr): normalize=true →
+    * Σ(x−m)(x_{+lag}−m) / ((n−lag)·var(ddof)), NaN when n < lag;
+    * normalize=false → mean(x·x_{+lag}). One window lead + one agg. */
+  def autoCorr(df: DataFrame, x: Column, order: Column,
+               groupNames: Seq[String], lag1: Int, ddof: Int = 0,
+               normalize: Boolean = true): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+        :+ order.as(s"${P}o"): _*)
+      .withColumn(s"${P}xl", lead(col(s"${P}x"), lag1).over(
+        Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))))
+    if (!normalize)
+      t.groupBy(gc: _*)
+        .agg(avg(col(s"${P}x") * col(s"${P}xl")).as("auto_corr"))
+    else {
+      val n = count(col(s"${P}x")).cast("double")
+      val m = sum(s"${P}x") / n
+      val varD = (sum(col(s"${P}x") * col(s"${P}x")) - n * m * m) /
+        (n - ddof)
+      // Σ(x−m)(xl−m) over non-null pairs, expanded (m is per-group)
+      val dot = sum(col(s"${P}x") * col(s"${P}xl")) -
+        m * sum(when(col(s"${P}xl").isNotNull, col(s"${P}x"))) -
+        m * sum(col(s"${P}xl")) + count(col(s"${P}xl")) * m * m
+      t.groupBy(gc: _*).agg(
+        when(n < lag1, lit(Double.NaN))
+          .otherwise(dot / ((n - lag1) * varD)).as("auto_corr"))
+    }
+  }
+
+  /** Per-run streak lengths (ts_features.py:184 query_streak —
+    * polars rle()): one row per run of equal condition value with the
+    * run's ordinal, value, and length. */
+  def streakLengths(df: DataFrame, cond: Column, order: Column,
+                    groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ cond.cast("boolean").as(s"${P}c")
+      :+ order.as(s"${P}o"): _*)
+    val wo = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    t.withColumn(s"${P}chg",
+        when(coalesce(col(s"${P}c") <=>
+          lag(col(s"${P}c"), 1).over(wo), lit(false)), 0).otherwise(1))
+      .withColumn(s"${P}sid", sum(s"${P}chg").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(gc :+ col(s"${P}sid"): _*)
+      .agg(first(col(s"${P}c")).as("value"),
+        count(lit(1)).as("streak_len"))
+      .withColumnRenamed(s"${P}sid", "run")
   }
 
   /** Longest / average / count of streaks where `cond` holds, per group —
@@ -167,15 +231,21 @@ object TSOps {
     * (ts_features.py:484 query_entropy): two map-side-combinable
     * aggregations, no collection. */
   def entropy(df: DataFrame, x: Column, groupNames: Seq[String],
-              outName: String = "entropy"): DataFrame = {
+              outName: String = "entropy", base: Double = math.E,
+              normalize: Boolean = true): DataFrame = {
     val gc = groupNames.map(col)
     val cnt = df.select(gc :+ x.as(s"${P}x"): _*)
       .groupBy(gc :+ col(s"${P}x"): _*).agg(count(lit(1)).as(s"${P}c"))
     val wT = Window.partitionBy(gc: _*)
+    // polars .entropy(base, normalize) over unique_counts: normalize
+    // divides the counts by their sum first; base rescales the log
+    val p =
+      if (normalize) col(s"${P}c") / col(s"${P}n")
+      else col(s"${P}c").cast("double")
+    val h = -sum(p * log(p))
     cnt.withColumn(s"${P}n", sum(s"${P}c").over(wT))
       .groupBy(gc: _*)
-      .agg((-sum(col(s"${P}c") / col(s"${P}n") *
-        log(col(s"${P}c") / col(s"${P}n")))).as(outName))
+      .agg((if (base == math.E) h else h / math.log(base)).as(outName))
   }
 
   /** Conditional entropy H(x|y) per group (ts_features.py:500;

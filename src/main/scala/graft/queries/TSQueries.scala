@@ -17,6 +17,7 @@ object TSQueries extends QueryPack {
         .select(col("event_type"),
           round(col("mean_abs_change"), 6).as("mean_abs_change"),
           round(col("cid_ce"), 4).as("cid_ce"),
+          round(col("cid_ce_normalized"), 6).as("cid_ce_norm"),
           round(col("c3"), 2).as("c3"),
           round(col("time_reversal_asymmetry"), 2).as("tra"),
           round(col("auto_corr"), 6).as("auto_corr"),
@@ -64,10 +65,13 @@ object TSQueries extends QueryPack {
         .withColumn("bin", floor(col("value") / 10.0).cast("int"))
         .withColumn("ybin", col("user_id") % 5)
       TSOps.entropy(df, col("bin"), Seq("event_type"))
+        .join(TSOps.entropy(df, col("bin"), Seq("event_type"),
+          outName = "entropy_bits", base = 2.0), Seq("event_type"))
         .join(TSOps.condEntropy(df, col("bin"), col("ybin"),
           Seq("event_type")), Seq("event_type"))
         .select(col("event_type"),
           round(col("entropy"), 6).as("entropy"),
+          round(col("entropy_bits"), 6).as("entropy_bits"),
           round(col("cond_entropy"), 6).as("cond_entropy"))
         .orderBy("event_type")
     }),
@@ -81,6 +85,30 @@ object TSQueries extends QueryPack {
         .withColumn("permutation_entropy",
           round(col("permutation_entropy"), 6))
         .orderBy("event_type")
+    }),
+    // standalone auto_corr with the ddof/normalize options
+    // (ts_features.py:393)
+    "q_auto_corr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val norm = TSOps.autoCorr(ev, col("value"), col("event_id"),
+          Seq("event_type"), 3, ddof = 1)
+        .withColumnRenamed("auto_corr", "ac_lag3_ddof1")
+      val raw = TSOps.autoCorr(ev, col("value"), col("event_id"),
+          Seq("event_type"), 2, normalize = false)
+        .withColumnRenamed("auto_corr", "ac_lag2_raw")
+      norm.join(raw, "event_type")
+        .select(col("event_type"),
+          round(col("ac_lag3_ddof1"), 6).as("ac_lag3_ddof1"),
+          round(col("ac_lag2_raw"), 4).as("ac_lag2_raw"))
+        .orderBy("event_type")
+    }),
+    // per-run streak lengths (ts_features.py:184 query_streak = rle())
+    "q_streak_lengths" -> ((s, dir) => {
+      TSOps.streakLengths(t(s, dir, "events"), col("value") > 50.0,
+          col("event_id"), Seq("event_type"))
+        .select(col("event_type"), col("run"), col("value"),
+          col("streak_len"))
+        .orderBy("event_type", "run")
     }),
     "q_kaplan_meier" -> ((s, dir) => {
       TSOps.kaplanMeier(
@@ -102,6 +130,41 @@ object TSQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_auto_corr" ->
+      """WITH t AS (
+        |  SELECT event_type, value x,
+        |    LEAD(value, 3) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) x3,
+        |    LEAD(value, 2) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) x2
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, AVG(value) mean, VAR_SAMP(value) vs,
+        |    COUNT(*)::DOUBLE n
+        |  FROM events GROUP BY 1)
+        |SELECT t.event_type,
+        |  ROUND((SUM(x * x3)
+        |    - m.mean * SUM(CASE WHEN x3 IS NOT NULL THEN x END)
+        |    - m.mean * SUM(x3) + COUNT(x3) * m.mean * m.mean)
+        |    / ((m.n - 3) * m.vs), 6) AS ac_lag3_ddof1,
+        |  ROUND(AVG(x * x2), 4) AS ac_lag2_raw
+        |FROM t JOIN m USING (event_type)
+        |GROUP BY t.event_type, m.mean, m.vs, m.n ORDER BY 1""".stripMargin,
+    "q_streak_lengths" ->
+      """WITH t AS (
+        |  SELECT event_type, (value > 50.0) c, event_id,
+        |    LAG(value > 50.0) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) pc
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, c,
+        |    CAST(SUM(CASE WHEN pc IS NOT DISTINCT FROM c THEN 0 ELSE 1
+        |      END) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS BIGINT) run
+        |  FROM t)
+        |SELECT event_type, run, ANY_VALUE(c) AS value,
+        |  COUNT(*) AS streak_len
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // LZ76 dictionary parse (the tsfresh variant LempelZivAgg implements):
     // at position ind, the next phrase is the shortest prefix of the tail
     // not yet in the phrase set. A phrase longer than maxlen+1 can never
@@ -138,6 +201,8 @@ object TSQueries extends QueryPack {
         |SELECT event_type,
         |  ROUND(AVG(ABS(x - l1)), 6) AS mean_abs_change,
         |  ROUND(SQRT(SUM((x - l1) * (x - l1))), 4) AS cid_ce,
+        |  ROUND(SQRT(SUM((x - l1) * (x - l1))) / STDDEV_SAMP(x), 6)
+        |    AS cid_ce_norm,
         |  ROUND(AVG(x * l1 * l2), 2) AS c3,
         |  ROUND(AVG(l2 * l2 * l1 - l1 * x * x), 2) AS tra,
         |  ROUND(SUM((x - sub.mean) * (l1 - sub.mean))
@@ -242,6 +307,7 @@ object TSQueries extends QueryPack {
         |        FROM t GROUP BY event_type, bin, ybin)
         |  GROUP BY 1)
         |SELECT event_type, ROUND(h.e, 6) AS entropy,
+        |  ROUND(h.e / LN(2), 6) AS entropy_bits,
         |  ROUND(hc.ce, 6) AS cond_entropy
         |FROM h JOIN hc USING (event_type) ORDER BY 1""".stripMargin,
     "q_benford" ->

@@ -645,9 +645,10 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     cases.zipWithIndex.foreach { case ((bits, want), ci) =>
       val df = bits.zipWithIndex.map { case (b, i) => ("g", i, b > 0) }
         .toDF("g", "o", "b")
+      // the reference test passes as_ratio=False (test_many.py:715)
       val got = df.groupBy("g")
-        .agg(graft.agg.LempelZivAgg.lempelZiv(col("o"), col("b"))
-          .as("lz")).head.getDouble(1)
+        .agg(graft.agg.LempelZivAgg.lempelZiv(col("o"), col("b"),
+          asRatio = false).as("lz")).head.getDouble(1)
       assert(got == want.toDouble, s"case $ci: got $got want $want")
     }
   }

@@ -45,8 +45,9 @@ class TSSpec extends AnyFunSuite {
       val df = bits.zipWithIndex
         .map { case (ch, i) => (i.toLong, ch == '1') }
         .toSeq.toDF("o", "b").withColumn("g", lit("a"))
-      df.groupBy("g").agg(LempelZivAgg.lempelZiv(col("o"), col("b"))
-        .as("c")).collect()(0).getAs[Double]("c")
+      df.groupBy("g").agg(
+        LempelZivAgg.lempelZiv(col("o"), col("b"), asRatio = false)
+          .as("c")).collect()(0).getAs[Double]("c")
     }
     // dictionary-parse variant (the reference's lempel_ziv.rs, the
     // tsfresh convention — NOT the Kaspar-Schuster LZ76 scan):
@@ -81,5 +82,52 @@ class TSSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("is_increasing"))
     assert(!r.getAs[Boolean]("is_decreasing"))
     assert(approx(r.getAs[Double]("mean_abs_change"), 1.0))
+    // strict: 1,2,3,4 is strictly increasing
+    assert(r.getAs[Boolean]("is_increasing_strict"))
+    // flat run breaks strict but not weak monotonicity
+    val flat = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("o", "x")
+      .withColumn("g", lit("a"))
+    val rf = TSOps.lagFeatures(flat, col("x"), col("o"), Seq("g"))
+      .collect()(0)
+    assert(rf.getAs[Boolean]("is_increasing"))
+    assert(!rf.getAs[Boolean]("is_increasing_strict"))
+  }
+
+  test("autoCorr options agree with lagFeatures and the raw mean form " +
+      "(ts_features.py:393)") {
+    import spark.implicits._
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x, "g") }
+      .toDF("o", "x", "g")
+    // ddof=0 normalized at lag 1 must equal lagFeatures' auto_corr
+    val a1 = TSOps.autoCorr(df, col("x"), col("o"), Seq("g"), 1)
+      .collect()(0).getAs[Double]("auto_corr")
+    val a2 = TSOps.lagFeatures(df, col("x"), col("o"), Seq("g"))
+      .collect()(0).getAs[Double]("auto_corr")
+    assert(approx(a1, a2, 1e-12))
+    // normalize=false = mean of x_i·x_{i+lag}
+    val raw = TSOps.autoCorr(df, col("x"), col("o"), Seq("g"), 2,
+      normalize = false).collect()(0).getAs[Double]("auto_corr")
+    val exp = xs.dropRight(2).zip(xs.drop(2)).map(p => p._1 * p._2)
+    assert(approx(raw, exp.sum / exp.length, 1e-12))
+    // ddof=1 scales the denominator by (n−1) var instead of n var
+    val d1 = TSOps.autoCorr(df, col("x"), col("o"), Seq("g"), 1,
+      ddof = 1).collect()(0).getAs[Double]("auto_corr")
+    assert(approx(d1, a1 * (xs.length - 1.0) / xs.length, 1e-9))
+  }
+
+  test("streakLengths emits one row per run with polars rle semantics " +
+      "(ts_features.py:184)") {
+    import spark.implicits._
+    val vals = Seq(true, true, false, true, false, false, false, true)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("o", "c", "g")
+    val runs = TSOps.streakLengths(df, col("c"), col("o"), Seq("g"))
+      .orderBy("run").collect()
+    assert(runs.map(_.getAs[Long]("streak_len")).toSeq ==
+      Seq(2L, 1L, 1L, 3L, 1L))
+    assert(runs.map(_.getAs[Boolean]("value")).toSeq ==
+      Seq(true, false, true, false, true))
   }
 }
