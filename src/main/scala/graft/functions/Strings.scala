@@ -509,6 +509,12 @@ object Strings {
     f(c)
   }
 
+  /** only_spaces=true collapses runs of the space character only —
+    * polars' `.str.replace_all(" +", " ")`, no trim (string.py:980). */
+  def normalizeWhitespace(c: Column, onlySpaces: Boolean): Column =
+    if (onlySpaces) regexp_replace(c, " +", " ")
+    else normalizeWhitespace(c)
+
   /** Collapse runs of whitespace to single spaces + trim — one char
     * scan, matching `trim(regexp_replace(c, "\\s+", " "))` exactly
     * (Java regex \s = [ \t\n\x0B\f\r]). (string.py:963) */

@@ -60,6 +60,14 @@ object LinRegOps {
   def simpleIntercept(x: Column, y: Column): Column =
     avg(y) - simpleSlope(x, y) * avg(x)
 
+  /** Weighted simple regression (expr_linear.py:44 simple_lin_reg with
+    * weights): β = (Σwxy − ΣwxΣwy/Σw) / (Σwx² − (Σwx)²/Σw). */
+  def simpleSlopeW(x: Column, y: Column, w: Column): Column =
+    (sum(w * x * y) - sum(w * x) * sum(w * y) / sum(w)) /
+      (sum(w * x * x) - sum(w * x) * sum(w * x) / sum(w))
+  def simpleInterceptW(x: Column, y: Column, w: Column): Column =
+    sum(w * y) / sum(w) - simpleSlopeW(x, y, w) * sum(w * x) / sum(w)
+
   /** Rolling simple lin-reg over a fixed trailing window per group:
     * per-row slope/intercept from window sums — O(1) state per row, no
     * Woodbury needed for d=1 (reference pl_rolling_lr,

@@ -181,15 +181,20 @@ object MetricOps {
       .agg(devAgg.as(outName))
   }
 
-  /** MASE: mean absolute scaled error vs seasonal-naive forecast over an
-    * explicit order column. (metrics.py:275 query_mase) */
+  /** MASE: mean (or median, use_mean=False) absolute scaled error vs
+    * the seasonal-naive forecast over an explicit order column.
+    * (metrics.py:275 query_mase) */
   def mase(df: DataFrame, order: Column, y: Column, p: Column,
            groupNames: Seq[String], period: Int = 1,
-           outName: String = "mase"): DataFrame = {
+           outName: String = "mase",
+           useMean: Boolean = true): DataFrame = {
     val w = Window.partitionBy(groupNames.map(col): _*).orderBy(order)
+    def center(c: Column): Column =
+      if (useMean) avg(c) else percentile(c, lit(0.5))
     df.withColumn(s"${P}naive", lag(y, period).over(w))
       .groupBy(groupNames.map(col): _*)
-      .agg((avg(abs(y - p)) / avg(abs(y - col(s"${P}naive")))).as(outName))
+      .agg((center(abs(y - p)) / center(abs(y - col(s"${P}naive"))))
+        .as(outName))
   }
 
   /** DCG and NDCG per group with linear gain rel/log2(rank+1), ranking by
@@ -197,15 +202,21 @@ object MetricOps {
     * group) so the result is deterministic and oracle-comparable.
     * (metrics.py:670 query_dcg_score / :736 query_ndcg_score) */
   def ndcg(df: DataFrame, rel: Column, score: Column, tieBreak: Column,
-           groupNames: Seq[String], k: Int = Int.MaxValue): DataFrame = {
+           groupNames: Seq[String], k: Int = Int.MaxValue,
+           logBase: Double = 2.0): DataFrame = {
     val gc = groupNames.map(col)
     val wScore = Window.partitionBy(gc: _*).orderBy(score.desc, tieBreak)
     val wIdeal = Window.partitionBy(gc: _*).orderBy(rel.desc, tieBreak)
     val rk = row_number().over(wScore)
     val irk = row_number().over(wIdeal)
-    val gain = when(rk <= k, rel.cast("double") / log2(rk + 1.0))
+    // discount log_base(rank+1) (metrics.py:670 log_base); base 2
+    // keeps the codegen'd log2
+    def disc(r: Column): Column =
+      if (logBase == 2.0) log2(r + 1.0)
+      else log(r + 1.0) / math.log(logBase)
+    val gain = when(rk <= k, rel.cast("double") / disc(rk))
       .otherwise(0.0)
-    val igain = when(irk <= k, rel.cast("double") / log2(irk + 1.0))
+    val igain = when(irk <= k, rel.cast("double") / disc(irk))
       .otherwise(0.0)
     df.select((gc :+ gain.as(s"${P}g") :+ igain.as(s"${P}ig")): _*)
       .groupBy(gc: _*)
@@ -220,7 +231,8 @@ object MetricOps {
     * invariant to tie ordering, no tie-break column needed. Ideal DCG
     * ranks by relevance, where tie order never matters. */
   def ndcgTieAveraged(df: DataFrame, rel: Column, score: Column,
-                      groupNames: Seq[String], k: Int = Int.MaxValue)
+                      groupNames: Seq[String], k: Int = Int.MaxValue,
+                      logBase: Double = 2.0)
       : DataFrame = {
     val gc = groupNames.map(col)
     val wScore = Window.partitionBy(gc: _*).orderBy(score.desc)
@@ -229,8 +241,11 @@ object MetricOps {
     val rk = row_number().over(wScore)
     val irk = row_number().over(wIdeal)
     val avgRel = avg(rel.cast("double")).over(wBlock)
-    val gain = when(rk <= k, avgRel / log2(rk + 1.0)).otherwise(0.0)
-    val igain = when(irk <= k, rel.cast("double") / log2(irk + 1.0))
+    def disc(r: Column): Column =
+      if (logBase == 2.0) log2(r + 1.0)
+      else log(r + 1.0) / math.log(logBase)
+    val gain = when(rk <= k, avgRel / disc(rk)).otherwise(0.0)
+    val igain = when(irk <= k, rel.cast("double") / disc(irk))
       .otherwise(0.0)
     df.select((gc :+ gain.as(s"${P}g") :+ igain.as(s"${P}ig")): _*)
       .groupBy(gc: _*)

@@ -22,7 +22,13 @@ object LinRegQueries extends QueryPack {
           round(LinRegOps.simpleSlope(col("l_quantity"),
             col("l_extendedprice")), 6).as("slope"),
           round(LinRegOps.simpleIntercept(col("l_quantity"),
-            col("l_extendedprice")), 4).as("intercept"))
+            col("l_extendedprice")), 4).as("intercept"),
+          round(LinRegOps.simpleSlopeW(col("l_quantity"),
+            col("l_extendedprice"), col("l_discount") + 0.01), 6)
+            .as("wslope"),
+          round(LinRegOps.simpleInterceptW(col("l_quantity"),
+            col("l_extendedprice"), col("l_discount") + 0.01), 4)
+            .as("wintercept"))
         .orderBy("l_returnflag")
     }),
     "q_lin_reg" -> ((s, dir) => {
@@ -224,10 +230,18 @@ object LinRegQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_simple_lin_reg" ->
       """SELECT l_returnflag,
-        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
-        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
-        |    AS intercept
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  ROUND(REGR_SLOPE(y, x), 6) AS slope,
+        |  ROUND(REGR_INTERCEPT(y, x), 4) AS intercept,
+        |  ROUND((SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+        |    / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w)), 6) AS wslope,
+        |  ROUND(SUM(w*y)/SUM(w)
+        |    - (SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+        |      / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w))
+        |      * SUM(w*x)/SUM(w), 4) AS wintercept
+        |FROM (SELECT l_returnflag, l_quantity x, l_extendedprice y,
+        |        l_discount + 0.01 w
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lin_reg" ->
       s"""WITH s AS ($sums),
          |d AS (

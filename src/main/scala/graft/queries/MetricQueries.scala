@@ -156,6 +156,11 @@ object MetricQueries extends QueryPack {
       MetricOps.mase(scoredEvents(s, dir), col("event_id"), col("value"),
           col("value") * 0.9 + 5.0, Seq("event_type"), 1)
         .withColumn("mase", round(col("mase"), 6))
+        .join(MetricOps.mase(scoredEvents(s, dir), col("event_id"),
+            col("value"), col("value") * 0.9 + 5.0, Seq("event_type"), 1,
+            outName = "mase_median", useMean = false)
+          .withColumn("mase_median", round(col("mase_median"), 6)),
+          "event_type")
         .orderBy("event_type")
     })
   )
@@ -360,7 +365,10 @@ object MetricQueries extends QueryPack {
          |  FROM t)
          |SELECT event_type,
          |  ROUND(AVG(ABS(value - pred)) / AVG(ABS(value - naive)), 6)
-         |    AS mase
+         |    AS mase,
+         |  ROUND(QUANTILE_CONT(ABS(value - pred), 0.5)
+         |    / QUANTILE_CONT(ABS(value - naive), 0.5), 6)
+         |    AS mase_median
          |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
