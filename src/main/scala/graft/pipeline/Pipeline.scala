@@ -135,6 +135,22 @@ object Pipeline {
   }
 }
 
+/** Fallback policy for target/woe/iv encoders: what unseen-at-fit and
+  * null values map to at transform time
+  * (transforms.py:471 _encoder_default_value — "null" | "zero" |
+  * "mean" | a literal number). */
+sealed trait EncoderDefault
+object EncoderDefault {
+  /** unseen/null → null (the reference's default) */
+  case object NullValue extends EncoderDefault
+  /** unseen/null → 0.0 */
+  case object Zero extends EncoderDefault
+  /** unseen/null → mean of the target over the FIT frame */
+  case object Mean extends EncoderDefault
+  /** unseen/null → a fixed number */
+  final case class Value(v: Double) extends EncoderDefault
+}
+
 /** Step recorder: concrete steps pass through; fit steps hold a
   * closure run against the train frame at materialize().
   * (Blueprint, pipeline.py:250; FitStep _step.py:420) */
@@ -153,6 +169,19 @@ final class Blueprint private (
     if (v.isNaN) "cast('NaN' as double)"
     else s"cast('${java.lang.Double.toString(v)}' as double)"
   private def slit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // SQL for the encoder fallback; Mean runs one tiny agg on the fit
+  // frame (transforms.py:486 — target mean over the TRAIN data)
+  private def encoderDefaultSql(df: DataFrame, target: String,
+                                default: EncoderDefault): String =
+    default match {
+      case EncoderDefault.NullValue => "NULL"
+      case EncoderDefault.Zero      => dlit(0.0)
+      case EncoderDefault.Value(v)  => dlit(v)
+      case EncoderDefault.Mean =>
+        val m = df.agg(avg(col(target).cast("double"))).head
+        if (m.isNullAt(0)) "NULL" else dlit(m.getDouble(0))
+    }
 
   // ---- fit transforms (transforms.py) ----
 
@@ -310,18 +339,25 @@ final class Blueprint private (
     }
   }
 
-  /** map sorted distinct values → 0..n-1. (transforms.py:371
-    * ordinal_encode) */
-  def ordinalEncode(cols: Seq[String]): Blueprint = addFit { df =>
-    cols.map { c =>
-      val vals = graft.util.Guard.cappedDistinct(df, c, "ordinalEncode")
-        .map(_.toString)
-      val cases = vals.zipWithIndex
-        .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
-        .mkString(" ")
-      c -> s"CASE $cases ELSE NULL END"
+  /** map sorted distinct values → 0..n-1; `unknownValue` is assigned to
+    * values unseen at fit time, `nullValue` to nulls (both default to
+    * null — transforms.py:371 ordinal_encode, whose null check runs
+    * BEFORE the value mapping). */
+  def ordinalEncode(cols: Seq[String],
+                    unknownValue: Option[Double] = None,
+                    nullValue: Option[Double] = None): Blueprint =
+    addFit { df =>
+      cols.map { c =>
+        val vals = graft.util.Guard.cappedDistinct(df, c, "ordinalEncode")
+          .map(_.toString)
+        val cases = vals.zipWithIndex
+          .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
+          .mkString(" ")
+        val nullSql = nullValue.map(dlit).getOrElse("NULL")
+        val unkSql = unknownValue.map(dlit).getOrElse("NULL")
+        c -> s"CASE WHEN $c IS NULL THEN $nullSql $cases ELSE $unkSql END"
+      }
     }
-  }
 
   /** ordered threshold encoding: value ≥ sorted-distinct[i] per level.
     * (transforms.py:431 rank_hot_encode, auto-ranking convenience) */
@@ -338,11 +374,17 @@ final class Blueprint private (
     * rank(value) ≥ i, and values outside the ranking (or null) get
     * null in every indicator (test_transforms.py:322-343). */
   def rankHotEncode(c: String, ranking: Seq[String], sep: String)
-      : Blueprint = {
+      : Blueprint = rankHotEncode(c, ranking, sep, None)
+
+  /** As above with `defaultRank` (transforms.py:434): the rank given to
+    * null/unseen values; None keeps them null in every indicator. */
+  def rankHotEncode(c: String, ranking: Seq[String], sep: String,
+                    defaultRank: Option[Int]): Blueprint = {
     require(ranking.size >= 2, "ranking needs at least two levels")
+    val elseSql = defaultRank.map(_.toString).getOrElse("NULL")
     val rankExpr = "CASE " + ranking.zipWithIndex
       .map { case (v, i) => s"WHEN $c = ${slit(v)} THEN $i" }
-      .mkString(" ") + " ELSE NULL END"
+      .mkString(" ") + s" ELSE $elseSql END"
     add(ExprStep(ranking.drop(1).zipWithIndex.map { case (v, i) =>
       s"$c$sep$v" -> s"cast(($rankExpr) >= ${i + 1} as int)"
     }))
@@ -352,37 +394,52 @@ final class Blueprint private (
     * EncodeOps.targetEncode). (transforms.py:503 target_encode) */
   def targetEncode(c: String, target: String,
                    minSamplesLeaf: Double = 20,
-                   smoothing: Double = 10.0): Blueprint = addFit { df =>
+                   smoothing: Double = 10.0,
+                   default: EncoderDefault = EncoderDefault.NullValue)
+      : Blueprint = addFit { df =>
     val mapping = graft.ops.EncodeOps
       .targetEncode(df, col(c), col(target), minSamplesLeaf, smoothing)
-      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getDouble(1))
+    // nulls and unseen values both fall through to ELSE — the
+    // reference maps BOTH to the default (transforms.py:514
+    // "Nulls will always be mapped to the default")
+    val fallback = encoderDefaultSql(df, target, default)
     val cases = mapping
       .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
       .mkString(" ")
-    Seq(c -> s"CASE $cases ELSE NULL END")
+    Seq(c -> s"CASE $cases ELSE $fallback END")
   }
 
   /** WoE encoding. (transforms.py:562 woe_encode) */
-  def woeEncode(c: String, target: String): Blueprint = addFit { df =>
+  def woeEncode(c: String, target: String,
+                default: EncoderDefault = EncoderDefault.NullValue)
+      : Blueprint = addFit { df =>
     val mapping = graft.ops.EncodeOps
       .woeDiscrete(df, col(c), col(target))
-      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getDouble(1))
+    val fallback = encoderDefaultSql(df, target, default)
     val cases = mapping
       .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
       .mkString(" ")
-    Seq(c -> s"CASE $cases ELSE NULL END")
+    Seq(c -> s"CASE $cases ELSE $fallback END")
   }
 
   /** Information-Value encoding: category → its IV component (same +1
     * smoothing as EncodeOps.infoValue). (transforms.py:615 iv_encode) */
-  def ivEncode(c: String, target: String): Blueprint = addFit { df =>
+  def ivEncode(c: String, target: String,
+               default: EncoderDefault = EncoderDefault.NullValue)
+      : Blueprint = addFit { df =>
     val mapping = graft.ops.EncodeOps
       .infoValue(df, col(c), col(target))
-      .collect().map(r => r.get(0).toString -> r.getDouble(1))
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getDouble(1))
+    val fallback = encoderDefaultSql(df, target, default)
     val cases = mapping
       .map { case (v, e) => s"WHEN $c = ${slit(v)} THEN ${dlit(e)}" }
       .mkString(" ")
-    Seq(c -> s"CASE $cases ELSE NULL END")
+    Seq(c -> s"CASE $cases ELSE $fallback END")
   }
 
   /** NaN → null in every float/double column. (pipeline.py:415

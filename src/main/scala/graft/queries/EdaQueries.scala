@@ -60,6 +60,26 @@ object EdaQueries extends QueryPack {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    // volume_neutral with `control` (sample_and_split.py:224): the cap
+    // is the min by-group size INSIDE each control group — group sizes
+    // after equalization are deterministic
+    "q_vn_control" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("ctl", col("user_id") % 3)
+      SampleOps.volumeNeutral(df, Seq("event_type"), control = Seq("ctl"))
+        .groupBy(col("ctl"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ctl", "event_type")
+    }),
+    // downsample with exact-n conditions (sample_and_split.py:238):
+    // kept counts are min(n, subset size); unmatched rows untouched
+    "q_downsample_where" -> ((s, dir) => {
+      SampleOps.downsampleWhere(t(s, dir, "events"), Seq(
+          (col("event_type") === "click", Left(100)),
+          (col("event_type") === "view", Left(50))))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
     "q_sample_counts" -> ((s, dir) => {
       val events = t(s, dir, "events")
       val n = SampleOps.sampleN(events, 500).count()
@@ -145,6 +165,19 @@ object EdaQueries extends QueryPack {
         |m AS (SELECT MIN(n) cap FROM g)
         |SELECT event_type, LEAST(n, cap)::BIGINT AS n
         |FROM g, m ORDER BY 1""".stripMargin,
+    "q_vn_control" ->
+      """WITH base AS (SELECT user_id % 3 AS ctl, event_type FROM events),
+        |g AS (SELECT ctl, event_type, COUNT(*) n FROM base GROUP BY 1, 2),
+        |m AS (SELECT ctl, MIN(n) cap FROM g GROUP BY 1)
+        |SELECT g.ctl, g.event_type, m.cap::BIGINT AS n
+        |FROM g JOIN m USING (ctl) ORDER BY 1, 2""".stripMargin,
+    "q_downsample_where" ->
+      """WITH g AS (SELECT event_type, COUNT(*) n FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CASE WHEN event_type = 'click' THEN LEAST(n, 100)
+        |       WHEN event_type = 'view' THEN LEAST(n, 50)
+        |       ELSE n END::BIGINT AS n
+        |FROM g ORDER BY 1""".stripMargin,
     "q_sample_counts" ->
       """SELECT 500::BIGINT AS sample_n, TRUE AS click_downsampled,
         |  TRUE AS others_untouched""".stripMargin,

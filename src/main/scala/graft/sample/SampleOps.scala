@@ -51,19 +51,41 @@ object SampleOps {
     indexed.join(picks, "_idx").drop("_idx")
   }
 
-  /** Equalize group sizes down to the smallest group (or `target`):
-    * keep a uniform random subset of each group.
+  /** Equalize group sizes down to the smallest group: keep a uniform
+    * random subset of each `by` group. `target` is an upper bound, not
+    * an override — the reference takes min_horizontal(min group count,
+    * target_volume), so a target larger than the smallest group still
+    * equalizes to the smallest group (sample_and_split.py:215).
+    * With `control` columns, the cap is computed independently INSIDE
+    * each control group (target.over(ctrl), sample_and_split.py:224):
+    * per-control caps are a tiny aggregate broadcast back — no global
+    * sort, one window per (control, by) partition.
     * (sample_and_split.py:140 volume_neutral) */
   def volumeNeutral(df: DataFrame, by: Seq[String],
                     target: Option[Int] = None,
-                    seed: Long = 42): DataFrame = {
-    val sizes = df.groupBy(by.map(col): _*).count()
-    val cap = target.getOrElse(
-      sizes.agg(min("count")).head.getLong(0).toInt)
-    val w = Window.partitionBy(by.map(col): _*).orderBy(rand(seed))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
+                    seed: Long = 42,
+                    control: Seq[String] = Nil): DataFrame = {
+    if (control.isEmpty) {
+      val minCnt = df.groupBy(by.map(col): _*).count()
+        .agg(min("count")).head.getLong(0)
+      val cap = target.map(t => math.min(minCnt, t.toLong))
+        .getOrElse(minCnt)
+      val w = Window.partitionBy(by.map(col): _*).orderBy(rand(seed))
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap)
+        .drop("_rn")
+    } else {
+      val caps = df.groupBy((control ++ by).map(col): _*).count()
+        .groupBy(control.map(col): _*).agg(min("count").as("_vn_cap"))
+      val cap = target.map(t => least(col("_vn_cap"), lit(t.toLong)))
+        .getOrElse(col("_vn_cap"))
+      val w = Window.partitionBy((control ++ by).map(col): _*)
+        .orderBy(rand(seed))
+      df.join(broadcast(caps), control)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap)
+        .drop("_rn", "_vn_cap")
+    }
   }
 
   /** Downsample the given classes by per-class fractions, keep others
@@ -76,6 +98,29 @@ object SampleOps {
     val untouched = df.filter(!col(classCol).isin(fractions.keys.toSeq: _*))
     keep.filter(col(classCol).isin(fractions.keys.toSeq: _*))
       .unionByName(untouched)
+  }
+
+  /** The reference's general downsample (sample_and_split.py:238):
+    * each (condition, keep) pair filters an arbitrary boolean subset
+    * and keeps either an exact row count (Left) or a Bernoulli fraction
+    * (Right); rows matching NO condition pass through untouched. A row
+    * matching several conditions can appear in several samples — the
+    * reference concats overlapping filters the same way. Exact-n uses
+    * a per-subset random sort (subsets are the rows being CUT, so the
+    * sort is over the small side). */
+  def downsampleWhere(df: DataFrame,
+                      conditions: Seq[(Column, Either[Int, Double])],
+                      seed: Long = 42): DataFrame = {
+    require(conditions.nonEmpty, "downsampleWhere: no conditions")
+    val sampled = conditions.map { case (cond, keep) =>
+      val sub = df.filter(cond)
+      keep match {
+        case Right(frac) => sub.sample(withReplacement = false, frac, seed)
+        case Left(n)     => sub.orderBy(rand(seed)).limit(n)
+      }
+    }
+    val untouched = df.filter(!conditions.map(_._1).reduce(_ || _))
+    (sampled :+ untouched).reduce(_ unionByName _)
   }
 
   /** Train/test/k-way split label, optionally stratified: percent_rank

@@ -19,6 +19,47 @@ class EdaSampleSpec extends AnyFunSuite {
     assert(out == Map("a" -> 10L, "b" -> 10L, "c" -> 10L))
   }
 
+  test("volumeNeutral: target caps at the smallest group; control " +
+      "groups get independent caps") {
+    import spark.implicits._
+    val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(20)("c"))
+      .zipWithIndex.toDF("g", "i")
+    // reference: target = min_horizontal(min group count, target_volume)
+    // — a target larger than the smallest group still equalizes to it
+    val big = SampleOps.volumeNeutral(df, Seq("g"), target = Some(1000))
+      .groupBy("g").count().collect().map(_.getLong(1))
+    assert(big.toSeq == Seq(10L, 10L, 10L))
+    val small = SampleOps.volumeNeutral(df, Seq("g"), target = Some(5))
+      .groupBy("g").count().collect().map(_.getLong(1))
+    assert(small.toSeq == Seq(5L, 5L, 5L))
+    // control: per-control min (ctrl x: min(6,2)=2 each; ctrl y: 8 each)
+    val df2 = ((Seq.fill(6)(("x", "a")) ++ Seq.fill(2)(("x", "b")) ++
+      Seq.fill(8)(("y", "a")) ++ Seq.fill(9)(("y", "b"))))
+      .zipWithIndex.map { case ((ctl, g), i) => (ctl, g, i) }
+      .toDF("ctl", "g", "i")
+    val out = SampleOps.volumeNeutral(df2, Seq("g"), control = Seq("ctl"))
+      .groupBy("ctl", "g").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("x", "a") -> 2L, ("x", "b") -> 2L,
+      ("y", "a") -> 8L, ("y", "b") -> 8L))
+  }
+
+  test("downsampleWhere: exact-n and fraction conditions; " +
+      "unmatched rows pass through") {
+    import spark.implicits._
+    val df = (1 to 300).map(i =>
+      (i, if (i <= 100) "A" else if (i <= 200) "B" else "C"))
+      .toDF("i", "cat")
+    val out = SampleOps.downsampleWhere(df, Seq(
+      (col("cat") === "A", Left(10)),
+      (col("cat") === "B", Right(0.5))))
+    val counts = out.groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("A") == 10L)            // exact n
+    assert(counts("B") > 20L && counts("B") < 80L) // Bernoulli ~50
+    assert(counts("C") == 100L)           // untouched
+  }
+
   test("splitByRatio labels partition the frame with stable counts") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, if (i % 2 == 0) "x" else "y"))

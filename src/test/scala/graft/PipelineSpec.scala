@@ -106,6 +106,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx(gotA, ivA, 1e-12))
   }
 
+  test("encoder fallbacks: ordinal unknown/null, rank-hot defaultRank, " +
+      "target-encode default strategies") {
+    import spark.implicits._
+    import graft.pipeline.EncoderDefault
+    val train = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 1.0))
+      .toDF("c", "y")
+    val test = Seq(Some("a"), Some("zz"), None).toDF("c")
+      .withColumn("y", lit(0.0))
+
+    // ordinal_encode(unknown_value=-1, null_value=-2) — transforms.py:371
+    val ord = Blueprint(train)
+      .ordinalEncode(Seq("c"), unknownValue = Some(-1.0),
+        nullValue = Some(-2.0))
+      .materialize().transform(test)
+      .select("c").collect().map(r => r.getDouble(0))
+    assert(ord.toSet == Set(0.0, -1.0, -2.0))
+
+    // rank_hot_encode(default_rank=...) — transforms.py:434: unseen/null
+    // get the default rank, so >=b is 1 when defaultRank = 1
+    val rh = Blueprint(train)
+      .rankHotEncode("c", Seq("a", "b"), "_ge_", Some(1))
+      .materialize().transform(test)
+      .select("c_ge_b").collect().map(_.getInt(0))
+    assert(rh.sorted.toSeq == Seq(0, 1, 1)) // a→0, zz→1, null→1
+
+    // target_encode default: "mean" maps unseen AND null to the train
+    // target mean; "zero" to 0; a Value to itself (transforms.py:471)
+    val trainMean = 0.75
+    val te = Blueprint(train)
+      .targetEncode("c", "y", minSamplesLeaf = 2, smoothing = 1.0,
+        default = EncoderDefault.Mean)
+      .materialize().transform(test)
+      .select("c").collect().map(_.getDouble(0))
+    assert(te.count(v => approx(v, trainMean)) == 2) // zz and null
+    val teZero = Blueprint(train)
+      .woeEncode("c", "y", default = EncoderDefault.Zero)
+      .materialize().transform(test)
+      .select("c").collect().map(_.getDouble(0))
+    assert(teZero.count(_ == 0.0) == 2)
+    val teVal = Blueprint(train)
+      .ivEncode("c", "y", default = EncoderDefault.Value(-9.5))
+      .materialize().transform(test)
+      .select("c").collect().map(_.getDouble(0))
+    assert(teVal.count(_ == -9.5) == 2)
+  }
+
   test("fit statistics come from train, applied to test") {
     import spark.implicits._
     val train = Seq(0.0, 10.0).toDF("x")   // min 0, max 10
