@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object EncodeOps {
 
+  /** groupBy-count then divide by the grand total, carried as a 1-row
+    * broadcast cross join — NOT an empty-partition window, which would
+    * pull every (possibly high-cardinality) group through one task. */
+  private def normalizedCounts(grouped: DataFrame, keys: Seq[String],
+                               name: String): DataFrame = {
+    val counts = grouped.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn(name, col("n") / col("_tot"))
+      .drop("n", "_tot")
+  }
+
   /** Mean-target encoding with sigmoid smoothing between the category
     * mean and the global prior (num.py:1068; target_encode.rs:51).
     * Returns (value, to) mapping rows per category.
@@ -167,10 +180,8 @@ object EncodeOps {
         when(c <= bps(bps.length - 1 - i), bps.length - 1 - i).otherwise(acc)
       }
     def pct(df: DataFrame, c: Column, name: String): DataFrame =
-      df.select(bucket(c).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .withColumn(name, col("n") / sum(col("n")).over(Window.partitionBy()))
-        .drop("n")
+      normalizedCounts(df.select(bucket(c).as("bucket")),
+        Seq("bucket"), name)
     val b = pct(baseline, baseCol, "baseline_pct")
     val a = pct(actual, actCol, "actual_pct")
     // the reference clamps both pcts at 0.0001 (clip_min, psi.rs:58-63)
@@ -198,11 +209,8 @@ object EncodeOps {
           .otherwise(acc)
       }
     def pct(df: DataFrame, c: Column, name: String): DataFrame =
-      df.select(bucket(c).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .withColumn(name,
-          col("n") / sum(col("n")).over(Window.partitionBy()))
-        .drop("n")
+      normalizedCounts(df.select(bucket(c).as("bucket")),
+        Seq("bucket"), name)
     // same 0.0001 clamp as psiReport (psi.rs:58-63)
     pct(baseline, baseCol, "baseline_pct")
       .join(pct(actual, actCol, "actual_pct"), Seq("bucket"), "full")
@@ -220,10 +228,7 @@ object EncodeOps {
   def psiDiscrete(baseline: DataFrame, baseCol: Column,
                   actual: DataFrame, actCol: Column): DataFrame = {
     def pct(df: DataFrame, c: Column, name: String): DataFrame =
-      df.select(c.as("value")).groupBy(col("value"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn(name, col("n") / sum(col("n")).over(Window.partitionBy()))
-        .drop("n")
+      normalizedCounts(df.select(c.as("value")), Seq("value"), name)
     // same 0.0001 clamp as psiReport (psi.rs:58-63)
     pct(baseline, baseCol, "baseline_pct")
       .join(pct(actual, actCol, "actual_pct"), Seq("value"), "full")

@@ -132,21 +132,36 @@ object SampleOps {
                    seed: Long = 42, out: String = "split"): DataFrame = {
     require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9,
       "ratios must sum to 1")
-    val w = (if (stratifyBy.isEmpty) Window.partitionBy()
-             else Window.partitionBy(stratifyBy.map(col): _*))
-      .orderBy(rand(seed))
-    val pr = percent_rank().over(w)
     // snap cumulative bounds to 12 decimals: 0.7+0.2 must be the user's
     // 0.9, not 0.8999999999999999, or boundary rows land one split off
     val cum = ratios.scanLeft(0.0)(_ + _._2).tail
       .map(x => math.rint(x * 1e12) / 1e12)
-    val labeled = ratios.map(_._1).zip(cum).reverse
+    def label(pr: Column): Column = ratios.map(_._1).zip(cum).reverse
       .foldLeft(lit(ratios.last._1)) { case (acc, (name, bound)) =>
         when(pr <= bound, name).otherwise(acc)
       }
     // reversed fold: the tightest bound lands outermost, so the label
     // is the FIRST cum-ratio the row's percent_rank falls under
-    df.withColumn(out, labeled)
+    if (stratifyBy.nonEmpty) {
+      val w = Window.partitionBy(stratifyBy.map(col): _*)
+        .orderBy(rand(seed))
+      df.withColumn(out, label(percent_rank().over(w)))
+    } else {
+      // unstratified: an empty-partition window would pull the WHOLE
+      // frame through one task. Spark's orderBy is a range-partitioned
+      // distributed sort, so sort by the random key and take the global
+      // rank from zipWithIndex (one narrow pass) — same percent_rank
+      // semantics, no single-partition stage
+      val n = df.count()
+      val denom = math.max(n - 1, 1L).toDouble
+      val schema = df.schema.add("_pr",
+        org.apache.spark.sql.types.DoubleType)
+      val spark = df.sparkSession
+      val indexed = spark.createDataFrame(
+        df.orderBy(rand(seed)).rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / denom) }, schema)
+      indexed.withColumn(out, label(col("_pr"))).drop("_pr")
+    }
   }
 
   /** Choose k random column names (driver-side).
