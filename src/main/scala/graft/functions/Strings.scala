@@ -102,9 +102,33 @@ object Strings {
 
   /** Full Damerau–Levenshtein (unrestricted transpositions), over
     * CODE POINTS (src/str_ext/levenshtein.rs:261 str_d_leven). */
-  private[functions] def damerauDist(str1: String, str2: String): Int = {
-    val s1 = str1.codePoints.toArray
-    val s2 = str2.codePoints.toArray
+  private[functions] def damerauDist(str1: String, str2: String): Int =
+    damerauDistArr(str1.codePoints.toArray, str2.codePoints.toArray)
+
+  /** UTF-8 bytes as unsigned ints — the edit unit under as_bytes
+    * (string.py:472: rapidfuzz over s.bytes() instead of s.chars()). */
+  private def utf8Units(s: String): Array[Int] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff)
+
+  private[functions] def levenDistArr(s1: Array[Int],
+                                      s2: Array[Int]): Int = {
+    if (s1.isEmpty) return s2.length
+    if (s2.isEmpty) return s1.length
+    val d = Array.tabulate(s2.length + 1)(identity)
+    var prevDiag = 0
+    for (i <- 1 to s1.length) {
+      prevDiag = d(0); d(0) = i
+      for (j <- 1 to s2.length) {
+        val t = d(j)
+        d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+          prevDiag + (if (s1(i - 1) == s2(j - 1)) 0 else 1))
+        prevDiag = t
+      }
+    }
+    d(s2.length)
+  }
+
+  private def damerauDistArr(s1: Array[Int], s2: Array[Int]): Int = {
     val (la, lb) = (s1.length, s2.length)
     if (la == 0) return lb
     if (lb == 0) return la
@@ -180,15 +204,61 @@ object Strings {
   /** Jaro similarity. (string.py:439 str_jaro) */
   def strJaro(a: Column, b: Column): Column = udf2d(jaroSim)(a, b)
 
-  /** Jaro–Winkler similarity. (string.py:404 str_jw) */
-  def strJaroWinkler(a: Column, b: Column): Column =
-    udf2d(jaroWinklerSim(_, _))(a, b)
+  /** Jaro–Winkler similarity; `weight` is the prefix-boost scale
+    * (string.py:404 str_jw, weight kwarg, typical 0.1). */
+  def strJaroWinkler(a: Column, b: Column, weight: Double = 0.1): Column =
+    udf2d(jaroWinklerSim(_, _, weight))(a, b)
 
   /** Optimal-string-alignment distance. (string.py:643 str_osa) */
   def strOsa(a: Column, b: Column): Column = udf2i(osaDist)(a, b)
 
   /** Damerau–Levenshtein distance. (string.py:461 str_d_leven) */
   def strDamerau(a: Column, b: Column): Column = udf2i(damerauDist)(a, b)
+
+  /** Damerau–Levenshtein with the reference's flags (string.py:461
+    * str_d_leven): `asBytes` edits UTF-8 bytes instead of code points;
+    * `returnSim` → 1 − d/max(len) in matching units. */
+  def strDamerau(a: Column, b: Column, asBytes: Boolean,
+                 returnSim: Boolean): Column = {
+    val d: Column =
+      if (asBytes)
+        udf2i((x, y) => damerauDistArr(utf8Units(x), utf8Units(y)))(a, b)
+      else udf2i(damerauDist)(a, b)
+    if (!returnSim) d
+    else lit(1.0) - d.cast("double") /
+      (if (asBytes) greatest(octet_length(a), octet_length(b))
+       else greatest(length(a), length(b))).cast("double")
+  }
+
+  /** Levenshtein distance with the reference's flags (string.py:472
+    * str_leven): Spark's native expression on the code-point path,
+    * byte-unit DP under `asBytes`; `returnSim` → 1 − d/max(len). */
+  def strLeven(a: Column, b: Column, asBytes: Boolean = false,
+               returnSim: Boolean = false): Column = {
+    val d: Column =
+      if (asBytes)
+        udf2i((x, y) => levenDistArr(utf8Units(x), utf8Units(y)))(a, b)
+      else levenshtein(a, b)
+    if (!returnSim) d
+    else lit(1.0) - d.cast("double") /
+      (if (asBytes) greatest(octet_length(a), octet_length(b))
+       else greatest(length(a), length(b))).cast("double")
+  }
+
+  /** Keep rows whose distance to `other` is ≤ `bound`
+    * (string.py:22 filter_by_levenshtein). The code-point path uses the
+    * native 3-arg levenshtein whose threshold short-circuits the DP —
+    * at scale this is the predicate to push, not a full distance. */
+  def filterByLevenshtein(c: Column, other: Column, bound: Int,
+                          asBytes: Boolean = false): Column =
+    if (asBytes) strLeven(c, other, asBytes = true) <= bound
+    else levenshtein(c, other, bound) >= 0
+
+  /** Keep rows within hamming distance `bound` (string.py:77
+    * filter_by_hamming); null (length-mismatch, no pad) never passes. */
+  def filterByHamming(c: Column, other: Column, bound: Int,
+                      pad: Boolean = false): Column =
+    coalesce(strHamming(c, other, pad) <= bound, lit(false))
 
   /** Hamming distance; null if lengths differ unless `pad` (then the
     * shorter is right-padded, mismatches counted). (string.py:117) */
@@ -384,8 +454,38 @@ object Strings {
     }
   }
 
-  /** Nearest word in a (small, broadcast) vocabulary by Levenshtein.
-    * (string.py:188 str_nearest; src/str_ext/nearest_str.rs) */
+  /** The reference's str_nearest (string.py:188; nearest_str.rs:60
+    * pl_nearest_str): an AGGREGATE — the value of column `c` nearest
+    * to `word`, considering only values within `threshold` distance
+    * ("lv" Levenshtein or "hamming"; hamming skips values whose length
+    * differs from the word's, rapidfuzz Err convention). Returns null
+    * when nothing qualifies. The reference breaks distance ties by
+    * first-seen row order, which has no distributed analog — ties here
+    * break by (distance, value), deterministic under any partitioning.
+    * Plan: one min_by aggregate; the lv distance uses Spark's native
+    * 3-arg levenshtein, whose threshold short-circuits the DP. */
+  def strNearest(c: Column, word: String, threshold: Int,
+                 metric: String): Column = {
+    require(threshold > 0, "strNearest: threshold must be > 0")
+    val d: Column = metric match {
+      case "lv" =>
+        val raw = levenshtein(c, lit(word), threshold)
+        when(raw >= 0, raw) // built-in yields -1 past the threshold
+      case "hamming" =>
+        when(strHamming(c, lit(word)) <= threshold,
+          strHamming(c, lit(word)))
+      case m => throw new IllegalArgumentException(
+        s"strNearest: metric $m (want lv | hamming)")
+    }
+    // min_by skips rows with a null ordering key, so out-of-threshold
+    // and null values never win
+    min_by(c, when(d.isNotNull, struct(d, c)))
+  }
+
+  /** Nearest word in a (small, broadcast) vocabulary by Levenshtein —
+    * the per-row companion to the aggregate [[strNearest]] (reference
+    * users compose similar_to_vocab for this; kept as the engine's
+    * vocab-snap primitive). */
   def strNearest(a: Column, vocab: Seq[String]): Column = {
     val f = udf { (x: String) =>
       if (x == null) null
@@ -554,8 +654,14 @@ object Strings {
 
   /** Extract all numbers as their RAW matched strings
     * (string.py:762 extract_numbers: "25" stays "25", not "25.0" —
-    * the reference's dtype/join_by args cast or join afterwards; use
-    * `transform(_, _.cast(...))` / `array_join` on the result). */
-  def extractNumbers(c: Column): Column =
-    regexp_extract_all(c, lit("(-?[0-9]+\\.?[0-9]*)"), lit(1))
+    * the reference's dtype arg casts afterwards; use
+    * `transform(_, _.cast(...))` on the result). `ignoreComma` strips
+    * commas before matching so "1,000,000" extracts as one number;
+    * `joinBy` joins the list into a single string. */
+  def extractNumbers(c: Column, ignoreComma: Boolean = false,
+                     joinBy: Option[String] = None): Column = {
+    val base = if (ignoreComma) regexp_replace(c, ",", "") else c
+    val arr = regexp_extract_all(base, lit("(-?[0-9]+\\.?[0-9]*)"), lit(1))
+    joinBy.map(sep => array_join(arr, sep)).getOrElse(arr)
+  }
 }

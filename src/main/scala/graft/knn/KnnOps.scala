@@ -125,6 +125,9 @@ object KnnOps {
                 dataMask: Option[Column] = None): DataFrame = {
     val pool = dataMask.map(df.filter).getOrElse(df)
     val tree = collectTree(pool, id, features, metric)
+    // user bounds arrive in the metric's REPORTED unit; the tree prunes
+    // in raw units (squared for l2)
+    val rawBound = toRaw(maxBound, metric)
     val fields =
       if (returnDist)
         Seq(StructField("knn_ids", ArrayType(LongType)),
@@ -132,35 +135,53 @@ object KnnOps {
       else Seq(StructField("knn_ids", ArrayType(LongType)))
     withQueried(df, id, features, fields, (t, qid, qf) => {
       val nn =
-        if (includeSelf) t.knn(qf, k + 1, maxBound = maxBound,
+        if (includeSelf) t.knn(qf, k + 1, maxBound = rawBound,
           epsilon = epsilon)
-        else t.knn(qf, k, exclude = qid, maxBound = maxBound,
+        else t.knn(qf, k, exclude = qid, maxBound = rawBound,
           epsilon = epsilon)
       if (returnDist) Seq(nn.map(_._1).toSeq, nn.map(p => t.report(p._2)).toSeq)
       else Seq(nn.map(_._1).toSeq)
     }, tree, evalMask)
   }
 
-  /** KNN regression: mean of `target` over the k nearest neighbors
-    * (optionally inverse-distance weighted). (expr_knn.py:265
-    * query_knn_avg; knn.rs:88) */
+  /** KNN regression: mean of `target` over the k nearest neighbors.
+    * Reference contract exactly (expr_knn.py:265 query_knn_avg;
+    * kdt2.rs:367 knn_regress): the tree is queried for k+1 neighbors
+    * INCLUDING the row itself, search bounded by `maxBound`; neighbors
+    * closer than `minBound` — the row itself at distance 0 and any
+    * exact duplicates — are then dropped from the average, so with the
+    * defaults each row averages ≤ k true neighbors. When `weighted`,
+    * weights are 1/d, or 1/(1+d) when minBound ≤ machine-ε since d=0
+    * can then enter the average (KNNMethod::new, arkadia/mod.rs:129).
+    * Bounds and weights use the metric's REPORTED unit (sql2 = squared
+    * l2). Rows with null features never join the tree (keep_data mask,
+    * expr_knn.py:318); a null target is out of contract upstream but
+    * such rows are simply never averaged here. */
   def knnAvg(df: DataFrame, id: Column, features: Seq[Column],
              target: Column, k: Int, metric: String = "l2",
-             weighted: Boolean = false): DataFrame = {
+             weighted: Boolean = false, minBound: Double = 1e-9,
+             maxBound: Double = 99999.0): DataFrame = {
     val spark = df.sparkSession
     val targets = df.select(id.cast("long"), target.cast("double"))
       .na.drop().collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bcT = spark.sparkContext.broadcast(targets)
     val tree = collectTree(df, id, features, metric)
+    val rawBound = toRaw(maxBound, metric)
+    val p1Weights = minBound <= 2.220446049250313e-16
     withQueried(df, id, features,
       Seq(StructField("knn_avg", DoubleType)), (t, qid, qf) => {
-        val nn = t.knn(qf, k, exclude = qid)
+        val nn = t.knn(qf, k + 1, maxBound = rawBound)
         val tv = bcT.value
-        val vals = nn.flatMap(p => tv.get(p._1).map(v => (v, t.report(p._2))))
+        val vals = nn.iterator
+          .map { case (nid, raw) => (nid, t.report(raw)) }
+          .filter { case (_, d) => d >= minBound }
+          .flatMap { case (nid, d) => tv.get(nid).map(v => (v, d)) }
+          .toArray
         if (vals.isEmpty) Seq(null)
         else if (weighted) {
-          val w = vals.map { case (_, d) => 1.0 / (d + 1e-12) }
+          val w = vals.map { case (_, d) =>
+            if (p1Weights) 1.0 / (1.0 + d) else 1.0 / d }
           Seq(vals.zip(w).map { case ((v, _), wi) => v * wi }.sum / w.sum)
         } else Seq(vals.map(_._1).sum / vals.length)
       }, tree)
@@ -170,14 +191,24 @@ object KnnOps {
     * density signal used for outlier detection. (expr_knn.py:52
     * query_dist_from_kth_nb; knn.rs:211) */
   def distFromKthNb(df: DataFrame, id: Column, features: Seq[Column],
-                    k: Int, metric: String = "l2"): DataFrame = {
+                    k: Int, metric: String = "l2",
+                    epsilon: Double = 0.0,
+                    maxBound: Double = Double.PositiveInfinity)
+      : DataFrame = {
     val tree = collectTree(df, id, features, metric)
+    val rawBound = toRaw(maxBound, metric)
     withQueried(df, id, features,
       Seq(StructField("kth_dist", DoubleType)), (t, qid, qf) => {
-        val nn = t.knn(qf, k, exclude = qid)
+        val nn = t.knn(qf, k, exclude = qid, maxBound = rawBound,
+          epsilon = epsilon)
         Seq(if (nn.length < k) null else t.report(nn.last._2))
       }, tree)
   }
+
+  /** User-unit → raw-unit distance bound: KdTree prunes on squared
+    * distances for l2, identity for l1/sql2/inf. */
+  @inline private def toRaw(bound: Double, metric: String): Double =
+    if (metric == "l2") bound * bound else bound
 
   /** Ids within radius r of each row (self excluded), sorted by
     * (dist, id). r is in the metric's reported unit. (expr_knn.py:471
@@ -253,8 +284,13 @@ object KnnOps {
     * neighbors — knnPtwise → explode → count. (expr_knn.py:203
     * query_knn_freq_cnt) */
   def knnFreqCnt(df: DataFrame, id: Column, features: Seq[Column], k: Int,
-                 metric: String = "l2"): DataFrame =
-    knnPtwise(df, id, features, k, metric)
+                 metric: String = "l2",
+                 maxBound: Double = Double.PositiveInfinity,
+                 epsilon: Double = 0.0,
+                 evalMask: Option[Column] = None,
+                 dataMask: Option[Column] = None): DataFrame =
+    knnPtwise(df, id, features, k, metric, maxBound = maxBound,
+        epsilon = epsilon, evalMask = evalMask, dataMask = dataMask)
       .select(explode(col("knn_ids")).as("nb_id"))
       .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
 

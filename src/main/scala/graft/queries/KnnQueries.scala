@@ -51,10 +51,19 @@ object KnnQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
     "q_knn_avg" -> ((s, dir) => {
-      KnnOps.knnAvg(feat(s, dir), col("c_custkey"),
-          Seq(col("f1"), col("f2")), col("c_acctbal"), 5)
+      // reference contract: k+1 incl self, min_bound drops d=0, and the
+      // weighted variant uses 1/d weights inside max_bound
+      val df = feat(s, dir)
+      val plain = KnnOps.knnAvg(df, col("c_custkey"),
+        Seq(col("f1"), col("f2")), col("c_acctbal"), 5)
+      val wtd = KnnOps.knnAvg(df, col("c_custkey"),
+          Seq(col("f1"), col("f2")), col("c_acctbal"), 5,
+          weighted = true, maxBound = 30.0)
+        .select(col("c_custkey").as("k2"), col("knn_avg").as("knn_wavg"))
+      plain.join(wtd, col("c_custkey") === col("k2"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(avg(col("knn_avg")), 4).as("avg_knn_avg"))
+        .agg(round(avg(col("knn_avg")), 4).as("avg_knn_avg"),
+          round(avg(col("knn_wavg")), 4).as("avg_knn_wavg"))
         .orderBy("c_mktsegment")
     }),
     "q_knn_nb_cnt" -> ((s, dir) => {
@@ -125,14 +134,32 @@ object KnnQueries extends QueryPack {
          |  SUM(CASE WHEN rk = 1 THEN cid END)::BIGINT AS sum_nn1
          |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_avg" ->
-      s"""WITH $pairsSql,
+      s"""WITH f AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal,
+         |    c_acctbal / 100.0 f1, (c_custkey * 7919 % 1000) / 10.0 f2
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+         |    b.c_acctbal tv,
+         |    (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+         |  FROM f a CROSS JOIN f b),
+         |-- k+1 nearest INCLUDING self; min_bound 1e-9 then drops the
+         |-- self pair (and exact feature duplicates) from the average
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT qid, seg, tv, SQRT(d2) d,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+         |    FROM pairs)
+         |  WHERE rk <= 6 AND d >= 1e-9),
          |knn AS (
-         |  SELECT r.qid, r.seg, AVG(f.c_acctbal) knn_avg
-         |  FROM ranked r JOIN (SELECT * FROM customer) f
-         |    ON f.c_custkey = r.cid
-         |  WHERE r.rk <= 5 GROUP BY 1, 2)
+         |  SELECT qid, seg, AVG(tv) knn_avg,
+         |    SUM(tv / d) FILTER (d < 30.0)
+         |      / SUM(1.0 / d) FILTER (d < 30.0) knn_wavg
+         |  FROM kept GROUP BY 1, 2)
          |SELECT seg AS c_mktsegment,
-         |  ROUND(AVG(knn_avg), 4) AS avg_knn_avg
+         |  ROUND(AVG(knn_avg), 4) AS avg_knn_avg,
+         |  ROUND(AVG(knn_wavg), 4) AS avg_knn_wavg
          |FROM knn GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_nb_cnt" ->
       s"""WITH f AS ($featSql),

@@ -66,7 +66,11 @@ object MiscQueries extends QueryPack {
             lit("standard")) <= 5, 1)).as("n_ham5"),
           count(when(Strings.similarToVocab(col("w"),
             Seq("promo", "standard"), 0.5, "lv", "any"), 1))
-            .as("n_similar"))
+            .as("n_similar"),
+          // the reference's AGGREGATE str_nearest: per group, the value
+          // of w nearest to the word within threshold (lv metric)
+          Strings.strNearest(col("w"), "standard", 3, "lv")
+            .as("nearest_std"))
         .orderBy("p_brand")
     }),
     "q_expander" -> ((s, dir) => {
@@ -230,7 +234,12 @@ object MiscQueries extends QueryPack {
          |        / GREATEST(LENGTH(w), 5) >= 0.5
          |      OR 1 - levenshtein(w, 'standard')::DOUBLE
          |        / GREATEST(LENGTH(w), 8) >= 0.5
-         |    THEN 1 END) AS n_similar
+         |    THEN 1 END) AS n_similar,
+         |  (SELECT m2.w FROM m m2
+         |   WHERE m2.p_brand = m.p_brand
+         |     AND levenshtein(m2.w, 'standard') <= 3
+         |   ORDER BY levenshtein(m2.w, 'standard'), m2.w LIMIT 1)
+         |    AS nearest_std
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_expander" ->

@@ -106,11 +106,17 @@ object StringQueries extends QueryPack {
     "q_extract_numbers" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("nums", Strings.extractNumbers(col("props")))
+        .withColumn("nums_nc",
+          Strings.extractNumbers(col("props"), ignoreComma = true))
+        .withColumn("joined",
+          Strings.extractNumbers(col("props"), joinBy = Some("|")))
         .groupBy(col("event_type"))
         .agg(
           round(sum(element_at(col("nums"), 1).cast("double")), 2)
             .as("sum_k"),
-          sum(size(col("nums"))).as("n_nums"))
+          sum(size(col("nums"))).as("n_nums"),
+          sum(size(col("nums_nc"))).as("n_nums_nc"),
+          sum(length(col("joined"))).as("joined_len"))
         .orderBy("event_type")
     })
   )
@@ -190,7 +196,12 @@ object StringQueries extends QueryPack {
         |  ROUND(SUM(CAST(regexp_extract(props, '(-?[0-9]+\.?[0-9]*)', 1)
         |    AS DOUBLE)), 2) AS sum_k,
         |  SUM(LENGTH(regexp_extract_all(props, '(-?[0-9]+\.?[0-9]*)', 1)))
-        |    ::BIGINT AS n_nums
+        |    ::BIGINT AS n_nums,
+        |  SUM(LENGTH(regexp_extract_all(REPLACE(props, ',', ''),
+        |    '(-?[0-9]+\.?[0-9]*)', 1)))::BIGINT AS n_nums_nc,
+        |  SUM(LENGTH(array_to_string(
+        |    regexp_extract_all(props, '(-?[0-9]+\.?[0-9]*)', 1), '|')))
+        |    ::BIGINT AS joined_len
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
