@@ -74,15 +74,29 @@ class LinRegAgg(d: Int, lambda: Double,
     val a = Array.ofDim[Double](d, 2 * d)
     var i = 0
     var maxDiag = 0.0
+    // Σ ln(diag) for the reference's scale-invariant rank gate; a
+    // non-positive diagonal is a zero-variance column → always gated
+    // (lr_solvers.rs:347 faer_solve_lr_gated)
+    var lnDen = 0.0
     while (i < d) {
       var j = 0
       while (j < d) { a(i)(j) = b(i * d + j); j += 1 }
       a(i)(i) += lambda
       a(i)(d + i) = 1.0
       maxDiag = math.max(maxDiag, math.abs(a(i)(i)))
+      if (singularXTol > 0.0) {
+        if (a(i)(i) <= 0.0) return LinRegResult(Nil, Nil, Nil, Nil,
+          Double.NaN, Double.NaN, n.toLong)
+        lnDen += math.log(a(i)(i))
+      }
       i += 1
     }
-    // Gauss-Jordan with partial pivoting → A⁻¹ in the right half
+    // Gauss-Jordan with partial pivoting → A⁻¹ in the right half.
+    // |det(A)| = Π |pivots| accumulates in log space alongside — the
+    // elimination IS our factorization, so the determinant is free,
+    // exactly as the reference reads it off the QR R / SVD S /
+    // Cholesky L diagonals (lr_solvers.rs:358).
+    var lnDet = 0.0
     var col = 0
     while (col < d) {
       var piv = col
@@ -103,6 +117,7 @@ class LinRegAgg(d: Int, lambda: Double,
           n.toLong)
       if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
       val pv = a(col)(col)
+      lnDet += math.log(math.abs(pv))
       var j = 0
       while (j < 2 * d) { a(col)(j) /= pv; j += 1 }
       r = 0
@@ -116,6 +131,14 @@ class LinRegAgg(d: Int, lambda: Double,
       }
       col += 1
     }
+    // Relative-determinant gate (expr_linear.py:166 singular_x_tol):
+    // ln|det(X'X+λI)| − Σ ln(diag) ≤ ln(tol) ⇒ rank-deficient design →
+    // degenerate result, not explosive coefficients. Scale-invariant
+    // (Hadamard: rel_det ≤ 1 for PSD) and overflow-safe in log space.
+    // tol = 0 disables, matching the reference.
+    if (singularXTol > 0.0 && lnDet - lnDen <= math.log(singularXTol))
+      return LinRegResult(Nil, Nil, Nil, Nil, Double.NaN, Double.NaN,
+        n.toLong)
     val inv = Array.tabulate(d, d)((i2, j2) => a(i2)(d + j2))
     val beta = Array.tabulate(d) { i2 =>
       var s = 0.0
@@ -161,10 +184,25 @@ private object ExpressionEncoders {
 
 object LinRegAgg {
   /** lin_reg as an aggregate Column: features array (append 1.0 yourself
-    * for a bias term), target, optional weight column. */
+    * for a bias term), target, optional weight column.
+    *
+    * `solver` accepts the reference's names — "qr" | "svd" |
+    * "cholesky"/"choleskey" (expr_linear.py:114) — for API parity. All
+    * three route to the same Gram-elimination kernel here: the solvers
+    * differ only in which factorization yields det(X'X) for the
+    * singular_x_tol gate, and the reference's own test asserts they are
+    * observably equivalent (test_linear_exprs.py:1325
+    * test_singular_x_tol_per_solver). Our elimination pivots supply the
+    * same determinant, so one kernel covers all three contracts.
+    * `singularXTol` is the rank gate (0 disables). */
   def linReg(features: Column, y: Column, d: Int, lambda: Double = 0.0,
-             weight: Column = functions.lit(1.0)): Column = {
-    val f = functions.udaf(new LinRegAgg(d, lambda), Encoders.product[LRIn])
+             weight: Column = functions.lit(1.0),
+             solver: String = "qr",
+             singularXTol: Double = 1e-12): Column = {
+    require(Set("qr", "svd", "cholesky", "choleskey")(solver),
+      s"lin_reg: solver '$solver' (want qr | svd | cholesky)")
+    val f = functions.udaf(new LinRegAgg(d, lambda, singularXTol),
+      Encoders.product[LRIn])
     f(features, y.cast("double"), weight.cast("double"))
   }
 }

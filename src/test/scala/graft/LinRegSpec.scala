@@ -263,6 +263,47 @@ class LinRegSpec extends AnyFunSuite {
       .select("r.coeffs").collect()(0).getSeq[Double](0)
     assert(fullRes.length == feats, "full-rank design must not be nulled")
     fullRes.foreach(b => assert(approx(b, 1.0, 1e-6)))
+    // per-solver parametrization (test_linear_exprs.py:1325): the gate
+    // fires / stays quiet identically under every solver name
+    for (sv <- Seq("qr", "svd", "choleskey")) {
+      val sRes = sing.agg(LinRegAgg.linReg(
+        array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+        col("y"), feats, solver = sv).as("r"))
+        .select("r.coeffs").collect()(0).getSeq[Double](0)
+      assert(sRes.isEmpty || sRes.forall(_.isNaN),
+        s"solver=$sv must gate the collinear design")
+      val fRes = full.agg(LinRegAgg.linReg(
+        array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+        col("y"), feats, solver = sv).as("r"))
+        .select("r.coeffs").collect()(0).getSeq[Double](0)
+      assert(fRes.length == feats, s"solver=$sv must not gate full rank")
+    }
+    // singular_x_tol = 0 disables the gate (reference pre-gate
+    // behavior): a NEARLY collinear design — the regime the gate
+    // exists for — returns a finite (explosive) solution instead of
+    // null. (Exactly rank-deficient designs still come back degenerate
+    // here: elimination meets a hard-zero pivot where faer's QR picks
+    // a min-norm solution — documented divergence, gate-off + exact
+    // singularity is outside the reference's own test surface.)
+    val rngN = new scala.util.Random(5)
+    val near = (0 until n).map { _ =>
+      val base = rngN.nextGaussian() * 1e3
+      ((0 until feats).map(i => base * (i + 1) + rngN.nextGaussian() * 1e-6),
+        rngN.nextGaussian() * 1e3)
+    }.toDF("xs", "y")
+    val unGated = near.agg(LinRegAgg.linReg(
+      array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+      col("y"), feats, singularXTol = 0.0).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    assert(unGated.length == feats && unGated.forall(b => !b.isNaN),
+      "tol=0 must disable the gate on a near-collinear design")
+    // ...and the default gate nulls that same near-collinear design
+    val gated = near.agg(LinRegAgg.linReg(
+      array((0 until feats).map(i => element_at(col("xs"), i + 1)): _*),
+      col("y"), feats).as("r"))
+      .select("r.coeffs").collect()(0).getSeq[Double](0)
+    assert(gated.isEmpty || gated.forall(_.isNaN),
+      "default tol must gate the near-collinear design")
     // the windowed solver shares the gate: a collinear window comes
     // back null, not garbage (ADVICE: relative pivot tolerance)
     val dfw = (0 until 30).map { i =>
