@@ -49,9 +49,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val got = Seq(Some("kitten") -> "sitting", Some("mary") -> "merry",
       Some("may") -> "mayer", (None: Option[String]) -> "")
       .toDF("a", "b")
-      .select((levenshtein(col("a"), col("b")) <= 2).as("r"))
+      .select(Strings.filterByLevenshtein(col("a"), col("b"), 2).as("r"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
     assert(got.toSeq == Seq(false, true, true, null))
+  }
+
+  test("filter_by_hamming bound=2 (test_string.py:306-322)") {
+    import spark.implicits._
+    val got = Seq("AAAAA" -> "AAAAT", "AAATT" -> "AAAAA",
+      "AATTT" -> "ATATA", "AAAAA" -> "AAAAA", "AAAAA" -> "TTTTT")
+      .toDF("a", "b")
+      .select(Strings.filterByHamming(col("a"), col("b"), 2).as("r"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, true, false, true, false))
   }
 
   test("str_osa vector with null (test_string.py:355-369)") {
