@@ -31,12 +31,24 @@ object EdaOps {
       .toDF("column", "n_null", "n_inf", "n_nan", "n_zero")
   }
 
-  /** Summary stats per numeric column: count, null_count, mean, std,
-    * min, q25, median, q75, max. (diagnosis.py:122 numeric_profile) */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+  /** Summary profile per numeric column, the reference's field set
+    * (diagnosis.py:122 numeric_profile): non_null_cnt, null fraction,
+    * mean/std/min/q1/median/q3/max (median rounded to 2 like the
+    * reference), IQR, and the IQR-fence outlier count with
+    * `iqrMultiplier` (any_horizontal fence at q1 − m·IQR / q3 + m·IQR).
+    * With `histogram`, appends `hist` — `nBins` equal-width bin counts
+    * over the min–max-normalized finite values (the reference cuts the
+    * same normalized range; its ±1e-5 edge jiggle is display-only).
+    * Quantiles are exact linear-interpolated (`percentile`); the
+    * reference uses polars' default "nearest" — documented divergence,
+    * same as the transforms layer. Two aggregation passes total for ANY
+    * number of columns (profile, then fences+bins, which need pass 1's
+    * quantiles), all map-side combined. */
+  def numericProfile(df: DataFrame, cols: Seq[String], nBins: Int = 20,
+                     iqrMultiplier: Double = 1.5,
+                     histogram: Boolean = false): DataFrame = {
+    val aggs = count(lit(1)).cast("double") +: cols.flatMap { c =>
       Seq(count(col(c)).cast("double"),
-        sum(col(c).isNull.cast("long")).cast("double"),
         avg(col(c)), stddev_samp(col(c)),
         min(col(c)).cast("double"),
         percentile(col(c), lit(0.25)),
@@ -45,32 +57,96 @@ object EdaOps {
         max(col(c)).cast("double"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head
-    val rows = cols.zipWithIndex.map { case (c, i) =>
-      val o = 9 * i
-      (c, r.getDouble(o).toLong, r.getDouble(o + 1).toLong,
-        r.getDouble(o + 2), r.getDouble(o + 3), r.getDouble(o + 4),
-        r.getDouble(o + 5), r.getDouble(o + 6), r.getDouble(o + 7),
-        r.getDouble(o + 8))
+    val len = r.getDouble(0)
+    case class P(cnt: Double, mean: Double, std: Double, mn: Double,
+                 q1: Double, med: Double, q3: Double, mx: Double)
+    val ps = cols.zipWithIndex.map { case (c, i) =>
+      val o = 1 + 8 * i
+      c -> P(r.getDouble(o), r.getDouble(o + 1), r.getDouble(o + 2),
+        r.getDouble(o + 3), r.getDouble(o + 4), r.getDouble(o + 5),
+        r.getDouble(o + 6), r.getDouble(o + 7))
+    }.toMap
+    // pass 2: IQR-fence outliers (+ histogram bins) against pass 1's
+    // quantiles — still one distributed agg for all columns
+    val aggs2 = cols.flatMap { c =>
+      val p = ps(c)
+      val iqr = p.q3 - p.q1
+      val out = sum((col(c) < p.q1 - iqrMultiplier * iqr ||
+        col(c) > p.q3 + iqrMultiplier * iqr).cast("long")).as(s"${c}__o")
+      if (!histogram) Seq(out)
+      else {
+        val w = p.mx - p.mn
+        val norm = (col(c) - p.mn) / (if (w > 0) w else 1.0)
+        val bin = least(greatest(floor(norm * nBins), lit(0)),
+          lit(nBins - 1))
+        val finite = col(c).isNotNull && !isnan(col(c)) &&
+          col(c) =!= Double.PositiveInfinity &&
+          col(c) =!= Double.NegativeInfinity
+        out +: (0 until nBins).map(k =>
+          sum((finite && bin === k).cast("long")).as(s"${c}__h$k"))
+      }
     }
-    df.sparkSession.createDataFrame(rows)
-      .toDF("column", "cnt", "null_cnt", "mean", "std", "min", "q25",
-        "median", "q75", "max")
+    val r2 = df.agg(aggs2.head, aggs2.tail: _*).head
+    val stride = if (histogram) 1 + nBins else 1
+    if (!histogram) {
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        val p = ps(c)
+        (c, p.cnt.toLong, 1.0 - p.cnt / len, p.mean, p.std, p.mn, p.q1,
+          math.rint(p.med * 100) / 100, p.q3, p.mx, p.q3 - p.q1,
+          r2.getLong(stride * i))
+      }
+      df.sparkSession.createDataFrame(rows)
+        .toDF("column", "non_null_cnt", "null_pct", "mean", "std",
+          "min", "q1", "median", "q3", "max", "iqr", "outlier_cnt")
+    } else {
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        val p = ps(c)
+        (c, p.cnt.toLong, 1.0 - p.cnt / len, p.mean, p.std, p.mn, p.q1,
+          math.rint(p.med * 100) / 100, p.q3, p.mx, p.q3 - p.q1,
+          r2.getLong(stride * i),
+          (0 until nBins).map(k => r2.getLong(stride * i + 1 + k)))
+      }
+      df.sparkSession.createDataFrame(rows)
+        .toDF("column", "non_null_cnt", "null_pct", "mean", "std",
+          "min", "q1", "median", "q3", "max", "iqr", "outlier_cnt",
+          "hist")
+    }
   }
 
-  /** Pearson corr between each column's null-indicator and each numeric
-    * column — does missingness predict the value?
-    * (diagnosis.py:342 null_corr) */
-  def nullCorr(df: DataFrame, nullCols: Seq[String],
-               numCols: Seq[String]): DataFrame = {
-    val aggs = for (nc <- nullCols; xc <- numCols) yield
-      corr(col(nc).isNull.cast("double"), col(xc))
-        .as(s"${nc}__$xc")
-    val r = df.agg(aggs.head, aggs.tail: _*).head
-    val rows = (for ((nc, i) <- nullCols.zipWithIndex;
-                     (xc, j) <- numCols.zipWithIndex) yield
-      (nc, xc, r.getDouble(i * numCols.length + j)))
-    df.sparkSession.createDataFrame(rows)
-      .toDF("null_col", "num_col", "corr")
+  /** Pairwise null-indicator correlation (diagnosis.py:342 null_corr):
+    * Pearson corr(A is null, B is null) for every unordered column
+    * pair, skipping columns that are all-null or never-null under the
+    * optional `filterBy` (their indicator has zero variance — the
+    * reference excludes them too). Rows ordered by |null_corr| desc
+    * (name tie-break for determinism). The counts and every pair's
+    * correlation compute in ONE aggregation pass. */
+  def nullCorr(df: DataFrame, cols: Seq[String],
+               filterBy: Option[Column] = None): DataFrame = {
+    require(cols.size >= 2, "nullCorr: need at least two columns")
+    val base = filterBy.map(df.filter).getOrElse(df)
+    def ind(c: String): Column = col(c).isNull.cast("double")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).cast("double") +:
+      cols.map(c => sum(ind(c)))) ++
+      pairs.zipWithIndex.map { case ((a, b), k) =>
+        corr(ind(a), ind(b)).as(s"__p$k") }
+    val r = base.agg(aggs.head, aggs.tail: _*).head
+    val n = r.getDouble(0)
+    val nullCnt = cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(1 + i)) 0.0 else r.getDouble(1 + i)) }.toMap
+    val off = 1 + cols.size
+    val rows = pairs.zipWithIndex.collect {
+      case ((a, b), k) if nullCnt(a) > 0 && nullCnt(a) < n &&
+          nullCnt(b) > 0 && nullCnt(b) < n =>
+        (a, b,
+          if (r.isNullAt(off + k)) Double.NaN else r.getDouble(off + k))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("column_1", "column_2", "null_corr")
+      .orderBy(abs(col("null_corr")).desc, col("column_1"),
+        col("column_2"))
   }
 
   /** String column stats: null count, distinct count, min/avg/max
@@ -95,28 +171,115 @@ object EdaOps {
         "max_len")
   }
 
-  /** Column-class inference flags, one row per column:
-    * is_const, is_binary, is_discrete (≤ maxDistinct distinct),
-    * high_null (> nullThreshold fraction).
-    * (diagnosis.py:492-772 infer_* helpers) */
+  /** Column-class inference flags, one row per column, with the
+    * reference's conventions (diagnosis.py:521-675 infer_high_null /
+    * infer_discrete / infer_const / infer_binary / infer_k_distinct):
+    * `n_unique` counts null as a value (polars n_unique); is_const /
+    * is_binary / is_k_distinct allow one extra distinct for null when
+    * `includeNull`; is_discrete = n_unique < discreteMaxValCnt OR
+    * n_unique < discreteThreshold·len (both strict); high_null =
+    * null_cnt ≥ highNullThreshold·len. One aggregation pass for all
+    * columns. */
   def inferReport(df: DataFrame, cols: Seq[String],
-                  maxDistinct: Int = 10,
-                  nullThreshold: Double = 0.5): DataFrame = {
-    val aggs = cols.flatMap { c =>
+                  includeNull: Boolean = false,
+                  discreteThreshold: Double = 0.1,
+                  discreteMaxValCnt: Int = 100,
+                  highNullThreshold: Double = 0.75,
+                  kDistinct: Option[Int] = None): DataFrame = {
+    val aggs = count(lit(1)).cast("double") +: cols.flatMap { c =>
       Seq(countDistinct(col(c)).cast("double"),
-        avg(col(c).isNull.cast("double")),
-        count(lit(1)).cast("double"))
+        sum(col(c).isNull.cast("long")).cast("double"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head
+    val len = r.getDouble(0)
     val rows = cols.zipWithIndex.map { case (c, i) =>
-      val o = 3 * i
-      val nd = r.getDouble(o).toLong
-      val nullFrac = r.getDouble(o + 1)
-      (c, nd, nd == 1, nd == 2, nd <= maxDistinct, nullFrac > nullThreshold)
+      val o = 1 + 2 * i
+      val nullCnt = if (r.isNullAt(o + 1)) 0.0 else r.getDouble(o + 1)
+      val nu = r.getDouble(o).toLong + (if (nullCnt > 0) 1L else 0L)
+      def isK(k: Long): Boolean =
+        nu == k || (includeNull && nullCnt > 0 && nu == k + 1)
+      (c, nu, isK(1), isK(2),
+        nu < discreteMaxValCnt || nu < discreteThreshold * len,
+        nullCnt >= highNullThreshold * len,
+        kDistinct.exists(k => isK(k.toLong)))
     }
-    df.sparkSession.createDataFrame(rows)
-      .toDF("column", "n_distinct", "is_const", "is_binary",
-        "is_discrete", "high_null")
+    val out = df.sparkSession.createDataFrame(rows)
+      .toDF("column", "n_unique", "is_const", "is_binary",
+        "is_discrete", "high_null", "is_k_distinct")
+    if (kDistinct.isDefined) out else out.drop("is_k_distinct")
+  }
+
+  /** DIA.corr (diagnosis.py:437): wide correlation table — one row per
+    * `subset` column, one output column per `numerics` column, under
+    * the chosen method ("pearson" | "spearman" | "kendall" | "xi" |
+    * "bicor"). pearson and kendall evaluate every pair in ONE
+    * distributed aggregation (kendall via the [[graft.agg.KendallTauAgg]]
+    * aggregate); spearman window-ranks each distinct column once, then
+    * one aggregation over the ranks. xi and bicor are whole-frame rank
+    * constructions per pair (asymmetric / median-based), so they run
+    * one bounded job per pair — require()-capped to keep the job count
+    * loud. */
+  def corrTable(df: DataFrame, subset: Seq[String],
+                numerics: Seq[String],
+                method: String = "pearson"): DataFrame = {
+    require(subset.nonEmpty && numerics.nonEmpty, "corrTable: empty cols")
+    val pairs = for (x <- subset; y <- numerics) yield (x, y)
+    val vals: Map[(String, String), Double] = method match {
+      case "pearson" | "spearman" =>
+        val all = (subset ++ numerics).distinct
+        val src =
+          if (method == "pearson")
+            df.select(all.map(c => col(c).cast("double").as(c)): _*)
+          else {
+            // average ranks (ties averaged), one window per column
+            import org.apache.spark.sql.expressions.Window
+            all.foldLeft(
+              df.select(all.map(c => col(c).cast("double").as(c)): _*)) {
+              (d, c) =>
+                val wr = Window.orderBy(col(c))
+                val wt = Window.partitionBy(col(c))
+                d.withColumn(c,
+                  when(col(c).isNotNull, rank().over(wr) +
+                    (count(lit(1)).over(wt) - 1.0) / 2.0))
+            }
+          }
+        val aggs = pairs.zipWithIndex.map { case ((x, y), k) =>
+          corr(col(x), col(y)).as(s"__c$k") }
+        val r = src.agg(aggs.head, aggs.tail: _*).head
+        pairs.zipWithIndex.map { case (p, k) =>
+          p -> (if (r.isNullAt(k)) Double.NaN else r.getDouble(k)) }.toMap
+      case "kendall" =>
+        val aggs = pairs.zipWithIndex.map { case ((x, y), k) =>
+          graft.agg.KendallTauAgg.kendallTau(
+            col(x).cast("double"), col(y).cast("double")).as(s"__c$k") }
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        pairs.zipWithIndex.map { case (p, k) =>
+          p -> (if (r.isNullAt(k)) Double.NaN else r.getDouble(k)) }.toMap
+      case "xi" | "bicor" =>
+        require(pairs.size <= 64,
+          s"corrTable($method): ${pairs.size} pairs exceed the 64-pair " +
+            "cap — each pair is a whole-frame job; narrow the subset")
+        pairs.map { case (x, y) =>
+          val one =
+            if (method == "xi")
+              graft.ops.StatOps.xiCorr(df, col(x), col(y), Nil)
+            else graft.ops.StatOps.bicor(df, col(x), col(y), Nil)
+          val v = one.head.getDouble(0)
+          (x, y) -> v
+        }.toMap
+      case m => throw new IllegalArgumentException(
+        s"corrTable: method $m (want pearson|spearman|kendall|xi|bicor)")
+    }
+    val rows = subset.map { x =>
+      org.apache.spark.sql.Row.fromSeq(x +: numerics.map(y => vals((x, y))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType) +:
+        numerics.map(y => org.apache.spark.sql.types.StructField(y,
+          org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Columns that could hold probabilities: every non-null value lies

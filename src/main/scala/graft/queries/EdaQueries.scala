@@ -99,19 +99,40 @@ object EdaQueries extends QueryPack {
         .orderBy("column")
     }),
     "q_eda_profile" -> ((s, dir) => {
-      EdaOps.numericProfile(ev(s, dir), Seq("v_null", "value"))
-        .select(col("column"), col("cnt"), col("null_cnt"),
+      EdaOps.numericProfile(ev(s, dir), Seq("v_null", "value"),
+          nBins = 4, histogram = true)
+        .select(col("column"), col("non_null_cnt"),
+          round(col("null_pct"), 6).as("null_pct"),
           round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
-          col("min"), round(col("q25"), 6).as("q25"),
-          round(col("median"), 6).as("median"),
-          round(col("q75"), 6).as("q75"), col("max"))
+          col("min"), round(col("q1"), 6).as("q1"),
+          col("median"),
+          round(col("q3"), 6).as("q3"), col("max"),
+          round(col("iqr"), 6).as("iqr"), col("outlier_cnt"),
+          element_at(col("hist"), 1).as("h1"),
+          element_at(col("hist"), 4).as("h4"))
         .orderBy("column")
     }),
+    // reference null_corr: corr between the NULL INDICATORS of every
+    // column pair, invalid (all/never-null) columns skipped
     "q_null_corr" -> ((s, dir) => {
-      EdaOps.nullCorr(ev(s, dir), Seq("v_null"), Seq("value", "user_id"))
-        .select(col("null_col"), col("num_col"),
-          round(col("corr"), 6).as("corr"))
-        .orderBy("null_col", "num_col")
+      val df = ev(s, dir)
+        .withColumn("v_null2",
+          when(col("user_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      EdaOps.nullCorr(df, Seq("v_null", "v_null2", "value", "user_id"))
+        .select(col("column_1"), col("column_2"),
+          round(col("null_corr"), 6).as("null_corr"))
+        .orderBy("column_1", "column_2")
+    }),
+    // DIA.corr wide table, spearman path (pearson is q_corr_matrix,
+    // kendall is q_kendall_tau — this exercises the shared rank plan)
+    "q_corr_table" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+      EdaOps.corrTable(df, Seq("value", "user_id"),
+          Seq("value", "user_id", "event_id"), "spearman")
+        .select(col("column"), round(col("value"), 6).as("r_value"),
+          round(col("user_id"), 6).as("r_user"),
+          round(col("event_id"), 6).as("r_event"))
+        .orderBy("column")
     }),
     "q_str_stats" -> ((s, dir) => {
       EdaOps.strStats(t(s, dir, "documents"), Seq("text", "lang"))
@@ -126,7 +147,8 @@ object EdaQueries extends QueryPack {
         .withColumn("bin_col", col("user_id") % 2)
       EdaOps.inferReport(df,
           Seq("const_col", "bin_col", "event_type", "value", "v_null"),
-          maxDistinct = 10, nullThreshold = 0.005)
+          discreteThreshold = 0.001, discreteMaxValCnt = 10,
+          highNullThreshold = 0.005, kDistinct = Some(2))
         .orderBy("column")
     })
   )
@@ -200,37 +222,73 @@ object EdaQueries extends QueryPack {
          |SELECT * FROM u ORDER BY "column"""".stripMargin,
     "q_eda_profile" ->
       s"""WITH e AS ($evSql),
-         |u AS (
-         |  SELECT 'v_null' AS "column", COUNT(v_null)::BIGINT cnt,
-         |    SUM(CASE WHEN v_null IS NULL THEN 1 ELSE 0 END)::BIGINT
-         |      null_cnt,
-         |    ROUND(AVG(v_null), 6) mean,
-         |    ROUND(STDDEV_SAMP(v_null), 6) std,
-         |    MIN(v_null) min, ROUND(quantile_cont(v_null, 0.25), 6) q25,
-         |    ROUND(quantile_cont(v_null, 0.5), 6) median,
-         |    ROUND(quantile_cont(v_null, 0.75), 6) q75, MAX(v_null) max
+         |prof AS (
+         |  SELECT 'v_null' AS c, COUNT(*)::DOUBLE len,
+         |    COUNT(v_null)::BIGINT cnt, AVG(v_null) mean,
+         |    STDDEV_SAMP(v_null) std, MIN(v_null) mn,
+         |    quantile_cont(v_null, 0.25) q1,
+         |    quantile_cont(v_null, 0.5) med,
+         |    quantile_cont(v_null, 0.75) q3, MAX(v_null) mx
          |  FROM e
          |  UNION ALL
-         |  SELECT 'value', COUNT(value)::BIGINT,
-         |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         |    ROUND(AVG(value), 6), ROUND(STDDEV_SAMP(value), 6),
-         |    MIN(value), ROUND(quantile_cont(value, 0.25), 6),
-         |    ROUND(quantile_cont(value, 0.5), 6),
-         |    ROUND(quantile_cont(value, 0.75), 6), MAX(value)
-         |  FROM e)
-         |SELECT * FROM u ORDER BY "column"""".stripMargin,
+         |  SELECT 'value', COUNT(*)::DOUBLE, COUNT(value)::BIGINT,
+         |    AVG(value), STDDEV_SAMP(value), MIN(value),
+         |    quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+         |    quantile_cont(value, 0.75), MAX(value)
+         |  FROM e),
+         |-- IQR-fence outliers and 4-bin histogram against the
+         |-- profile's quantiles (same second-pass shape as the engine)
+         |ext AS (
+         |  SELECT p.c,
+         |    SUM(CASE WHEN v < p.q1 - 1.5 * (p.q3 - p.q1)
+         |          OR v > p.q3 + 1.5 * (p.q3 - p.q1)
+         |        THEN 1 ELSE 0 END)::BIGINT outlier_cnt,
+         |    SUM(CASE WHEN LEAST(GREATEST(
+         |        FLOOR((v - p.mn) / (p.mx - p.mn) * 4), 0), 3) = 0
+         |        THEN 1 ELSE 0 END)::BIGINT h1,
+         |    SUM(CASE WHEN LEAST(GREATEST(
+         |        FLOOR((v - p.mn) / (p.mx - p.mn) * 4), 0), 3) = 3
+         |        THEN 1 ELSE 0 END)::BIGINT h4
+         |  FROM prof p JOIN (
+         |    SELECT 'v_null' AS c, v_null AS v FROM e
+         |    UNION ALL SELECT 'value', value FROM e) x
+         |    ON x.c = p.c AND x.v IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT p.c AS "column", p.cnt AS non_null_cnt,
+         |  ROUND(1 - p.cnt / p.len, 6) AS null_pct,
+         |  ROUND(p.mean, 6) AS mean, ROUND(p.std, 6) AS std,
+         |  p.mn AS min, ROUND(p.q1, 6) AS q1,
+         |  round_even(p.med, 2) AS median, ROUND(p.q3, 6) AS q3,
+         |  p.mx AS max, ROUND(p.q3 - p.q1, 6) AS iqr,
+         |  x.outlier_cnt, x.h1, x.h4
+         |FROM prof p JOIN ext x ON p.c = x.c
+         |ORDER BY 1""".stripMargin,
     "q_null_corr" ->
       s"""WITH e AS ($evSql)
-         |SELECT 'v_null' AS null_col, 'user_id' AS num_col,
-         |  ROUND(CORR(CASE WHEN v_null IS NULL THEN 1.0 ELSE 0.0 END,
-         |    user_id), 6) AS corr
-         |FROM e
-         |UNION ALL
-         |SELECT 'v_null', 'value',
-         |  ROUND(CORR(CASE WHEN v_null IS NULL THEN 1.0 ELSE 0.0 END,
-         |    value), 6)
-         |FROM e
-         |ORDER BY null_col, num_col""".stripMargin,
+         |SELECT 'v_null' AS column_1, 'v_null2' AS column_2,
+         |  ROUND(CORR(
+         |    CASE WHEN v_null IS NULL THEN 1.0 ELSE 0.0 END,
+         |    CASE WHEN user_id % 7 = 0 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS null_corr
+         |FROM e""".stripMargin,
+    "q_corr_table" ->
+      """WITH r AS (
+        |  SELECT
+        |    RANK() OVER (ORDER BY value)
+        |      + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 rv,
+        |    RANK() OVER (ORDER BY user_id)
+        |      + (COUNT(*) OVER (PARTITION BY user_id) - 1) / 2.0 ru,
+        |    RANK() OVER (ORDER BY event_id)
+        |      + (COUNT(*) OVER (PARTITION BY event_id) - 1) / 2.0 re
+        |  FROM events)
+        |SELECT 'value' AS "column", ROUND(CORR(rv, rv), 6) r_value,
+        |  ROUND(CORR(rv, ru), 6) r_user, ROUND(CORR(rv, re), 6) r_event
+        |FROM r
+        |UNION ALL
+        |SELECT 'user_id', ROUND(CORR(ru, rv), 6),
+        |  ROUND(CORR(ru, ru), 6), ROUND(CORR(ru, re), 6)
+        |FROM r
+        |ORDER BY "column"""".stripMargin,
     "q_str_stats" ->
       """WITH u AS (
         |  SELECT 'lang' AS "column",
@@ -247,38 +305,30 @@ object EdaQueries extends QueryPack {
         |    ROUND(AVG(LENGTH(text)), 6), MAX(LENGTH(text))::BIGINT
         |  FROM documents)
         |SELECT * FROM u ORDER BY "column"""".stripMargin,
+    // polars n_unique convention: null counts as one distinct value
     "q_eda_infer" ->
       s"""WITH e AS (SELECT *, 1 const_col, user_id % 2 bin_col
          |  FROM ($evSql)),
          |u AS (
-         |  SELECT 'bin_col' AS "column",
-         |    COUNT(DISTINCT bin_col)::BIGINT n_distinct,
-         |    COUNT(DISTINCT bin_col) = 1 is_const,
-         |    COUNT(DISTINCT bin_col) = 2 is_binary,
-         |    COUNT(DISTINCT bin_col) <= 10 is_discrete,
-         |    AVG(CASE WHEN bin_col IS NULL THEN 1.0 ELSE 0.0 END) > 0.005
-         |      high_null
-         |  FROM e
-         |  UNION ALL SELECT 'const_col', COUNT(DISTINCT const_col)::BIGINT,
-         |    COUNT(DISTINCT const_col) = 1, COUNT(DISTINCT const_col) = 2,
-         |    COUNT(DISTINCT const_col) <= 10,
-         |    AVG(CASE WHEN const_col IS NULL THEN 1.0 ELSE 0.0 END) > 0.005
-         |  FROM e
-         |  UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type)::BIGINT,
-         |    COUNT(DISTINCT event_type) = 1, COUNT(DISTINCT event_type) = 2,
-         |    COUNT(DISTINCT event_type) <= 10,
-         |    AVG(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) > 0.005
-         |  FROM e
-         |  UNION ALL SELECT 'v_null', COUNT(DISTINCT v_null)::BIGINT,
-         |    COUNT(DISTINCT v_null) = 1, COUNT(DISTINCT v_null) = 2,
-         |    COUNT(DISTINCT v_null) <= 10,
-         |    AVG(CASE WHEN v_null IS NULL THEN 1.0 ELSE 0.0 END) > 0.005
-         |  FROM e
-         |  UNION ALL SELECT 'value', COUNT(DISTINCT value)::BIGINT,
-         |    COUNT(DISTINCT value) = 1, COUNT(DISTINCT value) = 2,
-         |    COUNT(DISTINCT value) <= 10,
-         |    AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) > 0.005
-         |  FROM e)
-         |SELECT * FROM u ORDER BY "column"""".stripMargin
+         |  SELECT 'bin_col' AS c, COUNT(DISTINCT bin_col)
+         |      + CASE WHEN COUNT(*) > COUNT(bin_col) THEN 1 ELSE 0 END nu,
+         |    COUNT(*) - COUNT(bin_col) nc, COUNT(*) len FROM e
+         |  UNION ALL SELECT 'const_col', COUNT(DISTINCT const_col)
+         |      + CASE WHEN COUNT(*) > COUNT(const_col) THEN 1 ELSE 0 END,
+         |    COUNT(*) - COUNT(const_col), COUNT(*) FROM e
+         |  UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type)
+         |      + CASE WHEN COUNT(*) > COUNT(event_type) THEN 1 ELSE 0 END,
+         |    COUNT(*) - COUNT(event_type), COUNT(*) FROM e
+         |  UNION ALL SELECT 'v_null', COUNT(DISTINCT v_null)
+         |      + CASE WHEN COUNT(*) > COUNT(v_null) THEN 1 ELSE 0 END,
+         |    COUNT(*) - COUNT(v_null), COUNT(*) FROM e
+         |  UNION ALL SELECT 'value', COUNT(DISTINCT value)
+         |      + CASE WHEN COUNT(*) > COUNT(value) THEN 1 ELSE 0 END,
+         |    COUNT(*) - COUNT(value), COUNT(*) FROM e)
+         |SELECT c AS "column", nu::BIGINT AS n_unique,
+         |  nu = 1 AS is_const, nu = 2 AS is_binary,
+         |  (nu < 10 OR nu < 0.001 * len) AS is_discrete,
+         |  nc >= 0.005 * len AS high_null, nu = 2 AS is_k_distinct
+         |FROM u ORDER BY 1""".stripMargin
   )
 }

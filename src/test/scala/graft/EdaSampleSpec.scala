@@ -102,17 +102,78 @@ class EdaSampleSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L)  // zero
   }
 
-  test("inferReport flags const/binary/discrete") {
+  test("inferReport flags const/binary/discrete with polars n_unique " +
+      "convention (diagnosis.py:521-675)") {
     import spark.implicits._
-    val df = (1 to 100).map(i => (1, i % 2, i % 5, i)).toDF(
-      "c", "b", "d", "u")
-    val m = EdaOps.inferReport(df, Seq("c", "b", "d", "u"), 10, 0.5)
+    val df = (1 to 100).map(i => (1, i % 2, i % 5, i,
+        if (i <= 99) Some(1) else None)).toDF(
+      "c", "b", "d", "u", "cn")
+    val m = EdaOps.inferReport(df, Seq("c", "b", "d", "u", "cn"))
       .collect().map(r => r.getString(0) ->
-        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
-    assert(m("c") == ((true, false, true)))
-    assert(m("b") == ((false, true, true)))
-    assert(m("d") == ((false, false, true)))
-    assert(m("u") == ((false, false, false)))
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4)))).toMap
+    assert(m("c") == ((1L, true, false, true)))
+    assert(m("b") == ((2L, false, true, true)))
+    assert(m("d") == ((5L, false, false, true)))
+    // u: 100 distinct — NOT < max_val_cnt=100 (strict), NOT < 0.1·100
+    assert(m("u") == ((100L, false, false, false)))
+    // cn: one value + nulls → n_unique 2 (null counts), binary under
+    // the default include_null=false; const only when includeNull
+    assert(m("cn") == ((2L, false, true, true)))
+    val mi = EdaOps.inferReport(df, Seq("cn"), includeNull = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(mi("cn") == ((true, true)))
+  }
+
+  test("nullCorr: pairwise null-indicator corr, invalid columns " +
+      "skipped (diagnosis.py:342)") {
+    import spark.implicits._
+    // x null iff i%2=0; y null iff i%2=1 (perfect anti-correlation);
+    // z never null and w all null -> both excluded from every pair
+    val df = (1 to 20).map { i =>
+      (if (i % 2 == 0) None else Some(i.toDouble),
+        if (i % 2 == 1) None else Some(i.toDouble),
+        i.toDouble, None: Option[Double])
+    }.toDF("x", "y", "z", "w")
+    val out = EdaOps.nullCorr(df, Seq("x", "y", "z", "w")).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "x" && out(0).getString(1) == "y")
+    assert(math.abs(out(0).getDouble(2) - (-1.0)) < 1e-12)
+  }
+
+  test("numericProfile reference fields: IQR fence outliers and " +
+      "histogram bins (diagnosis.py:122)") {
+    import spark.implicits._
+    // 1..100 plus one far outlier; q1=25.75, q3=75.25 over 1..100+1000
+    val df = ((1 to 100).map(_.toDouble) :+ 1000.0).toDF("x")
+    val r = EdaOps.numericProfile(df, Seq("x"), nBins = 10,
+      histogram = true).head
+    assert(r.getLong(1) == 101L)            // non_null_cnt
+    assert(r.getDouble(2) == 0.0)           // null_pct
+    assert(r.getLong(11) == 1L)             // outlier_cnt: just 1000
+    val hist = r.getSeq[Long](12)
+    assert(hist.length == 10)
+    assert(hist.sum == 101L)
+    assert(hist.last == 1L)                 // 1000 alone in the top bin
+    assert(hist.head == 100L)               // 1..100 all in bin 0 of 0..999
+  }
+
+  test("corrTable: spearman/kendall wide table matches the pair " +
+      "kernels (diagnosis.py:437)") {
+    import spark.implicits._
+    val df = (1 to 50).map { i =>
+      (i.toDouble, (i * i).toDouble, (51 - i).toDouble)
+    }.toDF("a", "b", "c")
+    val sp = EdaOps.corrTable(df, Seq("a"), Seq("a", "b", "c"),
+      "spearman").head
+    // monotone transforms: spearman = 1 / 1 / -1 exactly
+    assert(math.abs(sp.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(sp.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(sp.getDouble(3) + 1.0) < 1e-12)
+    val kd = EdaOps.corrTable(df, Seq("a"), Seq("b", "c"), "kendall").head
+    assert(math.abs(kd.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(kd.getDouble(2) + 1.0) < 1e-12)
   }
 
   test("sampleNWithReplacement draws exactly n rows incl. repeats") {
