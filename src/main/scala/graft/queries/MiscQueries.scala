@@ -74,16 +74,16 @@ object MiscQueries extends QueryPack {
         .orderBy("p_brand")
     }),
     "q_expander" -> ((s, dir) => {
+      // reference E signature: string mappings incl. the special
+      // 'len' (single __len__ column) and 'null_rate', plus a
+      // customizer entry (expander.py:6)
+      val exp = Expander.expand(Seq("l_quantity", "l_tax"),
+        Seq("mean6", "max", "null_count", "null_rate", "len"),
+        "_", "__len__",
+        Map("mean6" -> (c => round(avg(c), 6))))
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(Expander.expand(Seq("l_quantity", "l_tax"),
-          Seq("mean" -> (c => round(avg(c), 6)),
-            "max" -> (c => max(c)),
-            "nulls" -> (c => sum(c.isNull.cast("long"))))).head,
-          Expander.expand(Seq("l_quantity", "l_tax"),
-            Seq("mean" -> (c => round(avg(c), 6)),
-              "max" -> (c => max(c)),
-              "nulls" -> (c => sum(c.isNull.cast("long"))))).tail: _*)
+        .agg(exp.head, exp.tail: _*)
         .orderBy("l_returnflag")
     }),
     "q_salted_agg" -> ((s, dir) => {
@@ -244,14 +244,19 @@ object MiscQueries extends QueryPack {
     },
     "q_expander" ->
       """SELECT l_returnflag,
-        |  ROUND(AVG(l_quantity), 6) AS l_quantity_mean,
+        |  ROUND(AVG(l_quantity), 6) AS l_quantity_mean6,
         |  MAX(l_quantity) AS l_quantity_max,
         |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS l_quantity_nulls,
-        |  ROUND(AVG(l_tax), 6) AS l_tax_mean,
+        |    AS l_quantity_null_count,
+        |  AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END)
+        |    AS l_quantity_null_rate,
+        |  ROUND(AVG(l_tax), 6) AS l_tax_mean6,
         |  MAX(l_tax) AS l_tax_max,
         |  SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS l_tax_nulls
+        |    AS l_tax_null_count,
+        |  AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END)
+        |    AS l_tax_null_rate,
+        |  COUNT(*)::BIGINT AS __len__
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

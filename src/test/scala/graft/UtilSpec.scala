@@ -18,6 +18,41 @@ class UtilSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("a_mean") == 2.0)
   }
 
+  test("E string mappings: mapping-major order, single len column, " +
+      "null_rate, customizer (expander.py:6-34)") {
+    import spark.implicits._
+    val df = Seq((1.0, 4.0), (3.0, 2.0)).toDF("a", "b")
+    val cols = Expander.expand(Seq("a", "b"),
+      Seq("min", "max", "len", "null_rate"), "_", "__len__",
+      Map("max" -> (c => max(c) * 10)))
+    val out = df.agg(cols.head, cols.tail: _*)
+    // mapping-major like the reference: a_min, b_min, a_max, b_max, …
+    assert(out.columns.toSeq == Seq("a_min", "b_min", "a_max", "b_max",
+      "__len__", "a_null_rate", "b_null_rate"))
+    val r = out.head
+    assert(r.getAs[Double]("a_max") == 30.0) // customizer override
+    assert(r.getAs[Long]("__len__") == 2L)
+    assert(r.getAs[Double]("b_null_rate") == 0.0)
+    intercept[IllegalArgumentException] {
+      Expander.expand(Seq("a"), Seq("nope"))
+    }
+  }
+
+  test("PartitionHelper: multi-column keys with separator, by=Nil " +
+      "whole frame, non-str/bool rejected (partition.py:20-60)") {
+    import spark.implicits._
+    val df = Seq(("x", true, 1), ("x", false, 2), ("y", true, 3))
+      .toDF("k1", "k2", "v")
+    assert(PartitionHelper.keys(df, Seq("k1", "k2"), "|") ==
+      Seq("x|false", "x|true", "y|true"))
+    val parts = PartitionHelper.partitionBy(df, Seq("k1", "k2"))
+    assert(parts.size == 3 && parts("x|true").count() == 1)
+    assert(PartitionHelper.partitionBy(df, Nil)("df").count() == 3)
+    intercept[IllegalArgumentException] {
+      PartitionHelper.partitionBy(df, Seq("v"))
+    }
+  }
+
   test("PartitionHelper splits, applies and unions") {
     import spark.implicits._
     val df = Seq(("x", 1), ("y", 2), ("x", 3)).toDF("k", "v")
