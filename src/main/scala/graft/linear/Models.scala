@@ -58,6 +58,10 @@ object Gram {
 class LR(lambda: Double = 0.0, addBias: Boolean = true) {
   var coeffs: Array[Double] = _
 
+  def isFit: Boolean = coeffs != null
+  /** Bias term (0 when fitted without one) — linear_models.py:219. */
+  def bias: Double = if (addBias) coeffs.last else 0.0
+
   private def fx(features: Seq[Column]) =
     if (addBias) features :+ lit(1.0) else features
 
@@ -73,6 +77,17 @@ class LR(lambda: Double = 0.0, addBias: Boolean = true) {
   def predictDf(df: DataFrame, features: Seq[Column],
                 out: String = "prediction"): DataFrame =
     df.withColumn(out, predict(features))
+}
+
+object LR {
+  /** Construct a fitted LR from known coefficients (+ bias)
+    * (linear_models.py:158 from_values). */
+  def fromValues(coeffs: Array[Double], bias: Double = 0.0): LR = {
+    val withBias = bias != 0.0
+    val m = new LR(addBias = withBias)
+    m.coeffs = if (withBias) coeffs :+ bias else coeffs.clone()
+    m
+  }
 }
 
 /** Elastic net persistent model (linear_models.py:343); bias
@@ -95,6 +110,17 @@ class ElasticNet(l1: Double, l2: Double, addBias: Boolean = true) {
     Gram.predict(fx(features), coeffs)
 }
 
+object ElasticNet {
+  /** Construct a fitted model from known coefficients (+ bias)
+    * (linear_models.py:386 from_values; has_bias ⇔ bias ≠ 0). */
+  def fromValues(coeffs: Array[Double], bias: Double = 0.0): ElasticNet = {
+    val withBias = bias != 0.0
+    val m = new ElasticNet(0.0, 0.0, addBias = withBias)
+    m.coeffs = if (withBias) coeffs :+ bias else coeffs.clone()
+    m
+  }
+}
+
 /** Online (recursive) least squares with Woodbury rank-1 updates
   * (linear_models.py:553 OnlineLR; lr_online_solvers.rs:307). State is
   * P = (X'X + λI)⁻¹ and β, updated per observation on the driver. */
@@ -103,9 +129,13 @@ class OnlineLR(d: Int, lambda: Double = 1e-6) {
     if (i == j) 1.0 / lambda else 0.0)
   val beta = new Array[Double](d)
 
-  def update(x: Array[Double], y: Double): this.type = {
+  /** Rank-1 Woodbury update with observation scale `c`
+    * (linear_models.py:651: c = 1 adds the row, c = −1 REMOVES a
+    * previously-added row — sliding-window regression — any other
+    * value scales its impact): (A + c·xx')⁻¹ = P − Px x'P/(1/c + x'Px). */
+  def update(x: Array[Double], y: Double, c: Double = 1.0): this.type = {
     val px = Array.tabulate(d)(i => (0 until d).map(j => p(i)(j) * x(j)).sum)
-    val denom = 1.0 + (0 until d).map(i => x(i) * px(i)).sum
+    val denom = 1.0 / c + (0 until d).map(i => x(i) * px(i)).sum
     val err = y - (0 until d).map(i => x(i) * beta(i)).sum
     for (i <- 0 until d) beta(i) += px(i) * err / denom
     for (i <- 0 until d; j <- 0 until d)
@@ -117,9 +147,29 @@ class OnlineLR(d: Int, lambda: Double = 1e-6) {
     (0 until d).map(i => x(i) * beta(i)).sum
 }
 
+object OnlineLR {
+  /** Reconstruct a fitted online model from coefficients and the
+    * current inverse Gram (linear_models.py:580
+    * from_coeffs_bias_inverse). `inv` is row-major d×d. */
+  def fromCoeffsAndInverse(coeffs: Array[Double],
+                           inv: Array[Array[Double]]): OnlineLR = {
+    val d = coeffs.length
+    require(inv.length == d && inv.forall(_.length == d),
+      s"OnlineLR: inverse must be ${d}x$d")
+    val m = new OnlineLR(d)
+    Array.copy(coeffs, 0, m.beta, 0, d)
+    for (i <- 0 until d; j <- 0 until d) m.p(i)(j) = inv(i)(j)
+    m
+  }
+}
+
 /** GLM via IRLS — each iteration is one distributed weighted-Gram
-  * aggregate (glm_solvers.rs:249; families :18). Log link for
-  * poisson/gamma, logit for binomial, identity for normal. */
+  * aggregate (glm_solvers.rs:249). Canonical links per family
+  * (glm_solvers.rs:29-36): identity for normal, log for poisson,
+  * logit for binomial, INVERSE for gamma (1/μ — not log; the
+  * reference documents and implements the canonical link, so gamma
+  * coefficients here match a user porting off it). IRLS weights are
+  * 1/(g'(μ)²·V(μ)) with the family variance (link_functions.rs:63). */
 class GLM(family: String, addBias: Boolean = true,
           maxIter: Int = 50, tol: Double = 1e-10) {
   var coeffs: Array[Double] = _
@@ -152,8 +202,11 @@ class GLM(family: String, addBias: Boolean = true,
     val tgt = col("__t")
     var beta = new Array[Double](d)
     val my = cached.agg(avg(tgt)).head.getDouble(0)
+    // bias init = link(mean): keeps the first step's μ at the target's
+    // scale (for gamma, 1/mean — inverse link)
     if (addBias) beta(d - 1) = family match {
       case "binomial" => math.log((my + 1e-12) / (1 - my + 1e-12))
+      case "gamma"    => 1.0 / math.max(my, 1e-12)
       case _          => math.log(math.max(my, 1e-12))
     }
     // IRLS inner loop on the shared primitive-RDD engine (see
@@ -165,8 +218,13 @@ class GLM(family: String, addBias: Boolean = true,
         (mu, eta + (y - mu) / mu)
       }
       case "gamma" => (eta, y) => {
-        val mu = math.exp(eta)
-        (1.0, eta + (y - mu) / mu)
+        // canonical inverse link: μ = 1/η, w = 1/(g'(μ)²V(μ)) = μ²,
+        // z = η + (y−μ)g'(μ) = η − (y−μ)η²  (glm_solvers.rs:33;
+        // link_functions.rs:53,76). η guarded away from 0 for the
+        // no-bias cold start.
+        val e = if (math.abs(eta) < 1e-12) 1e-12 else eta
+        val mu = 1.0 / e
+        (mu * mu, e - (y - mu) * e * e)
       }
       case "binomial" => (eta, y) => {
         val mu = 1.0 / (1.0 + math.exp(-eta))
@@ -191,13 +249,16 @@ class GLM(family: String, addBias: Boolean = true,
     this
   }
 
-  /** Response-scale prediction (inverse link). */
-  def predict(features: Seq[Column]): Column = {
+  /** Prediction; `linear = true` returns the linear predictor η
+    * instead of E[Y|X] (linear_models.py:904 GLM.predict). */
+  def predict(features: Seq[Column], linear: Boolean = false): Column = {
     val eta = Gram.predict(fx(features), coeffs)
-    family match {
-      case "poisson" | "gamma" => exp(eta)
-      case "binomial"          => lit(1.0) / (lit(1.0) + exp(-eta))
-      case _                   => eta
+    if (linear) eta
+    else family match {
+      case "poisson"  => exp(eta)
+      case "gamma"    => lit(1.0) / eta
+      case "binomial" => lit(1.0) / (lit(1.0) + exp(-eta))
+      case _          => eta
     }
   }
 }

@@ -849,9 +849,10 @@ object LinRegOps {
     glmFitGrouped(df, groupCols, features, y, "binomial", maxIter, tol,
       l1, l2, groupCap)
 
-  /** Per-GROUP GLM (families normal/poisson/binomial/gamma, links as
-    * [[graft.linear.GLM]]: log for poisson/gamma, logit for binomial,
-    * identity for normal) — the same batch-IRLS engine as
+  /** Per-GROUP GLM (families normal/poisson/binomial/gamma, canonical
+    * links as [[graft.linear.GLM]]: log for poisson, logit for
+    * binomial, INVERSE for gamma, identity for normal —
+    * glm_solvers.rs:29-36) — the same batch-IRLS engine as
     * [[logisticFitGrouped]]: one distributed per-group weighted-Gram
     * aggregate per iteration for ALL groups, per-group β on the
     * driver, broadcast back as a literal frame. Per-group bias init
@@ -899,7 +900,8 @@ object LinRegOps {
             b(d - 1) = family match {
               case "binomial" =>
                 math.log((my + 1e-12) / (1 - my + 1e-12))
-              case "poisson" | "gamma" => math.log(math.max(my, 1e-12))
+              case "poisson" => math.log(math.max(my, 1e-12))
+              case "gamma"   => 1.0 / math.max(my, 1e-12)
               case _ => 0.0
             }
             k -> b
@@ -935,8 +937,11 @@ object LinRegOps {
             (w, eta + (y - mu) / w)
           }
           case "gamma" => (eta, y) => {
-            val mu = math.exp(eta)
-            (1.0, eta + (y - mu) / mu)
+            // canonical inverse link (glm_solvers.rs:33): μ = 1/η,
+            // w = μ², z = η − (y−μ)η²; η guarded for no-bias starts
+            val e = if (math.abs(eta) < 1e-12) 1e-12 else eta
+            val mu = 1.0 / e
+            (mu * mu, e - (y - mu) * e * e)
           }
           case _ => (_, y) => (1.0, y) // normal: one-step solve
         }
@@ -981,17 +986,19 @@ object LinRegOps {
         val eta = (0 until d).map(i =>
           col(s"${P}f$i") * element_at(col(s"${P}beta"), i + 1))
           .reduce(_ + _)
+        val etaG = when(abs(eta) < 1e-12, 1e-12).otherwise(eta)
         val (mu, wgt) = family match {
           case "binomial" =>
             val m = lit(1.0) / (exp(-eta) + 1.0)
             (m, m * (lit(1.0) - m) + 1e-10)
           case "poisson" => val m = exp(eta); (m, m + 1e-10)
-          case "gamma"   => val m = exp(eta); (m, lit(1.0))
+          // canonical inverse link: μ = 1/η, w = μ²
+          case "gamma"   => val m = lit(1.0) / etaG; (m, m * m)
           case _         => (eta, lit(1.0)) // normal: one-step solve
         }
         val z = family match {
           case "normal" => col(s"${P}y")
-          case "gamma"  => eta + (col(s"${P}y") - mu) / mu
+          case "gamma"  => etaG - (col(s"${P}y") - mu) * etaG * etaG
           case _        => eta + (col(s"${P}y") - mu) / wgt
         }
         val gramCols =
@@ -1063,9 +1070,10 @@ object LinRegOps {
       c.cast("double") * element_at(col(s"${P}beta"), i + 1) }
       .reduce(_ + _) + element_at(col(s"${P}beta"), d)
     val mu = family match {
-      case "poisson" | "gamma" => exp(eta)
-      case "binomial"          => lit(1.0) / (exp(-eta) + 1.0)
-      case _                   => eta
+      case "poisson"  => exp(eta)
+      case "gamma"    => lit(1.0) / eta // canonical inverse link
+      case "binomial" => lit(1.0) / (exp(-eta) + 1.0)
+      case _          => eta
     }
     joined.withColumn(out, mu)
       .drop((0 until groupCols.length).map(i => s"${P}k$i") :+

@@ -139,9 +139,9 @@ object LinRegQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
     // Per-group GLM (glmFitGrouped): same score-equation device as
-    // q_logistic_grp. Poisson/log is the canonical link, so the MLE
-    // satisfies Σ xⱼ(y−μ) = 0; gamma/log is non-canonical and its
-    // score is the μ-weighted Σ xⱼ(y−μ)/μ = 0 — both literal 0.0.
+    // q_logistic_grp. Both families fit their CANONICAL link
+    // (glm_solvers.rs:29-36 — log for poisson, inverse for gamma), so
+    // the MLE satisfies Σ xⱼ(y−μ) = 0 for each — literal 0.0.
     "q_glm_grp" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("x1", col("l_quantity") / 10.0)
@@ -172,11 +172,11 @@ object LinRegQueries extends QueryPack {
             .as("score_p1"),
           (round(sum(col("x2") * (col("yp") - col("mp"))), 3) + 0.0)
             .as("score_p2"),
-          (round(sum((col("yp") - col("mg")) / col("mg")), 3) + 0.0)
+          (round(sum(col("yp") - col("mg")), 3) + 0.0)
             .as("score_g0"),
-          (round(sum(col("x1") * (col("yp") - col("mg")) / col("mg")), 3)
+          (round(sum(col("x1") * (col("yp") - col("mg"))), 3)
             + 0.0).as("score_g1"),
-          (round(sum(col("x2") * (col("yp") - col("mg")) / col("mg")), 3)
+          (round(sum(col("x2") * (col("yp") - col("mg"))), 3)
             + 0.0).as("score_g2"))
         .orderBy("l_returnflag")
     }),

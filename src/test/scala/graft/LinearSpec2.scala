@@ -69,15 +69,45 @@ class LinearSpec2 extends AnyFunSuite {
     assert(approx(m.coeffs(1), -0.2, 1e-8))
   }
 
-  test("GLM gamma with log link also recovers exact coefficients") {
+  test("GLM gamma fits the CANONICAL inverse link " +
+      "(glm_solvers.rs:33): exact recovery of 1/mu = a*x + b") {
     import spark.implicits._
     val df = (1 to 200).map { i =>
       val x = i / 20.0
-      (x, math.exp(-0.3 * x + 1.1))
+      (x, 1.0 / (0.05 * x + 0.4))
     }.toDF("x", "y")
     val m = new GLM("gamma").fit(df, Seq(col("x")), col("y"))
-    assert(approx(m.coeffs(0), -0.3, 1e-8))
-    assert(approx(m.coeffs(1), 1.1, 1e-8))
+    assert(approx(m.coeffs(0), 0.05, 1e-8))
+    assert(approx(m.coeffs(1), 0.4, 1e-8))
+    // response-scale vs linear-predictor prediction
+    // (linear_models.py:904 GLM.predict(linear=...))
+    val p = df.select(m.predict(Seq(col("x"))).as("mu"),
+      m.predict(Seq(col("x")), linear = true).as("eta")).head
+    assert(approx(p.getDouble(0) * p.getDouble(1), 1.0, 1e-8))
+  }
+
+  test("LR/ElasticNet from_values and OnlineLR add/remove round-trip " +
+      "(linear_models.py:158,386,651)") {
+    import spark.implicits._
+    val lr = LR.fromValues(Array(2.0, 3.0), bias = 1.0)
+    assert(lr.isFit && lr.bias == 1.0)
+    val df = Seq((1.0, 1.0), (2.0, 0.5)).toDF("a", "b")
+    val got = df.select(lr.predict(Seq(col("a"), col("b"))).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(2.0 + 3.0 + 1.0, 4.0 + 1.5 + 1.0))
+    val en = ElasticNet.fromValues(Array(1.0), bias = 0.0)
+    val got2 = df.select(en.predict(Seq(col("a"))).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got2 == Seq(1.0, 2.0)) // bias 0 -> no bias column
+    // OnlineLR: adding a row then removing it (c = -1) restores beta
+    val m = new OnlineLR(2, lambda = 1e-9)
+    val rows = Seq((Array(1.0, 0.0), 1.0), (Array(0.0, 1.0), 2.0),
+      (Array(1.0, 1.0), 4.0))
+    rows.foreach { case (x, y) => m.update(x, y) }
+    val b0 = m.beta.clone()
+    m.update(Array(3.0, -1.0), 7.0)           // add an extra row
+    m.update(Array(3.0, -1.0), 7.0, c = -1.0) // remove it again
+    assert(approx(m.beta(0), b0(0), 1e-6) && approx(m.beta(1), b0(1), 1e-6))
   }
 
   test("LR persistent model predicts exactly on a deterministic line") {
