@@ -294,6 +294,33 @@ object TextQueries extends QueryPack {
           sum(col("meta.width")).as("sum_w"),
           sum(col("meta.height")).as("sum_h"))
         .orderBy("source")
+    }),
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL pixel decode end-to-end: deterministic 24-bit BMPs built
+      // from doc_id, decoded through the JDK's ImageIO raster, resized
+      // nearest-neighbor and re-decoded after a lossless PNG
+      // round-trip; plus PCM-16 WAV chunk-walk stats. The oracle
+      // recomputes every statistic from doc_id arithmetic alone — a
+      // wrong byte anywhere in the BMP writer, the decoder, the
+      // resampler or the PNG round-trip shifts a mean and fails it.
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("img", MultimodalOps.syntheticBmp(col("doc_id")))
+        .withColumn("st", MultimodalOps.decodeImage(col("img")))
+        .withColumn("rs", MultimodalOps.decodeImage(
+          MultimodalOps.resizeImage(col("img"), 4, 4)))
+        .withColumn("wv", MultimodalOps.wavFeatures(
+          MultimodalOps.syntheticWav(col("doc_id"))))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("st.width") * col("st.height")).as("n_px"),
+          round(avg(col("st.mean_r")), 6).as("avg_r"),
+          round(avg(col("st.mean_g")), 6).as("avg_g"),
+          round(avg(col("st.mean_b")), 6).as("avg_b"),
+          round(avg(col("rs.mean_r")), 6).as("avg_r4"),
+          sum(col("wv.n_samples")).as("n_samples"),
+          round(avg(col("wv.rms")), 6).as("avg_rms"))
+        .orderBy("source")
     })
   )
 
@@ -651,6 +678,42 @@ object TextQueries extends QueryPack {
         |  COUNT(CASE WHEN f = 2 THEN 1 END) AS n_gif,
         |  COUNT(CASE WHEN f = 3 THEN 1 END) AS n_webp,
         |  SUM(w)::BIGINT AS sum_w, SUM(h)::BIGINT AS sum_h
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multimodal_decode" ->
+      """WITH ids AS (
+        |  SELECT source, doc_id id, (8 + doc_id % 9) w,
+        |    (8 + (doc_id * 3) % 9) h, (64 + doc_id % 64) ns
+        |  FROM documents),
+        |imgs AS (
+        |  SELECT i.source, i.id, i.w, i.h,
+        |    AVG((i.id * 31 + x.x * 7 + y.y * 13) % 256) mr,
+        |    AVG((i.id * 17 + x.x * 11 + y.y * 3) % 256) mg,
+        |    AVG((i.id * 5 + x.x * 3 + y.y * 29) % 256) mb
+        |  FROM ids i, range(0, 17) x(x), range(0, 17) y(y)
+        |  WHERE x.x < i.w AND y.y < i.h
+        |  GROUP BY 1, 2, 3, 4),
+        |-- nearest-neighbor 4x4 resample: src pixel = (x*w//4, y*h//4)
+        |rs AS (
+        |  SELECT i.source, i.id,
+        |    AVG((i.id * 31 + ((x.x * i.w) // 4) * 7
+        |      + ((y.y * i.h) // 4) * 13) % 256) mr4
+        |  FROM ids i, range(0, 4) x(x), range(0, 4) y(y)
+        |  GROUP BY 1, 2),
+        |wv AS (
+        |  SELECT i.source, i.id, i.ns,
+        |    SQRT(AVG(POW(((i.id * 7 + j.j * 3) % 2001) - 1000, 2))) rms
+        |  FROM ids i, range(0, 128) j(j) WHERE j.j < i.ns
+        |  GROUP BY 1, 2, 3)
+        |SELECT i.source, COUNT(*)::BIGINT AS n,
+        |  SUM(i.w * i.h)::BIGINT AS n_px,
+        |  ROUND(AVG(g.mr), 6) AS avg_r, ROUND(AVG(g.mg), 6) AS avg_g,
+        |  ROUND(AVG(g.mb), 6) AS avg_b, ROUND(AVG(r.mr4), 6) AS avg_r4,
+        |  SUM(i.ns)::BIGINT AS n_samples,
+        |  ROUND(AVG(w.rms), 6) AS avg_rms
+        |FROM ids i
+        |JOIN imgs g ON g.id = i.id
+        |JOIN rs r ON r.id = i.id
+        |JOIN wv w ON w.id = i.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -217,6 +217,48 @@ class TextSimSpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).distinct.length == cents.length)
   }
 
+  test("REAL image decode: JDK ImageIO on a synthetic BMP matches the " +
+      "closed-form pixel stats; resize + PNG round-trip; WAV RMS") {
+    import spark.implicits._
+    val df = Seq(5L).toDF("id")
+      .withColumn("img", MultimodalOps.syntheticBmp(col("id")))
+    // id=5: w = 8+5%9 = 13, h = 8+15%9 = 14
+    val r = df.select(MultimodalOps.decodeImage(col("img")).as("st"))
+      .select("st.*").head
+    assert(r.getInt(0) == 13 && r.getInt(1) == 14)
+    def mean(f: (Int, Int) => Long): Double =
+      (for (x <- 0 until 13; y <- 0 until 14) yield f(x, y)).sum /
+        (13.0 * 14)
+    assert(r.getDouble(2) == mean((x, y) => (5 * 31 + x * 7 + y * 13) % 256))
+    assert(r.getDouble(3) == mean((x, y) => (5 * 17 + x * 11 + y * 3) % 256))
+    assert(r.getDouble(4) == mean((x, y) => (5 * 5 + x * 3 + y * 29) % 256))
+    // meta parser agrees with the real decoder on our own BMP bytes
+    val meta = df.select(MultimodalOps.sniffMeta(col("img")).as("m"))
+      .select("m.*").head
+    assert(meta.getString(0) == "bmp" && meta.getInt(1) == 13 &&
+      meta.getInt(2) == 14)
+    // nearest-neighbor resize through a lossless PNG round-trip:
+    // resized pixel (x,y) = source (x*13/4, y*14/4)
+    val rs = df.select(MultimodalOps.decodeImage(
+        MultimodalOps.resizeImage(col("img"), 4, 4)).as("st"))
+      .select("st.*").head
+    assert(rs.getInt(0) == 4 && rs.getInt(1) == 4)
+    val exp4 = (for (x <- 0 until 4; y <- 0 until 4)
+      yield ((5 * 31 + (x * 13 / 4) * 7 + (y * 14 / 4) * 13) % 256).toLong)
+      .sum / 16.0
+    assert(rs.getDouble(2) == exp4)
+    // WAV: id=5 → n = 64+5 = 69 samples at 8 kHz mono
+    val wv = Seq(5L).toDF("id")
+      .select(MultimodalOps.wavFeatures(
+        MultimodalOps.syntheticWav(col("id"))).as("w"))
+      .select("w.*").head
+    assert(wv.getInt(0) == 8000 && wv.getInt(1) == 1 &&
+      wv.getLong(2) == 69L)
+    val rms = math.sqrt((0 until 69)
+      .map(j => math.pow(((5 * 7 + j * 3) % 2001) - 1000, 2)).sum / 69.0)
+    assert(math.abs(wv.getDouble(4) - rms) < 1e-12)
+  }
+
   test("multimodal media table: schema, meta and feature plumbing") {
     import spark.implicits._
     val df = Seq((1L, "abcdef".getBytes), (2L, "xyz".getBytes))
