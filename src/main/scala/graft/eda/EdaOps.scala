@@ -214,11 +214,12 @@ object EdaOps {
     * the chosen method ("pearson" | "spearman" | "kendall" | "xi" |
     * "bicor"). pearson and kendall evaluate every pair in ONE
     * distributed aggregation (kendall via the [[graft.agg.KendallTauAgg]]
-    * aggregate); spearman window-ranks each distinct column once, then
-    * one aggregation over the ranks. xi and bicor are whole-frame rank
-    * constructions per pair (asymmetric / median-based), so they run
-    * one bounded job per pair — require()-capped to keep the job count
-    * loud. */
+    * aggregate); spearman ranks each distinct column once with a
+    * range-partitioned sort + zipWithIndex (no global single-partition
+    * window — survives any frame size), then one aggregation over the
+    * ranks. xi and bicor are whole-frame rank constructions per pair
+    * (asymmetric / median-based), so they run one bounded job per
+    * pair — require()-capped to keep the job count loud. */
   def corrTable(df: DataFrame, subset: Seq[String],
                 numerics: Seq[String],
                 method: String = "pearson"): DataFrame = {
@@ -227,20 +228,35 @@ object EdaOps {
     val vals: Map[(String, String), Double] = method match {
       case "pearson" | "spearman" =>
         val all = (subset ++ numerics).distinct
+        val base = df.select(all.map(c => col(c).cast("double").as(c)): _*)
         val src =
-          if (method == "pearson")
-            df.select(all.map(c => col(c).cast("double").as(c)): _*)
+          if (method == "pearson") base
           else {
-            // average ranks (ties averaged), one window per column
-            import org.apache.spark.sql.expressions.Window
-            all.foldLeft(
-              df.select(all.map(c => col(c).cast("double").as(c)): _*)) {
-              (d, c) =>
-                val wr = Window.orderBy(col(c))
-                val wt = Window.partitionBy(col(c))
-                d.withColumn(c,
-                  when(col(c).isNotNull, rank().over(wr) +
-                    (count(lit(1)).over(wt) - 1.0) / 2.0))
+            // Tie-averaged ranks WITHOUT a global single-partition
+            // window: per column, a range-partitioned orderBy +
+            // zipWithIndex assigns global positions in parallel, tie
+            // groups collapse to (min+max)/2 + 1 in one value-keyed
+            // agg, and the (value → rank) map joins back by value.
+            // Rank maps have ≤ n rows and shuffle-join on the value —
+            // every stage stays distributed at any frame size.
+            // corr is shift-invariant, so null rows (rank null via the
+            // left join) drop out pairwise exactly like the windowed
+            // formulation.
+            import org.apache.spark.sql.types._
+            val spark = df.sparkSession
+            all.foldLeft(base) { (d, c) =>
+              val sorted = base.select(col(c)).where(col(c).isNotNull &&
+                !isnan(col(c))).orderBy(col(c))
+              val schema = StructType(Seq(StructField("__v", DoubleType),
+                StructField("__i", LongType)))
+              val idx = spark.createDataFrame(
+                sorted.rdd.zipWithIndex.map { case (r, i) =>
+                  org.apache.spark.sql.Row(r.getDouble(0), i) }, schema)
+              val rankMap = idx.groupBy(col("__v"))
+                .agg(((min(col("__i")) + max(col("__i"))) / 2.0 + 1.0)
+                  .as("__r"))
+              d.join(rankMap, d(c) === rankMap("__v"), "left")
+                .withColumn(c, col("__r")).drop("__v", "__r")
             }
           }
         val aggs = pairs.zipWithIndex.map { case ((x, y), k) =>
