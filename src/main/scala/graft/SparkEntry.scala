@@ -36,7 +36,8 @@ object SparkEntry {
     CoverageQueries,
     GraphQueries,
     StorageQueries,
-    SketchQueries
+    SketchQueries,
+    CorpusQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{CorpusOps, TextOps}
+
+/** Driver-contract queries for the corpus-preparation operators
+  * (CorpusOps): duplicated-span detection, paragraph dedup with
+  * reassembly, token-budget domain mixing, greedy sequence packing.
+  * Every oracle replays the op's exact semantics in DuckDB SQL — the
+  * packing oracle walks the greedy fold with a recursive CTE. */
+object CorpusQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> ((s, dir) => {
+      CorpusOps.duplicatedSpans(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("dup_words"),
+          max(col("span_len")).cast("long").as("max_span_len"))
+        .orderBy("doc_id")
+    }),
+    "q_para_dedup" -> ((s, dir) => {
+      // documents have no native paragraph breaks, so build pages from
+      // the corpus itself: every doc appears on two pages (its text is
+      // one paragraph), so the second occurrence must be stripped and
+      // each page rebuilt — the oracle constructs the identical pages.
+      val docs = t(s, dir, "documents")
+      val pages = docs.select((col("doc_id") % 53).as("page_id"),
+          col("doc_id").as("ord"), col("text"))
+        .union(docs.select(((col("doc_id") * 7 + 3) % 53).as("page_id"),
+          (col("doc_id") + 1000000L).as("ord"), col("text")))
+        .groupBy(col("page_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("ord"),
+            col("text")))), s => s("text")), "\n\n").as("ptext"))
+      CorpusOps.paragraphDedup(pages, col("page_id"), col("ptext"))
+        .select(col("page").as("page_id"),
+          col("n_paras").cast("long").as("n_paras"),
+          col("n_kept").cast("long").as("n_kept"),
+          md5(col("rebuilt")).as("rebuilt_md5"))
+        .orderBy("page_id")
+    }),
+    "q_domain_mix" -> ((s, dir) => {
+      val budget = lit(200) + lit(40) *
+        substring(col("source"), 4, 10).cast("int")
+      CorpusOps.tokenBudgetMix(t(s, dir, "documents"), col("doc_id"),
+          col("source"), col("text"), budget)
+        .groupBy(col("domain").as("source"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("tok")).as("tok_sel"),
+          max(col("budget")).as("budget"),
+          round(sum(col("tok")).cast("double") / max(col("budget")), 4)
+            .as("util"))
+        .orderBy("source")
+    }),
+    "q_seq_pack" -> ((s, dir) => {
+      val bins = CorpusOps.packSequences(t(s, dir, "documents"),
+          col("source"), col("doc_id"), TextOps.tokenCount(col("text")),
+          budget = 400L)
+        .groupBy(col("grp"), col("bin"))
+        .agg(sum(col("tok")).as("bin_tok"), count(lit(1)).as("bin_docs"))
+      bins.groupBy(col("grp").as("source"))
+        .agg(max(col("bin")).as("n_bins"),
+          sum(col("bin_docs")).as("n_docs"),
+          sum(col("bin_tok")).as("sum_tok"),
+          max(col("bin_tok")).as("max_fill"),
+          round(avg(col("bin_tok")), 4).as("avg_fill"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)
+        |),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         w || ' ' || lead(w,1) OVER w2 || ' ' || lead(w,2) OVER w2
+        |           || ' ' || lead(w,3) OVER w2 || ' ' || lead(w,4) OVER w2
+        |           || ' ' || lead(w,5) OVER w2 || ' ' || lead(w,6) OVER w2
+        |           || ' ' || lead(w,7) OVER w2 AS g
+        |  FROM words
+        |  WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(w,7) OVER w2 IS NOT NULL
+        |),
+        |hits AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM grams
+        |),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0
+        |         END AS ns
+        |  FROM hits WHERE cnt >= 2
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS span_id
+        |  FROM flagged
+        |),
+        |merged AS (
+        |  SELECT doc_id, span_id, max(pos) - min(pos) + 8 AS span_len
+        |  FROM spans GROUP BY doc_id, span_id
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |       sum(span_len)::BIGINT AS dup_words,
+        |       max(span_len)::BIGINT AS max_span_len
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_para_dedup" ->
+      """WITH pages0 AS (
+        |  SELECT doc_id % 53 AS page_id, doc_id AS ord, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 53, doc_id + 1000000, text
+        |  FROM documents
+        |),
+        |pages AS (
+        |  SELECT page_id,
+        |         string_agg(text, e'\n\n' ORDER BY ord) AS ptext
+        |  FROM pages0 GROUP BY page_id
+        |),
+        |paras AS (
+        |  SELECT page_id, u['i'] - 1 AS idx, u['p'] AS para
+        |  FROM (SELECT page_id,
+        |          unnest(list_transform(
+        |            regexp_split_to_array(ptext, '\n{2,}'),
+        |            (x, i) -> {'i': i, 'p': x})) AS u
+        |        FROM pages)
+        |),
+        |kept AS (
+        |  SELECT page_id, idx, para,
+        |         row_number() OVER (PARTITION BY md5(para)
+        |                            ORDER BY page_id, idx) AS rk
+        |  FROM paras
+        |)
+        |SELECT page_id, count(*)::BIGINT AS n_paras,
+        |       count(*) FILTER (WHERE rk = 1)::BIGINT AS n_kept,
+        |       md5(string_agg(para, e'\n\n' ORDER BY idx)
+        |             FILTER (WHERE rk = 1)) AS rebuilt_md5
+        |FROM kept GROUP BY page_id ORDER BY page_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH base AS (
+        |  SELECT source, doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         md5(doc_id || ':s42') AS h,
+        |         200 + 40 * CAST(substr(source, 4) AS INT) AS budget
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT *, sum(tok) OVER (PARTITION BY source
+        |                           ORDER BY h, doc_id) AS cum
+        |  FROM base
+        |)
+        |SELECT source, count(*)::BIGINT AS n_sel,
+        |       sum(tok)::BIGINT AS tok_sel,
+        |       max(budget)::BIGINT AS budget,
+        |       round(sum(tok) * 1.0 / max(budget), 4) AS util
+        |FROM ranked WHERE cum - tok < budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_seq_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT source, doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents
+        |),
+        |walk AS (
+        |  SELECT source, rn, tok, 1 AS bin, tok AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.source, b.rn, b.tok,
+        |         CASE WHEN w.fill + b.tok > 400 THEN w.bin + 1
+        |              ELSE w.bin END,
+        |         CASE WHEN w.fill + b.tok > 400 THEN b.tok
+        |              ELSE w.fill + b.tok END
+        |  FROM walk w JOIN base b
+        |    ON b.source = w.source AND b.rn = w.rn + 1
+        |),
+        |bins AS (
+        |  SELECT source, bin, sum(tok) AS bin_tok, count(*) AS bin_docs
+        |  FROM walk GROUP BY source, bin
+        |)
+        |SELECT source, max(bin)::BIGINT AS n_bins,
+        |       sum(bin_docs)::BIGINT AS n_docs,
+        |       sum(bin_tok)::BIGINT AS sum_tok,
+        |       max(bin_tok)::BIGINT AS max_fill,
+        |       round(avg(bin_tok), 4) AS avg_fill
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin
+  )
+}

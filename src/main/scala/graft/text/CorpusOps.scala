@@ -1,0 +1,224 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for large-scale training-data pipelines,
+  * beyond the reference's surface: exact duplicated-span detection (the
+  * substring-dedup step of Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better"), corpus-wide paragraph dedup with text
+  * reassembly (the MassiveText/RefinedWeb pipeline step), token-budget
+  * domain mixing (deterministic down-sampling to per-domain token
+  * targets), and greedy sequence packing (fixed-budget example packing
+  * for pretraining batches).
+  *
+  * All four are built shuffle-minimal: span detection shuffles gram
+  * hashes (8 bytes/gram) not gram text, paragraph dedup shuffles
+  * paragraph hashes once, domain mixing is bucketed so no window ever
+  * spans a whole domain, and packing is one repartition + in-partition
+  * external sort with O(1) streaming state.
+  */
+object CorpusOps {
+
+  /** Word-level duplicated-span detection: maximal spans every word of
+    * which is covered by some `k`-gram occurring at least `minCount`
+    * times in the whole corpus (including within-document repeats, as in
+    * the suffix-array substring dedup of Lee et al. 2022 §4.1 — this is
+    * its k-gram-resolution equivalent: any duplicated substring of
+    * ≥ k words is found exactly; shorter duplicates are invisible).
+    *
+    * Returns (doc_id, span_id, span_start, span_end, span_len) with
+    * word-index bounds inclusive; documents without duplicated spans are
+    * absent. Touching/overlapping k-gram intervals merge into one span.
+    *
+    * Scale shape: tokens explode to (doc_id, pos, xxhash64(gram)) — the
+    * gram STRING never shuffles, only its 8-byte hash. One shuffle
+    * partitions by gram hash to count occurrences (count(*) window, no
+    * second exchange), one shuffle re-partitions surviving positions by
+    * doc_id for the interval merge (lag/cumsum windows + groupBy on the
+    * same key — single exchange, bounded by document length, never by
+    * corpus size). Collision risk of hashing grams is the documented
+    * fingerprint64-style birthday bound (~2.7e-2 at 10⁹ DISTINCT grams);
+    * collisions only ever over-flag a span, never drop one.
+    */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column,
+                      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
+    require(minCount >= 2,
+      s"duplicatedSpans: minCount must be >= 2, got $minCount")
+    val grams = df.select(id.as("doc_id"),
+        posexplode(TextOps.wordNgrams(text, k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+    val hits = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("cnt") >= minCount)
+      .select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(wDoc)
+    hits
+      .withColumn("ns",
+        when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(wDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_len"))
+  }
+
+  /** Remove every duplicated span found by [[duplicatedSpans]] from the
+    * text (Lee et al. 2022's dedup action), keeping the surviving words
+    * joined by single spaces. Documents made of one giant duplicated
+    * span come back as empty strings — downstream length filters drop
+    * them, exactly as in the published pipeline.
+    *
+    * Scale shape: spans aggregate to one array per document (bounded by
+    * document length in the worst case — span counts are tiny in
+    * practice), broadcast-free equi-join back on doc_id, then the strip
+    * is pure codegen'd Column algebra (indexed `filter` + `exists`).
+    */
+  def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column,
+                            k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, id, text, k, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = split(lower(trim(text)), "\\s+")
+    df.join(spans, df(idName(df, id)) === spans("doc_id"), "left")
+      .drop(spans("doc_id"))
+      .withColumn("cleaned_text",
+        when(col("__spans").isNull, lower(trim(text)))
+          .otherwise(array_join(
+            filter(toks, (_, i) =>
+              !exists(col("__spans"),
+                s => i >= s("span_start") && i <= s("span_end"))),
+            " ")))
+      .drop("__spans")
+  }
+
+  private def idName(df: DataFrame, id: Column): String = {
+    val n = id.toString
+    require(df.columns.contains(n),
+      s"removeDuplicatedSpans: id must be a plain column of df, got $n")
+    n
+  }
+
+  /** Corpus-wide paragraph dedup with reassembly: split each page on
+    * `delim`, keep only the FIRST occurrence of every distinct paragraph
+    * corpus-wide (first = smallest (page order key, paragraph index)),
+    * and rebuild each page from its surviving paragraphs in original
+    * order — the boilerplate/chrome removal step of the MassiveText and
+    * RefinedWeb pipelines.
+    *
+    * Returns (page, n_paras, n_kept, rebuilt) — `rebuilt` is null when
+    * every paragraph of the page was seen earlier.
+    *
+    * Scale shape: paragraphs explode narrowly, first-occurrence is ONE
+    * row_number window partitioned by md5(paragraph) (shuffles the
+    * 16-byte hash + location, not page text), reassembly is one groupBy
+    * per page with an in-group sort over the page's own paragraphs.
+    * md5 (vs xxhash64) keeps the grouping key reproducible by any other
+    * engine; swap in fingerprint64 for pure-speed pipelines.
+    */
+  def paragraphDedup(df: DataFrame, page: Column, text: Column,
+                     delim: String = "\\n{2,}"): DataFrame = {
+    val paras = df.select(page.as("page"),
+        posexplode(split(text, delim)).as(Seq("idx", "para")))
+    val first = row_number().over(
+      Window.partitionBy(md5(col("para"))).orderBy(col("page"), col("idx")))
+    val kept = paras.withColumn("__rk", first)
+    kept.groupBy(col("page"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rk") === 1, struct(col("idx"), col("para"))))),
+            s => s("para")),
+          "\n\n").as("__joined"))
+      .withColumn("rebuilt",
+        when(col("n_kept") > 0, col("__joined")))
+      .drop("__joined")
+  }
+
+  /** Token-budget domain mixing: deterministically select documents per
+    * domain until the domain's token budget is filled — the "data
+    * mixture" step that turns raw per-domain corpora into the weighted
+    * blend a training run actually consumes. A document is selected iff
+    * it STARTS before the budget boundary in the domain's hash order
+    * (start-fit rule: cumulative tokens before the doc < budget), so
+    * every domain overshoots by at most one document and selection is a
+    * pure function of (id, seed) — reruns and engines agree exactly.
+    *
+    * `budget` is evaluated per row (constant per domain), so callers
+    * express weighted mixes as expressions over the domain column.
+    *
+    * Scale shape: the selection order md5(id:seed) is split into 16
+    * prefix buckets; pass 1 aggregates per-(domain, bucket) token sums
+    * (tiny frame: |domains|·16 rows) and turns them into bucket start
+    * offsets; pass 2 computes the within-bucket running sum and adds the
+    * offset — equivalent to one global per-domain cumulative sum, but no
+    * window partition ever exceeds 1/16 of a domain, so a single
+    * mega-domain cannot serialize onto one task. Deepen the prefix to
+    * 2+ hex chars (256+ buckets) for extreme skew.
+    */
+  def tokenBudgetMix(df: DataFrame, id: Column, domain: Column,
+                     text: Column, budget: Column,
+                     seed: String = "s42"): DataFrame = {
+    val base = df.select(id.as("doc_id"), domain.as("domain"),
+        budget.cast("long").as("budget"),
+        TextOps.tokenCount(text).cast("long").as("tok"),
+        md5(concat(id.cast("string"), lit(":" + seed))).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 1))
+    val offsets = base.groupBy(col("domain"), col("__b"))
+      .agg(sum(col("tok")).as("__bsum"))
+      .withColumn("__off",
+        sum(col("__bsum")).over(
+          Window.partitionBy("domain").orderBy("__b")) - col("__bsum"))
+      .select("domain", "__b", "__off")
+    val wb = Window.partitionBy(col("domain"), col("__b"))
+      .orderBy(col("__h"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("domain", "__b"))
+      .withColumn("__cum", col("__off") + sum(col("tok")).over(wb))
+      .filter(col("__cum") - col("tok") < col("budget"))
+      .select(col("doc_id"), col("domain"), col("tok"), col("budget"),
+        col("__cum").as("cum_tok"))
+  }
+
+  /** Greedy sequence packing: walk each group's documents in `order` and
+    * pack them into consecutive bins of at most `budget` tokens (a
+    * document never splits across bins; a document alone larger than the
+    * budget still gets its own bin) — the example-packing step that
+    * turns a cleaned corpus into fixed-length pretraining sequences.
+    * Returns (grp, ord, tok, bin) with bins numbered from 1 per group.
+    *
+    * Packing is inherently sequential per group, so the shape is ONE
+    * hash repartition on the group key + an in-partition external sort
+    * (secondary-sort pattern) + a streaming fold with O(1) state — no
+    * group is ever materialized, arbitrarily large groups stream
+    * through. This is the minimal-shuffle plan for an order-dependent
+    * per-group scan; nothing here collects to the driver.
+    */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+                    tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"packSequences: budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prep = df.select(group.cast("string").as("grp"),
+        order.cast("long").as("ord"), tokens.cast("long").as("tok"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("ord"))
+      .as[(String, Long, Long)]
+    prep.mapPartitions { it =>
+      var curGrp: String = null
+      var bin = 0L
+      var fill = 0L
+      it.map { case (grp, ord, tok) =>
+        if (grp != curGrp) { curGrp = grp; bin = 1L; fill = tok }
+        else if (fill + tok > budget) { bin += 1L; fill = tok }
+        else fill += tok
+        (grp, ord, tok, bin)
+      }
+    }.toDF("grp", "ord", "tok", "bin")
+  }
+}

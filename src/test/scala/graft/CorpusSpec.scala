@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{CorpusOps, TextOps}
+
+/** Corpus-preparation operators: duplicated-span detection/removal,
+  * paragraph dedup, token-budget mixing, sequence packing. Goldens are
+  * hand-computed; the bucketed mixing path is checked against a naive
+  * single-window twin (the equivalence that makes it safe at scale);
+  * packing is checked against an independent sequential fold. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def w(n: Int, tag: String = "w"): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("duplicatedSpans finds a cross-doc repeated passage and merges " +
+    "overlapping k-grams into one maximal span") {
+    import spark.implicits._
+    // docs 1 and 2 share words s0..s9 (10 words) at different offsets;
+    // k=4 grams inside it are duplicated, nothing else is
+    val shared = w(10, "s")
+    val df = Seq(
+      (1L, w(5, "a") + " " + shared + " " + w(5, "b")),
+      (2L, shared + " " + w(12, "c"))
+    ).toDF("doc_id", "text")
+    val spans = CorpusOps.duplicatedSpans(df, col("doc_id"), col("text"),
+        k = 4).orderBy("doc_id").collect()
+    assert(spans.length == 2)
+    val s1 = spans(0)
+    assert(s1.getAs[Long]("doc_id") == 1L)
+    assert(s1.getAs[Int]("span_start") == 5 &&
+      s1.getAs[Int]("span_end") == 14 && s1.getAs[Int]("span_len") == 10)
+    val s2 = spans(1)
+    assert(s2.getAs[Int]("span_start") == 0 &&
+      s2.getAs[Int]("span_end") == 9 && s2.getAs[Int]("span_len") == 10)
+  }
+
+  test("duplicatedSpans counts within-document repeats (Lee et al. " +
+    "semantics) and keeps disjoint spans separate") {
+    import spark.implicits._
+    val rep = w(4, "r")
+    // "r0..r3 x0..x9 r0..r3": the 4-gram repeats inside ONE doc; the
+    // two occurrences are > k apart so they stay two spans
+    val df = Seq((7L, rep + " " + w(10, "x") + " " + rep))
+      .toDF("doc_id", "text")
+    val spans = CorpusOps.duplicatedSpans(df, col("doc_id"), col("text"),
+        k = 4).orderBy("span_start").collect()
+    assert(spans.map(r => (r.getAs[Int]("span_start"),
+      r.getAs[Int]("span_end"))).toSeq == Seq((0, 3), (14, 17)))
+  }
+
+  test("removeDuplicatedSpans strips exactly the flagged words") {
+    import spark.implicits._
+    val shared = w(6, "s")
+    val df = Seq(
+      (1L, w(3, "a") + " " + shared),
+      (2L, shared + " " + w(3, "b")),
+      (3L, w(5, "u"))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeDuplicatedSpans(df, col("doc_id"),
+        col("text"), k = 3).orderBy("doc_id")
+      .select("cleaned_text").as[String].collect()
+    assert(out(0) == w(3, "a"))
+    assert(out(1) == w(3, "b"))
+    assert(out(2) == w(5, "u"))
+  }
+
+  test("paragraphDedup keeps first occurrence corpus-wide and rebuilds " +
+    "pages in paragraph order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"),
+      (2L, "beta\n\ndelta"),
+      (3L, "alpha\n\nbeta")
+    ).toDF("page", "text")
+    val out = CorpusOps.paragraphDedup(df, col("page"), col("text"))
+      .orderBy("page").collect()
+    assert(out(0).getAs[String]("rebuilt") == "alpha\n\nbeta\n\ngamma")
+    assert(out(1).getAs[String]("rebuilt") == "delta" &&
+      out(1).getAs[Long]("n_kept") == 1L &&
+      out(1).getAs[Long]("n_paras") == 2L)
+    // page 3 is entirely paragraphs seen on page 1 → nothing survives
+    assert(out(2).isNullAt(out(2).fieldIndex("rebuilt")) &&
+      out(2).getAs[Long]("n_kept") == 0L)
+  }
+
+  test("tokenBudgetMix bucketed cumsum equals the naive single-window " +
+    "selection, and overshoot is at most one document") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t001("documents")
+    val budget = lit(300)
+    val got = CorpusOps.tokenBudgetMix(docs, col("doc_id"), col("source"),
+        col("text"), budget)
+    // naive twin: one global per-domain window over the same hash order
+    val naive = docs.select(col("doc_id"), col("source").as("domain"),
+        TextOps.tokenCount(col("text")).cast("long").as("tok"),
+        md5(concat(col("doc_id").cast("string"), lit(":s42"))).as("h"))
+      .withColumn("cum", sum(col("tok")).over(
+        Window.partitionBy("domain").orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum") - col("tok") < 300)
+      .select("doc_id", "domain", "tok")
+    val g = got.select("doc_id", "domain", "tok").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val n = naive.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == n && g.nonEmpty)
+    // start-fit: tokens before the last selected doc stay under budget
+    val over = got.groupBy("domain")
+      .agg(max(col("cum_tok") - col("tok")).as("pre"))
+      .filter(col("pre") >= 300).count()
+    assert(over == 0)
+  }
+
+  test("packSequences matches an independent greedy fold and respects " +
+    "the budget except for oversize singletons") {
+    import spark.implicits._
+    val docs = t001("documents")
+    val b = 250L
+    val out = CorpusOps.packSequences(docs, col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")), b)
+      .orderBy("grp", "ord").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent fold over the same ordered input
+    val expect = out.map { case (g, o, t, _) => (g, o, t) }
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        var bin = 0L; var fill = Long.MaxValue
+        rows.sortBy(_._2).map { case (_, o, t) =>
+          if (fill > Long.MaxValue - t || fill + t > b) {
+            bin += 1; fill = t
+          } else fill += t
+          ((g, o), bin)
+        }
+      }.toMap
+    out.foreach { case (g, o, _, bin) => assert(expect((g, o)) == bin) }
+    // invariants: bins within budget unless a single oversize doc
+    val bins = out.groupBy(r => (r._1, r._4)).values
+    bins.foreach { rows =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= b || rows.length == 1)
+    }
+    // greedy tightness: consecutive bins couldn't have merged
+    out.groupBy(_._1).values.foreach { rows =>
+      val byBin = rows.groupBy(_._4).toSeq.sortBy(_._1)
+      byBin.sliding(2).foreach {
+        case Seq((_, a), (_, nb)) =>
+          val firstNext = nb.minBy(_._2)._3
+          assert(a.map(_._3).sum + firstNext > b)
+        case _ =>
+      }
+    }
+  }
+
+  private def t001(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+}
