@@ -38,4 +38,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // forced constant old-gen GC at sf0.1 (measured: 5-30x slowdowns on
   // queries run late in a long session); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
-)
+) ++ sys.env.get("GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

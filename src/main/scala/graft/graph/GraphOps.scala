@@ -93,23 +93,44 @@ object GraphOps {
     val spark = edges.sparkSession
     val canonEdges = canon(edges.select(src.cast("long").as("u"),
       dst.cast("long").as("v")))
-    // Fast path: ONE limit-collect both decides small-vs-large and,
-    // when small, already delivers the edge set — no persist, no
-    // checksum job, no second action. A dedup pair graph usually IS
-    // small (edges ≈ duplicates, not documents), so this is the
-    // common case; the distributed loop below is the 100 TB path.
-    val cap = math.min(localFinishThreshold, Int.MaxValue - 8L).toInt
-    val sampled =
-      if (localFinishThreshold > 0L) canonEdges.limit(cap + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (localFinishThreshold > 0L && sampled.length <= cap)
-      graft.util.Release.scoped(spark) {
-        unionFindLabels(spark,
-          sampled.map(r => (r.getLong(0), r.getLong(1))))
+    // Decide small-vs-large with persist + count, NOT a limit-collect:
+    // CollectLimitExec executes incrementally (1 partition, then ×4,
+    // ×16, …), and each widening attempt re-runs the reduce stage of
+    // whatever expensive pair kernel produced the edges — measured 2-7 s
+    // of pure re-execution jitter on a 445k-edge graph. One count on the
+    // persisted frame evaluates the kernel exactly once; the collect
+    // (small case) and the loop's first checksum (large case) both read
+    // the cached blocks.
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    def dbg[A](label: String)(f: => A): A = {
+      if (!ccDebug) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
       }
+    }
+    val cached = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = dbg("count")(cached.count())
+    if (localFinishThreshold > 0L && edgeCount <= localFinishThreshold) {
+      val sampled = dbg("collect")(cached.collect())
+      cached.unpersist(blocking = false)
+      // unpack to primitive arrays immediately: every downstream loop
+      // (union-find, id dedup) then runs boxing-free — the boxed
+      // Row/tuple version cost multiple cold-JIT seconds at 445k edges
+      val n = sampled.length
+      val us = new Array[Long](n); val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = sampled(i); us(i) = r.getLong(0); vs(i) = r.getLong(1)
+        i += 1
+      }
+      dbg("unionfind+scoped")(graft.util.Release.scoped(spark) {
+        unionFindLabels(spark, us, vs)
+      })
+    }
     else graft.util.Release.scoped(spark) {
-    var e = canonEdges
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var e = cached
     // fixpoint detection on an order-independent checksum of the edge
     // set — one tiny action per round on the already-persisted frame
     def checksum(d: DataFrame): (Long, Long) = {
@@ -147,8 +168,14 @@ object GraphOps {
       } else if (prevSum._1 <= localFinishThreshold) {
         // local finish: collect the shrunken edge set, union-find
         val rows = e.select(col("u"), col("v")).collect()
-        unionFindLabels(spark,
-          rows.map(r => (r.getLong(0), r.getLong(1))))
+        val m = rows.length
+        val us = new Array[Long](m); val vs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val r = rows(i); us(i) = r.getLong(0); vs(i) = r.getLong(1)
+          i += 1
+        }
+        unionFindLabels(spark, us, vs)
       } else throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
@@ -159,11 +186,63 @@ object GraphOps {
     }
   }
 
+  /** Open-addressing long→long map (linear probing, power-of-two
+    * capacity, occupancy bitmap so any long — including 0 — is a valid
+    * key). Boxing-free: the java.util.HashMap version of the union-find
+    * spent multiple cold-JIT seconds allocating Long boxes at 445k
+    * edges; this runs the same workload in tens of milliseconds. */
+  private final class LongLongMap(expected: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, expected * 2 - 1)) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = ((k * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      while (occ(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long = {
+      val i = slot(k); if (occ(i)) vals(i) else d
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vals(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val oo = occ; val oc = cap
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      occ = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < oc) {
+        if (oo(i)) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    def size: Int = n
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (occ(i)) f(keys(i), vals(i)); i += 1 }
+    }
+  }
+
   /** Driver-side union-find (path compression, union-by-min) over a
-    * collected edge list → (id, component) frame. */
+    * collected edge list → (id, component) frame. All-primitive hot
+    * path: parent pointers live in a [[LongLongMap]], node ids dedupe
+    * through the same map (every node gets an entry — roots map to
+    * themselves), and rows materialize only for the final (small)
+    * label frame. */
   private def unionFindLabels(spark: org.apache.spark.sql.SparkSession,
-                              pairs: Array[(Long, Long)]): DataFrame = {
-    val parent = new java.util.HashMap[Long, Long]()
+                              us: Array[Long], vs: Array[Long])
+      : DataFrame = {
+    val parent = new LongLongMap(math.min(us.length, 1 << 22))
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrDefault(r, r) != r)
@@ -174,14 +253,34 @@ object GraphOps {
       }
       r
     }
-    pairs.foreach { case (u, v) =>
-      val (ra, rb) = (find(u), find(v))
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    val m = us.length
+    var i = 0
+    while (i < m) {
+      val ra = find(us(i)); val rb = find(vs(i))
+      if (ra != rb)
+        parent.put(math.max(ra, rb), math.min(ra, rb))
+      else {
+        // ensure the root itself is present so the id sweep sees it
+        parent.put(ra, ra)
+      }
+      i += 1
     }
-    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      ids.map(i => org.apache.spark.sql.Row(i, find(i))).toSeq.asJava,
+    // second sweep: every node id keyed in `parent` with its final root
+    // (roots put above; non-roots were keyed by path compression or the
+    // initial put). A node can appear only as an endpoint whose parent
+    // was never written (singleton after earlier unions compressed away)
+    // — re-walk the edges once to guarantee full coverage.
+    i = 0
+    while (i < m) {
+      parent.put(us(i), find(us(i))); parent.put(vs(i), find(vs(i)))
+      i += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      parent.size)
+    parent.foreachEntry { (k, _) =>
+      rows.add(org.apache.spark.sql.Row(k, find(k)))
+    }
+    spark.createDataFrame(rows,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -217,7 +316,10 @@ object GraphOps {
     * broadcastable even when `df` is the full corpus. */
   def dedupByClusters(df: DataFrame, id: Column, pairs: DataFrame,
                       id1: Column, id2: Column): DataFrame = {
-    val losers = dupClusters(pairs, id1, id2)
+    // connectedComponents directly — survivorship only needs the labels,
+    // so don't pay dupClusters' csize window on top
+    val losers = connectedComponents(
+        pairs.select(id1.as("u"), id2.as("v")), col("u"), col("v"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_loser"))
     df.join(broadcast(losers), id.cast("long") === col("_loser"),

@@ -15,7 +15,7 @@ object StreamQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dynamic_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("etime", StreamOps.nanosToTimestamp(col("ts")))
+        .withColumn("etime", col("ts").cast("timestamp"))
       StreamOps.dynamicGroupByAgg(ev, col("etime"), "1 hour",
           Seq(col("event_type")),
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 2)
@@ -64,13 +64,11 @@ object StreamQueries extends QueryPack {
     "q_sessionize" -> ((s, dir) => {
       // 30-minute-gap sessions per user; spans kept in integer
       // microseconds so Spark and the oracle never disagree on floats.
-      // The raw nanos are truncated to whole microseconds first: DuckDB
-      // reads the TIMESTAMP(NANOS) column at µs precision, so keeping
-      // Spark's sub-µs bits would skew spans by one µs.
-      val ev = t(s, dir, "events").withColumn("ts_t",
-        call_function("div", col("ts"), lit(1000L)) * 1000L)
+      // events.ts is timestamp[us]; sessionStats normalizes it to epoch
+      // nanos internally (exactly what the oracle's epoch_ns(ts) does).
+      val ev = t(s, dir, "events")
       graft.streaming.SessionOps.sessionStats(ev,
-          Seq(col("user_id")), col("ts_t"), 30L * 60L * 1000000000L)
+          Seq(col("user_id")), col("ts"), 30L * 60L * 1000000000L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"),

@@ -18,15 +18,17 @@ object SessionOps {
 
   /** Append a per-key 1-based `session_id`: a new session starts when
     * the gap from the previous event of the same keys exceeds
-    * `gapNanos`. `tsNanos` must be a long event time (the testdata's
-    * TIMESTAMP(NANOS) column reads as LongType via GraftSession).
-    * Rows tied on `tsNanos` always land in one session regardless of
-    * their relative order, so the assignment is deterministic. */
-  def sessionize(df: DataFrame, keys: Seq[Column], tsNanos: Column,
+    * `gapNanos` (always NANOseconds — the event-time column may be a
+    * long of epoch nanos, TIMESTAMP, or TIMESTAMP_NTZ; all are
+    * normalized through [[StreamOps.eventTimeNanos]]). Rows tied on
+    * event time always land in one session regardless of their relative
+    * order, so the assignment is deterministic. */
+  def sessionize(df: DataFrame, keys: Seq[Column], ts: Column,
                  gapNanos: Long, out: String = "session_id"): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(tsNanos)
-    val prev = lag(tsNanos, 1).over(w)
-    val isNew = when(prev.isNull || tsNanos - prev > gapNanos, 1L)
+    val tsN = StreamOps.eventTimeNanos(df, ts)
+    val w = Window.partitionBy(keys: _*).orderBy(tsN)
+    val prev = lag(tsN, 1).over(w)
+    val isNew = when(prev.isNull || tsN - prev > gapNanos, 1L)
       .otherwise(0L)
     df.withColumn(out, sum(isNew).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -35,13 +37,15 @@ object SessionOps {
   /** Per-session stats: event count and exact span in MICROseconds
     * (integer arithmetic end-to-end — no float lattice to disagree on
     * with an oracle). One row per (keys, session_id). */
-  def sessionStats(df: DataFrame, keys: Seq[Column], tsNanos: Column,
-                   gapNanos: Long): DataFrame =
-    sessionize(df, keys, tsNanos, gapNanos)
+  def sessionStats(df: DataFrame, keys: Seq[Column], ts: Column,
+                   gapNanos: Long): DataFrame = {
+    val tsN = StreamOps.eventTimeNanos(df, ts)
+    sessionize(df, keys, ts, gapNanos)
       .groupBy(keys :+ col("session_id"): _*)
       .agg(count(lit(1)).as("n_events"),
-        call_function("div", max(tsNanos) - min(tsNanos), lit(1000L))
+        call_function("div", max(tsN) - min(tsN), lit(1000L))
           .as("span_us"))
+  }
 
   /** Streaming twin: native session windows with watermark-bounded
     * state. `gap` is a duration string ("30 minutes"). The input must

@@ -33,13 +33,32 @@ object StreamOps {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
-  /** Convert the testdata's TIMESTAMP(NANOS)-as-long column to a real
-    * timestamp (GraftSession reads nanos as LongType). Uses integral
-    * division (`div`) so the nanos→micros conversion stays in exact long
-    * arithmetic: `c / 1000L` would round-trip through double, and epoch
-    * nanos (~1.7e18) exceed double's 2^53 exact-integer range. */
+  /** Convert a TIMESTAMP(NANOS)-as-long column to a real timestamp.
+    * Uses integral division (`div`) so the nanos→micros conversion stays
+    * in exact long arithmetic: `c / 1000L` would round-trip through
+    * double, and epoch nanos (~1.7e18) exceed double's 2^53
+    * exact-integer range. */
   def nanosToTimestamp(c: Column): Column =
     timestamp_micros(call_function("div", c, lit(1000L)))
+
+  /** Normalize an event-time column of ANY supported physical encoding
+    * to exact epoch-nanos longs: TIMESTAMP / TIMESTAMP_NTZ (micro
+    * precision — ntz is reinterpreted in the session zone, which
+    * GraftSession pins to UTC) scale by 1000 in long space; an
+    * already-numeric column (e.g. TIMESTAMP(NANOS) parquet read as long
+    * via nanosAsLong) passes through. Keeps every operator that does
+    * long gap/span arithmetic working across testdata generations that
+    * flipped between nanos-as-long and timestamp[us]. */
+  def eventTimeNanos(df: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(c).schema.head.dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast(TimestampType)) * lit(1000L)
+      case LongType | IntegerType => c.cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"eventTimeNanos: unsupported event-time type $dt")
+    }
+  }
 
   /** Attach event time + watermark to a (possibly streaming) frame. */
   def withEventTime(df: DataFrame, eventTime: Column,

@@ -33,12 +33,14 @@ object CorpusOps {
     * absent. Touching/overlapping k-gram intervals merge into one span.
     *
     * Scale shape: tokens explode to (doc_id, pos, xxhash64(gram)) — the
-    * gram STRING never shuffles, only its 8-byte hash. One shuffle
-    * partitions by gram hash to count occurrences (count(*) window, no
-    * second exchange), one shuffle re-partitions surviving positions by
-    * doc_id for the interval merge (lag/cumsum windows + groupBy on the
-    * same key — single exchange, bounded by document length, never by
-    * corpus size). Collision risk of hashing grams is the documented
+    * gram STRING never shuffles, only its 8-byte hash. Gram counts come
+    * from a map-side-combined groupBy on the hash alone; the surviving
+    * duplicate-hash set (small — duplication is the exception) probes
+    * the gram rows via a left-semi join that AQE resolves to a
+    * broadcast, so full gram rows never exchange. One shuffle then
+    * re-partitions surviving positions by doc_id for the interval merge
+    * (lag/cumsum windows + groupBy on the same key — single exchange,
+    * bounded by document length, never by corpus size). Collision risk of hashing grams is the documented
     * fingerprint64-style birthday bound (~2.7e-2 at 10⁹ DISTINCT grams);
     * collisions only ever over-flag a span, never drop one.
     */
@@ -50,9 +52,18 @@ object CorpusOps {
     val grams = df.select(id.as("doc_id"),
         posexplode(TextOps.wordNgrams(text, k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
-    val hits = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+    // Duplicate-hash set via groupBy + semi-join rather than a
+    // count-over-window: the window would shuffle AND sort every
+    // (doc_id, pos, gh) gram row globally; the groupBy shuffles only the
+    // 8-byte hash with map-side partial counts, and the surviving
+    // duplicate set is small (duplication is the exception), so AQE
+    // turns the semi-join into a broadcast probe — the gram rows
+    // themselves never exchange.
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .select("gh")
+    val hits = grams.join(dupHashes, Seq("gh"), "left_semi")
       .select("doc_id", "pos")
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(wDoc)

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring for corpus quality
+  * filtering — the CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting
+  * High Quality Monolingual Datasets from Web Crawl Data"): train an
+  * n-gram LM on a reference corpus, score every candidate document's
+  * perplexity under it, and keep the low-perplexity (fluent) tail.
+  * CCNet uses a KenLM 5-gram; this is the same pipeline shape with an
+  * add-α smoothed count model so both training and scoring stay pure
+  * Spark aggregations (no external LM runtime) and the whole computation
+  * is replayable in ANSI SQL for the correctness oracle.
+  *
+  * Model: p(w_n | w_1..w_{n-1}) = (c(gram) + α) / (c(prefix) + α·V)
+  * with V = distinct-unigram vocabulary size of the training corpus and
+  * the prefix count taken over ALL prefix-gram occurrences. Document
+  * score = cross-entropy (mean negative natural log-probability over the
+  * document's n-grams) and its exp, the perplexity.
+  *
+  * Scale shape (corpus = 100 TB): training is two map-side-combined
+  * groupBy counts that shuffle the 8-byte xxhash64 of each gram — never
+  * gram text. Scoring explodes each document's n-grams once and
+  * equi-joins the two count tables on those hashes (plain hash joins;
+  * AQE broadcasts the unigram side when it fits), then one aggregation
+  * per document. No collect, no windows, no driver state. Collisions on
+  * the 64-bit gram hash merge two counts (birthday bound ~2.7e-2 at 10⁹
+  * distinct grams) — same documented trade as
+  * [[CorpusOps.duplicatedSpans]].
+  */
+object LmOps {
+
+  /** Train an add-α n-gram LM on `train` and score each `score` document:
+    * (doc_id, n_ngrams, cross_entropy, ppl). Documents with fewer than
+    * `n` tokens have no n-grams and are absent — left-join downstream to
+    * label them. Self-scoring (train == score) is the in-corpus quality
+    * signal; passing a curated reference as `train` gives the CCNet
+    * setup. */
+  def ngramLmScore(train: DataFrame, trainText: Column,
+                   score: DataFrame, id: Column, text: Column,
+                   n: Int = 2, alpha: Double = 0.4): DataFrame = {
+    require(n >= 2, s"ngramLmScore: n must be >= 2, got $n")
+    require(alpha > 0.0, s"ngramLmScore: alpha must be > 0, got $alpha")
+    // prefix = leading (n-1)-gram of each n-gram; its count table is
+    // the denominator. For n=2 that is the unigram table itself.
+    val prefixCnt = train
+      .select(explode(TextOps.wordNgrams(trainText, n - 1)).as("p"))
+      .select(xxhash64(col("p")).as("ph"))
+      .groupBy(col("ph")).agg(count(lit(1)).as("c_prefix"))
+    val gramCnt = train
+      .select(explode(TextOps.wordNgrams(trainText, n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c_gram"))
+    // vocabulary size as a 1-row frame (kept lazy; broadcast into the
+    // scoring join instead of an eager driver action)
+    val vocab = train
+      .select(explode(TextOps.wordNgrams(trainText, 1)).as("w"))
+      .select(xxhash64(col("w")).as("wh"))
+      .agg(count_distinct(col("wh")).as("v"))
+    val docGrams = score.select(id.as("doc_id"),
+        explode(TextOps.wordNgrams(text, n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
+        xxhash64(substring_index(col("g"), " ", n - 1)).as("ph"))
+    val nl = -log(
+      (coalesce(col("c_gram"), lit(0L)) + lit(alpha)) /
+        (coalesce(col("c_prefix"), lit(0L)) + lit(alpha) * col("v")))
+    docGrams
+      .join(gramCnt, Seq("gh"), "left")
+      .join(prefixCnt, Seq("ph"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nl.as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        avg(col("nl")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
+  /** CCNet's filtering step: score against a reference LM and keep
+    * documents at or below the given perplexity cut. Documents too short
+    * to have an n-gram are dropped (no evidence of fluency), matching
+    * CCNet's treatment of empty paragraphs. */
+  def perplexityFilter(train: DataFrame, trainText: Column,
+                       df: DataFrame, id: Column, text: Column,
+                       maxPpl: Double, n: Int = 2,
+                       alpha: Double = 0.4): DataFrame = {
+    val scores = ngramLmScore(train, trainText, df, id, text, n, alpha)
+      .filter(col("ppl") <= maxPpl)
+      .select(col("doc_id").as("__keep_id"))
+    df.join(scores, id.cast(scores.schema("__keep_id").dataType)
+      === col("__keep_id"), "left_semi")
+  }
+}
