@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{CorpusOps, TextOps}
+import graft.text.{CorpusOps, LmOps, TextOps}
 
 /** Driver-contract queries for the corpus-preparation operators
   * (CorpusOps): duplicated-span detection, paragraph dedup with
@@ -55,6 +55,18 @@ object CorpusQueries extends QueryPack {
           round(sum(col("tok")).cast("double") / max(col("budget")), 4)
             .as("util"))
         .orderBy("source")
+    }),
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style fluency scoring: self-trained add-0.4 bigram LM,
+      // per-document cross-entropy + perplexity. The oracle replays the
+      // count model verbatim in SQL.
+      val docs = t(s, dir, "documents")
+      LmOps.ngramLmScore(docs, col("text"), docs, col("doc_id"),
+          col("text"), n = 2, alpha = 0.4)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
     }),
     "q_seq_pack" -> ((s, dir) => {
       val bins = CorpusOps.packSequences(t(s, dir, "documents"),
@@ -173,6 +185,39 @@ object CorpusQueries extends QueryPack {
         |       round(sum(tok) * 1.0 / max(budget), 4) AS util
         |FROM ranked WHERE cum - tok < budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)
+        |),
+        |big AS (
+        |  SELECT doc_id, pos, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM words
+        |  QUALIFY w2 IS NOT NULL
+        |),
+        |cu AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+        |cb AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS v FROM cu)
+        |SELECT b.doc_id,
+        |       count(*) AS n_ngrams,
+        |       round(avg(-ln((cb.c + 0.4) / (cu.c + 0.4 * v.v))), 4)
+        |         AS cross_entropy,
+        |       round(exp(avg(-ln((cb.c + 0.4) / (cu.c + 0.4 * v.v)))), 2)
+        |         AS ppl
+        |FROM big b
+        |JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |JOIN cu ON cu.w = b.w1
+        |CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_seq_pack" ->
       """WITH RECURSIVE base AS (
         |  SELECT source, doc_id,

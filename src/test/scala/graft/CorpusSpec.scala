@@ -153,6 +153,59 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramLmScore matches a hand-computed add-alpha bigram model") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c" → unigrams a:3 b:2 c:1 (V=3),
+    // bigrams: (a,b):2 (b,a):1 (a,c):1
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.text.LmOps.ngramLmScore(train, col("text"),
+        train, col("doc_id"), col("text"), n = 2, alpha = 0.5)
+      .orderBy("doc_id").collect()
+    val v = 3.0
+    def p(cb: Long, cu: Long): Double = (cb + 0.5) / (cu + 0.5 * v)
+    // doc 1 bigrams: ab ba ab
+    val ce1 = -(math.log(p(2, 3)) + math.log(p(1, 2)) +
+      math.log(p(2, 3))) / 3.0
+    // doc 2 bigram: ac
+    val ce2 = -math.log(p(1, 3))
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_ngrams") == 3L)
+    assert(math.abs(out(0).getAs[Double]("cross_entropy") - ce1) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("ppl") - math.exp(ce1)) < 1e-12)
+    assert(out(1).getAs[Long]("n_ngrams") == 1L)
+    assert(math.abs(out(1).getAs[Double]("cross_entropy") - ce2) < 1e-12)
+  }
+
+  test("ngramLmScore: unseen grams smooth to alpha/(alpha*V) and short " +
+    "docs are absent") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "z q"), (11L, "a"), (12L, " "))
+      .toDF("doc_id", "text")
+    val out = graft.text.LmOps.ngramLmScore(train, col("text"),
+        score, col("doc_id"), col("text"), n = 2, alpha = 0.4)
+      .orderBy("doc_id").collect()
+    // only doc 10 has a bigram; both its words are OOV → p = 0.4/(0.4*2)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+    val ce = -math.log(0.4 / (0.4 * 2.0))
+    assert(math.abs(out(0).getAs[Double]("cross_entropy") - ce) < 1e-12)
+  }
+
+  test("perplexityFilter keeps fluent (in-distribution) docs and drops " +
+    "the gibberish tail") {
+    import spark.implicits._
+    val fluent = (1 to 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val noise = Seq((100L, "zxq qzk wvv pqr"), (101L, "mmm nnn ooo ppp"))
+    val df = (fluent ++ noise).toDF("doc_id", "text")
+    // self-trained: fluent bigrams occur 8x (ppl ≈ 1.7) while each
+    // gibberish bigram occurs once (ppl ≈ 4.4) — cut between them
+    val kept = graft.text.LmOps.perplexityFilter(df, col("text"),
+        df, col("doc_id"), col("text"), maxPpl = 3.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 8L).forall(kept.contains))
+    assert(!kept.contains(100L) && !kept.contains(101L))
+  }
+
   private def t001(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
