@@ -38,6 +38,39 @@ object GraphQueries extends QueryPack {
           sum(col("n_chars")).as("chars_kept"))
         .orderBy("source")
     }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup with nCells=1 → exact all-pairs semantics, fully
+      // SQL-replayable (pairwise cosine + recursive-CTE components).
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"), col("label"))
+      graft.sim.SimOps.semanticDedup(emb, col("id"), col("vec"), 0.3,
+          nCells = 1, subBlocks = 4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_survivors"), sum(col("id")).as("sum_ids"))
+        .orderBy("label")
+    }),
+    "q_semantic_cells" -> ((s, dir) => {
+      // clustered path contract vs the exact twin: every clustered pair
+      // must BE an exact pair (the kernel verifies true cosine), and the
+      // within-cluster recall must clear the bound. n_exact is the
+      // SQL-computable anchor; the booleans are the contract.
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val exact = graft.sim.SimOps.semanticDupPairs(emb, col("id"),
+        col("vec"), 0.3, nCells = 1, subBlocks = 4)
+      val cells = graft.sim.SimOps.semanticDupPairs(emb, col("id"),
+        col("vec"), 0.3, nCells = 8, subBlocks = 2, nAssign = 3)
+      cells.as("c")
+        .join(exact.as("e"), Seq("id1", "id2"), "left")
+        .agg(
+          bool_and(col("e.cos").isNotNull).as("subset_ok"),
+          count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_exact"),
+          col("subset_ok"),
+          (col("n_found").cast("double") / col("n_exact") >= 0.8)
+            .as("recall_ok"))
+    }),
     "q_zorder" -> ((s, dir) => {
       val p = t(s, dir, "part")
       p.select(col("p_partkey"), col("p_size"),
@@ -93,6 +126,32 @@ object GraphQueries extends QueryPack {
     s"(((p_size::BIGINT >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.vec_id AS i1, b.vec_id AS i2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]) >= 0.3),
+        |sym AS (SELECT i1 u, i2 v FROM e UNION SELECT i2, i1 FROM e),
+        |walk(id, comp) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n(u)
+        |  UNION
+        |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
+        |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)
+        |SELECT label, count(*) AS n_survivors,
+        |       sum(vec_id)::BIGINT AS sum_ids
+        |FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semantic_cells" ->
+      """WITH p AS (
+        |  SELECT a.vec_id i1, b.vec_id i2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]) >= 0.3)
+        |SELECT count(*) AS n_exact, true AS subset_ok,
+        |       true AS recall_ok
+        |FROM p""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $edgeSql,
          |sz AS (SELECT comp, COUNT(*) c FROM cc GROUP BY 1)

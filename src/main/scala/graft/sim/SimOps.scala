@@ -282,6 +282,144 @@ object SimOps {
       .distinct()
   }  // Release.scoped: pair result materialized, signature cache freed
 
+  // ---- SemDeDup --------------------------------------------------------
+
+  /** SemDeDup semantic near-duplicate PAIRS (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): cluster the embedding space with
+    * the same deterministic spherical k-means that trains the IVF index,
+    * then report every pair with exact cosine ≥ `threshold` WITHIN a
+    * cluster. Cross-cluster pairs are the method's documented miss class
+    * (the paper dedups inside clusters only); `nCells = 1` degenerates
+    * to the exact all-pairs semantics, which is what the correctness
+    * oracle replays, and recall of the clustered path vs that exact twin
+    * is contract-gated like the ANN queries.
+    *
+    * Scale shape: centroids train on a bounded driver sample and
+    * broadcast; each vector computes its cell map-side, and the
+    * cell-local quadratic is spread over triangle sub-blocks exactly
+    * like [[TextOps.jaccardDupPairs]] — every pair examined in exactly
+    * one bucket, per-task memory dropping ~subBlocks-fold, an explicit
+    * repartition keeping the compute-bound stage wide under AQE, and a
+    * loud `bucketCap` instead of a silent OOM. Returns (id1, id2, cos),
+    * id1 < id2. */
+  def semanticDupPairs(df: DataFrame, id: Column, vec: Column,
+                       threshold: Double, nCells: Int = 16,
+                       subBlocks: Int = 2, sampleCap: Int = 20000,
+                       kmeansIter: Int = 8, bucketCap: Int = 100000,
+                       nAssign: Int = 1)
+      : DataFrame = {
+    require(nCells >= 1, s"semanticDupPairs: nCells must be >= 1")
+    require(subBlocks >= 1, s"semanticDupPairs: subBlocks must be >= 1")
+    require(nAssign >= 1 && nAssign <= nCells,
+      s"semanticDupPairs: nAssign must be in [1, nCells], got $nAssign")
+    val spark = df.sparkSession
+    val base = df.select(id.cast("long").as("id"),
+      vec.cast("array<double>").as("vec"))
+    val idx = buildIvfIndex(base, nCells, sampleCap, kmeansIter)
+    val bc = spark.sparkContext.broadcast(idx.centroids)
+    // soft assignment (IVF-nProbe analog): replicating each vector to
+    // its nAssign nearest cells recovers near-threshold pairs that
+    // straddle a cell boundary — the dominant miss class when the dedup
+    // threshold sits in the weak-similarity regime. Work scales ~nAssign
+    // per vector (pairs that meet in several shared cells dedupe below).
+    val cellOf = nearestCellsUdf(bc, nAssign)
+    val cap = bucketCap
+    val pairUdf = udf { (docs: Seq[org.apache.spark.sql.Row],
+                         ga: Int, gb: Int, t: Double) =>
+      val n = docs.length
+      require(n <= cap,
+        s"semanticDupPairs: bucket of $n vectors exceeds bucketCap=" +
+          s"$cap; raise subBlocks or nCells")
+      val ids = new Array[Long](n)
+      val grp = new Array[Int](n)
+      val vs = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val r = docs(i)
+        ids(i) = r.getLong(0); grp(i) = r.getInt(1)
+        val s = r.getSeq[Double](2)
+        val a = new Array[Double](s.length)
+        var q = 0; var ss = 0.0
+        while (q < a.length) { val x = s(q); a(q) = x; ss += x * x; q += 1 }
+        val nm = math.sqrt(ss)
+        if (nm > 0) { q = 0; while (q < a.length) { a(q) /= nm; q += 1 } }
+        vs(i) = a
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      def compare(i: Int, j: Int): Unit = {
+        val x = vs(i); val y = vs(j)
+        val len = math.min(x.length, y.length)
+        var d = 0.0; var q = 0
+        while (q < len) { d += x(q) * y(q); q += 1 }
+        if (d >= t) {
+          val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j))
+          else (ids(j), ids(i))
+          out += ((a, b, d))
+        }
+      }
+      if (ga == gb) {
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { compare(i, j); j += 1 }
+          i += 1
+        }
+      } else {
+        val ia = Array.newBuilder[Int]; val ib = Array.newBuilder[Int]
+        i = 0
+        while (i < n) {
+          if (grp(i) == ga) ia += i else ib += i
+          i += 1
+        }
+        val aIdx = ia.result(); val bIdx = ib.result()
+        var p = 0
+        while (p < aIdx.length) {
+          var q = 0
+          while (q < bIdx.length) { compare(aIdx(p), bIdx(q)); q += 1 }
+          p += 1
+        }
+      }
+      out.result()
+    }
+    val assigned = base
+      .withColumn("cell", explode(cellOf(col("vec"))))
+      .withColumn("g", pmod(hash(col("id")), lit(subBlocks)).cast("int"))
+    val buckets = assigned.select(col("cell"), col("id"), col("g"),
+      col("vec"),
+      explode(array((0 until subBlocks).map(x =>
+        struct(least(col("g"), lit(x)).as("a"),
+          greatest(col("g"), lit(x)).as("b"))): _*)).as("bk"))
+    buckets
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("cell"), col("bk"))
+      .groupBy(col("cell"), col("bk"))
+      .agg(collect_list(struct(col("id"), col("g"), col("vec")))
+        .as("docs"))
+      .select(explode(pairUdf(col("docs"), col("bk.a"), col("bk.b"),
+        lit(threshold))).as("p"))
+      .select(col("p._1").as("id1"), col("p._2").as("id2"),
+        col("p._3").as("cos"))
+      // a pair can meet in up to nAssign shared cells; cos is computed
+      // from the same two vectors every time, so plain distinct dedupes
+      .distinct()
+  }
+
+  /** SemDeDup survivorship: drop every semantic near-duplicate except
+    * its duplicate-group minimum id (transitive closure over the pair
+    * graph, exactly the clustering+survivor path the text dedups use).
+    * Unclustered rows pass through untouched. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+                    threshold: Double, nCells: Int = 16,
+                    subBlocks: Int = 2, sampleCap: Int = 20000,
+                    kmeansIter: Int = 8): DataFrame = {
+    val pairs = semanticDupPairs(df, id, vec, threshold, nCells,
+      subBlocks, sampleCap, kmeansIter)
+    graft.graph.GraphOps.dedupByClusters(df, id, pairs,
+      col("id1"), col("id2"))
+  }
+
   // ---- IVF -------------------------------------------------------------
 
   /** Spherical k-means on the driver over a (small) sample: unit-

@@ -439,4 +439,54 @@ class TextSimSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(r(0).isEmpty && r(1).isEmpty && r(2) == Seq("one", "two"))
   }
+
+  test("semanticDupPairs: single-cell path equals brute-force pairs; " +
+    "planted near-identical twins survive clustering") {
+    import spark.implicits._
+    // 3 well-separated direction clusters + planted twins inside each:
+    // vector i and i+100 are nearly identical (cos ≈ 1)
+    def v(base: Seq[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, k) => x + eps * (k % 3 - 1) * 0.01 }
+    val bases = Seq(Seq(5.0, 0.0, 0.0, 1.0), Seq(0.0, 5.0, 0.0, -1.0),
+      Seq(0.0, 0.0, 5.0, 0.5))
+    val rows = (0 until 30).map { i =>
+      (i.toLong, v(bases(i % 3), (i / 3).toDouble))
+    } ++ (0 until 30).map { i =>
+      ((i + 100).toLong, v(bases(i % 3), (i / 3).toDouble + 0.001))
+    }
+    val df = rows.toDF("id", "vec")
+    val exact = SimOps.semanticDupPairs(df, col("id"), col("vec"), 0.999,
+      nCells = 1).collect()
+    // brute-force twin check: each (i, i+100) pair must be present
+    val pairSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 30).foreach { i =>
+      assert(pairSet.contains((i.toLong, (i + 100).toLong)),
+        s"missing twin pair $i")
+    }
+    // clustered path: near-identical twins always share a cell (their
+    // cosine to every centroid is nearly equal), so recall on the
+    // planted pairs is total even with hard assignment
+    val cells = SimOps.semanticDupPairs(df, col("id"), col("vec"), 0.999,
+      nCells = 3).collect()
+    val cellSet = cells.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 30).foreach { i =>
+      assert(cellSet.contains((i.toLong, (i + 100).toLong)))
+    }
+    assert(cellSet.subsetOf(pairSet)) // never invents a pair
+  }
+
+  test("semanticDedup keeps the minimum id of each duplicate group and " +
+    "passes unclustered rows through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 1e-6, 0.0)),
+      (7L, Seq(1.0, -1e-6, 1e-6)), // {1,2,7} one dup group → keep 1
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 1.0, 1e-6)), // {3,4} → 3
+      (9L, Seq(0.0, 0.0, 1.0)) // alone → survives
+    ).toDF("id", "vec")
+    val kept = SimOps.semanticDedup(df, col("id"), col("vec"), 0.9999,
+        nCells = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 9L))
+  }
 }
