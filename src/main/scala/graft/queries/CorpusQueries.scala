@@ -56,6 +56,17 @@ object CorpusQueries extends QueryPack {
             .as("util"))
         .orderBy("source")
     }),
+    "q_dup_span_removal" -> ((s, dir) => {
+      // Lee et al. 2022's dedup ACTION: strip every duplicated span and
+      // rebuild the text; the oracle rebuilds identically in SQL and
+      // md5-compares the cleaned corpus.
+      CorpusOps.removeDuplicatedSpans(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 8)
+        .select(col("doc_id"),
+          md5(col("cleaned_text")).as("clean_md5"),
+          length(col("cleaned_text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
     "q_lm_perplexity" -> ((s, dir) => {
       // CCNet-style fluency scoring: self-trained add-0.4 bigram LM,
       // per-document cross-entropy + perplexity. The oracle replays the
@@ -185,6 +196,66 @@ object CorpusQueries extends QueryPack {
         |       round(sum(tok) * 1.0 / max(budget), 4) AS util
         |FROM ranked WHERE cum - tok < budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)
+        |),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         w || ' ' || lead(w,1) OVER w2 || ' ' || lead(w,2) OVER w2
+        |           || ' ' || lead(w,3) OVER w2 || ' ' || lead(w,4) OVER w2
+        |           || ' ' || lead(w,5) OVER w2 || ' ' || lead(w,6) OVER w2
+        |           || ' ' || lead(w,7) OVER w2 AS g
+        |  FROM words
+        |  WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(w,7) OVER w2 IS NOT NULL
+        |),
+        |hits AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM grams
+        |),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0
+        |         END AS ns
+        |  FROM hits WHERE cnt >= 2
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS span_id
+        |  FROM flagged
+        |),
+        |merged AS (
+        |  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM spans GROUP BY doc_id, span_id
+        |),
+        |survivors AS (
+        |  SELECT w.doc_id, w.pos, w.w
+        |  FROM words w
+        |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |    WHERE m.doc_id = w.doc_id AND w.pos BETWEEN m.s AND m.e)
+        |),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS cleaned
+        |  FROM survivors GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       md5(coalesce(r.cleaned, '')) AS clean_md5,
+        |       length(coalesce(r.cleaned, ''))::BIGINT AS clean_len
+        |FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -98,7 +98,9 @@ object CorpusOps {
     df.join(spans, df(idName(df, id)) === spans("doc_id"), "left")
       .drop(spans("doc_id"))
       .withColumn("cleaned_text",
-        when(col("__spans").isNull, lower(trim(text)))
+        // both branches re-join tokens with single spaces so the output
+        // is canonical whitespace regardless of the input's spacing
+        when(col("__spans").isNull, array_join(toks, " "))
           .otherwise(array_join(
             filter(toks, (_, i) =>
               !exists(col("__spans"),
