@@ -76,6 +76,88 @@ object LmOps {
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
+  /** A trained n-gram LM compiled to driver-side hash→count maps for
+    * broadcast scoring. This is the STREAMING shape: training stays a
+    * distributed aggregation, but the finished model (vocabulary-sized,
+    * not corpus-sized) collects under a loud cap and broadcasts so each
+    * stream row scores statelessly — no stream-side join, no watermark,
+    * no shuffle. Exactly KenLM's role in CCNet: a compact artifact
+    * applied row-at-a-time at scan speed. */
+  final case class CompiledLm(n: Int, alpha: Double, vocab: Long,
+                              gram: Map[Long, Long],
+                              prefix: Map[Long, Long])
+
+  /** Train on `train` and compile the count model. Fails loud when the
+    * model exceeds `maxEntries` distinct grams (raise it explicitly, or
+    * coarsen the model — a silently-OOMing broadcast helps no one). */
+  def compileLm(train: DataFrame, trainText: Column, n: Int = 2,
+                alpha: Double = 0.4,
+                maxEntries: Long = 2000000L): CompiledLm = {
+    require(n >= 2, s"compileLm: n must be >= 2, got $n")
+    val gramCnt = train
+      .select(explode(TextOps.wordNgrams(trainText, n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    val nGrams = gramCnt.count()
+    require(nGrams <= maxEntries,
+      s"compileLm: $nGrams distinct $n-grams exceed maxEntries=" +
+        s"$maxEntries; raise it or train on a narrower reference corpus")
+    val prefixCnt = train
+      .select(explode(TextOps.wordNgrams(trainText, n - 1)).as("p"))
+      .select(xxhash64(col("p")).as("ph"))
+      .groupBy(col("ph")).agg(count(lit(1)).as("c"))
+    val vocab =
+      if (n == 2) prefixCnt.count()
+      else train.select(explode(TextOps.wordNgrams(trainText, 1)).as("w"))
+        .select(xxhash64(col("w")).as("wh")).distinct().count()
+    def toMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CompiledLm(n, alpha, vocab, toMap(gramCnt), toMap(prefixCnt))
+  }
+
+  /** Stateless scoring column from a compiled model: struct(n_ngrams,
+    * cross_entropy, ppl), null for documents with no n-gram. Works
+    * identically on batch and streaming frames (pure row-local UDF over
+    * a broadcast model). Hashing matches the distributed path bit-for-
+    * bit (XXH64 seed 42 over the gram string's UTF-8 bytes), so
+    * batch-vs-stream parity is exact. */
+  def scoreWithLm(spark: org.apache.spark.sql.SparkSession,
+                  lm: CompiledLm): Column => Column = {
+    val bc = spark.sparkContext.broadcast(lm)
+    val scoreUdf = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val m = bc.value
+        val parts = t.trim.toLowerCase.split("\\s+")
+        if (parts.length < m.n || (parts.length > 0 && parts(0).isEmpty))
+          null
+        else {
+          def h(s: String): Long = {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                u.numBytes, 42L)
+          }
+          val k = parts.length - m.n + 1
+          var sum = 0.0
+          var i = 0
+          while (i < k) {
+            val gram = parts.slice(i, i + m.n).mkString(" ")
+            val pref = parts.slice(i, i + m.n - 1).mkString(" ")
+            val cg = m.gram.getOrElse(h(gram), 0L)
+            val cp = m.prefix.getOrElse(h(pref), 0L)
+            sum -= math.log((cg + m.alpha) / (cp + m.alpha * m.vocab))
+            i += 1
+          }
+          val ce = sum / k
+          (k.toLong, ce, math.exp(ce))
+        }
+      }
+    }
+    (text: Column) => scoreUdf(text).cast(
+      "struct<n_ngrams:bigint,cross_entropy:double,ppl:double>")
+  }
+
   /** CCNet's filtering step: score against a reference LM and keep
     * documents at or below the given perplexity cut. Documents too short
     * to have an n-gram are dropped (no evidence of fluency), matching

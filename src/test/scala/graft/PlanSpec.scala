@@ -337,4 +337,31 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("semanticDupPairs keeps its pair-kernel stage wide: the bucket " +
+    "exchange is an explicit-count repartition AQE cannot coalesce") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val plan = graft.sim.SimOps.semanticDupPairs(emb, col("id"),
+        col("vec"), 0.3, nCells = 4)
+      .queryExecution.executedPlan.toString
+    // REPARTITION_BY_NUM marks a user-fixed partition count; AQE's
+    // byte-based coalescing must not fold the quadratic compare into
+    // one task (compute there is quadratic in rows, not linear in bytes)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(4000))
+  }
+
+  test("ngramLmScore plans as hash joins on gram hashes — no cartesian " +
+    "product, vocabulary broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.text.LmOps.ngramLmScore(docs, col("text"), docs,
+        col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the only nested-loop join allowed is the 1-row vocab broadcast
+    val bnlj = plan.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, plan.take(4000))
+  }
 }

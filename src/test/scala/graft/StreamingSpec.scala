@@ -323,4 +323,43 @@ class StreamingSpec extends AnyFunSuite {
       .select(StreamOps.nanosToTimestamp(col("ts"))).head.getTimestamp(0)
     assert(ts.toInstant.getEpochSecond == 1767225600L)
   }
+
+  test("compiled LM scorer matches the distributed path bit-for-bit " +
+    "and applies statelessly to a stream") {
+    import spark.implicits._
+    import graft.text.LmOps
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on a log"), (3L, "zq")).toDF("doc_id", "text")
+    val lm = LmOps.compileLm(docs, col("text"))
+    val score = LmOps.scoreWithLm(spark, lm)
+    val compiled = docs.withColumn("s", score(col("text")))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n_ngrams").as("n_ngrams"),
+        col("s.cross_entropy").as("ce"))
+      .orderBy("doc_id").collect()
+    val dist = LmOps.ngramLmScore(docs, col("text"), docs,
+      col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(compiled.length == dist.length && compiled.length == 2)
+    compiled.zip(dist).foreach { case (c, d) =>
+      assert(c.getAs[Long]("doc_id") == d.getAs[Long]("doc_id"))
+      assert(c.getAs[Long]("n_ngrams") == d.getAs[Long]("n_ngrams"))
+      assert(math.abs(c.getAs[Double]("ce") -
+        d.getAs[Double]("cross_entropy")) < 1e-12)
+    }
+    // same scorer on a stream: stateless, no watermark, no shuffle
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the cat sat on the mat"),
+      (9L, "unseen words entirely here"))
+    val sq = mem.toDF.toDF("doc_id", "text")
+      .withColumn("s", score(col("text")))
+      .writeStream.format("memory").queryName("lm_scored")
+      .outputMode("append").start()
+    sq.processAllAvailable(); sq.stop()
+    val st = spark.sql(
+      "select doc_id, s.ppl from lm_scored order by doc_id").collect()
+    assert(st.length == 2)
+    assert(st(0).getDouble(1) < st(1).getDouble(1),
+      "in-distribution doc must score lower perplexity than OOV doc")
+  }
 }
