@@ -41,6 +41,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash64(str) takes exactly one argument")
         SimHash64(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName,
+        "graft_word_ngram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_word_ngram_hashes(str, n) takes exactly two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_word_ngram_hashes: n must be an integer literal")
+        }
+        WordNgramHashes(children.head, n)
+      }))
   }
 }
 
@@ -58,4 +73,8 @@ object NativeFunctions {
 
   def simHash64Native(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  def wordNgramHashesNative(c: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordNgramHashes(ExpressionUtils.expression(c), n))
 }

@@ -120,3 +120,97 @@ object SimHash64 {
     out
   }
 }
+
+/** Native word-n-gram hashing: array of XXH64(seed 42) hashes of the
+  * lowercased text's word `n`-grams — bit-for-bit what the Column
+  * formulation `transform(TextOps.wordNgrams(text, n), xxhash64)`
+  * produces (same tokenization: trim spaces, split on `\s+`; same gram
+  * bytes: tokens joined by single 0x20; same hash: XXH64 over UTF-8
+  * bytes, seed 42), but in ONE primitive pass per document.
+  *
+  * Why native: the Column path nests four higher-order functions, which
+  * Catalyst evaluates interpreted (HigherOrderFunction has no codegen),
+  * re-allocating per-gram UTF8Strings; this kernel runs inside
+  * whole-stage codegen, tokenizes once into (offset, length) spans over
+  * a single byte copy, and hashes each gram from a reused buffer — zero
+  * per-gram allocation. This is the hot inner loop of the Lee et al.
+  * substring-dedup family (every word of the corpus passes through it
+  * k times), which is what justifies a custom expression over
+  * composition (SURVEY §4.2 preference order). */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"graft_word_ngram_hashes: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    WordNgramHashes.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = WordNgramHashes.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c, $n)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramHashes = copy(child = newChild)
+}
+
+object WordNgramHashes {
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](0))
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  /** Shared by interpreted eval and generated code. Replicates
+    * `split(lower(trim(text)), "\s+")` exactly, including its edge
+    * semantics: `trim` strips 0x20 only, so text leading with other
+    * whitespace yields an empty first token, which (as in
+    * TextOps.wordNgrams) collapses the result to the empty array. */
+  def compute(s: UTF8String,
+              n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.toLowerCase.trim.getBytes
+    val len = b.length
+    if (len == 0 || isWs(b(0))) return EMPTY
+    // tokenize: spans over the byte copy, runs of \s+ as one separator
+    var m = 0
+    var i = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) {
+        starts(m) = i
+        while (i < len && !isWs(b(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < n) return EMPTY
+    val out = new Array[Long](m - n + 1)
+    val buf = new Array[Byte](len)
+    var g = 0
+    while (g < m - n + 1) {
+      var p = 0
+      var t = g
+      while (t < g + n) {
+        if (t > g) { buf(p) = 0x20.toByte; p += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(b, starts(t), buf, p, tl)
+        p += tl
+        t += 1
+      }
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
