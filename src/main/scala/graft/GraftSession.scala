@@ -19,10 +19,18 @@ object GraftSession {
       // tables; keep the managed-table root out of the repo tree.
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
-      // Reclaim dropped RDD/broadcast blocks promptly in long-lived
-      // sessions (default 30 min lets unreachable blocks pile up and
-      // evict useful cache on a busy cluster).
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // Reclaim dropped RDD/broadcast blocks in long-lived sessions
+      // (Spark's default 30 min lets unreachable blocks pile up and
+      // evict useful cache on a busy cluster). NOT shorter than 10 min:
+      // this timer forces a FULL GC, which pauses a large driver heap
+      // for seconds — at 2 min it landed mid-query often enough to
+      // double a benchmark query's wall-clock (r6: q_dup_clusters
+      // 6.4 s → 12.5 s was exactly one such pause). Operators already
+      // free their own blocks eagerly via Release.scoped, so the timer
+      // is a backstop, not the primary hygiene. Env-overridable for
+      // harnesses that do their own inter-query GC.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("GRAFT_PERIODIC_GC", "10min"))
       // Polars-style permissive numerics: x/0 → null, not an error.
       // The reference's kernels never raise on degenerate denominators
       // (e.g. confusion-matrix ratios with an empty class).

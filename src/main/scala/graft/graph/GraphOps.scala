@@ -277,8 +277,12 @@ object GraphOps {
     }
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
       parent.size)
-    parent.foreachEntry { (k, _) =>
-      rows.add(org.apache.spark.sql.Row(k, find(k)))
+    // the second sweep left every key mapping DIRECTLY to its final
+    // root, so the entry value is the component — calling find(k) here
+    // would path-compress (put) mid-iteration, an iterator-invalidation
+    // hazard if the map ever resizes
+    parent.foreachEntry { (k, root) =>
+      rows.add(org.apache.spark.sql.Row(k, root))
     }
     spark.createDataFrame(rows,
       org.apache.spark.sql.types.StructType(Seq(

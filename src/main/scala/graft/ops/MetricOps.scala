@@ -48,11 +48,23 @@ object MetricOps {
     // 1. compress to distinct thresholds — partial-aggregable, one shuffle
     val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
       .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
-    // 2. window over thresholds (small) for cumulative count below
-    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = thr.withColumn(s"${P}below",
-        coalesce(sum(s"${P}cnt").over(w), lit(0L)))
+    // 2. cumulative count below each threshold. Grouped: a window keyed
+    // by the group columns (parallelism = group cardinality). Ungrouped:
+    // Window.partitionBy() would drag the whole threshold table through
+    // ONE task — use the range-partitioned running sum instead.
+    val withBelow =
+      if (gc.nonEmpty) {
+        val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        thr.withColumn(s"${P}below",
+          coalesce(sum(s"${P}cnt").over(w), lit(0L)))
+      } else {
+        graft.util.GlobalCumsum.runningSums(thr, col(s"${P}s"),
+            ascending = true, Seq(col(s"${P}cnt") -> s"${P}cum"))
+          .withColumn(s"${P}below", col(s"${P}cum") - col(s"${P}cnt"))
+          .drop(s"${P}cum")
+      }
+    val ranked = withBelow
       .withColumn(s"${P}posRank",
         col(s"${P}pos") * (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0))
     // 3. final per-group reduction. A single-class group has no curve:
@@ -92,14 +104,29 @@ object MetricOps {
     val gc = g.map(col)
     val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
       .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
-    val wTot = Window.partitionBy(gc: _*)
-    val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val res = thr
-      .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
-      .withColumn(s"${P}n", sum(s"${P}cnt").over(wTot))
-      .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
-      .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+    // grouped: group-keyed windows. Ungrouped: totals via one aggregate
+    // broadcast back, cumulatives via the range-partitioned running sum
+    // (a zero-column window would single-task the whole table).
+    val cum =
+      if (gc.nonEmpty) {
+        val wTot = Window.partitionBy(gc: _*)
+        val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        thr
+          .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
+          .withColumn(s"${P}n", sum(s"${P}cnt").over(wTot))
+          .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
+          .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+      } else {
+        val tot = thr.agg(sum(s"${P}pos").as(s"${P}npos"),
+          sum(s"${P}cnt").as(s"${P}n"))
+        graft.util.GlobalCumsum.runningSums(thr, col(s"${P}s"),
+            ascending = false,
+            Seq(col(s"${P}pos") -> s"${P}cumPos",
+              col(s"${P}cnt") -> s"${P}cumCnt"))
+          .crossJoin(broadcast(tot))
+      }
+    val res = cum
       .select(gc ++ Seq(
         col(s"${P}s").as("threshold"),
         (col(s"${P}cumPos") / col(s"${P}npos")).as("tpr"),
@@ -121,18 +148,32 @@ object MetricOps {
     val gc = g.map(col)
     val thr = t.groupBy((gc :+ col(s"${P}s")): _*)
       .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}y").as(s"${P}pos"))
-    val wTot = Window.partitionBy(gc: _*)
-    val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wLag = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
-    val res = thr
-      .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
-      .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
-      .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+    // R_{n-1} needs no lag(): the previous (higher-score) threshold's
+    // cumPos is just cumPos - pos of the current row — so the whole op
+    // is cumulative sums, and the ungrouped case can use the
+    // range-partitioned running sum instead of a zero-column window.
+    val cum =
+      if (gc.nonEmpty) {
+        val wTot = Window.partitionBy(gc: _*)
+        val wGe = Window.partitionBy(gc: _*).orderBy(col(s"${P}s").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        thr
+          .withColumn(s"${P}npos", sum(s"${P}pos").over(wTot))
+          .withColumn(s"${P}cumPos", sum(s"${P}pos").over(wGe))
+          .withColumn(s"${P}cumCnt", sum(s"${P}cnt").over(wGe))
+      } else {
+        val tot = thr.agg(sum(s"${P}pos").as(s"${P}npos"))
+        graft.util.GlobalCumsum.runningSums(thr, col(s"${P}s"),
+            ascending = false,
+            Seq(col(s"${P}pos") -> s"${P}cumPos",
+              col(s"${P}cnt") -> s"${P}cumCnt"))
+          .crossJoin(broadcast(tot))
+      }
+    val res = cum
       .withColumn(s"${P}r", col(s"${P}cumPos") / col(s"${P}npos"))
       .withColumn(s"${P}p", col(s"${P}cumPos") / col(s"${P}cumCnt"))
       .withColumn(s"${P}rPrev",
-        coalesce(lag(s"${P}r", 1).over(wLag), lit(0.0)))
+        (col(s"${P}cumPos") - col(s"${P}pos")) / col(s"${P}npos"))
       .groupBy(gc: _*)
       .agg(sum((col(s"${P}r") - col(s"${P}rPrev")) * col(s"${P}p"))
         .as("avg_precision"))

@@ -30,14 +30,27 @@ object StatOps {
     val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
       .agg(sum(s"${P}s1").as(s"${P}c1"),
         (count(lit(1)) - sum(s"${P}s1")).as(s"${P}c2"))
-    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(gc: _*)
-    val cum = byV
-      .withColumn(s"${P}f1", sum(s"${P}c1").over(w))
-      .withColumn(s"${P}f2", sum(s"${P}c2").over(w))
-      .withColumn(s"${P}n1", sum(s"${P}c1").over(wTot))
-      .withColumn(s"${P}n2", sum(s"${P}c2").over(wTot))
+    // grouped: group-keyed windows; ungrouped (the whole-frame test):
+    // range-partitioned running sums + one broadcast total — a
+    // zero-column window would single-task every distinct pooled value
+    val cum =
+      if (gc.nonEmpty) {
+        val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = Window.partitionBy(gc: _*)
+        byV
+          .withColumn(s"${P}f1", sum(s"${P}c1").over(w))
+          .withColumn(s"${P}f2", sum(s"${P}c2").over(w))
+          .withColumn(s"${P}n1", sum(s"${P}c1").over(wTot))
+          .withColumn(s"${P}n2", sum(s"${P}c2").over(wTot))
+      } else {
+        val tot = byV.agg(sum(s"${P}c1").as(s"${P}n1"),
+          sum(s"${P}c2").as(s"${P}n2"))
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}x"),
+            ascending = true,
+            Seq(col(s"${P}c1") -> s"${P}f1", col(s"${P}c2") -> s"${P}f2"))
+          .crossJoin(broadcast(tot))
+      }
     val res = cum.groupBy(gc: _*).agg(
       max(abs(col(s"${P}f1") / col(s"${P}n1") -
         col(s"${P}f2") / col(s"${P}n2"))).as("d"),
@@ -66,10 +79,20 @@ object StatOps {
       :+ inFirst.cast("int").as(s"${P}s1"): _*)
     val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
       .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}s1").as(s"${P}c1"))
-    val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byV.withColumn(s"${P}below",
-      coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+    val ranked =
+      if (gc.nonEmpty) {
+        val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV.withColumn(s"${P}below",
+          coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+      } else {
+        // whole-frame test: range-partitioned running count instead of
+        // a zero-column (single-task) window over the distinct values
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}x"),
+            ascending = true, Seq(col(s"${P}cnt") -> s"${P}cum"))
+          .withColumn(s"${P}below", col(s"${P}cum") - col(s"${P}cnt"))
+          .drop(s"${P}cum")
+      }
     // rank-sum of sample1 + tie term Σ(t³−t)
     val agg = ranked.groupBy(gc: _*).agg(
       sum(col(s"${P}c1") *

@@ -60,16 +60,21 @@ object GraphQueries extends QueryPack {
         col("vec"), 0.3, nCells = 1, subBlocks = 4)
       val cells = graft.sim.SimOps.semanticDupPairs(emb, col("id"),
         col("vec"), 0.3, nCells = 8, subBlocks = 2, nAssign = 3)
+      // coalesce the degenerate zero-pair cases to explicit booleans:
+      // bool_and over an empty input is NULL (vacuously-true subset),
+      // and 0/0 recall is NULL — a recall regression must surface as
+      // recall_ok=false, not a confusing NULL-vs-true hash mismatch
       cells.as("c")
         .join(exact.as("e"), Seq("id1", "id2"), "left")
         .agg(
-          bool_and(col("e.cos").isNotNull).as("subset_ok"),
+          bool_and(col("e.cos").isNotNull).as("subset0"),
           count(lit(1)).as("n_found"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .select(col("n_exact"),
-          col("subset_ok"),
-          (col("n_found").cast("double") / col("n_exact") >= 0.8)
-            .as("recall_ok"))
+          coalesce(col("subset0"), lit(true)).as("subset_ok"),
+          coalesce(
+            col("n_found").cast("double") / col("n_exact") >= 0.8,
+            col("n_exact") === 0).as("recall_ok"))
     }),
     "q_zorder" -> ((s, dir) => {
       val p = t(s, dir, "part")

@@ -14,8 +14,12 @@ object StreamQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dynamic_agg" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("etime", col("ts").cast("timestamp"))
+      // route ts through eventTimeNanos so the query is correct under
+      // BOTH testdata generations (nanos-as-long would silently parse
+      // as epoch *seconds* under a bare cast("timestamp"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("etime", StreamOps.nanosToTimestamp(
+        StreamOps.eventTimeNanos(ev0, col("ts"))))
       StreamOps.dynamicGroupByAgg(ev, col("etime"), "1 hour",
           Seq(col("event_type")),
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 2)

@@ -128,7 +128,14 @@ object LmOps {
       if (t == null) null
       else {
         val m = bc.value
-        val parts = t.trim.toLowerCase.split("\\s+")
+        // normalize through the SAME ops the distributed path plans
+        // (Spark trim strips 0x20 only; UTF8String lower-cases without
+        // locale surprises) — Java String.trim would also strip
+        // tab/newline and String.toLowerCase is locale-sensitive, so a
+        // leading-tab document would score here but produce no grams in
+        // ngramLmScore, breaking exact batch-vs-stream parity
+        val parts = org.apache.spark.unsafe.types.UTF8String
+          .fromString(t).trim().toLowerCase().toString.split("\\s+")
         if (parts.length < m.n || (parts.length > 0 && parts(0).isEmpty))
           null
         else {

@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * methods are computed from the two neighbouring order statistics.
   *
   * Shape: one count job, then one aggregation over the distinct-value
-  * table with a running-count window. The window is single-partition
-  * but runs over DISTINCT values with counts — the same reducer-side
-  * memory footprint as Spark's own exact `percentile` (which buffers a
-  * value→count map), so this is a fit-time helper for train-frame
-  * statistics, not a per-row operator. */
+  * table with a running count. The running count is computed with
+  * [[GlobalCumsum]] (range-partition + per-partition window + offset
+  * merge) — every stage stays distributed no matter how many distinct
+  * values the column has, unlike Spark's own exact `percentile`
+  * aggregate, which buffers the whole value→count map in one reducer. */
 object Quantiles {
   val methods = Set("nearest", "lower", "higher", "midpoint", "linear")
 
@@ -32,11 +32,6 @@ object Quantiles {
       .where(col(s"${P}v").isNotNull)
     val n = vals.count()
     if (n == 0L) return qs.map(_ => Double.NaN)
-    val cum = vals.groupBy(s"${P}v")
-      .agg(count(lit(1)).as(s"${P}cnt"))
-      .withColumn(s"${P}cum", sum(s"${P}cnt").over(Window
-        .orderBy(s"${P}v")
-        .rowsBetween(Window.unboundedPreceding, 0)))
     val idx = qs.map(_ * (n - 1))
     val ranks = idx.map { i =>
       method match {
@@ -52,7 +47,17 @@ object Quantiles {
           min(when(col(s"${P}cum") >= kHi + 1, col(s"${P}v")))
             .as(s"${P}hi$j"))
     }
-    val row = cum.agg(aggs.head, aggs.tail: _*).head
+    // scopedValue: GlobalCumsum persists its range-partitioned
+    // intermediate (registered at construction time, hence built
+    // INSIDE the scope); this op ends in a driver value, so the blocks
+    // are freed on the way out
+    val row = Release.scopedValue(df.sparkSession) {
+      val cum = GlobalCumsum.runningSums(
+        vals.groupBy(s"${P}v").agg(count(lit(1)).as(s"${P}cnt")),
+        col(s"${P}v"), ascending = true,
+        Seq(col(s"${P}cnt") -> s"${P}cum"))
+      cum.agg(aggs.head, aggs.tail: _*).head
+    }
     idx.zip(ranks).zipWithIndex.map { case ((i, (kLo, _)), j) =>
       val lo = row.getDouble(2 * j)
       val hi = row.getDouble(2 * j + 1)

@@ -41,6 +41,22 @@ object Release {
     ck
   }
 
+  /** Like [[scoped]] for computations ending in a DRIVER value: run
+    * `body` (which should fully consume its DataFrames — e.g. end in
+    * `head`/`collect`), then unpersist every RDD it newly persisted.
+    * For CacheManager-backed frames this drops the blocks only (the
+    * cache entry transparently rebuilds if ever reused — semantics
+    * preserved, memory returned). */
+  def scopedValue[A](spark: SparkSession)(body: => A): A = {
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    val out = body
+    (sc.getPersistentRDDs.keySet -- pre).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    out
+  }
+
   /** Drop the blocks behind a frame returned by [[scoped]] (or any
     * frame whose plan is a single checkpointed/persisted RDD scan). */
   def free(df: DataFrame): Unit = {

@@ -69,6 +69,50 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("native word-ngram hashes are bit-for-bit the Column " +
+      "formulation on every tokenization edge case") {
+    import spark.implicits._
+    // edges: leading tab (Spark trim keeps it → empty first token →
+    // empty gram array), leading/trailing spaces, multiple internal
+    // spaces, empty, single word, exactly n words, fewer than n words,
+    // multi-byte UTF-8, mixed case, internal newline/tab separators
+    val docs = Seq(
+      "\tleading tab doc here",
+      "  leading spaces doc here  ",
+      "multiple   internal    spaces here",
+      "",
+      "single",
+      "two words",
+      "Mixed CASE Grüße ünïcode ÉÉ tokens",
+      "newline\nseparated\ttokens here",
+      "a b c d e f g",
+      " ") // becomes empty after trim
+    for (n <- Seq(1, 2, 3)) {
+      val df = docs.toDF("t")
+      val viaColumn = df.select(
+        transform(graft.text.TextOps.wordNgrams(col("t"), n),
+          g => xxhash64(g)).as("h")).collect().map(_.getSeq[Long](0))
+      val viaNative = df.select(
+        NativeFunctions.wordNgramHashesNative(col("t"), n).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      viaColumn.zip(viaNative).zipWithIndex.foreach {
+        case ((c, nv), i) =>
+          assert(c == nv, s"n=$n doc=${docs(i).take(30)}: $c vs $nv")
+      }
+    }
+    // null passes through
+    val nr = Seq[String](null).toDF("t")
+      .select(NativeFunctions.wordNgramHashesNative(col("t"), 2))
+      .head
+    assert(nr.isNullAt(0))
+    // stays in whole-stage codegen on a non-local source
+    val plan = spark.range(10)
+      .select(concat(lit("a b c d "), col("id")).as("t"))
+      .select(NativeFunctions.wordNgramHashesNative(col("t"), 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")

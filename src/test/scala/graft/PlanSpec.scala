@@ -364,4 +364,79 @@ class PlanSpec extends AnyFunSuite {
       .count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, plan.take(4000))
   }
+
+  /** Every Window node in an UNGROUPED metric/quantile plan must be
+    * bounded: either keyed by the GlobalCumsum range-partition id
+    * (P-way parallel) or ordering the ≤P-row per-partition offsets
+    * table (which also carries the pid column). A Window line without
+    * the pid column is the single-task global window these ops must
+    * never plan. */
+  private def assertBoundedWindows(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"expected GlobalCumsum windows:\n$plan")
+    windows.foreach { l =>
+      assert(l.contains("__gcs_pid"),
+        s"unbounded zero-column Window in plan line:\n$l\n$plan")
+    }
+  }
+
+  test("ungrouped rocAuc / tprFpr / averagePrecision plan no " +
+      "single-partition window (range-partitioned running sums)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("y", (col("event_id") % 7 === 0).cast("int"))
+      .withColumn("p", (col("event_id") % 1000) / 1000.0)
+    assertBoundedWindows(
+      graft.ops.MetricOps.rocAucNamed(ev, col("y"), col("p"), Nil))
+    assertBoundedWindows(
+      graft.ops.MetricOps.tprFpr(ev, col("y"), col("p"), Nil))
+    assertBoundedWindows(
+      graft.ops.MetricOps.averagePrecision(ev, col("y"), col("p"), Nil))
+    assertBoundedWindows(
+      graft.ops.StatOps.ks2Samp(ev, col("p"), col("y") === 1, Nil))
+    assertBoundedWindows(
+      graft.ops.StatOps.mannWhitneyU(ev, col("p"), col("y") === 1, Nil))
+  }
+
+  test("ungrouped metric values match the grouped (constant-key) path") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("y", (col("event_id") % 7 === 0).cast("int"))
+      .withColumn("p", (col("event_id") % 1000) / 1000.0)
+      .withColumn("g", org.apache.spark.sql.functions.lit("all"))
+    def d(x: Any): Double = x.asInstanceOf[Double]
+    val aucU = d(graft.ops.MetricOps
+      .rocAucNamed(ev, col("y"), col("p"), Nil).head.get(0))
+    val aucG = d(graft.ops.MetricOps
+      .rocAucNamed(ev, col("y"), col("p"), Seq("g")).head.get(1))
+    assert(math.abs(aucU - aucG) < 1e-12, s"$aucU vs $aucG")
+    val apU = d(graft.ops.MetricOps
+      .averagePrecision(ev, col("y"), col("p"), Nil).head.get(0))
+    val apG = d(graft.ops.MetricOps
+      .averagePrecision(ev, col("y"), col("p"), Seq("g")).head.get(1))
+    assert(math.abs(apU - apG) < 1e-12, s"$apU vs $apG")
+    val tprU = graft.ops.MetricOps.tprFpr(ev, col("y"), col("p"), Nil)
+      .orderBy("threshold").collect().map(r =>
+        (d(r.get(0)), d(r.get(1)), d(r.get(2))))
+    val tprG = graft.ops.MetricOps.tprFpr(ev, col("y"), col("p"), Seq("g"))
+      .orderBy("threshold").collect().map(r =>
+        (d(r.get(1)), d(r.get(2)), d(r.get(3))))
+    assert(tprU.length == tprG.length && tprU.length > 100)
+    tprU.zip(tprG).foreach { case (u, g) =>
+      assert(math.abs(u._1 - g._1) < 1e-12 &&
+        math.abs(u._2 - g._2) < 1e-12 && math.abs(u._3 - g._3) < 1e-12)
+    }
+    val ksU = graft.ops.StatOps
+      .ks2Samp(ev, col("p"), col("y") === 1, Nil).head
+    val ksG = graft.ops.StatOps
+      .ks2Samp(ev, col("p"), col("y") === 1, Seq("g")).head
+    assert(math.abs(d(ksU.get(0)) - d(ksG.get(1))) < 1e-12)
+    val mwU = graft.ops.StatOps
+      .mannWhitneyU(ev, col("p"), col("y") === 1, Nil).head
+    val mwG = graft.ops.StatOps
+      .mannWhitneyU(ev, col("p"), col("y") === 1, Seq("g")).head
+    assert(math.abs(d(mwU.get(0)) - d(mwG.get(1))) < 1e-9)
+    assert(math.abs(d(mwU.get(2)) - d(mwG.get(3))) < 1e-12)
+  }
 }
