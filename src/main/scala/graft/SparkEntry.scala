@@ -37,7 +37,8 @@ object SparkEntry {
     GraphQueries,
     StorageQueries,
     SketchQueries,
-    CorpusQueries
+    CorpusQueries,
+    ParityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
