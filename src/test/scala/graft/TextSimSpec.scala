@@ -475,6 +475,28 @@ class TextSimSpec extends AnyFunSuite {
     assert(cellSet.subsetOf(pairSet)) // never invents a pair
   }
 
+  test("semanticDupPairs in-cell quadratic cap fails LOUD on a skewed " +
+    "cell instead of silently going quadratic") {
+    import spark.implicits._
+    // every vector identical → k-means puts them all in ONE cell, and
+    // subBlocks=1 keeps them in one bucket of 40 > bucketCap=10
+    val df = (0 until 40).map(i => (i.toLong, Seq(1.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val ex = intercept[org.apache.spark.SparkException] {
+      SimOps.semanticDupPairs(df, col("id"), col("vec"), 0.9,
+        nCells = 2, subBlocks = 1, bucketCap = 10).count()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage)
+      .getOrElse(ex.getMessage)
+    assert(msg != null && msg.contains("exceeds bucketCap"),
+      s"expected the loud cap message, got: $msg")
+    // the documented remedies actually work: more sub-blocks bring
+    // every bucket back under the cap on the same skewed data
+    val n = SimOps.semanticDupPairs(df, col("id"), col("vec"), 0.9,
+      nCells = 2, subBlocks = 8, bucketCap = 25).count()
+    assert(n == 40L * 39 / 2) // all-identical → every pair found once
+  }
+
   test("semanticDedup keeps the minimum id of each duplicate group and " +
     "passes unclustered rows through") {
     import spark.implicits._
