@@ -176,4 +176,45 @@ class KnnSpec extends AnyFunSuite {
       r0, col("id"), Seq(col("x")), 1).select("nb_id").collect()
     assert(empt.length == 1 && empt(0).isNullAt(0))
   }
+
+  test("exact kd-tree -> LSH handoff: the approximate path answers the " +
+    "same query with bounded recall loss (SURVEY 2.10 exact+approx " +
+    "same-API promise)") {
+    import spark.implicits._
+    // 20 deterministic unit-vector clusters x 10 members in 6-D: for
+    // unit vectors cosine order == l2 order, so the kd-tree (l2) and
+    // the LSH cosine path answer the SAME top-k question
+    val dim = 6
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val pts = (0 until 200).map { i =>
+      val c = i / 10
+      val raw = Array.tabulate(dim)(d =>
+        math.sin(c * 2.39996 + d * 1.7) + 0.05 * math.cos(i * 0.91 + d))
+      (i.toLong, unit(raw).toSeq)
+    }
+    val df = pts.toDF("id", "vec")
+    val feats = (0 until dim).map(d => element_at(col("vec"), d + 1))
+    val k = 5
+    val exact = KnnOps.knnPtwise(df, col("id"), feats, k)
+      .select(col("id"), explode(col("knn_ids")).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.sim.SimOps.lshCosineTopK(df, k,
+        nPlanes = 8, tables = 6)
+      .select(col("qid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 200 * k)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH recall $recall below the 0.7 bound")
+    // and the approximate result never invents a better-than-exact
+    // neighbor: every returned cosine is a true pairwise cosine <= 1
+    val cosOk = graft.sim.SimOps.lshCosineTopK(df, k,
+        nPlanes = 8, tables = 6)
+      .agg(org.apache.spark.sql.functions.bool_and(
+        col("cos") <= 1.0 + 1e-12 && col("cos") >= -1.0 - 1e-12))
+      .head.getBoolean(0)
+    assert(cosOk)
+  }
 }

@@ -136,6 +136,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup state survives a checkpoint stop/restart " +
+    "(a duplicate of a pre-restart doc is still dropped)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_dedup").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamed = StreamOps.withEventTime(
+      mem.toDF().toDF("t", "text"), col("t"), "1 hour", "event_time")
+    val deduped = StreamOps.streamingExactDedup(streamed, col("text"))
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    def start() = deduped.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("text")).collect()
+          .foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "Hello  World"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "other doc"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.size == 2)
+    // NEW query, SAME checkpoint: the dedup state store must recover —
+    // the normalized duplicate of "Hello  World" is still dropped
+    val q2 = start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "HELLO WORLD"),
+        (Timestamp.valueOf("2026-01-01 10:03:00"), "brand new doc"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val texts = seen.toArray.map(_.toString).toSet
+    assert(seen.size == 3, s"state lost across restart: $texts")
+    assert(texts.contains("brand new doc") && !texts.exists(
+      _.toLowerCase.startsWith("hello world")))
+  }
+
+  test("streamingSimhashDupPairs band-bucket state survives a " +
+    "checkpoint stop/restart (near-dup of a pre-restart doc pairs up)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_simdup").toString
+    val h1 = 0x0123456789abcdefL
+    val h2 = h1 ^ (1L << 20) ^ (1L << 40) // 2 bits apart, bands 0/3 equal
+    val mem = MemoryStream[(Long, Long)]
+    val pairs = StreamOps.streamingSimhashDupPairs(mem.toDS(), maxDist = 3)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Int)]())
+    def start() = pairs.toDF("id1", "id2", "hamming").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((1L, h1), (3L, ~h1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.isEmpty) // nothing near yet
+    val q2 = start()
+    try {
+      mem.addData((2L, h2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val distinct = got.toArray.map(_.asInstanceOf[(Long, Long, Int)]).toSet
+    assert(distinct == Set((1L, 2L, 2)),
+      s"band state lost across restart: $distinct")
+  }
+
   test("sessionize assigns gap-based sessions; streaming twin merges " +
       "session windows across batches") {
     import spark.implicits._
