@@ -1,0 +1,310 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** REAL video-container plumbing: an AVI (RIFF) parser with actual
+  * frame decode — no external library.
+  *
+  * Supported frame codecs: uncompressed 24-bit DIB ('00db' chunks /
+  * biCompression=0, the classic bottom-up BGR raster) decoded by the
+  * byte-walk here, and MJPEG ('00dc' + biCompression='MJPG'), where
+  * each frame is a standalone JPEG handed to the JDK's ImageIO
+  * decoder. Keyframe flags come from the 'idx1' index
+  * (AVIIF_KEYFRAME); without an index, uncompressed frames are all
+  * keyframes (every DIB is self-contained) and compressed streams
+  * fall back to frame 0 only — stated, not guessed.
+  *
+  * This replaces the former `sampleFramesStub`: sampling now walks
+  * the real container structure and decodes real pixels. (The
+  * reference repo has no video surface; this belongs to the
+  * LLM-pipeline brief's multimodal requirements.)
+  */
+object AviOps {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le16(b, i) | (le16(b, i + 2) << 16)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k))
+
+  /** One frame's raw bytes + position; keyframe flag resolved later. */
+  private[graft] case class RawFrame(idx: Int, compressed: Boolean,
+                                     off: Int, len: Int, chunkOff: Int)
+
+  private[graft] case class AviFile(width: Int, height: Int,
+                                    bitCount: Int, compression: String,
+                                    frames: Seq[RawFrame],
+                                    keyFlags: Map[Int, Boolean])
+
+  /** Walk the RIFF structure: avih (dims), strf (codec), movi
+    * (frames), idx1 (keyframe flags keyed by chunk offset). Returns
+    * null for non-AVI payloads. */
+  private[graft] def parseAvi(b: Array[Byte]): AviFile = {
+    if (b == null || b.length < 24 || !ascii(b, 0, "RIFF") ||
+        !ascii(b, 8, "AVI ")) return null
+    var width = 0
+    var height = 0
+    var bitCount = 0
+    var compression = ""
+    val frames = new ArrayBuffer[RawFrame]()
+    var keyFlags = Map.empty[Int, Boolean]
+    var moviStart = -1
+
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        val end = math.min(to, i + 8 + size)
+        if (ascii(b, i, "LIST") && i + 12 <= b.length) {
+          if (ascii(b, i + 8, "movi")) {
+            moviStart = i + 8
+            // frame chunks for stream 0: '00db' raw, '00dc' compressed
+            var j = i + 12
+            while (j + 8 <= end) {
+              val fsz = le32(b, j + 4)
+              if (ascii(b, j, "00db") || ascii(b, j, "00dc"))
+                frames += RawFrame(frames.length,
+                  compressed = b(j + 3) == 'c', j + 8, fsz, j)
+              j += 8 + fsz + (fsz & 1)
+            }
+          } else walk(i + 12, end)
+        } else if (ascii(b, i, "avih") && i + 8 + 40 <= b.length) {
+          width = le32(b, i + 8 + 32)
+          height = le32(b, i + 8 + 36)
+        } else if (ascii(b, i, "strf") && i + 8 + 20 <= b.length) {
+          // BITMAPINFOHEADER: biBitCount @+14, biCompression @+16
+          if (bitCount == 0) {
+            bitCount = le16(b, i + 8 + 14)
+            val c = le32(b, i + 8 + 16)
+            compression =
+              if (c == 0) "DIB"
+              else new String(Array(c, c >> 8, c >> 16, c >> 24)
+                .map(x => (x & 0xff).toByte))
+          }
+        } else if (ascii(b, i, "idx1")) {
+          // entries: ckid(4) flags(4) chunkOffset(4) chunkSize(4);
+          // offsets are relative to the movi list 'movi' fourcc
+          var j = i + 8
+          val entries = Map.newBuilder[Int, Boolean]
+          while (j + 16 <= end) {
+            val flags = le32(b, j + 4)
+            val off = le32(b, j + 8)
+            entries += (off -> ((flags & 0x10) != 0))
+            j += 16
+          }
+          keyFlags = entries.result()
+        }
+        i += 8 + size + (size & 1)
+      }
+    }
+    walk(12, b.length)
+    if (frames.isEmpty && width == 0) null
+    else AviFile(width, height, bitCount, compression, frames.toSeq,
+      // idx1 offsets point at the chunk fourcc relative to 'movi'+0
+      // (most writers) — normalize both conventions by trying each
+      if (moviStart >= 0)
+        keyFlags.map { case (off, k) => (off + moviStart + 4, k) } ++
+          keyFlags.map { case (off, k) => (off + moviStart, k) }
+      else keyFlags)
+  }
+
+  /** Without an idx1 index: DIB frames are all keyframes (each is a
+    * self-contained raster) and so are MJPEG frames (each is a
+    * standalone JPEG); other compressed codecs fall back to frame 0
+    * only — stated, not guessed. */
+  private def defaultKey(avi: AviFile, f: RawFrame): Boolean =
+    !f.compressed || avi.compression == "MJPG" || f.idx == 0
+
+  /** Decoded per-frame summary (schema mirrors ImageStats + frame
+    * position info). */
+  case class FrameStats(frame_idx: Int, is_key: Boolean, width: Int,
+                        height: Int, mean_r: Double, mean_g: Double,
+                        mean_b: Double)
+
+  /** Decode one frame to channel sums; null when undecodable. */
+  private def frameStats(avi: AviFile, f: RawFrame,
+                         b: Array[Byte]): FrameStats = {
+    val isKey = avi.keyFlags.getOrElse(f.chunkOff, defaultKey(avi, f))
+    if (!f.compressed && avi.bitCount == 24) {
+      // bottom-up BGR rows padded to 4 bytes
+      val w = avi.width
+      val h = avi.height
+      val rowBytes = (w * 3 + 3) & ~3
+      if (f.len < rowBytes * h) return null
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        val row = f.off + (h - 1 - y) * rowBytes
+        var x = 0
+        while (x < w) {
+          sb += u8(b, row + x * 3)
+          sg += u8(b, row + x * 3 + 1)
+          sr += u8(b, row + x * 3 + 2)
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      FrameStats(f.idx, isKey, w, h, sr.toDouble / n, sg.toDouble / n,
+        sb.toDouble / n)
+    } else if (f.compressed && avi.compression == "MJPG") {
+      // each MJPEG frame is a standalone JPEG → JDK ImageIO
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, f.off, f.len))
+        if (img == null) null
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          FrameStats(f.idx, isKey, w, h, sr.toDouble / n,
+            sg.toDouble / n, sb.toDouble / n)
+        }
+      } catch { case _: Exception => null }
+    } else null
+  }
+
+  /** Container-level metadata: dims, frame count, keyframe count. */
+  case class VideoMeta(width: Int, height: Int, n_frames: Int,
+                       n_keyframes: Int, codec: String)
+
+  def videoMeta(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      val avi = parseAvi(b)
+      if (avi == null) null
+      else VideoMeta(avi.width, avi.height, avi.frames.length,
+        avi.frames.count(fr =>
+          avi.keyFlags.getOrElse(fr.chunkOff, defaultKey(avi, fr))),
+        avi.compression)
+    }
+    f(payload)
+  }
+
+  /** Decode EVERY frame — fixture-scale helper; for real corpora use
+    * [[sampleKeyframes]] which touches only the sampled frames. */
+  def videoFrameStats(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      val avi = parseAvi(b)
+      if (avi == null) null
+      else avi.frames.map(fr => frameStats(avi, fr, b)).filter(_ != null)
+    }
+    f(payload)
+  }
+
+  /** REAL keyframe sampling (replaces the former byte-chunk stub):
+    * walk the container index, take up to `n` evenly-spaced KEYframes
+    * and decode just those. Decoding cost is O(sampled frames), not
+    * O(video length) — the non-sampled frames are never touched. */
+  def sampleKeyframes(payload: Column, n: Int): Column = {
+    require(n > 0, "sampleKeyframes: n must be > 0")
+    val f = udf { (b: Array[Byte]) =>
+      val avi = parseAvi(b)
+      if (avi == null) null
+      else {
+        val keys = avi.frames.filter(fr =>
+          avi.keyFlags.getOrElse(fr.chunkOff, defaultKey(avi, fr)))
+        val m = math.min(n, keys.length)
+        (0 until m).map(i => keys(i * keys.length / m))
+          .map(fr => frameStats(avi, fr, b)).filter(_ != null)
+      }
+    }
+    f(payload)
+  }
+
+  /** Deterministic, fully-valid AVI fixture: nf = 3 + id%5
+    * uncompressed 24-bit DIB frames of (4 + id%6) × (4 + id·3%7),
+    * pixel channels r=(id·31+f·19+x·7+y·13)%256,
+    * g=(id·17+f·23+x·11+y·3)%256, b=(id·5+f·29+x·3+y·29)%256, with an
+    * idx1 index marking frames f≡0 (mod 3) as keyframes — every value
+    * an oracle can recompute from id arithmetic alone. */
+  def syntheticAvi(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val nf = (3 + i % 5).toInt
+        val w = (4 + i % 6).toInt
+        val h = (4 + (i * 3) % 7).toInt
+        val rowBytes = (w * 3 + 3) & ~3
+        val frameSize = rowBytes * h
+
+        val out = new java.io.ByteArrayOutputStream()
+        def b8(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+        def s(t: String): Unit = t.foreach(c => out.write(c.toInt))
+        def le16(x: Int): Unit = b8(x, x >>> 8)
+        def le32(x: Int): Unit = b8(x, x >>> 8, x >>> 16, x >>> 24)
+
+        // sizes: hdrl list = avih(8+56) + strl list(12 + strh(8+56) +
+        // strf(8+40)) + 4(fourcc)
+        val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+        val moviSize = 4 + nf * (8 + frameSize)
+        val idx1Size = nf * 16
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+
+        s("RIFF"); le32(riffSize); s("AVI ")
+        s("LIST"); le32(hdrlSize); s("hdrl")
+        s("avih"); le32(56)
+        le32(40000); le32(frameSize * 25); le32(0); le32(0x10)
+        le32(nf); le32(0); le32(1); le32(frameSize)
+        le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+        s("LIST"); le32(4 + (8 + 56) + (8 + 40)); s("strl")
+        s("strh"); le32(56)
+        s("vids"); s("DIB "); le32(0); le16(0); le16(0)
+        le32(0); le32(1); le32(25); le32(0); le32(nf)
+        le32(frameSize); le32(0); le32(0)
+        le16(0); le16(0); le16(w); le16(h)
+        s("strf"); le32(40)
+        le32(40); le32(w); le32(h); le16(1); le16(24)
+        le32(0); le32(frameSize); le32(2835); le32(2835); le32(0); le32(0)
+        s("LIST"); le32(moviSize); s("movi")
+        val chunkOffsets = new Array[Int](nf)
+        var f0 = 0
+        while (f0 < nf) {
+          chunkOffsets(f0) = out.size() // abs offset of chunk fourcc
+          s("00db"); le32(frameSize)
+          var y = h - 1 // bottom-up rows
+          while (y >= 0) {
+            var x = 0
+            while (x < w) {
+              b8(((i * 5 + f0 * 29 + x * 3 + y * 29) % 256).toInt,  // B
+                ((i * 17 + f0 * 23 + x * 11 + y * 3) % 256).toInt,  // G
+                ((i * 31 + f0 * 19 + x * 7 + y * 13) % 256).toInt)  // R
+              x += 1
+            }
+            var pad = rowBytes - w * 3
+            while (pad > 0) { out.write(0); pad -= 1 }
+            y -= 1
+          }
+          f0 += 1
+        }
+        s("idx1"); le32(idx1Size)
+        val moviFourcc = 12 + (8 + hdrlSize) + 8 // abs offset of 'movi'
+        var f1 = 0
+        while (f1 < nf) {
+          s("00db")
+          le32(if (f1 % 3 == 0) 0x10 else 0) // AVIIF_KEYFRAME
+          le32(chunkOffsets(f1) - moviFourcc)
+          le32(frameSize)
+          f1 += 1
+        }
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
+  }
+}

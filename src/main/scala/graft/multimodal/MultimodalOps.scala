@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * REAL components (no external dependency): [[sniffMeta]] parses
   * container headers (magic bytes + dimensions); [[decodeImage]] /
   * [[resizeImage]] decode and resample actual pixel rasters through
-  * the JDK's own ImageIO codecs (png/jpeg/gif/bmp); [[wavFeatures]]
-  * walks RIFF chunks and computes sample statistics from PCM-16 data.
-  * Only exotic codecs (webp/video pixel data) would need an external
-  * library — [[decodeStub]]/[[sampleFramesStub]] keep that batch shape
-  * exercised with deterministic stand-ins, and [[decodeBatch]] shows
-  * the per-partition amortization shape a heavyweight codec wants.
+  * the JDK's own ImageIO codecs (png/jpeg/gif/bmp) plus the
+  * from-scratch [[Vp8l]] bitstream decoder for lossless WebP;
+  * [[wavFeatures]] walks RIFF chunks and computes sample statistics
+  * from PCM-16 data; [[AviOps]] parses AVI containers and decodes
+  * DIB/MJPEG frames with real keyframe sampling. [[decodeStub]] is a
+  * deliberately-simple byte-histogram featurizer kept for cheap
+  * whole-payload fingerprints, and [[decodeBatch]] shows the
+  * per-partition amortization shape a heavyweight codec wants.
+  * Remaining honest boundary: lossy-WebP (VP8 DCT) pixel data is
+  * metadata-only.
   */
 object MultimodalOps {
 
@@ -160,26 +164,6 @@ object MultimodalOps {
     f(features)
   }
 
-  /** Frame sampling stub for video-like payloads: split the byte stream
-    * into `n` equal chunks and fingerprint each — stands in for
-    * keyframe extraction, exercising the explode-per-media-item shape. */
-  def sampleFramesStub(payload: Column, n: Int): Column = {
-    val f = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else (0 until n).map { i =>
-        val lo = i * b.length / n
-        val hi = math.max(lo + 1, (i + 1) * b.length / n)
-        var h = 0xcbf29ce484222325L
-        var j = lo
-        while (j < math.min(hi, b.length)) {
-          h ^= b(j); h *= 0x100000001b3L; j += 1
-        }
-        h
-      }
-    }
-    f(payload)
-  }
-
   /** Deterministic synthetic media payloads for contract tests: REAL
     * container headers (the same layouts [[parseMeta]] reads) with
     * dimensions and padding derived from `id`, so an oracle can predict
@@ -257,15 +241,75 @@ object MultimodalOps {
     ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
-  /** REAL image decode (JDK ImageIO — png/jpeg/gif/bmp): dimensions and
-    * per-channel means from the actual pixel raster. Undecodable or
-    * null payloads → null, like a failed cast. */
+  private def statsFromArgb(w: Int, h: Int, px: Array[Int]): ImageStats = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = w.toLong * h
+    ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** REAL image decode: JDK ImageIO for png/jpeg/gif/bmp, and the
+    * from-scratch [[Vp8l]] bitstream decoder for lossless WebP (the
+    * JDK ships no WebP reader). Dimensions and per-channel means come
+    * from the actual pixel raster. Undecodable or null payloads →
+    * null, like a failed cast. Remaining boundary: lossy-WebP (VP8
+    * DCT) pixel data is not decoded — [[sniffMeta]] still reports its
+    * header dims. */
   def decodeImage(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
       val img = readImage(b)
-      if (img == null) null else stats(img)
+      if (img != null) stats(img)
+      else if (b != null && b.length >= 12 && ascii(b, 0, "RIFF") &&
+          ascii(b, 8, "WEBP")) {
+        try {
+          val dec = Vp8l.decodeWebp(b)
+          if (dec == null) null
+          else statsFromArgb(dec._1, dec._2, dec._3)
+        } catch { case _: Exception => null }
+      } else null
     }
     f(payload)
+  }
+
+  /** Deterministic, fully-valid lossless-WebP payload: a real VP8L
+    * bitstream (see [[Vp8l]]) with `w`×`h` = (4 + id%13, 4 + id·5%11)
+    * and the same per-channel pixel formulas as [[syntheticBmp]]
+    * (r=(id·31+x·7+y·13)%256 etc.), so the oracle predicts pixel
+    * statistics from id arithmetic alone. Encoding options rotate by
+    * id (subtract-green, predictor modes, color cache, LZ77,
+    * cross-color) so the driver query exercises every decoder path —
+    * lossless coding means the options never change the pixels. */
+  def syntheticWebp(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val w = (4 + i % 13).toInt
+        val h = (4 + (i * 5) % 11).toInt
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w
+          val y = p / w
+          val r = ((i * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((i * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((i * 5 + x * 3 + y * 29) % 256).toInt
+          0xff000000 | (r << 16) | (g << 8) | b
+        }
+        val opts = Vp8l.EncOpts(
+          subtractGreen = i % 2 == 1,
+          predictor = if (i % 3 == 0) Some(((i / 3) % 14).toInt) else None,
+          colorXform = if (i % 11 == 7) Some((13, -9, 21)) else None,
+          cacheBits = if (i % 5 == 0) 6 else 0,
+          lz77 = i % 7 < 2,
+          transformBits = if (i % 6 < 3) 4 else 2)
+        Vp8l.encode(w, h, px, opts)
+      }
+    }
+    f(id.cast("long"))
   }
 
   /** REAL resize: decode, nearest-neighbor resample to `tw`×`th`

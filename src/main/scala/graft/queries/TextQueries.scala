@@ -321,6 +321,57 @@ object TextQueries extends QueryPack {
           sum(col("wv.n_samples")).as("n_samples"),
           round(avg(col("wv.rms")), 6).as("avg_rms"))
         .orderBy("source")
+    }),
+    "q_webp_decode" -> ((s, dir) => {
+      // REAL WebP-lossless pixel decode: payloads are genuine VP8L
+      // bitstreams (from-scratch encoder, options rotating by doc_id
+      // across subtract-green / predictors / color cache / LZ77 /
+      // cross-color), decoded by the from-scratch VP8L decoder. The
+      // oracle recomputes the per-channel pixel means from doc_id
+      // arithmetic — any mis-decoded bit anywhere shifts a mean.
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("st", MultimodalOps.decodeImage(
+          MultimodalOps.syntheticWebp(col("doc_id"))))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(col("st")).as("n_decoded"),
+          sum(col("st.width") * col("st.height")).as("n_px"),
+          round(avg(col("st.mean_r")), 6).as("avg_r"),
+          round(avg(col("st.mean_g")), 6).as("avg_g"),
+          round(avg(col("st.mean_b")), 6).as("avg_b"))
+        .orderBy("source")
+    }),
+    "q_video_frames" -> ((s, dir) => {
+      // REAL video-container decode: payloads are valid AVIs (hdrl +
+      // movi + idx1) with uncompressed 24-bit DIB frames; frame
+      // pixel means, keyframe flags and the evenly-spaced keyframe
+      // sampling are all recomputed by the oracle from doc_id
+      // arithmetic.
+      import graft.multimodal.AviOps
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("payload", AviOps.syntheticAvi(col("doc_id")))
+        .withColumn("meta", AviOps.videoMeta(col("payload")))
+        .withColumn("fs", AviOps.videoFrameStats(col("payload")))
+        .withColumn("sk", AviOps.sampleKeyframes(col("payload"), 2))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.n_frames")).as("n_frames"),
+          sum(col("meta.n_keyframes")).as("n_keyframes"),
+          round(avg(expr(
+            "aggregate(fs, 0D, (a, x) -> a + x.mean_r) / size(fs)")), 6)
+            .as("avg_r"),
+          round(avg(expr(
+            "aggregate(fs, 0D, (a, x) -> a + x.mean_g) / size(fs)")), 6)
+            .as("avg_g"),
+          round(avg(expr(
+            "aggregate(fs, 0D, (a, x) -> a + x.mean_b) / size(fs)")), 6)
+            .as("avg_b"),
+          sum(expr("aggregate(sk, 0L, (a, x) -> a + x.frame_idx)"))
+            .as("sampled_idx_sum"),
+          sum(size(col("sk"))).as("n_sampled"))
+        .orderBy("source")
     })
   )
 
@@ -714,6 +765,62 @@ object TextQueries extends QueryPack {
         |JOIN imgs g ON g.id = i.id
         |JOIN rs r ON r.id = i.id
         |JOIN wv w ON w.id = i.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_webp_decode" ->
+      """WITH ids AS (
+        |  SELECT source, doc_id id, (4 + doc_id % 13) w,
+        |    (4 + (doc_id * 5) % 11) h
+        |  FROM documents),
+        |imgs AS (
+        |  SELECT i.source, i.id, i.w, i.h,
+        |    AVG((i.id * 31 + x.x * 7 + y.y * 13) % 256) mr,
+        |    AVG((i.id * 17 + x.x * 11 + y.y * 3) % 256) mg,
+        |    AVG((i.id * 5 + x.x * 3 + y.y * 29) % 256) mb
+        |  FROM ids i, range(0, 17) x(x), range(0, 15) y(y)
+        |  WHERE x.x < i.w AND y.y < i.h
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_decoded,
+        |  SUM(w * h)::BIGINT AS n_px,
+        |  ROUND(AVG(mr), 6) AS avg_r, ROUND(AVG(mg), 6) AS avg_g,
+        |  ROUND(AVG(mb), 6) AS avg_b
+        |FROM imgs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_video_frames" ->
+      """WITH ids AS (
+        |  SELECT source, doc_id id, (3 + doc_id % 5) nf,
+        |    (4 + doc_id % 6) w, (4 + (doc_id * 3) % 7) h,
+        |    ((3 + doc_id % 5) + 2) // 3 kfn
+        |  FROM documents),
+        |fr AS (
+        |  SELECT i.source, i.id, f.f,
+        |    AVG((i.id * 31 + f.f * 19 + x.x * 7 + y.y * 13) % 256) mr,
+        |    AVG((i.id * 17 + f.f * 23 + x.x * 11 + y.y * 3) % 256) mg,
+        |    AVG((i.id * 5 + f.f * 29 + x.x * 3 + y.y * 29) % 256) mb
+        |  FROM ids i, range(0, 7) f(f), range(0, 10) x(x), range(0, 11) y(y)
+        |  WHERE f.f < i.nf AND x.x < i.w AND y.y < i.h
+        |  GROUP BY 1, 2, 3),
+        |vid AS (
+        |  SELECT source, id, COUNT(*) nf2,
+        |    AVG(mr) amr, AVG(mg) amg, AVG(mb) amb
+        |  FROM fr GROUP BY 1, 2),
+        |-- sampleKeyframes(2): m = least(2, kfn) keyframes, the j-th
+        |-- sampled one is keyframe (j*kfn)//m, i.e. frame 3*that
+        |samp AS (
+        |  SELECT i.source, i.id,
+        |    SUM(3 * ((s.j * i.kfn) // LEAST(2, i.kfn))) sidx,
+        |    COUNT(*) m
+        |  FROM ids i, range(0, 2) s(j)
+        |  WHERE s.j < LEAST(2, i.kfn)
+        |  GROUP BY 1, 2)
+        |SELECT i.source, COUNT(*)::BIGINT AS n,
+        |  SUM(i.nf)::BIGINT AS n_frames,
+        |  SUM(i.kfn)::BIGINT AS n_keyframes,
+        |  ROUND(AVG(v.amr), 6) AS avg_r, ROUND(AVG(v.amg), 6) AS avg_g,
+        |  ROUND(AVG(v.amb), 6) AS avg_b,
+        |  SUM(p.sidx)::BIGINT AS sampled_idx_sum,
+        |  SUM(p.m)::BIGINT AS n_sampled
+        |FROM ids i
+        |JOIN vid v ON v.id = i.id
+        |JOIN samp p ON p.id = i.id
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -283,11 +283,15 @@ class TextSimSpec extends AnyFunSuite {
       MultimodalOps.resizeStub(col("features"), 4).as("r"))
       .collect()(0).getSeq[Float](0)
     assert(resized.length == 4)
-    // frame sampling yields n fingerprints
-    val frames = media.select(
-      MultimodalOps.sampleFramesStub(col("payload"), 3).as("f"))
-      .collect()(0).getSeq[Long](0)
-    assert(frames.length == 3)
+    // REAL keyframe sampling: a synthetic AVI with keyframes at
+    // f ≡ 0 (mod 3) yields only those frames, decoded for real
+    val frames = spark.range(6, 7)
+      .select(graft.multimodal.AviOps.sampleKeyframes(
+        graft.multimodal.AviOps.syntheticAvi(col("id")), 2).as("f"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // id=6 → nf=3+6%5=4 frames, keyframes {0, 3} → both sampled
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 3))
+    assert(frames.forall(_.getBoolean(1)))
   }
 
   test("cosineThresholdJoin matches the Column-algebra cosine pairs") {
