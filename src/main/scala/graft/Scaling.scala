@@ -16,7 +16,8 @@ object Scaling {
         "q_jaccard_dup_pairs", "q_dup_clusters", "q_cosine_topk",
         "q_tfidf", "q_clean_corpus", "q_topk_group", "q_bucket_join",
         "q_sessionize", "q_rolling_lr2", "q_hc_se", "q_multi_target",
-        "q_minhash_dup", "q_semantic_dedup", "q_semantic_cells")
+        "q_minhash_dup", "q_semantic_dedup", "q_semantic_cells",
+        "q_webp_decode", "q_video_frames")
     val sfs = Seq("0.001", "0.01", "0.1")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()

@@ -621,10 +621,14 @@ object TextOps {
       .partitionBy(col("doc"))
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term"))
+    // term-window FIRST, doc-window LAST: the tf table leaves here
+    // hash(doc)-partitioned, so tfIdfTopK's per-doc rank window (and
+    // any caller grouping by doc) reuses the partitioning instead of
+    // paying a fourth full shuffle of the tf table.
     words.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("dlen", sum(col("cnt")).over(wDoc))
       .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("dlen", sum(col("cnt")).over(wDoc))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("cnt").cast("double") / col("dlen") *
