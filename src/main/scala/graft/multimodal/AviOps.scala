@@ -57,20 +57,27 @@ object AviOps {
 
     def walk(from: Int, to: Int): Unit = {
       var i = from
-      while (i + 8 <= to && i + 8 <= b.length) {
+      var ok = true
+      while (ok && i + 8 <= to && i + 8 <= b.length) {
         val size = le32(b, i + 4)
+        if (size < 0) { ok = false } // malformed size: bail, never loop
+        else {
         val end = math.min(to, i + 8 + size)
         if (ascii(b, i, "LIST") && i + 12 <= b.length) {
           if (ascii(b, i + 8, "movi")) {
             moviStart = i + 8
             // frame chunks for stream 0: '00db' raw, '00dc' compressed
             var j = i + 12
-            while (j + 8 <= end) {
+            var okF = true
+            while (okF && j + 8 <= end) {
               val fsz = le32(b, j + 4)
-              if (ascii(b, j, "00db") || ascii(b, j, "00dc"))
-                frames += RawFrame(frames.length,
-                  compressed = b(j + 3) == 'c', j + 8, fsz, j)
-              j += 8 + fsz + (fsz & 1)
+              if (fsz < 0) okF = false // malformed size: bail
+              else {
+                if (ascii(b, j, "00db") || ascii(b, j, "00dc"))
+                  frames += RawFrame(frames.length,
+                    compressed = b(j + 3) == 'c', j + 8, fsz, j)
+                j += 8 + fsz + (fsz & 1)
+              }
             }
           } else walk(i + 12, end)
         } else if (ascii(b, i, "avih") && i + 8 + 40 <= b.length) {
@@ -100,6 +107,7 @@ object AviOps {
           keyFlags = entries.result()
         }
         i += 8 + size + (size & 1)
+        }
       }
     }
     walk(12, b.length)

@@ -610,6 +610,7 @@ object Vp8l {
       var i = 12
       while (i + 8 <= b.length) {
         val size = le32(i + 4)
+        if (size < 0) return null // malformed size: bail, never loop
         if (ascii(i, "VP8L")) return decodePayload(b, i + 8)
         i += 8 + size + (size & 1)
       }
@@ -795,6 +796,8 @@ object Vp8l {
   /** Encode ARGB pixels to a complete WebP (RIFF + VP8L) file. */
   def encode(w: Int, h: Int, argb0: Array[Int],
              opts: EncOpts = EncOpts()): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,
+      "vp8l encode: dims must fit the 14-bit header fields")
     require(argb0.length == w * h, "vp8l encode: bad pixel count")
     val bw = new BitWriter()
     bw.writeBits(w - 1, 14)

@@ -126,4 +126,18 @@ class AviSpec extends AnyFunSuite {
       .select(AviOps.videoMeta(col("payload")).as("m")).collect()
     assert(r.forall(_.isNullAt(0)))
   }
+
+  test("negative chunk sizes bail out instead of looping") {
+    // a RIFF/AVI header followed by a chunk whose size field is -1:
+    // the walker must terminate (returning whatever it parsed so far)
+    val out = new java.io.ByteArrayOutputStream()
+    def s(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    s("RIFF"); out.write(Array[Byte](100, 0, 0, 0)); s("AVI ")
+    s("JUNK"); out.write(Array[Byte](-1, -1, -1, -1))
+    out.write(new Array[Byte](32))
+    import spark.implicits._
+    val r = Seq(out.toByteArray).toDF("payload")
+      .select(AviOps.videoMeta(col("payload")).as("m")).collect()
+    assert(r(0).isNullAt(0)) // no frames, no dims → null
+  }
 }

@@ -122,6 +122,13 @@ class Vp8lSpec extends AnyFunSuite {
       Vp8l.decodePayload(bytes.take(25), 20)
     }
     assert(Vp8l.decodeWebp("RIFFxxxxWAVE".getBytes) == null)
+    // negative chunk size must bail out, not loop the executor forever
+    val neg = bytes.clone()
+    neg(16) = 0xff.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
+    // corrupt the fourcc too so the VP8L branch isn't taken first
+    neg(12) = 'X'.toByte
+    assert(Vp8l.decodeWebp(neg) == null)
   }
 
   test("lz77 value coding is a bijection on 1..4096") {
