@@ -24,13 +24,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object AviOps {
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int =
-    u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Int =
-    le16(b, i) | (le16(b, i + 2) << 16)
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k))
+  import Bytes.{u8, le16, le32, ascii, saneChunkSize}
 
   /** One frame's raw bytes + position; keyframe flag resolved later. */
   private[graft] case class RawFrame(idx: Int, compressed: Boolean,
@@ -60,7 +54,7 @@ object AviOps {
       var ok = true
       while (ok && i + 8 <= to && i + 8 <= b.length) {
         val size = le32(b, i + 4)
-        if (size < 0) { ok = false } // malformed size: bail, never loop
+        if (!saneChunkSize(size, b)) { ok = false } // malformed: bail
         else {
         val end = math.min(to, i + 8 + size)
         if (ascii(b, i, "LIST") && i + 12 <= b.length) {
@@ -71,7 +65,7 @@ object AviOps {
             var okF = true
             while (okF && j + 8 <= end) {
               val fsz = le32(b, j + 4)
-              if (fsz < 0) okF = false // malformed size: bail
+              if (!saneChunkSize(fsz, b)) okF = false // malformed: bail
               else {
                 if (ascii(b, j, "00db") || ascii(b, j, "00dc"))
                   frames += RawFrame(frames.length,
@@ -139,11 +133,17 @@ object AviOps {
                          b: Array[Byte]): FrameStats = {
     val isKey = avi.keyFlags.getOrElse(f.chunkOff, defaultKey(avi, f))
     if (!f.compressed && avi.bitCount == 24) {
-      // bottom-up BGR rows padded to 4 bytes
+      // BGR rows padded to 4 bytes; negative height = top-down raster
+      // (a real-world DIB convention) — channel means are row-order
+      // independent, so both orientations decode identically here
       val w = avi.width
-      val h = avi.height
+      val h = math.abs(avi.height)
+      if (w <= 0 || h == 0 || w > 0x7fff || h > 0x7fff) return null
       val rowBytes = (w * 3 + 3) & ~3
-      if (f.len < rowBytes * h) return null
+      // Long math: declared sizes are attacker-controlled; an Int
+      // product would overflow past this check and read out of bounds
+      if (f.len.toLong < rowBytes.toLong * h ||
+        f.off.toLong + rowBytes.toLong * h > b.length) return null
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
       while (y < h) {
@@ -229,6 +229,35 @@ object AviOps {
         val m = math.min(n, keys.length)
         (0 until m).map(i => keys(i * keys.length / m))
           .map(fr => frameStats(avi, fr, b)).filter(_ != null)
+      }
+    }
+    f(payload)
+  }
+
+  /** Everything in ONE container walk: meta + every decoded frame +
+    * the `n` evenly-spaced keyframe samples (taken from the already
+    * decoded frames, no second decode). Use this when a query needs
+    * more than one of [[videoMeta]]/[[videoFrameStats]]/
+    * [[sampleKeyframes]] on the same payload — the three single-facet
+    * functions each re-parse the container per call. */
+  case class VideoSummary(meta: VideoMeta, frames: Seq[FrameStats],
+                          sampled: Seq[FrameStats])
+
+  def videoSummary(payload: Column, n: Int): Column = {
+    require(n > 0, "videoSummary: n must be > 0")
+    val f = udf { (b: Array[Byte]) =>
+      val avi = parseAvi(b)
+      if (avi == null) null
+      else {
+        val all = avi.frames.map(fr => frameStats(avi, fr, b))
+          .filter(_ != null)
+        val keys = all.filter(_.is_key)
+        val m = math.min(n, keys.length)
+        VideoSummary(
+          VideoMeta(avi.width, avi.height, avi.frames.length,
+            keys.length, avi.compression),
+          all,
+          (0 until m).map(i => keys(i * keys.length / m)))
       }
     }
     f(payload)

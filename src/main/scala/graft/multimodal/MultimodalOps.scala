@@ -36,20 +36,7 @@ object MultimodalOps {
   case class MediaMeta(format: String, width: Option[Int],
                        height: Option[Int], n_bytes: Long)
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int =
-    (u8(b, i) << 8) | u8(b, i + 1)
-  private def le16(b: Array[Byte], i: Int): Int =
-    u8(b, i) | (u8(b, i + 1) << 8)
-  private def be32(b: Array[Byte], i: Int): Int =
-    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
-      u8(b, i + 3)
-  private def le24(b: Array[Byte], i: Int): Int =
-    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
-  private def le32(b: Array[Byte], i: Int): Int =
-    le24(b, i) | (u8(b, i + 3) << 24)
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k))
+  import Bytes.{u8, be16, le16, be32, le24, le32, ascii}
 
   /** Real header sniffing: format from magic bytes, dimensions from
     * the container header. Covers PNG (IHDR), JPEG (SOF segment scan),

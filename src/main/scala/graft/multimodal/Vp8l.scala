@@ -601,17 +601,16 @@ object Vp8l {
     * for non-VP8L WebP (lossy VP8 needs a DCT decoder — out of
     * scope, documented boundary). */
   def decodeWebp(b: Array[Byte]): (Int, Int, Array[Int]) = {
-    def ascii(i: Int, s: String) =
-      i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k))
-    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-    if (b.length < 20 || !ascii(0, "RIFF") || !ascii(8, "WEBP")) null
+    import Bytes.{ascii, le32, saneChunkSize}
+    if (b.length < 20 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WEBP")) null
     else {
       var i = 12
       while (i + 8 <= b.length) {
-        val size = le32(i + 4)
-        if (size < 0) return null // malformed size: bail, never loop
-        if (ascii(i, "VP8L")) return decodePayload(b, i + 8)
+        val size = le32(b, i + 4)
+        // malformed (negative OR larger than the payload) size: bail —
+        // the advance below would overflow Int and loop or index out
+        if (!saneChunkSize(size, b)) return null
+        if (ascii(b, i, "VP8L")) return decodePayload(b, i + 8)
         i += 8 + size + (size & 1)
       }
       null
@@ -707,7 +706,11 @@ object Vp8l {
   private def tokenize(px: Array[Int], xsize: Int, cacheBits: Int,
                        lz77: Boolean): ArrayBuffer[Tok] = {
     val toks = new ArrayBuffer[Tok]()
-    val cache = if (cacheBits > 0) Array.fill(1 << cacheBits)(-1) else null
+    // presence tracked separately: every Int IS a valid ARGB pixel
+    // (0xffffffff = opaque white), so no in-band empty sentinel exists
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val cacheSet =
+      if (cacheBits > 0) new Array[Boolean](1 << cacheBits) else null
     var pos = 0
     val n = px.length
     while (pos < n) {
@@ -732,7 +735,10 @@ object Vp8l {
             distSym = dc, distExtra = (dev, deb))
           var i = 0
           while (i < best) {
-            if (cache != null) cache(cacheIdx(px(pos), cacheBits)) = px(pos)
+            if (cache != null) {
+              val ci = cacheIdx(px(pos), cacheBits)
+              cache(ci) = px(pos); cacheSet(ci) = true
+            }
             pos += 1
             i += 1
           }
@@ -742,12 +748,12 @@ object Vp8l {
       if (!copied) {
         val v = px(pos)
         val ci = if (cache != null) cacheIdx(v, cacheBits) else -1
-        if (cache != null && cache(ci) == v) {
+        if (cache != null && cacheSet(ci) && cache(ci) == v) {
           toks += Tok(green = 280 + ci)
         } else {
           toks += Tok(green = (v >> 8) & 0xff, red = (v >> 16) & 0xff,
             blue = v & 0xff, alpha = v >>> 24)
-          if (cache != null) cache(ci) = v
+          if (cache != null) { cache(ci) = v; cacheSet(ci) = true }
         }
         pos += 1
       }
@@ -755,11 +761,15 @@ object Vp8l {
     toks
   }
 
-  /** Write one entropy-coded image (no transforms, no meta). */
+  /** Write one entropy-coded image. Stream order per spec:
+    * color-cache-info, [meta-prefix bit — level-0 spatial images
+    * only], prefix codes, data. */
   private def writeStream(bw: BitWriter, px: Array[Int], xsize: Int,
-                          cacheBits: Int, lz77: Boolean): Unit = {
+                          cacheBits: Int, lz77: Boolean,
+                          writeMetaBit: Boolean = false): Unit = {
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
     else bw.writeBits(0, 1)
+    if (writeMetaBit) bw.writeBits(0, 1) // no meta-prefix
     val toks = tokenize(px, xsize, cacheBits, lz77)
     val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
     val gUsed = toks.map(_.green).toSet
@@ -912,42 +922,9 @@ object Vp8l {
     }
     bw.writeBits(0, 1) // end of transforms
 
-    // main image: cache bit handled inside writeStream; meta bit = 0
-    // must come AFTER the cache bit per the spec stream order:
-    //   color-cache-info, meta-prefix, prefix codes, data
-    // writeStream writes cache-info then codes; inject meta bit between
-    // by writing the stream manually here.
-    if (opts.cacheBits > 0) {
-      bw.writeBits(1, 1); bw.writeBits(opts.cacheBits, 4)
-    } else bw.writeBits(0, 1)
-    bw.writeBits(0, 1) // no meta-prefix
-    locally {
-      val toks = tokenize(px, xsize, opts.cacheBits, opts.lz77)
-      val greenAlphabet = 256 + 24 +
-        (if (opts.cacheBits > 0) 1 << opts.cacheBits else 0)
-      val gc = writePrefixCode(bw, greenAlphabet, toks.map(_.green).toSet)
-      val rc = writePrefixCode(bw, 256,
-        toks.filter(_.red >= 0).map(_.red).toSet)
-      val bc = writePrefixCode(bw, 256,
-        toks.filter(_.blue >= 0).map(_.blue).toSet)
-      val ac = writePrefixCode(bw, 256,
-        toks.filter(_.alpha >= 0).map(_.alpha).toSet)
-      val dc = writePrefixCode(bw, 40,
-        toks.filter(_.distSym >= 0).map(_.distSym).toSet)
-      toks.foreach { t =>
-        val (c, l) = gc(t.green)
-        bw.writeCode(c, l)
-        if (t.green < 256) {
-          val (c1, l1) = rc(t.red); bw.writeCode(c1, l1)
-          val (c2, l2) = bc(t.blue); bw.writeCode(c2, l2)
-          val (c3, l3) = ac(t.alpha); bw.writeCode(c3, l3)
-        } else if (t.green < 280) {
-          bw.writeBits(t.lenExtra._1, t.lenExtra._2)
-          val (c4, l4) = dc(t.distSym); bw.writeCode(c4, l4)
-          bw.writeBits(t.distExtra._1, t.distExtra._2)
-        }
-      }
-    }
+    // main image: cache-info, meta bit, prefix codes, data
+    writeStream(bw, px, xsize, opts.cacheBits, opts.lz77,
+      writeMetaBit = true)
 
     val body = bw.toArray
     val chunkLen = body.length + 1 // + signature byte

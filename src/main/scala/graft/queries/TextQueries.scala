@@ -349,12 +349,15 @@ object TextQueries extends QueryPack {
       // sampling are all recomputed by the oracle from doc_id
       // arithmetic.
       import graft.multimodal.AviOps
+      // videoSummary = ONE container walk + ONE decode pass per row
+      // (meta / all frames / sampled keyframes as one struct) — the
+      // single-facet functions would re-parse the payload per column
       val m = t(s, dir, "documents")
         .select(col("doc_id"), col("source"))
-        .withColumn("payload", AviOps.syntheticAvi(col("doc_id")))
-        .withColumn("meta", AviOps.videoMeta(col("payload")))
-        .withColumn("fs", AviOps.videoFrameStats(col("payload")))
-        .withColumn("sk", AviOps.sampleKeyframes(col("payload"), 2))
+        .withColumn("vs", AviOps.videoSummary(
+          AviOps.syntheticAvi(col("doc_id")), 2))
+        .select(col("doc_id"), col("source"), col("vs.meta").as("meta"),
+          col("vs.frames").as("fs"), col("vs.sampled").as("sk"))
       m.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("meta.n_frames")).as("n_frames"),

@@ -131,6 +131,15 @@ class Vp8lSpec extends AnyFunSuite {
     assert(Vp8l.decodeWebp(neg) == null)
   }
 
+  test("opaque white round-trips with a color cache (-1 sentinel bug)") {
+    // 0xffffffff == -1: an in-band "empty" sentinel in the encoder
+    // cache would emit a never-inserted cache ref that decodes to 0
+    val px = Array.fill(9)(0xffffffff)
+    for (bits <- Seq(1, 6, 11)) roundTrip(3, 3, px, EncOpts(cacheBits = bits))
+    roundTrip(2, 2, Array(0xffffffff, 0x00000000, 0xffffffff, 0x00000000),
+      EncOpts(cacheBits = 4))
+  }
+
   test("lz77 value coding is a bijection on 1..4096") {
     for (v <- 1 to 4096) {
       val (c, eb, ev) = Vp8l.lz77Code(v)
