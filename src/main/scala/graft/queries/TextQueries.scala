@@ -322,6 +322,19 @@ object TextQueries extends QueryPack {
           round(avg(col("wv.rms")), 6).as("avg_rms"))
         .orderBy("source")
     }),
+    "q_url_dedup" -> ((s, dir) => {
+      // URL canonicalization as a crawl-dedup key: raw URLs vary by
+      // scheme case / www / default port / trailing slash / tracking
+      // params / param order / fragment, all planted from doc_id; the
+      // canonical form (and so the dedup survivors) depends only on
+      // page = doc_id % 1000, which the oracle reconstructs directly.
+      import graft.text.UrlOps
+      UrlOps.urlDedup(
+          t(s, dir, "documents").select(col("doc_id"),
+            UrlOps.syntheticUrl(col("doc_id")).as("url")),
+          col("doc_id"), col("url"))
+        .orderBy("canonical_url")
+    }),
     "q_webp_decode" -> ((s, dir) => {
       // REAL WebP-lossless pixel decode: payloads are genuine VP8L
       // bitstreams (from-scratch encoder, options rotating by doc_id
@@ -769,6 +782,19 @@ object TextQueries extends QueryPack {
         |JOIN rs r ON r.id = i.id
         |JOIN wv w ON w.id = i.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 1000 AS page FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN page % 2 = 0 THEN 'http' ELSE 'https' END) ||
+        |    '://ex' || (page % 7)::VARCHAR || '.com/p/' ||
+        |    page::VARCHAR || '?cat=' || (page % 5)::VARCHAR ||
+        |    '&id=' || page::VARCHAR AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, MIN(doc_id)::BIGINT AS keep_id,
+        |  COUNT(*)::BIGINT AS n_variants
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_webp_decode" ->
       """WITH ids AS (
         |  SELECT source, doc_id id, (4 + doc_id % 13) w,
