@@ -211,23 +211,6 @@ object MultimodalOps {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch { case _: Exception => null }
 
-  private def stats(img: java.awt.image.BufferedImage): ImageStats = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        x += 1
-      }
-      y += 1
-    }
-    val n = w.toLong * h
-    ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
-  }
-
   private def statsFromArgb(w: Int, h: Int, px: Array[Int]): ImageStats = {
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = 0
@@ -249,16 +232,8 @@ object MultimodalOps {
     * header dims. */
   def decodeImage(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      val img = readImage(b)
-      if (img != null) stats(img)
-      else if (b != null && b.length >= 12 && ascii(b, 0, "RIFF") &&
-          ascii(b, 8, "WEBP")) {
-        try {
-          val dec = Vp8l.decodeWebp(b)
-          if (dec == null) null
-          else statsFromArgb(dec._1, dec._2, dec._3)
-        } catch { case _: Exception => null }
-      } else null
+      val r = readRaster(b)
+      if (r == null) null else statsFromArgb(r._1, r._2, r._3)
     }
     f(payload)
   }
@@ -297,6 +272,98 @@ object MultimodalOps {
       }
     }
     f(id.cast("long"))
+  }
+
+  /** Decode to a raw ARGB raster through whichever codec claims the
+    * payload (ImageIO, else the [[Vp8l]] decoder); null if neither. */
+  private def readRaster(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = readImage(b)
+    if (img != null) {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y); x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    } else if (b != null && b.length >= 12 && ascii(b, 0, "RIFF") &&
+        ascii(b, 8, "WEBP")) {
+      try Vp8l.decodeWebp(b) catch { case _: Exception => null }
+    } else null
+  }
+
+  /** 64-bit difference hash (dHash) — the standard perceptual
+    * image-dedup key: decode, take the luma raster, nearest-neighbor
+    * resample to 9×8 (src = (x·w/9, y·h/8), integer division — the
+    * same rule as [[resizeImage]]), and set bit y·8+x iff the gray
+    * value brightens left→right: gray(x+1,y) > gray(x,y). Gray =
+    * (299·r + 587·g + 114·b) / 1000 in integer math so an oracle can
+    * reproduce every bit. Robust to uniform brightness/contrast shifts
+    * and resizing; Hamming distance between hashes ranks near-dups. */
+  def dHash64(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      val r = readRaster(b)
+      if (r == null) null
+      else {
+        val (w, h, px) = r
+        val gray = new Array[Int](9 * 8)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val p = px((y * h / 8) * w + (x * w / 9))
+            gray(y * 9 + x) = (299 * ((p >> 16) & 0xff) +
+              587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(y * 9 + x + 1) > gray(y * 9 + x))
+              hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        java.lang.Long.valueOf(hash)
+      }
+    }
+    f(payload)
+  }
+
+  /** Image near-duplicate pairs: dHash both sides, then the same
+    * 16-bit band bucketing as the text simhash path (pigeonhole:
+    * Hamming ≤ 3 over 4 bands leaves at least one band identical —
+    * exact recall for maxDist ≤ 3, candidate prefilter beyond). No
+    * all-pairs: candidates exist only inside band buckets. */
+  def imageDupPairs(df: DataFrame, id: Column, payload: Column,
+                    maxDist: Int): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
+    val hashed = df.select(id.as("i"), dHash64(payload).as("ph"))
+      .filter(col("ph").isNotNull)
+    val banded = hashed.select(col("i"), col("ph"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL))
+              .as("h"))): _*)).as("band"))
+      .select(col("i"), col("ph"),
+        col("band.b").as("b"), col("band.h").as("h"))
+      // persist: the self-join would otherwise decode + hash each
+      // image once per side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("l").join(banded.as("r"),
+        col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+          col("l.i") < col("r.i"))
+      .select(col("l.i").as("id1"), col("r.i").as("id2"),
+        bit_count(col("l.ph").bitwiseXOR(col("r.ph"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** REAL resize: decode, nearest-neighbor resample to `tw`×`th`

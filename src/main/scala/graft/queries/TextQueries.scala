@@ -322,6 +322,35 @@ object TextQueries extends QueryPack {
           round(avg(col("wv.rms")), 6).as("avg_rms"))
         .orderBy("source")
     }),
+    "q_image_dhash" -> ((s, dir) => {
+      // perceptual image hash over REAL decoded rasters: payloads are
+      // valid BMPs keyed by page = doc_id % 311, and the oracle
+      // recomputes every dHash bit (luma, 9x8 nearest-neighbor
+      // resample, gradient signs) from page arithmetic in SQL.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 311).as("page"))
+        .withColumn("ph", MultimodalOps.dHash64(
+          MultimodalOps.syntheticBmp(col("page"))))
+      docs.groupBy(col("page"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("ph")).as("n_hashes"),
+          min(shiftrightunsigned(col("ph"), 32)).as("hash_hi"),
+          min(col("ph").bitwiseAND(lit(0xffffffffL))).as("hash_lo"))
+        .orderBy("page")
+    }),
+    "q_image_dup_pairs" -> ((s, dir) => {
+      // banded Hamming dup join over the perceptual hashes; the
+      // oracle rebuilds the expected pair set from the SQL-computed
+      // hashes themselves, so even a cross-page hash collision would
+      // be predicted identically on both sides.
+      val sub = t(s, dir, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"), MultimodalOps.syntheticBmp(
+          col("doc_id") % 311).as("payload"))
+      MultimodalOps.imageDupPairs(sub, col("doc_id"), col("payload"), 0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id1") + col("id2")).as("pair_id_sum"))
+    }),
     "q_url_dedup" -> ((s, dir) => {
       // URL canonicalization as a crawl-dedup key: raw URLs vary by
       // scheme case / www / default port / trailing slash / tracking
@@ -782,6 +811,68 @@ object TextQueries extends QueryPack {
         |JOIN rs r ON r.id = i.id
         |JOIN wv w ON w.id = i.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_image_dhash" ->
+      """WITH pages AS (
+        |  SELECT DISTINCT doc_id % 311 AS page FROM documents),
+        |dims AS (
+        |  SELECT page, (8 + page % 9) w, (8 + (page * 3) % 9) h
+        |  FROM pages),
+        |grays AS (
+        |  SELECT d.page, gx.x, gy.y,
+        |    (299 * ((d.page*31 + ((gx.x*d.w)//9)*7 + ((gy.y*d.h)//8)*13) % 256)
+        |   + 587 * ((d.page*17 + ((gx.x*d.w)//9)*11 + ((gy.y*d.h)//8)*3) % 256)
+        |   + 114 * ((d.page*5 + ((gx.x*d.w)//9)*3 + ((gy.y*d.h)//8)*29) % 256))
+        |      // 1000 AS g
+        |  FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)),
+        |bits AS (
+        |  SELECT a.page, a.y * 8 + a.x AS k
+        |  FROM grays a JOIN grays b
+        |    ON b.page = a.page AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND b.g > a.g),
+        |hv AS (
+        |  SELECT p.page,
+        |    COALESCE(SUM(CASE WHEN k >= 32 THEN (1::BIGINT << (k - 32)) END), 0) hash_hi,
+        |    COALESCE(SUM(CASE WHEN k < 32 THEN (1::BIGINT << k) END), 0) hash_lo
+        |  FROM pages p LEFT JOIN bits b ON b.page = p.page
+        |  GROUP BY 1),
+        |counts AS (
+        |  SELECT doc_id % 311 AS page, COUNT(*) n FROM documents GROUP BY 1)
+        |SELECT c.page, c.n::BIGINT AS n_variants, 1::BIGINT AS n_hashes,
+        |  h.hash_hi::BIGINT AS hash_hi, h.hash_lo::BIGINT AS hash_lo
+        |FROM counts c JOIN hv h ON h.page = c.page ORDER BY 1""".stripMargin,
+    "q_image_dup_pairs" ->
+      """WITH pages AS (
+        |  SELECT DISTINCT doc_id % 311 AS page FROM documents
+        |  WHERE doc_id < 3000),
+        |dims AS (
+        |  SELECT page, (8 + page % 9) w, (8 + (page * 3) % 9) h
+        |  FROM pages),
+        |grays AS (
+        |  SELECT d.page, gx.x, gy.y,
+        |    (299 * ((d.page*31 + ((gx.x*d.w)//9)*7 + ((gy.y*d.h)//8)*13) % 256)
+        |   + 587 * ((d.page*17 + ((gx.x*d.w)//9)*11 + ((gy.y*d.h)//8)*3) % 256)
+        |   + 114 * ((d.page*5 + ((gx.x*d.w)//9)*3 + ((gy.y*d.h)//8)*29) % 256))
+        |      // 1000 AS g
+        |  FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)),
+        |bits AS (
+        |  SELECT a.page, a.y * 8 + a.x AS k
+        |  FROM grays a JOIN grays b
+        |    ON b.page = a.page AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND b.g > a.g),
+        |hv AS (
+        |  SELECT p.page,
+        |    COALESCE(SUM(CASE WHEN k >= 32 THEN (1::BIGINT << (k - 32)) END), 0) hh,
+        |    COALESCE(SUM(CASE WHEN k < 32 THEN (1::BIGINT << k) END), 0) hl
+        |  FROM pages p LEFT JOIN bits b ON b.page = p.page
+        |  GROUP BY 1),
+        |dh AS (
+        |  SELECT d.doc_id, h.hh, h.hl
+        |  FROM documents d JOIN hv h ON h.page = d.doc_id % 311
+        |  WHERE d.doc_id < 3000)
+        |SELECT COUNT(*)::BIGINT AS n_pairs,
+        |  SUM(a.doc_id + b.doc_id)::BIGINT AS pair_id_sum
+        |FROM dh a JOIN dh b
+        |  ON a.hh = b.hh AND a.hl = b.hl AND a.doc_id < b.doc_id""".stripMargin,
     "q_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, doc_id % 1000 AS page FROM documents),
