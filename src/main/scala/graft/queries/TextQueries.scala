@@ -322,6 +322,25 @@ object TextQueries extends QueryPack {
           round(avg(col("wv.rms")), 6).as("avg_rms"))
         .orderBy("source")
     }),
+    "q_warc_extract" -> ((s, dir) => {
+      // WARC crawl-source parse: real ISO-28500 framing (header block
+      // + Content-Length body + HTTP response parse + HTML text
+      // strip), every extracted field recomputed by the oracle from
+      // doc_id arithmetic.
+      import graft.sources.WarcOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 5000)
+        .select(col("doc_id"), explode(WarcOps.warcRecords(
+          WarcOps.syntheticWarc(col("doc_id")))).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .filter(col("warc_type") === "response")
+        .groupBy((col("doc_id") % 50).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          count(when(col("http_status") === 200, 1)).as("n_ok"),
+          sum(length(col("text"))).as("text_len"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .orderBy("host")
+    }),
     "q_image_dhash" -> ((s, dir) => {
       // perceptual image hash over REAL decoded rasters: payloads are
       // valid BMPs keyed by page = doc_id % 311, and the oracle
@@ -811,6 +830,19 @@ object TextQueries extends QueryPack {
         |JOIN rs r ON r.id = i.id
         |JOIN wv w ON w.id = i.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_warc_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id i, 2 + doc_id % 3 nrec FROM documents
+        |  WHERE doc_id < 5000),
+        |recs AS (
+        |  SELECT d.i, r.r, 1 + (d.i + r.r) % 4 AS w,
+        |    LENGTH('doc ' || d.i::VARCHAR || ' rec ' || r.r::VARCHAR) AS ulen
+        |  FROM d, range(0, 4) r(r) WHERE r.r < d.nrec)
+        |SELECT (i % 50) AS host, COUNT(*)::BIGINT AS n_pages,
+        |  COUNT(CASE WHEN r % 2 = 0 THEN 1 END)::BIGINT AS n_ok,
+        |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
+        |  SUM(4 * w)::BIGINT AS n_tokens
+        |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_image_dhash" ->
       """WITH pages AS (
         |  SELECT DISTINCT doc_id % 311 AS page FROM documents),
