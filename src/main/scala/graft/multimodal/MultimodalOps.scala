@@ -416,6 +416,8 @@ object MultimodalOps {
         var bad = false
         while (!bad && stats == null && i + 8 <= b.length) {
           val sz = le32(b, i + 4)
+          if (!Bytes.saneChunkSize(sz, b)) bad = true // malformed: bail
+          else {
           if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
             channels = le16(b, i + 10)
             rate = le32(b, i + 12)
@@ -438,8 +440,79 @@ object MultimodalOps {
             }
           }
           i += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
         }
         if (bad) null else stats
+      }
+    }
+    f(payload)
+  }
+
+  /** One analysis frame of PCM samples (VAD-style energy features:
+    * every field integer-exact except rms, so an oracle can recompute
+    * them). zcr counts sign-class changes (s ≥ 0 vs s < 0) between
+    * adjacent samples WITHIN the frame. */
+  case class AudioFrame(frame_idx: Int, n: Int, rms: Double, zcr: Int,
+                        peak: Int)
+
+  /** Frame-level PCM-16 features over `frameSize`-sample windows
+    * (interleaved samples treated as one stream; the last frame may be
+    * short): RMS energy, zero-crossing rate, peak amplitude — the
+    * classic speech/music activity features, computed by the same RIFF
+    * chunk-walk as [[wavFeatures]]. Non-PCM16/malformed → null. */
+  def audioFrames(payload: Column, frameSize: Int): Column = {
+    require(frameSize > 0, "audioFrames: frameSize must be > 0")
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null || b.length < 44 || !ascii(b, 0, "RIFF") ||
+          !ascii(b, 8, "WAVE")) null
+      else {
+        var i = 12
+        var channels = 0
+        var bits = 0
+        var rate = 0
+        var frames: Seq[AudioFrame] = null
+        var bad = false
+        while (!bad && frames == null && i + 8 <= b.length) {
+          val sz = le32(b, i + 4)
+          if (!Bytes.saneChunkSize(sz, b)) bad = true
+          else {
+            if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
+              channels = le16(b, i + 10)
+              rate = le32(b, i + 12)
+              bits = le16(b, i + 22)
+            } else if (ascii(b, i, "data")) {
+              if (bits != 16 || channels <= 0 || rate <= 0) bad = true
+              else {
+                val end = math.min(b.length, i + 8 + sz)
+                val out = new scala.collection.mutable.ArrayBuffer[AudioFrame]()
+                var j = i + 8
+                var idx = 0
+                while (j + 1 < end) {
+                  var n = 0
+                  var ss = 0.0
+                  var zcr = 0
+                  var peak = 0
+                  var prevNonNeg = false
+                  while (n < frameSize && j + 1 < end) {
+                    val s = le16(b, j).toShort.toInt
+                    ss += s.toDouble * s
+                    if (math.abs(s) > peak) peak = math.abs(s)
+                    val nonNeg = s >= 0
+                    if (n > 0 && nonNeg != prevNonNeg) zcr += 1
+                    prevNonNeg = nonNeg
+                    n += 1
+                    j += 2
+                  }
+                  out += AudioFrame(idx, n, math.sqrt(ss / n), zcr, peak)
+                  idx += 1
+                }
+                frames = out.toSeq
+              }
+            }
+            i += 8 + sz + (sz & 1)
+          }
+        }
+        if (bad) null else frames
       }
     }
     f(payload)

@@ -584,12 +584,24 @@ object Vp8l {
 
   /** Decode a VP8L payload (the chunk body, starting at the 0x2f
     * signature byte). Returns (width, height, ARGB pixels row-major). */
+  /** Pixel budget for one decoded image. A 30-byte header can declare
+    * 16384×16384 (1 GiB of ARGB) — without a cap a fuzzed or hostile
+    * payload OOMs the executor task before any bitstream validation
+    * runs. Same fail-fast contract as `graft.util.Guard`; override
+    * with JVM property `graft.maxImagePixels`. */
+  private def maxPixels: Long =
+    sys.props.get("graft.maxImagePixels").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   def decodePayload(b: Array[Byte], off: Int): (Int, Int, Array[Int]) = {
     require(off < b.length && (b(off) & 0xff) == 0x2f,
       "vp8l: bad signature")
     val br = new BitReader(b, off + 1)
     val w = br.readBits(14) + 1
     val h = br.readBits(14) + 1
+    require(w.toLong * h <= maxPixels,
+      s"vp8l: ${w}x$h exceeds graft.maxImagePixels=$maxPixels — " +
+        "raise the property if the image is legitimate")
     br.readBit() // alpha hint
     require(br.readBits(3) == 0, "vp8l: unsupported version")
     val img = decodeStream(br, w, h, level0 = true)

@@ -322,6 +322,24 @@ object TextQueries extends QueryPack {
           round(avg(col("wv.rms")), 6).as("avg_rms"))
         .orderBy("source")
     }),
+    "q_audio_frames" -> ((s, dir) => {
+      // frame-level PCM features (RMS / zero-crossings / peak) over
+      // 32-sample windows of the synthetic PCM-16 WAVs; the oracle
+      // recomputes every frame from the sample formula
+      // s(j) = (id·7 + j·3) % 2001 − 1000.
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("af", MultimodalOps.audioFrames(
+          MultimodalOps.syntheticWav(col("doc_id")), 32))
+        .select(col("source"), col("doc_id"), explode(col("af")).as("f"))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("f.n")).as("n_samples"),
+          round(avg(col("f.rms")), 6).as("avg_rms"),
+          sum(col("f.zcr")).as("zcr_sum"),
+          sum(col("f.peak")).as("peak_sum"))
+        .orderBy("source")
+    }),
     "q_warc_extract" -> ((s, dir) => {
       // WARC crawl-source parse: real ISO-28500 framing (header block
       // + Content-Length body + HTTP response parse + HTML text
@@ -829,6 +847,32 @@ object TextQueries extends QueryPack {
         |JOIN imgs g ON g.id = i.id
         |JOIN rs r ON r.id = i.id
         |JOIN wv w ON w.id = i.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_audio_frames" ->
+      """WITH ids AS (
+        |  SELECT source, doc_id id, 64 + doc_id % 64 AS ns
+        |  FROM documents),
+        |smp AS (
+        |  SELECT i.source, i.id, j.j, j.j // 32 AS fr,
+        |    ((i.id * 7 + j.j * 3) % 2001) - 1000 AS s
+        |  FROM ids i, range(0, 128) j(j) WHERE j.j < i.ns),
+        |fr AS (
+        |  SELECT source, id, fr, COUNT(*) n,
+        |    SQRT(AVG(POW(s, 2))) rms, MAX(ABS(s)) peak
+        |  FROM smp GROUP BY 1, 2, 3),
+        |zc AS (
+        |  SELECT a.source, a.id, a.fr,
+        |    COUNT(CASE WHEN (a.s >= 0) <> (p.s >= 0) THEN 1 END) z
+        |  FROM smp a JOIN smp p
+        |    ON p.id = a.id AND p.j = a.j - 1 AND p.fr = a.fr
+        |  GROUP BY 1, 2, 3)
+        |SELECT f.source, COUNT(*)::BIGINT AS n_frames,
+        |  SUM(f.n)::BIGINT AS n_samples,
+        |  ROUND(AVG(f.rms), 6) AS avg_rms,
+        |  SUM(COALESCE(z.z, 0))::BIGINT AS zcr_sum,
+        |  SUM(f.peak)::BIGINT AS peak_sum
+        |FROM fr f LEFT JOIN zc z
+        |  ON z.id = f.id AND z.fr = f.fr AND z.source = f.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_warc_extract" ->
       """WITH d AS (

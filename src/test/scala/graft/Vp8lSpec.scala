@@ -140,6 +140,45 @@ class Vp8lSpec extends AnyFunSuite {
       EncOpts(cacheBits = 4))
   }
 
+  test("fuzz: random bytes never escape as non-IAE or hang") {
+    val rnd = new scala.util.Random(42) // deterministic
+    val sig = Array[Byte]('R', 'I', 'F', 'F', 20, 0, 0, 0,
+      'W', 'E', 'B', 'P')
+    var threw = 0
+    for (trial <- 0 until 3000) {
+      val len = rnd.nextInt(200)
+      val junk = new Array[Byte](len)
+      rnd.nextBytes(junk)
+      val payload = trial % 3 match {
+        case 0 => junk // raw garbage -> decodeWebp returns null
+        case 1 => sig ++ junk // RIFF/WEBP + garbage chunks
+        case 2 => // valid-looking VP8L chunk, garbage bitstream
+          sig ++ Array[Byte]('V', 'P', '8', 'L') ++
+            Array[Byte]((len max 1).toByte, 0, 0, 0) ++
+            Array[Byte](0x2f) ++ junk
+      }
+      try { Vp8l.decodeWebp(payload); () }
+      catch {
+        case _: IllegalArgumentException => threw += 1
+        case e: Throwable =>
+          fail(s"trial $trial: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(threw > 100, "fuzz should hit the loud-error paths often")
+  }
+
+  test("declared-huge dimensions fail fast, never allocate") {
+    // hand-build a VP8L header declaring 16384 x 16384
+    val bw = new Vp8l.BitWriter()
+    bw.writeBits(16383, 14); bw.writeBits(16383, 14)
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    val body = bw.toArray
+    val e = intercept[IllegalArgumentException] {
+      Vp8l.decodePayload(Array[Byte](0x2f) ++ body ++ new Array[Byte](64), 0)
+    }
+    assert(e.getMessage.contains("maxImagePixels"))
+  }
+
   test("lz77 value coding is a bijection on 1..4096") {
     for (v <- 1 to 4096) {
       val (c, eb, ev) = Vp8l.lz77Code(v)
