@@ -388,6 +388,23 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("id1") + col("id2")).as("pair_id_sum"))
     }),
+    "q_image_clusters" -> ((s, dir) => {
+      // cross-modal composition: perceptual-hash pairs feed the same
+      // star-contraction connected-components engine the text dedup
+      // uses; oracle rebuilds clusters as hash-equality groups (exact
+      // at maxDist=0, including any cross-page hash collision).
+      val sub = t(s, dir, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"), MultimodalOps.syntheticBmp(
+          col("doc_id") % 311).as("payload"))
+      val pairs = MultimodalOps.imageDupPairs(sub, col("doc_id"),
+        col("payload"), 0)
+      graft.graph.GraphOps.dupClusters(pairs, col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_clustered"),
+          countDistinct(col("component")).as("n_clusters"),
+          sum(col("component")).as("comp_sum"),
+          sum(col("csize")).as("csize_sum"))
+    }),
     "q_url_dedup" -> ((s, dir) => {
       // URL canonicalization as a crawl-dedup key: raw URLs vary by
       // scheme case / www / default port / trailing slash / tracking
@@ -949,6 +966,43 @@ object TextQueries extends QueryPack {
         |  SUM(a.doc_id + b.doc_id)::BIGINT AS pair_id_sum
         |FROM dh a JOIN dh b
         |  ON a.hh = b.hh AND a.hl = b.hl AND a.doc_id < b.doc_id""".stripMargin,
+    "q_image_clusters" ->
+      """WITH pages AS (
+        |  SELECT DISTINCT doc_id % 311 AS page FROM documents
+        |  WHERE doc_id < 3000),
+        |dims AS (
+        |  SELECT page, (8 + page % 9) w, (8 + (page * 3) % 9) h
+        |  FROM pages),
+        |grays AS (
+        |  SELECT d.page, gx.x, gy.y,
+        |    (299 * ((d.page*31 + ((gx.x*d.w)//9)*7 + ((gy.y*d.h)//8)*13) % 256)
+        |   + 587 * ((d.page*17 + ((gx.x*d.w)//9)*11 + ((gy.y*d.h)//8)*3) % 256)
+        |   + 114 * ((d.page*5 + ((gx.x*d.w)//9)*3 + ((gy.y*d.h)//8)*29) % 256))
+        |      // 1000 AS g
+        |  FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)),
+        |bits AS (
+        |  SELECT a.page, a.y * 8 + a.x AS k
+        |  FROM grays a JOIN grays b
+        |    ON b.page = a.page AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND b.g > a.g),
+        |hv AS (
+        |  SELECT p.page,
+        |    COALESCE(SUM(CASE WHEN k >= 32 THEN (1::BIGINT << (k - 32)) END), 0) hh,
+        |    COALESCE(SUM(CASE WHEN k < 32 THEN (1::BIGINT << k) END), 0) hl
+        |  FROM pages p LEFT JOIN bits b ON b.page = p.page
+        |  GROUP BY 1),
+        |dh AS (
+        |  SELECT d.doc_id, h.hh, h.hl
+        |  FROM documents d JOIN hv h ON h.page = d.doc_id % 311
+        |  WHERE d.doc_id < 3000),
+        |g AS (
+        |  SELECT hh, hl, MIN(doc_id) mid, COUNT(*) cnt
+        |  FROM dh GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |SELECT SUM(cnt)::BIGINT AS n_clustered,
+        |  COUNT(*)::BIGINT AS n_clusters,
+        |  SUM(mid * cnt)::BIGINT AS comp_sum,
+        |  SUM(cnt * cnt)::BIGINT AS csize_sum
+        |FROM g""".stripMargin,
     "q_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, doc_id % 1000 AS page FROM documents),
