@@ -359,6 +359,24 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_warc_gz" -> ((s, dir) => {
+      // Common-Crawl layout: one gzip member per record; the reader
+      // auto-detects the magic and inflates the member sequence, so
+      // the same id-arithmetic oracle covers the compressed twin.
+      import graft.sources.WarcOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"), explode(WarcOps.warcRecords(
+          WarcOps.syntheticWarcGz(col("doc_id")))).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .filter(col("warc_type") === "response")
+        .groupBy((col("doc_id") % 50).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          count(when(col("http_status") === 200, 1)).as("n_ok"),
+          sum(length(col("text"))).as("text_len"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .orderBy("host")
+    }),
     "q_image_dhash" -> ((s, dir) => {
       // perceptual image hash over REAL decoded rasters: payloads are
       // valid BMPs keyed by page = doc_id % 311, and the oracle
@@ -895,6 +913,19 @@ object TextQueries extends QueryPack {
       """WITH d AS (
         |  SELECT doc_id i, 2 + doc_id % 3 nrec FROM documents
         |  WHERE doc_id < 5000),
+        |recs AS (
+        |  SELECT d.i, r.r, 1 + (d.i + r.r) % 4 AS w,
+        |    LENGTH('doc ' || d.i::VARCHAR || ' rec ' || r.r::VARCHAR) AS ulen
+        |  FROM d, range(0, 4) r(r) WHERE r.r < d.nrec)
+        |SELECT (i % 50) AS host, COUNT(*)::BIGINT AS n_pages,
+        |  COUNT(CASE WHEN r % 2 = 0 THEN 1 END)::BIGINT AS n_ok,
+        |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
+        |  SUM(4 * w)::BIGINT AS n_tokens
+        |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_warc_gz" ->
+      """WITH d AS (
+        |  SELECT doc_id i, 2 + doc_id % 3 nrec FROM documents
+        |  WHERE doc_id < 4000),
         |recs AS (
         |  SELECT d.i, r.r, 1 + (d.i + r.r) % 4 AS w,
         |    LENGTH('doc ' || d.i::VARCHAR || ' rec ' || r.r::VARCHAR) AS ulen

@@ -20,9 +20,13 @@ import scala.collection.mutable.ArrayBuffer
   * Supported: WARC/1.0 and 1.1 records with Content-Length framing;
   * `response` records get their HTTP status/headers parsed and an
   * HTML-tag-stripped text extraction (script/style dropped whole).
-  * Documented non-goals: gzip member decompression (Spark's
-  * binaryFile already decodes `.gz` whole-file; per-record gzip needs
-  * a streaming source) and charset sniffing (UTF-8/Latin-1 assumed).
+  * Gzip is handled: [[warcRecords]] auto-detects the 0x1f8b magic
+  * and inflates ALL members before parsing — Common-Crawl-style
+  * `.warc.gz` files are one gzip member PER RECORD, which the JDK's
+  * GZIPInputStream reads as a concatenated sequence. Decompressed
+  * size is capped (`graft.maxWarcBytes`, default 1 GiB) so a zip
+  * bomb fails fast instead of OOMing the task. Documented non-goal:
+  * charset sniffing (UTF-8/Latin-1 assumed).
   */
 object WarcOps {
 
@@ -131,10 +135,47 @@ object WarcOps {
     out.toSeq
   }
 
+  /** Decompressed-size budget for one WARC file (see object doc). */
+  private def maxWarcBytes: Long =
+    sys.props.get("graft.maxWarcBytes").map(_.toLong)
+      .getOrElse(1L << 30)
+
+  /** Inflate every gzip member in `b` (Common-Crawl layout: one
+    * member per record; the JDK stream reads them as a sequence).
+    * Fails loud past the `graft.maxWarcBytes` budget. */
+  private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    var total = 0L
+    while (n > 0) {
+      total += n
+      require(total <= maxWarcBytes,
+        s"warc: decompressed size exceeds graft.maxWarcBytes=" +
+          s"$maxWarcBytes — raise the property for legitimate files")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
   /** Column form: one WARC file's bytes → array of record structs;
-    * `explode` it into the per-page relation. */
+    * `explode` it into the per-page relation. `.warc.gz` payloads
+    * (gzip magic 0x1f8b) are inflated first; corrupt gzip yields an
+    * empty record list like any other malformed file. */
   def warcRecords(payload: Column): Column = {
-    val f = udf { (b: Array[Byte]) => parseWarc(b) }
+    val f = udf { (b: Array[Byte]) =>
+      if (b != null && b.length > 2 && (b(0) & 0xff) == 0x1f &&
+          (b(1) & 0xff) == 0x8b) {
+        try parseWarc(gunzipAll(b))
+        catch {
+          case e: IllegalArgumentException => throw e // budget: loud
+          case _: Exception => Seq.empty[WarcRecord]  // corrupt: empty
+        }
+      } else parseWarc(b)
+    }
     f(payload)
   }
 
@@ -151,42 +192,57 @@ object WarcOps {
     * 404 (r odd), html body whose stripped text is exactly
     * `doc <id> rec <r>` repeated (1 + (id+r)%4) times, space-joined —
     * every field id-arithmetic for the oracle. */
+  private def recordString(wtype: String, uri: String,
+                           body: String): String =
+    "WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+      "\r\n" + body + "\r\n\r\n"
+
+  private def syntheticRecords(i: Long): Seq[String] = {
+    val nrec = (2 + i % 3).toInt
+    val resp = (0 until nrec).map { r =>
+      val uri = s"http://w${i % 50}.com/p$r"
+      val status = if (r % 2 == 0) 200 else 404
+      val words = (1 + (i + r) % 4).toInt
+      val textUnit = s"doc $i rec $r"
+      val html = "<html><head><script>var x=1;</script>" +
+        "<style>.a{}</style></head><body>" +
+        (0 until words).map(_ => s"<p>$textUnit</p>").mkString +
+        "</body></html>"
+      val http = s"HTTP/1.1 $status OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n" + html
+      recordString("response", uri, http)
+    }
+    resp :+ recordString("request", s"http://w${i % 50}.com/p0",
+      "GET /p0 HTTP/1.1\r\nHost: example\r\n\r\n")
+  }
+
   def syntheticWarc(id: Column): Column = {
     val f = udf { (idL: java.lang.Long) =>
       if (idL == null) null
+      else syntheticRecords(idL.longValue).mkString.getBytes("UTF-8")
+    }
+    f(id.cast("long"))
+  }
+
+  /** Common-Crawl layout twin of [[syntheticWarc]]: each record is
+    * its own gzip member, members concatenated — decompresses to the
+    * byte-identical plain file, so the same oracle covers both. */
+  def syntheticWarcGz(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
       else {
-        val i = idL.longValue
-        val nrec = (2 + i % 3).toInt
-        val sb = new StringBuilder()
-        def record(wtype: String, uri: String, body: String): Unit = {
-          sb.append("WARC/1.0\r\n")
-          sb.append(s"WARC-Type: $wtype\r\n")
-          sb.append(s"WARC-Target-URI: $uri\r\n")
-          sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
-          sb.append(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n")
-          sb.append("\r\n")
-          sb.append(body)
-          sb.append("\r\n\r\n")
+        val out = new java.io.ByteArrayOutputStream()
+        syntheticRecords(idL.longValue).foreach { rec =>
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(rec.getBytes("UTF-8"))
+          gz.finish()
         }
-        var r = 0
-        while (r < nrec) {
-          val uri = s"http://w${i % 50}.com/p$r"
-          val status = if (r % 2 == 0) 200 else 404
-          val words = (1 + (i + r) % 4).toInt
-          val textUnit = s"doc $i rec $r"
-          val html = "<html><head><script>var x=1;</script>" +
-            "<style>.a{}</style></head><body>" +
-            (0 until words).map(_ => s"<p>$textUnit</p>").mkString +
-            "</body></html>"
-          val http = s"HTTP/1.1 $status OK\r\n" +
-            "Content-Type: text/html; charset=utf-8\r\n" +
-            s"Content-Length: ${html.length}\r\n\r\n" + html
-          record("response", uri, http)
-          r += 1
-        }
-        record("request", s"http://w${i % 50}.com/p0",
-          "GET /p0 HTTP/1.1\r\nHost: example\r\n\r\n")
-        sb.toString.getBytes("UTF-8")
+        out.toByteArray
       }
     }
     f(id.cast("long"))

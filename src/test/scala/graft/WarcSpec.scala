@@ -46,6 +46,25 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcOps.htmlToText("<style>.x{color:red}</style>hi") == "hi")
   }
 
+  test("warc.gz (one gzip member per record) parses identically") {
+    import spark.implicits._
+    val rows = spark.range(0, 20)
+      .select(col("id"),
+        WarcOps.warcRecords(WarcOps.syntheticWarc(col("id"))).as("plain"),
+        WarcOps.warcRecords(WarcOps.syntheticWarcGz(col("id"))).as("gz"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Row](1) == r.getSeq[Row](2),
+        s"id=${r.getLong(0)}: gz parse differs from plain")
+    }
+    // corrupt gzip -> empty records, not a crash
+    val bad = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5)
+    val got = Seq(bad).toDF("w")
+      .select(WarcOps.warcRecords(col("w")).as("r"))
+      .collect()(0).getSeq[Row](0)
+    assert(got.isEmpty)
+  }
+
   test("truncated file yields the records before the break") {
     import spark.implicits._
     val full = spark.range(7, 8)
