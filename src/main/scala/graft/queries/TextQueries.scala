@@ -359,6 +359,24 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_pdf_extract" -> ((s, dir) => {
+      // PDF text extraction: real one-page PDFs (valid xref/trailer,
+      // alternating plain and FlateDecode content streams) built from
+      // doc_id; the oracle recomputes the extracted text's length and
+      // token count from the planted line arithmetic.
+      import graft.sources.PdfOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"),
+          PdfOps.pdfText(PdfOps.syntheticPdf(col("doc_id"))).as("t"),
+          PdfOps.pdfMeta(PdfOps.syntheticPdf(col("doc_id"))).as("m"))
+        .groupBy((col("doc_id") % 40).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_pages")).as("n_pages"),
+          sum(length(col("t"))).as("text_len"),
+          sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"))
+        .orderBy("bucket")
+    }),
     "q_warc_gz" -> ((s, dir) => {
       // Common-Crawl layout: one gzip member per record; the reader
       // auto-detects the magic and inflates the member sequence, so
@@ -922,6 +940,25 @@ object TextQueries extends QueryPack {
         |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
         |  SUM(4 * w)::BIGINT AS n_tokens
         |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pdf_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id i, 1 + doc_id % 4 nl FROM documents
+        |  WHERE doc_id < 4000),
+        |lines AS (
+        |  SELECT d.i, LENGTH('doc ' || d.i::VARCHAR || ' line ' ||
+        |    k.k::VARCHAR) AS llen
+        |  FROM d, range(0, 4) k(k) WHERE k.k < d.nl),
+        |per AS (
+        |  SELECT d.i, d.nl,
+        |    (SELECT SUM(llen) FROM lines l WHERE l.i = d.i) +
+        |    LENGTH('id (' || d.i::VARCHAR || ')') + d.nl AS tlen,
+        |    4 * d.nl + 2 AS toks
+        |  FROM d)
+        |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(*)::BIGINT AS n_pages,
+        |  SUM(tlen)::BIGINT AS text_len,
+        |  SUM(toks)::BIGINT AS n_tokens
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_warc_gz" ->
       """WITH d AS (
         |  SELECT doc_id i, 2 + doc_id % 3 nrec FROM documents

@@ -1,0 +1,48 @@
+package graft
+
+import graft.sources.PdfOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF text extraction: synthetic files (plain + FlateDecode) must
+  * extract byte-exact expected text; escapes and malformed inputs. */
+class PdfSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("syntheticPdf extracts the exact planted text (both filters)") {
+    import spark.implicits._
+    val rows = spark.range(0, 20)
+      .select(col("id"),
+        PdfOps.pdfText(PdfOps.syntheticPdf(col("id"))).as("t"),
+        PdfOps.pdfMeta(PdfOps.syntheticPdf(col("id"))).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val nl = (1 + i % 4).toInt
+      val expect = ((0 until nl).map(k => s"doc $i line $k") :+
+        s"id ($i)").mkString("\n")
+      assert(r.getString(1) == expect, s"id=$i text")
+      val m = r.getStruct(2)
+      assert(m.getString(0) == "1.4" && m.getInt(1) == 1, s"id=$i meta")
+    }
+  }
+
+  test("string escapes: parens, backslash, octal") {
+    assert(PdfOps.decodePdfString("a\\(b\\)c") == "a(b)c")
+    assert(PdfOps.decodePdfString("x\\\\y") == "x\\y")
+    assert(PdfOps.decodePdfString("\\101\\102") == "AB")
+    assert(PdfOps.decodePdfString("n\\nl") == "n\nl")
+  }
+
+  test("textFromContent handles nested parens and TJ arrays") {
+    val c = "BT (outer (inner) rest) Tj ET BT [(a) -5 (b)] TJ ET"
+    assert(PdfOps.textFromContent(c) == "outer (inner) rest\na b")
+  }
+
+  test("non-PDF payloads yield null") {
+    import spark.implicits._
+    val r = Seq("plain".getBytes, Array[Byte](1, 2))
+      .toDF("p").select(PdfOps.pdfText(col("p"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}
