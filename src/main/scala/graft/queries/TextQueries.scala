@@ -359,6 +359,25 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // real BPE encoding under a frozen merge list (training itself
+      // is spec-gated on the textbook corpus — BpeSpec). The merge
+      // pass is one non-overlapping left-to-right sweep per merge,
+      // which the oracle replays EXACTLY as chained REPLACEs over
+      // single-char placeholder symbols.
+      import graft.text.BpeOps
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+        "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+      t(s, dir, "documents").filter(col("doc_id") < 4000)
+        .select(col("source"),
+          BpeOps.bpeEncode(col("text"), merges).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_tokens"),
+          sum(expr("size(filter(toks, t -> length(t) > 1))"))
+            .as("n_merged"))
+        .orderBy("source")
+    }),
     "q_pdf_extract" -> ((s, dir) => {
       // PDF text extraction: real one-page PDFs (valid xref/trailer,
       // alternating plain and FlateDecode content streams) built from
@@ -940,6 +959,38 @@ object TextQueries extends QueryPack {
         |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
         |  SUM(4 * w)::BIGINT AS n_tokens
         |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bpe_tokens" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g') t
+        |  FROM documents WHERE doc_id < 4000),
+        |w AS (
+        |  SELECT source, doc_id, unnest(string_split(t, ' ')) AS w
+        |  FROM d),
+        |e AS (
+        |  SELECT source, doc_id,
+        |    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+        |      REPLACE(w,
+        |      'th', CHR(57345)),
+        |      CHR(57345) || 'e', CHR(57346)),
+        |      'in', CHR(57347)),
+        |      'an', CHR(57348)),
+        |      CHR(57348) || 'd', CHR(57349)),
+        |      'er', CHR(57350)),
+        |      'on', CHR(57351)),
+        |      're', CHR(57352)) enc
+        |  FROM w WHERE w <> ''),
+        |agg AS (
+        |  SELECT source,
+        |    SUM(LENGTH(enc)) n_tokens,
+        |    SUM(LENGTH(enc) -
+        |      LENGTH(REGEXP_REPLACE(enc, '[^a-z]', '', 'g'))) n_merged
+        |  FROM e GROUP BY 1),
+        |nd AS (SELECT source, COUNT(*) n_docs FROM d GROUP BY 1)
+        |SELECT n.source, n.n_docs::BIGINT AS n_docs,
+        |  a.n_tokens::BIGINT AS n_tokens, a.n_merged::BIGINT AS n_merged
+        |FROM nd n JOIN agg a ON a.source = n.source
+        |ORDER BY 1""".stripMargin,
     "q_pdf_extract" ->
       """WITH d AS (
         |  SELECT doc_id i, 1 + doc_id % 4 nl FROM documents
