@@ -359,6 +359,22 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_boilerplate" -> ((s, dir) => {
+      // jusText-style boilerplate removal: synthetic pages plant a
+      // nav bar, k content paragraphs, a too-short teaser, and a
+      // link-farm footer; only the paragraphs survive, and the oracle
+      // recomputes the surviving text's length/tokens from id
+      // arithmetic.
+      import graft.text.BoilerplateOps
+      t(s, dir, "documents").filter(col("doc_id") < 4000)
+        .select(col("source"), BoilerplateOps.extractContent(
+          BoilerplateOps.syntheticHtml(col("doc_id"))).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("c"))).as("content_len"),
+          sum(size(split(col("c"), "[\\s\\n]+"))).as("n_tokens"))
+        .orderBy("source")
+    }),
     "q_bpe_tokens" -> ((s, dir) => {
       // real BPE encoding under a frozen merge list (training itself
       // is spec-gated on the textbook corpus — BpeSpec). The merge
@@ -959,6 +975,25 @@ object TextQueries extends QueryPack {
         |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
         |  SUM(4 * w)::BIGINT AS n_tokens
         |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_boilerplate" ->
+      """WITH d AS (
+        |  SELECT source, doc_id i, 1 + doc_id % 4 k FROM documents
+        |  WHERE doc_id < 4000),
+        |paras AS (
+        |  SELECT d.i, LENGTH('para ' || d.i::VARCHAR || ' item ' ||
+        |    kk.kk::VARCHAR ||
+        |    ' alpha beta gamma delta epsilon zeta') plen
+        |  FROM d, range(0, 4) kk(kk) WHERE kk.kk < d.k),
+        |per AS (
+        |  SELECT d.source, d.i,
+        |    (SELECT SUM(plen) FROM paras p WHERE p.i = d.i) +
+        |      (d.k - 1) clen,
+        |    10 * d.k toks
+        |  FROM d)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(clen)::BIGINT AS content_len,
+        |  SUM(toks)::BIGINT AS n_tokens
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source, doc_id,
