@@ -70,7 +70,9 @@ object AviOps {
                 if (ascii(b, j, "00db") || ascii(b, j, "00dc"))
                   frames += RawFrame(frames.length,
                     compressed = b(j + 3) == 'c', j + 8, fsz, j)
-                j += 8 + fsz + (fsz & 1)
+                // Long advance: j + fsz can exceed Int range near 2 GiB
+                val nj = j.toLong + 8 + fsz + (fsz & 1)
+                if (nj > b.length) okF = false else j = nj.toInt
               }
             }
           } else walk(i + 12, end)
@@ -100,7 +102,9 @@ object AviOps {
           }
           keyFlags = entries.result()
         }
-        i += 8 + size + (size & 1)
+        // Long advance: i + size can exceed Int range near 2 GiB
+        val ni = i.toLong + 8 + size + (size & 1)
+        if (ni > b.length) ok = false else i = ni.toInt
         }
       }
     }
@@ -249,15 +253,22 @@ object AviOps {
       val avi = parseAvi(b)
       if (avi == null) null
       else {
-        val all = avi.frames.map(fr => frameStats(avi, fr, b))
-          .filter(_ != null)
-        val keys = all.filter(_.is_key)
-        val m = math.min(n, keys.length)
+        // decode each frame once; keyframe selection uses the
+        // CONTAINER flags (same rule as videoMeta/sampleKeyframes, so
+        // the three functions agree even when frames fail to decode)
+        val decoded = avi.frames.map(fr => fr -> frameStats(avi, fr, b))
+        val keyRaw = avi.frames.filter(fr =>
+          avi.keyFlags.getOrElse(fr.chunkOff, defaultKey(avi, fr)))
+        val m = math.min(n, keyRaw.length)
+        val byIdx = decoded.collect {
+          case (fr, st) if st != null => fr.idx -> st
+        }.toMap
         VideoSummary(
           VideoMeta(avi.width, avi.height, avi.frames.length,
-            keys.length, avi.compression),
-          all,
-          (0 until m).map(i => keys(i * keys.length / m)))
+            keyRaw.length, avi.compression),
+          decoded.flatMap { case (_, st) => Option(st) },
+          (0 until m).map(i => keyRaw(i * keyRaw.length / m))
+            .flatMap(fr => byIdx.get(fr.idx)))
       }
     }
     f(payload)

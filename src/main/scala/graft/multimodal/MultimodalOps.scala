@@ -439,7 +439,9 @@ object MultimodalOps {
                 if (n == 0) 0.0 else math.sqrt(ss / n))
             }
           }
-          i += 8 + sz + (sz & 1) // chunks are word-aligned
+          // Long advance: i + sz can exceed Int range near 2 GiB
+          val ni = i.toLong + 8 + sz + (sz & 1)
+          if (ni > b.length) bad = true else i = ni.toInt
           }
         }
         if (bad) null else stats
@@ -509,7 +511,10 @@ object MultimodalOps {
                 frames = out.toSeq
               }
             }
-            i += 8 + sz + (sz & 1)
+            // Long advance: i + sz can exceed Int range near 2 GiB
+            val ni = i.toLong + 8 + sz + (sz & 1)
+            if (ni > b.length && frames == null) bad = true
+            else i = math.min(ni, b.length.toLong).toInt
           }
         }
         if (bad) null else frames

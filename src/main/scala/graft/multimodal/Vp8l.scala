@@ -623,7 +623,10 @@ object Vp8l {
         // the advance below would overflow Int and loop or index out
         if (!saneChunkSize(size, b)) return null
         if (ascii(b, i, "VP8L")) return decodePayload(b, i + 8)
-        i += 8 + size + (size & 1)
+        // Long advance: i + size can exceed Int range near 2 GiB
+        val ni = i.toLong + 8 + size + (size & 1)
+        if (ni > b.length) return null
+        i = ni.toInt
       }
       null
     }

@@ -400,11 +400,14 @@ object TextQueries extends QueryPack {
       // doc_id; the oracle recomputes the extracted text's length and
       // token count from the planted line arithmetic.
       import graft.sources.PdfOps
+      // pdfSummary: one synthesis + one file walk per row (text and
+      // meta as a single struct)
       t(s, dir, "documents")
         .filter(col("doc_id") < 4000)
-        .select(col("doc_id"),
-          PdfOps.pdfText(PdfOps.syntheticPdf(col("doc_id"))).as("t"),
-          PdfOps.pdfMeta(PdfOps.syntheticPdf(col("doc_id"))).as("m"))
+        .select(col("doc_id"), PdfOps.pdfSummary(
+          PdfOps.syntheticPdf(col("doc_id"))).as("ps"))
+        .select(col("doc_id"), col("ps.text").as("t"),
+          col("ps.meta").as("m"))
         .groupBy((col("doc_id") % 40).as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("m.n_pages")).as("n_pages"),

@@ -31,21 +31,23 @@ object PdfOps {
 
   private def inflate(b: Array[Byte], from: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(b, from, len)
-    val out = new java.io.ByteArrayOutputStream(len * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var total = 0L
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && !inf.finished()) return out.toByteArray // stuck: stop
-      total += n
-      require(total <= maxStreamBytes,
-        s"pdf: decompressed stream exceeds graft.maxPdfBytes=" +
-          s"$maxStreamBytes — raise the property for legitimate files")
-      out.write(buf, 0, n)
-    }
-    inf.end()
-    out.toByteArray
+    try {
+      inf.setInput(b, from, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(len.toLong * 4, 1L << 26).toInt) // clamp: no Int overflow
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return out.toByteArray // stuck: stop
+        total += n
+        require(total <= maxStreamBytes,
+          s"pdf: decompressed stream exceeds graft.maxPdfBytes=" +
+            s"$maxStreamBytes — raise the property for legitimate files")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end() // release native memory on every exit path
   }
 
   private def indexOf(b: Array[Byte], pat: String, from: Int): Int = {
@@ -97,7 +99,6 @@ object PdfOps {
           // strip the EOL before "endstream"
           if (de > ds && b(de - 1) == '\n') de -= 1
           if (de > ds && b(de - 1) == '\r') de -= 1
-          val raw = java.util.Arrays.copyOfRange(b, ds, de)
           val data =
             if (dict.contains("/FlateDecode"))
               try inflate(b, ds, de - ds)
@@ -105,7 +106,7 @@ object PdfOps {
                 case e: IllegalArgumentException => throw e // budget
                 case _: Exception => Array.emptyByteArray
               }
-            else raw
+            else java.util.Arrays.copyOfRange(b, ds, de)
           if (data.nonEmpty) out += data
           i = e + "endstream".length
         }
@@ -220,6 +221,31 @@ object PdfOps {
         val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
         val pages = "/Type\\s*/Page(?![s])".r.findAllIn(s).length
         PdfMeta(version, pages, b.length.toLong)
+      }
+    }
+    f(payload)
+  }
+
+  /** Meta + extracted text in ONE file walk — use when a query needs
+    * both (the single-facet functions each rescan the payload). */
+  case class PdfSummary(meta: PdfMeta, text: String)
+
+  def pdfSummary(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null || b.length < 8 || !(b(0) == '%' && b(1) == 'P' &&
+          b(2) == 'D' && b(3) == 'F')) null
+      else {
+        val head = new String(b, 0, math.min(16, b.length),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
+        val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val pages = "/Type\\s*/Page(?![s])".r.findAllIn(all).length
+        val text = contentStreams(b)
+          .map(d => textFromContent(new String(d,
+            java.nio.charset.StandardCharsets.ISO_8859_1)))
+          .filter(_.nonEmpty)
+          .mkString("\n")
+        PdfSummary(PdfMeta(version, pages, b.length.toLong), text)
       }
     }
     f(payload)

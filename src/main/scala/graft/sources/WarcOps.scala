@@ -56,15 +56,13 @@ object WarcOps {
     }.toMap
 
   /** Strip HTML to text: drop script/style blocks whole, drop tags,
-    * decode the five standard entities, collapse whitespace. Regex
+    * decode the five standard entities (`&amp;` last — see
+    * [[graft.text.HtmlText]]), collapse whitespace. Regex
     * tag-stripping is the documented extraction standard for crawl
     * text pipelines (not a DOM parse — stated, not guessed). */
   private[graft] def htmlToText(html: String): String =
-    html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
-      .replaceAll("(?s)<[^>]*>", " ")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
-      .replaceAll("\\s+", " ").trim
+    graft.text.HtmlText.stripTags(
+      graft.text.HtmlText.dropScriptStyle(html))
 
   /** Parse one WARC file's bytes into records. Malformed framing ends
     * the parse at the last good record (partial results, no throw —
@@ -99,7 +97,10 @@ object WarcOps {
               // body = HTTP response: status line, headers, payload
               val bEnd = (bodyStart + len).toInt
               val httpHEnd = indexOfCrlfCrlf(b, bodyStart)
-              if (httpHEnd >= 0 && httpHEnd < bEnd) {
+              // the terminator must lie fully INSIDE the body: a
+              // match straddling the record boundary would make the
+              // payload length negative
+              if (httpHEnd >= 0 && httpHEnd + 4 <= bEnd) {
                 val httpHdr = new String(b, bodyStart, httpHEnd - bodyStart,
                   java.nio.charset.StandardCharsets.UTF_8)
                 val lines = httpHdr.split("\r\n")
@@ -146,7 +147,8 @@ object WarcOps {
   private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 1L << 26).toInt) // clamp: no Int overflow
     val buf = new Array[Byte](64 * 1024)
     var n = in.read(buf)
     var total = 0L
@@ -240,7 +242,7 @@ object WarcOps {
         syntheticRecords(idL.longValue).foreach { rec =>
           val gz = new java.util.zip.GZIPOutputStream(out)
           gz.write(rec.getBytes("UTF-8"))
-          gz.finish()
+          gz.close() // finish + release the native deflater now, not at GC
         }
         out.toByteArray
       }

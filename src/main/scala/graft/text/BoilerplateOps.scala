@@ -27,17 +27,11 @@ object BoilerplateOps {
     "(?i)</?(p|div|li|h[1-6]|td|tr|table|ul|ol|article|section|" +
       "header|footer|nav|aside|blockquote|br)[^>]*>"
 
-  private def stripTags(s: String): String =
-    s.replaceAll("(?s)<[^>]*>", " ")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
-      .replaceAll("\\s+", " ").trim
+  private def stripTags(s: String): String = HtmlText.stripTags(s)
 
   private[graft] def blocks(html: String, minChars: Int,
                             maxLinkDensity: Double): Seq[HtmlBlock] = {
-    val clean = html
-      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
-      .replaceAll("(?is)<!--.*?-->", " ")
+    val clean = HtmlText.dropScriptStyle(html)
     val segmented = clean.replaceAll(BlockTag, "\u0001$0")
     val out = new ArrayBuffer[HtmlBlock]()
     var idx = 0

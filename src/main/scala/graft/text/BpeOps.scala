@@ -43,12 +43,14 @@ object BpeOps {
     val freqDf = df.select(explode(words(text)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    val n = freqDf.count()
-    require(n <= vocabCap,
-      s"bpe: vocabulary of $n words exceeds cap $vocabCap — filter or " +
+    // ONE distributed job: take(cap+1) both enforces the cap and
+    // fetches the vocabulary (at 100 TB the corpus groupBy dominates;
+    // a separate count() would run the whole scan twice)
+    val rows = freqDf.take(vocabCap + 1)
+    require(rows.length <= vocabCap,
+      s"bpe: vocabulary exceeds cap $vocabCap — filter or " +
         "sample the corpus, or raise -Dgraft.maxBpeVocab")
-    val vocab = freqDf.collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val vocab = rows.map(r => (r.getString(0), r.getLong(1)))
     var seqs: Array[(Array[String], Long)] =
       vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
     val merges = new ArrayBuffer[(String, String)]()
