@@ -55,6 +55,23 @@ object EdaQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "split")
     }),
+    "q_epoch_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch shuffle: order and 1-based positions
+      // come from md5(id ":" epoch) — identical in DuckDB, so the
+      // order-sensitive checksum gates the whole permutation; the
+      // positions ride the range-partitioned global cumsum (no
+      // single-partition window).
+      val sh = SampleOps.epochShufflePositions(
+        t(s, dir, "documents").filter(col("doc_id") < 5000)
+          .select(col("doc_id"), col("source")),
+        col("doc_id"), epoch = 3)
+      sh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("position")).as("pos_sum"),
+          sum(col("position") * (col("doc_id") + 1)).as("order_checksum"),
+          min(col("position")).as("min_pos"))
+        .orderBy("source")
+    }),
     "q_volume_neutral" -> ((s, dir) => {
       SampleOps.volumeNeutral(t(s, dir, "events"), Seq("event_type"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -168,6 +185,17 @@ object EdaQueries extends QueryPack {
         |  FROM (SELECT MAX(l_discount) m FROM lineitem) WHERE m > 0.05)
         |SELECT * FROM cv UNION ALL SELECT * FROM rv
         |ORDER BY kind, name""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH sh AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':3'))
+        |      AS position
+        |  FROM documents WHERE doc_id < 5000)
+        |SELECT source, COUNT(*)::BIGINT AS n,
+        |  SUM(position)::BIGINT AS pos_sum,
+        |  SUM(position * (doc_id + 1))::BIGINT AS order_checksum,
+        |  MIN(position)::BIGINT AS min_pos
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split_ratio" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) n FROM events GROUP BY 1),

@@ -170,4 +170,31 @@ object SampleOps {
     val rng = new scala.util.Random(seed)
     rng.shuffle(df.columns.toList).take(k)
   }
+
+  /** Deterministic per-epoch training-order shuffle: order by
+    * `md5(id ":" epoch)` — a different permutation every epoch, and
+    * the SAME byte-identical permutation for a given (corpus, epoch)
+    * on any cluster size or run (no RNG, no partition-count
+    * dependence, unlike `orderBy(rand(seed))` whose output depends on
+    * partitioning). A distributed range-sort — no single-partition
+    * stage. */
+  def epochShuffle(df: DataFrame, id: Column, epoch: Int): DataFrame =
+    df.withColumn("__eps_key",
+        md5(concat(id.cast("string"), lit(":"), lit(epoch.toString))))
+      .orderBy(col("__eps_key"))
+      .drop("__eps_key")
+
+  /** Like [[epochShuffle]] but also assigns the 1-based global
+    * `position` — via the range-partitioned global cumsum (never a
+    * single-partition window), so sequence packing / curriculum
+    * schedules get reproducible offsets at any scale. */
+  def epochShufflePositions(df: DataFrame, id: Column,
+                            epoch: Int): DataFrame = {
+    val keyed = df.withColumn("__eps_key",
+      md5(concat(id.cast("string"), lit(":"), lit(epoch.toString))))
+    graft.util.GlobalCumsum.runningSums(keyed, col("__eps_key"),
+        ascending = true, Seq((lit(1L), "__eps_pos")))
+      .withColumn("position", col("__eps_pos").cast("long"))
+      .drop("__eps_key", "__eps_pos")
+  }
 }

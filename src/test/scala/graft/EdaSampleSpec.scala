@@ -232,4 +232,20 @@ class EdaSampleSpec extends AnyFunSuite {
     val d = EdaOps.dependencyScore(df, col("x"), col("y"))
     assert(math.abs(d) < 1e-12)
   }
+
+  test("epochShuffle: same epoch reproduces, different epochs differ") {
+    import graft.sample.SampleOps
+    val df = spark.range(0, 500).toDF("id")
+    def order(epoch: Int): Seq[Long] =
+      SampleOps.epochShuffle(df, col("id"), epoch)
+        .collect().map(_.getLong(0)).toSeq
+    val e1a = order(1)
+    assert(e1a == order(1), "same epoch must be byte-identical")
+    assert(e1a != order(2), "different epochs must permute differently")
+    assert(e1a.sorted == (0L until 500L), "it is a permutation")
+    // positions are the exact 1-based ranks of the shuffle order
+    val pos = SampleOps.epochShufflePositions(df, col("id"), 1)
+      .orderBy("position").collect().map(_.getLong(0)).toSeq
+    assert(pos == e1a, "positions must match the shuffle order")
+  }
 }
