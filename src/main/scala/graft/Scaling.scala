@@ -17,7 +17,9 @@ object Scaling {
         "q_tfidf", "q_clean_corpus", "q_topk_group", "q_bucket_join",
         "q_sessionize", "q_rolling_lr2", "q_hc_se", "q_multi_target",
         "q_minhash_dup", "q_semantic_dedup", "q_semantic_cells",
-        "q_webp_decode", "q_video_frames")
+        "q_webp_decode", "q_video_frames", "q_url_dedup",
+        "q_warc_gz", "q_bpe_tokens", "q_image_dhash",
+        "q_epoch_shuffle")
     val sfs = Seq("0.001", "0.01", "0.1")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
