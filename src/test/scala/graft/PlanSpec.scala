@@ -365,6 +365,43 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, plan.take(4000))
   }
 
+  test("imageDupPairs bands plan as an equi-join — no cartesian or " +
+    "nested-loop candidate generation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), graft.multimodal.MultimodalOps
+        .syntheticBmp(col("doc_id") % 31).as("payload"))
+    val plan = graft.multimodal.MultimodalOps
+      .imageDupPairs(docs, col("doc_id"), col("payload"), 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("urlDedup is one hash aggregation over a narrow projection " +
+    "of the scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.text.UrlOps.urlDedup(
+        docs.select(col("doc_id"),
+          graft.text.UrlOps.syntheticUrl(col("doc_id")).as("url")),
+        col("doc_id"), col("url"))
+      .queryExecution.executedPlan.toString
+    // exactly one data exchange (the canonical-key groupBy); AQE may
+    // add none beyond it
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 exchange:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
+  test("epochShufflePositions plans only pid-bounded windows " +
+    "(GlobalCumsum contract)") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    assertBoundedWindows(graft.sample.SampleOps
+      .epochShufflePositions(df, col("doc_id"), 1))
+  }
+
   /** Every Window node in an UNGROUPED metric/quantile plan must be
     * bounded: either keyed by the GlobalCumsum range-partition id
     * (P-way parallel) or ordering the ≤P-row per-partition offsets
