@@ -439,9 +439,13 @@ object MultimodalOps {
                 if (n == 0) 0.0 else math.sqrt(ss / n))
             }
           }
-          // Long advance: i + sz can exceed Int range near 2 GiB
+          // Long advance: i + sz can exceed Int range near 2 GiB;
+          // an overshoot on the FINAL chunk (odd size, missing pad
+          // byte) must not discard stats already computed — only bail
+          // when nothing was parsed yet
           val ni = i.toLong + 8 + sz + (sz & 1)
-          if (ni > b.length) bad = true else i = ni.toInt
+          if (ni > b.length && stats == null) bad = true
+          else i = math.min(ni, b.length.toLong).toInt
           }
         }
         if (bad) null else stats

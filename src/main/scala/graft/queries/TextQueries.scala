@@ -1026,8 +1026,9 @@ object TextQueries extends QueryPack {
         |  FROM e GROUP BY 1),
         |nd AS (SELECT source, COUNT(*) n_docs FROM d GROUP BY 1)
         |SELECT n.source, n.n_docs::BIGINT AS n_docs,
-        |  a.n_tokens::BIGINT AS n_tokens, a.n_merged::BIGINT AS n_merged
-        |FROM nd n JOIN agg a ON a.source = n.source
+        |  COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  COALESCE(a.n_merged, 0)::BIGINT AS n_merged
+        |FROM nd n LEFT JOIN agg a ON a.source = n.source
         |ORDER BY 1""".stripMargin,
     "q_pdf_extract" ->
       """WITH d AS (

@@ -192,17 +192,32 @@ object PdfOps {
     lines.mkString("\n")
   }
 
+  private def isPdf(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && b(0) == '%' && b(1) == 'P' &&
+      b(2) == 'D' && b(3) == 'F'
+
+  private val PageRe = "/Type\\s*/Page(?![s])".r
+
+  private def metaOf(b: Array[Byte]): PdfMeta = {
+    val head = new String(b, 0, math.min(16, b.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
+    val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    PdfMeta(version, PageRe.findAllIn(all).length, b.length.toLong)
+  }
+
+  private def textOf(b: Array[Byte]): String =
+    contentStreams(b)
+      .map(d => textFromContent(new String(d,
+        java.nio.charset.StandardCharsets.ISO_8859_1)))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+
   /** Extracted text of the whole file (content streams in file
     * order); null for payloads without a %PDF header. */
   def pdfText(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null || b.length < 8 || !(b(0) == '%' && b(1) == 'P' &&
-          b(2) == 'D' && b(3) == 'F')) null
-      else contentStreams(b)
-        .map(d => textFromContent(new String(d,
-          java.nio.charset.StandardCharsets.ISO_8859_1)))
-        .filter(_.nonEmpty)
-        .mkString("\n")
+      if (!isPdf(b)) null else textOf(b)
     }
     f(payload)
   }
@@ -212,16 +227,7 @@ object PdfOps {
 
   def pdfMeta(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null || b.length < 8 || !(b(0) == '%' && b(1) == 'P' &&
-          b(2) == 'D' && b(3) == 'F')) null
-      else {
-        val head = new String(b, 0, math.min(16, b.length),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
-        val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-        val pages = "/Type\\s*/Page(?![s])".r.findAllIn(s).length
-        PdfMeta(version, pages, b.length.toLong)
-      }
+      if (!isPdf(b)) null else metaOf(b)
     }
     f(payload)
   }
@@ -232,21 +238,7 @@ object PdfOps {
 
   def pdfSummary(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null || b.length < 8 || !(b(0) == '%' && b(1) == 'P' &&
-          b(2) == 'D' && b(3) == 'F')) null
-      else {
-        val head = new String(b, 0, math.min(16, b.length),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
-        val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-        val pages = "/Type\\s*/Page(?![s])".r.findAllIn(all).length
-        val text = contentStreams(b)
-          .map(d => textFromContent(new String(d,
-            java.nio.charset.StandardCharsets.ISO_8859_1)))
-          .filter(_.nonEmpty)
-          .mkString("\n")
-        PdfSummary(PdfMeta(version, pages, b.length.toLong), text)
-      }
+      if (!isPdf(b)) null else PdfSummary(metaOf(b), textOf(b))
     }
     f(payload)
   }

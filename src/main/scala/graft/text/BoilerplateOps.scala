@@ -26,13 +26,17 @@ object BoilerplateOps {
   private val BlockTag =
     "(?i)</?(p|div|li|h[1-6]|td|tr|table|ul|ol|article|section|" +
       "header|footer|nav|aside|blockquote|br)[^>]*>"
+  // compiled once: these run per document row at corpus scale
+  private val BlockRe = java.util.regex.Pattern.compile(BlockTag)
+  private val AnchorRe =
+    java.util.regex.Pattern.compile("(?is)<a[^>]*>(.*?)</a>")
 
   private def stripTags(s: String): String = HtmlText.stripTags(s)
 
   private[graft] def blocks(html: String, minChars: Int,
                             maxLinkDensity: Double): Seq[HtmlBlock] = {
     val clean = HtmlText.dropScriptStyle(html)
-    val segmented = clean.replaceAll(BlockTag, "\u0001$0")
+    val segmented = BlockRe.matcher(clean).replaceAll("\u0001$0")
     val out = new ArrayBuffer[HtmlBlock]()
     var idx = 0
     segmented.split('\u0001').foreach { seg =>
@@ -40,8 +44,7 @@ object BoilerplateOps {
       if (text.nonEmpty) {
         // link chars: text inside <a ...>...</a> within this segment
         var link = 0
-        val m = java.util.regex.Pattern
-          .compile("(?is)<a[^>]*>(.*?)</a>").matcher(seg)
+        val m = AnchorRe.matcher(seg)
         while (m.find()) link += stripTags(m.group(1)).length
         val ld = if (text.isEmpty) 0.0 else link.toDouble / text.length
         out += HtmlBlock(idx, text, text.length, link,

@@ -109,7 +109,11 @@ object BpeOps {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
     val f = udf { (s: String) =>
       if (s == null) null
-      else s.toLowerCase.replaceAll("[^a-z]+", " ").split(" ")
+      // Locale.ROOT: Spark's lower() is locale-independent; a
+      // tr_TR JVM default would dotless-lowercase 'I' and diverge
+      // from training and the oracle
+      else s.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z]+", " ").split(" ")
         .filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, merges)).toSeq
     }
