@@ -55,6 +55,18 @@ object EdaQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "split")
     }),
+    "q_seeded_sample" -> ((s, dir) => {
+      // exact k-minimum-values sample: the 500 docs with the smallest
+      // md5(id ":7") — deterministic and engine-independent, so the
+      // oracle reproduces the EXACT member set, not just its size.
+      SampleOps.seededSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), 500, seed = 7)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    }),
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch shuffle: order and 1-based positions
       // come from md5(id ":" epoch) — identical in DuckDB, so the
@@ -185,6 +197,14 @@ object EdaQueries extends QueryPack {
         |  FROM (SELECT MAX(l_discount) m FROM lineitem) WHERE m > 0.05)
         |SELECT * FROM cv UNION ALL SELECT * FROM rv
         |ORDER BY kind, name""".stripMargin,
+    "q_seeded_sample" ->
+      """WITH s AS (
+        |  SELECT source, doc_id FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR || ':7') LIMIT 500)
+        |SELECT source, COUNT(*)::BIGINT AS n,
+        |  SUM(doc_id)::BIGINT AS id_sum,
+        |  MIN(doc_id)::BIGINT AS min_id, MAX(doc_id)::BIGINT AS max_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH sh AS (
         |  SELECT source, doc_id,

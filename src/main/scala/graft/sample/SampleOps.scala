@@ -171,6 +171,22 @@ object SampleOps {
     rng.shuffle(df.columns.toList).take(k)
   }
 
+  /** Exact, deterministic, uniform without-replacement k-sample: the
+    * k rows with the smallest `md5(id ":" seed)` (k-minimum-values).
+    * Same sample on any cluster size or run; a different seed gives an
+    * independent sample. Plans as TakeOrderedAndProject — each
+    * partition keeps its local top-k and the driver merges k·P rows,
+    * no full sort shuffle (PlanSpec-pinned). */
+  def seededSample(df: DataFrame, id: Column, k: Int,
+                   seed: Long): DataFrame = {
+    require(k > 0, "seededSample: k must be > 0")
+    df.withColumn("__ss_key",
+        md5(concat(id.cast("string"), lit(":"), lit(seed.toString))))
+      .orderBy(col("__ss_key"))
+      .limit(k)
+      .drop("__ss_key")
+  }
+
   /** Deterministic per-epoch training-order shuffle: order by
     * `md5(id ":" epoch)` — a different permutation every epoch, and
     * the SAME byte-identical permutation for a given (corpus, epoch)

@@ -394,6 +394,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(4000))
   }
 
+  test("seededSample plans per-partition top-k (TakeOrderedAndProject), " +
+    "not a full sort") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val plan = graft.sample.SampleOps.seededSample(df, col("doc_id"),
+        50, seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // no global range-sort stage: the only exchange is the driver
+    // merge built into TakeOrdered
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
   test("epochShufflePositions plans only pid-bounded windows " +
     "(GlobalCumsum contract)") {
     val df = spark.read.parquet(s"$dir/documents.parquet")
