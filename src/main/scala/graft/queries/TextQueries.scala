@@ -359,6 +359,36 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_robots" -> ((s, dir) => {
+      // RFC 9309 robots matching: group selection (a graftbot-specific
+      // group REPLACES the * group when present), longest-match
+      // Allow/Disallow precedence, crawl-delay and sitemap parsing —
+      // the whole truth table closed-form in doc_id arithmetic.
+      import graft.sources.RobotsOps
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("r", RobotsOps.syntheticRobots(col("doc_id")))
+      val agent = "graftbot"
+      d.select(col("source"),
+          RobotsOps.robotsAllowed(col("r"),
+            concat(lit("/page"), (col("doc_id") % 9).cast("string")),
+            agent).cast("int").as("page_ok"),
+          RobotsOps.robotsAllowed(col("r"),
+            concat(lit("/private"), (col("doc_id") % 5).cast("string"),
+              lit("/doc")), agent).cast("int").as("priv_ok"),
+          RobotsOps.robotsAllowed(col("r"),
+            concat(lit("/private"), (col("doc_id") % 5).cast("string"),
+              lit("/pub/x")), agent).cast("int").as("pub_ok"),
+          RobotsOps.robotsMeta(col("r"), agent).as("m"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("page_ok")).as("n_page_ok"),
+          sum(col("priv_ok")).as("n_priv_ok"),
+          sum(col("pub_ok")).as("n_pub_ok"),
+          sum(col("m.crawl_delay")).cast("long").as("delay_sum"),
+          sum(col("m.n_sitemaps")).as("n_sitemaps"))
+        .orderBy("source")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // jusText-style boilerplate removal: synthetic pages plant a
       // nav bar, k content paragraphs, a too-short teaser, and a
@@ -978,6 +1008,23 @@ object TextQueries extends QueryPack {
         |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
         |  SUM(4 * w)::BIGINT AS n_tokens
         |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_robots" ->
+      """WITH d AS (SELECT source, doc_id i FROM documents),
+        |per AS (
+        |  SELECT source, i,
+        |    CASE WHEN i % 3 = 0 THEN 0 ELSE 1 END page_ok,
+        |    CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END priv_ok,
+        |    1 AS pub_ok,
+        |    CASE WHEN i % 3 = 0 THEN -1 ELSE 1 + i % 4 END delay,
+        |    1 + i % 2 sitemaps
+        |  FROM d)
+        |SELECT source, COUNT(*)::BIGINT AS n,
+        |  SUM(page_ok)::BIGINT AS n_page_ok,
+        |  SUM(priv_ok)::BIGINT AS n_priv_ok,
+        |  SUM(pub_ok)::BIGINT AS n_pub_ok,
+        |  SUM(delay)::BIGINT AS delay_sum,
+        |  SUM(sitemaps)::BIGINT AS n_sitemaps
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_boilerplate" ->
       """WITH d AS (
         |  SELECT source, doc_id i, 1 + doc_id % 4 k FROM documents
