@@ -359,6 +359,43 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("host")
     }),
+    "q_script_detect" -> ((s, dir) => {
+      // writing-script routing: planted Latin/Cyrillic/Han mixes with
+      // the deterministic (count desc, name asc) tie-break — the
+      // oracle recomputes the winner and ratio from id arithmetic.
+      import graft.text.ScriptOps
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("p", ScriptOps.scriptProfile(
+          ScriptOps.syntheticScriptText(col("doc_id"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("p.script") === "LATIN", 1)).as("n_latin"),
+          count(when(col("p.script") === "CYRILLIC", 1)).as("n_cyrillic"),
+          count(when(col("p.script") === "HAN", 1)).as("n_han"),
+          sum(col("p.n_letters")).as("letters_sum"),
+          round(avg(col("p.ratio")), 6).as("avg_ratio"))
+        .orderBy("source")
+    }),
+    "q_sitemap" -> ((s, dir) => {
+      // sitemap discovery parse: locs (incl. entity-decoded queries),
+      // optional lastmod/priority fields — counts and priority sums
+      // recomputed from id arithmetic.
+      import graft.sources.SitemapOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"), col("source"),
+          explode(SitemapOps.sitemapUrls(
+            SitemapOps.syntheticSitemap(col("doc_id")))).as("u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          count(col("u.lastmod")).as("n_lastmod"),
+          count(when(col("u.priority") >= 0, 1)).as("n_priority"),
+          round(sum(when(col("u.priority") >= 0, col("u.priority"))
+            .otherwise(0.0)), 6).as("priority_sum"),
+          count(when(col("u.loc").contains("&"), 1)).as("n_entity_locs"))
+        .orderBy("source")
+    }),
     "q_robots" -> ((s, dir) => {
       // RFC 9309 robots matching: group selection (a graftbot-specific
       // group REPLACES the * group when present), longest-match
@@ -1008,6 +1045,42 @@ object TextQueries extends QueryPack {
         |  SUM(w * ulen + (w - 1))::BIGINT AS text_len,
         |  SUM(4 * w)::BIGINT AS n_tokens
         |FROM recs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_script_detect" ->
+      """WITH d AS (
+        |  SELECT source, doc_id i, (doc_id % 5) + 3 a,
+        |    (doc_id % 3) + 1 b, doc_id % 4 c
+        |  FROM documents),
+        |per AS (
+        |  -- winner: max count, ties to the alphabetically-smallest
+        |  -- name (CYRILLIC < HAN < LATIN); b > 0 always
+        |  SELECT source, i, a + b + c letters,
+        |    CASE WHEN b >= a AND b >= c THEN 'CYRILLIC'
+        |         WHEN c >= a THEN 'HAN' ELSE 'LATIN' END best,
+        |    GREATEST(a, b, c)::DOUBLE / (a + b + c) ratio
+        |  FROM d)
+        |SELECT source, COUNT(*)::BIGINT AS n,
+        |  COUNT(CASE WHEN best = 'LATIN' THEN 1 END)::BIGINT AS n_latin,
+        |  COUNT(CASE WHEN best = 'CYRILLIC' THEN 1 END)::BIGINT AS n_cyrillic,
+        |  COUNT(CASE WHEN best = 'HAN' THEN 1 END)::BIGINT AS n_han,
+        |  SUM(letters)::BIGINT AS letters_sum,
+        |  ROUND(AVG(ratio), 6) AS avg_ratio
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sitemap" ->
+      """WITH d AS (
+        |  SELECT source, doc_id i, (doc_id % 4) + 2 n FROM documents
+        |  WHERE doc_id < 4000),
+        |u AS (
+        |  SELECT d.source, d.i, k.k,
+        |    CASE WHEN k.k % 2 = 0 THEN 1 ELSE 0 END has_lastmod,
+        |    CASE WHEN k.k % 2 = 1
+        |      THEN (5 + (d.i + k.k) % 5) / 10.0 ELSE NULL END pri
+        |  FROM d, range(0, 5) k(k) WHERE k.k < d.n)
+        |SELECT source, COUNT(*)::BIGINT AS n_urls,
+        |  SUM(has_lastmod)::BIGINT AS n_lastmod,
+        |  COUNT(pri)::BIGINT AS n_priority,
+        |  ROUND(SUM(COALESCE(pri, 0)), 6) AS priority_sum,
+        |  COUNT(CASE WHEN k = 0 THEN 1 END)::BIGINT AS n_entity_locs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_robots" ->
       """WITH d AS (SELECT source, doc_id i FROM documents),
         |per AS (
