@@ -56,19 +56,30 @@ class PlanSpec extends AnyFunSuite {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("v2", when(col("user_id") % 3 === 0, col("value")))
     def countJobs(body: => Unit): Int = {
-      val sc = spark.sparkContext
-      def ids = sc.statusTracker.getJobIdsForGroup(null).length
-      val before = ids
-      body
-      // the status store updates asynchronously — poll to stability
-      var last = ids
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val cur = ids
-        if (cur == last) stable += 1 else { last = cur; stable = 0 }
+      // count via a listener, NOT statusTracker retained-job ids: the
+      // status store evicts old jobs past spark.ui.retainedJobs, so in
+      // a long suite the retained count can DROP mid-test and the
+      // before/after delta goes negative (observed: -97)
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
       }
-      last - before
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // events deliver asynchronously — poll to stability
+        var last = counter.get()
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = counter.get()
+          if (cur == last) stable += 1 else { last = cur; stable = 0 }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     // the contract: job count is FIXED in the column count (every
     // column batches into the same agg passes), so tripling the
