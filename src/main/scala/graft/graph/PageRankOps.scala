@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank over an edge list — crawl-frontier
+  * prioritization for web-scale corpus construction (which hosts to
+  * crawl first, which to budget down). Beyond-the-reference operator;
+  * pairs with [[LinkOps.hostGraph]].
+  *
+  * Scale shape (the classic iterative-join formulation, tuned for
+  * Spark):
+  *  - the normalized edge table is hash-repartitioned on the source
+  *    key ONCE and persisted, so every iteration's join shuffles only
+  *    the (node, rank) table — at 100 TB the edge table is the big
+  *    side and it never moves again;
+  *  - the per-iteration contribution aggregation is an algebraic
+  *    `groupBy(sum)` — map-side partial aggregation collapses each
+  *    task's contributions before the shuffle;
+  *  - dangling-node mass needs a global scalar per iteration; the
+  *    (common) no-dangling case is detected once up front so host
+  *    graphs skip that extra job entirely;
+  *  - lineage is cut with a lazy localCheckpoint per iteration (the
+  *    plan would otherwise grow linearly and re-optimize every round);
+  *    ranks are persisted and the previous iteration unpersisted.
+  *
+  * No `.collect()` of node-sized data: the only driver values are a
+  * node count and (when dangling nodes exist) a per-iteration mass
+  * scalar.
+  */
+object PageRankOps {
+
+  /** PageRank with damping `d`: rank = (1-d)/N + d·(received + dm/N)
+    * where dm is the total rank mass of dangling (no out-edge) nodes.
+    * Multi-edges are coalesced by summing `weight` (default 1); each
+    * node's outgoing probability is weight / total outgoing weight.
+    * Returns (id, rank) with ranks summing to 1. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iterations: Int = 10, damping: Double = 0.85,
+               weight: Option[Column] = None): DataFrame = {
+    require(iterations >= 1, s"pageRank: iterations must be >= 1")
+    val w = weight.getOrElse(lit(1.0)).cast("double")
+    val e = edges.select(src.cast("long").as("u"),
+        dst.cast("long").as("v"), w.as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    // transition probabilities, pre-partitioned on the join key and
+    // persisted: the loop below joins this every iteration
+    val trans = e.join(out, "u")
+      .select(col("u"), col("v"), (col("w") / col("wout")).as("p"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u"))
+      .unionAll(e.select(col("v").as("u")))
+      .distinct()
+      .select(col("u").as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    // dangling nodes = sinks (appear only as destinations); detect the
+    // no-dangling case once so the loop can skip the per-iteration
+    // mass job (host graphs rarely have true sinks)
+    val danglingNodes = nodes.join(out, nodes("id") === out("u"),
+      "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = danglingNodes.limit(1).count() > 0L
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    while (it < iterations) {
+      val dm =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingNodes, "id")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val received = trans.join(ranks, trans("u") === ranks("id"))
+        .select(trans("v").as("id"), (col("p") * col("rank")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      val base = (1.0 - damping) / n + damping * dm / n
+      val next = nodes.join(received, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
+      it += 1
+    }
+    trans.unpersist(blocking = false)
+    danglingNodes.unpersist(blocking = false)
+    // note: `nodes` and the final `ranks` stay cached for the caller's
+    // scans; Release.free(result) drops them when done
+    ranks
+  }
+}

@@ -76,6 +76,55 @@ object GraphQueries extends QueryPack {
             col("n_found").cast("double") / col("n_exact") >= 0.8,
             col("n_exact") === 0).as("recall_ok"))
     }),
+    "q_links" -> ((s, dir) => {
+      // hyperlink extraction over the synthetic crawl pages: raw hrefs,
+      // resolved links (fragments/mailto dropped, relative/protocol-
+      // relative resolved), and same-host links — every count
+      // closed-form in doc_id arithmetic for the oracle.
+      import graft.graph.LinkOps
+      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
+        .select(col("doc_id"), col("source"),
+          LinkOps.syntheticPageUrl(col("doc_id")).as("url"),
+          LinkOps.syntheticLinkHtml(col("doc_id")).as("html"))
+      val pageHost = lower(call_function("parse_url", col("url"),
+        lit("HOST")))
+      d.select(col("source"),
+          size(LinkOps.extractHrefs(col("html"))).as("raw"),
+          LinkOps.extractLinks(col("url"), col("html")).as("links"),
+          pageHost.as("ph"))
+        .select(col("source"), col("raw"),
+          size(col("links")).as("ok"),
+          size(filter(col("links"), l =>
+            lower(call_function("parse_url", l, lit("HOST")))
+              === col("ph"))).as("self"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("raw")).as("links_raw"),
+          sum(col("ok")).as("links_resolved"),
+          sum(col("self")).as("links_self"))
+        .orderBy("source")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // crawl-frontier ranking: host graph from the synthetic pages
+      // (distinct host pairs, self-loops dropped) → 10 damped
+      // power-iteration rounds, replayed exactly by an unrolled-CTE
+      // DuckDB twin over the same closed-form edge set.
+      import graft.graph.{LinkOps, PageRankOps}
+      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
+        .select(LinkOps.syntheticPageUrl(col("doc_id")).as("url"),
+          LinkOps.syntheticLinkHtml(col("doc_id")).as("html"))
+      val hosts = LinkOps.hostGraph(d, col("url"), col("html"))
+        .select(
+          regexp_extract(col("src_host"), "^h(\\d+)\\.", 1)
+            .cast("long").as("u"),
+          regexp_extract(col("dst_host"), "^h(\\d+)\\.", 1)
+            .cast("long").as("v"))
+      val pr = PageRankOps.pageRank(hosts, col("u"), col("v"),
+        iterations = 10)
+      pr.select(col("id").as("host"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("host")
+    }),
     "q_zorder" -> ((s, dir) => {
       val p = t(s, dir, "part")
       p.select(col("p_partkey"), col("p_size"),
@@ -125,12 +174,67 @@ object GraphQueries extends QueryPack {
       |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
       |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)""".stripMargin
 
+  /** Unrolled PageRank twin: the synthetic host graph is closed-form
+    * in doc_id arithmetic (h = doc_id%50 links to (h*7+k)%50 for
+    * k=1..nk and to (h*11+1)%50; self-loops dropped), and each of the
+    * 10 damped power-iteration rounds is its own CTE replicating the
+    * exact FP expression shape ((1-0.85)/n + 0.85*dm/n + 0.85*sum). */
+  private val pagerankSql: String = {
+    val base =
+      """WITH docs AS (
+        |  SELECT doc_id % 50 AS h, doc_id % 3 + 2 AS nk
+        |  FROM documents WHERE doc_id < 5000),
+        |ek AS (
+        |  SELECT h AS u, (h*7 + 1) % 50 AS v FROM docs
+        |  UNION SELECT h, (h*7 + 2) % 50 FROM docs
+        |  UNION SELECT h, (h*7 + 3) % 50 FROM docs WHERE nk >= 3
+        |  UNION SELECT h, (h*7 + 4) % 50 FROM docs WHERE nk >= 4
+        |  UNION SELECT h, (h*11 + 1) % 50 FROM docs),
+        |e AS (SELECT u, v FROM ek WHERE u <> v),
+        |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM
+        |  (SELECT u FROM e UNION ALL SELECT v FROM e) t),
+        |cnt AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        |outd AS (SELECT u, COUNT(*)::DOUBLE AS d FROM e GROUP BY 1),
+        |p AS MATERIALIZED (SELECT e.u, e.v, 1.0 / o.d AS p
+        |      FROM e JOIN outd o ON o.u = e.u),
+        |r0 AS (SELECT id, 1.0 / c.n AS rank FROM nodes, cnt c)""".stripMargin
+    // no dangling-mass term: every host in the synthetic graph has
+    // out-edges (each host has documents, and nk >= 2 absolute links
+    // can't all be self-loops), so Spark's dm is exactly 0.0 and
+    // adding 0.0 is an FP no-op. MATERIALIZED keeps the unrolled
+    // chain linear (inlining would double the scan tree per round).
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id, (1 - 0.85) / c.n
+         |    + 0.85 * COALESCE(rc.s, 0) AS rank
+         |  FROM nodes n
+         |  CROSS JOIN cnt c
+         |  LEFT JOIN (SELECT p.v AS id, SUM(p.p * r.rank) AS s
+         |             FROM p JOIN r${i - 1} r ON r.id = p.u
+         |             GROUP BY 1) rc ON rc.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT id AS host, ROUND(rank, 6) AS rank
+       |FROM r10 ORDER BY host""".stripMargin
+  }
+
   /** The Z-order formula, spelled out bit-by-bit in SQL. */
   private val zexpr = (0 until 10).flatMap(b => Seq(
     s"((((p_partkey % 1024) >> $b) & 1) << ${2 * b})",
     s"(((p_size::BIGINT >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_links" ->
+      """SELECT source, COUNT(*) AS n_pages,
+        |  SUM(doc_id % 3 + 2 + 5)::BIGINT AS links_raw,
+        |  SUM(doc_id % 3 + 2 + 3)::BIGINT AS links_resolved,
+        |  SUM(2 + CASE WHEN ((50 - (6 * (doc_id % 50)) % 50) % 50)
+        |      BETWEEN 1 AND ((doc_id % 3) + 2) THEN 1 ELSE 0
+        |      END)::BIGINT AS links_self
+        |FROM documents WHERE doc_id < 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pagerank" -> pagerankSql,
     "q_semantic_dedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.vec_id AS i1, b.vec_id AS i2
