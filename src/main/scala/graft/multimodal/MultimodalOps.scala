@@ -337,6 +337,86 @@ object MultimodalOps {
     f(payload)
   }
 
+  /** Fixed-point DCT basis for [[pHash64]]: T(u)(x) =
+    * round(cos(π(2x+1)u/64)·2¹⁴). Integer so every downstream compare
+    * is exact — an oracle embeds the same 8×32 table as literals and
+    * replays each bit; a floating DCT would flip near-boundary bits
+    * between libm implementations. */
+  private[graft] lazy val dctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * 16384.0))
+
+  /** 64-bit perceptual DCT hash (pHash): decode, luma, nearest-
+    * neighbor resample to 32×32 (same integer rule as [[dHash64]]),
+    * separable fixed-point DCT-II, keep the 8×8 low-frequency block,
+    * and set bit v·8+u iff coefficient (v,u) exceeds the lower median
+    * of the 63 AC coefficients (the DC bit stays 0). Catches blur /
+    * re-encode / slight-crop near-dups that bit-exact dHash gradients
+    * miss; exactly invariant to constant brightness shifts (only DC
+    * moves) and to 2× nearest-neighbor upscaling (floor-division
+    * composition: ((x·2w)/32)/2 = (x·w)/32). Magnitudes stay < 2⁴⁷,
+    * so the Long arithmetic is exact. */
+  def pHash64(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      val r = readRaster(b)
+      if (r == null) null
+      else {
+        val (w, h, px) = r
+        val t = dctBasis
+        val gray = new Array[Long](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val p = px((y * h / 32) * w + (x * w / 32))
+            gray(y * 32 + x) = (299 * ((p >> 16) & 0xff) +
+              587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        // row pass: R(y)(u) = Σ_x g(y,x)·T(u)(x)
+        val rowp = new Array[Long](32 * 8)
+        y = 0
+        while (y < 32) {
+          var u = 0
+          while (u < 8) {
+            var s = 0L; var x = 0
+            while (x < 32) { s += gray(y * 32 + x) * t(u)(x); x += 1 }
+            rowp(y * 8 + u) = s
+            u += 1
+          }
+          y += 1
+        }
+        // column pass: F(v)(u) = Σ_y T(v)(y)·R(y)(u)
+        val coef = new Array[Long](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0L; var yy = 0
+            while (yy < 32) { s += t(v)(yy) * rowp(yy * 8 + u); yy += 1 }
+            coef(v * 8 + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        val ac = new Array[Long](63)
+        System.arraycopy(coef, 1, ac, 0, 63)
+        java.util.Arrays.sort(ac)
+        val med = ac(31)
+        var hash = 0L
+        var k = 1
+        while (k < 64) {
+          if (coef(k) > med) hash |= 1L << k
+          k += 1
+        }
+        java.lang.Long.valueOf(hash)
+      }
+    }
+    f(payload)
+  }
+
   /** Image near-duplicate pairs: dHash both sides, then the same
     * 16-bit band bucketing as the text simhash path (pigeonhole:
     * Hamming ≤ 3 over 4 bands leaves at least one band identical —

@@ -543,6 +543,23 @@ object TextQueries extends QueryPack {
           min(col("ph").bitwiseAND(lit(0xffffffffL))).as("hash_lo"))
         .orderBy("page")
     }),
+    "q_image_phash" -> ((s, dir) => {
+      // DCT perceptual hash over the same real decoded rasters: the
+      // oracle replays the 32x32 luma resample, both fixed-point DCT
+      // passes (the 8x32 integer basis table is embedded as VALUES
+      // from the SAME Scala array), the AC-median threshold, and every
+      // hash bit — all in SQL integer arithmetic.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 311).as("page"))
+        .withColumn("ph", MultimodalOps.pHash64(
+          MultimodalOps.syntheticBmp(col("page"))))
+      docs.groupBy(col("page"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("ph")).as("n_hashes"),
+          min(shiftrightunsigned(col("ph"), 32)).as("hash_hi"),
+          min(col("ph").bitwiseAND(lit(0xffffffffL))).as("hash_lo"))
+        .orderBy("page")
+    }),
     "q_image_dup_pairs" -> ((s, dir) => {
       // banded Hamming dup join over the perceptual hashes; the
       // oracle rebuilds the expected pair set from the SQL-computed
@@ -1252,6 +1269,54 @@ object TextQueries extends QueryPack {
         |SELECT c.page, c.n::BIGINT AS n_variants, 1::BIGINT AS n_hashes,
         |  h.hash_hi::BIGINT AS hash_hi, h.hash_lo::BIGINT AS hash_lo
         |FROM counts c JOIN hv h ON h.page = c.page ORDER BY 1""".stripMargin,
+    "q_image_phash" -> {
+      // the 8x32 fixed-point DCT basis, embedded from the SAME array
+      // the Spark-side kernel uses (bit-exact integer replay)
+      val basis = graft.multimodal.MultimodalOps.dctBasis
+      val tableVals = (for { u <- 0 until 8; x <- 0 until 32 }
+        yield s"($u,$x,${basis(u)(x)})").mkString(",")
+      s"""WITH pages AS (
+         |  SELECT DISTINCT doc_id % 311 AS page FROM documents),
+         |dims AS (
+         |  SELECT page, (8 + page % 9) w, (8 + (page * 3) % 9) h
+         |  FROM pages),
+         |g32 AS (
+         |  SELECT d.page, gx.x, gy.y,
+         |    (299 * ((d.page*31 + ((gx.x*d.w)//32)*7 + ((gy.y*d.h)//32)*13) % 256)
+         |   + 587 * ((d.page*17 + ((gx.x*d.w)//32)*11 + ((gy.y*d.h)//32)*3) % 256)
+         |   + 114 * ((d.page*5 + ((gx.x*d.w)//32)*3 + ((gy.y*d.h)//32)*29) % 256))
+         |      // 1000 AS g
+         |  FROM dims d, range(0, 32) gx(x), range(0, 32) gy(y)),
+         |t(u, x, t) AS (VALUES $tableVals),
+         |rp AS (
+         |  SELECT g.page, g.y, t.u, SUM(g.g * t.t)::BIGINT AS r
+         |  FROM g32 g JOIN t ON t.x = g.x GROUP BY 1, 2, 3),
+         |f AS (
+         |  SELECT r.page, tv.u AS v, r.u, SUM(tv.t * r.r)::BIGINT AS f
+         |  FROM rp r JOIN t tv ON tv.x = r.y GROUP BY 1, 2, 3),
+         |ac AS (
+         |  SELECT page, v * 8 + u AS k, f FROM f
+         |  WHERE NOT (v = 0 AND u = 0)),
+         |med AS (
+         |  SELECT page, f AS med FROM (
+         |    SELECT page, f,
+         |      ROW_NUMBER() OVER (PARTITION BY page ORDER BY f) rn
+         |    FROM ac) WHERE rn = 32),
+         |bits AS (
+         |  SELECT a.page, a.k FROM ac a JOIN med m USING (page)
+         |  WHERE a.f > m.med),
+         |hv AS (
+         |  SELECT p.page,
+         |    COALESCE(SUM(CASE WHEN k >= 32 THEN (1::BIGINT << (k - 32)) END), 0) hash_hi,
+         |    COALESCE(SUM(CASE WHEN k < 32 THEN (1::BIGINT << k) END), 0) hash_lo
+         |  FROM pages p LEFT JOIN bits b ON b.page = p.page
+         |  GROUP BY 1),
+         |counts AS (
+         |  SELECT doc_id % 311 AS page, COUNT(*) n FROM documents GROUP BY 1)
+         |SELECT c.page, c.n::BIGINT AS n_variants, 1::BIGINT AS n_hashes,
+         |  h.hash_hi::BIGINT AS hash_hi, h.hash_lo::BIGINT AS hash_lo
+         |FROM counts c JOIN hv h ON h.page = c.page ORDER BY 1""".stripMargin
+    },
     "q_image_dup_pairs" ->
       """WITH pages AS (
         |  SELECT DISTINCT doc_id % 311 AS page FROM documents

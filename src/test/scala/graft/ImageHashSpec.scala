@@ -95,4 +95,45 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.size >= 20, "page groups must produce exact-dup pairs")
   }
+
+  private def pHashOf(payloads: Array[Byte]*): Seq[java.lang.Long] = {
+    import spark.implicits._
+    payloads.toDF("p").select(MultimodalOps.pHash64(col("p")))
+      .collect().map(r => if (r.isNullAt(0)) null
+        else java.lang.Long.valueOf(r.getLong(0))).toSeq
+  }
+
+  test("pHash: brightness shift and 2x NN upscale are invariant") {
+    def base(x: Int, y: Int) = {
+      val v = (x * 23 + y * 41) % 200
+      (v << 16) | (v << 8) | v
+    }
+    val h0 = pHashOf(bmp(16, 12, base))(0)
+    assert(h0 != null)
+    // +40 on every channel shifts only the DC coefficient
+    val bright = bmp(16, 12, (x, y) => {
+      val v = (x * 23 + y * 41) % 200 + 40
+      (v << 16) | (v << 8) | v
+    })
+    assert(pHashOf(bright)(0) == h0, "brightness must not move pHash")
+    // 2x nearest-neighbor upscale: floor-division composition keeps
+    // every 32x32 sample identical
+    val up = bmp(32, 24, (x, y) => base(x / 2, y / 2))
+    assert(pHashOf(up)(0) == h0, "2x NN upscale must not move pHash")
+    // a real edit must move it
+    val edited = bmp(16, 12, (x, y) =>
+      if (x < 6 && y < 6) 0xffffff else base(x, y))
+    val he = pHashOf(edited)(0)
+    val d = java.lang.Long.bitCount(h0 ^ he)
+    assert(d > 0, "corner edit must flip pHash bits")
+  }
+
+  test("pHash: DC bit stays 0 and distinct textures differ") {
+    val a = pHashOf(bmp(12, 12, (x, y) =>
+      ((x * 37 + y * 11) % 256 << 16) | ((x * 13) % 256 << 8) | y * 9))(0)
+    val b = pHashOf(bmp(12, 12, (x, y) =>
+      ((x * 5 + y * 3) % 256 << 16) | ((y * 31) % 256 << 8) | x * 11))(0)
+    assert((a.longValue & 1L) == 0L && (b.longValue & 1L) == 0L)
+    assert(a != b)
+  }
 }
