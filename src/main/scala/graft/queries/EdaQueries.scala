@@ -84,6 +84,23 @@ object EdaQueries extends QueryPack {
           min(col("position")).as("min_pos"))
         .orderBy("source")
     }),
+    "q_temp_sample" -> ((s, dir) => {
+      // temperature-based domain mixing (mT5 rule, alpha = 0.5):
+      // integer weights w_d = floor(sqrt(n_d)) and pure-integer
+      // targets t_d = min(n_d, 3000*w_d div W) make the selection
+      // exactly engine-reproducible; membership is the t_d smallest
+      // md5(id ":7") per domain, so the oracle rebuilds the EXACT
+      // selected set.
+      val sel = SampleOps.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), alpha = 0.5,
+        targetTotal = 3000, seed = 7)
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    }),
     "q_volume_neutral" -> ((s, dir) => {
       SampleOps.volumeNeutral(t(s, dir, "events"), Seq("event_type"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -216,6 +233,27 @@ object EdaQueries extends QueryPack {
         |  SUM(position * (doc_id + 1))::BIGINT AS order_checksum,
         |  MIN(position)::BIGINT AS min_pos
         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_temp_sample" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, FLOOR(SQRT(n))::BIGINT AS wt FROM c),
+        |tot AS (SELECT SUM(wt) AS tw FROM w),
+        |tg AS (
+        |  SELECT source, LEAST(n, (3000 * wt) // GREATEST(1, tw)) AS t
+        |  FROM w, tot),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || ':7')) AS rk
+        |  FROM documents),
+        |sel AS (
+        |  SELECT r.source, r.doc_id
+        |  FROM r JOIN tg ON tg.source = r.source
+        |  WHERE r.rk <= tg.t)
+        |SELECT source, COUNT(*)::BIGINT AS n_selected,
+        |  SUM(doc_id)::BIGINT AS id_sum, MIN(doc_id)::BIGINT AS min_id
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split_ratio" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) n FROM events GROUP BY 1),

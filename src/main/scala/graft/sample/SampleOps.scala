@@ -213,4 +213,94 @@ object SampleOps {
       .withColumn("position", col("__eps_pos").cast("long"))
       .drop("__eps_key", "__eps_pos")
   }
+
+  /** Temperature-based domain sampling (the mT5 / multilingual-mixing
+    * rule): domain d gets a target share ∝ n_d^alpha — alpha = 1
+    * keeps natural proportions, alpha → 0 flattens toward uniform,
+    * 0 < alpha < 1 up-weights tail domains. Selects
+    * t_d = min(n_d, ⌊targetTotal · w_d / Σw⌋) documents per domain,
+    * deterministically: the t_d docs with the smallest
+    * md5(id ":" seed) hash within the domain (same selection on any
+    * cluster size / run, like [[seededSample]]).
+    *
+    * `integerWeights = true` floors each w_d = n_d^alpha to a Long
+    * BEFORE normalizing. That makes every target count pure integer
+    * arithmetic — exactly reproducible across engines and platforms
+    * (audit-grade pipelines; the driver oracle replays it in SQL).
+    * With raw double weights a 1-ulp libm difference could flip a
+    * ⌊·⌋ boundary between engines; within one JVM either mode is
+    * deterministic.
+    *
+    * Scale shape: one tiny per-domain count agg (collected under a
+    * loud `maxDomains` cap — domains are a broadcast-sized dimension,
+    * not data), then per-domain hash ranks via the range-partition +
+    * broadcast-offset scheme (NEVER a whole-domain single-task
+    * window: a 100 TB domain flows through P parallel tasks; the only
+    * single-task window runs over the ≤ P·|domains| per-partition
+    * count rows). */
+  def temperatureSample(df: DataFrame, id: Column, domain: Column,
+                        alpha: Double, targetTotal: Long,
+                        seed: Long = 0L,
+                        integerWeights: Boolean = true,
+                        maxDomains: Int = 100000): DataFrame =
+      graft.util.Release.scoped(df.sparkSession) {
+    require(alpha >= 0.0, "temperatureSample: alpha must be >= 0")
+    require(targetTotal > 0, "temperatureSample: targetTotal must be > 0")
+    val spark = df.sparkSession
+    val counts = df.groupBy(domain.as("__td_dom"))
+      .agg(count(lit(1)).as("__td_n"))
+      .limit(maxDomains + 1).collect()
+    require(counts.length <= maxDomains,
+      s"temperatureSample: more than $maxDomains domains; the per-" +
+        "domain target table is computed on the driver. Coarsen the " +
+        "domain key or raise maxDomains.")
+    // per-domain targets — integer weights by default (see scaladoc)
+    val weights = counts.map { r =>
+      val n = r.getLong(1)
+      val w = math.pow(n.toDouble, alpha)
+      (r.get(0), n, if (integerWeights) math.floor(w) else w)
+    }
+    val wSum = weights.map(_._3).sum
+    val targets = weights.map { case (d, n, w) =>
+      val t =
+        if (integerWeights)
+          math.min(n, (targetTotal * w.toLong) / math.max(1L, wSum.toLong))
+        else math.min(n, math.floor(targetTotal * w / wSum).toLong)
+      (d, t)
+    }
+    val tDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(targets.toSeq.map(x =>
+          org.apache.spark.sql.Row(x._1, x._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__td_dom",
+            df.select(domain).schema.head.dataType),
+          org.apache.spark.sql.types.StructField("__td_t",
+            org.apache.spark.sql.types.LongType))))
+    // distributed per-domain hash rank: range-partition on
+    // (domain, hash) → per-(pid, domain) local row_number (parallel) →
+    // bounded offset table broadcast back
+    val p = spark.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__td_dom", domain)
+      .withColumn("__td_h",
+        md5(concat(id.cast("string"), lit(":"), lit(seed.toString))))
+    val parted = keyed.repartitionByRange(p, col("__td_dom"), col("__td_h"))
+      .withColumn("__td_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy(col("__td_pid"), col("__td_dom"))
+      .orderBy(col("__td_h"))
+    val local = parted.withColumn("__td_rn", row_number().over(wLocal))
+    val offs = parted.groupBy(col("__td_pid"), col("__td_dom"))
+      .agg(count(lit(1)).as("__td_c"))
+      .withColumn("__td_off", coalesce(
+        sum(col("__td_c")).over(Window.partitionBy(col("__td_dom"))
+          .orderBy(col("__td_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__td_pid"), col("__td_dom"), col("__td_off"))
+    local.join(broadcast(offs), Seq("__td_pid", "__td_dom"))
+      .withColumn("__td_rank", col("__td_rn") + col("__td_off"))
+      .join(broadcast(tDf), Seq("__td_dom"))
+      .filter(col("__td_rank") <= col("__td_t"))
+      .drop("__td_dom", "__td_h", "__td_pid", "__td_rn", "__td_off",
+        "__td_rank", "__td_t")
+  }
 }

@@ -248,4 +248,51 @@ class EdaSampleSpec extends AnyFunSuite {
       .orderBy("position").collect().map(_.getLong(0)).toSeq
     assert(pos == e1a, "positions must match the shuffle order")
   }
+
+  test("temperatureSample: integer-weight targets and hash-min prefix") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 500).map(i => (i.toLong, "b")) ++
+      (500 until 525).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "dom")
+    // w = floor(sqrt(n)) = (10, 20, 5); W = 35; t = 60*w/35 (floor)
+    val out = SampleOps.temperatureSample(df, col("id"), col("dom"),
+      alpha = 0.5, targetTotal = 60, seed = 7)
+    val got = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 17L, "b" -> 34L, "c" -> 8L))
+    // selection = the t_d smallest md5(id ":7") per domain
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(s"$id:7".getBytes)
+      .map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._2).flatMap { case (dom, g) =>
+      val t = Map("a" -> 17, "b" -> 34, "c" -> 8)(dom)
+      g.map(_._1).sortBy(h).take(t)
+    }.toSet
+    val gotIds = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == want)
+    // partition-layout independence
+    val out2 = SampleOps.temperatureSample(df.repartition(7), col("id"),
+      col("dom"), alpha = 0.5, targetTotal = 60, seed = 7)
+    assert(out2.select("id").collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("temperatureSample: alpha endpoints") {
+    import spark.implicits._
+    val rows = (0 until 90).map(i => (i.toLong, "big")) ++
+      (90 until 100).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "dom")
+    // alpha = 1: natural proportions (w = n)
+    val nat = SampleOps.temperatureSample(df, col("id"), col("dom"),
+        alpha = 1.0, targetTotal = 50)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("big" -> 45L, "small" -> 5L))
+    // alpha = 0: uniform (w = 1 each)
+    val uni = SampleOps.temperatureSample(df, col("id"), col("dom"),
+        alpha = 0.0, targetTotal = 20)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("big" -> 10L, "small" -> 10L))
+  }
 }
