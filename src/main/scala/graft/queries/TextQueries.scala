@@ -543,6 +543,33 @@ object TextQueries extends QueryPack {
           min(col("ph").bitwiseAND(lit(0xffffffffL))).as("hash_lo"))
         .orderBy("page")
     }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // fastText-style quality filter: hashed bag-of-words features
+      // (md5-prefix buckets — the oracle replays every bucket count in
+      // SQL) + distributed IRLS logistic on a SQL-checkable label
+      // (n_chars > 300). Feature sums and n anchor the featurization;
+      // the near-zero ridge-MLE score equations gate the training.
+      import graft.text.ClassifierOps
+      import graft.ops.LinRegOps
+      val dim = 13
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("text"), (col("n_chars") > 300).cast("double").as("yb"))
+      val beta = ClassifierOps.trainQualityClassifier(docs,
+        col("doc_id"), col("text"), col("yb"), dim)
+      val feats = ClassifierOps.hashedFeatures(docs, col("doc_id"),
+        col("text"), dim)
+      feats.withColumn("mu", LinRegOps.logisticPredict(
+          (0 until dim).map(i => col(s"f$i")), beta))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("yb")), 1).as("sum_y"),
+          sum(col("n_tok")).as("tok_sum"),
+          round(sum(col("f0")), 6).as("f0_sum"),
+          round(sum(col("f5")), 6).as("f5_sum"),
+          round(sum(col("f11")), 6).as("f11_sum"),
+          (round(sum(col("mu") - col("yb")), 3) + 0.0).as("score_bias"),
+          (round(sum(col("f3") * (col("mu") - col("yb"))), 3) + 0.0)
+            .as("score_f3"))
+    }),
     "q_image_phash" -> ((s, dir) => {
       // DCT perceptual hash over the same real decoded rasters: the
       // oracle replays the 32x32 luma resample, both fixed-point DCT
@@ -1269,6 +1296,37 @@ object TextQueries extends QueryPack {
         |SELECT c.page, c.n::BIGINT AS n_variants, 1::BIGINT AS n_hashes,
         |  h.hash_hi::BIGINT AS hash_hi, h.hash_lo::BIGINT AS hash_lo
         |FROM counts c JOIN hv h ON h.page = c.page ORDER BY 1""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS t
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, t, md5(t) AS m FROM tok WHERE t <> ''),
+        |b AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN substring(m,1,1) BETWEEN '0' AND '9'
+        |           THEN ascii(substring(m,1,1)) - 48
+        |           ELSE ascii(substring(m,1,1)) - 87 END) * 16
+        |   + CASE WHEN substring(m,2,1) BETWEEN '0' AND '9'
+        |          THEN ascii(substring(m,2,1)) - 48
+        |          ELSE ascii(substring(m,2,1)) - 87 END) % 13 AS bk
+        |  FROM tok2),
+        |f AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |    SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) f0,
+        |    SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) f5,
+        |    SUM(CASE WHEN bk = 11 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) f11
+        |  FROM b GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(*) FROM documents)::BIGINT AS n,
+        |  (SELECT ROUND(SUM(CASE WHEN n_chars > 300 THEN 1.0
+        |     ELSE 0.0 END), 1) FROM documents) AS sum_y,
+        |  SUM(n_tok)::BIGINT AS tok_sum,
+        |  ROUND(SUM(f0), 6) AS f0_sum,
+        |  ROUND(SUM(f5), 6) AS f5_sum,
+        |  ROUND(SUM(f11), 6) AS f11_sum,
+        |  0.0 AS score_bias, 0.0 AS score_f3
+        |FROM f""".stripMargin,
     "q_image_phash" -> {
       // the 8x32 fixed-point DCT basis, embedded from the SAME array
       // the Spark-side kernel uses (bit-exact integer replay)
