@@ -49,9 +49,15 @@ object CorpusOps {
     require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
     require(minCount >= 2,
       s"duplicatedSpans: minCount must be >= 2, got $minCount")
+    // Gram hashing runs through the native WordNgramHashes expression:
+    // bit-for-bit `transform(TextOps.wordNgrams(text,k), xxhash64)`
+    // (equivalence is pinned by NativeExprSpec across tokenization edge
+    // cases), but a single codegen'd pass per document instead of four
+    // nested interpreted higher-order functions — this is the hot inner
+    // loop (every word passes through it k times).
     val grams = df.select(id.as("doc_id"),
-        posexplode(TextOps.wordNgrams(text, k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+        posexplode(org.apache.spark.sql.graft.NativeFunctions
+          .wordNgramHashesNative(text, k)).as(Seq("pos", "gh")))
     // Duplicate-hash set via groupBy + semi-join rather than a
     // count-over-window: the window would shuffle AND sort every
     // (doc_id, pos, gh) gram row globally; the groupBy shuffles only the
