@@ -38,7 +38,8 @@ object SparkEntry {
     StorageQueries,
     SketchQueries,
     CorpusQueries,
-    ParityQueries
+    ParityQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

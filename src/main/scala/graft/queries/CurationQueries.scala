@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.FilterRules
+
+/** Driver-contract queries for the named curation rule sets (Gopher /
+  * C4). The synthetic documents carry no punctuation, newlines or
+  * symbols, so each query augments the text deterministically from
+  * doc_id arithmetic — built with the identical string expression in
+  * the oracle SQL, so every rule path (bullets, ellipses, symbol runs,
+  * stopword-rich tails, javascript lines, lorem ipsum, braces, blocked
+  * words) is exercised and cross-engine checked. */
+object CurationQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("t", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\n- bullet one\n- bullet two\n* third bullet"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nthis line trails off...\nand another…"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" ### ## # …")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" the data and results have merit to be good with " +
+              "that of")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            lit(" 123 456 789 012 345 678 901 234"))
+            .otherwise(lit(""))))
+      aug.withColumn("g", FilterRules.gopherRules(col("t")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("g.pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("g.r_word_count"), 1L).otherwise(0L))
+            .as("f_word_count"),
+          sum(when(!col("g.r_mean_word_len"), 1L).otherwise(0L))
+            .as("f_mwl"),
+          sum(when(!col("g.r_symbol_ratio"), 1L).otherwise(0L))
+            .as("f_symbol"),
+          sum(when(!col("g.r_bullet_lines"), 1L).otherwise(0L))
+            .as("f_bullet"),
+          sum(when(!col("g.r_ellipsis_lines"), 1L).otherwise(0L))
+            .as("f_ellipsis"),
+          sum(when(!col("g.r_alpha_words"), 1L).otherwise(0L))
+            .as("f_alpha"),
+          sum(when(!col("g.r_stopwords"), 1L).otherwise(0L))
+            .as("f_stop"),
+          round(avg(col("g.mean_word_len")), 6).as("avg_mwl"),
+          round(avg(col("g.symbol_ratio")), 6).as("avg_symbol_ratio"),
+          round(avg(col("g.alpha_frac")), 6).as("avg_alpha_frac"),
+          round(avg(col("g.n_stopwords")), 6).as("avg_stopwords"))
+        .orderBy("source")
+    }),
+    "q_c4_rules" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("t", concat(
+          lit("The first line of the page ends with a period."),
+          lit("\n"), col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("."))
+            .otherwise(lit("")),
+          lit("\nshort line"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nthis line mentions javascript explicitly."))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nAlpha beta. Gamma delta. Epsilon zeta. Eta " +
+              "theta. Iota kappa.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit("\nvar config = { broken"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            lit(" blockedword tail")).otherwise(lit(""))))
+      aug
+        .withColumn("c",
+          FilterRules.c4Rules(col("t"), badWords = Seq("blockedword")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("c.keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("c.n_kept_lines").cast("long")).as("kept_lines"),
+          sum(col("c.n_sentences").cast("long")).as("sentences"),
+          sum(when(col("c.has_lorem"), 1L).otherwise(0L))
+            .as("n_lorem"),
+          sum(when(col("c.has_brace"), 1L).otherwise(0L))
+            .as("n_brace"),
+          sum(when(col("c.has_bad_word"), 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(coalesce(length(col("c.cleaned")), lit(0))
+            .cast("long")).as("cleaned_chars"))
+        .orderBy("source")
+    })
+  )
+
+  // Shared augmentation SQL (must mirror the Spark-side concat exactly)
+  // NOTE: these fragments are interpolated into outer strings that
+  // apply .stripMargin AFTERWARDS — no line here may start with `|`
+  // (e.g. a leading `||` concat operator loses its first char).
+  private val gopherAug =
+    "SELECT source, text || " +
+      "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet one' || " +
+      "chr(10) || '- bullet two' || chr(10) || '* third bullet' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN chr(10) || " +
+      "'this line trails off...' || chr(10) || 'and another…' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' ### ## # …' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN " +
+      "' the data and results have merit to be good with that of' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 6 = 0 THEN " +
+      "' 123 456 789 012 345 678 901 234' ELSE '' END AS t " +
+      "FROM documents"
+
+  private val c4Aug =
+    "SELECT source, " +
+      "'The first line of the page ends with a period.' || chr(10) " +
+      "|| text || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || " +
+      "chr(10) || 'short line' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || " +
+      "'this line mentions javascript explicitly.' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN chr(10) || " +
+      "'Alpha beta. Gamma delta. Epsilon zeta. Eta theta. Iota kappa.' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN chr(10) || " +
+      "'Lorem ipsum dolor sit amet.' ELSE '' END || " +
+      "CASE WHEN doc_id % 13 = 0 THEN chr(10) || " +
+      "'var config = { broken' ELSE '' END || " +
+      "CASE WHEN doc_id % 17 = 0 THEN ' blockedword tail' " +
+      "ELSE '' END AS t " +
+      "FROM documents"
+
+  def oracles: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      s"""WITH aug AS ($gopherAug),
+         |m AS (
+         |  SELECT source,
+         |    len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+         |      w -> w <> '')) AS nw,
+         |    length(regexp_replace(t, '\\s', '', 'g'))::DOUBLE AS nonws,
+         |    len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS nsym,
+         |    list_filter(string_split(t, chr(10)),
+         |      l -> trim(l) <> '') AS ls,
+         |    regexp_split_to_array(trim(t), '\\s+') AS toks,
+         |    ' ' || regexp_replace(lower(t), '\\s+', ' ', 'g') || ' '
+         |      AS pad
+         |  FROM aug),
+         |m2 AS (
+         |  SELECT source, nw,
+         |    CASE WHEN nw > 0 THEN nonws / nw ELSE 0.0 END AS mwl,
+         |    CASE WHEN nw > 0 THEN nsym::DOUBLE / nw ELSE 0.0 END
+         |      AS symr,
+         |    len(ls) AS nl,
+         |    len(list_filter(ls,
+         |      l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS nb,
+         |    len(list_filter(ls,
+         |      l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS ne,
+         |    len(list_filter(toks,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS na,
+         |    (CASE WHEN contains(pad, ' the ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' be ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' to ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' of ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' and ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' that ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' have ') THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(pad, ' with ') THEN 1 ELSE 0 END)
+         |      AS nstop
+         |  FROM m),
+         |r AS (
+         |  SELECT source, nw, mwl, symr, nstop,
+         |    CASE WHEN nl > 0 THEN nb::DOUBLE / nl ELSE 0.0 END AS bf,
+         |    CASE WHEN nl > 0 THEN ne::DOUBLE / nl ELSE 0.0 END AS ef,
+         |    CASE WHEN nw > 0 THEN na::DOUBLE / nw ELSE 0.0 END AS af
+         |  FROM m2),
+         |b AS (
+         |  SELECT source, mwl, symr, af, nstop,
+         |    (nw >= 50 AND nw <= 100000) AS r_wc,
+         |    (mwl >= 3.0 AND mwl <= 10.0) AS r_mwl,
+         |    (symr <= 0.1) AS r_sym,
+         |    (bf <= 0.9) AS r_bul,
+         |    (ef <= 0.3) AS r_ell,
+         |    (af >= 0.8) AS r_alp,
+         |    (nstop >= 2) AS r_stp
+         |  FROM r)
+         |SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_bul AND r_ell
+         |    AND r_alp AND r_stp THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         |  SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_word_count,
+         |  SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END)::BIGINT AS f_mwl,
+         |  SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_symbol,
+         |  SUM(CASE WHEN NOT r_bul THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_bullet,
+         |  SUM(CASE WHEN NOT r_ell THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_ellipsis,
+         |  SUM(CASE WHEN NOT r_alp THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_alpha,
+         |  SUM(CASE WHEN NOT r_stp THEN 1 ELSE 0 END)::BIGINT
+         |    AS f_stop,
+         |  ROUND(AVG(mwl), 6) AS avg_mwl,
+         |  ROUND(AVG(symr), 6) AS avg_symbol_ratio,
+         |  ROUND(AVG(af), 6) AS avg_alpha_frac,
+         |  ROUND(AVG(nstop), 6) AS avg_stopwords
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_c4_rules" ->
+      s"""WITH aug AS ($c4Aug),
+         |c AS (
+         |  SELECT source,
+         |    len(string_split(t, chr(10))) AS n_lines,
+         |    list_filter(string_split(t, chr(10)), l ->
+         |      regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(list_filter(
+         |        regexp_split_to_array(trim(l), '\\s+'),
+         |        w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')) AS kept,
+         |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+         |    contains(t, '{') AS has_brace,
+         |    contains(' ' || regexp_replace(lower(t), '\\s+', ' ', 'g')
+         |      || ' ', ' blockedword ') AS has_bad
+         |  FROM aug),
+         |d AS (
+         |  SELECT source, n_lines, len(kept) AS n_kept,
+         |    CASE WHEN len(kept) > 0
+         |      THEN array_to_string(kept, chr(10)) END AS cleaned,
+         |    has_lorem, has_brace, has_bad
+         |  FROM c),
+         |e AS (
+         |  SELECT source, n_kept,
+         |    CASE WHEN n_kept > 0
+         |      THEN len(regexp_extract_all(cleaned, '[.!?]'))
+         |      ELSE 0 END AS n_sent,
+         |    has_lorem, has_brace, has_bad,
+         |    COALESCE(length(cleaned), 0) AS clen
+         |  FROM d)
+         |SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN n_sent >= 5 AND NOT has_lorem AND NOT
+         |    has_brace AND NOT has_bad THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_keep,
+         |  SUM(n_kept)::BIGINT AS kept_lines,
+         |  SUM(n_sent)::BIGINT AS sentences,
+         |  SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_lorem,
+         |  SUM(CASE WHEN has_brace THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_brace,
+         |  SUM(CASE WHEN has_bad THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+         |  SUM(clen)::BIGINT AS cleaned_chars
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
