@@ -97,6 +97,35 @@ object CurationQueries extends QueryPack {
           sum(coalesce(length(col("c.cleaned")), lit(0))
             .cast("long")).as("cleaned_chars"))
         .orderBy("source")
+    }),
+    "q_text_chunks" -> ((s, dir) => {
+      graft.text.CorpusOps.slidingChunks(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          col("doc_id"), col("text"),
+          chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "q_sentence_dedup" -> ((s, dir) => {
+      // documents carry no punctuation, so build 3-sentence pages with
+      // planted cross-page duplicates (preamble repeats every 7 pages,
+      // closing every 11) — the oracle constructs identical pages.
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").as("page_id"),
+          concat(lit("Common preamble sentence variant "),
+            pmod(col("doc_id"), lit(7)), lit(". "),
+            col("text"),
+            lit(". Shared closing sentence for group "),
+            pmod(col("doc_id"), lit(11)), lit("!")).as("ptext"))
+      graft.text.CorpusOps.sentenceDedup(pages, col("page_id"),
+          col("ptext"))
+        .select(col("page").as("page_id"),
+          col("n_sents").cast("long").as("n_sents"),
+          col("n_kept").cast("long").as("n_kept"),
+          md5(coalesce(col("rebuilt"), lit("<empty>")))
+            .as("rebuilt_md5"))
+        .orderBy("page_id")
     })
   )
 
@@ -255,6 +284,50 @@ object CurationQueries extends QueryPack {
          |    AS n_brace,
          |  SUM(CASE WHEN has_bad THEN 1 ELSE 0 END)::BIGINT AS n_bad,
          |  SUM(clen)::BIGINT AS cleaned_chars
-         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |w AS (
+        |  SELECT doc_id, s.i AS st, t[s.i + 1 : s.i + 32] AS w
+        |  FROM tk, UNNEST(generate_series(0, len(t) - 1, 24)) AS s(i)
+        |  WHERE len(t) > 0)
+        |SELECT doc_id, (st // 24)::INT AS chunk_id, st::INT
+        |    AS chunk_start,
+        |  len(w)::INT AS n_chunk_tokens,
+        |  md5(array_to_string(w, ' ')) AS chunk_md5
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_sentence_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id AS page_id,
+        |    'Common preamble sentence variant ' || (doc_id % 7)
+        |    || '. ' || text || '. Shared closing sentence for group '
+        |    || (doc_id % 11) || '!' AS ptext
+        |  FROM documents),
+        |sents0 AS (
+        |  SELECT page_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(ptext, '[^.!?]+[.!?]+'),
+        |      x -> trim(x)), x -> x <> '') AS ss
+        |  FROM pages),
+        |sents AS (
+        |  SELECT page_id, u['i'] - 1 AS idx, u['s'] AS sent
+        |  FROM (SELECT page_id,
+        |          unnest(list_transform(ss,
+        |            (x, i) -> {'i': i, 's': x})) AS u
+        |        FROM sents0)),
+        |kept AS (
+        |  SELECT page_id, idx, sent,
+        |    row_number() OVER (PARTITION BY md5(sent)
+        |                       ORDER BY page_id, idx) AS rk
+        |  FROM sents)
+        |SELECT page_id, count(*)::BIGINT AS n_sents,
+        |  count(*) FILTER (WHERE rk = 1)::BIGINT AS n_kept,
+        |  md5(COALESCE(string_agg(sent, ' ' ORDER BY idx)
+        |        FILTER (WHERE rk = 1), '<empty>')) AS rebuilt_md5
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -240,4 +240,88 @@ object CorpusOps {
       }
     }.toDF("grp", "ord", "tok", "bin")
   }
+
+  /** Sliding-window token chunking — the retrieval/embedding prep step
+    * that turns documents into overlapping fixed-size windows. Tokens
+    * are the house-rule `\s+` words of the trimmed text (empties
+    * dropped); a window starts at every multiple of `stride` below the
+    * token count, so the last window may be short and consecutive
+    * windows overlap by `chunkTokens - stride` tokens. Returns
+    * (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk) with
+    * chunk_id counting windows from 0 and chunk_start the 0-based
+    * token offset. Empty/blank documents produce no rows.
+    *
+    * Scale shape: pure row-local Column algebra (split once, slice per
+    * window) + one posexplode — no shuffle, no UDF; at 100 TB this is
+    * a map-only pass whose output feeds the embedding stage. */
+  def slidingChunks(df: DataFrame, id: Column, text: Column,
+                    chunkTokens: Int = 256,
+                    stride: Int = 192): DataFrame = {
+    require(chunkTokens >= 1,
+      s"slidingChunks: chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"slidingChunks: stride must be in [1, chunkTokens], got $stride")
+    val toksOf = (t: Column) => filter(split(trim(t), "\\s+"),
+      w => w =!= "")
+    // bind the token array as a lambda variable (same Catalyst
+    // no-CSE-into-lambdas rule as wordNgrams: inlining the split would
+    // re-tokenize once per window)
+    val chunksOf = (toks: Column) =>
+      when(size(toks) > 0,
+        transform(sequence(lit(0), size(toks) - 1, lit(stride)),
+          st => struct(st.as("st"),
+            slice(toks, st + 1, lit(chunkTokens)).as("w"))))
+        .otherwise(array().cast("array<struct<st:int,w:array<string>>>"))
+    df.select(id.as("doc_id"),
+        posexplode(element_at(
+          transform(array(toksOf(text)), chunksOf), 1))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("c.st").as("chunk_start"),
+        size(col("c.w")).as("n_chunk_tokens"),
+        array_join(col("c.w"), " ").as("chunk"))
+  }
+
+  /** Sentence segmentation at regex resolution: non-overlapping matches
+    * of `[^.!?]+[.!?]+` (a maximal punctuation-free run plus its
+    * terminal punctuation run), trimmed, empties dropped. A trailing
+    * un-punctuated fragment is NOT a sentence — the same convention the
+    * C4 sentence-count rule uses. RE2-portable, so SQL oracles replay
+    * it verbatim. */
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text,
+        lit("[^.!?]+[.!?]+"), lit(0)), s => trim(s)),
+      s => s =!= "")
+
+  /** Corpus-wide sentence-level dedup with document reassembly — the
+    * finer-grained sibling of [[paragraphDedup]]: every sentence keeps
+    * only its first occurrence corpus-wide (ordered by document id,
+    * then position), and each document is rebuilt from its surviving
+    * sentences joined by a single space. Returns (page, n_sents,
+    * n_kept, rebuilt) with rebuilt null when nothing survives.
+    *
+    * Scale shape: one explode + one window partitioned by the sentence
+    * md5 (shuffle is bounded by sentence text, heavily compressible) +
+    * one groupBy on the page key for reassembly. No driver state. */
+  def sentenceDedup(df: DataFrame, page: Column,
+                    text: Column): DataFrame = {
+    val sents = df.select(page.as("page"),
+      posexplode(sentences(text)).as(Seq("idx", "sent")))
+    val first = row_number().over(
+      Window.partitionBy(md5(col("sent")))
+        .orderBy(col("page"), col("idx")))
+    sents.withColumn("__rk", first)
+      .groupBy(col("page"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rk") === 1, struct(col("idx"), col("sent"))))),
+            s => s("sent")),
+          " ").as("__joined"))
+      .withColumn("rebuilt",
+        when(col("n_kept") > 0, col("__joined")))
+      .drop("__joined")
+  }
 }

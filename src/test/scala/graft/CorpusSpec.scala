@@ -206,6 +206,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(!kept.contains(100L) && !kept.contains(101L))
   }
 
+  test("slidingChunks: window offsets, overlap, short tail, blanks") {
+    import spark.implicits._
+    val df = Seq((1L, w(10)), (2L, "one two three"), (3L, "   "),
+      (4L, "solo")).toDF("id", "t")
+    val out = CorpusOps.slidingChunks(df, col("id"), col("t"),
+      chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    // doc 1: 10 tokens → starts 0,3,6,9; last is a 1-token tail
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3) sameElements Array(0, 3, 6, 9))
+    assert(d1.map(_._4) sameElements Array(4, 4, 4, 1))
+    assert(d1(0)._5 == "w0 w1 w2 w3")
+    assert(d1(1)._5 == "w3 w4 w5 w6") // 1-token overlap at stride 3
+    assert(d1(3)._5 == "w9")
+    // doc 2: 3 tokens → one window, short
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._4 == 3)
+    // blank doc → no rows; single token → one 1-token window
+    assert(!out.exists(_._1 == 3L))
+    assert(out.count(_._1 == 4L) == 1)
+    // chunking is a map-only plan: no exchange anywhere
+    val plan = CorpusOps.slidingChunks(df, col("id"), col("t"), 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sentences + sentenceDedup: segmentation contract and " +
+    "first-occurrence survivorship") {
+    import spark.implicits._
+    val segs = Seq("One. Two two! Three three three? trailing fragment")
+      .toDF("t").select(CorpusOps.sentences(col("t")).as("s"))
+      .head.getSeq[String](0)
+    assert(segs == Seq("One.", "Two two!", "Three three three?"))
+    // dedup: page 1 seeds both sentences; pages 2/3 repeat them
+    val pages = Seq(
+      (1L, "Alpha beta. Gamma delta."),
+      (2L, "Alpha beta. New sentence here."),
+      (3L, "Gamma delta. Alpha beta.")).toDF("id", "t")
+    val out = CorpusOps.sentenceDedup(pages, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "Alpha beta. Gamma delta.")))
+    assert(out(2L) == ((2L, 1L, "New sentence here.")))
+    assert(out(3L)._2 == 0L && out(3L)._3 == null)
+  }
+
   private def t001(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
