@@ -126,6 +126,25 @@ object CurationQueries extends QueryPack {
           md5(coalesce(col("rebuilt"), lit("<empty>")))
             .as("rebuilt_md5"))
         .orderBy("page_id")
+    }),
+    "q_hash_split" -> ((s, dir) => {
+      // group-aware split keyed by a synthetic host (97 groups): every
+      // doc of a host must land in one split — n_leaky pins that at 0
+      import graft.sample.SampleOps
+      val docs = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), pmod(col("doc_id"),
+          lit(97))))
+      val sp = SampleOps.hashSplit(docs, col("host"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = 7)
+      val leak = sp.groupBy(col("host"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_leaky"))
+      sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .crossJoin(leak)
+        .orderBy("split")
     })
   )
 
@@ -328,6 +347,30 @@ object CurationQueries extends QueryPack {
         |  count(*) FILTER (WHERE rk = 1)::BIGINT AS n_kept,
         |  md5(COALESCE(string_agg(sent, ' ' ORDER BY idx)
         |        FILTER (WHERE rk = 1), '<empty>')) AS rebuilt_md5
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hash_split" -> {
+      val b80 = graft.sample.SampleOps.hashSplitBound(0.8)
+      val b90 = graft.sample.SampleOps.hashSplitBound(0.9)
+      s"""WITH sp AS (
+         |  SELECT doc_id, 'h' || (doc_id % 97) AS host
+         |  FROM documents),
+         |a AS (
+         |  SELECT host,
+         |    CASE WHEN substring(md5(host || ':7'), 1, 12) < '$b80'
+         |           THEN 'train'
+         |         WHEN substring(md5(host || ':7'), 1, 12) < '$b90'
+         |           THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM sp),
+         |l AS (
+         |  SELECT COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+         |    0)::BIGINT AS n_leaky
+         |  FROM (SELECT host, COUNT(DISTINCT split) AS ns
+         |        FROM a GROUP BY 1))
+         |SELECT split, COUNT(*)::BIGINT AS n_docs,
+         |  COUNT(DISTINCT host)::BIGINT AS n_hosts,
+         |  (SELECT n_leaky FROM l) AS n_leaky
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -303,4 +303,49 @@ object SampleOps {
       .drop("__td_dom", "__td_h", "__td_pid", "__td_rn", "__td_off",
         "__td_rank", "__td_t")
   }
+
+  /** The 12-hex-char split bound for a cumulative ratio: the lowercase
+    * hex encoding of `floor(r · 16^12)`, zero-padded — a row lands
+    * below it iff the uniform value encoded by its md5 prefix is
+    * < r. Exposed so oracle SQL can embed the identical literals. */
+  def hashSplitBound(cumRatio: Double): String =
+    f"${math.floor(cumRatio * math.pow(16, 12)).toLong}%012x"
+
+  /** Deterministic hash split: assign each row to a named split by
+    * comparing the first 12 hex chars of `md5(key ":" seed)` against
+    * precomputed hex bounds — a pure row-local projection. Unlike
+    * [[splitByRatio]] (exact rank-based proportions, needs a sort)
+    * this is ROW-STABLE: a row's split depends only on (key, seed),
+    * so adding or removing other rows never reassigns it — the
+    * property production pipelines need for incremental corpora.
+    * Proportions hold in expectation (±binomial noise).
+    *
+    * Leakage-safe grouped splitting falls out of the key choice: pass
+    * the GROUP key (e.g. the URL host, the user id) and every row of a
+    * group lands in the same split, so near-duplicates within a group
+    * can never straddle train/test. The q_hash_split oracle asserts
+    * zero straddling groups corpus-wide.
+    *
+    * Scale shape: no shuffle, no sort, no state — one codegen'd pass;
+    * the hex-string comparison avoids 64-bit numeric conversion so any
+    * SQL engine replays it with substring + string compare. */
+  def hashSplit(df: DataFrame, key: Column,
+                ratios: Seq[(String, Double)], seed: Long = 42,
+                out: String = "split"): DataFrame = {
+    require(ratios.nonEmpty, "hashSplit: ratios must be non-empty")
+    require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9,
+      "hashSplit: ratios must sum to 1")
+    val cum = ratios.scanLeft(0.0)(_ + _._2).tail
+    val h = substring(
+      md5(concat(key.cast("string"), lit(":" + seed))), 1, 12)
+    // reversed fold, same shape as splitByRatio: the tightest bound
+    // lands outermost so the label is the FIRST bound the hash is
+    // under; the last ratio is the fallback (its bound would be 16^12,
+    // a 13-char literal that breaks lexicographic compare)
+    val label = ratios.map(_._1).zip(cum).reverse.tail
+      .foldLeft(lit(ratios.last._1)) { case (acc, (name, bound)) =>
+        when(h < hashSplitBound(bound), name).otherwise(acc)
+      }
+    df.withColumn(out, label)
+  }
 }

@@ -295,4 +295,42 @@ class EdaSampleSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(uni == Map("big" -> 10L, "small" -> 10L))
   }
+
+  test("hashSplit: row-stable, leakage-free by group, near-ratio, " +
+    "map-only plan") {
+    import spark.implicits._
+    val ratios = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 500).as("grp"))
+    val sp = SampleOps.hashSplit(df, col("grp"), ratios, seed = 7)
+    // proportions in expectation (500 groups, binomial noise)
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.08)
+    assert(counts.values.sum == 20000L)
+    // group-aware: every group entirely in one split
+    val leaky = sp.groupBy("grp")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1)
+      .count()
+    assert(leaky == 0L)
+    // row-stability: assignments on a half-subset are identical
+    val half = SampleOps.hashSplit(df.filter(col("id") < 10000),
+      col("grp"), ratios, seed = 7)
+    val joined = sp.filter(col("id") < 10000).as("a")
+      .join(half.as("b"), "id")
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(joined == 0L)
+    // different seed reshuffles some groups
+    val reseeded = SampleOps.hashSplit(df, col("grp"), ratios, seed = 8)
+    assert(sp.as("a").join(reseeded.as("b"), "id")
+      .filter(col("a.split") =!= col("b.split")).count() > 0L)
+    // no shuffle: split assignment is a pure projection
+    val plan = sp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // bound literals: 12 lowercase hex chars, monotone
+    assert(SampleOps.hashSplitBound(0.8).length == 12)
+    assert(SampleOps.hashSplitBound(0.8) <
+      SampleOps.hashSplitBound(0.9))
+    assert(SampleOps.hashSplitBound(1.0 - 1e-15) == "ffffffffffff")
+  }
 }
