@@ -145,6 +145,22 @@ object CurationQueries extends QueryPack {
           countDistinct(col("host")).as("n_hosts"))
         .crossJoin(leak)
         .orderBy("split")
+    }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR selection toward long documents (n_chars > 350 is the
+      // SQL-checkable "target domain"); the oracle replays the hashed
+      // uni+bigram counts, both smoothed multinomials, every log
+      // importance weight, the hash-derived Gumbel noise, and the
+      // final top-k — the whole pipeline, end to end.
+      import graft.text.DsirOps
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("n_chars") > 350)
+      DsirOps.resample(docs, target, col("doc_id"), col("text"),
+          k = 60, dim = 64, hexChars = 2)
+        .select(col("id").as("doc_id"),
+          round(col("log_w"), 6).as("log_w"),
+          round(col("key"), 6).as("sel_key"))
+        .orderBy("doc_id")
     })
   )
 
@@ -371,6 +387,70 @@ object CurationQueries extends QueryPack {
          |  COUNT(DISTINCT host)::BIGINT AS n_hosts,
          |  (SELECT n_leaky FROM l) AS n_leaky
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_dsir" -> {
+      // hex digit i (1-based) of md5 column m, as SQL int arithmetic
+      def hd(i: Int): String =
+        s"(CASE WHEN substring(m,$i,1) BETWEEN '0' AND '9' " +
+          s"THEN ascii(substring(m,$i,1)) - 48 " +
+          s"ELSE ascii(substring(m,$i,1)) - 87 END)"
+      val bucket2 = s"(${hd(1)} * 16 + ${hd(2)}) % 64"
+      val hex8v = (1 to 8).map(i =>
+        s"${hd(i)}::BIGINT * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, n_chars,
+         |    list_filter(regexp_split_to_array(lower(trim(text)),
+         |      '\\s+'), w -> w <> '') AS t
+         |  FROM documents),
+         |uni AS (SELECT doc_id, u.g FROM tk, UNNEST(t) AS u(g)),
+         |bi AS (
+         |  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS g
+         |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+         |  WHERE len(t) >= 2),
+         |b AS (
+         |  SELECT doc_id, $bucket2 AS bucket
+         |  FROM (SELECT doc_id, md5(g) AS m
+         |        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))),
+         |cnt AS (
+         |  SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+         |  FROM b GROUP BY 1, 2),
+         |craw AS (SELECT bucket, SUM(c) AS cr FROM cnt GROUP BY 1),
+         |ctgt AS (
+         |  SELECT bucket, SUM(c) AS ct
+         |  FROM cnt JOIN documents USING (doc_id)
+         |  WHERE n_chars > 350 GROUP BY 1),
+         |rng AS (
+         |  SELECT unnest(generate_series(0, 63)) AS bucket),
+         |model AS (
+         |  SELECT r.bucket,
+         |    ln((COALESCE(ct, 0) + 0.1) /
+         |       ((SELECT COALESCE(SUM(ct), 0) FROM ctgt) + 0.1 * 64))
+         |    - ln((COALESCE(cr, 0) + 0.1) /
+         |       ((SELECT COALESCE(SUM(cr), 0) FROM craw) + 0.1 * 64))
+         |      AS lr
+         |  FROM rng r
+         |  LEFT JOIN craw ON r.bucket = craw.bucket
+         |  LEFT JOIN ctgt ON r.bucket = ctgt.bucket),
+         |sc AS (
+         |  SELECT doc_id, SUM(c * lr) AS log_w
+         |  FROM cnt JOIN model USING (bucket) GROUP BY 1),
+         |gn AS (
+         |  SELECT doc_id, -ln(-ln((($hex8v) + 0.5) / 4294967296.0))
+         |    AS g
+         |  FROM (SELECT doc_id, md5(doc_id || ':42') AS m
+         |        FROM documents)),
+         |sc2 AS (
+         |  SELECT d.doc_id, COALESCE(sc.log_w, 0.0) AS lw,
+         |    COALESCE(sc.log_w, 0.0) + gn.g AS k
+         |  FROM documents d
+         |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |  JOIN gn ON d.doc_id = gn.doc_id),
+         |sel AS (
+         |  SELECT doc_id, lw, k FROM sc2
+         |  ORDER BY k DESC, doc_id LIMIT 60)
+         |SELECT doc_id, ROUND(lw, 6) AS log_w, ROUND(k, 6) AS sel_key
+         |FROM sel ORDER BY doc_id""".stripMargin
     }
   )
 }
