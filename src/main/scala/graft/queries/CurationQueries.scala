@@ -161,6 +161,30 @@ object CurationQueries extends QueryPack {
           round(col("log_w"), 6).as("log_w"),
           round(col("key"), 6).as("sel_key"))
         .orderBy("doc_id")
+    }),
+    "q_mojibake" -> ((s, dir) => {
+      // append a non-ASCII suffix (accents, curly quotes, em dash,
+      // U+2116, a 4-byte emoji), corrupt it through the exact
+      // UTF-8-read-as-CP1252 map, repair, and md5-compare against the
+      // oracle's uncorrupted construction. detected/roundtrip_ok are
+      // provable invariants of the construction (every suffix contains
+      // a lead+continuation pair; the corruption map is invertible on
+      // its image), so the oracle pins them as literal true.
+      import graft.text.EncodingOps
+      val docs = t(s, dir, "documents")
+        .withColumn("orig", concat(col("text"),
+          lit(" Grüße café № "), pmod(col("doc_id"), lit(7)),
+          lit(" — “déjà vu” über 😀")))
+      docs
+        .withColumn("bad", EncodingOps.corruptAsCp1252(col("orig")))
+        .withColumn("fixed", EncodingOps.fixMojibake(col("bad")))
+        .select(col("doc_id"),
+          (EncodingOps.mojibakeScore(col("bad")) > 0).as("detected"),
+          (EncodingOps.mojibakeScore(col("orig")) === 0)
+            .as("clean_quiet"),
+          (col("fixed") === col("orig")).as("roundtrip_ok"),
+          md5(col("fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -451,6 +475,12 @@ object CurationQueries extends QueryPack {
          |  ORDER BY k DESC, doc_id LIMIT 60)
          |SELECT doc_id, ROUND(lw, 6) AS log_w, ROUND(k, 6) AS sel_key
          |FROM sel ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q_mojibake" ->
+      """SELECT doc_id, true AS detected, true AS clean_quiet,
+        |  true AS roundtrip_ok,
+        |  md5(text || ' Grüße café № ' || (doc_id % 7)
+        |    || ' — “déjà vu” über 😀') AS fixed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
