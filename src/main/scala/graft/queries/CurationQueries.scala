@@ -185,6 +185,46 @@ object CurationQueries extends QueryPack {
           (col("fixed") === col("orig")).as("roundtrip_ok"),
           md5(col("fixed")).as("fixed_md5"))
         .orderBy("doc_id")
+    }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // daily-snapshot dedup loop: even docs are the existing corpus
+      // (band table persisted), odd docs arrive as the new batch. The
+      // deterministic hash family makes incremental ≡ full-batch an
+      // exact equivalence — pinned here as inc_equals_full — and
+      // identical-text cross pairs (SQL-computable) must all be found
+      // (identical signatures collide in every band).
+      import graft.text.TextOps
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val nw = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val bandTab = TextOps.minHashBandTable(old, col("doc_id"),
+        col("text"))
+      val incNew = TextOps.incrementalMinHashDupPairs(nw,
+        col("doc_id"), col("text"), bandTab, 0.6)
+      val oldPairs = TextOps.minHashDupPairs(old, col("doc_id"),
+        col("text"), 0.6)
+      val full = TextOps.minHashDupPairs(docs, col("doc_id"),
+        col("text"), 0.6)
+      val incAll = oldPairs.select("id1", "id2")
+        .union(incNew.select("id1", "id2")).distinct()
+      val eq = full.select(col("id1"), col("id2"), lit(1).as("f"))
+        .join(incAll.withColumn("g", lit(1)), Seq("id1", "id2"),
+          "full")
+        .agg(coalesce(bool_and(col("f").isNotNull &&
+          col("g").isNotNull), lit(true)).as("inc_equals_full"))
+      val norm = docs.select(col("doc_id").as("d"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+"))
+          .as("t"))
+      val ident = norm.as("l").join(norm.as("r"),
+          col("l.t") === col("r.t") && col("l.d") < col("r.d") &&
+            pmod(col("l.d"), lit(2)) =!= pmod(col("r.d"), lit(2)))
+        .select(col("l.d").as("id1"), col("r.d").as("id2"))
+      ident.join(incNew.select(col("id1"), col("id2"),
+            lit(1).as("hit")), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_ident_cross"),
+          coalesce(bool_and(col("hit").isNotNull), lit(true))
+            .as("ident_found"))
+        .crossJoin(eq)
     })
   )
 
@@ -481,6 +521,18 @@ object CurationQueries extends QueryPack {
         |  true AS roundtrip_ok,
         |  md5(text || ' Grüße café № ' || (doc_id % 7)
         |    || ' — “déjà vu” über 😀') AS fixed_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id AS d,
+        |    array_to_string(regexp_split_to_array(lower(trim(text)),
+        |      '\s+'), ' ') AS t
+        |  FROM documents)
+        |SELECT
+        |  (SELECT COUNT(*) FROM n l JOIN n r
+        |     ON l.t = r.t AND l.d < r.d AND l.d % 2 <> r.d % 2
+        |  )::BIGINT AS n_ident_cross,
+        |  true AS ident_found,
+        |  true AS inc_equals_full""".stripMargin
   )
 }

@@ -523,19 +523,12 @@ object TextOps {
                       threshold: Double, k: Int = 3, numHashes: Int = 128,
                       bands: Int = 16): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    val rows = numHashes / bands
-    val withSig = df.select(id.as("i"),
-      minHashSignature(text, k, numHashes).as("sig"))
     // Persist the banded signatures: the self-join scans this frame
     // twice, and without the persist BOTH sides re-shingle + re-minhash
     // every document (the dominant cost — 128 hashes per shingle).
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing;
     // signatures are ~1 KB/doc, orders of magnitude smaller than texts.
-    val buckets = withSig
-      .select(col("i"), col("sig"),
-        explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("i"), col("sig"),
-        col("band._1").as("b"), col("band._2").as("h"))
+    val buckets = minHashBandTable(df, id, text, k, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = buckets.as("l")
     val r = buckets.as("r")
@@ -554,6 +547,60 @@ object TextOps {
       .filter(col("est_jaccard") >= threshold)
       .distinct()
   }  // Release.scoped: pair result materialized, signature cache freed
+
+  /** The persistable LSH state of a corpus: one row per (document,
+    * band) with the banded bucket hash AND the full signature —
+    * everything incremental dedup needs to compare new documents
+    * against the corpus without ever re-reading or re-hashing the
+    * corpus text. Write this once per corpus snapshot (partitioned by
+    * `b` if stored at rest, so band probes prune). */
+  def minHashBandTable(df: DataFrame, id: Column, text: Column,
+                       k: Int = 3, numHashes: Int = 128,
+                       bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    df.select(id.as("i"), minHashSignature(text, k, numHashes).as("sig"))
+      .select(col("i"), col("sig"),
+        explode(lshBands(col("sig"), bands, rows)).as("band"))
+      .select(col("i"), col("sig"),
+        col("band._1").as("b"), col("band._2").as("h"))
+  }
+
+  /** Incremental MinHash-LSH dedup: near-duplicate pairs of a NEW
+    * batch against an existing corpus band table (from
+    * [[minHashBandTable]]) plus within the batch itself. Because the
+    * hash family is deterministic, `corpus pairs ∪ this` equals a
+    * full-batch [[minHashDupPairs]] over `corpus ∪ new` exactly — the
+    * q_incremental_dedup oracle pins that equivalence. Document ids
+    * must be distinct across corpus and batch; pairs are normalized to
+    * id1 < id2.
+    *
+    * Scale shape: the corpus side is only touched by a hash join on
+    * (band, bucket) — colliding buckets stream, nothing re-shingles;
+    * the new batch (typically ≪ corpus) is signed once and persisted.
+    * This is the daily-snapshot dedup loop at 100 TB: signature state
+    * grows by the batch, corpus text is never re-read. */
+  def incrementalMinHashDupPairs(newDf: DataFrame, id: Column,
+                                 text: Column, corpusBands: DataFrame,
+                                 threshold: Double, k: Int = 3,
+                                 numHashes: Int = 128,
+                                 bands: Int = 16): DataFrame =
+      graft.util.Release.scoped(newDf.sparkSession) {
+    val nb = minHashBandTable(newDf, id, text, k, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    }
+    def pairs(l: DataFrame, r: DataFrame, cond: Column) =
+      l.as("l").join(r.as("r"),
+          col("l.b") === col("r.b") && col("l.h") === col("r.h") && cond)
+        .select(least(col("l.i"), col("r.i")).as("id1"),
+          greatest(col("l.i"), col("r.i")).as("id2"),
+          simUdf(col("l.sig"), col("r.sig")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    pairs(corpusBands, nb, col("l.i") =!= col("r.i"))
+      .union(pairs(nb, nb, col("l.i") < col("r.i")))
+      .distinct()
+  }
 
   /** 64-bit SimHash over word hashes (unit weights). Near-dups have
     * small Hamming distance between simhashes. Runs as a native

@@ -515,4 +515,49 @@ class TextSimSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 9L))
   }
+
+  test("incremental minhash dedup equals the full-batch run and " +
+    "finds planted cross-batch near-dups") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val nw = docs.filter(col("doc_id") % 2 === 1)
+    // the band table MUST be built with the same (k, numHashes, bands)
+    // as the incremental probe — unigram shingles here, matching the
+    // recall test above
+    val bandTab1 = TextOps.minHashBandTable(old, col("doc_id"),
+      col("text"), k = 1)
+    val incNewDf = TextOps.incrementalMinHashDupPairs(nw,
+      col("doc_id"), col("text"), bandTab1, 0.6, k = 1)
+    val inc1 = incNewDf.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = TextOps.minHashDupPairs(old, col("doc_id"),
+        col("text"), 0.6, k = 1)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextOps.minHashDupPairs(docs, col("doc_id"),
+        col("text"), 0.6, k = 1)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert((oldPairs ++ inc1) == full,
+      s"incremental union must equal full batch: " +
+        s"missing=${full -- (oldPairs ++ inc1)} " +
+        s"extra=${(oldPairs ++ inc1) -- full}")
+    // a planted cross-batch twin (identical text, old id 1000 even /
+    // new id 1001 odd) must be found by the incremental probe
+    val twinOld = Seq((1000L, "planted twin doc alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val twinNew = Seq((1001L, "planted twin doc alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val bt = TextOps.minHashBandTable(old.union(twinOld),
+      col("doc_id"), col("text"))
+    val found = TextOps.incrementalMinHashDupPairs(
+        nw.union(twinNew), col("doc_id"), col("text"), bt, 0.6)
+      .filter(col("id1") === 1000L && col("id2") === 1001L).count()
+    assert(found == 1L)
+    assert(incNewDf.columns.toSeq ==
+      Seq("id1", "id2", "est_jaccard")) // stable output contract
+  }
 }
