@@ -225,6 +225,50 @@ object CurationQueries extends QueryPack {
           coalesce(bool_and(col("hit").isNotNull), lit(true))
             .as("ident_found"))
         .crossJoin(eq)
+    }),
+    "q_curation_report" -> ((s, dir) => {
+      // the Dolma/RefinedWeb-style funnel as ONE plan: language gate →
+      // Gopher rules (relaxed word bound for the synthetic docs) →
+      // exact dedup → per-source survivor counts at each stage. All
+      // row-local gates collapse into a single scan pass; dedup is the
+      // only shuffle. Stage counts are monotone by construction.
+      import graft.text.{FilterRules, TextOps}
+      val docs = t(s, dir, "documents")
+        .withColumn("is_en", TextOps.langId(col("text")) === "en")
+        .withColumn("g", FilterRules.gopherRules(col("text"),
+          minWords = 30, minStopwords = 0, minMeanWordLen = 2.0))
+      val kept = docs.filter(col("is_en") && col("g.pass"))
+      val deduped = TextOps.exactDedup(kept, col("text"),
+        col("doc_id"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("is_en") && col("g.pass"), 1L).otherwise(0L))
+            .as("n_rules"))
+        .join(deduped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_final"),
+            sum(col("g.n_words")).as("final_words")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_lang"),
+          col("n_rules"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("final_words"), lit(0L)).as("final_words"))
+        .orderBy("source")
+    }),
+    "q_ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail bucketing per source with the exact
+      // percentile twin (the approx_percentile scale path is
+      // spec-bound); binary-fraction cuts (0.25/0.75) interpolate
+      // identically across engines.
+      import graft.text.LmOps
+      val docs = t(s, dir, "documents")
+      LmOps.perplexityBuckets(docs, col("text"), docs, col("doc_id"),
+          col("text"), col("source"), lowCut = 0.25, highCut = 0.75,
+          exact = true)
+        .groupBy(col("grp").as("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("ppl")), 4).as("avg_ppl"))
+        .orderBy("source", "bucket")
     })
   )
 
@@ -533,6 +577,118 @@ object CurationQueries extends QueryPack {
         |     ON l.t = r.t AND l.d < r.d AND l.d % 2 <> r.d % 2
         |  )::BIGINT AS n_ident_cross,
         |  true AS ident_found,
-        |  true AS inc_equals_full""".stripMargin
+        |  true AS inc_equals_full""".stripMargin,
+    "q_curation_report" -> {
+      // identical stopword scoring to the q_lang_id oracle
+      def score(lang: String): String =
+        graft.text.TextOps.langProfiles(lang).map(w =>
+          s"(LENGTH(p) - LENGTH(REPLACE(p, '$w', ''))) / ${w.length}.0")
+          .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w <> '')) AS nw,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      AS nonws,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS nsym,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> trim(l) <> '') AS ls,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    ' ' || LOWER(text) || ' ' AS p
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, text, nw,
+         |    (nw >= 30 AND nw <= 100000) AS r_wc,
+         |    (CASE WHEN nw > 0 THEN nonws / nw ELSE 0.0 END
+         |       BETWEEN 2.0 AND 10.0) AS r_mwl,
+         |    (CASE WHEN nw > 0 THEN nsym::DOUBLE / nw ELSE 0.0 END
+         |       <= 0.1) AS r_sym,
+         |    (CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+         |         l -> regexp_matches(trim(l), '^[-*•‣▪]')))::DOUBLE
+         |         / len(ls) ELSE 0.0 END <= 0.9) AS r_bul,
+         |    (CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+         |         l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+         |         ::DOUBLE / len(ls) ELSE 0.0 END <= 0.3) AS r_ell,
+         |    (CASE WHEN nw > 0 THEN len(list_filter(toks,
+         |         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / nw
+         |       ELSE 0.0 END >= 0.8) AS r_alp,
+         |    ${score("de")} AS s_de,
+         |    ${score("en")} AS s_en,
+         |    ${score("es")} AS s_es,
+         |    ${score("fr")} AS s_fr,
+         |    LENGTH(regexp_replace(text,
+         |      '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         |  FROM m),
+         |g AS (
+         |  SELECT doc_id, source, text, nw,
+         |    (CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END = 'en') AS is_en,
+         |    (r_wc AND r_mwl AND r_sym AND r_bul AND r_ell AND r_alp)
+         |      AS pass
+         |  FROM b),
+         |ded AS (
+         |  SELECT source, nw FROM (
+         |    SELECT source, nw, ROW_NUMBER() OVER (
+         |      PARTITION BY LOWER(TRIM(regexp_replace(text, '\\s+',
+         |        ' ', 'g'))) ORDER BY doc_id) AS rn
+         |    FROM g WHERE is_en AND pass)
+         |  WHERE rn = 1),
+         |da AS (
+         |  SELECT source, COUNT(*)::BIGINT AS n_final,
+         |    SUM(nw)::BIGINT AS final_words
+         |  FROM ded GROUP BY 1)
+         |SELECT g.source, COUNT(*)::BIGINT AS n_raw,
+         |  SUM(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+         |  SUM(CASE WHEN is_en AND pass THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_rules,
+         |  COALESCE(MAX(da.n_final), 0)::BIGINT AS n_final,
+         |  COALESCE(MAX(da.final_words), 0)::BIGINT AS final_words
+         |FROM g LEFT JOIN da ON g.source = da.source
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)),
+        |big AS (
+        |  SELECT doc_id, pos, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM words QUALIFY w2 IS NOT NULL),
+        |cu AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+        |cb AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |ppl AS (
+        |  SELECT b.doc_id,
+        |    exp(avg(-ln((cb.c + 0.4) / (cu.c + 0.4 * v.v)))) AS ppl
+        |  FROM big b
+        |  JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |  JOIN cu ON cu.w = b.w1
+        |  CROSS JOIN v GROUP BY 1),
+        |wg AS (
+        |  SELECT d.source AS grp, p.doc_id, p.ppl
+        |  FROM ppl p JOIN documents d USING (doc_id)),
+        |cu2 AS (
+        |  SELECT grp, quantile_cont(ppl, 0.25) AS c1,
+        |    quantile_cont(ppl, 0.75) AS c2
+        |  FROM wg GROUP BY 1),
+        |lab AS (
+        |  SELECT wg.grp,
+        |    CASE WHEN ppl <= c1 THEN 'head'
+        |         WHEN ppl <= c2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket, ppl
+        |  FROM wg JOIN cu2 USING (grp))
+        |SELECT grp AS source, bucket, COUNT(*)::BIGINT AS n_docs,
+        |  ROUND(AVG(ppl), 4) AS avg_ppl
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

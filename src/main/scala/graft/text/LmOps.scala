@@ -179,4 +179,51 @@ object LmOps {
     df.join(scores, id.cast(scores.schema("__keep_id").dataType)
       === col("__keep_id"), "left_semi")
   }
+
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * 2020 §4.3): score every document with the n-gram LM, compute
+    * per-group (per-language in CCNet) perplexity cut points at
+    * `lowCut`/`highCut`, and label each document `head` (most fluent),
+    * `middle`, or `tail`. Returns (doc_id, grp, ppl, bucket);
+    * documents the LM cannot score (fewer than n tokens) are absent,
+    * same contract as [[ngramLmScore]].
+    *
+    * `exact = false` (default, the scale path) computes cuts with
+    * `approx_percentile` — one pass, mergeable sketch state, safe for
+    * groups of any size. `exact = true` uses the exact `percentile`
+    * aggregate (sorts each group's values in memory) — the oracle twin
+    * for cross-engine checks, same pattern as the exact-quantile twins
+    * in `util/Quantiles`. Either way the per-group cut table is tiny
+    * and broadcast; the corpus never shuffles for the bucket label.
+    *
+    * Cut values that are exact binary fractions (0.25, 0.5, 0.75)
+    * interpolate identically across engines; thirds (CCNet's choice)
+    * are fine operationally but their interpolation weight is
+    * FP-formula-sensitive at the last ulp, so cross-engine oracles
+    * should prefer binary-fraction cuts. */
+  def perplexityBuckets(train: DataFrame, trainText: Column,
+                        df: DataFrame, id: Column, text: Column,
+                        group: Column, lowCut: Double = 1.0 / 3,
+                        highCut: Double = 2.0 / 3, n: Int = 2,
+                        alpha: Double = 0.4,
+                        exact: Boolean = false): DataFrame = {
+    require(lowCut > 0 && lowCut < highCut && highCut < 1,
+      s"perplexityBuckets: need 0 < lowCut < highCut < 1, " +
+        s"got ($lowCut, $highCut)")
+    val scored = ngramLmScore(train, trainText, df, id, text, n, alpha)
+      .select(col("doc_id"), col("ppl"))
+    val withG = df.select(id.as("doc_id"), group.as("grp"))
+      .join(scored, Seq("doc_id"))
+    def cut(p: Double): Column =
+      if (exact) percentile(col("ppl"), lit(p))
+      else percentile_approx(col("ppl"), lit(p), lit(10000))
+    val cuts = withG.groupBy(col("grp"))
+      .agg(cut(lowCut).as("__c1"), cut(highCut).as("__c2"))
+    withG.join(broadcast(cuts), Seq("grp"))
+      .withColumn("bucket",
+        when(col("ppl") <= col("__c1"), "head")
+          .when(col("ppl") <= col("__c2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("grp"), col("ppl"), col("bucket"))
+  }
 }

@@ -253,6 +253,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L && out(3L)._3 == null)
   }
 
+  test("perplexityBuckets: buckets are ppl-ordered ranges per group; " +
+    "approx path agrees with exact away from the cut boundary") {
+    val docs = t001("documents")
+    val b = graft.text.LmOps.perplexityBuckets(docs, col("text"), docs,
+        col("doc_id"), col("text"), col("source"),
+        lowCut = 0.25, highCut = 0.75, exact = true)
+    // per group: max(head) <= min(middle) <= max(middle) <= min(tail)
+    val rng = b.groupBy("grp").agg(
+      max(when(col("bucket") === "head", col("ppl"))).as("h_max"),
+      min(when(col("bucket") === "middle", col("ppl"))).as("m_min"),
+      max(when(col("bucket") === "middle", col("ppl"))).as("m_max"),
+      min(when(col("bucket") === "tail", col("ppl"))).as("t_min"))
+      .collect()
+    rng.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), r.toString)
+      assert(r.getDouble(3) <= r.getDouble(4), r.toString)
+    }
+    // head holds ~25% of each group
+    val frac = b.groupBy("grp").agg(
+      (sum(when(col("bucket") === "head", 1).otherwise(0)) /
+        count(lit(1))).as("f")).agg(avg("f")).head.getDouble(0)
+    assert(math.abs(frac - 0.25) < 0.1, s"head fraction $frac")
+    // approx path: same schema, same per-group totals, buckets still
+    // ordered (cut VALUES may differ slightly, membership may move
+    // near the boundary only)
+    val a = graft.text.LmOps.perplexityBuckets(docs, col("text"), docs,
+        col("doc_id"), col("text"), col("source"),
+        lowCut = 0.25, highCut = 0.75)
+    assert(a.columns.toSeq == Seq("doc_id", "grp", "ppl", "bucket"))
+    assert(a.count() == b.count())
+    val dis = a.select(col("doc_id"), col("bucket").as("ab"))
+      .join(b.select(col("doc_id"), col("bucket").as("bb")), "doc_id")
+      .filter(col("ab") =!= col("bb")).count()
+    assert(dis <= b.count() / 5,
+      s"approx vs exact disagreement too large: $dis")
+  }
+
   private def t001(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
