@@ -19,7 +19,11 @@ object Scaling {
         "q_minhash_dup", "q_semantic_dedup", "q_semantic_cells",
         "q_webp_decode", "q_video_frames", "q_url_dedup",
         "q_warc_gz", "q_bpe_tokens", "q_image_dhash",
-        "q_epoch_shuffle")
+        "q_epoch_shuffle",
+        // round-8 curation family
+        "q_gopher_rules", "q_c4_rules", "q_dsir", "q_mojibake",
+        "q_incremental_dedup", "q_sentence_dedup", "q_text_chunks",
+        "q_curation_report", "q_ppl_buckets", "q_hash_split")
     val sfs = Seq("0.001", "0.01", "0.1")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()

@@ -110,6 +110,28 @@ object StreamOps {
         .drop("__q"),
       text)
 
+  /** Streaming curation gate: mojibake repair → Gopher rules → C4
+    * line cleaning + page rejection, emitting the repaired + cleaned
+    * text as `clean_text`. Every stage is a row-local Column
+    * expression with no state, so the SAME definition runs batch
+    * backfill and live ingest and the outputs are identical row-for-
+    * row (StreamingSpec pins the parity). Compose with
+    * [[streamingExactDedup]] downstream for the stateful stage of the
+    * funnel. */
+  def streamingCurationGate(df: DataFrame, text: Column,
+                            minWords: Int = 50, minStopwords: Int = 2,
+                            badWords: Seq[String] = Nil): DataFrame = {
+    import graft.text.{EncodingOps, FilterRules}
+    df.withColumn("__fixed", EncodingOps.fixMojibake(text))
+      .withColumn("__g", FilterRules.gopherRules(col("__fixed"),
+        minWords = minWords, minStopwords = minStopwords))
+      .withColumn("__c", FilterRules.c4Rules(col("__fixed"),
+        badWords = badWords))
+      .filter(col("__g.pass") && col("__c.keep"))
+      .withColumn("clean_text", col("__c.cleaned"))
+      .drop("__fixed", "__g", "__c")
+  }
+
   /** State for one SimHash band bucket: recently seen (id, simhash)
     * pairs, newest first, capped at the operator's `maxPerBucket`. */
   case class BandBucket(ids: Seq[Long], hashes: Seq[Long])

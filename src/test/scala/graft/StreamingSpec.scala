@@ -296,6 +296,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCurationGate is row-for-row identical to the batch " +
+    "application (stateless gates)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // page-shaped docs: half pass the gates, some carry mojibake that
+    // the gate must repair before the rules run
+    val stop = "the data and results have merit to be good with that"
+    def page(i: Long): String = {
+      val body = (s"$stop item $i line one ends here. " * 6).trim
+      val moji = if (i % 3 == 0) " cafÃ© corner." else ""
+      if (i % 2 == 0) s"$body$moji\nGood closing sentence here$i."
+      else "too short"
+    }
+    val docs = (0L until 60L).map(i => (i, page(i)))
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamOps.streamingCurationGate(
+      mem.toDF().toDF("doc_id", "text"), col("text"),
+      minWords = 30, minStopwords = 2)
+    val q = gated.writeStream.format("memory").queryName("graft_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, clean_text FROM graft_gate")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = StreamOps.streamingCurationGate(
+          docs.toDF("doc_id", "text"), col("text"),
+          minWords = 30, minStopwords = 2)
+        .select("doc_id", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "some pages must survive the gate")
+      assert(batch.size < docs.size, "some pages must be rejected")
+      // mojibake was repaired before the rules ran
+      assert(batch.exists(_._2.contains("café")))
+      assert(!batch.exists(_._2.contains("cafÃ©")))
+    } finally q.stop()
+  }
+
   test("streamingOnlineLR matches the batch OnlineLR across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
