@@ -59,6 +59,67 @@ object PageRankOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // Small-graph fast path: below `graft.maxLocalPagerank` edges
+    // (default 2M — same bounded-driver-finish pattern as
+    // GraphOps.connectedComponents), collect the normalized edges and
+    // power-iterate on the driver. A 10-round distributed loop costs
+    // ~60 scheduler stages of fixed overhead; on a host graph that
+    // fits in memory that overhead IS the runtime (measured 25.7 s →
+    // sub-second at sf0.1). Web-scale host graphs (10⁸ nodes) exceed
+    // the cap and take the distributed loop below.
+    val localCap = java.lang.Long.getLong("graft.maxLocalPagerank",
+      2000000L)
+    val mEdges = trans.count()
+    if (mEdges <= localCap && n <= localCap) {
+      val spark = edges.sparkSession
+      val es = trans.select(col("u"), col("v"), col("p")).collect()
+      val ids = nodes.select(col("id")).collect().map(_.getLong(0))
+      val idx = ids.zipWithIndex.toMap
+      val eu = new Array[Int](es.length)
+      val ev = new Array[Int](es.length)
+      val ep = new Array[Double](es.length)
+      var i = 0
+      while (i < es.length) {
+        val r = es(i)
+        eu(i) = idx(r.getLong(0)); ev(i) = idx(r.getLong(1))
+        ep(i) = r.getDouble(2); i += 1
+      }
+      val hasOut = new Array[Boolean](ids.length)
+      es.foreach(r => hasOut(idx(r.getLong(0))) = true)
+      var rank = Array.fill(ids.length)(1.0 / n)
+      var it = 0
+      while (it < iterations) {
+        var dm = 0.0
+        var k = 0
+        while (k < ids.length) {
+          if (!hasOut(k)) dm += rank(k); k += 1
+        }
+        val recv = new Array[Double](ids.length)
+        var j = 0
+        while (j < es.length) {
+          recv(ev(j)) += ep(j) * rank(eu(j)); j += 1
+        }
+        val base = (1.0 - damping) / n + damping * dm / n
+        val next = new Array[Double](ids.length)
+        k = 0
+        while (k < ids.length) {
+          next(k) = base + damping * recv(k); k += 1
+        }
+        rank = next
+        it += 1
+      }
+      trans.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      val rows = ids.indices.map(k =>
+        org.apache.spark.sql.Row(ids(k), rank(k)))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
     // dangling nodes = sinks (appear only as destinations); detect the
     // no-dangling case once so the loop can skip the per-iteration
     // mass job (host graphs rarely have true sinks)

@@ -269,6 +269,20 @@ object CurationQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("ppl")), 4).as("avg_ppl"))
         .orderBy("source", "bucket")
+    }),
+    "q_jl_project" -> ((s, dir) => {
+      // 64 → 16 dims; the oracle recomputes every md5-derived Gaussian
+      // matrix entry and every projected coordinate in SQL. outDim 16
+      // keeps the 1/√k scale exact (0.25) in both engines.
+      import graft.sim.ProjectOps
+      t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .withColumn("p", ProjectOps.jlProject(col("embedding"),
+          outDim = 16, inDim = 64, salt = 1))
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 6).as("p0"),
+          round(element_at(col("p"), 8), 6).as("p7"),
+          round(element_at(col("p"), 16), 6).as("p15"))
+        .orderBy("vec_id")
     })
   )
 
@@ -689,6 +703,38 @@ object CurationQueries extends QueryPack {
         |  FROM wg JOIN cu2 USING (grp))
         |SELECT grp AS source, bucket, COUNT(*)::BIGINT AS n_docs,
         |  ROUND(AVG(ppl), 4) AS avg_ppl
-        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_jl_project" -> {
+      // value of hex digits [a..b] (1-based) of md5 column m
+      def hexVal(a: Int, b: Int): String = (a to b).map(i =>
+        s"(CASE WHEN substring(m,$i,1) BETWEEN '0' AND '9' " +
+          s"THEN ascii(substring(m,$i,1)) - 48 " +
+          s"ELSE ascii(substring(m,$i,1)) - 87 END)::BIGINT * " +
+          s"${math.pow(16, b - i).toLong}")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 200),
+         |ji AS (
+         |  SELECT jj.j, ii.i,
+         |    md5('jl:1:' || jj.j || ':' || ii.i) AS m
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+         |       (SELECT unnest(generate_series(0, 63)) AS i) ii),
+         |g AS (
+         |  SELECT j, i,
+         |    sqrt(-2 * ln(((${hexVal(1, 8)}) + 0.5) / 4294967296.0))
+         |    * cos(2 * pi() * (((${hexVal(9, 16)}) + 0.5)
+         |        / 4294967296.0)) AS g
+         |  FROM ji),
+         |p AS (
+         |  SELECT e.vec_id, g.j,
+         |    SUM(e.embedding[g.i + 1]::DOUBLE * g.g) / 4.0 AS pj
+         |  FROM e, g GROUP BY 1, 2)
+         |SELECT vec_id,
+         |  ROUND(MAX(CASE WHEN j = 0 THEN pj END), 6) AS p0,
+         |  ROUND(MAX(CASE WHEN j = 7 THEN pj END), 6) AS p7,
+         |  ROUND(MAX(CASE WHEN j = 15 THEN pj END), 6) AS p15
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }
