@@ -604,6 +604,84 @@ object LinRegOps {
     val sc = data.sparkContext
     val nTri = d * (d + 1) / 2
     val nG = nTri + d
+    // Small-data fast path: every IRLS iteration is a full distributed
+    // job (broadcast β + treeAggregate) whose scheduler overhead
+    // dominates when the projected rows fit in driver memory — a
+    // 40-iteration fit on bench-sized data is 40 jobs of overhead for
+    // microseconds of math. Below `graft.maxLocalIrls` projected
+    // doubles (default 4M = 32 MB; the input RDD is always the narrow
+    // (group, features+y) projection, already persisted by callers),
+    // collect ONCE and run the identical iteration locally. The Gram
+    // sums differ from treeAggregate only in FP association order —
+    // the same nondeterminism partitioning already introduces.
+    val localCap = java.lang.Long.getLong("graft.maxLocalIrls",
+      4000000L)
+    lazy val mRows = data.count()
+    if (maxIter > 1 && mRows * (d + 2) <= localCap) {
+      val rows = data.collect()
+      var betasL = init
+      var itersL = 0
+      var deltaL = Double.MaxValue
+      while (itersL < maxIter && deltaL > tol) {
+        val acc = new Array[Double](k * nG)
+        var r = 0
+        while (r < rows.length) {
+          val g = rows(r)._1
+          val arr = rows(r)._2
+          val b = betasL(g)
+          var eta = 0.0
+          var i = 0
+          while (i < d) { eta += b(i) * arr(i); i += 1 }
+          val wzr = wz(eta, arr(d))
+          val w = wzr._1
+          val z = wzr._2
+          val off = g * nG
+          var p = off
+          i = 0
+          while (i < d) {
+            val wxi = w * arr(i)
+            var j = i
+            while (j < d) { acc(p) += wxi * arr(j); p += 1; j += 1 }
+            i += 1
+          }
+          i = 0
+          while (i < d) { acc(off + nTri + i) += w * arr(i) * z; i += 1 }
+          r += 1
+        }
+        if (rows.isEmpty) return (betasL, itersL)
+        deltaL = 0.0
+        val nb = new Array[Array[Double]](k)
+        var g = 0
+        while (g < k) {
+          val off = g * nG
+          val xtx = Array.ofDim[Double](d, d)
+          var p = off
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              xtx(i)(j) = acc(p); xtx(j)(i) = acc(p); p += 1; j += 1
+            }
+            i += 1
+          }
+          val xty = Array.tabulate(d)(i => acc(off + nTri + i))
+          val sb = solve(xtx, xty, g)
+          val old = betasL(g)
+          val out = if (sb == null) old else sb
+          var dm = 0.0
+          i = 0
+          while (i < d) {
+            dm = math.max(dm, math.abs(out(i) - old(i))); i += 1
+          }
+          deltaL = math.max(deltaL, dm)
+          nb(g) = out
+          g += 1
+        }
+        betasL = nb
+        itersL += 1
+      }
+      return (betasL, itersL)
+    }
     var betas = init
     var iters = 0
     var delta = Double.MaxValue
