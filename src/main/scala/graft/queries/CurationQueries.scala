@@ -195,16 +195,19 @@ object CurationQueries extends QueryPack {
       // (identical signatures collide in every band).
       import graft.text.TextOps
       val docs = t(s, dir, "documents")
-      val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      val nw = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      val bandTab = TextOps.minHashBandTable(old, col("doc_id"),
-        col("text"))
-      val incNew = TextOps.incrementalMinHashDupPairs(nw,
-        col("doc_id"), col("text"), bandTab, 0.6)
-      val oldPairs = TextOps.minHashDupPairs(old, col("doc_id"),
-        col("text"), 0.6)
-      val full = TextOps.minHashDupPairs(docs, col("doc_id"),
-        col("text"), 0.6)
+      // sign the corpus ONCE; every sweep below (old-only, full,
+      // incremental new-vs-old) is a slice of the same persisted band
+      // table — the single-signing economics the band-table API exists
+      // for (signing is the dominant cost: 128 hashes per shingle)
+      val bandAll = TextOps.minHashBandTable(docs, col("doc_id"),
+          col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandOld = bandAll.filter(pmod(col("i"), lit(2)) === 0)
+      val bandNew = bandAll.filter(pmod(col("i"), lit(2)) === 1)
+      val incNew = TextOps.incrementalMinHashDupPairsFromBands(
+        bandNew, bandOld, 0.6)
+      val oldPairs = TextOps.minHashDupPairsFromBands(bandOld, 0.6)
+      val full = TextOps.minHashDupPairsFromBands(bandAll, 0.6)
       val incAll = oldPairs.select("id1", "id2")
         .union(incNew.select("id1", "id2")).distinct()
       val eq = full.select(col("id1"), col("id2"), lit(1).as("f"))

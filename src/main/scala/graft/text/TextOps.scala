@@ -530,23 +530,46 @@ object TextOps {
     // signatures are ~1 KB/doc, orders of magnitude smaller than texts.
     val buckets = minHashBandTable(df, id, text, k, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = buckets.as("l")
-    val r = buckets.as("r")
+    minHashDupPairsFromBands(buckets, threshold)
+  }  // Release.scoped: pair result materialized, signature cache freed
+
+  /** Pair-finding over an existing band table (from
+    * [[minHashBandTable]]) — lets callers sign a corpus ONCE and run
+    * several pair sweeps (full / subset / incremental) against slices
+    * of the same persisted table. Semantically identical to
+    * [[minHashDupPairs]] on the documents the table was built from. */
+  def minHashDupPairsFromBands(buckets: DataFrame,
+                               threshold: Double): DataFrame = {
+    // Candidate pairs are DEDUPED before any signature comparison: a
+    // near-dup pair collides in up to `bands` buckets, and duplicate-
+    // heavy corpora make colliding occurrences explode quadratically
+    // per bucket — comparing signatures per occurrence (the previous
+    // shape) re-ran the 128-slot comparison up to 16× per pair AND
+    // carried two 1 KB arrays through the join. Now the band join
+    // emits only (id1, id2), the distinct shuffles two longs, and
+    // signatures are fetched once per surviving pair from the band-0
+    // slice of the same table (every doc has a band 0 — a narrow
+    // cached filter, no extra signing, no shuffle to build).
+    val cand = buckets.select(col("i"), col("b"), col("h")).as("l")
+      .join(buckets.select(col("i"), col("b"), col("h")).as("r"),
+        col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+          col("l.i") < col("r.i"))
+      .select(col("l.i").as("id1"), col("r.i").as("id2"))
+      .distinct()
+    val sigs = buckets.filter(col("b") === 0)
+      .select(col("i"), col("sig"))
     val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
-    // Estimate jaccard and filter BEFORE the pair-dedup so the distinct
-    // shuffles three narrow columns, not two 128-long signature arrays
-    // (a pair colliding in b bands would otherwise ship b copies of both
-    // signatures). The UDF re-runs per colliding band — 128 comparisons,
-    // far cheaper than the array shuffle it replaces.
-    l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-        col("l.i") < col("r.i"))
-      .select(col("l.i").as("id1"), col("r.i").as("id2"),
-        simUdf(col("l.sig"), col("r.sig")).as("est_jaccard"))
+    cand
+      .join(sigs.select(col("i").as("id1"), col("sig").as("__s1")),
+        Seq("id1"))
+      .join(sigs.select(col("i").as("id2"), col("sig").as("__s2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        simUdf(col("__s1"), col("__s2")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
-  }  // Release.scoped: pair result materialized, signature cache freed
+  }
 
   /** The persistable LSH state of a corpus: one row per (document,
     * band) with the banded bucket hash AND the full signature —
@@ -587,19 +610,42 @@ object TextOps {
       graft.util.Release.scoped(newDf.sparkSession) {
     val nb = minHashBandTable(newDf, id, text, k, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalMinHashDupPairsFromBands(nb, corpusBands, threshold)
+  }
+
+  /** Incremental pair sweep over pre-built band tables — the re-sign-
+    * nothing variant of [[incrementalMinHashDupPairs]] for callers
+    * holding both tables (e.g. one persisted corpus table sliced into
+    * snapshots). */
+  def incrementalMinHashDupPairsFromBands(newBands: DataFrame,
+                                          corpusBands: DataFrame,
+                                          threshold: Double)
+      : DataFrame = {
+    // same dedupe-candidates-first shape as minHashDupPairsFromBands
+    def narrow(df: DataFrame) = df.select(col("i"), col("b"), col("h"))
+    def cand(l: DataFrame, r: DataFrame, cond: Column) =
+      narrow(l).as("l").join(narrow(r).as("r"),
+          col("l.b") === col("r.b") && col("l.h") === col("r.h") && cond)
+        .select(least(col("l.i"), col("r.i")).as("id1"),
+          greatest(col("l.i"), col("r.i")).as("id2"))
+    val cands = cand(corpusBands, newBands, col("l.i") =!= col("r.i"))
+      .union(cand(newBands, newBands, col("l.i") < col("r.i")))
+      .distinct()
+    val sigs = corpusBands.filter(col("b") === 0)
+      .select(col("i"), col("sig"))
+      .union(newBands.filter(col("b") === 0)
+        .select(col("i"), col("sig")))
     val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
-    def pairs(l: DataFrame, r: DataFrame, cond: Column) =
-      l.as("l").join(r.as("r"),
-          col("l.b") === col("r.b") && col("l.h") === col("r.h") && cond)
-        .select(least(col("l.i"), col("r.i")).as("id1"),
-          greatest(col("l.i"), col("r.i")).as("id2"),
-          simUdf(col("l.sig"), col("r.sig")).as("est_jaccard"))
-        .filter(col("est_jaccard") >= threshold)
-    pairs(corpusBands, nb, col("l.i") =!= col("r.i"))
-      .union(pairs(nb, nb, col("l.i") < col("r.i")))
-      .distinct()
+    cands
+      .join(sigs.select(col("i").as("id1"), col("sig").as("__s1")),
+        Seq("id1"))
+      .join(sigs.select(col("i").as("id2"), col("sig").as("__s2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        simUdf(col("__s1"), col("__s2")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word hashes (unit weights). Near-dups have
