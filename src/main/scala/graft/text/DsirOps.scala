@@ -76,17 +76,26 @@ object DsirOps {
     * broadcast by [[score]]. */
   def fitLogRatio(raw: DataFrame, target: DataFrame, id: Column,
                   text: Column, dim: Int, hexChars: Int = 4,
-                  alpha: Double = 0.1): DataFrame = {
+                  alpha: Double = 0.1): DataFrame =
+    fitLogRatioFromBuckets(
+      ngramBuckets(raw, id, text, dim, hexChars),
+      ngramBuckets(target, id, text, dim, hexChars), dim, alpha)
+
+  /** [[fitLogRatio]] over pre-featurized (id, bucket, cnt) frames —
+    * lets [[resample]] featurize the raw corpus ONCE and reuse it for
+    * both the model fit and the scoring pass. */
+  def fitLogRatioFromBuckets(rawBuckets: DataFrame,
+                             targetBuckets: DataFrame, dim: Int,
+                             alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"fitLogRatio: alpha must be > 0, got $alpha")
-    val spark = raw.sparkSession
-    def side(df: DataFrame, nm: String) =
-      ngramBuckets(df, id, text, dim, hexChars)
-        .groupBy(col("bucket")).agg(sum(col("cnt")).as(nm))
+    val spark = rawBuckets.sparkSession
+    def side(b: DataFrame, nm: String) =
+      b.groupBy(col("bucket")).agg(sum(col("cnt")).as(nm))
     val all = spark.range(dim).select(col("id").cast("int")
       .as("bucket"))
     val j = all
-      .join(side(raw, "c_raw"), Seq("bucket"), "left")
-      .join(side(target, "c_tgt"), Seq("bucket"), "left")
+      .join(side(rawBuckets, "c_raw"), Seq("bucket"), "left")
+      .join(side(targetBuckets, "c_tgt"), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("c_raw"), lit(0L)).as("c_raw"),
         coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
@@ -130,10 +139,18 @@ object DsirOps {
                text: Column, k: Int, dim: Int, hexChars: Int = 4,
                alpha: Double = 0.1, seed: Long = 42): DataFrame = {
     require(k >= 1, s"resample: k must be >= 1, got $k")
-    val model = fitLogRatio(raw, target, id, text, dim, hexChars, alpha)
+    // featurize raw ONCE (persisted): the frame feeds both the model
+    // fit and the scoring join — featurization (explode + hash) is the
+    // dominant cost and would otherwise run twice
+    val rawB = ngramBuckets(raw, id, text, dim, hexChars)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgtB = ngramBuckets(target, id, text, dim, hexChars)
+    val model = fitLogRatioFromBuckets(rawB, tgtB, dim, alpha)
+    val docScores = rawB.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("log_ratio")).as("log_w"))
     val scored = raw.select(id.as("id"))
-      .join(score(raw, id, text, model, dim, hexChars), Seq("id"),
-        "left")
+      .join(docScores, Seq("id"), "left")
       .select(col("id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
       .withColumn("key", col("log_w") + gumbelNoise(col("id"), seed))
     scored.orderBy(col("key").desc, col("id")).limit(k)

@@ -210,8 +210,14 @@ object LmOps {
     require(lowCut > 0 && lowCut < highCut && highCut < 1,
       s"perplexityBuckets: need 0 < lowCut < highCut < 1, " +
         s"got ($lowCut, $highCut)")
+    // persist the scored frame: the plan reads it twice (the per-group
+    // cut aggregation AND the bucket assignment) and LM scoring is the
+    // expensive part — without this the whole count-model pipeline
+    // runs twice. Tiny rows (doc_id, ppl); spills if a corpus doesn't
+    // fit. Blocks are reclaimed by Release callers / session hygiene.
     val scored = ngramLmScore(train, trainText, df, id, text, n, alpha)
       .select(col("doc_id"), col("ppl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withG = df.select(id.as("doc_id"), group.as("grp"))
       .join(scored, Seq("doc_id"))
     def cut(p: Double): Column =
