@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Johnson–Lindenstrauss random projection for embedding compression —
@@ -61,5 +61,56 @@ object ProjectOps {
         zip_with(vec.cast("array<double>"), element_at(mat, j + 1),
           (x, y) => coalesce(x, lit(0.0)) * y),
         lit(0.0), (acc, x) => acc + x) * scale)
+  }
+
+  /** Two-stage ANN through JL compression: coarse cosine top-
+    * (candFactor·k) in the `jlDim`-compressed space, then EXACT cosine
+    * re-rank of the shortlist in the original space — the same
+    * shortlist-then-refine shape as [[PqOps.pqCosineTopK]], with JL's
+    * distance-preservation guarantee standing in for codebook quality.
+    * Reported cos values are true cosines of a candidate subset
+    * (subset ≤ exact is a hard invariant).
+    *
+    * WHEN TO USE: the oblivious projection adds ~1/√jlDim cosine
+    * noise, so the shortlist is reliable only when the true neighbor
+    * is SEPARATED from the background by more than that (near-dup
+    * retrieval: twin at cos ≈ 0.95 vs background ≈ 0.4 — recall ≈ 1,
+    * pinned in ProjectSpec). For weakly-separated corpora (top-1
+    * gaps ≪ 1/√jlDim, e.g. the synthetic embeddings fixture where
+    * neighbors sit ~0.03 above background) use the data-adapted
+    * [[SimOps.ivfCosineTopK]] / [[PqOps.pqCosineTopK]] instead —
+    * measured there: 64→32 dims yields only ~0.33 top-1 recall.
+    *
+    * Scale shape: both sides project row-locally (no shuffle); the
+    * coarse pass is [[SimOps.cosineTopK]]'s broadcast-query map-side
+    * top-k over jlDim-wide vectors (a 4× dim cut ≈ 4× less scan
+    * arithmetic — that is the point); the re-rank joins only
+    * |queries|·candFactor·k candidate rows back to full vectors. */
+  def jlCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   inDim: Int, jlDim: Int = 16, candFactor: Int = 4,
+                   salt: Int = 0, queryCap: Long = 100000L)
+      : DataFrame = {
+    require(k >= 1 && candFactor >= 1,
+      s"jlCosineTopK: k and candFactor must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pq = queries.select(col("id"),
+      jlProject(col("vec"), jlDim, inDim, salt).as("vec"))
+    val pc = corpus.select(col("id"),
+      jlProject(col("vec"), jlDim, inDim, salt).as("vec"))
+    val coarse = SimOps.cosineTopK(pq, pc, k * candFactor,
+        queryCap = queryCap)
+      .select(col("qid"), col("cid"))
+    val rer = coarse
+      .join(queries.select(col("id").as("qid"),
+        col("vec").cast("array<double>").as("__qv")), Seq("qid"))
+      .join(corpus.select(col("id").as("cid"),
+        col("vec").cast("array<double>").as("__cv")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        SimOps.cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rk"))
   }
 }

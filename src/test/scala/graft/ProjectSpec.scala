@@ -61,4 +61,34 @@ class ProjectSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
   }
+
+  test("jlCosineTopK recalls planted near-duplicate twins (the " +
+    "separated-neighbor regime the op is for)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 100 background vectors + 20 planted twins: twin(i) = base(i) +
+    // small noise, so the true top-1 sits at cos ~0.99 while the
+    // background is ~0 — separation >> 1/sqrt(jlDim)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val twins = (0 until 20).map { i =>
+      val v = base(i)._2.map(_ + 0.05 * rnd.nextGaussian())
+      (1000L + i, v)
+    }
+    val corpus = (base ++ twins).toDF("id", "vec")
+    val queries = twins.toDF("id", "vec")
+    val ann = ProjectOps.jlCosineTopK(queries, corpus, k = 1,
+        inDim = 64, jlDim = 16, candFactor = 4, salt = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = (0 until 20).count(i => ann(1000L + i) == i.toLong)
+    assert(hit >= 19, s"twin recall $hit/20")
+    // subset invariant: reported cos are true cosines, never above
+    // the exact best
+    val exact = graft.sim.SimOps.cosineTopK(queries, corpus, 1)
+      .select(col("qid"), col("cos").as("ecos"))
+    val sub = ProjectOps.jlCosineTopK(queries, corpus, 1, 64, 16, 4, 9)
+      .join(exact, Seq("qid"))
+      .filter(col("cos") > col("ecos") + 1e-9).count()
+    assert(sub == 0L)
+  }
 }
