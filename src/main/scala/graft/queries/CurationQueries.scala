@@ -286,6 +286,63 @@ object CurationQueries extends QueryPack {
           round(element_at(col("p"), 8), 6).as("p7"),
           round(element_at(col("p"), 16), 6).as("p15"))
         .orderBy("vec_id")
+    }),
+    "q_nfc_normalize" -> ((s, dir) => {
+      // decomposed combining sequences (e+U+0301, A+U+030A, o+U+0308)
+      // must compose to the precomposed forms; the oracle runs
+      // DuckDB's ICU nfc_normalize over the identical construction,
+      // pinning the JDK-Normalizer-equals-ICU equivalence the
+      // expression claims. The suffix is built from escapes so no
+      // invisible decomposition hides in this source file.
+      import org.apache.spark.sql.graft.NativeFunctions
+      val suffix = " cafe\u0301 A\u030angstro\u0308m vol "
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("raw", concat(col("text"), lit(suffix),
+          pmod(col("doc_id"), lit(9))))
+        .withColumn("nfc", NativeFunctions.nfcNormalizeNative(
+          col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(col("nfc")).as("len_nfc"),
+          md5(col("nfc")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer-efficiency datasheet: bytes per token for the
+      // whitespace and BPE-ish tokenizations, per source
+      import graft.text.TextOps
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(octet_length(col("text"))).as("bytes"),
+          sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextOps.tokenCountBpe(col("text"))).as("bpe_tokens"),
+          round(sum(octet_length(col("text"))).cast("double") /
+            sum(TextOps.tokenCount(col("text"))), 4)
+            .as("bytes_per_ws_token"),
+          round(sum(octet_length(col("text"))).cast("double") /
+            sum(TextOps.tokenCountBpe(col("text"))), 4)
+            .as("bytes_per_bpe_token"))
+        .orderBy("source")
+    }),
+    "q_vocab_stats" -> ((s, dir) => {
+      // vocabulary shape per source: type count, type-token ratio,
+      // hapax fraction — the Zipf-tail signals corpus datasheets report
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            w => w =!= "")).as("t"))
+      toks.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n")).as("n_tokens"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          round(count(lit(1)).cast("double") / sum(col("n")), 6)
+            .as("ttr"),
+          round(sum(when(col("n") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("hapax_frac"))
+        .orderBy("source")
     })
   )
 
@@ -738,6 +795,53 @@ object CurationQueries extends QueryPack {
          |  ROUND(MAX(CASE WHEN j = 7 THEN pj END), 6) AS p7,
          |  ROUND(MAX(CASE WHEN j = 15 THEN pj END), 6) AS p15
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+    "q_nfc_normalize" ->
+      // combining marks injected via chr(): 769=U+0301 acute,
+      // 778=U+030A ring, 776=U+0308 diaeresis
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778)
+        |      || 'ngstro' || chr(776) || 'm vol ' || (doc_id % 9)
+        |      AS raw
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """SELECT source,
+        |  SUM(strlen(text))::BIGINT AS bytes,
+        |  SUM(len(regexp_split_to_array(TRIM(text), '\s+')))::BIGINT
+        |    AS ws_tokens,
+        |  SUM(list_sum(list_transform(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |    w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1))))::BIGINT
+        |    AS bpe_tokens,
+        |  ROUND(SUM(strlen(text))::DOUBLE /
+        |    SUM(len(regexp_split_to_array(TRIM(text), '\s+'))), 4)
+        |    AS bytes_per_ws_token,
+        |  ROUND(SUM(strlen(text))::DOUBLE /
+        |    SUM(list_sum(list_transform(
+        |      regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |      w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1)))), 4)
+        |    AS bytes_per_bpe_token
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT source, u.t
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(
+        |      LOWER(TRIM(text)), '\s+'), w -> w <> '')) AS u(t)),
+        |tc AS (
+        |  SELECT source, t, COUNT(*)::BIGINT AS n
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT source, COUNT(*)::BIGINT AS n_types,
+        |  SUM(n)::BIGINT AS n_tokens,
+        |  SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS ttr,
+        |  ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*), 6) AS hapax_frac
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgramHashes(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_nfc(str) takes exactly one argument")
+        NfcNormalize(children.head)
+      }))
   }
 }
 
@@ -77,4 +85,7 @@ object NativeFunctions {
   def wordNgramHashesNative(c: Column, n: Int): Column =
     ExpressionUtils.column(
       WordNgramHashes(ExpressionUtils.expression(c), n))
+
+  def nfcNormalizeNative(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
 }

@@ -214,3 +214,43 @@ object WordNgramHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Native Unicode NFC normalization — the canonical-composition step
+  * web-corpus pipelines run before hashing/dedup (decomposed "e"+U+0301
+  * and precomposed "é" must land in the same bucket). Wraps
+  * `java.text.Normalizer` (the JDK's Unicode-standard implementation,
+  * byte-identical to ICU/DuckDB `nfc_normalize` — the q_nfc_normalize
+  * oracle pins that) behind a codegen'd expression with an ASCII fast
+  * path: ASCII is already NFC, so the common case never allocates. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = NfcNormalize.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    // ASCII fast path: numBytes == numChars ⟺ pure ASCII ⟹ already NFC
+    if (s.numBytes() == s.numChars()) return s
+    val str = s.toString
+    val n = java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC)
+    if (n eq str) s else UTF8String.fromString(n)
+  }
+}
