@@ -343,6 +343,45 @@ object CurationQueries extends QueryPack {
           round(sum(when(col("n") === 1, 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 6).as("hapax_frac"))
         .orderBy("source")
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL ingest contract: write the documents as JSONL, plant a
+      // side file with 3 malformed lines + 1 valid extra row, read
+      // back with the strict schema — corrupt lines must be ROUTED
+      // (not dropped), valid rows byte-exact. All expected counts are
+      // documents-table arithmetic.
+      import graft.sources.Jsonl
+      import org.apache.spark.sql.types._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl$tag"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Jsonl.writeJsonl(docs, root)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "zz_extra.json"),
+        ("this line is not json\n" +
+          "{\"doc_id\": 12, \"source\"   broken\n" +
+          "[1, 2, oops\n" +
+          "{\"doc_id\": -1, \"source\": \"extra\", " +
+          "\"text\": \"planted extra row\"}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val back = Jsonl.readJsonl(s, root, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType))))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(Jsonl.corruptCol).isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col(Jsonl.corruptCol).isNull, 1L).otherwise(0L))
+          .as("n_valid"),
+        sum(when(col(Jsonl.corruptCol).isNull, col("doc_id")))
+          .as("sum_doc_id"),
+        countDistinct(when(col(Jsonl.corruptCol).isNull,
+          col("source"))).as("n_sources"),
+        sum(when(col(Jsonl.corruptCol).isNull, length(col("text"))))
+          .as("text_chars"))
     })
   )
 
@@ -842,6 +881,15 @@ object CurationQueries extends QueryPack {
         |  ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS ttr,
         |  ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
         |    / COUNT(*), 6) AS hapax_frac
-        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT (COUNT(*) + 4)::BIGINT AS n_rows,
+        |  3::BIGINT AS n_corrupt,
+        |  (COUNT(*) + 1)::BIGINT AS n_valid,
+        |  (SUM(doc_id) - 1)::BIGINT AS sum_doc_id,
+        |  (COUNT(DISTINCT source) + 1)::BIGINT AS n_sources,
+        |  (SUM(LENGTH(text)) + LENGTH('planted extra row'))::BIGINT
+        |    AS text_chars
+        |FROM documents""".stripMargin
   )
 }
