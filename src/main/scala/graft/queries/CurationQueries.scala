@@ -382,6 +382,37 @@ object CurationQueries extends QueryPack {
           col("source"))).as("n_sources"),
         sum(when(col(Jsonl.corruptCol).isNull, length(col("text"))))
           .as("text_chars"))
+    }),
+    "q_lm_kn" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram scoring, self-trained — the
+      // oracle replays every count table (prefix totals, distinct
+      // successors, continuation counts, distinct-bigram total) and
+      // the interpolation formula at string level.
+      import graft.text.LmOps
+      val docs = t(s, dir, "documents")
+      LmOps.ngramLmScoreKN(docs, col("text"), docs, col("doc_id"),
+          col("text"))
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+    }),
+    "q_winnow" -> ((s, dir) => {
+      // MOSS winnowing: plant an identical 12-word passage on every
+      // 25th doc; winnowed fingerprints must pair those docs (the
+      // w+k-1 guarantee), and the oracle replays hash values, window
+      // minima, rightmost tie-breaks and pair counts exactly.
+      import graft.text.WinnowOps
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("t", concat(col("text"),
+          when(pmod(col("doc_id"), lit(25)) === 0,
+            lit(" shared plagiarized passage appears verbatim in " +
+              "several documents here today")).otherwise(lit(""))))
+      val fps = WinnowOps.fingerprints(docs, col("doc_id"), col("t"),
+        k = 4, w = 4)
+      val pairs = WinnowOps.sharedFingerprintPairs(fps, minShared = 2)
+      pairs.select(col("id1"), col("id2"), col("n_shared"))
+        .orderBy("id1", "id2")
     })
   )
 
@@ -890,6 +921,87 @@ object CurationQueries extends QueryPack {
         |  (COUNT(DISTINCT source) + 1)::BIGINT AS n_sources,
         |  (SUM(LENGTH(text)) + LENGTH('planted extra row'))::BIGINT
         |    AS text_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)),
+        |big AS (
+        |  SELECT doc_id, pos, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM words QUALIFY w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+        |       FROM cb GROUP BY 1),
+        |nc AS (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
+        |nb AS (SELECT COUNT(*) AS nbig FROM cb)
+        |SELECT b.doc_id, COUNT(*) AS n_ngrams,
+        |  ROUND(AVG(-ln(
+        |    GREATEST(cb.c12 - 0.75, 0) / c1.c1
+        |    + 0.75 * c1.n1f / c1.c1 * nc.ncont / nb.nbig)), 4)
+        |    AS cross_entropy,
+        |  ROUND(EXP(AVG(-ln(
+        |    GREATEST(cb.c12 - 0.75, 0) / c1.c1
+        |    + 0.75 * c1.n1f / c1.c1 * nc.ncont / nb.nbig))), 2)
+        |    AS ppl
+        |FROM big b
+        |JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |JOIN nc ON nc.w2 = b.w2
+        |CROSS JOIN nb
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winnow" -> {
+      // 48-bit gram hash = first 12 hex chars of md5, as SQL int
+      // arithmetic (same idiom as the q_dsir oracle)
+      val hexv = (1 to 12).map(i =>
+        s"(CASE WHEN substring(m,$i,1) BETWEEN '0' AND '9' " +
+          s"THEN ascii(substring(m,$i,1)) - 48 " +
+          s"ELSE ascii(substring(m,$i,1)) - 87 END)::BIGINT * " +
+          s"${math.pow(16, 12 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 25 = 0 THEN
+         |    ' shared plagiarized passage appears verbatim in several documents here today'
+         |    ELSE '' END AS t
+         |  FROM documents WHERE doc_id < 300),
+         |tk AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(t)), '\\s+') AS w
+         |  FROM aug),
+         |ng AS (
+         |  SELECT doc_id, s.i - 1 AS pos,
+         |    md5(w[s.i] || ' ' || w[s.i+1] || ' ' || w[s.i+2] || ' '
+         |      || w[s.i+3]) AS m
+         |  FROM tk, UNNEST(generate_series(1, len(w) - 3)) AS s(i)
+         |  WHERE len(w) >= 4),
+         |gh AS (
+         |  SELECT doc_id, pos, ($hexv) AS h
+         |  FROM ng),
+         |sel AS (
+         |  SELECT doc_id, pos,
+         |    min({'g': h, 'np': -pos}) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM gh),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, -(s['np']) AS fp_pos,
+         |    s['g'] AS fp_hash
+         |  FROM sel WHERE pos <= n - 4),
+         |fh AS (SELECT DISTINCT doc_id, fp_hash FROM fp)
+         |SELECT l.doc_id AS id1, r.doc_id AS id2,
+         |  COUNT(*)::BIGINT AS n_shared
+         |FROM fh l JOIN fh r
+         |  ON l.fp_hash = r.fp_hash AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY 1, 2""".stripMargin
+    }
   )
 }

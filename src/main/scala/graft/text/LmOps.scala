@@ -180,6 +180,66 @@ object LmOps {
       === col("__keep_id"), "left_semi")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing KenLM — and therefore CCNet — actually uses, vs the
+    * add-α of [[ngramLmScore]]):
+    *
+    *   p(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *            + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+    *
+    * with discount `d`, prefix total c(w1·), distinct-successor count
+    * N1+(w1,·), continuation count N1+(·,w2) and distinct-bigram total
+    * N1+(··). An UNSEEN prefix falls back to the pure continuation
+    * probability; a word with no continuation mass scores p = 0 →
+    * null cross-entropy — callers must score vocab ⊆ train vocab
+    * (self-scoring, the CCNet setup, always satisfies this).
+    *
+    * Scale shape identical to [[ngramLmScore]]: all count tables key
+    * on 8-byte gram hashes (map-side-combined groupBys; gram text
+    * never shuffles), scoring is three hash joins + one broadcast
+    * scalar, one aggregation per document. The bigram count table is
+    * persisted — three derived tables read it. */
+  def ngramLmScoreKN(train: DataFrame, trainText: Column,
+                     df: DataFrame, id: Column, text: Column,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"ngramLmScoreKN: discount must be in (0,1), got $discount")
+    val tb = train
+      .select(explode(TextOps.wordNgrams(trainText, 2)).as("g"))
+      .select(xxhash64(substring_index(col("g"), " ", 1)).as("w1h"),
+        xxhash64(substring_index(col("g"), " ", -1)).as("w2h"))
+    val cb = tb.groupBy(col("w1h"), col("w2h"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1t = cb.groupBy(col("w1h"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val ncont = cb.groupBy(col("w2h"))
+      .agg(count(lit(1)).as("ncont"))
+    val nbig = cb.agg(count(lit(1)).as("nbig"))
+    val docB = df.select(id.as("doc_id"),
+        explode(TextOps.wordNgrams(text, 2)).as("g"))
+      .select(col("doc_id"),
+        xxhash64(substring_index(col("g"), " ", 1)).as("w1h"),
+        xxhash64(substring_index(col("g"), " ", -1)).as("w2h"))
+    val pCont = coalesce(col("ncont"), lit(0L)).cast("double") /
+      col("nbig")
+    val p = when(col("c1").isNull, pCont)
+      .otherwise(
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+          discount, lit(0.0)) / col("c1") +
+          (lit(discount) * col("n1f") / col("c1")) * pCont)
+    docB
+      .join(cb, Seq("w1h", "w2h"), "left")
+      .join(c1t, Seq("w1h"), "left")
+      .join(ncont, Seq("w2h"), "left")
+      .crossJoin(broadcast(nbig))
+      .select(col("doc_id"), (-log(p)).as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        avg(col("nl")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
   /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
     * 2020 §4.3): score every document with the n-gram LM, compute
     * per-group (per-language in CCNet) perplexity cut points at

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{LmOps, WinnowOps}
+
+class WinnowKnSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("Kneser-Ney bigram: hand-computed probabilities and the " +
+    "sum-to-one property") {
+    import spark.implicits._
+    // corpus "a b a c": cb = {ab:1, ba:1, ac:1}; c(a.)=2 N1+(a,.)=2;
+    // c(b.)=1 N1+(b,.)=1; ncont b=1 a=1 c=1; nbig=3, d=0.75
+    // p(b|a) = 0.25/2 + 0.75*(2/2)*(1/3) = 0.375
+    // p(a|b) = 0.25/1 + 0.75*(1/1)*(1/3) = 0.5
+    // p(a|a) = 0 + 0.75*(2/2)*(1/3) = 0.25  (unseen bigram, seen both)
+    val train = Seq("a b a c").toDF("t")
+    def ce(doc: String): Double =
+      LmOps.ngramLmScoreKN(train, col("t"),
+          Seq((1L, doc)).toDF("id", "t"), col("id"), col("t"))
+        .head.getDouble(2)
+    assert(math.abs(ce("a b") - (-math.log(0.375))) < 1e-12)
+    assert(math.abs(ce("b a") - (-math.log(0.5))) < 1e-12)
+    assert(math.abs(ce("a a") - (-math.log(0.25))) < 1e-12)
+    // sum-to-one over the full vocab for prefix "a"
+    val sum = math.exp(-ce("a a")) + math.exp(-ce("a b")) +
+      math.exp(-ce("a c"))
+    assert(math.abs(sum - 1.0) < 1e-12, s"sum $sum")
+  }
+
+  test("winnowing: the w+k-1 guarantee, density, and short docs") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "unrelated words entirely different here now okay fine"),
+      (4L, "too short")).toDF("id", "t")
+    val fps = WinnowOps.fingerprints(docs, col("id"), col("t"),
+      k = 4, w = 4)
+    // any shared run of >= w+k-1 words shares >= 1 fingerprint hash
+    val pairs = WinnowOps.sharedFingerprintPairs(fps, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // docs with < k+w-1 words have no full window
+    assert(fps.filter(col("doc_id") === 4L).count() == 0L)
+    // density ~ 2/(w+1) of grams on a longer doc
+    val long = Seq((9L, (1 to 400).map(i => s"w${i % 97}x$i")
+      .mkString(" "))).toDF("id", "t")
+    val nf = WinnowOps.fingerprints(long, col("id"), col("t"), 4, 4)
+      .count().toDouble
+    val ng = 400 - 4 + 1
+    assert(nf / ng > 0.2 && nf / ng < 0.6,
+      s"density ${nf / ng} out of the ~2/(w+1)=0.4 band")
+  }
+}
