@@ -413,6 +413,43 @@ object CurationQueries extends QueryPack {
       val pairs = WinnowOps.sharedFingerprintPairs(fps, minShared = 2)
       pairs.select(col("id1"), col("id2"), col("n_shared"))
         .orderBy("id1", "id2")
+    }),
+    "q_cdx" -> ((s, dir) => {
+      // CDXJ index parse: build closed-form index lines (SURT key +
+      // timestamp + JSON block), parse, and aggregate the parsed
+      // fields + the urlkey == surtKey(url) contract; the oracle
+      // recomputes everything from the same doc_id arithmetic.
+      import graft.sources.CdxOps
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id").as("i"))
+        .withColumn("url", concat(lit("https://www.h"),
+          pmod(col("i"), lit(50)), lit(".example.com/p/"), col("i")))
+        .withColumn("line", concat(
+          CdxOps.surtKey(col("url")), lit(" "),
+          lit("2026011400"), lpad(pmod(col("i"), lit(10000))
+            .cast("string"), 4, "0"),
+          lit(" {\"url\": \""), col("url"),
+          lit("\", \"mime\": \"text/html\", \"status\": \""),
+          (lit(200) + pmod(col("i"), lit(3)) * 102).cast("string"),
+          lit("\", \"digest\": \"D"), col("i"),
+          lit("\", \"length\": \""),
+          (lit(500) + pmod(col("i"), lit(100))).cast("string"),
+          lit("\", \"offset\": \""), (col("i") * 1000).cast("string"),
+          lit("\", \"filename\": \"crawl-"), pmod(col("i"), lit(10)),
+          lit(".warc.gz\"}")))
+      lines.withColumn("r", CdxOps.parseCdxj(col("line")))
+        .groupBy(col("r.status").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r.length")).as("sum_length"),
+          sum(col("r.offset")).as("sum_offset"),
+          countDistinct(col("r.filename")).as("n_files"),
+          bool_and(col("r.urlkey") ===
+            CdxOps.surtKey(col("r.url"))).as("surt_ok"),
+          bool_and(length(col("r.timestamp")) === 14).as("ts_ok"),
+          bool_and(col("r.mime") === "text/html").as("mime_ok"),
+          bool_and(col("r.digest") === concat(lit("D"), col("i")))
+            .as("digest_ok"))
+        .orderBy("status")
     })
   )
 
@@ -1002,6 +1039,16 @@ object CurationQueries extends QueryPack {
          |  ON l.fp_hash = r.fp_hash AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY 1, 2""".stripMargin
-    }
+    },
+    "q_cdx" ->
+      """SELECT (200 + (doc_id % 3) * 102)::INT AS status,
+        |  COUNT(*)::BIGINT AS n,
+        |  SUM(500 + doc_id % 100)::BIGINT AS sum_length,
+        |  SUM(doc_id * 1000)::BIGINT AS sum_offset,
+        |  COUNT(DISTINCT doc_id % 10)::BIGINT AS n_files,
+        |  true AS surt_ok, true AS ts_ok, true AS mime_ok,
+        |  true AS digest_ok
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

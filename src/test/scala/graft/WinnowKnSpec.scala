@@ -56,4 +56,37 @@ class WinnowKnSpec extends AnyFunSuite {
     assert(nf / ng > 0.2 && nf / ng < 0.6,
       s"density ${nf / ng} out of the ~2/(w+1)=0.4 band")
   }
+
+  test("CDXJ parse + SURT key: fields, malformed routing, edge urls") {
+    import spark.implicits._
+    import graft.sources.CdxOps
+    val good = "com,example)/p/7 20260101000000 " +
+      "{\"url\": \"https://www.example.com/p/7\", \"mime\": " +
+      "\"text/html\", \"status\": \"200\", \"digest\": \"D7\", " +
+      "\"length\": \"512\", \"offset\": \"7000\", " +
+      "\"filename\": \"crawl-0.warc.gz\"}"
+    val bad = "com,example)/x 20260101000001 {not json at all"
+    val out = Seq(good, bad).toDF("line")
+      .select(CdxOps.parseCdxj(col("line")).as("r")).collect()
+    val g = out(0).getStruct(0)
+    assert(g.getAs[String]("urlkey") == "com,example)/p/7")
+    assert(g.getAs[String]("timestamp") == "20260101000000")
+    assert(g.getAs[String]("url") == "https://www.example.com/p/7")
+    assert(g.getAs[Int]("status") == 200)
+    assert(g.getAs[Long]("length") == 512L)
+    assert(g.getAs[Long]("offset") == 7000L)
+    assert(g.getAs[String]("filename") == "crawl-0.warc.gz")
+    val b = out(1).getStruct(0)
+    assert(b.getAs[String]("urlkey") == "com,example)/x")
+    assert(b.isNullAt(b.fieldIndex("url"))) // malformed json → nulls
+    // surt: www stripped, host reversed, case folded, root path kept
+    val surt = Seq(
+      "https://WWW.Sub.Example.COM/A/b",
+      "http://example.org/",
+      "https://example.org").toDF("u")
+      .select(CdxOps.surtKey(col("u"))).collect().map(_.getString(0))
+    assert(surt(0) == "com,example,sub)/A/b")
+    assert(surt(1) == "org,example)/")
+    assert(surt(2) == "org,example)")
+  }
 }
