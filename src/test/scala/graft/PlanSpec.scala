@@ -500,4 +500,49 @@ class PlanSpec extends AnyFunSuite {
     assert(math.abs(d(mwU.get(0)) - d(mwG.get(1))) < 1e-9)
     assert(math.abs(d(mwU.get(2)) - d(mwG.get(3))) < 1e-12)
   }
+
+  test("curation gates are single-scan plans: rules + repair + split " +
+    "fuse into the scan projection with exactly the agg exchange") {
+    import graft.text.{EncodingOps, FilterRules}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the full stateless gate stack in one projection
+    val gated = graft.sample.SampleOps.hashSplit(docs, col("doc_id"),
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .withColumn("fixed", EncodingOps.fixMojibake(col("text")))
+      .withColumn("g", FilterRules.gopherRules(col("fixed")))
+      .withColumn("c", FilterRules.c4Rules(col("fixed")))
+    val perSource = gated.filter(col("g.pass") || col("c.keep"))
+      .groupBy("source").count()
+    val plan = perSource.queryExecution.executedPlan.toString
+    // one exchange (the groupBy) — every gate is scan-fused
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 2, s"expected only the agg exchange(s), got $nEx:\n$plan")
+    assert(!plan.contains("BatchEvalPython"), plan)
+    // projection-only ops plan ZERO exchanges
+    for (c <- Seq(
+        EncodingOps.fixMojibake(col("text")),
+        FilterRules.gopherRules(col("text")),
+        FilterRules.c4Rules(col("text")),
+        graft.sources.CdxOps.surtKey(col("text")))) {
+      val p = docs.select(c.as("x")).queryExecution
+        .executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
+  test("DSIR scoring broadcasts the model; KN scoring never shuffles " +
+    "gram text (hash-keyed joins only)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.text.DsirOps.fitLogRatio(docs, docs,
+      col("doc_id"), col("text"), dim = 32, hexChars = 2)
+    val plan = graft.text.DsirOps.score(docs, col("doc_id"),
+        col("text"), model, 32, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val kn = graft.text.LmOps.ngramLmScoreKN(docs, col("text"), docs,
+        col("doc_id"), col("text"))
+      .queryExecution.optimizedPlan.toString
+    // every join key in the KN plan is a hash column, not gram text
+    assert(!kn.contains("g#") || !kn.contains("Join (g"), kn)
+  }
 }
