@@ -450,6 +450,52 @@ object CurationQueries extends QueryPack {
           bool_and(col("r.digest") === concat(lit("D"), col("i")))
             .as("digest_ok"))
         .orderBy("status")
+    }),
+    "q_crawl_plan" -> ((s, dir) => {
+      // crawl-frontier planning as ONE plan federating three real
+      // parsers: sitemap urlsets propose candidates, RFC 9309 robots
+      // matching gates them, and the CDX index (SURT-key join) marks
+      // already-captured urls — output is the per-host fetch plan.
+      // The oracle recomputes everything from doc_id arithmetic
+      // (candidates = (host, page) pairs; allowed = page not in
+      // {3,7}; captured = some doc j with j%5=0 proposes the same
+      // (host, page)).
+      import graft.sources.{CdxOps, RobotsOps, SitemapOps}
+      val docs = t(s, dir, "documents").select(col("doc_id").as("i"))
+      def urlOf(i: org.apache.spark.sql.Column) =
+        concat(lit("https://h"),
+        pmod(i, lit(40)), lit(".example.com/page"), pmod(i, lit(9)))
+      val cand = docs
+        .withColumn("xml", concat(lit("<urlset><url><loc>"),
+          urlOf(col("i")), lit("</loc></url></urlset>")))
+        .select(col("i"),
+          explode(SitemapOps.sitemapUrls(col("xml"))).as("u"))
+        .select(col("i"), col("u.loc").as("url"))
+      val robots =
+        lit("User-agent: *\nDisallow: /page3\nDisallow: /page7\n")
+      val gated = cand.withColumn("allowed",
+        RobotsOps.robotsAllowed(robots,
+          regexp_replace(col("url"), "^https://[^/]+", ""),
+          "graftbot"))
+      val cdx = docs.filter(pmod(col("i"), lit(5)) === 0)
+        .withColumn("line", concat(CdxOps.surtKey(urlOf(col("i"))),
+          lit(" 20260101000000 {\"url\": \""), urlOf(col("i")),
+          lit("\", \"mime\": \"text/html\", \"status\": \"200\", " +
+            "\"digest\": \"X\", \"length\": \"1\", \"offset\": " +
+            "\"0\", \"filename\": \"c.warc.gz\"}")))
+        .select(CdxOps.parseCdxj(col("line"))
+          .getField("urlkey").as("k"))
+        .distinct()
+      gated.withColumn("k", CdxOps.surtKey(col("url")))
+        .join(cdx.withColumn("cap", lit(1)), Seq("k"), "left")
+        .groupBy(pmod(col("i"), lit(40)).as("host"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("cap").isNotNull, 1L).otherwise(0L))
+            .as("n_captured"),
+          sum(when(col("allowed") && col("cap").isNull, 1L)
+            .otherwise(0L)).as("n_to_fetch"))
+        .orderBy("host")
     })
   )
 
@@ -1049,6 +1095,27 @@ object CurationQueries extends QueryPack {
         |  true AS surt_ok, true AS ts_ok, true AS mime_ok,
         |  true AS digest_ok
         |FROM documents
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_crawl_plan" ->
+      """WITH cand AS (
+        |  SELECT doc_id AS i, doc_id % 40 AS host, doc_id % 9 AS pg
+        |  FROM documents),
+        |cdx AS (
+        |  SELECT DISTINCT doc_id % 40 AS host, doc_id % 9 AS pg
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT c.i, c.host,
+        |    (c.pg NOT IN (3, 7)) AS allowed,
+        |    (x.host IS NOT NULL) AS captured
+        |  FROM cand c
+        |  LEFT JOIN cdx x ON c.host = x.host AND c.pg = x.pg)
+        |SELECT host, COUNT(*)::BIGINT AS n_candidates,
+        |  SUM(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_allowed,
+        |  SUM(CASE WHEN captured THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_captured,
+        |  SUM(CASE WHEN allowed AND NOT captured THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_to_fetch
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
