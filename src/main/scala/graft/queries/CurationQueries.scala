@@ -496,6 +496,25 @@ object CurationQueries extends QueryPack {
           sum(when(col("allowed") && col("cap").isNull, 1L)
             .otherwise(0L)).as("n_to_fetch"))
         .orderBy("host")
+    }),
+    "q_bradley_terry" -> ((s, dir) => {
+      // Bradley-Terry MM over synthetic pairwise preferences (16
+      // players, winner biased 60/40 by id arithmetic); the oracle
+      // unrolls all 15 MM rounds with per-round mean normalization.
+      import graft.ops.PreferenceOps
+      val m = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(16)).as("a0"),
+          pmod(col("doc_id") * 7 + 3, lit(16)).as("b0"),
+          pmod(col("doc_id"), lit(10)).as("r"))
+        .filter(col("a0") =!= col("b0"))
+        .select(
+          when(col("r") < 6, col("a0")).otherwise(col("b0")).as("w"),
+          when(col("r") < 6, col("b0")).otherwise(col("a0")).as("l"))
+      PreferenceOps.bradleyTerry(m, col("w"), col("l"),
+          iterations = 15)
+        .select(col("id"), round(col("strength"), 6).as("strength"),
+          col("wins"), col("games"))
+        .orderBy("id")
     })
   )
 
@@ -1116,6 +1135,60 @@ object CurationQueries extends QueryPack {
         |    AS n_captured,
         |  SUM(CASE WHEN allowed AND NOT captured THEN 1 ELSE 0 END)
         |    ::BIGINT AS n_to_fetch
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bradley_terry" -> {
+      val base =
+        """WITH m0 AS (
+          |  SELECT doc_id % 16 AS a0, (doc_id * 7 + 3) % 16 AS b0,
+          |    doc_id % 10 AS r
+          |  FROM documents),
+          |mm AS (
+          |  SELECT CASE WHEN r < 6 THEN a0 ELSE b0 END AS w,
+          |    CASE WHEN r < 6 THEN b0 ELSE a0 END AS l
+          |  FROM m0 WHERE a0 <> b0),
+          |wins AS MATERIALIZED (
+          |  SELECT w AS id, COUNT(*)::DOUBLE AS wins
+          |  FROM mm GROUP BY 1),
+          |pairs AS MATERIALIZED (
+          |  SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+          |    COUNT(*)::DOUBLE AS n
+          |  FROM mm GROUP BY 1, 2),
+          |np AS (SELECT COUNT(*)::DOUBLE AS n FROM wins),
+          |games AS (
+          |  SELECT id, SUM(n)::BIGINT AS games FROM (
+          |    SELECT a AS id, n FROM pairs
+          |    UNION ALL SELECT b, n FROM pairs)
+          |  GROUP BY 1),
+          |s0 AS (SELECT id, 1.0 AS strength FROM wins)""".stripMargin
+      val steps = (1 to 15).map { i =>
+        s"""u$i AS MATERIALIZED (
+           |  SELECT w.id, w.wins / d.den AS st
+           |  FROM wins w JOIN (
+           |    SELECT id, SUM(t) AS den FROM (
+           |      SELECT p.a AS id,
+           |        p.n / (sa.strength + sb.strength) AS t
+           |      FROM pairs p
+           |      JOIN s${i - 1} sa ON sa.id = p.a
+           |      JOIN s${i - 1} sb ON sb.id = p.b
+           |      UNION ALL
+           |      SELECT p.b, p.n / (sa.strength + sb.strength)
+           |      FROM pairs p
+           |      JOIN s${i - 1} sa ON sa.id = p.a
+           |      JOIN s${i - 1} sb ON sb.id = p.b)
+           |    GROUP BY 1) d ON d.id = w.id),
+           |s$i AS MATERIALIZED (
+           |  SELECT id, st * (SELECT n FROM np)
+           |    / (SELECT SUM(st) FROM u$i) AS strength
+           |  FROM u$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT s.id, ROUND(s.strength, 6) AS strength,
+         |  w.wins::BIGINT AS wins, g.games
+         |FROM s15 s
+         |JOIN wins w ON w.id = s.id
+         |JOIN games g ON g.id = s.id
+         |ORDER BY s.id""".stripMargin
+    }
   )
 }

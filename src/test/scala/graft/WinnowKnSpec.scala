@@ -89,4 +89,46 @@ class WinnowKnSpec extends AnyFunSuite {
     assert(surt(1) == "org,example)/")
     assert(surt(2) == "org,example)")
   }
+
+  test("Bradley-Terry MM: strength order tracks win rates, local and " +
+    "distributed paths agree, degenerate players fail loud") {
+    import spark.implicits._
+    import graft.ops.PreferenceOps
+    // balanced schedule, biased outcomes: deterministic pseudo-random
+    // winner with p(i beats j) increasing in j - i
+    val matches = (for {
+      i <- 0 until 6; j <- 0 until 6 if i != j
+      g <- 0 until 20
+    } yield {
+      val h = ((i * 31 + j * 17 + g * 7) % 10)
+      // stronger (higher-index) player wins 7/10 cross matchups
+      if (h < 7) { if (i > j) (i.toLong, j.toLong) else (j.toLong, i.toLong) }
+      else { if (i > j) (j.toLong, i.toLong) else (i.toLong, j.toLong) }
+    }).toDF("w", "l")
+    val fit = PreferenceOps.bradleyTerry(matches, col("w"), col("l"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // mean-1 normalization; games = full schedule
+    assert(math.abs(fit.values.map(_._1).sum / 6 - 1.0) < 1e-9)
+    assert(fit.values.forall(_._3 == 2 * 5 * 20))
+    // strengths increase with index (win rate does by construction)
+    val ss = (0 until 6).map(i => fit(i.toLong)._1)
+    assert(ss.zip(ss.tail).forall { case (a, b) => a < b }, ss.toString)
+    // distributed loop (cap forced to 0) matches the driver path
+    System.setProperty("graft.maxLocalBt", "0")
+    try {
+      val dist = PreferenceOps.bradleyTerry(matches, col("w"),
+          col("l"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0 until 6).foreach(i => assert(
+        math.abs(dist(i.toLong) - fit(i.toLong)._1) < 1e-9,
+        s"player $i: ${dist(i.toLong)} vs ${fit(i.toLong)._1}"))
+    } finally System.clearProperty("graft.maxLocalBt")
+    // a player with no loss must fail loud
+    val bad = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("w", "l")
+    val e = intercept[IllegalArgumentException] {
+      PreferenceOps.bradleyTerry(bad, col("w"), col("l"))
+    }
+    assert(e.getMessage.contains("no win or no loss"))
+  }
 }
