@@ -515,6 +515,37 @@ object CurationQueries extends QueryPack {
         .select(col("id"), round(col("strength"), 6).as("strength"),
           col("wins"), col("games"))
         .orderBy("id")
+    }),
+    "q_card_redact" -> ((s, dir) => {
+      // Luhn-validated card redaction: build a VALID 16-digit card per
+      // doc (check digit from the same Luhn arithmetic in both
+      // engines), dash-formatted, plus an INVALID twin (check+1) that
+      // must NOT redact. The oracle reconstructs the redacted text.
+      import graft.text.RedactOps
+      val base = concat(lit("4"), lpad(pmod(col("doc_id") * 7919,
+        lit(100000000000000L)).cast("string"), 14, "0"))
+      // base digit i (1-based from left, len 15) doubles iff i is odd
+      // (position 17-i from the right of the 16-digit number is even)
+      val sumb = aggregate(
+        transform(sequence(lit(1), lit(15)), i => {
+          val d = ascii(base.substr(i, lit(1))) - 48
+          when(i % 2 === 1,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        }), lit(0), (acc, x) => acc + x)
+      val chk = pmod(lit(10) - pmod(sumb, lit(10)), lit(10))
+      val valid = concat(base, chk.cast("string"))
+      val fmt = concat_ws("-", substring(valid, 1, 4),
+        substring(valid, 5, 4), substring(valid, 9, 4),
+        substring(valid, 13, 4))
+      val invalid = concat(base,
+        pmod(chk + 1, lit(10)).cast("string"))
+      val aug = t(s, dir, "documents")
+        .withColumn("t", concat(col("text"), lit(" card "), fmt,
+          lit(" ref "), invalid, lit(" end")))
+      aug.select(col("doc_id"),
+          size(RedactOps.extractCards(col("t"))).as("n_cards"),
+          md5(RedactOps.redactCards(col("t"))).as("red_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1189,6 +1220,31 @@ object CurationQueries extends QueryPack {
          |JOIN wins w ON w.id = s.id
          |JOIN games g ON g.id = s.id
          |ORDER BY s.id""".stripMargin
-    }
+    },
+    "q_card_redact" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    '4' || lpad(((doc_id * 7919) % 100000000000000)::VARCHAR,
+        |      14, '0') AS base
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, base,
+        |    (10 - list_sum(list_transform(
+        |        generate_series(1, 15), i -> CASE WHEN i % 2 = 1
+        |          THEN CASE WHEN 2 * (ascii(substring(base, i, 1))
+        |              - 48) > 9
+        |            THEN 2 * (ascii(substring(base, i, 1)) - 48) - 9
+        |            ELSE 2 * (ascii(substring(base, i, 1)) - 48) END
+        |          ELSE ascii(substring(base, i, 1)) - 48 END))
+        |      % 10) % 10 AS chk
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, text, base || chk::VARCHAR AS valid,
+        |    base || ((chk + 1) % 10)::VARCHAR AS invalid
+        |  FROM c)
+        |SELECT doc_id, 1::INT AS n_cards,
+        |  md5(text || ' card [CARD] ref ' || invalid || ' end')
+        |    AS red_md5
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -57,4 +57,39 @@ object RedactOps {
     countMatches(c, UrlRe).as("n_urls"),
     countMatches(c, Ipv4Re).as("n_ips"),
     countMatches(c, PhoneRe).as("n_phones"))
+
+  /** Payment-card-shaped candidate: 13–19 digits, optionally
+    * space/dash-grouped, delimited by non-digits. RE2-portable. */
+  val CardRe = "\\b[0-9](?:[-. ]?[0-9]){12,18}\\b"
+
+  /** Luhn checksum over a digit string (ISO/IEC 7812): from the
+    * RIGHT, double every second digit, subtract 9 when > 9, sum;
+    * valid iff sum % 10 == 0. Pure Column algebra over the digit
+    * positions — replayable by any SQL engine, so card redaction is
+    * cross-engine checkable. Non-digit chars must be stripped first. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val terms = transform(sequence(lit(1), length(rev)), i => {
+      val d = ascii(rev.substr(i, lit(1))) - 48
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Card numbers in `c` that pass the Luhn check (original
+    * formatting preserved). Unlike the regex-only categories, card
+    * detection VALIDATES the checksum, so 16-digit order ids and
+    * timestamps don't redact (a 10% false-positive rate on random
+    * digit runs is the residual, inherent to Luhn). */
+  def extractCards(c: Column): Column =
+    filter(regexp_extract_all(c, lit(CardRe), lit(0)),
+      m => luhnValid(regexp_replace(m, "[^0-9]", "")))
+
+  /** Redact Luhn-valid card numbers. Candidates that fail the
+    * checksum are left untouched. Literal (non-regex) replacement of
+    * each validated match via an aggregate fold. */
+  def redactCards(c: Column, repl: String = "[CARD]"): Column =
+    aggregate(extractCards(c), c,
+      (acc, m) => replace(acc, m, lit(repl)))
 }

@@ -37,4 +37,34 @@ class RedactSpec extends AnyFunSuite {
     assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) ==
       ((2, 1, 1, 1)))
   }
+
+  test("Luhn card redaction: valid cards redact, invalid and short " +
+    "digit runs survive") {
+    import spark.implicits._
+    import graft.text.RedactOps
+    // 4111111111111111 is the classic Luhn-valid test number
+    val df = Seq(
+      ("plain", "pay 4111111111111111 now"),
+      ("dashed", "pay 4111-1111-1111-1111 now"),
+      ("spaced", "pay 4111 1111 1111 1111 now"),
+      ("invalid", "ref 4111111111111112 now"),
+      ("short", "id 123456789012 now"),
+      ("none", "no digits at all")).toDF("name", "t")
+    val out = df.select(col("name"),
+        RedactOps.redactCards(col("t")).as("r"),
+        size(RedactOps.extractCards(col("t"))).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2))).toMap
+    assert(out("plain") == (("pay [CARD] now", 1)))
+    assert(out("dashed") == (("pay [CARD] now", 1)))
+    assert(out("spaced") == (("pay [CARD] now", 1)))
+    assert(out("invalid") == (("ref 4111111111111112 now", 0)))
+    assert(out("short") == (("id 123456789012 now", 0)))
+    assert(out("none") == (("no digits at all", 0)))
+    // luhnValid directly
+    val lv = Seq("4111111111111111", "4111111111111112", "79927398713")
+      .toDF("d").select(RedactOps.luhnValid(col("d")))
+      .collect().map(_.getBoolean(0))
+    assert(lv(0) && !lv(1) && lv(2)) // 79927398713: canonical example
+  }
 }
