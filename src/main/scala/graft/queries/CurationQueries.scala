@@ -546,6 +546,37 @@ object CurationQueries extends QueryPack {
           size(RedactOps.extractCards(col("t"))).as("n_cards"),
           md5(RedactOps.redactCards(col("t"))).as("red_md5"))
         .orderBy("doc_id")
+    }),
+    "q_blocklist" -> ((s, dir) => {
+      // one-pass Aho-Corasick blocklist over augmented docs: two
+      // planted terms by arithmetic plus two multi-word phrases that
+      // occur NATURALLY in the corpus vocabulary — present/absent
+      // semantics, so the oracle is contains() per term.
+      import org.apache.spark.sql.graft.NativeFunctions
+      val terms = Seq("badgerword", "zebraword", "line sort",
+        "merge batch")
+      val aug = t(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" badgerword"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" zebraword tail")).otherwise(lit(""))))
+      aug.withColumn("m",
+          NativeFunctions.blocklistMatchesNative(col("t"), terms))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(size(col("m")) > 0, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(size(col("m")).cast("long")).as("total_hits"),
+          sum(when(array_contains(col("m"), 0), 1L).otherwise(0L))
+            .as("n_badger"),
+          sum(when(array_contains(col("m"), 1), 1L).otherwise(0L))
+            .as("n_zebra"),
+          sum(when(array_contains(col("m"), 2), 1L).otherwise(0L))
+            .as("n_linesort"),
+          sum(when(array_contains(col("m"), 3), 1L).otherwise(0L))
+            .as("n_mergebatch"))
+        .orderBy("source")
     })
   )
 
@@ -1245,6 +1276,34 @@ object CurationQueries extends QueryPack {
         |SELECT doc_id, 1::INT AS n_cards,
         |  md5(text || ' card [CARD] ref ' || invalid || ' end')
         |    AS red_md5
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_blocklist" ->
+      """WITH aug AS (
+        |  SELECT source, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' badgerword'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' zebraword tail'
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |    CASE WHEN contains(t, 'badgerword') THEN 1 ELSE 0 END
+        |      AS h0,
+        |    CASE WHEN contains(t, 'zebraword') THEN 1 ELSE 0 END
+        |      AS h1,
+        |    CASE WHEN contains(t, 'line sort') THEN 1 ELSE 0 END
+        |      AS h2,
+        |    CASE WHEN contains(t, 'merge batch') THEN 1 ELSE 0 END
+        |      AS h3
+        |  FROM aug)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN h0 + h1 + h2 + h3 > 0 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_flagged,
+        |  SUM(h0 + h1 + h2 + h3)::BIGINT AS total_hits,
+        |  SUM(h0)::BIGINT AS n_badger,
+        |  SUM(h1)::BIGINT AS n_zebra,
+        |  SUM(h2)::BIGINT AS n_linesort,
+        |  SUM(h3)::BIGINT AS n_mergebatch
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

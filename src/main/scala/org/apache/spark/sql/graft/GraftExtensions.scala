@@ -88,4 +88,10 @@ object NativeFunctions {
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  /** Distinct matched pattern indices (ascending) via one
+    * Aho–Corasick pass. */
+  def blocklistMatchesNative(c: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(
+      BlocklistMatches(ExpressionUtils.expression(c), patterns))
 }

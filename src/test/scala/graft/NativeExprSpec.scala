@@ -113,6 +113,46 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("Aho-Corasick blocklist: classic overlap case, randomized " +
+    "parity vs naive contains, codegen") {
+    import spark.implicits._
+    // the textbook automaton: suffix/fail links matter (she → he)
+    val pats = Seq("he", "she", "his", "hers")
+    val cases = Seq("ushers", "this", "ahishers", "xyz", "hehehe", "")
+    val got = cases.toDF("t")
+      .select(NativeFunctions.blocklistMatchesNative(col("t"), pats))
+      .collect().map(_.getSeq[Int](0).toSet)
+    def naive(t: String) =
+      pats.zipWithIndex.filter(p => t.contains(p._1)).map(_._2).toSet
+    cases.zip(got).foreach { case (t, g) =>
+      assert(g == naive(t), s"'$t': $g vs ${naive(t)}")
+    }
+    // randomized parity over a small alphabet (dense overlaps)
+    val rnd = new scala.util.Random(11)
+    val rpats = Seq("ab", "ba", "aab", "bba", "abab", "aaa")
+    val rcases = (0 until 200).map(_ =>
+      (0 until 30).map(_ => if (rnd.nextBoolean()) 'a' else 'b')
+        .mkString)
+    val rgot = rcases.toDF("t")
+      .select(NativeFunctions.blocklistMatchesNative(col("t"), rpats))
+      .collect().map(_.getSeq[Int](0).toSet)
+    rcases.zip(rgot).foreach { case (t, g) =>
+      val want = rpats.zipWithIndex.filter(p => t.contains(p._1))
+        .map(_._2).toSet
+      assert(g == want, s"'$t': $g vs $want")
+    }
+    // indices come back sorted ascending; stays in codegen
+    val sorted = Seq("ahishers").toDF("t")
+      .select(NativeFunctions.blocklistMatchesNative(col("t"), pats))
+      .head.getSeq[Int](0)
+    assert(sorted == sorted.sorted)
+    val plan = spark.range(10)
+      .select(concat(lit("she said "), col("id")).as("t"))
+      .select(NativeFunctions.blocklistMatchesNative(col("t"), pats))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
