@@ -133,10 +133,20 @@ object FilterRules {
       regexp_replace(lower(text), "\\s+", " "), lit(" "))
     val hasLorem = lower(text).contains("lorem ipsum")
     val hasBrace = text.contains("{")
+    // word-boundary-exact blocklist test on the padded text. Small
+    // lists compile to a contains-chain (codegen'd, branch-predicted);
+    // past 8 terms switch to ONE Aho-Corasick pass — identical
+    // semantics (each pattern is the padded " word "), O(n) instead
+    // of O(n·P) for real blocklists (thousands of terms).
     val hasBad =
       if (badWords.isEmpty) lit(false)
-      else badWords.map(w => padded.contains(s" ${w.toLowerCase} "))
-        .reduce(_ || _)
+      else if (badWords.length <= 8)
+        badWords.map(w => padded.contains(s" ${w.toLowerCase} "))
+          .reduce(_ || _)
+      else
+        size(org.apache.spark.sql.graft.NativeFunctions
+          .blocklistMatchesNative(padded,
+            badWords.map(w => s" ${w.toLowerCase} "))) > 0
     struct(
       size(split(text, "\n")).as("n_lines"),
       nKept.as("n_kept_lines"),

@@ -66,4 +66,48 @@ class EncodingSpec extends AnyFunSuite {
       .select(EncodingOps.fixMojibake(col("t"))).head.getString(0)
     assert(mixed == "Ã© 中文")
   }
+
+  test("property: corrupt-then-fix is the identity on random BMP " +
+    "strings; fix never touches clean random strings") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // generator of printable BMP strings mixing ASCII, Latin-1,
+    // CP1252 specials, Greek/Cyrillic and CJK (surrogates excluded —
+    // lone surrogates are not valid text)
+    val charGen = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.choose(0xa0, 0xff),
+      1 -> Gen.oneOf(0x20ac, 0x2019, 0x201c, 0x2014, 0x2026, 0x0160),
+      1 -> Gen.choose(0x0370, 0x04ff),
+      1 -> Gen.choose(0x4e00, 0x4fff))
+    val strGen = Gen.listOfN(40, charGen)
+      .map(_.map(_.toChar).mkString)
+    val seed0 = Seed(42L)
+    val samples = Iterator.iterate((seed0, List.empty[String])) {
+      case (sd, acc) =>
+        val r = strGen.pureApply(Gen.Parameters.default, sd)
+        (sd.next, r :: acc)
+    }.drop(300).next()._2
+    val df = samples.toDF("orig")
+    // roundtrip identity
+    val broken = df
+      .withColumn("fixed", EncodingOps.fixMojibake(
+        EncodingOps.corruptAsCp1252(col("orig"))))
+      .filter(col("fixed") =!= col("orig"))
+      .collect()
+    assert(broken.isEmpty,
+      s"roundtrip failed for ${broken.length} strings, e.g. " +
+        broken.headOption.map(_.getString(0)).getOrElse(""))
+    // clean-text invariance: on strings with no signature, fix is id.
+    // (Random strings CAN contain accidental lead+continuation pairs —
+    // that's precisely what mojibakeScore detects — so restrict to
+    // signature-free ones rather than asserting on all.)
+    val touched = df
+      .withColumn("score", EncodingOps.mojibakeScore(col("orig")))
+      .filter(col("score") === 0)
+      .withColumn("fixed", EncodingOps.fixMojibake(col("orig")))
+      .filter(col("fixed") =!= col("orig")).count()
+    assert(touched == 0L)
+  }
 }

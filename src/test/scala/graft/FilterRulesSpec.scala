@@ -87,4 +87,26 @@ class FilterRulesSpec extends AnyFunSuite {
     assert(none.getAs[Int]("n_sentences") == 0)
     assert(!none.getAs[Boolean]("keep"))
   }
+
+  test("c4Rules blocklist: contains-chain and Aho-Corasick paths " +
+    "agree word-for-word") {
+    import spark.implicits._
+    val small = Seq("alpha", "beta") // <= 8 terms → contains-chain
+    // same effective list padded with never-matching terms to force
+    // the Aho-Corasick path: results must be IDENTICAL
+    val big = small ++ (1 to 9).map(i => s"zzneverzz$i")
+    val docs = Seq(
+      "Contains alpha here today fine.",
+      "Has beta present on this line.",
+      "alphabet is NOT a hit (word boundary).",
+      "Clean page with five words here.",
+      "ALPHA is a hit (case folded).").toDF("t")
+    def hits(words: Seq[String]) = docs.select(
+      FilterRules.c4Rules(col("t"), badWords = words)
+        .getField("has_bad_word")).collect().map(_.getBoolean(0)).toSeq
+    val chain = hits(small)
+    val ac = hits(big)
+    assert(chain == Seq(true, true, false, false, true))
+    assert(ac == chain, s"AC path diverged: $ac vs $chain")
+  }
 }
