@@ -577,6 +577,34 @@ object CurationQueries extends QueryPack {
           sum(when(array_contains(col("m"), 3), 1L).otherwise(0L))
             .as("n_mergebatch"))
         .orderBy("source")
+    }),
+    "q_contamination_idx" -> ((s, dir) => {
+      // decontamination via the persisted hash index must equal the
+      // string-level screen exactly on this corpus (64-bit collisions
+      // would only merge grams; none occur at benchmark sizes) — the
+      // oracle replays the string-level screen, and idx_equals_direct
+      // pins the equivalence Spark-side.
+      import graft.text.TextOps
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      val idx = TextOps.contaminationIndex(bench, col("text"), n = 5)
+      val viaIdx = TextOps.ngramContaminationIndexed(docs,
+        col("doc_id"), col("text"), idx, n = 5)
+      val direct = TextOps.ngramContamination(docs, col("doc_id"),
+        col("text"), bench, col("text"), n = 5)
+      val eq = viaIdx.withColumnRenamed("n_hits", "hi")
+        .join(direct.withColumnRenamed("n_hits", "hd"),
+          Seq("doc_id"), "full")
+        .agg(coalesce(bool_and(col("hi") === col("hd")), lit(true))
+          .as("idx_equals_direct"))
+      docs.select(col("doc_id"), col("source"))
+        .join(viaIdx, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_hits")).as("n_contaminated"),
+          sum(coalesce(col("n_hits"), lit(0L))).as("total_hits"))
+        .crossJoin(eq)
+        .orderBy("source")
     })
   )
 
@@ -1304,6 +1332,27 @@ object CurationQueries extends QueryPack {
         |  SUM(h1)::BIGINT AS n_zebra,
         |  SUM(h2)::BIGINT AS n_linesort,
         |  SUM(h3)::BIGINT AS n_mergebatch
-        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_contamination_idx" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+') t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    t[s.i] || ' ' || t[s.i+1] || ' ' || t[s.i+2] || ' ' ||
+        |    t[s.i+3] || ' ' || t[s.i+4] AS g
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+        |  WHERE len(t) >= 5),
+        |bg AS (SELECT DISTINCT g FROM ng WHERE doc_id < 10),
+        |h AS (
+        |  SELECT doc_id, COUNT(DISTINCT g) n_hits
+        |  FROM ng JOIN bg USING (g) GROUP BY 1)
+        |SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(h.n_hits)::BIGINT AS n_contaminated,
+        |  SUM(COALESCE(h.n_hits, 0))::BIGINT AS total_hits,
+        |  true AS idx_equals_direct
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

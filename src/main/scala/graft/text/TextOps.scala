@@ -170,6 +170,37 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Persistable decontamination index: the DISTINCT n-gram hash set
+    * of an eval/benchmark corpus — write this once per benchmark
+    * release (partition-friendly 8-byte rows) and screen every new
+    * corpus batch against it with [[ngramContaminationIndexed]], so
+    * benchmarks are never re-fetched or re-tokenized per ingest. Same
+    * incremental-state pattern as [[minHashBandTable]]. Gram hashing
+    * runs through the native [[org.apache.spark.sql.graft.WordNgramHashes]]
+    * kernel (bit-for-bit `xxhash64(wordNgrams)`). */
+  def contaminationIndex(bench: DataFrame, benchText: Column,
+                         n: Int = 8): DataFrame =
+    bench.select(explode(org.apache.spark.sql.graft.NativeFunctions
+        .wordNgramHashesNative(benchText, n)).as("gh"))
+      .distinct()
+
+  /** [[ngramContamination]] against a pre-built [[contaminationIndex]]
+    * — (doc_id, n_hits) with hits counted at gram-HASH resolution
+    * (the documented 64-bit birthday trade: a collision can only
+    * merge two distinct grams, shrinking n_hits by at most the
+    * collision count; at benchmark sizes the sets are identical). The
+    * index broadcasts; the corpus probes it before any shuffle. */
+  def ngramContaminationIndexed(docs: DataFrame, docId: Column,
+                                docText: Column, index: DataFrame,
+                                n: Int = 8): DataFrame =
+    docs.select(docId.as("doc_id"),
+        explode(org.apache.spark.sql.graft.NativeFunctions
+          .wordNgramHashesNative(docText, n)).as("gh"))
+      .join(broadcast(index), "gh")
+      .select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Gopher-style repetition quality signals per document (Rae et al.
     * 2021, "Scaling Language Models" §A1.1 repetition filters): the
     * fraction of line instances that are repeats of an earlier line,
