@@ -261,12 +261,14 @@ object CurationQueries extends QueryPack {
     "q_ppl_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail bucketing per source with the exact
       // percentile twin (the approx_percentile scale path is
-      // spec-bound); binary-fraction cuts (0.25/0.75) interpolate
-      // identically across engines.
+      // spec-bound). Cuts at 0.26/0.74 are STRICTLY INTERIOR for the
+      // per-source group sizes (0.25/0.75 with n=25 land exactly on
+      // data values, where ppl <= cut compares a value to itself and
+      // last-ulp noise can flip membership between engines/threads).
       import graft.text.LmOps
       val docs = t(s, dir, "documents")
       LmOps.perplexityBuckets(docs, col("text"), docs, col("doc_id"),
-          col("text"), col("source"), lowCut = 0.25, highCut = 0.75,
+          col("text"), col("source"), lowCut = 0.26, highCut = 0.74,
           exact = true)
         .groupBy(col("grp").as("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1003,19 +1005,19 @@ object CurationQueries extends QueryPack {
         |cu AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
         |cb AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
         |v AS (SELECT count(*) AS v FROM cu),
-        |ppl AS (
+        |ppl AS MATERIALIZED (
         |  SELECT b.doc_id,
         |    exp(avg(-ln((cb.c + 0.4) / (cu.c + 0.4 * v.v)))) AS ppl
         |  FROM big b
         |  JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
         |  JOIN cu ON cu.w = b.w1
         |  CROSS JOIN v GROUP BY 1),
-        |wg AS (
+        |wg AS MATERIALIZED (
         |  SELECT d.source AS grp, p.doc_id, p.ppl
         |  FROM ppl p JOIN documents d USING (doc_id)),
-        |cu2 AS (
-        |  SELECT grp, quantile_cont(ppl, 0.25) AS c1,
-        |    quantile_cont(ppl, 0.75) AS c2
+        |cu2 AS MATERIALIZED (
+        |  SELECT grp, quantile_cont(ppl, 0.26) AS c1,
+        |    quantile_cont(ppl, 0.74) AS c2
         |  FROM wg GROUP BY 1),
         |lab AS (
         |  SELECT wg.grp,
