@@ -37,6 +37,13 @@ object PreferenceOps {
     require(iterations >= 1,
       s"bradleyTerry: iterations must be >= 1, got $iterations")
     val spark = df.sparkSession
+    // Release.scoped: materialize the player-table-sized result, then
+    // drop every intermediate persisted below (wins/losses/pairs/the
+    // iteration state) — they'd otherwise outlive the fit for the
+    // session's lifetime. Unpersisting only AFTER the result is
+    // checkpointed also means the final join still reads the cached
+    // pair/win tables instead of recomputing them from the match log.
+    graft.util.Release.scoped(spark) {
     val m = df.select(winner.cast("long").as("w"),
         loser.cast("long").as("l"))
       .filter(col("w").isNotNull && col("l").isNotNull &&
@@ -131,10 +138,8 @@ object PreferenceOps {
     val games = pairs.select(col("a").as("id"), col("n"))
       .unionAll(pairs.select(col("b").as("id"), col("n")))
       .groupBy(col("id")).agg(sum(col("n")).as("games"))
-    val out = result.join(wins, Seq("id")).join(games, Seq("id"))
+    result.join(wins, Seq("id")).join(games, Seq("id"))
       .select(col("id"), col("strength"), col("wins"), col("games"))
-    pairs.unpersist(blocking = false)
-    losses.unpersist(blocking = false)
-    out
+    }
   }
 }

@@ -267,13 +267,18 @@ object CurationQueries extends QueryPack {
       // last-ulp noise can flip membership between engines/threads).
       import graft.text.LmOps
       val docs = t(s, dir, "documents")
-      LmOps.perplexityBuckets(docs, col("text"), docs, col("doc_id"),
-          col("text"), col("source"), lowCut = 0.26, highCut = 0.74,
-          exact = true)
-        .groupBy(col("grp").as("source"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("ppl")), 4).as("avg_ppl"))
-        .orderBy("source", "bucket")
+      // Release.scoped: perplexityBuckets persists the scored frame
+      // internally; scoping here frees it once this small per-source
+      // aggregate is materialized (session hygiene).
+      graft.util.Release.scoped(s) {
+        LmOps.perplexityBuckets(docs, col("text"), docs, col("doc_id"),
+            col("text"), col("source"), lowCut = 0.26, highCut = 0.74,
+            exact = true)
+          .groupBy(col("grp").as("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("ppl")), 4).as("avg_ppl"))
+          .orderBy("source", "bucket")
+      }
     }),
     "q_jl_project" -> ((s, dir) => {
       // 64 → 16 dims; the oracle recomputes every md5-derived Gaussian
@@ -392,12 +397,16 @@ object CurationQueries extends QueryPack {
       // the interpolation formula at string level.
       import graft.text.LmOps
       val docs = t(s, dir, "documents")
-      LmOps.ngramLmScoreKN(docs, col("text"), docs, col("doc_id"),
-          col("text"))
-        .select(col("doc_id"), col("n_ngrams"),
-          round(col("cross_entropy"), 4).as("cross_entropy"),
-          round(col("ppl"), 2).as("ppl"))
-        .orderBy("doc_id")
+      // Release.scoped: ngramLmScoreKN persists its bigram count table;
+      // scoping frees it once the per-doc scores are materialized.
+      graft.util.Release.scoped(s) {
+        LmOps.ngramLmScoreKN(docs, col("text"), docs, col("doc_id"),
+            col("text"))
+          .select(col("doc_id"), col("n_ngrams"),
+            round(col("cross_entropy"), 4).as("cross_entropy"),
+            round(col("ppl"), 2).as("ppl"))
+          .orderBy("doc_id")
+      }
     }),
     "q_winnow" -> ((s, dir) => {
       // MOSS winnowing: plant an identical 12-word passage on every

@@ -50,15 +50,18 @@ object ProjectOps {
   /** Project a numeric array column to `outDim` dims:
     * out_j = (1/√outDim) Σ_i vec_i · g(j, i). The caller's vector must
     * have exactly `inDim` elements (shorter vectors are zero-padded by
-    * zip_with's null→0 coalesce; longer ones are truncated). */
+    * zip_with's null→0 coalesce; longer ones are truncated by an
+    * explicit slice — zip_with alone would null-pad the MATRIX side
+    * and propagate null through every coordinate). */
   def jlProject(vec: Column, outDim: Int, inDim: Int,
                 salt: Int = 0): Column = {
     val m = jlMatrix(outDim, inDim, salt)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val mat = array(m.map(r => array(r.map(lit): _*)): _*)
+    val v = slice(vec.cast("array<double>"), 1, inDim)
     transform(sequence(lit(0), lit(outDim - 1)), j =>
       aggregate(
-        zip_with(vec.cast("array<double>"), element_at(mat, j + 1),
+        zip_with(v, element_at(mat, j + 1),
           (x, y) => coalesce(x, lit(0.0)) * y),
         lit(0.0), (acc, x) => acc + x) * scale)
   }

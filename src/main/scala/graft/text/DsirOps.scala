@@ -139,20 +139,25 @@ object DsirOps {
                text: Column, k: Int, dim: Int, hexChars: Int = 4,
                alpha: Double = 0.1, seed: Long = 42): DataFrame = {
     require(k >= 1, s"resample: k must be >= 1, got $k")
-    // featurize raw ONCE (persisted): the frame feeds both the model
-    // fit and the scoring join — featurization (explode + hash) is the
-    // dominant cost and would otherwise run twice
-    val rawB = ngramBuckets(raw, id, text, dim, hexChars)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tgtB = ngramBuckets(target, id, text, dim, hexChars)
-    val model = fitLogRatioFromBuckets(rawB, tgtB, dim, alpha)
-    val docScores = rawB.join(broadcast(model), Seq("bucket"))
-      .groupBy(col("id"))
-      .agg(sum(col("cnt") * col("log_ratio")).as("log_w"))
-    val scored = raw.select(id.as("id"))
-      .join(docScores, Seq("id"), "left")
-      .select(col("id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
-      .withColumn("key", col("log_w") + gumbelNoise(col("id"), seed))
-    scored.orderBy(col("key").desc, col("id")).limit(k)
+    // Release.scoped: the k-row result is materialized and the persisted
+    // featurization below is unpersisted on exit — without it the rawB
+    // blocks would live for the session's lifetime (repo hygiene rule).
+    graft.util.Release.scoped(raw.sparkSession) {
+      // featurize raw ONCE (persisted): the frame feeds both the model
+      // fit and the scoring join — featurization (explode + hash) is the
+      // dominant cost and would otherwise run twice
+      val rawB = ngramBuckets(raw, id, text, dim, hexChars)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tgtB = ngramBuckets(target, id, text, dim, hexChars)
+      val model = fitLogRatioFromBuckets(rawB, tgtB, dim, alpha)
+      val docScores = rawB.join(broadcast(model), Seq("bucket"))
+        .groupBy(col("id"))
+        .agg(sum(col("cnt") * col("log_ratio")).as("log_w"))
+      val scored = raw.select(id.as("id"))
+        .join(docScores, Seq("id"), "left")
+        .select(col("id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
+        .withColumn("key", col("log_w") + gumbelNoise(col("id"), seed))
+      scored.orderBy(col("key").desc, col("id")).limit(k)
+    }
   }
 }

@@ -191,7 +191,10 @@ object LmOps {
     * N1+(w1,·), continuation count N1+(·,w2) and distinct-bigram total
     * N1+(··). An UNSEEN prefix falls back to the pure continuation
     * probability; a word with no continuation mass scores p = 0 →
-    * null cross-entropy — callers must score vocab ⊆ train vocab
+    * null cross_entropy/ppl for the WHOLE document (the null is
+    * propagated explicitly — avg alone would silently skip the
+    * unscorable gram while n_ngrams still counts it, yielding an
+    * optimistic score). Callers must score vocab ⊆ train vocab
     * (self-scoring, the CCNet setup, always satisfies this).
     *
     * Scale shape identical to [[ngramLmScore]]: all count tables key
@@ -235,8 +238,12 @@ object LmOps {
       .crossJoin(broadcast(nbig))
       .select(col("doc_id"), (-log(p)).as("nl"))
       .groupBy(col("doc_id"))
+      // any p <= 0 gram makes nl null (Spark log(0) = null); the
+      // count(1)===count(nl) guard nulls the doc's score instead of
+      // letting avg silently drop the unscorable gram.
       .agg(count(lit(1)).as("n_ngrams"),
-        avg(col("nl")).as("cross_entropy"))
+        when(count(lit(1)) === count(col("nl")), avg(col("nl")))
+          .as("cross_entropy"))
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 

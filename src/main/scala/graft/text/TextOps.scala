@@ -592,13 +592,24 @@ object TextOps {
     val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
+    // LEFT joins + raise_error guard: if a caller passes a band table
+    // sliced by band WITHOUT band 0 (a storage layout minHashBandTable
+    // explicitly suggests partitioning by), an inner join would
+    // silently return zero pairs. A candidate whose signature is
+    // missing instead fails loudly at execution time.
+    val missing = raise_error(lit(
+      "minHashDupPairsFromBands: candidate id has no band-0 signature " +
+        "row — the band table slice is missing band 0. Pass a slice " +
+        "that includes b = 0 (signatures are fetched from it)."))
     cand
       .join(sigs.select(col("i").as("id1"), col("sig").as("__s1")),
-        Seq("id1"))
+        Seq("id1"), "left")
       .join(sigs.select(col("i").as("id2"), col("sig").as("__s2")),
-        Seq("id2"))
+        Seq("id2"), "left")
       .select(col("id1"), col("id2"),
-        simUdf(col("__s1"), col("__s2")).as("est_jaccard"))
+        when(col("__s1").isNull || col("__s2").isNull, missing)
+          .otherwise(simUdf(col("__s1"), col("__s2")))
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
