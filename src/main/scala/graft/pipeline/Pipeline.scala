@@ -151,6 +151,27 @@ object EncoderDefault {
   final case class Value(v: Double) extends EncoderDefault
 }
 
+/** A fit step that is exactly "two train quantiles per column → one
+  * SQL expression per column". Reified (rather than an opaque closure)
+  * so `Blueprint.materialize` can BATCH a consecutive run of these
+  * into one [[graft.util.Quantiles.exactRaw]] pass per column: a
+  * winsorize followed by a robustScale on the same column otherwise
+  * costs two full count+cumsum scans that rank the very same values.
+  * `isClip` marks steps whose transform is the monotone clip
+  * `least(greatest(c, a), b)` — the property that makes batching
+  * exact (order statistics of the clipped data are the clipped
+  * order statistics, elementwise, in the same doubles). */
+private[pipeline] final class QuantileFit(
+    val cols: Seq[String], val qLo: Double, val qHi: Double,
+    val method: String, val isClip: Boolean,
+    val mk: (String, Double, Double) => (String, String))
+  extends (DataFrame => Step) {
+  def apply(df: DataFrame): Step = ExprStep(cols.map { c =>
+    val qs = graft.util.Quantiles.exact(df, c, Seq(qLo, qHi), method)
+    mk(c, qs(0), qs(1))
+  })
+}
+
 /** Step recorder: concrete steps pass through; fit steps hold a
   * closure run against the train frame at materialize().
   * (Blueprint, pipeline.py:250; FitStep _step.py:420) */
@@ -163,6 +184,7 @@ final class Blueprint private (
     new Blueprint(train, steps :+ Left(df => ExprStep(f(df))))
   private def addFitStep(f: DataFrame => Step) =
     new Blueprint(train, steps :+ Left(f))
+
 
   // SQL literal for a double that survives round-trip exactly
   private def dlit(v: Double): String =
@@ -297,13 +319,9 @@ final class Blueprint private (
                   method: String = "midpoint"): Blueprint = {
     require(qLow >= 0.0 && qHigh <= 1.0 && qLow < qHigh,
       s"robustScale bounds must satisfy 0 <= $qLow < $qHigh <= 1")
-    addFit { df =>
-      cols.map { c =>
-        val qs = graft.util.Quantiles.exact(df, c, Seq(qLow, qHigh),
-          method)
-        c -> s"($c - ${dlit(qs(0))}) / ${dlit(qs(1) - qs(0))}"
-      }
-    }
+    new Blueprint(train, steps :+ Left(new QuantileFit(
+      cols, qLow, qHigh, method, isClip = false,
+      (c, lo, hi) => c -> s"($c - ${dlit(lo)}) / ${dlit(hi - lo)}")))
   }
 
   /** clip to train quantiles. (transforms.py:279 winsorize; default
@@ -313,13 +331,9 @@ final class Blueprint private (
                 method: String = "nearest"): Blueprint = {
     require(lower >= 0.0 && upper <= 1.0 && lower < upper,
       s"winsorize bounds must satisfy 0 <= $lower < $upper <= 1")
-    addFit { df =>
-      cols.map { c =>
-        val qs = graft.util.Quantiles.exact(df, c, Seq(lower, upper),
-          method)
-        c -> s"least(greatest($c, ${dlit(qs(0))}), ${dlit(qs(1))})"
-      }
-    }
+    new Blueprint(train, steps :+ Left(new QuantileFit(
+      cols, lower, upper, method, isClip = true,
+      (c, lo, hi) => c -> s"least(greatest($c, ${dlit(lo)}), ${dlit(hi)})")))
   }
 
   /** one column per distinct train value (sorted; optionally dropping
@@ -515,16 +529,82 @@ final class Blueprint private (
   def materialize(): Pipeline = {
     var cur = train
     val out = Vector.newBuilder[Step]
-    steps.foreach {
-      case Right(s) =>
-        out += s
-        cur = s(cur)
-      case Left(fit) =>
-        val s = fit(cur)
-        out += s
-        cur = s(cur)
+    var i = 0
+    while (i < steps.length) {
+      steps(i) match {
+        case Right(s) =>
+          out += s; cur = s(cur); i += 1
+        case Left(qf: QuantileFit) =>
+          // Batch the maximal run of consecutive quantile fits that is
+          // EXACTLY equivalent to fitting them sequentially: a later
+          // fit may join the run only if every earlier run member
+          // sharing one of its columns is a clip (winsorize). Clips
+          // are monotone per-value maps, so the later fit's order
+          // statistics on the clipped data are obtained by clipping
+          // the order statistics of the run-start data — same doubles,
+          // no recomputation. Non-clip members (robustScale's affine
+          // map) don't commute bit-exactly, so they end the run for
+          // their columns.
+          val run = scala.collection.mutable.ArrayBuffer(qf)
+          var j = i + 1
+          var open = true
+          while (open && j < steps.length) steps(j) match {
+            case Left(q2: QuantileFit)
+                if q2.cols.forall(c =>
+                  run.forall(r => !r.cols.contains(c) || r.isClip)) =>
+              run += q2; j += 1
+            case _ => open = false
+          }
+          if (run.length == 1) {
+            val s = qf(cur); out += s; cur = s(cur); i += 1
+          } else {
+            // one exactRaw pass per column, at the run-start frame
+            val raws: Map[String, Seq[graft.util.Quantiles.Raw]] =
+              run.flatMap(_.cols).distinct.map { c =>
+                val entries = run.filter(_.cols.contains(c)).flatMap(r =>
+                  Seq((r.qLo, r.method), (r.qHi, r.method))).toSeq
+                c -> graft.util.Quantiles.exactRaw(cur, c, entries)
+              }.toMap
+            // walk the run in order, consuming two raws per (step,
+            // column) and threading each column's accumulated clip
+            // chain through later steps' order statistics
+            val cursor = scala.collection.mutable.Map[String, Int]()
+              .withDefaultValue(0)
+            val clips =
+              scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
+                .withDefaultValue(Vector.empty)
+            run.foreach { r =>
+              val step = ExprStep(r.cols.map { c =>
+                val k = cursor(c); cursor(c) = k + 2
+                val chain = clips(c)
+                def adj(v: Double) =
+                  chain.foldLeft(v) { case (x, (a, b)) => clipLike(x, a, b) }
+                val lo = raws(c)(k).mapped(adj).interp
+                val hi = raws(c)(k + 1).mapped(adj).interp
+                if (r.isClip) clips(c) = chain :+ (lo, hi)
+                r.mk(c, lo, hi)
+              })
+              out += step
+              cur = step(cur)
+            }
+            i = j
+          }
+        case Left(fit) =>
+          val s = fit(cur)
+          out += s
+          cur = s(cur)
+          i += 1
+      }
     }
     Pipeline(out.result())
+  }
+
+  /** Driver-side twin of the SQL `least(greatest(v, a), b)` clip,
+    * including Spark's NaN-is-greatest ordering: greatest(v, a) is NaN
+    * if either is NaN; least(x, b) picks the non-NaN smaller value. */
+  private def clipLike(v: Double, a: Double, b: Double): Double = {
+    val g = if (v.isNaN || a.isNaN) Double.NaN else math.max(v, a)
+    if (g.isNaN) b else if (b.isNaN) g else math.min(g, b)
   }
 
   def fitTransform(df: DataFrame): DataFrame = materialize().transform(df)

@@ -19,21 +19,50 @@ import org.apache.spark.sql.functions._
 object Quantiles {
   val methods = Set("nearest", "lower", "higher", "midpoint", "linear")
 
+  /** The two neighbouring order statistics backing one quantile: the
+    * final value is [[interp]] of these. Exposing the raw pair lets
+    * callers apply any order-preserving per-value transform (e.g. a
+    * winsorize clip) BEFORE interpolation — exactly what evaluating
+    * the quantile on the transformed data would produce, since a
+    * monotone map commutes with order statistics elementwise. */
+  final case class Raw(lo: Double, hi: Double, idx: Double, kLo: Long,
+                       method: String) {
+    def interp: Double = method match {
+      case "midpoint" => (lo + hi) / 2.0
+      case "linear"   => lo + (idx - kLo) * (hi - lo)
+      case _          => lo
+    }
+    def mapped(f: Double => Double): Raw = copy(lo = f(lo), hi = f(hi))
+  }
+
   /** Quantiles of the non-null values of `c` at fractions `qs`.
     * Returns NaN for an empty column. Rank for `nearest` rounds half
     * away from zero (Rust f64::round, what polars uses). */
   def exact(df: DataFrame, c: String, qs: Seq[Double],
-            method: String): Seq[Double] = {
-    require(methods(method), s"unknown quantile method '$method'")
-    qs.foreach(q => require(q >= 0.0 && q <= 1.0,
-      s"quantile fraction $q outside [0, 1]"))
+            method: String): Seq[Double] =
+    exactRaw(df, c, qs.map(q => (q, method))).map(_.interp)
+
+  /** One distributed pass serving MULTIPLE (fraction, method) requests
+    * on the same column — one count job + one GlobalCumsum + one
+    * aggregation regardless of how many quantiles are asked for.
+    * Returns the raw order-statistic pairs ([[Raw]]); `.interp` gives
+    * the quantile value. */
+  def exactRaw(df: DataFrame, c: String,
+               entries: Seq[(Double, String)]): Seq[Raw] = {
+    entries.foreach { case (q, method) =>
+      require(methods(method), s"unknown quantile method '$method'")
+      require(q >= 0.0 && q <= 1.0, s"quantile fraction $q outside [0, 1]")
+    }
     val P = "__gq_"
     val vals = df.select(col(c).cast("double").as(s"${P}v"))
       .where(col(s"${P}v").isNotNull)
     val n = vals.count()
-    if (n == 0L) return qs.map(_ => Double.NaN)
-    val idx = qs.map(_ * (n - 1))
-    val ranks = idx.map { i =>
+    if (n == 0L)
+      return entries.map { case (_, m) =>
+        Raw(Double.NaN, Double.NaN, 0.0, 0L, m)
+      }
+    val idx = entries.map { case (q, _) => q * (n - 1) }
+    val ranks = idx.zip(entries).map { case (i, (_, method)) =>
       method match {
         case "lower"   => (i.floor.toLong, i.floor.toLong)
         case "higher"  => (i.ceil.toLong, i.ceil.toLong)
@@ -58,14 +87,10 @@ object Quantiles {
         Seq(col(s"${P}cnt") -> s"${P}cum"))
       cum.agg(aggs.head, aggs.tail: _*).head
     }
-    idx.zip(ranks).zipWithIndex.map { case ((i, (kLo, _)), j) =>
-      val lo = row.getDouble(2 * j)
-      val hi = row.getDouble(2 * j + 1)
-      method match {
-        case "midpoint" => (lo + hi) / 2.0
-        case "linear"   => lo + (i - kLo) * (hi - lo)
-        case _          => lo
-      }
+    idx.zip(ranks).zip(entries).zipWithIndex.map {
+      case (((i, (kLo, _)), (_, method)), j) =>
+        Raw(row.getDouble(2 * j), row.getDouble(2 * j + 1), i, kLo,
+          method)
     }
   }
 }

@@ -181,4 +181,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Blueprint(df).ordinalEncode(Seq("c")).fitTransform(df)
       .agg(max("c")).head.getInt(0) == 19)
   }
+
+  test("batched winsorize->robustScale run is expression-identical to " +
+      "fitting each step on the intermediate frame") {
+    import spark.implicits._
+    // skewed values incl. a negative outlier and duplicates; every
+    // quantile method in play (nearest for the clip, midpoint for the
+    // scale, polars defaults)
+    val xs = Seq(-50.0, 1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+      9.0, 10.0, 11.0, 12.0, 200.0)
+    val df = xs.toDF("x")
+    val batched = Blueprint(df)
+      .winsorize(Seq("x"), 0.1, 0.9)
+      .robustScale(Seq("x"))
+      .materialize()
+    // sequential ground truth: fit winsorize alone, transform, then
+    // fit robustScale on the RESULT frame — the semantics materialize
+    // must preserve while serving both fits from one pass
+    val w = Blueprint(df).winsorize(Seq("x"), 0.1, 0.9).materialize()
+    val clipped = w.transform(df)
+    val r = Blueprint(clipped).robustScale(Seq("x")).materialize()
+    val seqJson = Pipeline(w.steps ++ r.steps).toJson
+    assert(batched.toJson == seqJson,
+      s"batched=${batched.toJson}\nsequential=$seqJson")
+    // and a clip bound that actually binds the scale quantile: wide
+    // clip at 0.4/0.6 pulls 0.25/0.75 order stats onto the bounds
+    val b2 = Blueprint(df).winsorize(Seq("x"), 0.4, 0.6)
+      .robustScale(Seq("x")).materialize()
+    val w2 = Blueprint(df).winsorize(Seq("x"), 0.4, 0.6).materialize()
+    val r2 = Blueprint(w2.transform(df)).robustScale(Seq("x"))
+      .materialize()
+    assert(b2.toJson == Pipeline(w2.steps ++ r2.steps).toJson)
+    // a robustScale FOLLOWED by a quantile fit on the same column must
+    // NOT batch (affine maps don't commute bit-exactly): sequential
+    // semantics still hold
+    val b3 = Blueprint(df).robustScale(Seq("x"))
+      .winsorize(Seq("x"), 0.1, 0.9).materialize()
+    val rs = Blueprint(df).robustScale(Seq("x")).materialize()
+    val w3 = Blueprint(rs.transform(df)).winsorize(Seq("x"), 0.1, 0.9)
+      .materialize()
+    assert(b3.toJson == Pipeline(rs.steps ++ w3.steps).toJson)
+  }
 }
