@@ -40,12 +40,18 @@ object GlobalCumsum {
 
   /** Add inclusive global running sums of `sums._1` ordered by `order`
     * (ascending or descending), one output column per `sums._2` name.
-    * All original columns pass through. */
+    * All original columns pass through. `numParts` overrides the range
+    * partition count (default: the session's parallelism) — exposed so
+    * the offset algebra is testable at every partition count and so
+    * callers with tiny key tables can skip over-partitioning. */
   def runningSums(df: DataFrame, order: Column, ascending: Boolean,
-                  sums: Seq[(Column, String)]): DataFrame = {
+                  sums: Seq[(Column, String)],
+                  numParts: Option[Int] = None): DataFrame = {
     require(sums.nonEmpty, "GlobalCumsum.runningSums: no sum columns")
+    require(numParts.forall(_ >= 1),
+      s"GlobalCumsum.runningSums: numParts must be >= 1, got $numParts")
     val spark = df.sparkSession
-    val p = spark.sparkContext.defaultParallelism
+    val p = numParts.getOrElse(spark.sparkContext.defaultParallelism)
     val ord = if (ascending) order.asc else order.desc
     // MUST persist: the plan references `parted` twice (offsets + local
     // cumsums). Un-persisted, each branch would plan its OWN range
