@@ -35,7 +35,9 @@ object KnnOps {
     // strategy needs the reference set on the driver (then on every
     // executor). Past this size, pre-filter/sample the reference or
     // use the LSH path (SimOps.lshCosineTopK), which never collects.
-    val cap = 10000000
+    // Override with -Dgraft.maxKnnRef (docs/CAPS.md).
+    val cap = sys.props.get("graft.maxKnnRef").map(_.toInt)
+      .getOrElse(10000000)
     val rows = ref
       .select(id.cast("long").as("_id") +: fx: _*)
       .na.drop()  // null rows are never neighbors (expr_knn.py:100 doc)

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One spec per cap in docs/CAPS.md (the caps not already pinned by an
+  * operator-family spec): every LOUD cap must fail with a message that
+  * names the cap AND the remedy/distributed alternative, and the
+  * FALLBACK caps must produce result-equivalent output through the
+  * distributed path when forced to 0. */
+class GuardSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def withProp[A](k: String, v: String)(f: => A): A = {
+    System.setProperty(k, v)
+    try f finally System.clearProperty(k)
+  }
+
+  private def rootMessage(t: Throwable): String = {
+    var c: Throwable = t
+    val sb = new StringBuilder()
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("maxSeriesLen: cappedSeries raises past the cap, names the knob " +
+      "and the remedy") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0, 3.0, 4.0, 5.0)).toDF("xs")
+    val e = intercept[Exception] {
+      df.select(graft.util.Guard.cappedSeries(col("xs"), "testOp", cap = 3))
+        .collect()
+    }
+    val m = rootMessage(e)
+    assert(m.contains("maxSeriesLen") && m.contains("split the group"))
+    // happy path under the cap is a pass-through
+    assert(df.select(graft.util.Guard.cappedSeries(col("xs"), "t", 10))
+      .head.getSeq[Double](0).size == 5)
+  }
+
+  test("maxFitCardinality: cappedDistinct fails loud, names the knob " +
+      "and the bucketing remedy") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c", "d", "e").toDF("c")
+    val e = intercept[Exception] {
+      graft.util.Guard.cappedDistinct(df, "c", "testOp", cap = 2)
+    }
+    assert(e.getMessage.contains("maxFitCardinality") &&
+      e.getMessage.contains("Reduce cardinality"))
+  }
+
+  test("maxKnnRef: broadcast kd-tree refuses oversized reference sets " +
+      "and points at the LSH/IVF alternatives") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toLong, i.toDouble, i * 2.0))
+      .toDF("id", "x", "y")
+    val e = intercept[Exception] {
+      withProp("graft.maxKnnRef", "2") {
+        graft.knn.KnnOps.knnPtwise(df, col("id"),
+          Seq(col("x"), col("y")), 2).collect()
+      }
+    }
+    val m = rootMessage(e)
+    assert(m.contains("exceeds 2 rows") && m.contains("graft.sim.SimOps"))
+  }
+
+  test("queryCap: cosineTopK refuses oversized query frames and points " +
+      "at pre-filtering") {
+    import spark.implicits._
+    val q = (1 to 4).map(i => (i.toLong, Seq(1.0f, 0.0f)))
+      .toDF("id", "emb")
+    val e = intercept[Exception] {
+      graft.sim.SimOps.cosineTopK(q, q, 1, queryCap = 2L)
+    }
+    assert(e.getMessage.contains("queryCap=2") &&
+      e.getMessage.contains("Pre-filter"))
+  }
+
+  test("compileLm maxEntries: broadcast LM refuses oversized gram " +
+      "tables with the narrower-corpus remedy") {
+    import spark.implicits._
+    val train = Seq("a b c d e f g h").toDF("t")
+    val e = intercept[Exception] {
+      graft.text.LmOps.compileLm(train, col("t"), maxEntries = 2L)
+    }
+    assert(e.getMessage.contains("maxEntries=2") &&
+      e.getMessage.contains("narrower reference corpus"))
+  }
+
+  test("maxWarcBytes: gunzip budget fails loud on expansion past the cap") {
+    val payload = new Array[Byte](100000) // zeros compress ~1000x
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.close()
+    val e = intercept[Exception] {
+      withProp("graft.maxWarcBytes", "1024") {
+        graft.sources.WarcOps.gunzipAll(bos.toByteArray)
+      }
+    }
+    assert(e.getMessage.contains("graft.maxWarcBytes") &&
+      e.getMessage.contains("raise the property"))
+  }
+
+  test("maxPdfBytes: FlateDecode budget fails loud through the public " +
+      "pdfText path") {
+    import spark.implicits._
+    // id=1 -> flate-compressed synthetic PDF; budget of 4 bytes trips
+    val e = intercept[Exception] {
+      withProp("graft.maxPdfBytes", "4") {
+        spark.range(1, 2)
+          .select(graft.sources.PdfOps.pdfText(
+            graft.sources.PdfOps.syntheticPdf(col("id"))))
+          .collect()
+      }
+    }
+    assert(rootMessage(e).contains("graft.maxPdfBytes"))
+  }
+
+  test("maxLocalPagerank fallback: distributed loop (cap 0) matches " +
+      "the driver fast path") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("u", "v")
+    def ranks(): Map[Long, Double] =
+      graft.graph.PageRankOps.pageRank(edges, col("u"), col("v"),
+          iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = ranks()
+    val dist = withProp("graft.maxLocalPagerank", "0") { ranks() }
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-9, s"node $k: $v vs ${dist(k)}")
+    }
+  }
+
+  test("maxLocalIrls fallback: distributed IRLS (cap 0) matches the " +
+      "driver fast path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val p = 1.0 / (1.0 + math.exp(-(0.8 * x1 - 1.2 * x2 + 0.3)))
+      (x1, x2, if (rng.nextDouble() < p) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    def fit(): Array[Double] =
+      graft.ops.LinRegOps.logisticFit(df, Seq(col("x1"), col("x2")),
+        col("y"))
+    val local = fit()
+    val dist = withProp("graft.maxLocalIrls", "0") { fit() }
+    local.zip(dist).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"beta: $a vs $b")
+    }
+  }
+}
