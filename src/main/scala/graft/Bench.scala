@@ -42,6 +42,22 @@ object Bench {
         a.select(col("id"), col("k"))
           .join(broadcast(a.select(col("k").as("k2")).distinct()),
             col("k") === col("k2")).count()
+        // Higher-order array lambdas (transform/filter/sequence/
+        // element_at/aggregate), md5-derived bucketing and global
+        // top-k: the DSIR/n-gram family plans explode over lambda-
+        // built arrays whose interpreted-eval paths need their own C2
+        // warm — the operator warmups above never touch them.
+        a.select(explode(
+            transform(filter(split(col("s"), " "), w => w =!= ""),
+              t => concat_ws(" ", t, t))).as("g"))
+          .select(pmod(conv(substring(md5(col("g")), 1, 4), 16, 10)
+            .cast("long"), lit(64L)).as("b"))
+          .groupBy("b").count().collect()
+        a.select(col("id"),
+            aggregate(transform(sequence(lit(0), lit(3)),
+              i => i.cast("double") * col("v")), lit(0.0),
+              (acc, x) => acc + x).as("x"))
+          .orderBy(col("x").desc).limit(50).collect()
       }
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")

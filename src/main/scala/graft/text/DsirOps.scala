@@ -64,6 +64,21 @@ object DsirOps {
     * buckets, which is what survives dim = 10⁴⁺ at corpus scale. */
   def ngramBuckets(df: DataFrame, id: Column, text: Column,
                    dim: Int, hexChars: Int = 4): DataFrame =
+    df.select(id.as("id"),
+        explode(org.apache.spark.sql.graft.NativeFunctions
+          .mdBucketCountsNative(text, dim, hexChars)).as("p"))
+      .select(col("id"),
+        shiftright(col("p"), 32).cast("int").as("bucket"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("cnt"))
+
+  /** Column-algebra twin of [[ngramBuckets]] — the expression-level
+    * reference the native kernel is spec-pinned against (DsirSpec).
+    * Four interpreted HigherOrderFunctions + a gram-per-row explode +
+    * a groupBy shuffle; use [[ngramBuckets]] (shuffle-free native
+    * pass) everywhere else. */
+  private[graft] def ngramBucketsColumnar(df: DataFrame, id: Column,
+                                          text: Column, dim: Int,
+                                          hexChars: Int = 4): DataFrame =
     df.select(id.as("id"), explode(uniBigrams(text)).as("g"))
       .select(col("id"), hashedBucketHex(col("g"), dim, hexChars)
         .as("bucket"))

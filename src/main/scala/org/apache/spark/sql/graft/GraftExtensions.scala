@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgramHashes(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md_bucket_counts"),
+      new ExpressionInfo(classOf[MdBucketCounts].getName,
+        "graft_md_bucket_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_md_bucket_counts(str, dim, hexChars) takes three arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_md_bucket_counts: $name must be an integer literal")
+        }
+        MdBucketCounts(children.head, intLit(children(1), "dim"),
+          intLit(children(2), "hexChars"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {
@@ -88,6 +104,12 @@ object NativeFunctions {
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  /** Packed (bucket << 32 | cnt) hashed uni+bigram counts, buckets
+    * ascending — the DSIR featurization kernel. */
+  def mdBucketCountsNative(c: Column, dim: Int, hexChars: Int): Column =
+    ExpressionUtils.column(
+      MdBucketCounts(ExpressionUtils.expression(c), dim, hexChars))
 
   /** Distinct matched pattern indices (ascending) via one
     * Aho–Corasick pass. */

@@ -254,3 +254,139 @@ object NfcNormalize {
     if (n eq str) s else UTF8String.fromString(n)
   }
 }
+
+/** Native DSIR featurization: per-document hashed uni+bigram bucket
+  * counts in ONE primitive pass. Returns an array of packed longs
+  * `(bucket << 32) | count`, buckets ascending — callers explode the
+  * (≤ min(grams, dim))-element array and unpack, replacing the
+  * gram-per-row explode + md5 projection + groupBy(id, bucket) shuffle
+  * of the Column formulation (graft.text.DsirOps.uniBigrams +
+  * hashedBucketHex) with a shuffle-FREE projection. Semantics are
+  * bit-for-bit the Column path's: tokens = `\s+` split of
+  * lowercase(trim(text)) with empties dropped; grams = tokens plus
+  * adjacent pairs joined by one 0x20; bucket =
+  * `conv(substring(md5(gram), 1, hexChars), 16, 10) % dim` (md5 over
+  * the gram's UTF-8 bytes, first hexChars hex digits as an unsigned
+  * value). Why native: the Column path nests four HigherOrderFunctions
+  * (no codegen) and shuffles one row per gram; this runs inside
+  * whole-stage codegen and shuffles nothing (verdict r7 ask #5 —
+  * q_dsir's explode-heavy cold path). SQL `graft_md_bucket_counts`;
+  * DSL [[NativeFunctions.mdBucketCountsNative]]. */
+case class MdBucketCounts(child: Expression, dim: Int, hexChars: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim >= 2 && dim <= (1 << 22),
+    s"graft_md_bucket_counts: dim must be in [2, 2^22], got $dim")
+  require(hexChars >= 1 && hexChars <= 12,
+    s"graft_md_bucket_counts: hexChars must be in [1,12], got $hexChars")
+  require(math.pow(16, hexChars) >= dim,
+    s"graft_md_bucket_counts: 16^$hexChars < dim=$dim — unreachable buckets")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    MdBucketCounts.compute(s.asInstanceOf[UTF8String], dim, hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = MdBucketCounts.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c, $dim, $hexChars)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MdBucketCounts = copy(child = newChild)
+}
+
+object MdBucketCounts {
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](0))
+
+  private val MD5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  /** Bucket of one gram held in buf[0, len): first `hexChars` hex
+    * digits of md5 as an unsigned value, mod dim. */
+  private def bucketOf(md: java.security.MessageDigest, buf: Array[Byte],
+                       len: Int, dim: Int, hexChars: Int): Int = {
+    md.reset()
+    md.update(buf, 0, len)
+    val dg = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val nib =
+        if ((i & 1) == 0) (dg(i >> 1) >> 4) & 0xf else dg(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    (v % dim).toInt
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, dim: Int,
+              hexChars: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.toLowerCase.trim.getBytes
+    val len = b.length
+    // tokenize: spans of non-\s bytes (regex-split empties only occur
+    // at the leading edge and the Column path filters them out)
+    var m = 0
+    var i = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) {
+        starts(m) = i
+        while (i < len && !isWs(b(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m == 0) return EMPTY
+    val counts = new Array[Int](dim)
+    val md = MD5.get()
+    val buf = new Array[Byte](len)
+    // unigrams
+    var t = 0
+    while (t < m) {
+      val tl = ends(t) - starts(t)
+      System.arraycopy(b, starts(t), buf, 0, tl)
+      counts(bucketOf(md, buf, tl, dim, hexChars)) += 1
+      t += 1
+    }
+    // bigrams: adjacent tokens joined by one space
+    t = 0
+    while (t < m - 1) {
+      val l1 = ends(t) - starts(t)
+      val l2 = ends(t + 1) - starts(t + 1)
+      System.arraycopy(b, starts(t), buf, 0, l1)
+      buf(l1) = 0x20.toByte
+      System.arraycopy(b, starts(t + 1), buf, l1 + 1, l2)
+      counts(bucketOf(md, buf, l1 + 1 + l2, dim, hexChars)) += 1
+      t += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < dim) { if (counts(i) != 0) nz += 1; i += 1 }
+    val out = new Array[Long](nz)
+    var o = 0
+    i = 0
+    while (i < dim) {
+      if (counts(i) != 0) {
+        out(o) = (i.toLong << 32) | counts(i).toLong
+        o += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

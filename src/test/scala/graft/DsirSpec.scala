@@ -19,6 +19,34 @@ class DsirSpec extends AnyFunSuite {
     assert(g(3) == Seq("a", "b", "c", "a b", "b c"))
   }
 
+  test("native ngramBuckets is row-identical to the Column-algebra " +
+      "twin across tokenization edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick  Fox jumps over the LAZY dog the quick"),
+      (2L, "solo"),
+      (3L, " "),
+      (4L, ""),
+      (5L, "\tTab\nlead mixedws"),
+      (6L, "répé müller ünïcode répé"),
+      (7L, "a a a a a b b b"),
+      (8L, (1 to 200).map(i => s"w${i % 17}").mkString(" ")))
+      .toDF("id", "t")
+    for ((dim, hex) <- Seq((64, 2), (16, 1), (1000, 3))) {
+      val native = DsirOps.ngramBuckets(docs, col("id"), col("t"),
+          dim, hex)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      val columnar = DsirOps.ngramBucketsColumnar(docs, col("id"),
+          col("t"), dim, hex)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(native == columnar,
+        s"dim=$dim hex=$hex:\n only-native=${native -- columnar}\n " +
+          s"only-columnar=${columnar -- native}")
+    }
+  }
+
   test("fitLogRatio: identical sides give zero ratios; over-represented" +
     " grams push scores toward the target") {
     import spark.implicits._
