@@ -201,6 +201,108 @@ object StreamOps {
       }
   }
 
+  /** State for one MinHash (band, bucket): recently seen (id,
+    * signature) pairs, newest first, capped at `maxPerBucket`. */
+  case class MinHashBucket(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming twin of `TextOps.incrementalMinHashDupPairs`: emit
+    * near-duplicate pairs of a document STREAM against (a) a persisted
+    * corpus band table and (b) the stream's own history — the daily-
+    * snapshot dedup loop made continuous. Returns (id1, id2,
+    * est_jaccard), id1 < id2.
+    *
+    * Plan shape: the stream is signed and banded once per micro-batch
+    * (row-local), then
+    *   1. new-vs-CORPUS: a stream-STATIC equijoin on (band, bucket)
+    *      against the persisted band table — the corpus is never
+    *      re-signed, colliding buckets stream through the join, and
+    *      signatures ride the matching rows (no second lookup);
+    *   2. new-vs-NEW across micro-batches: per-(band, bucket)
+    *      signatures kept in flatMapGroupsWithState state, the same
+    *      banded-bucket state pattern as [[streamingSimhashDupPairs]].
+    * State is O(buckets × maxPerBucket × numHashes·8B), independent of
+    * stream length; recall against stream documents older than the
+    * eviction horizon degrades gracefully.
+    *
+    * As with the batch op, a pair colliding in several bands is
+    * emitted once per band — collapse downstream with `distinct`
+    * (batch replay) or `dropDuplicatesWithinWatermark`. Document ids
+    * must be distinct across corpus and stream and long-castable.
+    * StreamingSpec pins cross-batch parity: corpus pairs ∪ stream
+    * pairs over any micro-batch split equals the batch
+    * `incrementalMinHashDupPairs` over the full stream contents. */
+  def streamingIncrementalMinHashDupPairs(
+      newDocs: DataFrame, id: Column, text: Column,
+      corpusBands: DataFrame, threshold: Double, k: Int = 3,
+      numHashes: Int = 128, bands: Int = 16,
+      maxPerBucket: Int = 10000): DataFrame = {
+    import graft.text.TextOps
+    val nb = TextOps.minHashBandTable(
+      newDocs.select(id.cast("long").as("__id"), text.as("__t")),
+      col("__id"), col("__t"), k, numHashes, bands)
+    val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    }
+    val vsCorpus = nb.as("n").join(corpusBands.as("c"),
+        col("n.b") === col("c.b") && col("n.h") === col("c.h") &&
+          col("n.i").cast("long") =!= col("c.i").cast("long"))
+      .select(
+        least(col("n.i").cast("long"), col("c.i").cast("long"))
+          .as("id1"),
+        greatest(col("n.i").cast("long"), col("c.i").cast("long"))
+          .as("id2"),
+        simUdf(col("n.sig"), col("c.sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val session = newDocs.sparkSession
+    import session.implicits._
+    val ds = nb.select(col("b"), col("h"), col("i").cast("long"),
+        col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+    implicit val encState = Encoders.product[MinHashBucket]
+    implicit val encOut = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble)
+    val within = ds.groupByKey(r => (r._1, r._2))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[MinHashBucket, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+         state: GroupState[MinHashBucket]) =>
+          var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
+          var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          rows.foreach { case (_, _, docId, sig) =>
+            var i = ids
+            var s = sigs
+            while (i.nonEmpty) {
+              val oid = i.head
+              if (oid != docId) {
+                val os = s.head
+                var eq = 0
+                var j = 0
+                while (j < sig.length) {
+                  if (sig(j) == os(j)) eq += 1
+                  j += 1
+                }
+                val est = eq.toDouble / sig.length
+                if (est >= threshold) {
+                  val (a, b) =
+                    if (docId < oid) (docId, oid) else (oid, docId)
+                  out += ((a, b, est))
+                }
+              }
+              i = i.tail
+              s = s.tail
+            }
+            ids = (docId :: ids).take(maxPerBucket)
+            sigs = (sig :: sigs).take(maxPerBucket)
+          }
+          state.update(MinHashBucket(ids, sigs))
+          out.result().iterator
+      }
+    vsCorpus.unionByName(within.toDF("id1", "id2", "est_jaccard"))
+  }
+
   /** Per-key running statistics state: Welford mean/M2 plus min/max. */
   case class RunningStats(key: String, n: Long, mean: Double, m2: Double,
                           min: Double, max: Double) {

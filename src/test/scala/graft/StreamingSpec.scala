@@ -136,6 +136,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIncrementalMinHashDupPairs: corpus + cross-batch " +
+      "pairs match the batch incremental op over the full stream") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with many more words to shingle"
+    def doc(i: Long, extra: String) = (i, s"$base $extra")
+    // corpus: docs 1-2 (1 is a near-dup magnet); stream: 10-13 where
+    // 10 ~ corpus doc 1, and 12 ~ 13 across DIFFERENT micro-batches
+    val corpusDocs = Seq(doc(1L, "alpha"), doc(2L, "totally different " +
+      "content about spark partitions and shuffles and joins"))
+      .toDF("doc_id", "text")
+    val corpusBands = TextOps.minHashBandTable(corpusDocs,
+      col("doc_id"), col("text")).cache()
+    corpusBands.count()
+    val b1 = Seq(doc(10L, "alpha beta"), doc(11L, "unrelated payload " +
+      "entirely: parquet footers bloom filters and row groups"))
+    val b2 = Seq(doc(12L, "gamma delta"), doc(13L, "gamma delta epsilon"))
+    val b3 = Seq(doc(14L, "gamma delta")) // dup of 12 two batches later
+    val mem = MemoryStream[(Long, String)]
+    val pairs = StreamOps.streamingIncrementalMinHashDupPairs(
+      mem.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      corpusBands, threshold = 0.6)
+    val q = pairs.writeStream.format("memory")
+      .queryName("graft_incmh_test").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql("SELECT DISTINCT id1, id2, " +
+          "round(est_jaccard, 9) AS est FROM graft_incmh_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch ground truth over the SAME stream contents
+      val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+      val want = TextOps.incrementalMinHashDupPairs(all, col("doc_id"),
+          col("text"), corpusBands, threshold = 0.6)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 9).as("est"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty, "fixture produced no batch pairs")
+      assert(want.exists(p => p._1 == 1L && p._2 == 10L),
+        s"corpus pair missing from batch ground truth: $want")
+      assert(want.exists(p => p._1 == 12L),
+        s"cross-batch stream pair missing from ground truth: $want")
+      assert(got == want,
+        s"streaming vs batch:\n only-stream=${got -- want}\n " +
+          s"only-batch=${want -- got}")
+    } finally { q.stop(); corpusBands.unpersist() }
+  }
+
   test("streamingExactDedup state survives a checkpoint stop/restart " +
     "(a duplicate of a pre-restart doc is still dropped)") {
     import spark.implicits._
