@@ -20,7 +20,17 @@ import org.apache.spark.sql.types._
   * whole-payload fingerprints, and [[decodeBatch]] shows the
   * per-partition amortization shape a heavyweight codec wants.
   * Remaining honest boundary: lossy-WebP (VP8 DCT) pixel data is
-  * metadata-only.
+  * metadata-only — a DELIBERATE contract, not a stub: the VP8
+  * key-frame header (start code, 14-bit dims) is uncompressed and
+  * parsed for real by [[sniffMeta]], but the coefficient bitstream
+  * requires RFC 6386's ~2000-entry default probability tables, which
+  * cannot be transcribed here verifiably (no spec text or reference
+  * decoder is available in this environment to check them against; a
+  * codec with silently-wrong tables would misdecode every real file
+  * while passing its own round-trip tests). So [[decodeImage]] returns
+  * null for VP8-lossy payloads — the same loud routing as any
+  * undecodable payload — while metadata flows. The q_webp_lossy
+  * oracle row pins exactly this contract: dims parsed, n_decoded = 0.
   */
 object MultimodalOps {
 
@@ -269,6 +279,47 @@ object MultimodalOps {
           lz77 = i % 7 < 2,
           transformBits = if (i % 6 < 3) 4 else 2)
         Vp8l.encode(w, h, px, opts)
+      }
+    }
+    f(id.cast("long"))
+  }
+
+  /** Deterministic lossy-WebP (VP8) HEADER fixture: a RIFF/WEBP
+    * container holding a "VP8 " chunk whose uncompressed key-frame
+    * prefix (frame tag, 9d 01 2a start code, 14-bit dims) is fully
+    * valid, with `w`×`h` = (16·(1 + id%5), 16·(1 + (id·3)%4)). The
+    * coefficient partition is NOT a valid bitstream (see the object
+    * doc: VP8 entropy decode is a documented non-goal) — this fixture
+    * exists so the q_webp_lossy oracle can pin the metadata-only
+    * contract: [[sniffMeta]] must parse these dims, [[decodeImage]]
+    * must route to null. */
+  def syntheticWebpLossyHeader(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val w = (16 * (1 + i % 5)).toInt
+        val h = (16 * (1 + (i * 3) % 4)).toInt
+        val payload = new Array[Byte](16) // frame header + filler
+        // frame tag (3 bytes LE): keyframe(0) | version 0 | show(1) |
+        // first-partition size (dummy 6)
+        val tag = 0 | (0 << 1) | (1 << 4) | (6 << 5)
+        payload(0) = (tag & 0xff).toByte
+        payload(1) = ((tag >> 8) & 0xff).toByte
+        payload(2) = ((tag >> 16) & 0xff).toByte
+        payload(3) = 0x9d.toByte; payload(4) = 0x01; payload(5) = 0x2a
+        payload(6) = (w & 0xff).toByte
+        payload(7) = ((w >> 8) & 0x3f).toByte // scale 0
+        payload(8) = (h & 0xff).toByte
+        payload(9) = ((h >> 8) & 0x3f).toByte
+        val chunkLen = payload.length
+        val riffLen = 4 + 8 + chunkLen
+        val out = java.nio.ByteBuffer.allocate(12 + 8 + chunkLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes).putInt(riffLen)
+          .put("WEBP".getBytes).put("VP8 ".getBytes).putInt(chunkLen)
+          .put(payload)
+        out.array()
       }
     }
     f(id.cast("long"))

@@ -650,6 +650,28 @@ object TextQueries extends QueryPack {
           round(avg(col("st.mean_b")), 6).as("avg_b"))
         .orderBy("source")
     }),
+    "q_webp_lossy" -> ((s, dir) => {
+      // The DOCUMENTED lossy-WebP boundary as an oracle-gated
+      // contract (MultimodalOps object doc): VP8 key-frame headers
+      // are genuinely parsed (uncompressed prefix — dims must match
+      // the id arithmetic), while pixel decode explicitly routes to
+      // null (n_decoded must be 0, never a silently-wrong raster).
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("payload",
+          MultimodalOps.syntheticWebpLossyHeader(col("doc_id")))
+        .withColumn("meta", MultimodalOps.sniffMeta(col("payload")))
+        .withColumn("st", MultimodalOps.decodeImage(col("payload")))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(col("meta")).as("n_meta"),
+          sum(when(col("meta.format") === "webp", 1L).otherwise(0L))
+            .as("n_webp"),
+          sum(col("meta.width").cast("long") * col("meta.height"))
+            .as("n_px"),
+          count(col("st")).as("n_decoded"))
+        .orderBy("source")
+    }),
     "q_video_frames" -> ((s, dir) => {
       // REAL video-container decode: payloads are valid AVIs (hdrl +
       // movi + idx1) with uncompressed 24-bit DIB frames; frame
@@ -1476,6 +1498,15 @@ object TextQueries extends QueryPack {
         |  ROUND(AVG(mr), 6) AS avg_r, ROUND(AVG(mg), 6) AS avg_g,
         |  ROUND(AVG(mb), 6) AS avg_b
         |FROM imgs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_webp_lossy" ->
+      """WITH ids AS (
+        |  SELECT source, doc_id id, 16 * (1 + doc_id % 5) w,
+        |    16 * (1 + (doc_id * 3) % 4) h
+        |  FROM documents)
+        |SELECT source, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_meta,
+        |  COUNT(*)::BIGINT AS n_webp, SUM(w * h)::BIGINT AS n_px,
+        |  0::BIGINT AS n_decoded
+        |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_video_frames" ->
       """WITH ids AS (
         |  SELECT source, doc_id id, (3 + doc_id % 5) nf,

@@ -2,6 +2,7 @@ package graft
 
 import graft.multimodal.Vp8l
 import graft.multimodal.Vp8l.EncOpts
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-trip tests for the from-scratch VP8L (WebP lossless) codec:
@@ -177,6 +178,27 @@ class Vp8lSpec extends AnyFunSuite {
       Vp8l.decodePayload(Array[Byte](0x2f) ++ body ++ new Array[Byte](64), 0)
     }
     assert(e.getMessage.contains("maxImagePixels"))
+  }
+
+  test("lossy-VP8 contract: header dims parse, pixel decode refuses " +
+      "(returns null) rather than guessing") {
+    val spark = GraftSession.builder("4").getOrCreate()
+    import graft.multimodal.MultimodalOps
+    val rows = spark.range(0, 40)
+      .select(col("id"),
+        MultimodalOps.sniffMeta(
+          MultimodalOps.syntheticWebpLossyHeader(col("id"))).as("m"),
+        MultimodalOps.decodeImage(
+          MultimodalOps.syntheticWebpLossyHeader(col("id"))).as("st"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val m = r.getStruct(1)
+      assert(m.getString(0) == "webp", s"id=$i format")
+      assert(m.getInt(1) == 16 * (1 + i % 5).toInt, s"id=$i width")
+      assert(m.getInt(2) == 16 * (1 + (i * 3) % 4).toInt, s"id=$i height")
+      assert(r.isNullAt(2), s"id=$i: lossy VP8 must NOT pixel-decode")
+    }
   }
 
   test("lz77 value coding is a bijection on 1..4096") {
