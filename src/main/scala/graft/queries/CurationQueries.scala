@@ -294,6 +294,39 @@ object CurationQueries extends QueryPack {
           round(element_at(col("p"), 16), 6).as("p15"))
         .orderBy("vec_id")
     }),
+    "q_jl_ann" -> ((s, dir) => {
+      // JL-shortlist ANN in its DOCUMENTED regime (separation >>
+      // 1/sqrt(jlDim)) as an oracle row: corpus = basis vectors
+      // e_{doc_id} (doc_id < 64), queries = 0.96*e_{j%64} +
+      // 0.28*e_{(7j+1)%64} (unit norm: 96^2 + 28^2 = 100^2). The
+      // planted twin separation (cos 0.96 vs 0.28 background) makes
+      // the coarse shortlist deterministic; the oracle states the
+      // closed-form answer — every query's top-1 is its twin at cos
+      // 0.96 — so a recall miss anywhere in project/shortlist/re-rank
+      // fails the row.
+      import graft.sim.ProjectOps
+      val docs = t(s, dir, "documents")
+      import org.apache.spark.sql.Column
+      def basis(d: Column, w: Column, d2: Column, w2: Column) =
+        transform(sequence(lit(0), lit(63)), i =>
+          when(i === d, w).otherwise(lit(0.0)) +
+            when(i === d2, w2).otherwise(lit(0.0)))
+      val corpus = docs.filter(col("doc_id") < 64)
+        .select(col("doc_id").as("id"),
+          basis(pmod(col("doc_id"), lit(64)).cast("int"), lit(1.0),
+            lit(-1), lit(0.0)).as("vec"))
+      val queries = docs.filter(col("doc_id") >= 100 &&
+          col("doc_id") < 140)
+        .select(col("doc_id").as("id"),
+          basis(pmod(col("doc_id"), lit(64)).cast("int"), lit(0.96),
+            pmod(col("doc_id") * 7 + 1, lit(64)).cast("int"), lit(0.28))
+            .as("vec"))
+      ProjectOps.jlCosineTopK(queries, corpus, k = 1, inDim = 64,
+          jlDim = 16, candFactor = 4, salt = 2)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+        .orderBy("qid")
+    }),
     "q_nfc_normalize" -> ((s, dir) => {
       // decomposed combining sequences (e+U+0301, A+U+030A, o+U+0308)
       // must compose to the precomposed forms; the oracle runs
@@ -1069,6 +1102,14 @@ object CurationQueries extends QueryPack {
          |  ROUND(MAX(CASE WHEN j = 15 THEN pj END), 6) AS p15
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_jl_ann" ->
+      // the closed-form separated-regime answer: top-1 of query j is
+      // its planted twin j % 64 at exact cosine 0.96 (unit-norm
+      // construction), rank 1
+      """SELECT doc_id AS qid, doc_id % 64 AS cid, 0.96 AS cos,
+        |  1 AS rk
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 140
+        |ORDER BY qid""".stripMargin,
     "q_nfc_normalize" ->
       // combining marks injected via chr(): 769=U+0301 acute,
       // 778=U+030A ring, 776=U+0308 diaeresis
