@@ -509,6 +509,29 @@ object TextQueries extends QueryPack {
           sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_pdf_objstm" -> ((s, dir) => {
+      // PDF 1.5 ObjStm layout (catalog + page tree packed in a
+      // compressed object stream, real xref STREAM, no classic xref
+      // table — the modern writer layout): text must extract
+      // identically to the classic-layout twin, and the page count
+      // (1 + id%3 pages, visible ONLY inside the inflated ObjStm)
+      // must match id arithmetic.
+      import graft.sources.PdfOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"), PdfOps.pdfSummary(
+          PdfOps.syntheticPdfObjStm(col("doc_id"))).as("ps"))
+        .select(col("doc_id"), col("ps.text").as("t"),
+          col("ps.meta").as("m"))
+        .groupBy((col("doc_id") % 40).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_pages")).as("n_pages"),
+          sum(when(col("m.version") === "1.5", 1L).otherwise(0L))
+            .as("n_v15"),
+          sum(length(col("t"))).as("text_len"),
+          sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"))
+        .orderBy("bucket")
+    }),
     "q_warc_gz" -> ((s, dir) => {
       // Common-Crawl layout: one gzip member per record; the reader
       // auto-detects the magic and inflates the member sequence, so
@@ -1273,6 +1296,25 @@ object TextQueries extends QueryPack {
         |  FROM d)
         |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
         |  COUNT(*)::BIGINT AS n_pages,
+        |  SUM(tlen)::BIGINT AS text_len,
+        |  SUM(toks)::BIGINT AS n_tokens
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pdf_objstm" ->
+      """WITH d AS (
+        |  SELECT doc_id i, 1 + doc_id % 4 nl, 1 + doc_id % 3 np
+        |  FROM documents WHERE doc_id < 4000),
+        |lines AS (
+        |  SELECT d.i, LENGTH('doc ' || d.i::VARCHAR || ' line ' ||
+        |    k.k::VARCHAR) AS llen
+        |  FROM d, range(0, 4) k(k) WHERE k.k < d.nl),
+        |per AS (
+        |  SELECT d.i, d.nl, d.np,
+        |    (SELECT SUM(llen) FROM lines l WHERE l.i = d.i) +
+        |    LENGTH('id (' || d.i::VARCHAR || ')') + d.nl AS tlen,
+        |    4 * d.nl + 2 AS toks
+        |  FROM d)
+        |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(np)::BIGINT AS n_pages, COUNT(*)::BIGINT AS n_v15,
         |  SUM(tlen)::BIGINT AS text_len,
         |  SUM(toks)::BIGINT AS n_tokens
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -14,10 +14,14 @@ import scala.collection.mutable.ArrayBuffer
   * (`(…) Tj`, `[(…) kern (…)] TJ`, `(…) '`) inside BT…ET blocks with
   * full PDF string-escape handling (\\( \\) \\\\ \\n \\r \\t \\ddd
   * octal). That covers standard-encoded (WinAnsi/ASCII) text — the
-  * overwhelming majority of machine-generated PDFs. Documented
-  * non-goals (stated, not guessed): CID/Type0 composite-font
-  * decoding, encryption, object streams (`/ObjStm`), and layout
-  * reconstruction (reading order = operator order).
+  * overwhelming majority of machine-generated PDFs. Object streams
+  * (`/ObjStm`, PDF 1.5 — where most real-world writers pack the page
+  * tree) are inflated for metadata: the page count includes
+  * `/Type /Page` dicts inside them (content streams can never live in
+  * an ObjStm, so text extraction is structurally unaffected).
+  * Documented non-goals (stated, not guessed): CID/Type0
+  * composite-font decoding, encryption, and layout reconstruction
+  * (reading order = operator order).
   *
   * Scale shape: one PDF per row (binary column), parse inside the
   * task — the same file-per-task shape as [[WarcOps]]. */
@@ -62,10 +66,14 @@ object PdfOps {
     -1
   }
 
-  /** All content-stream bytes of the file, inflated when the stream
-    * dict says /FlateDecode. Malformed framing skips the stream. */
-  private def contentStreams(b: Array[Byte]): Seq[Array[Byte]] = {
-    val out = new ArrayBuffer[Array[Byte]]()
+  /** Every (dict, inflated-data) stream pair in the file, in file
+    * order (data inflated when the dict says /FlateDecode; malformed
+    * framing skips the stream). Object streams (/ObjStm — packed
+    * non-stream objects) and xref streams carry no text operators and
+    * are excluded by [[textOf]]; [[metaOf]] reads ObjStm payloads for
+    * the compressed page count. */
+  private def allStreams(b: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = new ArrayBuffer[(String, Array[Byte])]()
     var i = 0
     var guard = 0
     while (i >= 0 && i < b.length && guard < 100000) {
@@ -107,7 +115,7 @@ object PdfOps {
                 case _: Exception => Array.emptyByteArray
               }
             else java.util.Arrays.copyOfRange(b, ds, de)
-          if (data.nonEmpty) out += data
+          if (data.nonEmpty) out += ((dict, data))
           i = e + "endstream".length
         }
       }
@@ -198,18 +206,39 @@ object PdfOps {
 
   private val PageRe = "/Type\\s*/Page(?![s])".r
 
-  private def metaOf(b: Array[Byte]): PdfMeta = {
+  private def metaOf(b: Array[Byte]): PdfMeta =
+    metaOf(b, allStreams(b))
+
+  /** Page count = uncompressed /Type /Page dicts in the raw bytes
+    * PLUS those packed inside object streams (PDF 1.5 /ObjStm — where
+    * most real-world writers put the page tree; content streams can
+    * never live there, so TEXT needs no ObjStm handling, but an
+    * uninflated page count would systematically read 0 on such
+    * files). */
+  private def metaOf(b: Array[Byte],
+                     streams: Seq[(String, Array[Byte])]): PdfMeta = {
     val head = new String(b, 0, math.min(16, b.length),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
     val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-    PdfMeta(version, PageRe.findAllIn(all).length, b.length.toLong)
+    val packed = streams.collect {
+      case (d, data) if d.contains("/ObjStm") =>
+        PageRe.findAllIn(new String(data,
+          java.nio.charset.StandardCharsets.ISO_8859_1)).length
+    }.sum
+    PdfMeta(version, PageRe.findAllIn(all).length + packed,
+      b.length.toLong)
   }
 
   private def textOf(b: Array[Byte]): String =
-    contentStreams(b)
-      .map(d => textFromContent(new String(d,
-        java.nio.charset.StandardCharsets.ISO_8859_1)))
+    textOf(allStreams(b))
+
+  private def textOf(streams: Seq[(String, Array[Byte])]): String =
+    streams.collect {
+      case (d, data) if !d.contains("/ObjStm") && !d.contains("/XRef") =>
+        textFromContent(new String(data,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
       .filter(_.nonEmpty)
       .mkString("\n")
 
@@ -238,7 +267,11 @@ object PdfOps {
 
   def pdfSummary(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (!isPdf(b)) null else PdfSummary(metaOf(b), textOf(b))
+      if (!isPdf(b)) null
+      else {
+        val ss = allStreams(b)
+        PdfSummary(metaOf(b, ss), textOf(ss))
+      }
     }
     f(payload)
   }
@@ -303,6 +336,111 @@ object PdfOps {
         w("xref\n0 6\n0000000000 65535 f \n")
         (1 to 5).foreach(o => w(f"${offsets(o)}%010d 00000 n \n"))
         w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
+  }
+
+  private def deflateBytes(plain: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(plain); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Deterministic PDF 1.5 file in the MODERN layout: the catalog,
+    * page tree, and `np = 1 + id%3` page dicts are packed inside a
+    * FlateDecode'd object stream (`/ObjStm`), cross-referenced by a
+    * real xref STREAM (`/Type /XRef`, `/W [1 2 2]`, type-2 entries
+    * pointing into the ObjStm) — no classic `xref` table anywhere, the
+    * layout most real-world PDF writers emit. The content stream (the
+    * same planted `doc <id> line <k>` lines as [[syntheticPdf]], Flate
+    * when id is odd) stays top-level, as the spec requires. A page
+    * count that ignores ObjStm reads 0 on these files — the
+    * q_pdf_objstm oracle pins `np` against id arithmetic. */
+  def syntheticPdfObjStm(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val np = (1 + i % 3).toInt
+        val nl = (1 + i % 4).toInt
+        val body = new StringBuilder()
+        var k = 0
+        while (k < nl) {
+          body.append(s"BT /F1 12 Tf 72 ${712 - 14 * k} Td " +
+            s"(doc $i line $k) Tj ET\n")
+          k += 1
+        }
+        body.append(s"BT /F1 12 Tf 72 ${712 - 14 * nl} Td " +
+          s"[(id) -250 (\\($i\\))] TJ ET\n")
+        val contentPlain = body.toString.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val flate = i % 2 == 1
+        val content =
+          if (flate) deflateBytes(contentPlain) else contentPlain
+
+        // ObjStm payload: catalog (obj 2), pages (obj 3), np page
+        // dicts (objs 6 .. 5+np)
+        val inner = new ArrayBuffer[(Int, String)]()
+        inner += 2 -> "<< /Type /Catalog /Pages 3 0 R >>"
+        inner += 3 -> ("<< /Type /Pages /Kids [" +
+          (0 until np).map(p => s"${6 + p} 0 R").mkString(" ") +
+          s"] /Count $np >>")
+        (0 until np).foreach { p =>
+          inner += (6 + p) -> ("<< /Type /Page /Parent 3 0 R " +
+            "/MediaBox [0 0 612 792] /Contents 4 0 R >>")
+        }
+        val objBytes = inner.map(_._2 + "\n")
+        val offs = objBytes.scanLeft(0)(_ + _.length).init
+        val header = inner.zip(offs)
+          .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+        val payloadPlain = (header + objBytes.mkString).getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val payload = deflateBytes(payloadPlain)
+
+        val out = new java.io.ByteArrayOutputStream()
+        def w(s: String): Unit = out.write(s.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        w("%PDF-1.5\n")
+        val off1 = out.size()
+        w(s"1 0 obj\n<< /Type /ObjStm /N ${inner.length} " +
+          s"/First ${header.length} /Length ${payload.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(payload)
+        w("\nendstream\nendobj\n")
+        val off4 = out.size()
+        w(s"4 0 obj\n<< /Length ${content.length}" +
+          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        out.write(content)
+        w("\nendstream\nendobj\n")
+        val off5 = out.size()
+        // xref stream: W [1 2 2]; entries for objects 0 .. 5+np
+        val size = 6 + np
+        val xr = new java.io.ByteArrayOutputStream()
+        def entry(t: Int, f2: Int, f3: Int): Unit = {
+          xr.write(t)
+          xr.write((f2 >> 8) & 0xff); xr.write(f2 & 0xff)
+          xr.write((f3 >> 8) & 0xff); xr.write(f3 & 0xff)
+        }
+        entry(0, 0, 0xffff)            // obj 0: free
+        entry(1, off1, 0)              // obj 1: the ObjStm itself
+        entry(2, 1, 0)                 // obj 2: in ObjStm 1, index 0
+        entry(2, 1, 1)                 // obj 3: index 1
+        entry(1, off4, 0)              // obj 4: content stream
+        entry(1, off5, 0)              // obj 5: this xref stream
+        (0 until np).foreach(p => entry(2, 1, 2 + p)) // page dicts
+        val xref = deflateBytes(xr.toByteArray)
+        w(s"5 0 obj\n<< /Type /XRef /Size $size /W [1 2 2] " +
+          s"/Root 2 0 R /Length ${xref.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(xref)
+        w("\nendstream\nendobj\n")
+        w(s"startxref\n$off5\n%%EOF\n")
         out.toByteArray
       }
     }

@@ -39,6 +39,27 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfOps.textFromContent(c) == "outer (inner) rest\na b")
   }
 
+  test("PDF 1.5 ObjStm layout: text extracts identically, page count " +
+      "reads the compressed page dicts") {
+    import spark.implicits._
+    val rows = spark.range(0, 24)
+      .select(col("id"),
+        PdfOps.pdfText(PdfOps.syntheticPdfObjStm(col("id"))).as("t"),
+        PdfOps.pdfMeta(PdfOps.syntheticPdfObjStm(col("id"))).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val nl = (1 + i % 4).toInt
+      val expect = ((0 until nl).map(k => s"doc $i line $k") :+
+        s"id ($i)").mkString("\n")
+      assert(r.getString(1) == expect, s"id=$i text")
+      val m = r.getStruct(2)
+      assert(m.getString(0) == "1.5", s"id=$i version")
+      assert(m.getInt(1) == (1 + i % 3).toInt,
+        s"id=$i pages: got ${m.getInt(1)} — ObjStm page dicts must count")
+    }
+  }
+
   test("non-PDF payloads yield null") {
     import spark.implicits._
     val r = Seq("plain".getBytes, Array[Byte](1, 2))
