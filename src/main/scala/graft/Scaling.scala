@@ -23,7 +23,9 @@ object Scaling {
         // round-8 curation family
         "q_gopher_rules", "q_c4_rules", "q_dsir", "q_mojibake",
         "q_incremental_dedup", "q_sentence_dedup", "q_text_chunks",
-        "q_curation_report", "q_ppl_buckets", "q_hash_split")
+        "q_curation_report", "q_ppl_buckets", "q_hash_split",
+        // round-9 additions
+        "q_lm_kn", "q_bradley_terry", "q_jl_ann", "q_pdf_objstm")
     val sfs = Seq("0.001", "0.01", "0.1")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()

@@ -266,6 +266,49 @@ class StreamingSpec extends AnyFunSuite {
       s"band state lost across restart: $distinct")
   }
 
+  test("streamingIncrementalMinHashDupPairs bucket state survives a " +
+      "checkpoint stop/restart (near-dup of a pre-restart doc pairs up)") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_incmh").toString
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with many more words to shingle"
+    // empty corpus: this test isolates the cross-restart STREAM state
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpusBands = TextOps.minHashBandTable(corpus, col("doc_id"),
+      col("text"))
+    val mem = MemoryStream[(Long, String)]
+    val pairs = StreamOps.streamingIncrementalMinHashDupPairs(
+      mem.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      corpusBands, threshold = 0.6)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    def start() = pairs.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((10L, s"$base alpha"),
+        (11L, "unrelated entirely: parquet footers and bloom filters"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.isEmpty, s"nothing near yet: $got")
+    val q2 = start()
+    try {
+      mem.addData((12L, s"$base alpha beta")) // near-dup of 10
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val distinct = got.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
+    assert(distinct == Set((10L, 12L)),
+      s"bucket state lost across restart: $distinct")
+  }
+
   test("sessionize assigns gap-based sessions; streaming twin merges " +
       "session windows across batches") {
     import spark.implicits._
