@@ -26,30 +26,37 @@ object Scaling {
         "q_curation_report", "q_ppl_buckets", "q_hash_split",
         // round-9 additions
         "q_lm_kn", "q_bradley_terry", "q_jl_ann", "q_pdf_objstm")
+    // Optional extra rung past the driver fixtures — e.g.
+    // SPARK_GRAFT_EXTRA_SF="1=/root/repo/target/sf1" (MakeScale
+    // output) extends every curve to 1000x the smallest fixture.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_SF")
+      .map(_.split("=", 2)).map(a => (a(0), a(1))).toSeq
     val sfs = Seq("0.001", "0.01", "0.1")
+      .map(sf => (sf, s"/root/testdata/sf$sf")) ++ extra
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = for (n <- names) yield {
-      val times = for (sf <- sfs) yield {
+      val times = for ((_, dir) <- sfs) yield {
         val fn = SparkEntry.queries(n)
         val best = (1 to reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          fn(spark, s"/root/testdata/sf$sf").count()
+          fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
         best
       }
       println(f"[scaling] ${n}%-22s " +
-        times.zip(sfs).map { case (t, sf) => f"sf$sf=${t}%.2fs" }
+        times.zip(sfs).map { case (t, (sf, _)) => f"sf$sf=${t}%.2fs" }
           .mkString("  "))
       (n, times)
     }
-    // summary: cost ratio sf0.1/sf0.001 (100x data)
+    val span = math.pow(10, sfs.length.toDouble - 1).toLong
     results.foreach { case (n, ts) =>
-      println(f"[scaling-ratio] ${n}%-22s x${ts.last / ts.head}%.1f over 100x data")
+      println(f"[scaling-ratio] ${n}%-22s x${ts.last / ts.head}%.1f " +
+        s"over ${span}x data")
     }
     spark.stop()
   }
