@@ -42,26 +42,33 @@ object LmOps {
                    n: Int = 2, alpha: Double = 0.4): DataFrame = {
     require(n >= 2, s"ngramLmScore: n must be >= 2, got $n")
     require(alpha > 0.0, s"ngramLmScore: alpha must be > 0, got $alpha")
+    // Gram hashing runs on the native WordNgramHashes kernel — one
+    // primitive pass per document, bit-identical to
+    // xxhash64(wordNgrams(...)) but with no per-gram string
+    // materialization and no per-row substring_index rescan for the
+    // prefix hash (the prefix of n-gram i IS (n-1)-gram i, so the two
+    // hash arrays zip positionally).
+    import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
     // prefix = leading (n-1)-gram of each n-gram; its count table is
     // the denominator. For n=2 that is the unigram table itself.
     val prefixCnt = train
-      .select(explode(TextOps.wordNgrams(trainText, n - 1)).as("p"))
-      .select(xxhash64(col("p")).as("ph"))
+      .select(explode(wordNgramHashesNative(trainText, n - 1)).as("ph"))
       .groupBy(col("ph")).agg(count(lit(1)).as("c_prefix"))
     val gramCnt = train
-      .select(explode(TextOps.wordNgrams(trainText, n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(wordNgramHashesNative(trainText, n)).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("c_gram"))
     // vocabulary size as a 1-row frame (kept lazy; broadcast into the
     // scoring join instead of an eager driver action)
     val vocab = train
-      .select(explode(TextOps.wordNgrams(trainText, 1)).as("w"))
-      .select(xxhash64(col("w")).as("wh"))
+      .select(explode(wordNgramHashesNative(trainText, 1)).as("wh"))
       .agg(count_distinct(col("wh")).as("v"))
     val docGrams = score.select(id.as("doc_id"),
-        explode(TextOps.wordNgrams(text, n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
-        xxhash64(substring_index(col("g"), " ", n - 1)).as("ph"))
+        wordNgramHashesNative(text, n).as("__gh"),
+        wordNgramHashesNative(text, n - 1).as("__ph"))
+      .select(col("doc_id"), explode(zip_with(
+        col("__gh"), slice(col("__ph"), lit(1), size(col("__gh"))),
+        (g, p) => struct(g.as("gh"), p.as("ph")))).as("z"))
+      .select(col("doc_id"), col("z.gh").as("gh"), col("z.ph").as("ph"))
     val nl = -log(
       (coalesce(col("c_gram"), lit(0L)) + lit(alpha)) /
         (coalesce(col("c_prefix"), lit(0L)) + lit(alpha) * col("v")))
@@ -207,10 +214,18 @@ object LmOps {
                      discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"ngramLmScoreKN: discount must be in (0,1), got $discount")
-    val tb = train
-      .select(explode(TextOps.wordNgrams(trainText, 2)).as("g"))
-      .select(xxhash64(substring_index(col("g"), " ", 1)).as("w1h"),
-        xxhash64(substring_index(col("g"), " ", -1)).as("w2h"))
+    // (w1h, w2h) per bigram = adjacent unigram hashes, zipped
+    // positionally from ONE native tokenize+hash pass (no gram string
+    // materialization, no substring_index rescans)
+    import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
+    def bigramPairs(df: DataFrame, text: Column): DataFrame =
+      df.select(wordNgramHashesNative(text, 1).as("__t"))
+        .select(explode(zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1h"), b.as("w2h")))).as("z"))
+        .select(col("z.w1h").as("w1h"), col("z.w2h").as("w2h"))
+    val tb = bigramPairs(train, trainText)
     val cb = tb.groupBy(col("w1h"), col("w2h"))
       .agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -220,10 +235,13 @@ object LmOps {
       .agg(count(lit(1)).as("ncont"))
     val nbig = cb.agg(count(lit(1)).as("nbig"))
     val docB = df.select(id.as("doc_id"),
-        explode(TextOps.wordNgrams(text, 2)).as("g"))
-      .select(col("doc_id"),
-        xxhash64(substring_index(col("g"), " ", 1)).as("w1h"),
-        xxhash64(substring_index(col("g"), " ", -1)).as("w2h"))
+        wordNgramHashesNative(text, 1).as("__t"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1h"), b.as("w2h")))).as("z"))
+      .select(col("doc_id"), col("z.w1h").as("w1h"),
+        col("z.w2h").as("w2h"))
     val pCont = coalesce(col("ncont"), lit(0L)).cast("double") /
       col("nbig")
     val p = when(col("c1").isNull, pCont)
