@@ -622,13 +622,15 @@ object LinRegOps {
       var betasL = init
       var itersL = 0
       var deltaL = Double.MaxValue
-      while (itersL < maxIter && deltaL > tol) {
-        val acc = new Array[Double](k * nG)
-        var r = 0
-        while (r < rows.length) {
+      // Gram accumulation over one fixed row range (shared by the
+      // sequential and multi-threaded paths below).
+      def accumulate(from: Int, until: Int, betas: Array[Array[Double]],
+                     acc: Array[Double]): Unit = {
+        var r = from
+        while (r < until) {
           val g = rows(r)._1
           val arr = rows(r)._2
-          val b = betasL(g)
+          val b = betas(g)
           var eta = 0.0
           var i = 0
           while (i < d) { eta += b(i) * arr(i); i += 1 }
@@ -647,6 +649,42 @@ object LinRegOps {
           i = 0
           while (i < d) { acc(off + nTri + i) += w * arr(i) * z; i += 1 }
           r += 1
+        }
+      }
+      // Past ~50k rows the per-iteration row sweep dominates the fit
+      // (60 iterations x 600k rows was single-threaded driver math
+      // while 31 cores idled) — split into FIXED row chunks, one
+      // thread each, merged in chunk order. Deterministic for a given
+      // row order and thread count; differs from the sequential sweep
+      // only in FP association order, the same nondeterminism
+      // partitioning already introduces (and the reason the fit is
+      // tol-converged before use).
+      val nThreads =
+        if (rows.length < 50000) 1
+        else math.min(16, Runtime.getRuntime.availableProcessors)
+      while (itersL < maxIter && deltaL > tol) {
+        val acc = new Array[Double](k * nG)
+        if (nThreads == 1) accumulate(0, rows.length, betasL, acc)
+        else {
+          val accs = new Array[Array[Double]](nThreads)
+          val betasNow = betasL
+          val threads = Array.tabulate(nThreads) { t =>
+            val th = new Thread(() => {
+              val a = new Array[Double](k * nG)
+              accumulate(t * rows.length / nThreads,
+                (t + 1) * rows.length / nThreads, betasNow, a)
+              accs(t) = a
+            })
+            th.start(); th
+          }
+          threads.foreach(_.join())
+          var t = 0
+          while (t < nThreads) {
+            val a = accs(t)
+            var p = 0
+            while (p < acc.length) { acc(p) += a(p); p += 1 }
+            t += 1
+          }
         }
         if (rows.isEmpty) return (betasL, itersL)
         deltaL = 0.0
