@@ -233,35 +233,37 @@ object EdaOps {
           if (method == "pearson") base
           else {
             // Tie-averaged ranks WITHOUT a global single-partition
-            // window: per column, a range-partitioned orderBy +
-            // zipWithIndex assigns global positions in parallel, tie
-            // groups collapse to (min+max)/2 + 1 in one value-keyed
-            // agg, and the (value → rank) map joins back by value.
-            // Rank maps have ≤ n rows and shuffle-join on the value —
-            // every stage stays distributed at any frame size.
-            // corr is shift-invariant, so null rows (rank null via the
-            // left join) drop out pairwise exactly like the windowed
-            // formulation.
-            import org.apache.spark.sql.types._
-            val spark = df.sparkSession
+            // window: per column, the distinct-value count table gets
+            // a GlobalCumsum running count (range-partition + local
+            // window + broadcast offsets — fully declarative, one
+            // range shuffle of the DISTINCT table instead of the old
+            // sort + zipWithIndex double pass over every row), and the
+            // tie group's average 1-based rank is exclusive-cum +
+            // (cnt+1)/2 — an exact integer-or-half double, identical
+            // to averaging the positions. The (value → rank) map joins
+            // back by value; every stage stays distributed at any
+            // frame size. corr is shift-invariant, so null rows (rank
+            // null via the left join) drop out pairwise exactly like
+            // the windowed formulation.
             all.foldLeft(base) { (d, c) =>
-              val sorted = base.select(col(c)).where(col(c).isNotNull &&
-                !isnan(col(c))).orderBy(col(c))
-              val schema = StructType(Seq(StructField("__v", DoubleType),
-                StructField("__i", LongType)))
-              val idx = spark.createDataFrame(
-                sorted.rdd.zipWithIndex.map { case (r, i) =>
-                  org.apache.spark.sql.Row(r.getDouble(0), i) }, schema)
-              val rankMap = idx.groupBy(col("__v"))
-                .agg(((min(col("__i")) + max(col("__i"))) / 2.0 + 1.0)
-                  .as("__r"))
+              val counts = base.select(col(c).as("__v"))
+                .where(col("__v").isNotNull && !isnan(col("__v")))
+                .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+              val cum = graft.util.GlobalCumsum.runningSums(counts,
+                col("__v"), ascending = true,
+                Seq(col("__n") -> "__cum"))
+              val rankMap = cum.select(col("__v"),
+                ((col("__cum") - col("__n")) +
+                  (col("__n") + lit(1)) / 2.0).as("__r"))
               d.join(rankMap, d(c) === rankMap("__v"), "left")
                 .withColumn(c, col("__r")).drop("__v", "__r")
             }
           }
         val aggs = pairs.zipWithIndex.map { case ((x, y), k) =>
           corr(col(x), col(y)).as(s"__c$k") }
-        val r = src.agg(aggs.head, aggs.tail: _*).head
+        val r = graft.util.Release.scopedValue(df.sparkSession) {
+          src.agg(aggs.head, aggs.tail: _*).head
+        }
         pairs.zipWithIndex.map { case (p, k) =>
           p -> (if (r.isNullAt(k)) Double.NaN else r.getDouble(k)) }.toMap
       case "kendall" =>
