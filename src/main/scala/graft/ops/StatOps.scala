@@ -205,22 +205,47 @@ object StatOps {
   }
 
   /** Spearman rank correlation via average ranks + Pearson corr on ranks.
-    * (stats.py corr(method="spearman")) */
+    * (stats.py corr(method="spearman"))
+    *
+    * Grouped: per-group windows (partitioned by the keys — bounded by
+    * group size, never single-partition). UNGROUPED: a zero-column
+    * window would drag the whole frame through one task, so ranks come
+    * from a GlobalCumsum running count over each column's
+    * distinct-value table instead (exclusive-cum + (cnt+1)/2 — the
+    * identical exact integer-or-half average rank), joined back by
+    * value — every stage distributed at any frame size. */
   def spearman(df: DataFrame, x: Column, y: Column,
                groupNames: Seq[String], outName: String = "spearman")
       : DataFrame = {
     val gc = groupNames.map(col)
     val t = df.select(gc :+ x.cast("double").as(s"${P}x")
       :+ y.cast("double").as(s"${P}y"): _*)
-    def avgRank(c: String): Column = {
-      val wr = Window.partitionBy(gc: _*).orderBy(col(c))
-      val wt = Window.partitionBy(gc :+ col(c): _*)
-      rank().over(wr) + (count(lit(1)).over(wt) - 1.0) / 2.0
+    if (gc.isEmpty) {
+      val ranked = Seq(s"${P}x", s"${P}y").foldLeft(t) { (d, c) =>
+        val counts = t.select(col(c).as(s"${P}v"))
+          .where(col(s"${P}v").isNotNull && !isnan(col(s"${P}v")))
+          .groupBy(col(s"${P}v")).agg(count(lit(1)).as(s"${P}n"))
+        val cum = graft.util.GlobalCumsum.runningSums(counts,
+          col(s"${P}v"), ascending = true,
+          Seq(col(s"${P}n") -> s"${P}cum"))
+        val rankMap = cum.select(col(s"${P}v"),
+          ((col(s"${P}cum") - col(s"${P}n")) +
+            (col(s"${P}n") + lit(1)) / 2.0).as(s"${P}r"))
+        d.join(rankMap, d(c) === rankMap(s"${P}v"), "left")
+          .withColumn(c, col(s"${P}r")).drop(s"${P}v", s"${P}r")
+      }
+      ranked.agg(corr(col(s"${P}x"), col(s"${P}y")).as(outName))
+    } else {
+      def avgRank(c: String): Column = {
+        val wr = Window.partitionBy(gc: _*).orderBy(col(c))
+        val wt = Window.partitionBy(gc :+ col(c): _*)
+        rank().over(wr) + (count(lit(1)).over(wt) - 1.0) / 2.0
+      }
+      t.withColumn(s"${P}rx", avgRank(s"${P}x"))
+        .withColumn(s"${P}ry", avgRank(s"${P}y"))
+        .groupBy(gc: _*)
+        .agg(corr(col(s"${P}rx"), col(s"${P}ry")).as(outName))
     }
-    t.withColumn(s"${P}rx", avgRank(s"${P}x"))
-      .withColumn(s"${P}ry", avgRank(s"${P}y"))
-      .groupBy(gc: _*)
-      .agg(corr(col(s"${P}rx"), col(s"${P}ry")).as(outName))
   }
 
   /** Chatterjee ξ correlation, tie-aware form (order by x, ranks of y):

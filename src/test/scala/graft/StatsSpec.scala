@@ -54,6 +54,27 @@ class StatsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("spearman"), 0.8207826816681233, 1e-12))
   }
 
+  test("spearman ungrouped (GlobalCumsum rank-map path) equals the " +
+      "grouped windowed path with a constant key") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // duplicate-heavy so tie-averaged ranks are exercised
+    val df = (1 to 400).map(_ =>
+      (rng.nextInt(20).toDouble, rng.nextInt(15).toDouble))
+      .toDF("x", "y")
+    val grouped = StatOps.spearman(df.withColumn("g", lit(1)),
+      col("x"), col("y"), Seq("g")).collect()(0).getAs[Double]("spearman")
+    val ungrouped = StatOps.spearman(df, col("x"), col("y"), Nil)
+      .collect()(0).getAs[Double]("spearman")
+    assert(approx(ungrouped, grouped, 1e-12),
+      s"ungrouped $ungrouped vs grouped $grouped")
+    // scipy doc example through the ungrouped path
+    val d2 = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 7.0), (4.0, 8.0),
+      (5.0, 7.0)).toDF("x", "y")
+    val r2 = StatOps.spearman(d2, col("x"), col("y"), Nil).collect()(0)
+    assert(approx(r2.getAs[Double]("spearman"), 0.8207826816681233, 1e-12))
+  }
+
   test("ks2Samp exact D on a tiny example") {
     import spark.implicits._
     // s1 = [1,2,3], s2 = [1.5, 2.5, 3.5, 4.5]
