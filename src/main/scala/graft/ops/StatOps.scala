@@ -258,6 +258,8 @@ object StatOps {
     val gc = groupNames.map(col)
     val t = df.select(gc :+ x.cast("double").as(s"${P}x")
       :+ y.cast("double").as(s"${P}y"): _*)
+    if (gc.isEmpty)
+      return xiCorrUngrouped(t, outName, returnP)
     val wT = Window.partitionBy(gc: _*)
     val wYle = Window.partitionBy(gc: _*).orderBy(col(s"${P}y"))
       .rangeBetween(Window.unboundedPreceding, 0)
@@ -283,6 +285,85 @@ object StatOps {
       val z = sqrt(col(s"${P}nn")) * abs(col(outName)) /
         math.sqrt(0.4)
       agg.withColumn("pvalue",
+          when(col(s"${P}nn") < 30.0, lit(Double.NaN))
+            .otherwise(PValues.normSf(z) * 2.0))
+        .drop(s"${P}nn")
+    }
+  }
+
+  /** Ungrouped ξ without zero-column windows: grouped ξ uses per-group
+    * windows (bounded by group size), but with no keys those windows
+    * would drag the whole frame through ONE task. Here every piece is
+    * distributed: r_i = #{y_j ≤ y_i} is the inclusive GlobalCumsum
+    * running count over the distinct-y table (joined back by value),
+    * l_i = n − r_i + count(y_i) algebraically, and the order statistic
+    * Σ|r_{i+1} − r_i| over (x, y) order is computed with a range
+    * partition + per-partition lead, plus the ≤ partition-count
+    * boundary pairs (each partition's first/last rank by order —
+    * min_by/max_by per pid, a partition-count-sized collect, the same
+    * bounded "fit statistic" class as GlobalCumsum's offsets). Equal
+    * (x, y) keys share a partition AND share r, so tie order is
+    * irrelevant. All inputs are exact integers below 2^53 and the
+    * final expression mirrors the grouped association order — the two
+    * paths produce identical doubles. */
+  private def xiCorrUngrouped(t: DataFrame, outName: String,
+                              returnP: Boolean): DataFrame = {
+    val spark = t.sparkSession
+    val row = graft.util.Release.scopedValue(spark) {
+      val counts = t.groupBy(col(s"${P}y"))
+        .agg(count(lit(1)).as(s"${P}cv"))
+      val cum = graft.util.GlobalCumsum.runningSums(counts,
+        col(s"${P}y"), ascending = true,
+        Seq(col(s"${P}cv") -> s"${P}r"))
+      val nRow = t.agg(count(lit(1)).cast("double").as(s"${P}n"))
+      val withR = t.join(cum, Seq(s"${P}y"))
+        .crossJoin(broadcast(nRow))
+        .withColumn(s"${P}l",
+          col(s"${P}n") - col(s"${P}r") + col(s"${P}cv"))
+      val p = spark.sparkContext.defaultParallelism
+      val parted = withR
+        .repartitionByRange(p, col(s"${P}x"), col(s"${P}y"))
+        .withColumn(s"${P}pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ord = struct(col(s"${P}x"), col(s"${P}y"))
+      val bounds = parted.groupBy(col(s"${P}pid"))
+        .agg(min_by(col(s"${P}r"), ord).as(s"${P}first"),
+          max_by(col(s"${P}r"), ord).as(s"${P}last"))
+        .orderBy(s"${P}pid")
+        .collect()
+      val boundarySum = bounds.iterator.sliding(2).withPartial(false)
+        .map(w => math.abs(w(1).getDouble(1) - w(0).getDouble(2))).sum
+      val wIn = Window.partitionBy(col(s"${P}pid"))
+        .orderBy(col(s"${P}x"), col(s"${P}y"))
+      val agg = parted
+        .withColumn(s"${P}rNext", lead(col(s"${P}r"), 1).over(wIn))
+        .agg(
+          sum(abs(col(s"${P}rNext") - col(s"${P}r"))).as(s"${P}sd"),
+          sum(col(s"${P}l") * (col(s"${P}n") - col(s"${P}l")))
+            .as(s"${P}sl"),
+          first(col(s"${P}n")).as(s"${P}nn"))
+        .head
+      (agg, boundarySum)
+    }
+    val (agg, boundarySum) = row
+    val out =
+      if (agg.isNullAt(2)) spark.range(1)
+        .select(lit(null).cast("double").as(outName),
+          lit(null).cast("double").as(s"${P}nn"))
+      else {
+        val n = agg.getDouble(2)
+        val sd = (if (agg.isNullAt(0)) 0.0 else agg.getDouble(0)) +
+          boundarySum
+        val sl = agg.getDouble(1)
+        // same association order as the grouped aggregate expression
+        val xi = 1.0 - n * sd / (sl * 2.0)
+        spark.range(1).select(lit(xi).as(outName),
+          lit(n).as(s"${P}nn"))
+      }
+    if (!returnP) out.drop(s"${P}nn")
+    else {
+      val z = sqrt(col(s"${P}nn")) * abs(col(outName)) / math.sqrt(0.4)
+      out.withColumn("pvalue",
           when(col(s"${P}nn") < 30.0, lit(Double.NaN))
             .otherwise(PValues.normSf(z) * 2.0))
         .drop(s"${P}nn")

@@ -75,6 +75,28 @@ class StatsSpec extends AnyFunSuite {
     assert(approx(r2.getAs[Double]("spearman"), 0.8207826816681233, 1e-12))
   }
 
+  test("xiCorr ungrouped (distributed-rank path) equals the grouped " +
+      "windowed path with a constant key, exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // duplicate-heavy x AND y so tie groups span range partitions
+    val df = (1 to 500).map(_ =>
+      (rng.nextInt(12).toDouble, rng.nextInt(9).toDouble)).toDF("x", "y")
+    val grouped = StatOps.xiCorr(df.withColumn("g", lit(1)), col("x"),
+      col("y"), Seq("g"), returnP = true).collect()(0)
+    val ungrouped = StatOps.xiCorr(df, col("x"), col("y"), Nil,
+      returnP = true).collect()(0)
+    assert(ungrouped.getAs[Double]("xi") == grouped.getAs[Double]("xi"),
+      s"xi ${ungrouped.getAs[Double]("xi")} vs " +
+        s"${grouped.getAs[Double]("xi")}")
+    assert(ungrouped.getAs[Double]("pvalue") ==
+      grouped.getAs[Double]("pvalue"))
+    // strictly monotone data -> xi close to 1 through the new path
+    val mono = (1 to 200).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    val m = StatOps.xiCorr(mono, col("x"), col("y"), Nil).collect()(0)
+    assert(m.getAs[Double]("xi") > 0.95)
+  }
+
   test("ks2Samp exact D on a tiny example") {
     import spark.implicits._
     // s1 = [1,2,3], s2 = [1.5, 2.5, 3.5, 4.5]
