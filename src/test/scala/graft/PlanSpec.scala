@@ -426,6 +426,18 @@ class PlanSpec extends AnyFunSuite {
       .epochShufflePositions(df, col("doc_id"), 1))
   }
 
+  test("ungrouped spearman plans only pid-bounded windows (rank maps " +
+    "from GlobalCumsum, no zero-column window)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = graft.ops.StatOps.spearman(li, col("l_quantity"),
+        col("l_extendedprice"), Nil)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__gcs_pid"),
+        s"unbounded zero-column Window in ungrouped spearman:\n$l")
+    }
+  }
+
   /** Every Window node in an UNGROUPED metric/quantile plan must be
     * bounded: either keyed by the GlobalCumsum range-partition id
     * (P-way parallel) or ordering the ≤P-row per-partition offsets
