@@ -113,6 +113,96 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("md bucket counts: ScalaCheck-random unicode/whitespace texts " +
+      "are row-identical to the Column-algebra DSIR twin") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen: Gen[Int] = Gen.frequency(
+      8 -> Gen.choose(0x61, 0x7a),       // ascii letters
+      3 -> Gen.oneOf(0x20, 0x20, 0x09, 0x0a), // whitespace runs
+      2 -> Gen.choose(0x41, 0x5a),       // upper (lowercasing)
+      1 -> Gen.oneOf(0x00e9, 0x00fc, 0x4e2d, 0x1f600), // multi-byte
+      1 -> Gen.oneOf(0x2c, 0x2e, 0x2d, 0x30, 0x39))
+    val textGen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+    } yield new String(cs.flatMap(Character.toChars(_)).toArray)
+    def sample(seed: Long): String =
+      textGen.apply(Gen.Parameters.default, Seed(seed)).get
+    val docs = (0 until 150).map(i => (i.toLong, sample(i * 7919L + 3)))
+      .toDF("id", "t")
+    for ((dim, hex) <- Seq((64, 2), (300, 3))) {
+      val native = graft.text.DsirOps.ngramBuckets(docs, col("id"),
+          col("t"), dim, hex)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      val columnar = graft.text.DsirOps.ngramBucketsColumnar(docs,
+          col("id"), col("t"), dim, hex)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(native == columnar,
+        s"dim=$dim hex=$hex: only-native=${native -- columnar} " +
+          s"only-columnar=${columnar -- native}")
+    }
+  }
+
+  test("LM positional hash zip: ScalaCheck-random texts score " +
+      "identically to the string-level gram formulation") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.frequency(
+      6 -> Gen.oneOf("the", "quick", "fox", "dog", "über", "中文"),
+      2 -> Gen.listOfN(3, Gen.choose('a', 'z')).map(_.mkString),
+      1 -> Gen.const(""))  // empty → whitespace run
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    def sample(seed: Long): String =
+      textGen.apply(Gen.Parameters.default, Seed(seed)).get
+    val docs = (0 until 120).map(i => (i.toLong, sample(i * 104729L + 1)))
+      .toDF("doc_id", "t")
+    val viaNative = graft.text.LmOps.ngramLmScore(docs, col("t"), docs,
+        col("doc_id"), col("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    // the pre-rewrite string-level formulation, inlined as reference
+    val prefixCnt = docs
+      .select(explode(graft.text.TextOps.wordNgrams(col("t"), 1)).as("p"))
+      .select(xxhash64(col("p")).as("ph"))
+      .groupBy(col("ph")).agg(count(lit(1)).as("c_prefix"))
+    val gramCnt = docs
+      .select(explode(graft.text.TextOps.wordNgrams(col("t"), 2)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c_gram"))
+    val vocab = docs
+      .select(explode(graft.text.TextOps.wordNgrams(col("t"), 1)).as("w"))
+      .select(xxhash64(col("w")).as("wh"))
+      .agg(count_distinct(col("wh")).as("v"))
+    val docGrams = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.wordNgrams(col("t"), 2)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
+        xxhash64(substring_index(col("g"), " ", 1)).as("ph"))
+    val nl = -log((coalesce(col("c_gram"), lit(0L)) + lit(0.4)) /
+      (coalesce(col("c_prefix"), lit(0L)) + lit(0.4) * col("v")))
+    val viaStrings = docGrams
+      .join(gramCnt, Seq("gh"), "left")
+      .join(prefixCnt, Seq("ph"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nl.as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), avg(col("nl")).as("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(viaNative == viaStrings,
+      s"only-native=${viaNative -- viaStrings} " +
+        s"only-strings=${viaStrings -- viaNative}")
+  }
+
   test("Aho-Corasick blocklist: classic overlap case, randomized " +
     "parity vs naive contains, codegen") {
     import spark.implicits._
