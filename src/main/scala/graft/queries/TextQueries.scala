@@ -509,6 +509,26 @@ object TextQueries extends QueryPack {
           sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_pdf_cid" -> ((s, dir) => {
+      // composite-font (Type0/Identity-H) PDFs: text is hex-string
+      // 2-byte CIDs that only a real /ToUnicode CMap walk can decode
+      // (CID = char + 0x0100 via bfrange, '#' via bfchar) — plus a
+      // plain-font line in the same page, so Tf font switching and
+      // both string syntaxes are all load-bearing. Oracle recomputes
+      // the decoded text's length and tokens from id arithmetic.
+      import graft.sources.PdfOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"),
+          PdfOps.pdfText(PdfOps.syntheticPdfCid(col("doc_id"))).as("t"))
+        .groupBy((col("doc_id") % 40).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("t"))).as("text_len"),
+          sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"),
+          sum(when(col("t").contains("\ufffd"), 1L).otherwise(0L))
+            .as("n_unmapped"))
+        .orderBy("bucket")
+    }),
     "q_pdf_objstm" -> ((s, dir) => {
       // PDF 1.5 ObjStm layout (catalog + page tree packed in a
       // compressed object stream, real xref STREAM, no classic xref
@@ -1298,6 +1318,22 @@ object TextQueries extends QueryPack {
         |  COUNT(*)::BIGINT AS n_pages,
         |  SUM(tlen)::BIGINT AS text_len,
         |  SUM(toks)::BIGINT AS n_tokens
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pdf_cid" ->
+      // decoded text closed form: 'doc i plain line\n' +
+      // 'doc i cid line #\n' + 'id (i)' — 11 whitespace tokens
+      """WITH d AS (
+        |  SELECT doc_id i FROM documents WHERE doc_id < 4000),
+        |per AS (
+        |  SELECT i,
+        |    LENGTH('doc ' || i::VARCHAR || ' plain line') + 1 +
+        |    LENGTH('doc ' || i::VARCHAR || ' cid line #') + 1 +
+        |    LENGTH('id (' || i::VARCHAR || ')') AS tlen
+        |  FROM d)
+        |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(tlen)::BIGINT AS text_len,
+        |  (11 * COUNT(*))::BIGINT AS n_tokens,
+        |  0::BIGINT AS n_unmapped
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pdf_objstm" ->
       """WITH d AS (

@@ -66,14 +66,37 @@ object PdfOps {
     -1
   }
 
-  /** Every (dict, inflated-data) stream pair in the file, in file
-    * order (data inflated when the dict says /FlateDecode; malformed
-    * framing skips the stream). Object streams (/ObjStm — packed
-    * non-stream objects) and xref streams carry no text operators and
-    * are excluded by [[textOf]]; [[metaOf]] reads ObjStm payloads for
-    * the compressed page count. */
-  private def allStreams(b: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = new ArrayBuffer[(String, Array[Byte])]()
+  /** Object number of the `N G obj` header preceding `dictStart`, or
+    * -1 — scans back over whitespace/digits only, so an unframed dict
+    * (no obj header) stays anonymous. */
+  private def objNumBefore(b: Array[Byte], dictStart: Int): Int = {
+    var i = dictStart - 1
+    while (i > 3 && (b(i) == ' ' || b(i) == '\r' || b(i) == '\n')) i -= 1
+    // expect ...digits SP digits SP 'o''b''j'
+    if (i < 2 || b(i - 2) != 'o' || b(i - 1) != 'b' || b(i) != 'j')
+      return -1
+    i -= 3
+    while (i > 0 && b(i) == ' ') i -= 1
+    while (i > 0 && b(i) >= '0' && b(i) <= '9') i -= 1 // generation
+    while (i > 0 && b(i) == ' ') i -= 1
+    var end = i
+    while (i >= 0 && b(i) >= '0' && b(i) <= '9') i -= 1
+    if (i == end) -1
+    else new String(b, i + 1, end - i,
+      java.nio.charset.StandardCharsets.ISO_8859_1).trim.toInt
+  }
+
+  /** Every (objNum, dict, inflated-data) stream triple in the file, in
+    * file order (data inflated when the dict says /FlateDecode;
+    * malformed framing skips the stream; objNum -1 when the `N G obj`
+    * header is absent). Object streams (/ObjStm — packed non-stream
+    * objects) and xref streams carry no text operators and are
+    * excluded by [[textOf]]; [[metaOf]] reads ObjStm payloads for the
+    * compressed page count and [[fontCmaps]] reads ToUnicode CMap
+    * streams by object number. */
+  private def allStreams(b: Array[Byte])
+      : Seq[(Int, String, Array[Byte])] = {
+    val out = new ArrayBuffer[(Int, String, Array[Byte])]()
     var i = 0
     var guard = 0
     while (i >= 0 && i < b.length && guard < 100000) {
@@ -115,7 +138,9 @@ object PdfOps {
                 case _: Exception => Array.emptyByteArray
               }
             else java.util.Arrays.copyOfRange(b, ds, de)
-          if (data.nonEmpty) out += ((dict, data))
+          if (data.nonEmpty)
+            out += ((if (dictStart >= 0) objNumBefore(b, dictStart)
+              else -1, dict, data))
           i = e + "endstream".length
         }
       }
@@ -153,12 +178,201 @@ object PdfOps {
     sb.toString
   }
 
+  /** A parsed /ToUnicode CMap: code → unicode for the composite
+    * (Type0/CID) fonts modern writers emit. Codes are assumed 2-byte
+    * (Identity-H, the near-universal real-world encoding; codespace
+    * ranges are not parsed — documented subset). */
+  private[graft] final case class ToUnicode(
+      single: Map[Int, String], ranges: Seq[(Int, Int, String)]) {
+    /** Unicode text for one 2-byte code; unmapped codes become U+FFFD
+      * (a visible failure, never silently-wrong text). */
+    def decode(code: Int): String =
+      single.getOrElse(code, {
+        ranges.collectFirst { case (lo, hi, dst) if code >= lo &&
+            code <= hi =>
+          // PDF 32000 §9.10.3: increment the LAST UTF-16 code unit
+          if (dst.isEmpty) "�"
+          else dst.init + (dst.last + (code - lo)).toChar
+        }.getOrElse("�")
+      })
+  }
+
+  private val HexTokRe = "<([0-9a-fA-F\\s]*)>".r
+  private def hexToBytes(h: String): Array[Byte] = {
+    val clean = h.filterNot(_.isWhitespace)
+    val padded = if (clean.length % 2 == 1) clean + "0" else clean
+    padded.grouped(2).map(s => Integer.parseInt(s, 16).toByte).toArray
+  }
+  private def hexToUtf16(h: String): String = {
+    val bs = hexToBytes(h)
+    new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+  }
+  private def hexToInt(h: String): Int = {
+    val clean = h.filterNot(_.isWhitespace)
+    if (clean.isEmpty) 0 else Integer.parseInt(clean, 16)
+  }
+
+  /** Parse the bfchar/bfrange sections of a ToUnicode CMap stream.
+    * Handles both bfrange destination forms (start-hex increment and
+    * explicit array). */
+  private[graft] def parseToUnicode(cmap: String): ToUnicode = {
+    val single = Map.newBuilder[Int, String]
+    val ranges = Seq.newBuilder[(Int, Int, String)]
+    val charSec = "(?s)beginbfchar(.*?)endbfchar".r
+    val rangeSec = "(?s)beginbfrange(.*?)endbfrange".r
+    charSec.findAllMatchIn(cmap).foreach { m =>
+      val toks = HexTokRe.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => single += hexToInt(src) -> hexToUtf16(dst)
+        case _ =>
+      }
+    }
+    rangeSec.findAllMatchIn(cmap).foreach { m =>
+      val body = m.group(1)
+      // tokens are <hex>, [ and ] in order
+      val tokRe = "<([0-9a-fA-F\\s]*)>|(\\[)|(\\])".r
+      val toks = tokRe.findAllMatchIn(body).toSeq
+      var i = 0
+      while (i + 2 < toks.length + 1 && i + 1 < toks.length) {
+        val lo = toks(i); val hi = toks(i + 1)
+        if (lo.group(1) == null || hi.group(1) == null) { i += 1 }
+        else if (i + 2 < toks.length && toks(i + 2).group(2) != null) {
+          // array form: [ <dst> <dst> ... ] — one dst per code
+          val loV = hexToInt(lo.group(1)); val hiV = hexToInt(hi.group(1))
+          var j = i + 3
+          var c = loV
+          while (j < toks.length && toks(j).group(3) == null) {
+            if (toks(j).group(1) != null && c <= hiV) {
+              single += c -> hexToUtf16(toks(j).group(1)); c += 1
+            }
+            j += 1
+          }
+          i = j + 1
+        } else if (i + 2 < toks.length && toks(i + 2).group(1) != null) {
+          ranges += ((hexToInt(lo.group(1)), hexToInt(hi.group(1)),
+            hexToUtf16(toks(i + 2).group(1))))
+          i += 3
+        } else i += 3
+      }
+    }
+    ToUnicode(single.result(), ranges.result())
+  }
+
+  private val FontDictRe =
+    "/Font\\s*<<((?:[^<>]|<<[^<>]*>>)*)>>".r
+  private val FontRefRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val ToUniRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val ObjHeadRe = "(?s)(\\d+)\\s+\\d+\\s+obj(.{0,600}?)endobj".r
+
+  /** Resource-name → ToUnicode map for the file's composite fonts.
+    * Heuristic object-graph walk in the house style (regex over the
+    * raw bytes PLUS every inflated ObjStm payload, where modern
+    * writers put font and resource dicts): /Font resource dicts give
+    * name → font object, font objects give /ToUnicode → CMap stream
+    * object, and the CMap streams are matched by object number from
+    * the stream walk. Names colliding across pages keep the FIRST
+    * binding (documented subset — per-page resource scoping needs the
+    * full xref graph). */
+  private def fontCmaps(b: Array[Byte],
+                        streams: Seq[(Int, String, Array[Byte])])
+      : Map[String, ToUnicode] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val texts = new String(b, iso) +: streams.collect {
+      case (_, d, data) if d.contains("/ObjStm") => new String(data, iso)
+    }
+    // font object -> cmap object (from "N 0 obj ... /ToUnicode M 0 R"
+    // framing in raw bytes, or "num offset" framed dicts in ObjStm —
+    // for the latter the /ToUnicode ref inside any dict is attributed
+    // by scanning ObjStm headers)
+    val fontToCmap = Map.newBuilder[Int, Int]
+    texts.foreach { t =>
+      ObjHeadRe.findAllMatchIn(t).foreach { m =>
+        ToUniRe.findFirstMatchIn(m.group(2)).foreach(u =>
+          fontToCmap += m.group(1).toInt -> u.group(1).toInt)
+      }
+    }
+    // ObjStm payloads: header "num off num off ..." then the dicts —
+    // attribute /ToUnicode refs to the Nth header objnum
+    streams.collect { case (_, d, data) if d.contains("/ObjStm") =>
+      val t = new String(data, iso)
+      val firstIdx = "/First\\s+(\\d+)".r.findFirstMatchIn(d)
+        .map(_.group(1).toInt)
+      val n = "/N\\s+(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toInt)
+      (t, firstIdx, n)
+    }.foreach { case (t, firstOpt, nOpt) =>
+      (firstOpt, nOpt) match {
+        case (Some(first), Some(n)) if first <= t.length =>
+          val header = t.substring(0, first).trim
+            .split("\\s+").filter(_.nonEmpty)
+          val pairs = header.grouped(2).toSeq.take(n)
+          pairs.zipWithIndex.foreach { case (p, idx) =>
+            if (p.length == 2) {
+              val objNum = p(0).toInt
+              val off = first + p(1).toInt
+              val end =
+                if (idx + 1 < pairs.length && pairs(idx + 1).length == 2)
+                  first + pairs(idx + 1)(1).toInt
+                else t.length
+              if (off <= t.length && end <= t.length && off < end) {
+                val body = t.substring(off, end)
+                ToUniRe.findFirstMatchIn(body).foreach(u =>
+                  fontToCmap += objNum -> u.group(1).toInt)
+              }
+            }
+          }
+        case _ =>
+      }
+    }
+    val f2c = fontToCmap.result()
+    if (f2c.isEmpty) return Map.empty
+    val cmapByObj = streams.collect {
+      case (num, _, data) if num >= 0 && f2c.values.exists(_ == num) =>
+        num -> parseToUnicode(new String(data, iso))
+    }.toMap
+    val out = scala.collection.mutable.LinkedHashMap[String, ToUnicode]()
+    texts.foreach { t =>
+      FontDictRe.findAllMatchIn(t).foreach { fd =>
+        FontRefRe.findAllMatchIn(fd.group(1)).foreach { r =>
+          for {
+            cm <- f2c.get(r.group(2).toInt)
+            cmap <- cmapByObj.get(cm)
+          } if (!out.contains(r.group(1))) out += r.group(1) -> cmap
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Text-showing strings from one content stream, in operator order:
-    * `(…) Tj`, `(…) '`, and every string inside a `[…] TJ` array.
-    * Strings are joined with spaces; each BT…ET block ends a line. */
-  private[graft] def textFromContent(content: String): String = {
+    * `(…) Tj`, `(…) '`, `<hex> Tj`, and every string inside a `[…] TJ`
+    * array. Strings are joined with spaces; each BT…ET block ends a
+    * line. `fonts` carries the composite (Type0/CID) fonts' ToUnicode
+    * CMaps: the `/Fx size Tf` operator switches the active font, and
+    * while a CMap-backed font is active every string — literal or hex
+    * — is read as 2-byte CIDs mapped through the CMap (Identity-H
+    * semantics); otherwise bytes are Latin-1 as before. */
+  private[graft] def textFromContent(content: String): String =
+    textFromContent(content, Map.empty)
+
+  private[graft] def textFromContent(
+      content: String, fonts: Map[String, ToUnicode]): String = {
     val lines = new ArrayBuffer[String]()
+    val TfRe = "/(\\w+)\\s+[\\d.]+\\s+Tf".r
+    def viaCmap(raw: String, cmap: ToUnicode): String = {
+      // raw holds one char per BYTE (Latin-1 decode); consume 2-byte
+      // codes
+      val sb = new StringBuilder()
+      var i = 0
+      while (i + 1 < raw.length) {
+        sb.append(cmap.decode(((raw.charAt(i) & 0xff) << 8) |
+          (raw.charAt(i + 1) & 0xff)))
+        i += 2
+      }
+      sb.toString
+    }
     var i = 0
+    var active: Option[ToUnicode] = None // Tg state persists across BT
     while (i >= 0 && i < content.length) {
       val bt = content.indexOf("BT", i)
       if (bt < 0) i = -1
@@ -167,9 +381,20 @@ object PdfOps {
         val end = if (et < 0) content.length else et
         val block = content.substring(bt + 2, end)
         val parts = new ArrayBuffer[String]()
+        // process Tf switches and strings in order
         var j = 0
+        var lastTf = 0
+        def advanceFonts(upto: Int): Unit = {
+          if (fonts.nonEmpty) {
+            TfRe.findAllMatchIn(block.substring(lastTf, upto))
+              .foreach(m => active = fonts.get(m.group(1)))
+            lastTf = upto
+          }
+        }
         while (j < block.length) {
-          if (block.charAt(j) == '(') {
+          val c0 = block.charAt(j)
+          if (c0 == '(') {
+            advanceFonts(j)
             // find the matching unescaped ')'
             var k = j + 1
             val sb = new StringBuilder()
@@ -189,10 +414,30 @@ object PdfOps {
             // keep it only when followed by a show operator (Tj/'/TJ
             // array) — positioning strings don't exist, so any string
             // inside BT..ET is text in this subset
-            parts += decodePdfString(sb.toString)
+            val lit = decodePdfString(sb.toString)
+            parts += active.map(viaCmap(lit, _)).getOrElse(lit)
             j = k
-          } else j += 1
+            lastTf = j
+          } else if (c0 == '<' && j + 1 < block.length &&
+              block.charAt(j + 1) != '<') {
+            advanceFonts(j)
+            val close = block.indexOf('>', j + 1)
+            if (close < 0) j = block.length
+            else {
+              val hex = block.substring(j + 1, close)
+              if (hex.forall(c => c.isWhitespace ||
+                  Character.digit(c, 16) >= 0)) {
+                val raw = new String(hexToBytes(hex),
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                parts += active.map(viaCmap(raw, _)).getOrElse(raw)
+              }
+              j = close + 1
+              lastTf = j
+            }
+          } else if (c0 == '<') j += 2 // '<<' dict — skip both
+          else j += 1
         }
+        advanceFonts(block.length)
         if (parts.nonEmpty) lines += parts.mkString(" ")
         i = end + 2
       }
@@ -216,13 +461,13 @@ object PdfOps {
     * uninflated page count would systematically read 0 on such
     * files). */
   private def metaOf(b: Array[Byte],
-                     streams: Seq[(String, Array[Byte])]): PdfMeta = {
+                     streams: Seq[(Int, String, Array[Byte])]): PdfMeta = {
     val head = new String(b, 0, math.min(16, b.length),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val version = head.drop(5).takeWhile(c => c.isDigit || c == '.')
     val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
     val packed = streams.collect {
-      case (d, data) if d.contains("/ObjStm") =>
+      case (_, d, data) if d.contains("/ObjStm") =>
         PageRe.findAllIn(new String(data,
           java.nio.charset.StandardCharsets.ISO_8859_1)).length
     }.sum
@@ -231,16 +476,19 @@ object PdfOps {
   }
 
   private def textOf(b: Array[Byte]): String =
-    textOf(allStreams(b))
+    textOf(b, allStreams(b))
 
-  private def textOf(streams: Seq[(String, Array[Byte])]): String =
+  private def textOf(b: Array[Byte],
+                     streams: Seq[(Int, String, Array[Byte])]): String = {
+    val fonts = fontCmaps(b, streams)
     streams.collect {
-      case (d, data) if !d.contains("/ObjStm") && !d.contains("/XRef") =>
+      case (_, d, data) if !d.contains("/ObjStm") && !d.contains("/XRef") =>
         textFromContent(new String(data,
-          java.nio.charset.StandardCharsets.ISO_8859_1))
+          java.nio.charset.StandardCharsets.ISO_8859_1), fonts)
     }
       .filter(_.nonEmpty)
       .mkString("\n")
+  }
 
   /** Extracted text of the whole file (content streams in file
     * order); null for payloads without a %PDF header. */
@@ -270,7 +518,7 @@ object PdfOps {
       if (!isPdf(b)) null
       else {
         val ss = allStreams(b)
-        PdfSummary(metaOf(b, ss), textOf(ss))
+        PdfSummary(metaOf(b, ss), textOf(b, ss))
       }
     }
     f(payload)
@@ -441,6 +689,79 @@ object PdfOps {
         out.write(xref)
         w("\nendstream\nendobj\n")
         w(s"startxref\n$off5\n%%EOF\n")
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
+  }
+
+  /** Deterministic one-page PDF with a COMPOSITE (Type0/CID) font:
+    * /F1 is a plain Helvetica (Latin-1 literals), /F2 is an
+    * Identity-H Type0 font whose /ToUnicode CMap maps CID = char +
+    * 0x0100 via one bfrange (<0120> <017E> -> <0020>) plus a bfchar
+    * single (<0001> -> '#'). The content shows one plain literal line
+    * through /F1, one hex-string CID line + the bfchar code through
+    * /F2, and a CID TJ array — so extraction must track Tf font
+    * switches and map every 2-byte code through the CMap. Content
+    * stream Flate-compressed when id is odd. Expected text, closed
+    * form: "doc <i> plain line\ndoc <i> cid line #\nid (<i>)". */
+  def syntheticPdfCid(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        def cidHex(t: String): String =
+          t.map(c => f"${c + 0x100}%04x").mkString
+        val body =
+          s"BT /F1 12 Tf 72 712 Td (doc $i plain line) Tj ET\n" +
+          s"BT /F2 12 Tf 72 698 Td <${cidHex(s"doc $i cid line")}> Tj " +
+          "<0001> Tj ET\n" +
+          s"BT /F2 12 Tf 72 684 Td [<${cidHex("id")}> -250 " +
+          s"<${cidHex(s"($i)")}>] TJ ET\n"
+        val contentPlain = body.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val flate = i % 2 == 1
+        val content =
+          if (flate) deflateBytes(contentPlain) else contentPlain
+        val cmap = ("/CIDInit /ProcSet findresource begin\n" +
+          "12 dict begin\nbegincmap\n" +
+          "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+          "1 beginbfchar\n<0001> <0023>\nendbfchar\n" +
+          "1 beginbfrange\n<0120> <017E> <0020>\nendbfrange\n" +
+          "endcmap\nend\nend").getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val out = new java.io.ByteArrayOutputStream()
+        def w(str: String): Unit = out.write(str.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val offsets = new Array[Int](8)
+        w("%PDF-1.4\n")
+        offsets(1) = out.size()
+        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        offsets(2) = out.size()
+        w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+        offsets(3) = out.size()
+        w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] /Contents 7 0 R " +
+          "/Resources << /Font << /F1 4 0 R /F2 5 0 R >> >> >>\nendobj\n")
+        offsets(4) = out.size()
+        w("4 0 obj\n<< /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >>\nendobj\n")
+        offsets(5) = out.size()
+        w("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+          "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+        offsets(6) = out.size()
+        w(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+        out.write(cmap)
+        w("\nendstream\nendobj\n")
+        offsets(7) = out.size()
+        w(s"7 0 obj\n<< /Length ${content.length}" +
+          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        out.write(content)
+        w("\nendstream\nendobj\n")
+        val xref = out.size()
+        w("xref\n0 8\n0000000000 65535 f \n")
+        (1 to 7).foreach(o => w(f"${offsets(o)}%010d 00000 n \n"))
+        w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
         out.toByteArray
       }
     }

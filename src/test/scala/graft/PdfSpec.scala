@@ -60,6 +60,38 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("CID/Type0 font text: hex strings and literals map through the " +
+      "ToUnicode CMap, font switches tracked per Tf") {
+    import spark.implicits._
+    val rows = spark.range(0, 20)
+      .select(col("id"),
+        PdfOps.pdfText(PdfOps.syntheticPdfCid(col("id"))).as("t"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val expect = s"doc $i plain line\ndoc $i cid line #\nid ($i)"
+      assert(r.getString(1) == expect,
+        s"id=$i: got ${r.getString(1)}")
+    }
+  }
+
+  test("ToUnicode CMap parsing: bfchar, bfrange increment, bfrange " +
+      "array form, unmapped -> U+FFFD") {
+    val cm = PdfOps.parseToUnicode(
+      """1 beginbfchar
+        |<0001> <0041>
+        |endbfchar
+        |2 beginbfrange
+        |<0100> <0102> <0061>
+        |<0200> <0201> [<00480069> <0042>]
+        |endbfrange""".stripMargin)
+    assert(cm.decode(1) == "A")
+    assert(cm.decode(0x100) == "a" && cm.decode(0x101) == "b" &&
+      cm.decode(0x102) == "c")
+    assert(cm.decode(0x200) == "Hi" && cm.decode(0x201) == "B")
+    assert(cm.decode(0x999) == "�")
+  }
+
   test("non-PDF payloads yield null") {
     import spark.implicits._
     val r = Seq("plain".getBytes, Array[Byte](1, 2))
