@@ -34,7 +34,11 @@ if "--skip-verify" not in sys.argv:
 con = duckdb.connect()
 for t in TABLES:
     p = Path(SF) / f"{t}.parquet"
-    if p.exists():
+    if p.is_dir():
+        # Spark-written parquet (MakeScale sf1 fixtures) is a directory
+        # of part files; glob it for DuckDB
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif p.exists():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.loads(Path(OUT, "oracle_sql.json").read_text())
