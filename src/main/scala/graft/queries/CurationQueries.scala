@@ -423,6 +423,30 @@ object CurationQueries extends QueryPack {
         sum(when(col(Jsonl.corruptCol).isNull, length(col("text"))))
           .as("text_chars"))
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC ingest/egress contract (Spark's other first-class columnar
+      // format — warehouse interchange at 100 TB): write the documents
+      // as zlib ORC, read back through a pushdown-eligible filter, and
+      // digest every surviving row with a 60-bit md5 prefix so any
+      // single flipped byte of any column fails the oracle. The digest
+      // is mod 1e9+7 before summing so 600k-row sums stay in BIGINT
+      // range in both engines.
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_orc$tag"
+      t(s, dir, "documents").select("doc_id", "source", "text")
+        .write.mode("overwrite").option("compression", "zlib").orc(root)
+      val back = s.read.orc(root).filter(col("doc_id") % 2 === 0)
+      val rowMd5 = md5(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("source"), col("text")))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("text_chars"),
+        sum(pmod(conv(substring(rowMd5, 1, 15), 16, 10).cast("long"),
+          lit(1000000007L))).as("md5_digest"))
+    }),
     "q_lm_kn" -> ((s, dir) => {
       // interpolated Kneser-Ney bigram scoring, self-trained — the
       // oracle replays every count table (prefix totals, distinct
@@ -1166,6 +1190,18 @@ object CurationQueries extends QueryPack {
         |  (SUM(LENGTH(text)) + LENGTH('planted extra row'))::BIGINT
         |    AS text_chars
         |FROM documents""".stripMargin,
+    "q_orc_roundtrip" ->
+      // same row set + same 60-bit md5-prefix digest over the parquet
+      // originals: equality proves the ORC write/read preserved every
+      // byte of every surviving row
+      """SELECT COUNT(*)::BIGINT AS n_rows,
+        |  SUM(doc_id)::BIGINT AS sum_doc_id,
+        |  COUNT(DISTINCT source)::BIGINT AS n_sources,
+        |  SUM(LENGTH(text))::BIGINT AS text_chars,
+        |  SUM((('0x' || substr(md5(concat_ws(chr(1),
+        |      doc_id::VARCHAR, source, text)), 1, 15))::UBIGINT
+        |    % 1000000007)::BIGINT)::BIGINT AS md5_digest
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "q_lm_kn" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -95,6 +95,38 @@ object TextQueries extends QueryPack {
           round(avg(col("q.quality")), 6).as("avg_quality"))
         .orderBy("source")
     }),
+    "q_compress_ratio" -> ((s, dir) => {
+      // Compression-ratio quality signal. Exact deflate sizes are a
+      // JVM-zlib implementation detail (spec-pinned in NativeExprSpec
+      // against a direct Deflater call), so the oracle checks
+      // mathematically guaranteed CONTRACT bounds on inputs both
+      // engines construct bit-identically: a 400-char single-char run
+      // must deflate below 0.2; 8 concatenated distinct md5 hexes
+      // (256 chars of ~4-bit/char entropy) must stay above 0.35; the
+      // run must compress better than the hex; real text of >= 50
+      // bytes lands in (0, 1.5] (stored-block overhead bound); empty/
+      // null text yields null.
+      val docs = t(s, dir, "documents")
+      val rep = TextOps.compressionRatio(
+        repeat(chr(lit(97) + pmod(col("doc_id"), lit(26))), 400))
+      val hex = TextOps.compressionRatio(
+        concat((1 to 8).map(k => md5(concat(
+          col("doc_id").cast("string"), lit(s":$k")))): _*))
+      val real = TextOps.compressionRatio(col("text"))
+      docs.select(col("source"), col("text"), rep.as("rr"),
+          hex.as("hr"), real.as("tr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rr") < 0.2, 1L).otherwise(0L)).as("n_rep_low"),
+          sum(when(col("hr") > 0.35, 1L).otherwise(0L)).as("n_hex_high"),
+          sum(when(col("rr") < col("hr"), 1L).otherwise(0L))
+            .as("n_ordered"),
+          sum(when(octet_length(col("text")) >= 50
+              && col("tr") > 0.0 && col("tr") <= 1.5, 1L).otherwise(0L))
+            .as("n_text_bounded"),
+          sum(when(col("tr").isNull, 1L).otherwise(0L)).as("n_null_ratio"))
+        .orderBy("source")
+    }),
     "q_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = TextOps.repetitionSignals(docs, col("doc_id"),
@@ -914,6 +946,18 @@ object TextQueries extends QueryPack {
          |    '[PHONE]', 'g')))::BIGINT AS scrub_chars
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_compress_ratio" ->
+      // contract bounds are certainties of DEFLATE itself, so the
+      // oracle states them as arithmetic over the same row set
+      """SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(*)::BIGINT AS n_rep_low,
+        |  COUNT(*)::BIGINT AS n_hex_high,
+        |  COUNT(*)::BIGINT AS n_ordered,
+        |  COUNT(*) FILTER (WHERE STRLEN(text) >= 50)::BIGINT
+        |    AS n_text_bounded,
+        |  COUNT(*) FILTER (WHERE text IS NULL OR LENGTH(text) = 0)
+        |    ::BIGINT AS n_null_ratio
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_quality" ->
       """WITH q AS (
         |  SELECT source,

@@ -121,6 +121,17 @@ object TextOps {
       score.as("quality"))
   }
 
+  /** Compression-ratio quality signal: deflate(level 6, raw) bytes /
+    * UTF-8 bytes of the text, null for empty text. Low ratio ⇒
+    * repetitive/templated/degenerate content, high ratio ⇒
+    * natural-entropy prose (or base64/binary junk above it) — the
+    * standard cheap complement to [[qualityFeatures]] and
+    * [[repetitionSignals]] in pretraining filters. Native codegen
+    * kernel ([[org.apache.spark.sql.graft.DeflateRatio]]): row-local,
+    * rides the scan, thread-local Deflater, no UDF SerDe. */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.deflateRatioNative(text)
+
   /** Word n-grams of `text` as an array column (lowercased, whitespace
     * tokens; empty array when the text has fewer than n tokens — also
     * for blank/whitespace-only text, where split would otherwise yield

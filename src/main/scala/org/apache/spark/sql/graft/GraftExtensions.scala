@@ -73,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "hexChars"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName,
+        "graft_deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_deflate_ratio(str) takes exactly one argument")
+        DeflateRatio(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {
@@ -104,6 +113,11 @@ object NativeFunctions {
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  /** Deflate-compressed bytes / raw UTF-8 bytes (empty → null) — the
+    * compression-ratio repetition/quality signal. */
+  def deflateRatioNative(c: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(c)))
 
   /** Packed (bucket << 32 | cnt) hashed uni+bigram counts, buckets
     * ascending — the DSIR featurization kernel. */

@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 64-bit FNV-1a fingerprint of whitespace-normalized lowercase
@@ -388,5 +388,79 @@ object MdBucketCounts {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native deflate compression ratio: raw-DEFLATE(level 6) byte count of
+  * the UTF-8 text divided by its raw byte count. The classic cheap
+  * repetition / degenerate-content quality signal for corpus curation
+  * (boilerplate, template spam and `aaaa…` runs compress far below
+  * natural prose; encrypted/base64 junk compresses above it) — the
+  * compression-ratio filter used alongside the Gopher/C4 rule families.
+  * Empty text → null (no ratio).
+  *
+  * Scale shape: row-local, rides the scan inside whole-stage codegen,
+  * one thread-local JDK zlib Deflater reused per executor thread (no
+  * per-row native allocation). At 100 TB this is one streaming pass —
+  * the same shape as the other per-document kernels here.
+  *
+  * Determinism contract: the exact ratio is "whatever this JVM's zlib
+  * emits at level 6, raw (nowrap)" — stable for a given runtime, NOT a
+  * cross-engine constant. Oracle rows therefore pin mathematically
+  * guaranteed CONTRACT bounds (a 400-char single-char run deflates
+  * ≤0.2; 8 concatenated distinct md5 hexes deflate ≥0.35) on inputs
+  * both engines construct bit-identically; exact values are pinned
+  * against a direct JDK Deflater call in the ScalaTest spec. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any = {
+    val raw = s.asInstanceOf[UTF8String].getBytes
+    if (raw.length == 0) null else DeflateRatio.computeBytes(raw)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = DeflateRatio.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      val raw = ctx.freshName("raw")
+      s"""
+        byte[] $raw = $c.getBytes();
+        if ($raw.length == 0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $cls.computeBytes($raw);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
+object DeflateRatio {
+  // nowrap (raw deflate): no 2-byte zlib header / 4-byte adler trailer,
+  // so short-string ratios reflect the entropy coder, not framing
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  /** Shared by interpreted eval and generated code; raw must be
+    * non-empty. */
+  def computeBytes(raw: Array[Byte]): Double = {
+    val d = local.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    var total = 0L
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length
   }
 }

@@ -243,6 +243,64 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("native deflate ratio: JDK parity, contracts, nulls, codegen") {
+    import spark.implicits._
+    // exact-value parity with a direct JDK Deflater call (the kernel
+    // delegates to the same zlib — this pins the plumbing: UTF-8 bytes,
+    // level 6, nowrap, empty→null)
+    def jdk(s: String): Option[Double] = {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (raw.isEmpty) None
+      else {
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(raw); d.finish()
+        var tot = 0L
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) tot += d.deflate(buf)
+        d.end()
+        Some(tot.toDouble / raw.length)
+      }
+    }
+    val texts = Seq("hello world hello world hello world",
+      "x" * 400, "The quick brown fox jumps over the lazy dog.",
+      "ab", "", "日本語のテキスト 日本語のテキスト")
+    val out = texts.toDF("t")
+      .select(NativeFunctions.deflateRatioNative(col("t"))).collect()
+    texts.zipWithIndex.foreach { case (s, i) =>
+      jdk(s) match {
+        case None    => assert(out(i).isNullAt(0), s"row $i")
+        case Some(v) =>
+          assert(math.abs(out(i).getDouble(0) - v) < 1e-12, s"row $i")
+      }
+    }
+    // null passthrough
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(NativeFunctions.deflateRatioNative(col("t"))).collect()
+    assert(nr(0).isNullAt(0))
+    // contract bounds (what the q_compress_ratio oracle pins at scale):
+    // single-char runs far below natural prose, distinct-md5 hex above it
+    val run = jdk("q" * 400).get
+    val hex = jdk((1 to 8).map(k =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString).get
+    assert(run < 0.2, s"run ratio $run")
+    assert(hex > 0.35, s"hex ratio $hex")
+    assert(run < hex)
+    // codegen path: range source keeps the kernel inside
+    // WholeStageCodegen, and codegen values match the interpreted ones
+    val rdf = spark.range(50)
+      .select(concat(lit("token "), (col("id") % 7).cast("string"),
+        lit(" filler filler filler")).as("t"))
+    val cg = rdf.select(NativeFunctions.deflateRatioNative(col("t")).as("r"))
+    assert(cg.queryExecution.executedPlan.toString.contains("*("),
+      cg.queryExecution.executedPlan.toString)
+    val cgVals = cg.collect().map(_.getDouble(0))
+    val intVals = rdf.collect().map(r => jdk(r.getString(0)).get)
+    cgVals.zip(intVals).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")

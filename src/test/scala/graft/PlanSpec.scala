@@ -34,6 +34,28 @@ class PlanSpec extends AnyFunSuite {
       !schemaLine.contains("l_orderkey"), schemaLine)
   }
 
+  test("ORC roundtrip scan pushes filters and prunes columns") {
+    // the q_orc_roundtrip contract: the read-back side must behave like
+    // a first-class columnar source — predicate to the ORC reader,
+    // ReadSchema limited to referenced columns
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_orc_spec"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .write.mode("overwrite").option("compression", "zlib").orc(root)
+    val q = spark.read.orc(root).filter(col("doc_id") < 100)
+      .select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      plan)
+    val schemaLine = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("doc_id") && !schemaLine.contains("text"),
+      schemaLine)
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100).count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("woeContinuous default path stays in codegen (no RDD hop, " +
       "two scans); the exact variant is the one that pays the sort") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
