@@ -296,17 +296,26 @@ object TextQueries extends QueryPack {
       // reported cos values are true cosines of a candidate subset
       // (subset_ok is a hard invariant) and recall vs the exact twin
       // is the measured contract (0.85-0.93 across sf0.001-0.1;
-      // bound set at 0.75).
+      // bound set at 0.75). The shortlist size scales ~sqrt(corpus):
+      // a FIXED refine necessarily decays as distractors grow
+      // (PqRecallProbe measured 0.91 -> 0.68 from 500 to 20k vectors
+      // at refine=16; the sqrt rule holds ~0.9 at every probed sf) —
+      // this is the knob a deployment grows with the corpus, pinned
+      // here so the contract is scale-stable. At the oracle sf it
+      // floors to the calibrated refine=16.
       import graft.sim.PqOps
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("vec"))
       val sub = emb.filter(col("id") < 500)
+      val nCorpus = emb.count()
+      val refine = math.max(16,
+        math.ceil(math.sqrt(nCorpus.toDouble) / 2).toInt)
       val cb = PqOps.trainPq(emb, m = 16, ksub = 32)
       val codes = PqOps.pqEncode(emb, cb)
       val exact = SimOps.cosineTopK(sub, emb, 1)
         .select(col("qid"), col("cos").as("ecos"))
-      val ann = PqOps.pqCosineTopK(sub, codes, cb, 1, refine = 16,
+      val ann = PqOps.pqCosineTopK(sub, codes, cb, 1, refine = refine,
           rerank = Some(emb))
         .select(col("qid"), col("cos").as("acos"))
       exact.join(ann, Seq("qid"), "left")

@@ -144,7 +144,14 @@ object PqOps {
     * tiny) back to the true vectors and score real cosine, so reported
     * `cos` values are EXACT and only recall is approximate — the
     * standard IVF-PQ two-stage search. Without `rerank` the ADC
-    * estimates themselves are returned (column `cos_adc`). */
+    * estimates themselves are returned (column `cos_adc`).
+    *
+    * Sizing `refine`: recall at a FIXED shortlist decays as the corpus
+    * grows (same ADC error, more distractors — measured top-1 recall
+    * 0.91 → 0.68 going 500 → 20k vectors at refine=16, k=1;
+    * `graft.tools.PqRecallProbe` reproduces the curve). Scale refine
+    * roughly with sqrt(corpus rows) — ~sqrt(n)/2 held recall ≈0.9 at
+    * every probed scale (refine 16/23/71 at 500/2k/20k vectors). */
   def pqCosineTopK(queries: DataFrame, codes: DataFrame,
                    cb: PqCodebooks, k: Int, refine: Int = 4,
                    rerank: Option[DataFrame] = None,
