@@ -529,6 +529,33 @@ object TextQueries extends QueryPack {
             .as("n_merged"))
         .orderBy("source")
     }),
+    "q_unigram_tokens" -> ((s, dir) => {
+      // real Viterbi unigram-LM encoding under a frozen vocabulary
+      // (training is spec-gated — UnigramSpec pins the EM lattice
+      // against brute-force enumeration). The frozen pieces use 12
+      // pairwise-distinct letters, so no two piece occurrences can
+      // ever overlap (cross-piece: disjoint alphabets; self: a
+      // 2-char piece overlapping itself would need its first char to
+      // equal its last) — and each piece (one token, ln 0.2) strictly
+      // beats its two singles (ln 0.01 each), so the Viterbi optimum
+      // provably uses EVERY occurrence: tokens per word = len − occ.
+      // That makes the segmentation exactly replayable in SQL by
+      // counting occurrences per piece.
+      import graft.text.UnigramOps
+      val pieces = Seq("th", "an", "re", "is", "ol", "um")
+      val vocab =
+        ('a' to 'z').map(c => c.toString -> math.log(0.01)).toMap ++
+          pieces.map(_ -> math.log(0.2)).toMap
+      t(s, dir, "documents").filter(col("doc_id") < 4000)
+        .select(col("source"),
+          UnigramOps.unigramEncode(col("text"), vocab).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_tokens"),
+          sum(expr("size(filter(toks, t -> length(t) > 1))"))
+            .as("n_pieces"))
+        .orderBy("source")
+    }),
     "q_pdf_extract" -> ((s, dir) => {
       // PDF text extraction: real one-page PDFs (valid xref/trailer,
       // alternating plain and FlateDecode content streams) built from
@@ -1351,6 +1378,35 @@ object TextQueries extends QueryPack {
         |SELECT n.source, n.n_docs::BIGINT AS n_docs,
         |  COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
         |  COALESCE(a.n_merged, 0)::BIGINT AS n_merged
+        |FROM nd n LEFT JOIN agg a ON a.source = n.source
+        |ORDER BY 1""".stripMargin,
+    "q_unigram_tokens" ->
+      // occ per piece = one-pass REPLACE length delta (no self-overlap
+      // possible, so leftmost-non-overlapping == all occurrences);
+      // Viterbi tokens per word = len − total occ
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g') t
+        |  FROM documents WHERE doc_id < 4000),
+        |w AS (
+        |  SELECT source, unnest(string_split(t, ' ')) AS w FROM d),
+        |e AS (
+        |  SELECT source, LENGTH(w) AS len,
+        |    (LENGTH(w) - LENGTH(REPLACE(w, 'th', ''))) // 2
+        |    + (LENGTH(w) - LENGTH(REPLACE(w, 'an', ''))) // 2
+        |    + (LENGTH(w) - LENGTH(REPLACE(w, 're', ''))) // 2
+        |    + (LENGTH(w) - LENGTH(REPLACE(w, 'is', ''))) // 2
+        |    + (LENGTH(w) - LENGTH(REPLACE(w, 'ol', ''))) // 2
+        |    + (LENGTH(w) - LENGTH(REPLACE(w, 'um', ''))) // 2 AS occ
+        |  FROM w WHERE w <> ''),
+        |agg AS (
+        |  SELECT source, SUM(len - occ) AS n_tokens,
+        |    SUM(occ) AS n_pieces
+        |  FROM e GROUP BY 1),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1)
+        |SELECT n.source, n.n_docs::BIGINT AS n_docs,
+        |  COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  COALESCE(a.n_pieces, 0)::BIGINT AS n_pieces
         |FROM nd n LEFT JOIN agg a ON a.source = n.source
         |ORDER BY 1""".stripMargin,
     "q_pdf_extract" ->
