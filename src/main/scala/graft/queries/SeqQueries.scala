@@ -147,7 +147,12 @@ object SeqQueries extends QueryPack {
           col("event_id"), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("c1") * col("c2")), 4).as("sum_prod"))
+          // 2-dp × 2-dp products are exact 4-dp quantities: sum them
+          // in decimal so the oracle survives any sf (a double sum's
+          // FP error crosses the 4-dp rounding lattice at sf1)
+          sum((col("c1").cast("decimal(18,2)") *
+            col("c2").cast("decimal(18,2)")).cast("decimal(30,4)"))
+            .cast("double").as("sum_prod"))
       val prod = SeqOps.product(
         t(s, dir, "region"), col("r_regionkey"),
         t(s, dir, "nation"), col("n_nationkey"))
@@ -285,7 +290,8 @@ object SeqQueries extends QueryPack {
         |  SELECT * FROM events WHERE event_id % 100 = 0),
         |comb AS (
         |  SELECT a.event_type, COUNT(*) n_pairs,
-        |    ROUND(SUM(a.value * b.value), 4) sum_prod
+        |    SUM((a.value::DECIMAL(18,2) * b.value::DECIMAL(18,2))
+        |      ::DECIMAL(30,4))::DOUBLE sum_prod
         |  FROM small a JOIN small b
         |    ON a.event_type = b.event_type AND a.event_id < b.event_id
         |  GROUP BY 1),

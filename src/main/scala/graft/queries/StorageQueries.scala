@@ -33,7 +33,13 @@ object StorageQueries extends QueryPack {
           Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          // decimal-exact sum: o_totalprice is a 2-dp quantity; a
+          // double sum's FP error reaches ~1e-5 at sf1 magnitudes
+          // (7.5e10), where ROUND(...,2) becomes a coin flip. Summing
+          // in DECIMAL(18,2) is exact at ANY sf; both engines then
+          // cast the identical decimal to double.
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total_price"))
         .orderBy("c_mktsegment")
     })
   )
@@ -42,7 +48,7 @@ object StorageQueries extends QueryPack {
     "q_bucket_join" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_orders,
-        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
