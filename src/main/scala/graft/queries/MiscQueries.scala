@@ -115,7 +115,10 @@ object MiscQueries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("s_suppkey")).as("sum_suppkey"),
-          round(sum(col("value")), 2).as("sum_value"))
+          // decimal-exact: value is 2-dp; at sf1 pair counts the
+          // double sum's FP error crosses the 2-dp rounding lattice
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
     "q_overlap_join" -> ((s, dir) => {
@@ -179,7 +182,7 @@ object MiscQueries extends QueryPack {
       """SELECT e.event_type,
         |  COUNT(*) AS n_pairs,
         |  SUM(s.s_suppkey)::BIGINT AS sum_suppkey,
-        |  ROUND(SUM(e.value), 2) AS sum_value
+        |  SUM(e.value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events e JOIN supplier s
         |  ON e.value >= s.s_acctbal / 25.0 - 2.0
         | AND e.value <= s.s_acctbal / 25.0 + 2.0
