@@ -423,6 +423,32 @@ object CurationQueries extends QueryPack {
         sum(when(col(Jsonl.corruptCol).isNull, length(col("text"))))
           .as("text_chars"))
     }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // corpus snapshot diff: v2 is constructed from v1 by dropping
+      // %13 rows (removed), appending ' v2' to %7 rows (changed),
+      // upper-casing + trailing-spacing %11 rows (format-only — the
+      // normalized fingerprint must classify these UNCHANGED), and
+      // appending shifted-id %17 rows (added). The %-rules alone
+      // determine every expected status, so the oracle replays the
+      // construction without needing the fingerprint: any join or
+      // fingerprint bug flips a class count.
+      import graft.text.CorpusOps
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = old.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .when(col("doc_id") % 11 === 0,
+              concat(upper(col("text")), lit("   ")))
+            .otherwise(col("text")))
+      val added = old.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id")).as("text"))
+      CorpusOps.snapshotDiff(old, mutated.unionByName(added),
+          "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .orderBy("status")
+    }),
     "q_orc_roundtrip" -> ((s, dir) => {
       // ORC ingest/egress contract (Spark's other first-class columnar
       // format — warehouse interchange at 100 TB): write the documents
@@ -1190,6 +1216,19 @@ object CurationQueries extends QueryPack {
         |  (SUM(LENGTH(text)) + LENGTH('planted extra row'))::BIGINT
         |    AS text_chars
         |FROM documents""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'removed'
+        |         WHEN doc_id % 7 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'added' AS status
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT status, COUNT(*)::BIGINT AS n,
+        |  SUM(doc_id)::BIGINT AS sum_id
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       // same row set + same 60-bit md5-prefix digest over the parquet
       // originals: equality proves the ORC write/read preserved every

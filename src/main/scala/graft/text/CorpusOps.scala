@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Diff two corpus snapshots by a stable id — the dataset-ops
+    * primitive behind "what changed between crawl v1 and v2": rows
+    * only in `newDf` are `added`, only in `oldDf` are `removed`,
+    * present in both with differing payload fingerprints are
+    * `changed`, otherwise `unchanged`. The payload compare is the
+    * normalized 64-bit fingerprint ([[TextOps.fingerprint64]]:
+    * lowercase, trim, collapsed whitespace), so formatting-only edits
+    * do NOT count as changes — the semantics a dedup-centric pipeline
+    * wants; null payloads compare null-safely (null == null is
+    * unchanged). Ids must be unique per snapshot (a duplicate id
+    * makes "the" row ill-defined; the join would fan out).
+    *
+    * Returns (id, status). Scale shape: ONE full-outer shuffle join on
+    * the id — the minimum for any diff — with 8-byte fingerprints
+    * computed map-side, so payload text never shuffles; both sides
+    * stream, nothing collects. At 100 TB this is exactly the
+    * fingerprint-exchange cost of exact dedup. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextOps.fingerprint64(col(payloadCol)).as("__fpo"),
+      lit(1).as("__po"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextOps.fingerprint64(col(payloadCol)).as("__fpn"),
+      lit(1).as("__pn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__fpo") <=> col("__fpn")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Word-level duplicated-span detection: maximal spans every word of
     * which is covered by some `k`-gram occurring at least `minCount`
     * times in the whole corpus (including within-document repeats, as in

@@ -290,6 +290,33 @@ class CorpusSpec extends AnyFunSuite {
       s"approx vs exact disagreement too large: $dis")
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, format-only " +
+      "edits unchanged, null payloads null-safe") {
+    import spark.implicits._
+    import graft.text.CorpusOps
+    val old = Seq(
+      (1L, Some("alpha beta")),   // unchanged verbatim
+      (2L, Some("Gamma  Delta")), // format-only edit in v2 → unchanged
+      (3L, Some("epsilon")),      // real edit in v2 → changed
+      (4L, Some("dropped")),      // absent from v2 → removed
+      (5L, None: Option[String]), // null in both → unchanged
+      (6L, None: Option[String])  // null → text in v2 → changed
+    ).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, Some("alpha beta")),
+      (2L, Some("  gamma delta ")), // case/whitespace only
+      (3L, Some("epsilon prime")),
+      (5L, None: Option[String]),
+      (6L, Some("now present")),
+      (7L, Some("brand new"))       // added
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.snapshotDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "removed", 5L -> "unchanged",
+      6L -> "changed", 7L -> "added"))
+  }
+
   private def t001(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
