@@ -95,6 +95,23 @@ object TextQueries extends QueryPack {
           round(avg(col("q.quality")), 6).as("avg_quality"))
         .orderBy("source")
     }),
+    "q_readability" -> ((s, dir) => {
+      // integer word/syllable/sentence totals are exact cross-engine;
+      // the per-doc ease/grade doubles are identical small-ratio
+      // arithmetic in both engines, so 5-dp rounded averages are far
+      // from any rounding lattice
+      t(s, dir, "documents")
+        .withColumn("r", TextOps.readability(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("r")).as("n_scored"),
+          sum(col("r.n_words")).as("words"),
+          sum(col("r.n_syllables")).as("syllables"),
+          sum(col("r.n_sentences")).as("sentences"),
+          round(avg(col("r.flesch_ease")), 5).as("avg_ease"),
+          round(avg(col("r.fk_grade")), 5).as("avg_grade"))
+        .orderBy("source")
+    }),
     "q_compress_ratio" -> ((s, dir) => {
       // Compression-ratio quality signal. Exact deflate sizes are a
       // JVM-zlib implementation detail (spec-pinned in NativeExprSpec
@@ -982,6 +999,41 @@ object TextQueries extends QueryPack {
          |    '[PHONE]', 'g')))::BIGINT AS scrub_chars
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |    regexp_extract_all(
+        |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+        |      '[a-z]+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    LENGTH(toks) AS nw,
+        |    list_sum(list_transform(toks, w ->
+        |      GREATEST(1, LENGTH(regexp_extract_all(w, '[aeiouy]+')))))
+        |      AS syl,
+        |    GREATEST(1, LENGTH(regexp_extract_all(text, '[.!?]+')))
+        |      AS ns
+        |  FROM d),
+        |f AS (
+        |  SELECT source, nw, syl, ns,
+        |    nw::DOUBLE / ns::DOUBLE AS wps,
+        |    syl::DOUBLE / nw::DOUBLE AS spw
+        |  FROM m WHERE nw > 0),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_scored, SUM(nw) AS words,
+        |    SUM(syl) AS syllables, SUM(ns) AS sentences,
+        |    ROUND(AVG(206.835 - 1.015 * wps - 84.6 * spw), 5)
+        |      AS avg_ease,
+        |    ROUND(AVG(0.39 * wps + 11.8 * spw - 15.59), 5) AS avg_grade
+        |  FROM f GROUP BY 1),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM m GROUP BY 1)
+        |SELECT n.source, n.n_docs::BIGINT AS n_docs,
+        |  COALESCE(a.n_scored, 0)::BIGINT AS n_scored,
+        |  a.words::BIGINT AS words, a.syllables::BIGINT AS syllables,
+        |  a.sentences::BIGINT AS sentences, a.avg_ease, a.avg_grade
+        |FROM nd n LEFT JOIN agg a ON a.source = n.source
+        |ORDER BY 1""".stripMargin,
     "q_compress_ratio" ->
       // contract bounds are certainties of DEFLATE itself, so the
       // oracle states them as arithmetic over the same row set

@@ -121,6 +121,42 @@ object TextOps {
       score.as("quality"))
   }
 
+  /** Flesch readability signals (Flesch 1948 / Kincaid 1975, public
+    * formulas) — the classic curation complement to [[qualityFeatures]]
+    * for education-quality filtering:
+    * ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    * Syllables use the standard vowel-group heuristic (maximal
+    * `[aeiouy]+` runs per lowercased word, floor 1); sentences count
+    * `[.!?]+` runs in the RAW text, floor 1. Texts with no letter
+    * tokens yield a null struct.
+    *
+    * Pure codegen Column algebra (split/regexp/higher-order aggregate,
+    * no UDF) — row-local, rides the scan; the identical arithmetic is
+    * replayable in SQL, which is how the oracle checks it. */
+  def readability(text: Column): Column = {
+    val toks = filter(
+      split(regexp_replace(lower(text), "[^a-z]+", " "), " "),
+      w => length(w) > 0)
+    val nWords = size(toks).cast("double")
+    val sylls = aggregate(toks, lit(0L), (acc, w) => acc +
+      greatest(lit(1L), size(call_function("regexp_extract_all",
+        w, lit("[aeiouy]+"), lit(0))).cast("long")))
+    val nSent = greatest(lit(1L),
+      size(call_function("regexp_extract_all",
+        text, lit("[.!?]+"), lit(0))).cast("long"))
+    val wps = nWords / nSent.cast("double")
+    val spw = sylls.cast("double") / nWords
+    when(nWords > 0, struct(
+      nWords.cast("long").as("n_words"),
+      sylls.as("n_syllables"),
+      nSent.as("n_sentences"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+        .as("flesch_ease"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+        .as("fk_grade")))
+  }
+
   /** Compression-ratio quality signal: deflate(level 6, raw) bytes /
     * UTF-8 bytes of the text, null for empty text. Low ratio ⇒
     * repetitive/templated/degenerate content, high ratio ⇒
