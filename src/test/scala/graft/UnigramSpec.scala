@@ -88,6 +88,44 @@ class UnigramSpec extends AnyFunSuite {
     assert(toks.count(_ == "ab") == 2, toks.toSeq.toString)
   }
 
+  test("property: Viterbi attains the enumerated-segmentation optimum " +
+      "and the lattice marginal matches, over random vocabs/words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val chars = Seq("a", "b", "c")
+    val pieceGen = for {
+      len <- Gen.choose(2, 3)
+      cs <- Gen.listOfN(len, Gen.oneOf(chars))
+    } yield cs.mkString
+    var cases = 0
+    for (seed <- 1L to 120L) {
+      // random vocab: full alphabet + 0-4 random pieces, random probs
+      val nPieces = sample(Gen.choose(0, 4), seed)
+      val pieces = (0 until nPieces)
+        .map(i => sample(pieceGen, seed * 131 + i)).distinct
+      val vocab = (chars ++ pieces).distinct.map { p =>
+        p -> math.log(sample(Gen.choose(0.01, 0.5), seed ^ p.hashCode))
+      }.toMap
+      val w = sample(Gen.listOfN(sample(Gen.choose(1, 9), seed + 7),
+        Gen.oneOf(chars)), seed * 17).mkString
+      val segs = enumerate(w, vocab)
+      assert(segs.nonEmpty) // singles cover everything
+      val bestEnum = segs.map { case (_, pr) => math.log(pr) }.max
+      val got = UnigramOps.viterbiWord(w, vocab, 3, -1e9)
+      assert(got.mkString == w, s"seed $seed lossless")
+      val gotLp = got.map(vocab).sum
+      assert(math.abs(gotLp - bestEnum) < 1e-9,
+        s"seed $seed word $w vocab $vocab: viterbi $gotLp enum $bestEnum")
+      val (_, z) = UnigramOps.expectedCounts(w, vocab, 3)
+      assert(math.abs(z - math.log(segs.map(_._2).sum)) < 1e-9,
+        s"seed $seed marginal")
+      cases += 1
+    }
+    assert(cases == 120)
+  }
+
   test("unigramEncode distributes and matches the local kernel") {
     import spark.implicits._
     val vocab = Map("t" -> ln(0.01), "h" -> ln(0.01), "e" -> ln(0.01),
