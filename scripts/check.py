@@ -81,6 +81,12 @@ for name, sql in sorted(oracle.items()):
         exp = run_sql(c, sql)
         got = pd.read_parquet(Path(OUT) / name)
     except (duckdb.OutOfMemoryException, duckdb.InterruptException) as e:
+        if not ISOLATE:
+            # without isolation this is a hard FAIL: the shared
+            # connection is now poisoned and the query went unverified
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         print(f"INFEASIBLE {name}: {type(e).__name__} "
               f"(oracle SQL too heavy at this sf; Spark side did run)")
         n_infeasible += 1
@@ -105,26 +111,26 @@ for name, sql in sorted(oracle.items()):
     else:
         exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
         got = got.sort_values(list(got.columns)).reset_index(drop=True)
-        for c in exp.columns:
-            e, g = exp[c], got[c]
+        for colname in exp.columns:
+            e, g = exp[colname], got[colname]
             # the driver hashes exact values: int64 8570 vs float64 8570.0
             # mismatch, so flag any dtype-kind difference (duckdb returns
             # HUGEINT->float64 for integer SUM unless ::BIGINT-cast)
             if e.dtype.kind != g.dtype.kind:
                 status, detail = "FAIL", (
-                    f"col {c} dtype kind exp={e.dtype} got={g.dtype}")
+                    f"col {colname} dtype kind exp={e.dtype} got={g.dtype}")
                 break
             if e.dtype.kind in "fc" or g.dtype.kind in "fc":
                 bad = ~((e.isna() & g.isna()) |
                         (abs(e.astype(float) - g.astype(float)) <= 1e-9))
                 if bad.any():
                     i = bad.idxmax()
-                    status, detail = "FAIL", f"col {c} row {i}: exp={e[i]} got={g[i]}"
+                    status, detail = "FAIL", f"col {colname} row {i}: exp={e[i]} got={g[i]}"
                     break
             else:
                 if not e.astype(str).equals(g.astype(str)):
                     i = (e.astype(str) != g.astype(str)).idxmax()
-                    status, detail = "FAIL", f"col {c} row {i}: exp={e[i]!r} got={g[i]!r}"
+                    status, detail = "FAIL", f"col {colname} row {i}: exp={e[i]!r} got={g[i]!r}"
                     break
     if status == "PASS":
         n_pass += 1

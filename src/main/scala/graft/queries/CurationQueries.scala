@@ -425,20 +425,24 @@ object CurationQueries extends QueryPack {
     }),
     "q_snapshot_diff" -> ((s, dir) => {
       // corpus snapshot diff: v2 is constructed from v1 by dropping
-      // %13 rows (removed), appending ' v2' to %7 rows (changed),
-      // upper-casing + trailing-spacing %11 rows (format-only — the
-      // normalized fingerprint must classify these UNCHANGED), and
-      // appending shifted-id %17 rows (added). The %-rules alone
-      // determine every expected status, so the oracle replays the
-      // construction without needing the fingerprint: any join or
-      // fingerprint bug flips a class count.
+      // %13 rows (removed), appending ' v2' to %7 rows (changed —
+      // coalesce makes the mutation real even for a null-text
+      // fixture row, keeping the %-rule exact), whitespace-padding
+      // %11 rows (format-only — the normalized fingerprint must
+      // classify these UNCHANGED; whitespace edits are locale- and
+      // unicode-proof, unlike case round-trips: upper('straße')
+      // lowercases to 'strasse'), and appending shifted-id %17 rows
+      // (added). The %-rules alone determine every expected status,
+      // so the oracle replays the construction without needing the
+      // fingerprint: any join or fingerprint bug flips a class count.
       import graft.text.CorpusOps
       val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = old.filter(col("doc_id") % 13 =!= 0)
         .withColumn("text",
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-            .when(col("doc_id") % 11 === 0,
-              concat(upper(col("text")), lit("   ")))
+          when(col("doc_id") % 7 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .when(col("doc_id") % 11 === 0 && col("text").isNotNull,
+              concat(lit("  "), col("text"), lit(" \t ")))
             .otherwise(col("text")))
       val added = old.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),

@@ -30,6 +30,14 @@ object BpeOps {
   def words(text: Column): Column =
     split(regexp_replace(lower(text), "[^a-z]+", " "), " ")
 
+  /** Row-side twin of [[words]], shared by the BPE and unigram encode
+    * UDFs so the two tokenizers can never desynchronize. Locale.ROOT:
+    * Spark's lower() is locale-independent; a tr_TR JVM default would
+    * dotless-lowercase 'I' and diverge from training and the oracle. */
+  private[text] def normalizeWords(s: String): Array[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z]+", " ").split(" ").filter(_.nonEmpty)
+
   /** Default driver-side vocabulary cap. Past this, learn on a
     * sampled/filtered vocabulary — the merge loop is O(vocab·merges). */
   def defaultVocabCap: Int =
@@ -109,13 +117,7 @@ object BpeOps {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
     val f = udf { (s: String) =>
       if (s == null) null
-      // Locale.ROOT: Spark's lower() is locale-independent; a
-      // tr_TR JVM default would dotless-lowercase 'I' and diverge
-      // from training and the oracle
-      else s.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[^a-z]+", " ").split(" ")
-        .filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, merges)).toSeq
+      else normalizeWords(s).flatMap(w => encodeWord(w, merges)).toSeq
     }
     f(text)
   }

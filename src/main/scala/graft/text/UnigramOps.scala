@@ -213,9 +213,7 @@ object UnigramOps {
       if (vocab.isEmpty) 1 else vocab.keysIterator.map(_.length).max
     val f = udf { (s: String) =>
       if (s == null) null
-      else s.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[^a-z]+", " ").split(" ")
-        .filter(_.nonEmpty)
+      else BpeOps.normalizeWords(s)
         .flatMap(w => viterbiWord(w, vocab, maxPiece, unkLogp)).toSeq
     }
     f(text)

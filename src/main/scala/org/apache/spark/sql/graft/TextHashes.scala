@@ -42,10 +42,13 @@ case class Fingerprint64(child: Expression)
 
 object Fingerprint64 {
   /** Shared by interpreted eval and generated code. Semantics are
-    * frozen: lowercase, trim, collapse whitespace runs to single
-    * spaces, FNV-1a over the result's UTF-16 chars. */
+    * frozen: lowercase (Locale.ROOT — locale-independent like Spark's
+    * own lower(); a tr_TR default JVM locale must not change
+    * fingerprints), trim, collapse whitespace runs to single spaces,
+    * FNV-1a over the result's UTF-16 chars. */
   def compute(s: UTF8String): Long = {
-    val t = s.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    val t = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.replaceAll("\\s+", " ")
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < t.length) {
@@ -102,7 +105,8 @@ object SimHash64 {
   }
 
   def compute(s: UTF8String): Long = {
-    val words = s.toString.toLowerCase.trim.split("\\s+")
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
     val acc = new Array[Int](64)
     var w = 0
     while (w < words.length) {
