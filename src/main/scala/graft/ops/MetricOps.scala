@@ -316,4 +316,90 @@ object MetricOps {
     perClass.groupBy(groupNames.map(col): _*)
       .agg((sum(col(s"${P}auc") * wcol) / sum(wcol)).as(outName))
   }
+
+  /** Cohen's kappa per group (Cohen 1960, public formula) —
+    * chance-corrected agreement of two raters over nominal labels:
+    * κ = (p_o − p_e) / (1 − p_e), p_e = Σ_c p₁(c)·p₂(c). The
+    * labeling-pipeline QA metric for double-annotated data.
+    *
+    * Scale shape: ONE groupBy compresses rows to the joint
+    * (group, label₁, label₂) contingency table (map-side combinable;
+    * cardinality = groups × labels² ≪ rows); marginals and the
+    * observed diagonal derive from that table with label-keyed
+    * aggregations — no row ever shuffles twice, no per-group
+    * buffering. Degenerate p_e = 1 (both raters constant and
+    * identical) → null. Null-labeled rows are dropped (pairwise). */
+  def cohenKappa(df: DataFrame, r1: Column, r2: Column,
+                 groupNames: Seq[String],
+                 outName: String = "kappa"): DataFrame = {
+    val gc = groupNames.map(col)
+    val joint = df
+      .select((gc :+ r1.cast("string").as(s"${P}a")
+        :+ r2.cast("string").as(s"${P}b")): _*)
+      .filter(col(s"${P}a").isNotNull && col(s"${P}b").isNotNull)
+      .groupBy((gc :+ col(s"${P}a") :+ col(s"${P}b")): _*)
+      .agg(count(lit(1)).as(s"${P}n"))
+    val ma = joint.groupBy((gc :+ col(s"${P}a")): _*)
+      .agg(sum(s"${P}n").as(s"${P}ca"))
+    val mb = joint.groupBy((gc :+ col(s"${P}b")): _*)
+      .agg(sum(s"${P}n").as(s"${P}cb"))
+    val tot = joint.groupBy(gc: _*)
+      .agg(sum(s"${P}n").as(s"${P}t"),
+        sum(when(col(s"${P}a") === col(s"${P}b"), col(s"${P}n"))
+          .otherwise(0L)).as(s"${P}d"))
+    // p_e from the marginal product joined on the label value
+    val pe = ma.join(mb.withColumnRenamed(s"${P}b", s"${P}a"),
+        groupNames :+ s"${P}a")
+      .groupBy(gc: _*)
+      .agg(sum(col(s"${P}ca") * col(s"${P}cb")).as(s"${P}ab"))
+    tot.join(pe, groupNames)
+      .select((gc :+ {
+        val po = col(s"${P}d").cast("double") / col(s"${P}t")
+        val peC = col(s"${P}ab").cast("double") /
+          (col(s"${P}t") * col(s"${P}t"))
+        when(peC < 1.0, (po - peC) / (lit(1.0) - peC)).as(outName)
+      }): _*)
+  }
+
+  /** Fleiss' kappa (Fleiss 1971, public formula) over items rated by a
+    * FIXED number of raters `n` each: P̄ mean per-item agreement,
+    * P̄ₑ = Σ_c p_c², κ = (P̄ − P̄ₑ)/(1 − P̄ₑ). Input is one row per
+    * (item, category) RATING (n rows per item); items without exactly
+    * n ratings are dropped (the classic formula is undefined there —
+    * the drop keeps the contract loud via the returned n_items).
+    *
+    * Scale shape: rows compress to (item, category) counts in one
+    * map-side-combinable groupBy; per-item Σ n_ic² and the global
+    * category totals are two small follow-up aggregations. Returns a
+    * 1-row frame (n_items, kappa). */
+  def fleissKappa(df: DataFrame, item: Column, category: Column,
+                  n: Int): DataFrame = {
+    require(n >= 2, "fleissKappa: need n >= 2 raters per item")
+    val cnt = df.select(item.as(s"${P}i"),
+        category.cast("string").as(s"${P}c"))
+      .filter(col(s"${P}c").isNotNull)
+      .groupBy(col(s"${P}i"), col(s"${P}c"))
+      .agg(count(lit(1)).as(s"${P}n"))
+    val items = cnt.groupBy(col(s"${P}i"))
+      .agg(sum(s"${P}n").as(s"${P}tot"),
+        sum(col(s"${P}n") * col(s"${P}n")).as(s"${P}sq"))
+      .filter(col(s"${P}tot") === n)
+    val pBar = items.agg(count(lit(1)).as(s"${P}ni"),
+      avg((col(s"${P}sq") - n).cast("double") / (n.toDouble * (n - 1)))
+        .as(s"${P}pbar"))
+    // category totals over COMPLETE items only (join back on the kept
+    // item set — broadcast-sized after the completeness filter)
+    val catTot = cnt.join(items.select(col(s"${P}i")), s"${P}i")
+      .groupBy(col(s"${P}c")).agg(sum(s"${P}n").as(s"${P}cn"))
+    val peBar = catTot.agg(
+      sum(col(s"${P}cn") * col(s"${P}cn")).cast("double").as(s"${P}ss"),
+      sum(col(s"${P}cn")).cast("double").as(s"${P}s"))
+      .select((col(s"${P}ss") / (col(s"${P}s") * col(s"${P}s")))
+        .as(s"${P}pe"))
+    pBar.crossJoin(peBar)
+      .select(col(s"${P}ni").as("n_items"),
+        when(col(s"${P}pe") < 1.0,
+          (col(s"${P}pbar") - col(s"${P}pe")) /
+            (lit(1.0) - col(s"${P}pe"))).as("kappa"))
+  }
 }

@@ -38,6 +38,27 @@ object MetricQueries extends QueryPack {
       |FROM lineitem""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kappa" -> ((s, dir) => {
+      // inter-annotator agreement: two deterministic "raters" bucket
+      // the same 2-dp value with a shifted copy (identical IEEE
+      // arithmetic in both engines → identical buckets); Fleiss
+      // treats event_id%5 as 5 raters per floor(event_id/5) item,
+      // complete items only
+      val ev = t(s, dir, "events")
+        .withColumn("r1", floor(col("value") / 20.0).cast("int"))
+        .withColumn("r2", floor((col("value") + col("event_id") % 7
+          - 3) / 20.0).cast("int"))
+      val cohen = MetricOps.cohenKappa(ev, col("r1"), col("r2"),
+        Seq("event_type"))
+      val fleiss = MetricOps.fleissKappa(
+        ev.withColumn("item", floor(col("event_id") / 5)),
+        col("item"), col("r1"), 5)
+      cohen.select(col("event_type"),
+          round(col("kappa"), 6).as("cohen_kappa"))
+        .crossJoin(fleiss.select(col("n_items"),
+          round(col("kappa"), 6).as("fleiss_kappa")))
+        .orderBy("event_type")
+    }),
     "q_roc_auc" -> ((s, dir) => {
       MetricOps.rocAucNamed(scoredEvents(s, dir), col("y"), col("p"),
           Seq("event_type"))
@@ -166,6 +187,52 @@ object MetricQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kappa" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value / 20.0) AS INT) AS r1,
+        |    CAST(FLOOR((value + (event_id % 7) - 3) / 20.0) AS INT)
+        |      AS r2,
+        |    CAST(FLOOR(event_id / 5) AS BIGINT) AS item
+        |  FROM events),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS t,
+        |    SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS d
+        |  FROM r GROUP BY 1),
+        |ma AS (SELECT event_type, r1 AS c, COUNT(*) AS ca
+        |  FROM r GROUP BY 1, 2),
+        |mb AS (SELECT event_type, r2 AS c, COUNT(*) AS cb
+        |  FROM r GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT a.event_type, SUM(a.ca * b.cb) AS ab
+        |  FROM ma a JOIN mb b
+        |    ON a.event_type = b.event_type AND a.c = b.c
+        |  GROUP BY 1),
+        |cohen AS (
+        |  SELECT t.event_type,
+        |    ROUND((d::DOUBLE / t - ab::DOUBLE / (t * t))
+        |      / (1.0 - ab::DOUBLE / (t * t)), 6) AS cohen_kappa
+        |  FROM tot t JOIN pe ON pe.event_type = t.event_type),
+        |fc AS (SELECT item, r1 AS cat, COUNT(*) AS n
+        |  FROM r GROUP BY 1, 2),
+        |fi AS (SELECT item, SUM(n) AS tot, SUM(n * n) AS sq
+        |  FROM fc GROUP BY 1 HAVING SUM(n) = 5),
+        |pb AS (
+        |  SELECT COUNT(*) AS n_items,
+        |    AVG((sq - 5)::DOUBLE / 20.0) AS pbar
+        |  FROM fi),
+        |ct AS (
+        |  SELECT cat, SUM(n) AS cn
+        |  FROM fc JOIN fi USING (item) GROUP BY 1),
+        |pe2 AS (
+        |  SELECT SUM(cn * cn)::DOUBLE / (SUM(cn)::DOUBLE * SUM(cn))
+        |    AS pe FROM ct)
+        |SELECT c.event_type, c.cohen_kappa, pb.n_items::BIGINT
+        |  AS n_items,
+        |  ROUND((pb.pbar - pe2.pe) / (1.0 - pe2.pe), 6)
+        |    AS fleiss_kappa
+        |FROM cohen c CROSS JOIN pb CROSS JOIN pe2
+        |ORDER BY 1""".stripMargin,
     "q_roc_auc" ->
       s"""WITH t AS ($scoredEventsSql),
          |r AS (

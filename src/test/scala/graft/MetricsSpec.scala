@@ -135,4 +135,36 @@ class MetricsSpec extends AnyFunSuite {
     val r = MetricOps.mad(df, col("x"), Seq("g")).collect()(0)
     assert(approx(r.getAs[Double]("mad"), 1.0))
   }
+
+  test("cohenKappa: textbook 2x2 value, degenerate pe=1 -> null") {
+    import spark.implicits._
+    // classic: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no over 50 →
+    // po=0.7, pe=0.5·0.6+0.5·0.4=0.5, κ=0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val df = rows.toDF("r1", "r2").withColumn("g", lit("a"))
+    val k = MetricOps.cohenKappa(df, col("r1"), col("r2"), Seq("g"))
+      .collect()(0).getAs[Double]("kappa")
+    assert(approx(k, 0.4))
+    // both raters constant and identical: pe=1 → null (undefined)
+    val const = Seq.fill(10)(("x", "x")).toDF("r1", "r2")
+      .withColumn("g", lit("a"))
+    assert(MetricOps.cohenKappa(const, col("r1"), col("r2"), Seq("g"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("fleissKappa: hand-computed 3-rater value, incomplete items " +
+      "dropped") {
+    import spark.implicits._
+    // item1: a,a,a (Pi=1); item2: a,b,b (Pi=1/3); P̄=2/3;
+    // pa=4/6, pb=2/6 → Pe=5/9; κ=(2/3−5/9)/(4/9)=0.25.
+    // item3 has only 2 ratings → dropped, n_items stays 2.
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "b")).toDF("item", "cat")
+    val r = MetricOps.fleissKappa(df, col("item"), col("cat"), 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(approx(r.getAs[Double]("kappa"), 0.25))
+  }
 }
