@@ -317,6 +317,36 @@ object MetricOps {
       .agg((sum(col(s"${P}auc") * wcol) / sum(wcol)).as(outName))
   }
 
+  /** Binned calibration per group (the reliability-diagram table +
+    * summary scalars every classifier eval needs): rows bucket by
+    * score into `bins` equal-width bins; per bin the mean predicted
+    * probability vs the observed positive rate; summaries are
+    * ECE = Σ (n_b/n)·|acc_b − conf_b| (Naeini 2015) and the Brier
+    * score mean((p−y)²) (Brier 1950). One map-side-combinable groupBy
+    * on (group, bin) then a tiny per-group rollup — nothing holds a
+    * group in memory. Returns one row per group:
+    * (groups…, n, ece, brier) with `bins` controlling resolution. */
+  def calibration(df: DataFrame, y: Column, p: Column,
+                  groupNames: Seq[String], bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibration: need bins >= 2")
+    val gc = groupNames.map(col)
+    // score exactly 1.0 folds into the top bin
+    val bin = least(floor(p * bins).cast("int"), lit(bins - 1))
+    val perBin = df
+      .select((gc :+ bin.as(s"${P}b") :+ y.cast("double").as(s"${P}y")
+        :+ p.cast("double").as(s"${P}p")): _*)
+      .groupBy((gc :+ col(s"${P}b")): _*)
+      .agg(count(lit(1)).as(s"${P}n"), avg(s"${P}y").as(s"${P}acc"),
+        avg(s"${P}p").as(s"${P}conf"),
+        sum((col(s"${P}p") - col(s"${P}y")) *
+          (col(s"${P}p") - col(s"${P}y"))).as(s"${P}se"))
+    perBin.groupBy(gc: _*)
+      .agg(sum(s"${P}n").as("n"),
+        (sum(abs(col(s"${P}acc") - col(s"${P}conf")) * col(s"${P}n")) /
+          sum(s"${P}n")).as("ece"),
+        (sum(s"${P}se") / sum(s"${P}n")).as("brier"))
+  }
+
   /** Cohen's kappa per group (Cohen 1960, public formula) —
     * chance-corrected agreement of two raters over nominal labels:
     * κ = (p_o − p_e) / (1 − p_e), p_e = Σ_c p₁(c)·p₂(c). The

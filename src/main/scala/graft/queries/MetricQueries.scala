@@ -59,6 +59,14 @@ object MetricQueries extends QueryPack {
           round(col("kappa"), 6).as("fleiss_kappa")))
         .orderBy("event_type")
     }),
+    "q_calibration" -> ((s, dir) => {
+      MetricOps.calibration(scoredEvents(s, dir), col("y"), col("p"),
+          Seq("event_type"), 10)
+        .select(col("event_type"), col("n"),
+          round(col("ece"), 6).as("ece"),
+          round(col("brier"), 6).as("brier"))
+        .orderBy("event_type")
+    }),
     "q_roc_auc" -> ((s, dir) => {
       MetricOps.rocAucNamed(scoredEvents(s, dir), col("y"), col("p"),
           Seq("event_type"))
@@ -187,6 +195,21 @@ object MetricQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_calibration" ->
+      s"""WITH t AS ($scoredEventsSql),
+         |b AS (
+         |  SELECT event_type,
+         |    LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+         |    y::DOUBLE AS y, p
+         |  FROM t),
+         |pb AS (
+         |  SELECT event_type, bin, COUNT(*) AS n, AVG(y) AS acc,
+         |    AVG(p) AS conf, SUM((p - y) * (p - y)) AS se
+         |  FROM b GROUP BY 1, 2)
+         |SELECT event_type, SUM(n)::BIGINT AS n,
+         |  ROUND(SUM(ABS(acc - conf) * n) / SUM(n), 6) AS ece,
+         |  ROUND(SUM(se) / SUM(n), 6) AS brier
+         |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kappa" ->
       """WITH r AS (
         |  SELECT event_type,

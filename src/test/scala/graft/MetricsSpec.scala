@@ -136,6 +136,28 @@ class MetricsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("mad"), 1.0))
   }
 
+  test("calibration: hand-computed ECE and Brier") {
+    import spark.implicits._
+    // group a: p=0.25 on 4 rows, one positive → bin acc == conf,
+    // ECE=0; brier = (0.75² + 3·0.25²)/4 = 0.1875
+    // group b: p=0.9 twice, both negative → ECE=0.9, brier=0.81
+    val df = (Seq((0.25, 1, "a"), (0.25, 0, "a"), (0.25, 0, "a"),
+      (0.25, 0, "a")) ++ Seq((0.9, 0, "b"), (0.9, 0, "b")))
+      .toDF("p", "y", "g")
+    val r = MetricOps.calibration(df, col("y"), col("p"), Seq("g"), 10)
+      .orderBy("g").collect()
+    assert(r(0).getAs[Long]("n") == 4L)
+    assert(approx(r(0).getAs[Double]("ece"), 0.0))
+    assert(approx(r(0).getAs[Double]("brier"), 0.1875))
+    assert(approx(r(1).getAs[Double]("ece"), 0.9))
+    assert(approx(r(1).getAs[Double]("brier"), 0.81))
+    // p = 1.0 folds into the top bin (no 11th bin, no null)
+    val edge = Seq((1.0, 1, "c")).toDF("p", "y", "g")
+    val e = MetricOps.calibration(edge, col("y"), col("p"), Seq("g"), 10)
+      .collect()(0)
+    assert(approx(e.getAs[Double]("ece"), 0.0))
+  }
+
   test("cohenKappa: textbook 2x2 value, degenerate pe=1 -> null") {
     import spark.implicits._
     // classic: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no over 50 →
