@@ -317,6 +317,50 @@ object MetricOps {
       .agg((sum(col(s"${P}auc") * wcol) / sum(wcol)).as(outName))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004,
+    * public formula) — the general chance-corrected agreement
+    * coefficient: any number of raters per unit, missing ratings
+    * allowed (units with fewer than 2 ratings drop out). Via the
+    * coincidence-matrix identities this reduces to pure count
+    * algebra: Do·n = Σ_u (m_u² − Σ_c n_uc²)/(m_u−1),
+    * De·n(n−1) = n² − Σ_c n_c², α = 1 − Do/De (null when De = 0 —
+    * a single value corpus-wide).
+    *
+    * Scale shape: one map-side-combinable groupBy to (unit, value)
+    * counts, a per-unit rollup, and two scalar aggregations — no
+    * per-unit buffering, nothing collects. Returns one row
+    * (n_units, n_ratings, alpha). */
+  def krippendorffAlpha(df: DataFrame, unit: Column,
+                        value: Column): DataFrame = {
+    val vc = df.select(unit.as(s"${P}u"),
+        value.cast("string").as(s"${P}v"))
+      .filter(col(s"${P}v").isNotNull)
+      .groupBy(col(s"${P}u"), col(s"${P}v"))
+      .agg(count(lit(1)).as(s"${P}n"))
+    val units = vc.groupBy(col(s"${P}u"))
+      .agg(sum(s"${P}n").as(s"${P}m"),
+        sum(col(s"${P}n") * col(s"${P}n")).as(s"${P}sq"))
+      .filter(col(s"${P}m") >= 2)
+    val doNum = units.agg(count(lit(1)).as(s"${P}nu"),
+      sum(s"${P}m").as(s"${P}ntot"),
+      sum((col(s"${P}m") * col(s"${P}m") - col(s"${P}sq"))
+        .cast("double") / (col(s"${P}m") - 1).cast("double"))
+        .as(s"${P}dn"))
+    // value totals over KEPT units only
+    val nc = vc.join(units.select(col(s"${P}u")), s"${P}u")
+      .groupBy(col(s"${P}v")).agg(sum(s"${P}n").as(s"${P}cn"))
+      .agg(sum(col(s"${P}cn") * col(s"${P}cn")).as(s"${P}csq"))
+    doNum.crossJoin(nc).select(
+      col(s"${P}nu").as("n_units"),
+      col(s"${P}ntot").as("n_ratings"), {
+        val n = col(s"${P}ntot").cast("double")
+        val doo = col(s"${P}dn") / n
+        val de = (n * n - col(s"${P}csq").cast("double")) /
+          (n * (n - 1))
+        when(de > 0.0, lit(1.0) - doo / de).as("alpha")
+      })
+  }
+
   /** Binned calibration per group (the reliability-diagram table +
     * summary scalars every classifier eval needs): rows bucket by
     * score into `bins` equal-width bins; per bin the mean predicted

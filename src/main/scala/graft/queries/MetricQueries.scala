@@ -59,6 +59,17 @@ object MetricQueries extends QueryPack {
           round(col("kappa"), 6).as("fleiss_kappa")))
         .orderBy("event_type")
     }),
+    "q_krippendorff" -> ((s, dir) => {
+      // general agreement with deterministic MISSINGNESS (%23 ratings
+      // dropped — the case kappa can't handle); units of ~5 ratings
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 23 =!= 0)
+        .withColumn("unit", floor(col("event_id") / 5))
+        .withColumn("v", floor(col("value") / 20.0).cast("int"))
+      MetricOps.krippendorffAlpha(ev, col("unit"), col("v"))
+        .select(col("n_units"), col("n_ratings"),
+          round(col("alpha"), 6).as("alpha"))
+    }),
     "q_calibration" -> ((s, dir) => {
       MetricOps.calibration(scoredEvents(s, dir), col("y"), col("p"),
           Seq("event_type"), 10)
@@ -195,6 +206,28 @@ object MetricQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_krippendorff" ->
+      """WITH r AS (
+        |  SELECT CAST(FLOOR(event_id / 5) AS BIGINT) AS u,
+        |    CAST(FLOOR(value / 20.0) AS INT) AS v
+        |  FROM events WHERE event_id % 23 <> 0),
+        |vc AS (SELECT u, v, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |un AS (
+        |  SELECT u, SUM(n) AS m, SUM(n * n) AS sq
+        |  FROM vc GROUP BY 1 HAVING SUM(n) >= 2),
+        |dn AS (
+        |  SELECT COUNT(*) AS nu, SUM(m) AS ntot,
+        |    SUM((m * m - sq)::DOUBLE / (m - 1)) AS dnum
+        |  FROM un),
+        |nc AS (
+        |  SELECT SUM(cn * cn)::DOUBLE AS csq
+        |  FROM (SELECT v, SUM(n) AS cn
+        |        FROM vc JOIN un USING (u) GROUP BY 1))
+        |SELECT nu::BIGINT AS n_units, ntot::BIGINT AS n_ratings,
+        |  ROUND(1.0 - (dnum / ntot) /
+        |    ((ntot * ntot - csq) / (ntot::DOUBLE * (ntot - 1))), 6)
+        |    AS alpha
+        |FROM dn CROSS JOIN nc""".stripMargin,
     "q_calibration" ->
       s"""WITH t AS ($scoredEventsSql),
          |b AS (

@@ -136,6 +136,30 @@ class MetricsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("mad"), 1.0))
   }
 
+  test("krippendorffAlpha: hand-computed values, missing-data drop, " +
+      "degenerate De -> null") {
+    import spark.implicits._
+    def alphaOf(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =
+      MetricOps.krippendorffAlpha(rows.toDF("u", "v"), col("u"),
+        col("v")).collect()(0)
+    // {a,a},{b,b}: perfect agreement → α=1
+    assert(approx(alphaOf(Seq(1L -> "a", 1L -> "a", 2L -> "b",
+      2L -> "b")).getAs[Double]("alpha"), 1.0))
+    // {a,a},{a,b}: Do=0.5, De=(16−10)/12=0.5 → α=0 (chance-level)
+    assert(approx(alphaOf(Seq(1L -> "a", 1L -> "a", 2L -> "a",
+      2L -> "b")).getAs[Double]("alpha"), 0.0))
+    // {a,b},{a,b}: Do=1, De=2/3 → α=−0.5 (systematic disagreement)
+    assert(approx(alphaOf(Seq(1L -> "a", 1L -> "b", 2L -> "a",
+      2L -> "b")).getAs[Double]("alpha"), -0.5))
+    // a single-rating unit is dropped (missing data), not counted
+    val r = alphaOf(Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b",
+      3L -> "a"))
+    assert(r.getAs[Long]("n_units") == 2L &&
+      r.getAs[Long]("n_ratings") == 4L)
+    // one value corpus-wide: De=0 → null
+    assert(alphaOf(Seq(1L -> "a", 1L -> "a")).isNullAt(2))
+  }
+
   test("calibration: hand-computed ECE and Brier") {
     import spark.implicits._
     // group a: p=0.25 on 4 rows, one positive → bin acc == conf,
