@@ -118,6 +118,69 @@ object StatOps {
     agg.select(gc ++ Seq(u1.as("u"), z.as("z"), p.as("pvalue")): _*)
   }
 
+  /** Two-sample effect sizes per group (the report numbers next to a
+    * t/U test): Cohen's d (pooled-SD standardized mean difference),
+    * Hedges' g (Hedges 1981 small-sample correction
+    * d·(1 − 3/(4N − 9))), and Cliff's delta (ordinal dominance,
+    * tie-aware — derived from the tie-averaged rank-sum as
+    * 2·U₁/(n₁n₂) − 1, the same U statistic Mann–Whitney tests).
+    * d/g are null when either sample has < 2 rows or the pooled
+    * variance is 0; delta is null when either sample is empty.
+    *
+    * Scale shape: moments come from ONE map-side-combinable
+    * aggregation; the rank-sum reuses [[mannWhitneyU]]'s
+    * distinct-value compression (threshold-cardinality window /
+    * GlobalCumsum, never a row-cardinality sort). */
+  def effectSizes(df: DataFrame, x: Column, inFirst: Column,
+                  groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ inFirst.cast("int").as(s"${P}s1"): _*)
+    val mom = t.groupBy(gc: _*).agg(
+      sum(s"${P}s1").cast("double").as(s"${P}n1"),
+      (count(lit(1)) - sum(s"${P}s1")).cast("double").as(s"${P}n2"),
+      sum(col(s"${P}x") * col(s"${P}s1")).as(s"${P}sx1"),
+      sum(col(s"${P}x") * col(s"${P}x") * col(s"${P}s1"))
+        .as(s"${P}sq1"),
+      sum(col(s"${P}x") * (lit(1) - col(s"${P}s1"))).as(s"${P}sx2"),
+      sum(col(s"${P}x") * col(s"${P}x") * (lit(1) - col(s"${P}s1")))
+        .as(s"${P}sq2"))
+    val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"), sum(s"${P}s1").as(s"${P}c1"))
+    val ranked =
+      if (gc.nonEmpty) {
+        val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV.withColumn(s"${P}below",
+          coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+      } else {
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}x"),
+            ascending = true, Seq(col(s"${P}cnt") -> s"${P}cum"))
+          .withColumn(s"${P}below", col(s"${P}cum") - col(s"${P}cnt"))
+          .drop(s"${P}cum")
+      }
+    val rs = ranked.groupBy(gc: _*).agg(
+      sum(col(s"${P}c1") *
+        (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0))
+        .as(s"${P}r1"))
+    val j = if (gc.isEmpty) mom.crossJoin(rs)
+            else mom.join(rs, groupNames)
+    val n1 = col(s"${P}n1"); val n2 = col(s"${P}n2")
+    val m1 = col(s"${P}sx1") / n1
+    val m2 = col(s"${P}sx2") / n2
+    val v1 = (col(s"${P}sq1") - n1 * m1 * m1) / (n1 - 1)
+    val v2 = (col(s"${P}sq2") - n2 * m2 * m2) / (n2 - 1)
+    val sp = sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    val d = when(n1 >= 2 && n2 >= 2 && sp > 0, (m1 - m2) / sp)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - 9.0))
+    val u1 = col(s"${P}r1") - n1 * (n1 + 1.0) / 2.0
+    val delta = when(n1 > 0 && n2 > 0,
+      lit(2.0) * u1 / (n1 * n2) - 1.0)
+    j.select(gc ++ Seq(n1.cast("long").as("n1"),
+      n2.cast("long").as("n2"), d.as("cohen_d"), g.as("hedges_g"),
+      delta.as("cliffs_delta")): _*)
+  }
+
   /** One-way ANOVA F test: `value` across the levels of `factor`,
     * per outer group. Returns {f, df1, df2, pvalue}.
     * (stats.py:280; src/stats/fstats.rs) */

@@ -142,6 +142,17 @@ object StatQueries extends QueryPack {
         .withColumn("bicor", round(col("bicor"), 6))
         .orderBy("l_returnflag")
     }),
+    "q_effect_size" -> ((s, dir) => {
+      // the report numbers beside a t/U test: split each event_type
+      // by event_id parity and standardize the mean difference
+      StatOps.effectSizes(t(s, dir, "events"), col("value"),
+          col("event_id") % 2 === 0, Seq("event_type"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("cohen_d"), 6).as("cohen_d"),
+          round(col("hedges_g"), 6).as("hedges_g"),
+          round(col("cliffs_delta"), 6).as("cliffs_delta"))
+        .orderBy("event_type")
+    }),
     "q_mann_whitney" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("click", "view"))
@@ -400,6 +411,43 @@ object StatQueries extends QueryPack {
         |  ROUND(SUM(dx * dy) / (SQRT(SUM(dx * dx)) * SQRT(SUM(dy * dy))), 6)
         |    AS bicor
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_effect_size" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, value AS x,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s1
+        |  FROM events),
+        |mom AS (
+        |  SELECT g, SUM(s1)::DOUBLE AS n1,
+        |    (COUNT(*) - SUM(s1))::DOUBLE AS n2,
+        |    SUM(x * s1) AS sx1, SUM(x * x * s1) AS sq1,
+        |    SUM(x * (1 - s1)) AS sx2, SUM(x * x * (1 - s1)) AS sq2
+        |  FROM t GROUP BY 1),
+        |r AS (
+        |  SELECT g, s1,
+        |    RANK() OVER (PARTITION BY g ORDER BY x)
+        |      + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS ar
+        |  FROM t),
+        |rs AS (
+        |  SELECT g, SUM(CASE WHEN s1 = 1 THEN ar END) AS r1
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT m.g, n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+        |    (sq1 - n1 * (sx1 / n1) * (sx1 / n1)) / (n1 - 1) AS v1,
+        |    (sq2 - n2 * (sx2 / n2) * (sx2 / n2)) / (n2 - 1) AS v2,
+        |    r1
+        |  FROM mom m JOIN rs ON rs.g = m.g),
+        |e AS (
+        |  SELECT g, n1, n2,
+        |    (m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+        |      / (n1 + n2 - 2)) AS d,
+        |    r1 - n1 * (n1 + 1) / 2.0 AS u1
+        |  FROM f)
+        |SELECT g AS event_type, n1::BIGINT AS n1, n2::BIGINT AS n2,
+        |  ROUND(d, 6) AS cohen_d,
+        |  ROUND(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+        |    AS hedges_g,
+        |  ROUND(2.0 * u1 / (n1 * n2) - 1.0, 6) AS cliffs_delta
+        |FROM e ORDER BY 1""".stripMargin,
     "q_mann_whitney" ->
       """WITH t AS (
         |  SELECT value,

@@ -211,4 +211,36 @@ class StatsSpec extends AnyFunSuite {
       RandomGen.addNoise(col("x"), "laplace")
     }
   }
+
+  test("effectSizes: hand-computed d/g/delta, degenerate nulls") {
+    import spark.implicits._
+    // s1 = [2,4,6] (m=4, v=4), s2 = [1,3] (m=2, v=2):
+    // sp = sqrt((2·4 + 1·2)/3) = sqrt(10/3), d = 2/sp ≈ 1.095445
+    // g = d·(1 − 3/11) = d·8/11; ranks [1,2,3,4,6] → r1 = 2+4+5 = 11,
+    // u1 = 11 − 6 = 5, δ = 2·5/6 − 1 = 2/3
+    val df = Seq((2.0, 1), (4.0, 1), (6.0, 1), (1.0, 0), (3.0, 0))
+      .toDF("x", "s").withColumn("g", lit("a"))
+    val r = graft.ops.StatOps.effectSizes(df, col("x"),
+      col("s") === 1, Seq("g")).collect()(0)
+    val d = 2.0 / math.sqrt(10.0 / 3.0)
+    assert(approx(r.getAs[Double]("cohen_d"), d))
+    assert(approx(r.getAs[Double]("hedges_g"), d * 8.0 / 11.0))
+    assert(approx(r.getAs[Double]("cliffs_delta"), 2.0 / 3.0))
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    // single-row sample: d/g null (pooled variance undefined), delta
+    // still defined
+    val tiny = Seq((5.0, 1), (1.0, 0), (2.0, 0)).toDF("x", "s")
+      .withColumn("g", lit("a"))
+    val rt = graft.ops.StatOps.effectSizes(tiny, col("x"),
+      col("s") === 1, Seq("g")).collect()(0)
+    assert(rt.isNullAt(rt.fieldIndex("cohen_d")))
+    assert(approx(rt.getAs[Double]("cliffs_delta"), 1.0))
+    // identical constant samples: sp = 0 → d null
+    val const = Seq((3.0, 1), (3.0, 1), (3.0, 0), (3.0, 0))
+      .toDF("x", "s").withColumn("g", lit("a"))
+    val rc = graft.ops.StatOps.effectSizes(const, col("x"),
+      col("s") === 1, Seq("g")).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("cohen_d")))
+    assert(approx(rc.getAs[Double]("cliffs_delta"), 0.0))
+  }
 }
