@@ -344,4 +344,82 @@ object TSOps {
           lit(1e-300)))).over(wCum)))
       .select(gc ++ Seq(col(s"${P}t").as("time"), col("survival")): _*)
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator per group (Nelson 1972 /
+    * Aalen 1978, public): H(t) = Σ_{t_i ≤ t} d_i / n_i — the additive
+    * companion to [[kaplanMeier]] (same risk-set machinery, cumulative
+    * SUM instead of log-product). Output: group × time × cum_hazard. */
+  def nelsonAalen(df: DataFrame, time: Column, status: Column,
+                  groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val byT = df.select(gc :+ time.cast("double").as(s"${P}t")
+      :+ status.cast("int").as(s"${P}s"): _*)
+      .groupBy(gc :+ col(s"${P}t"): _*)
+      .agg(sum(s"${P}s").cast("double").as(s"${P}d"),
+        count(lit(1)).cast("double").as(s"${P}c"))
+    val wT = Window.partitionBy(gc: _*)
+    val wBefore = Window.partitionBy(gc: _*).orderBy(col(s"${P}t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col(s"${P}t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn(s"${P}atRisk",
+        sum(s"${P}c").over(wT) -
+          coalesce(sum(s"${P}c").over(wBefore), lit(0.0)))
+      .withColumn("cum_hazard",
+        sum(col(s"${P}d") / col(s"${P}atRisk")).over(wCum))
+      .select(gc ++ Seq(col(s"${P}t").as("time"),
+        col("cum_hazard")): _*)
+  }
+
+  /** Two-sample log-rank test (Mantel 1966, public): at each distinct
+    * time with d_j events, group 1 contributes expected
+    * e₁ⱼ = d_j·n₁ⱼ/n_j and hypergeometric variance
+    * v_j = d_j·(n₁ⱼ/n_j)·(n₂ⱼ/n_j)·(n_j−d_j)/(n_j−1);
+    * χ² = (O₁−E₁)²/ΣV, p via the 1-df identity 2·Φ̄(√χ²).
+    * Returns one row {o1, e1, chi2, pvalue}.
+    *
+    * Scale shape: rows compress to the distinct-time table in one
+    * map-side groupBy; risk sets come from a GlobalCumsum over that
+    * table (no zero-column window), totals from a 1-row crossJoin. */
+  def logRank(df: DataFrame, time: Column, status: Column,
+              inFirst: Column): DataFrame = {
+    val byT = df.select(time.cast("double").as(s"${P}t"),
+        status.cast("int").as(s"${P}s"),
+        inFirst.cast("int").as(s"${P}i1"))
+      .groupBy(col(s"${P}t"))
+      .agg(sum(col(s"${P}s") * col(s"${P}i1")).cast("double")
+          .as(s"${P}d1"),
+        sum(col(s"${P}s") * (lit(1) - col(s"${P}i1"))).cast("double")
+          .as(s"${P}d2"),
+        sum(s"${P}i1").cast("double").as(s"${P}c1"),
+        (count(lit(1)) - sum(s"${P}i1")).cast("double").as(s"${P}c2"))
+    val cum = graft.util.GlobalCumsum.runningSums(byT, col(s"${P}t"),
+      ascending = true,
+      Seq(col(s"${P}c1") -> s"${P}cum1", col(s"${P}c2") -> s"${P}cum2"))
+    val tot = byT.agg(sum(s"${P}c1").as(s"${P}N1"),
+      sum(s"${P}c2").as(s"${P}N2"))
+    val terms = cum.crossJoin(tot)
+      .withColumn(s"${P}n1j",
+        col(s"${P}N1") - (col(s"${P}cum1") - col(s"${P}c1")))
+      .withColumn(s"${P}n2j",
+        col(s"${P}N2") - (col(s"${P}cum2") - col(s"${P}c2")))
+      .withColumn(s"${P}dj", col(s"${P}d1") + col(s"${P}d2"))
+      .withColumn(s"${P}nj", col(s"${P}n1j") + col(s"${P}n2j"))
+      .filter(col(s"${P}dj") > 0)
+    val agg = terms.agg(
+      sum(s"${P}d1").as(s"${P}o1"),
+      sum(col(s"${P}dj") * col(s"${P}n1j") / col(s"${P}nj"))
+        .as(s"${P}e1"),
+      sum(when(col(s"${P}nj") > 1,
+        col(s"${P}dj") * (col(s"${P}n1j") / col(s"${P}nj")) *
+          (col(s"${P}n2j") / col(s"${P}nj")) *
+          (col(s"${P}nj") - col(s"${P}dj")) / (col(s"${P}nj") - 1))
+        .otherwise(0.0)).as(s"${P}v"))
+    val chi2 = (col(s"${P}o1") - col(s"${P}e1")) *
+      (col(s"${P}o1") - col(s"${P}e1")) / col(s"${P}v")
+    agg.select(col(s"${P}o1").as("o1"), col(s"${P}e1").as("e1"),
+      chi2.as("chi2"),
+      graft.functions.PValues.normSf(sqrt(chi2)) * 2.0 as "pvalue")
+  }
 }

@@ -117,6 +117,24 @@ object TSQueries extends QueryPack {
         .withColumn("survival", round(col("survival"), 6))
         .orderBy("event_type", "time")
     }),
+    "q_nelson_aalen" -> ((s, dir) => {
+      TSOps.nelsonAalen(
+          t(s, dir, "events").withColumn("status", col("user_id") % 2),
+          col("value"), col("status"), Seq("event_type"))
+        .withColumn("cum_hazard", round(col("cum_hazard"), 6))
+        .orderBy("event_type", "time")
+    }),
+    "q_log_rank" -> ((s, dir) => {
+      // two-sample survival comparison: parity of event_id splits the
+      // arms, user_id parity is the event/censor status. The oracle
+      // replays O1/E1/chi2; the 1-df p-value identity is spec-gated.
+      TSOps.logRank(
+          t(s, dir, "events").withColumn("status", col("user_id") % 2),
+          col("value"), col("status"), col("event_id") % 2 === 0)
+        .select(col("o1").cast("long").as("o1"),
+          round(col("e1"), 4).as("e1"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
     // LZ76 dictionary-parse complexity: the parse is sequential, but it
     // IS SQL-expressible — a recursive CTE carrying (position, phrase
     // set) replays the exact scan, so the query gets a full value oracle.
@@ -339,6 +357,54 @@ object TSQueries extends QueryPack {
         |SELECT event_type, ROUND(-SUM(p * LN(p)), 6)
         |  AS permutation_entropy
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH t AS (
+        |  SELECT event_type, value tm, user_id % 2 st FROM events),
+        |byt AS (
+        |  SELECT event_type, tm, SUM(st)::DOUBLE d, COUNT(*)::DOUBLE c
+        |  FROM t GROUP BY 1, 2),
+        |rsk AS (
+        |  SELECT event_type, tm, d,
+        |    SUM(c) OVER (PARTITION BY event_type)
+        |      - COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY tm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS atrisk
+        |  FROM byt)
+        |SELECT event_type, tm AS time,
+        |  ROUND(SUM(d / atrisk) OVER (PARTITION BY event_type
+        |    ORDER BY tm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW), 6) AS cum_hazard
+        |FROM rsk ORDER BY 1, 2""".stripMargin,
+    "q_log_rank" ->
+      """WITH t AS (
+        |  SELECT value tm, user_id % 2 st,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END i1
+        |  FROM events),
+        |byt AS (
+        |  SELECT tm, SUM(st * i1)::DOUBLE d1,
+        |    SUM(st * (1 - i1))::DOUBLE d2,
+        |    SUM(i1)::DOUBLE c1, (COUNT(*) - SUM(i1))::DOUBLE c2
+        |  FROM t GROUP BY 1),
+        |rsk AS (
+        |  SELECT tm, d1, d2, c1, c2,
+        |    SUM(c1) OVER () - COALESCE(SUM(c1) OVER (ORDER BY tm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n1j,
+        |    SUM(c2) OVER () - COALESCE(SUM(c2) OVER (ORDER BY tm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n2j
+        |  FROM byt),
+        |f AS (
+        |  SELECT d1, d1 + d2 AS dj, n1j, n2j, n1j + n2j AS nj
+        |  FROM rsk WHERE d1 + d2 > 0),
+        |a AS (
+        |  SELECT SUM(d1) o1, SUM(dj * n1j / nj) e1,
+        |    SUM(CASE WHEN nj > 1 THEN dj * (n1j / nj) * (n2j / nj)
+        |      * (nj - dj) / (nj - 1) ELSE 0 END) v
+        |  FROM f)
+        |SELECT o1::BIGINT AS o1, ROUND(e1, 4) AS e1,
+        |  ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+        |FROM a""".stripMargin,
     "q_kaplan_meier" ->
       """WITH t AS (
         |  SELECT event_type, value tm, user_id % 2 st FROM events),

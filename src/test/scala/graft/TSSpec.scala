@@ -130,4 +130,38 @@ class TSSpec extends AnyFunSuite {
     assert(runs.map(_.getAs[Boolean]("value")).toSeq ==
       Seq(true, false, true, false, true))
   }
+
+  test("nelsonAalen: hand-computed hazard steps with censoring") {
+    import spark.implicits._
+    // t=1 event (3 at risk), t=2 one event + one censored (2 at risk):
+    // H(1) = 1/3, H(2) = 1/3 + 1/2 = 5/6
+    val df = Seq((1.0, 1), (2.0, 1), (2.0, 0)).toDF("t", "s")
+      .withColumn("g", lit("a"))
+    val r = graft.ops.TSOps.nelsonAalen(df, col("t"), col("s"),
+      Seq("g")).orderBy("time").collect()
+    assert(math.abs(r(0).getAs[Double]("cum_hazard") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("cum_hazard") - 5.0 / 6) < 1e-12)
+  }
+
+  test("logRank: hand-computed O/E/chi2 and 1-df p identity") {
+    import spark.implicits._
+    // arm1: events at 1, 2; arm2: event at 1, censored at 3.
+    // t=1: e1 = 2·2/4 = 1, v = 1/3; t=2: e1 = 0.5, v = 0.25
+    // O1 = 2, E1 = 1.5, V = 7/12 → chi2 = 0.25/(7/12) = 3/7
+    val df = Seq((1.0, 1, 1), (2.0, 1, 1), (1.0, 1, 0), (3.0, 0, 0))
+      .toDF("t", "s", "arm")
+    val r = graft.ops.TSOps.logRank(df, col("t"), col("s"),
+      col("arm") === 1).collect()(0)
+    assert(math.abs(r.getAs[Double]("o1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e1") - 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 3.0 / 7) < 1e-12)
+    // 1-df identity: p = 2·Φ̄(√chi2) ≈ 0.5127 for chi2 = 3/7
+    assert(math.abs(r.getAs[Double]("pvalue") - 0.5127) < 1e-3)
+    // identical arms → chi2 ~ 0
+    val same = Seq((1.0, 1, 1), (2.0, 1, 1), (1.0, 1, 0), (2.0, 1, 0))
+      .toDF("t", "s", "arm")
+    val rs = graft.ops.TSOps.logRank(same, col("t"), col("s"),
+      col("arm") === 1).collect()(0)
+    assert(math.abs(rs.getAs[Double]("chi2")) < 1e-12)
+  }
 }
