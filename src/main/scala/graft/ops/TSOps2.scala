@@ -343,6 +343,46 @@ object TSOps2 {
     * of a fixed query pattern; optional z-normalization of each window.
     * Pure lead-Window algebra — runs at scan speed, any scale.
     * (ts_features.py:239 query_similar_count; subseq_sim.rs:22,68) */
+  /** CUSUM change detection per group (Page 1954, public): the
+    * one-sided control statistics
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack)) and the mirrored
+    * S⁻, with an alarm whenever either exceeds `h`. The recursion is
+    * NOT run sequentially: via the reflection identity
+    * S⁺_t = P_t − min_{i ≤ t} P_i (P = prefix sum of the drift-adjusted
+    * series, P₀ = 0), both statistics become a prefix sum plus a
+    * running extremum — two per-group ordered windows, fully
+    * distributed, exactly replayable in SQL. `order` must be unique
+    * within each group (ROWS-frame sums over tied keys are
+    * row-order-dependent). Returns one row per group:
+    * (n_alarms_up, n_alarms_down, first_alarm_order, max_s_up,
+    * max_s_down). `first_alarm_order` is the order key of the earliest
+    * alarm of either side (null when in control). */
+  def cusum(df: DataFrame, x: Column, order: Column,
+            groupNames: Seq[String], target: Double, slack: Double,
+            h: Double): DataFrame = {
+    require(h > 0, "cusum: alarm threshold h must be > 0")
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ order.as(s"${P}o")
+      :+ x.cast("double").as(s"${P}x"): _*)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val up = sum(col(s"${P}x") - target - slack).over(wCum)
+    val dn = sum(col(s"${P}x") - target + slack).over(wCum)
+    val sUp = up - least(lit(0.0), min(up).over(wCum))
+    val sDn = greatest(lit(0.0), max(dn).over(wCum)) - dn
+    t.withColumn(s"${P}su", sUp).withColumn(s"${P}sd", sDn)
+      .groupBy(gc: _*)
+      .agg(
+        sum(when(col(s"${P}su") > h, 1L).otherwise(0L))
+          .as("n_alarms_up"),
+        sum(when(col(s"${P}sd") > h, 1L).otherwise(0L))
+          .as("n_alarms_down"),
+        min(when(col(s"${P}su") > h || col(s"${P}sd") > h,
+          col(s"${P}o"))).as("first_alarm_order"),
+        max(s"${P}su").as("max_s_up"),
+        max(s"${P}sd").as("max_s_down"))
+  }
+
   def subseqSimCount(df: DataFrame, x: Column, order: Column,
                      groupNames: Seq[String], query: Seq[Double],
                      threshold: Double,

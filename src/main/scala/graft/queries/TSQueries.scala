@@ -117,6 +117,23 @@ object TSQueries extends QueryPack {
         .withColumn("survival", round(col("survival"), 6))
         .orderBy("event_type", "time")
     }),
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM drift detection on integer CENTS: every prefix sum is
+      // an exact integer (≪ 2^53) in both engines, so the reflection
+      // identity's running extrema — and therefore every alarm
+      // decision — are bit-identical regardless of either engine's
+      // internal summation order. target 52.00, slack 2.00, h 200.00.
+      import graft.ops.TSOps2
+      TSOps2.cusum(t(s, dir, "events"),
+          round(col("value") * 100), col("event_id"),
+          Seq("event_type"), 5200.0, 200.0, 20000.0)
+        .select(col("event_type"), col("n_alarms_up"),
+          col("n_alarms_down"),
+          col("first_alarm_order").cast("long").as("first_alarm"),
+          col("max_s_up").cast("long").as("max_s_up"),
+          col("max_s_down").cast("long").as("max_s_down"))
+        .orderBy("event_type")
+    }),
     "q_nelson_aalen" -> ((s, dir) => {
       TSOps.nelsonAalen(
           t(s, dir, "events").withColumn("status", col("user_id") % 2),
@@ -357,6 +374,35 @@ object TSQueries extends QueryPack {
         |SELECT event_type, ROUND(-SUM(p * LN(p)), 6)
         |  AS permutation_entropy
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cusum" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, event_id AS o,
+        |    ROUND(value * 100) AS x
+        |  FROM events),
+        |p AS (
+        |  SELECT g, o,
+        |    SUM(x - 5400.0) OVER (PARTITION BY g ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up,
+        |    SUM(x - 5000.0) OVER (PARTITION BY g ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dn
+        |  FROM t),
+        |s AS (
+        |  SELECT g, o,
+        |    up - LEAST(0.0, MIN(up) OVER (PARTITION BY g ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS su,
+        |    GREATEST(0.0, MAX(dn) OVER (PARTITION BY g ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - dn
+        |      AS sd
+        |  FROM p)
+        |SELECT g AS event_type,
+        |  SUM(CASE WHEN su > 20000.0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_alarms_up,
+        |  SUM(CASE WHEN sd > 20000.0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_alarms_down,
+        |  MIN(CASE WHEN su > 20000.0 OR sd > 20000.0 THEN o END)
+        |    ::BIGINT AS first_alarm,
+        |  MAX(su)::BIGINT AS max_s_up, MAX(sd)::BIGINT AS max_s_down
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_nelson_aalen" ->
       """WITH t AS (
         |  SELECT event_type, value tm, user_id % 2 st FROM events),

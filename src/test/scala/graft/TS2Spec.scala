@@ -91,4 +91,40 @@ class TS2Spec extends AnyFunSuite {
       .head.getAs[Long]("similar_count")
     assert(n == 2L)
   }
+
+  test("cusum reflection identity matches the sequential recursion on " +
+      "random series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val (target, slack, h) = (10.0, 1.0, 8.0)
+    for (trial <- 1 to 20) {
+      val xs = Vector.fill(60)((rnd.nextInt(41) - 10).toDouble)
+      // ground truth: Page's recursion, run sequentially
+      var su = 0.0; var sd = 0.0
+      var nUp = 0L; var nDn = 0L
+      var first: Option[Int] = None
+      var mUp = 0.0; var mDn = 0.0
+      xs.zipWithIndex.foreach { case (x, i) =>
+        su = math.max(0.0, su + (x - target - slack))
+        sd = math.max(0.0, sd - (x - target + slack))
+        if (su > h) nUp += 1
+        if (sd > h) nDn += 1
+        if ((su > h || sd > h) && first.isEmpty) first = Some(i)
+        mUp = math.max(mUp, su); mDn = math.max(mDn, sd)
+      }
+      val df = xs.zipWithIndex.map { case (x, i) => (x, i, "g") }
+        .toDF("x", "o", "g")
+      val r = graft.ops.TSOps2.cusum(df, col("x"), col("o"), Seq("g"),
+        target, slack, h).collect()(0)
+      assert(r.getAs[Long]("n_alarms_up") == nUp, s"trial $trial up")
+      assert(r.getAs[Long]("n_alarms_down") == nDn, s"trial $trial dn")
+      assert((first.isEmpty && r.isNullAt(r.fieldIndex(
+        "first_alarm_order"))) ||
+        r.getAs[Int]("first_alarm_order") == first.get,
+        s"trial $trial first")
+      assert(math.abs(r.getAs[Double]("max_s_up") - mUp) < 1e-9)
+      assert(math.abs(r.getAs[Double]("max_s_down") - mDn) < 1e-9)
+    }
+  }
 }
