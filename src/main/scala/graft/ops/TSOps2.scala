@@ -383,6 +383,52 @@ object TSOps2 {
         max(s"${P}sd").as("max_s_down"))
   }
 
+  /** Classical additive seasonal decomposition per group (the
+    * moving-average method behind `decompose`/STL's ancestor, public):
+    * trend = centered moving average over `period` points (odd period;
+    * edge rows where the window is incomplete get null trend),
+    * seasonal = per-phase mean of the detrended series re-centered to
+    * sum to zero, resid = x − trend − seasonal. Phases come from the
+    * per-group row position (`order` must be unique per group).
+    *
+    * Scale shape: two ordered per-group windows (position + centered
+    * MA), one (group, phase) aggregation for the indices — broadcast
+    * back (period·groups rows). Returns the per-row frame
+    * (groups…, order, x, trend, seasonal, resid). */
+  def seasonalDecompose(df: DataFrame, x: Column, order: Column,
+                        groupNames: Seq[String], period: Int)
+      : DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      "seasonalDecompose: period must be odd and >= 2 (centered MA)")
+    val gc = groupNames.map(col)
+    val half = period / 2
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val wMa = wOrd.rowsBetween(-half, half)
+    val base = df.select(gc :+ order.as(s"${P}o")
+        :+ x.cast("double").as(s"${P}x"): _*)
+      .withColumn(s"${P}phase",
+        pmod(row_number().over(wOrd) - 1, lit(period)))
+      .withColumn(s"${P}trend",
+        when(count(lit(1)).over(wMa) === period,
+          avg(s"${P}x").over(wMa)))
+      .withColumn(s"${P}det", col(s"${P}x") - col(s"${P}trend"))
+    val idx = base.filter(col(s"${P}det").isNotNull)
+      .groupBy(gc :+ col(s"${P}phase"): _*)
+      .agg(avg(s"${P}det").as(s"${P}raw"))
+    val centered = {
+      val wG = Window.partitionBy(gc: _*)
+      idx.withColumn(s"${P}seasonal",
+        col(s"${P}raw") - avg(s"${P}raw").over(wG))
+        .drop(s"${P}raw")
+    }
+    base.join(centered, groupNames :+ s"${P}phase", "left")
+      .select(gc ++ Seq(col(s"${P}o").as("order_key"),
+        col(s"${P}x").as("x"), col(s"${P}trend").as("trend"),
+        col(s"${P}seasonal").as("seasonal"),
+        (col(s"${P}x") - col(s"${P}trend") - col(s"${P}seasonal"))
+          .as("resid")): _*)
+  }
+
   def subseqSimCount(df: DataFrame, x: Column, order: Column,
                      groupNames: Seq[String], query: Seq[Double],
                      threshold: Double,

@@ -117,6 +117,22 @@ object TSQueries extends QueryPack {
         .withColumn("survival", round(col("survival"), 6))
         .orderBy("event_type", "time")
     }),
+    "q_seasonal" -> ((s, dir) => {
+      // classical additive decomposition, period 7 over the event_id
+      // order; the oracle replays the centered-MA trend, per-phase
+      // re-centered indices and residuals with the same windows
+      import graft.ops.TSOps2
+      TSOps2.seasonalDecompose(t(s, dir, "events"), col("value"),
+          col("event_id"), Seq("event_type"), 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("trend").isNull, 1L).otherwise(0L))
+            .as("n_edge"),
+          round(avg(abs(col("resid"))), 6).as("avg_abs_resid"),
+          round(max(col("seasonal")), 6).as("max_seasonal"),
+          round(min(col("seasonal")), 6).as("min_seasonal"))
+        .orderBy("event_type")
+    }),
     "q_cusum" -> ((s, dir) => {
       // CUSUM drift detection on integer CENTS: every prefix sum is
       // an exact integer (≪ 2^53) in both engines, so the reflection
@@ -374,6 +390,38 @@ object TSQueries extends QueryPack {
         |SELECT event_type, ROUND(-SUM(p * LN(p)), 6)
         |  AS permutation_entropy
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seasonal" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, event_id AS o, value AS x
+        |  FROM events),
+        |b AS (
+        |  SELECT g, o, x,
+        |    (ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) - 1) % 7
+        |      AS phase,
+        |    CASE WHEN COUNT(*) OVER w = 7 THEN AVG(x) OVER w END
+        |      AS trend
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY g ORDER BY o
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, x - trend AS det FROM b),
+        |i AS (
+        |  SELECT g, phase, AVG(det) AS raw
+        |  FROM d WHERE det IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, phase,
+        |    raw - AVG(raw) OVER (PARTITION BY g) AS seasonal
+        |  FROM i),
+        |j AS (
+        |  SELECT d.g, d.x, d.trend, c.seasonal,
+        |    d.x - d.trend - c.seasonal AS resid
+        |  FROM d LEFT JOIN c ON c.g = d.g AND c.phase = d.phase)
+        |SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+        |  SUM(CASE WHEN trend IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_edge,
+        |  ROUND(AVG(ABS(resid)), 6) AS avg_abs_resid,
+        |  ROUND(MAX(seasonal), 6) AS max_seasonal,
+        |  ROUND(MIN(seasonal), 6) AS min_seasonal
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cusum" ->
       """WITH t AS (
         |  SELECT event_type AS g, event_id AS o,

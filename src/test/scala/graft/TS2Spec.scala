@@ -92,6 +92,36 @@ class TS2Spec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("seasonalDecompose recovers a planted period-3 pattern exactly " +
+      "on a linear trend") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // x_t = 10 + t + s_{t%3}, s = [3, -1, -2] (sums to 0): the
+    // centered MA(3) is exactly the linear part, so detrended == s,
+    // the phase means are s, centering is a no-op, resid == 0.
+    val s = Vector(3.0, -1.0, -2.0)
+    val df = (0 until 30).map(i => (i, 10.0 + i + s(i % 3), "g"))
+      .toDF("o", "x", "g")
+    val out = graft.ops.TSOps2.seasonalDecompose(df, col("x"),
+      col("o"), Seq("g"), 3).orderBy("order_key").collect()
+    assert(out.length == 30)
+    // edges: first and last row lack a full window
+    assert(out.head.isNullAt(out.head.fieldIndex("trend")))
+    assert(out.last.isNullAt(out.last.fieldIndex("trend")))
+    out.drop(1).dropRight(1).foreach { r =>
+      val i = r.getAs[Int]("order_key")
+      assert(math.abs(r.getAs[Double]("trend") - (10.0 + i)) < 1e-9,
+        s"trend@$i")
+      assert(math.abs(r.getAs[Double]("seasonal") - s(i % 3)) < 1e-9,
+        s"seasonal@$i")
+      assert(math.abs(r.getAs[Double]("resid")) < 1e-9, s"resid@$i")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TSOps2.seasonalDecompose(df, col("x"), col("o"),
+        Seq("g"), 4) // even period
+    }
+  }
+
   test("cusum reflection identity matches the sequential recursion on " +
       "random series") {
     import spark.implicits._
