@@ -181,6 +181,50 @@ object StatOps {
       delta.as("cliffs_delta")): _*)
   }
 
+  /** Multiple-testing p-value adjustment per group (all public
+    * procedures): "bonferroni" (n·p), "holm" (step-down: running max
+    * of (n−i+1)·p₍ᵢ₎ in ascending-p order) and "bh" / FDR
+    * (Benjamini–Hochberg step-up: suffix min of n·p₍ᵢ₎/i), each
+    * clamped to 1. Tied p-values provably receive identical adjusted
+    * values under both step procedures (the extremum over the
+    * larger prefix/suffix absorbs the tie), so the result doesn't
+    * depend on tie order. Returns (groups…, p, p_adj) per row.
+    *
+    * Scale shape: one ordered per-group window (running max or
+    * reversed running min over the rank formula) — p-value tables are
+    * test-per-hypothesis sized, far below row scale, but the plan
+    * stays fully distributed anyway. */
+  def pAdjust(df: DataFrame, p: Column, groupNames: Seq[String],
+              method: String = "bh"): DataFrame = {
+    require(Set("bh", "holm", "bonferroni")(method),
+      s"pAdjust: unknown method '$method' (want bh|holm|bonferroni)")
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ p.cast("double").as(s"${P}p"): _*)
+      .filter(col(s"${P}p").isNotNull)
+    val wG = Window.partitionBy(gc: _*)
+    val n = count(lit(1)).over(wG).cast("double")
+    val adj = method match {
+      case "bonferroni" =>
+        t.withColumn(s"${P}adj", least(lit(1.0), n * col(s"${P}p")))
+      case "holm" =>
+        val wUp = Window.partitionBy(gc: _*).orderBy(col(s"${P}p"))
+        val i = row_number().over(wUp).cast("double")
+        val wCum = wUp.rowsBetween(Window.unboundedPreceding, 0)
+        t.withColumn(s"${P}adj", least(lit(1.0),
+          max((n - i + 1.0) * col(s"${P}p")).over(wCum)))
+      case _ =>
+        val wDn = Window.partitionBy(gc: _*)
+          .orderBy(col(s"${P}p").desc)
+        val iDesc = row_number().over(wDn).cast("double")
+        val i = n - iDesc + 1.0 // ascending rank
+        val wSuf = wDn.rowsBetween(Window.unboundedPreceding, 0)
+        t.withColumn(s"${P}adj", least(lit(1.0),
+          min(n * col(s"${P}p") / i).over(wSuf)))
+    }
+    adj.select(gc ++ Seq(col(s"${P}p").as("p"),
+      col(s"${P}adj").as("p_adj")): _*)
+  }
+
   /** One-way ANOVA F test: `value` across the levels of `factor`,
     * per outer group. Returns {f, df1, df2, pvalue}.
     * (stats.py:280; src/stats/fstats.rs) */

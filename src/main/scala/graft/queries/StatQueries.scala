@@ -142,6 +142,23 @@ object StatQueries extends QueryPack {
         .withColumn("bicor", round(col("bicor"), 6))
         .orderBy("l_returnflag")
     }),
+    "q_p_adjust" -> ((s, dir) => {
+      // BH / Holm / Bonferroni over deterministic p = value/100 per
+      // event_type; tie blocks provably get identical adjusted values
+      // in both engines, so ordering inside ties cannot matter
+      val ev = t(s, dir, "events").withColumn("p0", col("value") / 100.0)
+      def agg(method: String, tag: String) =
+        StatOps.pAdjust(ev, col("p0"), Seq("event_type"), method)
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("p_adj") < 0.05, 1L).otherwise(0L))
+              .as(s"n_sig_$tag"),
+            round(min(col("p_adj")), 6).as(s"min_$tag"),
+            round(avg(col("p_adj")), 6).as(s"avg_$tag"))
+      agg("bh", "bh")
+        .join(agg("holm", "holm"), "event_type")
+        .join(agg("bonferroni", "bonf"), "event_type")
+        .orderBy("event_type")
+    }),
     "q_effect_size" -> ((s, dir) => {
       // the report numbers beside a t/U test: split each event_type
       // by event_id parity and standardize the mean difference
@@ -411,6 +428,42 @@ object StatQueries extends QueryPack {
         |  ROUND(SUM(dx * dy) / (SQRT(SUM(dx * dx)) * SQRT(SUM(dy * dy))), 6)
         |    AS bicor
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_p_adjust" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, value / 100.0 AS p FROM events),
+        |r AS (
+        |  SELECT g, p,
+        |    COUNT(*) OVER (PARTITION BY g)::DOUBLE AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY p)::DOUBLE
+        |      AS iu,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY p DESC)::DOUBLE
+        |      AS idn
+        |  FROM t),
+        |adj AS (
+        |  SELECT g, p,
+        |    LEAST(1.0, MIN(n * p / (n - idn + 1)) OVER (PARTITION BY g
+        |      ORDER BY p DESC, idn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS bh,
+        |    LEAST(1.0, MAX((n - iu + 1) * p) OVER (PARTITION BY g
+        |      ORDER BY p, iu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS holm,
+        |    LEAST(1.0, n * p) AS bonf
+        |  FROM r)
+        |SELECT g AS event_type,
+        |  SUM(CASE WHEN bh < 0.05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_sig_bh,
+        |  ROUND(MIN(bh), 6) AS min_bh, ROUND(AVG(bh), 6) AS avg_bh,
+        |  SUM(CASE WHEN holm < 0.05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_sig_holm,
+        |  ROUND(MIN(holm), 6) AS min_holm,
+        |  ROUND(AVG(holm), 6) AS avg_holm,
+        |  SUM(CASE WHEN bonf < 0.05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_sig_bonf,
+        |  ROUND(MIN(bonf), 6) AS min_bonf,
+        |  ROUND(AVG(bonf), 6) AS avg_bonf
+        |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_effect_size" ->
       """WITH t AS (
         |  SELECT event_type AS g, value AS x,

@@ -212,6 +212,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("pAdjust: textbook BH/Holm/Bonferroni values, ties equalized") {
+    import spark.implicits._
+    def adj(ps: Seq[Double], m: String): Map[Double, Double] =
+      graft.ops.StatOps.pAdjust(
+        ps.toDF("p0").withColumn("g", lit("a")), col("p0"), Seq("g"), m)
+        .collect().map(r => r.getAs[Double]("p") ->
+          r.getAs[Double]("p_adj")).toMap
+    val ps = Seq(0.01, 0.02, 0.03, 0.04, 0.05)
+    val bonf = adj(ps, "bonferroni")
+    assert(approx(bonf(0.01), 0.05) && approx(bonf(0.05), 0.25))
+    val holm = adj(ps, "holm")
+    // (5,4,3,2,1)·p = [.05,.08,.09,.08,.05] → cummax [.05,.08,.09,.09,.09]
+    assert(approx(holm(0.01), 0.05) && approx(holm(0.02), 0.08) &&
+      approx(holm(0.03), 0.09) && approx(holm(0.04), 0.09) &&
+      approx(holm(0.05), 0.09))
+    val bh = adj(ps, "bh")
+    // n·p/i = 0.05 throughout → suffix-min 0.05 everywhere
+    ps.foreach(p => assert(approx(bh(p), 0.05), s"bh($p)"))
+    // ties: [.01,.01,.04] → BH [.015,.015,.04] (both tied rows equal)
+    val tied = graft.ops.StatOps.pAdjust(
+      Seq(0.01, 0.01, 0.04).toDF("p0").withColumn("g", lit("a")),
+      col("p0"), Seq("g"), "bh").collect()
+      .map(r => (r.getAs[Double]("p"), r.getAs[Double]("p_adj")))
+    assert(tied.filter(_._1 == 0.01).map(_._2).distinct.length == 1)
+    assert(approx(tied.filter(_._1 == 0.01).head._2, 0.015))
+    assert(approx(tied.filter(_._1 == 0.04).head._2, 0.04))
+  }
+
   test("effectSizes: hand-computed d/g/delta, degenerate nulls") {
     import spark.implicits._
     // s1 = [2,4,6] (m=4, v=4), s2 = [1,3] (m=2, v=2):
