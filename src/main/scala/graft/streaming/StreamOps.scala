@@ -341,6 +341,50 @@ object StreamOps {
       }
   }
 
+  /** Per-key CUSUM control state: both one-sided statistics plus the
+    * alarm tallies the batch op reports. */
+  case class CusumState(key: String, n: Long, sUp: Double, sDn: Double,
+                        nAlarmsUp: Long, nAlarmsDown: Long,
+                        firstAlarmOrder: Option[Long],
+                        maxSUp: Double, maxSDn: Double)
+
+  /** Streaming twin of [[graft.ops.TSOps2.cusum]]: Page's recursion
+    * run literally per key inside mapGroupsWithState — O(1) state per
+    * key, the natural streaming form of the same statistic the batch
+    * op computes via the reflection identity. Rows are
+    * (key, order, x), applied in ascending `order` within each
+    * micro-batch (the cross-batch contract is the usual streaming-twin
+    * one: order keys arrive batch-monotonically, like the rolling-LR
+    * twin). Emits the updated per-key state each batch; use
+    * outputMode(Update). StreamingSpec pins exact parity with the
+    * batch op across a multi-batch split. */
+  def streamingCusum(rows: Dataset[(String, Long, Double)],
+                     target: Double, slack: Double, h: Double)
+      : Dataset[CusumState] = {
+    require(h > 0, "streamingCusum: alarm threshold h must be > 0")
+    implicit val enc = Encoders.product[CusumState]
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[CusumState, CusumState](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Double)],
+         state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(
+            CusumState(key, 0L, 0.0, 0.0, 0L, 0L, None, 0.0, 0.0))
+          it.toSeq.sortBy(_._2).foreach { case (_, o, x) =>
+            val su = math.max(0.0, s.sUp + (x - target - slack))
+            val sd = math.max(0.0, s.sDn - (x - target + slack))
+            s = CusumState(key, s.n + 1, su, sd,
+              s.nAlarmsUp + (if (su > h) 1L else 0L),
+              s.nAlarmsDown + (if (sd > h) 1L else 0L),
+              s.firstAlarmOrder.orElse(
+                if (su > h || sd > h) Some(o) else None),
+              math.max(s.maxSUp, su), math.max(s.maxSDn, sd))
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** Per-key online least-squares state: inverse-Gram P (flattened
     * d×d), coefficients, observation count. */
   case class OnlineLRState(key: String, n: Long, p: Seq[Double],

@@ -577,4 +577,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(st(0).getDouble(1) < st(1).getDouble(1),
       "in-distribution doc must score lower perplexity than OOV doc")
   }
+
+  test("streamingCusum matches the batch reflection-identity op " +
+      "across a multi-batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map(i =>
+      ("k" + (i % 2), i.toLong, (rnd.nextInt(31) - 5).toDouble))
+    val (target, slack, h) = (10.0, 1.0, 12.0)
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamOps.streamingCusum(mem.toDS(), target, slack, h)
+    val q = out.writeStream.format("memory")
+      .queryName("graft_cusum_test").outputMode("update").start()
+    try {
+      // three micro-batches, order keys batch-monotone per key
+      mem.addData(rows.slice(0, 40): _*); q.processAllAvailable()
+      mem.addData(rows.slice(40, 90): _*); q.processAllAvailable()
+      mem.addData(rows.slice(90, 120): _*); q.processAllAvailable()
+      // latest state per key (update mode appends each batch's rows)
+      val st = spark.sql(
+        """SELECT key, nAlarmsUp, nAlarmsDown, firstAlarmOrder,
+          |  maxSUp, maxSDn FROM graft_cusum_test a
+          |WHERE n = (SELECT max(n) FROM graft_cusum_test b
+          |           WHERE b.key = a.key)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val batch = graft.ops.TSOps2.cusum(rows.toDF("k", "o", "x"),
+          col("x"), col("o"), Seq("k"), target, slack, h)
+        .collect().map(r => r.getString(0) -> r).toMap
+      for (k <- Seq("k0", "k1")) {
+        val (s, b) = (st(k), batch(k))
+        assert(s.getLong(1) == b.getAs[Long]("n_alarms_up"), s"$k up")
+        assert(s.getLong(2) == b.getAs[Long]("n_alarms_down"),
+          s"$k down")
+        val bFirst = Option(b.getAs[Any]("first_alarm_order"))
+          .map(_.asInstanceOf[Long])
+        val sFirst =
+          if (s.isNullAt(3)) None else Some(s.getLong(3))
+        assert(sFirst == bFirst, s"$k first")
+        assert(math.abs(s.getDouble(4) -
+          b.getAs[Double]("max_s_up")) < 1e-9, s"$k maxUp")
+        assert(math.abs(s.getDouble(5) -
+          b.getAs[Double]("max_s_down")) < 1e-9, s"$k maxDn")
+      }
+    } finally q.stop()
+  }
 }
