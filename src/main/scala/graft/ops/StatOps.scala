@@ -571,4 +571,112 @@ object StatOps {
       .agg(avg(least(greatest(col(s"${P}x"), col(s"${P}lo")),
         col(s"${P}hi"))).as(outName))
   }
+
+  /** Kruskal–Wallis H test (one-way ANOVA on ranks, k ≥ 2 levels) per
+    * group: {h, df, pvalue}. Tie-corrected: H' = H / (1 − Σ(t³−t)/
+    * (N³−N)); p from χ²(k−1) (the standard large-sample reference
+    * distribution). Same distinct-value compression as
+    * [[mannWhitneyU]]: ranks are computed on the value→count table
+    * (threshold-cardinality window per group — never a row-cardinality
+    * sort), each (value, level) pair then carries its tie-averaged
+    * rank by construction, and the finish is one algebraic aggregate
+    * of Σrank²/n per level. */
+  def kruskalWallis(df: DataFrame, x: Column, factor: Column,
+                    groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ factor.as(s"${P}f")
+      :+ x.cast("double").as(s"${P}x"): _*)
+      .where(col(s"${P}x").isNotNull && !isnan(col(s"${P}x")))
+    // per (value, level) counts, then per value (pooled) counts
+    val byVF = t.groupBy(gc :+ col(s"${P}x") :+ col(s"${P}f"): _*)
+      .agg(count(lit(1)).as(s"${P}cf"))
+    val byV = byVF.groupBy(gc :+ col(s"${P}x"): _*)
+      .agg(sum(s"${P}cf").as(s"${P}cnt"))
+    val ranked =
+      if (gc.nonEmpty) {
+        val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV.withColumn(s"${P}below",
+          coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+      } else
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}x"),
+            ascending = true, Seq(col(s"${P}cnt") -> s"${P}cum"))
+          .withColumn(s"${P}below", col(s"${P}cum") - col(s"${P}cnt"))
+          .drop(s"${P}cum")
+    val withRank = ranked.withColumn(s"${P}rank",
+      col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0)
+    val joinKeys = (groupNames :+ s"${P}x")
+    // each (value, level) inherits the pooled tie-averaged rank
+    val perLevel = byVF.join(withRank, joinKeys)
+      .groupBy(gc :+ col(s"${P}f"): _*)
+      .agg(sum(col(s"${P}cf") * col(s"${P}rank")).as(s"${P}rf"),
+        sum(s"${P}cf").cast("double").as(s"${P}nf"))
+    val ties = withRank.groupBy(gc: _*)
+      .agg(sum(col(s"${P}cnt") * col(s"${P}cnt") * col(s"${P}cnt") -
+        col(s"${P}cnt")).cast("double").as(s"${P}ties"))
+    val agg = perLevel.groupBy(gc: _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}k"),
+        sum(s"${P}nf").as(s"${P}n"),
+        sum(col(s"${P}rf") * col(s"${P}rf") / col(s"${P}nf"))
+          .as(s"${P}r2"))
+    val joined =
+      if (gc.nonEmpty) agg.join(ties, groupNames)
+      else agg.crossJoin(broadcast(ties))
+    val n = col(s"${P}n")
+    val h = lit(12.0) / (n * (n + 1.0)) * col(s"${P}r2") -
+      lit(3.0) * (n + 1.0)
+    val corr = lit(1.0) - col(s"${P}ties") / (n * n * n - n)
+    val hc = h / corr
+    val dfc = col(s"${P}k") - 1.0
+    joined.select(gc ++ Seq(hc.as("h"), dfc.as("df"),
+      PValues.chi2Sf(hc, dfc).as("pvalue")): _*)
+  }
+
+  /** Levene test for equal variances across k levels, per group:
+    * {w, df1, df2, pvalue}. `center` = "mean" (original Levene) or
+    * "median" (Brown–Forsythe, the robust default). The statistic is
+    * literally the one-way ANOVA F on z = |x − center_level|, so the
+    * finish reuses [[fTest]]. Medians are exact, computed per level
+    * from the distinct-value table with a keyed window (partitioned
+    * by (group, level) — never a single-task window); the center
+    * table is broadcast back (k·groups rows). */
+  def levene(df: DataFrame, x: Column, factor: Column,
+             groupNames: Seq[String],
+             center: String = "median"): DataFrame = {
+    require(center == "mean" || center == "median",
+      s"levene: center must be mean|median, got '$center'")
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ factor.as(s"${P}f")
+      :+ x.cast("double").as(s"${P}x"): _*)
+      .where(col(s"${P}x").isNotNull && !isnan(col(s"${P}x")))
+    val keys = groupNames :+ s"${P}f"
+    val centers =
+      if (center == "mean")
+        t.groupBy(keys.map(col): _*).agg(avg(s"${P}x").as(s"${P}c"))
+      else {
+        // exact per-level median from the value→count table: the two
+        // middle order statistics bracket rank (n±1)/2
+        val byV = t.groupBy(keys.map(col) :+ col(s"${P}x"): _*)
+          .agg(count(lit(1)).as(s"${P}cnt"))
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = byV.withColumn(s"${P}cum", sum(s"${P}cnt").over(w))
+        val wk = Window.partitionBy(keys.map(col): _*)
+        val withN = cum.withColumn(s"${P}nn", max(s"${P}cum").over(wk))
+        // Column `/` is DOUBLE division — floor for the 1-based
+        // middle order-statistic ranks
+        val kLo = floor((col(s"${P}nn") + 1L) / 2L) // lower middle
+        val kHi = floor(col(s"${P}nn") / 2L) + 1L   // upper middle
+        withN.groupBy(keys.map(col): _*)
+          .agg(((min(when(col(s"${P}cum") >= kLo, col(s"${P}x"))) +
+            min(when(col(s"${P}cum") >= kHi, col(s"${P}x")))) / 2.0)
+            .as(s"${P}c"))
+      }
+    val z = t.join(broadcast(centers), keys)
+      .select(gc :+ col(s"${P}f").as(s"${P}lv")
+        :+ abs(col(s"${P}x") - col(s"${P}c")).as(s"${P}z"): _*)
+    fTest(z, col(s"${P}z"), col(s"${P}lv"), groupNames)
+      .withColumnRenamed("f", "w")
+  }
 }

@@ -365,6 +365,19 @@ object CurationQueries extends QueryPack {
             .as("bytes_per_bpe_token"))
         .orderBy("source")
     }),
+    "q_zipf_yule" -> ((s, dir) => {
+      // lexical-diversity datasheet: Yule's K, Simpson's D, and the
+      // Zipf rank–frequency log-log fit per source
+      import graft.text.CorpusOps
+      CorpusOps.lexicalProfile(t(s, dir, "documents"), col("source"),
+          col("text"))
+        .select(col("key").as("source"), col("n_types"), col("n_tokens"),
+          round(col("yule_k"), 6).as("yule_k"),
+          round(col("simpson_d"), 8).as("simpson_d"),
+          round(col("zipf_slope"), 6).as("zipf_slope"),
+          round(col("zipf_r2"), 6).as("zipf_r2"))
+        .orderBy("source")
+    }),
     "q_vocab_stats" -> ((s, dir) => {
       // vocabulary shape per source: type count, type-token ratio,
       // hapax fraction — the Zipf-tail signals corpus datasheets report
@@ -1195,6 +1208,31 @@ object CurationQueries extends QueryPack {
         |      w -> GREATEST(CEIL(LENGTH(w) / 4.0)::BIGINT, 1)))), 4)
         |    AS bytes_per_bpe_token
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zipf_yule" ->
+      """WITH toks AS (
+        |  SELECT source, u.t
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(
+        |      LOWER(TRIM(text)), '\s+'), w -> w <> '')) AS u(t)),
+        |tc AS (
+        |  SELECT source, t, COUNT(*)::BIGINT AS n
+        |  FROM toks GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, n,
+        |    LN((ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY n DESC, t))::DOUBLE) lr,
+        |    LN(n::DOUBLE) lf
+        |  FROM tc)
+        |SELECT source, COUNT(*)::BIGINT AS n_types,
+        |  SUM(n)::BIGINT AS n_tokens,
+        |  ROUND(10000.0 * (SUM(n*n) - SUM(n))::DOUBLE
+        |    / (SUM(n)::DOUBLE * SUM(n)), 6) AS yule_k,
+        |  ROUND(SUM(n*(n-1))::DOUBLE
+        |    / (SUM(n)::DOUBLE * (SUM(n) - 1)), 8) AS simpson_d,
+        |  ROUND(COVAR_POP(lr, lf) / VAR_POP(lr), 6) AS zipf_slope,
+        |  ROUND(COVAR_POP(lr, lf) * COVAR_POP(lr, lf)
+        |    / (VAR_POP(lr) * VAR_POP(lf)), 6) AS zipf_r2
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vocab_stats" ->
       """WITH toks AS (
         |  SELECT source, u.t

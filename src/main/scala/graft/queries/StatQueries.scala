@@ -64,6 +64,25 @@ object StatQueries extends QueryPack {
         .select(round(col("f"), 6).as("f"),
           round(col("df1"), 1).as("df1"), round(col("df2"), 1).as("df2"))
     }),
+    "q_kruskal" -> ((s, dir) => {
+      // Kruskal–Wallis H of l_quantity (integer → heavy ties, so the
+      // tie correction is load-bearing) across the 3 return flags,
+      // per line status
+      StatOps.kruskalWallis(t(s, dir, "lineitem"), col("l_quantity"),
+          col("l_returnflag"), Seq("l_linestatus"))
+        .select(col("l_linestatus"), round(col("h"), 6).as("h"),
+          round(col("df"), 1).as("df"))
+        .orderBy("l_linestatus")
+    }),
+    "q_levene" -> ((s, dir) => {
+      // Brown–Forsythe (median-centered Levene) equality of variances
+      // across event types, whole frame — exercises the exact
+      // per-level median path
+      StatOps.levene(t(s, dir, "events").withColumn("g", lit(1)),
+          col("value"), col("event_type"), Seq("g"), center = "median")
+        .select(round(col("w"), 6).as("w"),
+          round(col("df1"), 1).as("df1"), round(col("df2"), 1).as("df2"))
+    }),
     "q_chi2" -> ((s, dir) => {
       StatOps.chi2(t(s, dir, "lineitem").withColumn("g", lit(1)),
           col("l_returnflag"), col("l_linestatus"), Seq("g"))
@@ -259,6 +278,45 @@ object StatQueries extends QueryPack {
         |    SUM(sg * sg / ng) - SUM(sg) * SUM(sg) / SUM(ng) ssb
         |  FROM lv)
         |SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS f,
+        |  ROUND(k - 1, 1) AS df1, ROUND(n - k, 1) AS df2
+        |FROM a""".stripMargin,
+    "q_kruskal" ->
+      // tie-averaged ranks = RANK() + (ties-1)/2; H' = H / tie-corr
+      """WITH t AS (
+        |  SELECT l_linestatus g, l_returnflag f, l_quantity::DOUBLE x
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, f,
+        |    RANK() OVER (PARTITION BY g ORDER BY x) +
+        |      (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rk
+        |  FROM t),
+        |lv AS (SELECT g, f, SUM(rk) rf, COUNT(*)::DOUBLE nf
+        |  FROM r GROUP BY 1, 2),
+        |tie AS (
+        |  SELECT g, SUM(c*c*c - c) tsum FROM (
+        |    SELECT g, x, COUNT(*)::DOUBLE c FROM t GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a AS (SELECT g, COUNT(*)::DOUBLE k, SUM(nf) n,
+        |  SUM(rf*rf/nf) r2 FROM lv GROUP BY 1)
+        |SELECT a.g AS l_linestatus,
+        |  ROUND((12.0/(n*(n+1))*r2 - 3*(n+1))
+        |    / (1 - tie.tsum/(n*n*n - n)), 6) AS h,
+        |  ROUND(k - 1, 1) AS df
+        |FROM a JOIN tie ON a.g = tie.g ORDER BY 1""".stripMargin,
+    "q_levene" ->
+      // Brown–Forsythe = one-way ANOVA F on |x − median_level|
+      """WITH t AS (SELECT event_type f, value x FROM events),
+        |m AS (SELECT f, MEDIAN(x) med FROM t GROUP BY 1),
+        |z AS (SELECT t.f, ABS(t.x - m.med) z
+        |  FROM t JOIN m ON t.f = m.f),
+        |lv AS (SELECT f, COUNT(*)::DOUBLE ng, SUM(z) sg,
+        |  SUM(z * z) ssg FROM z GROUP BY 1),
+        |a AS (
+        |  SELECT COUNT(*)::DOUBLE k, SUM(ng) n,
+        |    SUM(ssg - sg * sg / ng) ssw,
+        |    SUM(sg * sg / ng) - SUM(sg) * SUM(sg) / SUM(ng) ssb
+        |  FROM lv)
+        |SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS w,
         |  ROUND(k - 1, 1) AS df1, ROUND(n - k, 1) AS df2
         |FROM a""".stripMargin,
     "q_chi2" ->

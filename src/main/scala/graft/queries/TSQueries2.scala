@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TSOps2
+import graft.ops.{TSOps2, TrendOps}
 
 /** Driver-contract queries for SURVEY §2.7 second wave: AR coefficients,
   * sample/approximate entropy, KNN entropy, subsequence similarity.
@@ -26,6 +26,35 @@ object TSQueries2 extends QueryPack {
           round(element_at(col("ar_coeffs"), 2), 6).as("b2"),
           round(element_at(col("ar_coeffs"), 3), 4).as("b0"))
         .orderBy("event_type")
+    }),
+    "q_mann_kendall" -> ((s, dir) => {
+      // Mann–Kendall trend + Theil–Sen slope per event type on the
+      // 1-in-10 subsample (the DuckDB oracle is the quadratic pair
+      // join; the Spark side is O(n log n) selection, no pair set)
+      TrendOps.mannKendall(sub(s, dir), col("event_id"), col("value"),
+          Seq("event_type"))
+        .select(col("event_type"), round(col("s"), 1).as("s"),
+          round(col("var_s"), 2).as("var_s"),
+          round(col("z"), 6).as("z"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 5).as("intercept"), col("n"))
+        .orderBy("event_type")
+    }),
+    "q_durbin_watson" -> ((s, dir) => {
+      TrendOps.durbinWatson(t(s, dir, "events"), col("event_id"),
+          col("value"), Seq("event_type"))
+        .select(col("event_type"), round(col("dw"), 6).as("dw"), col("n"))
+        .orderBy("event_type")
+    }),
+    "q_ewm_mean" -> ((s, dir) => {
+      // truncated exponentially weighted mean (span 8, α = 0.5) per
+      // event type; row-level values spot-checked on a 1-in-97 slice
+      TrendOps.ewmMean(t(s, dir, "events"), col("event_id"),
+          col("value"), alpha = 0.5, span = 8, Seq("event_type"))
+        .filter(col("__trend_t") % 97 === 0)
+        .select(col("event_type"), col("__trend_t").as("event_id"),
+          round(col("ewm"), 6).as("ewm"))
+        .orderBy("event_type", "event_id")
     }),
     "q_sample_entropy" -> ((s, dir) => {
       TSOps2.sampleEntropy(sub(s, dir), col("value"), col("event_id"),
@@ -60,7 +89,66 @@ object TSQueries2 extends QueryPack {
     })
   )
 
+  private val ewmNum = (0 until 8).map { k =>
+    val w = math.pow(0.5, k)
+    if (k == 0) "value"
+    else s"COALESCE(LAG(value, $k) OVER w, 0) * $w"
+  }.mkString(" + ")
+  private val ewmDen = (0 until 8).map { k =>
+    val w = math.pow(0.5, k)
+    if (k == 0) "1.0"
+    else s"CASE WHEN LAG(value, $k) OVER w IS NULL THEN 0 ELSE $w END"
+  }.mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q_mann_kendall" ->
+      // the oracle IS the quadratic definition: every pair's sign and
+      // slope, MEDIAN over slopes — feasible only on the subsample
+      s"""WITH t AS (
+        |  SELECT event_type g, event_id::DOUBLE tt, value x
+        |  FROM events WHERE event_id % 10 = 0),
+        |p AS (
+        |  SELECT a.g, SIGN(b.x - a.x) sgn,
+        |    (b.x - a.x) / (b.tt - a.tt) sl
+        |  FROM t a JOIN t b ON a.g = b.g AND b.tt > a.tt),
+        |s AS (SELECT g, SUM(sgn)::DOUBLE s, MEDIAN(sl) slope
+        |  FROM p GROUP BY 1),
+        |tie AS (
+        |  SELECT g, SUM(c*(c-1)*(2*c+5)) tv FROM (
+        |    SELECT g, x, COUNT(*)::DOUBLE c FROM t GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nn AS (SELECT g, COUNT(*)::DOUBLE n FROM t GROUP BY 1),
+        |v AS (
+        |  SELECT nn.g, s.s, s.slope, nn.n,
+        |    (nn.n*(nn.n-1)*(2*nn.n+5) - tie.tv)/18.0 vs
+        |  FROM nn JOIN tie ON nn.g = tie.g JOIN s ON s.g = nn.g),
+        |ic AS (
+        |  SELECT t.g, MEDIAN(t.x - v.slope * t.tt) intercept
+        |  FROM t JOIN v ON t.g = v.g GROUP BY 1)
+        |SELECT v.g AS event_type, ROUND(s, 1) AS s,
+        |  ROUND(vs, 2) AS var_s,
+        |  ROUND(CASE WHEN s > 0 THEN (s-1)/SQRT(vs)
+        |             WHEN s < 0 THEN (s+1)/SQRT(vs)
+        |             ELSE 0 END, 6) AS z,
+        |  ROUND(slope, 6) AS slope, ROUND(ic.intercept, 5) AS intercept,
+        |  n::BIGINT AS n
+        |FROM v JOIN ic ON v.g = ic.g ORDER BY 1""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |    value - LAG(value) OVER (
+        |      PARTITION BY event_type ORDER BY event_id) dd
+        |  FROM events)
+        |SELECT event_type, ROUND(SUM(dd*dd)/SUM(value*value), 6) AS dw,
+        |  COUNT(value)::BIGINT AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ewm_mean" ->
+      s"""SELECT event_type, event_id,
+        |  ROUND(($ewmNum) / ($ewmDen), 6) AS ewm
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |QUALIFY event_id % 97 = 0
+        |ORDER BY 1, 2""".stripMargin,
     "q_ar_coeffs" ->
       """WITH l AS (
         |  SELECT event_type, value y,

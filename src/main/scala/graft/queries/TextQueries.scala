@@ -637,6 +637,29 @@ object TextQueries extends QueryPack {
           sum(size(split(col("t"), "[\\s\\n]+"))).as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_pdf_encrypted" -> ((s, dir) => {
+      // encrypted PDFs (standard security handler, empty user
+      // password): even ids RC4-128 (V2/R3), odd ids AES-128-CBC
+      // (V4/R4 AESV2), content Flate'd when id%3==1. The engine must
+      // verify /U, derive per-object keys, decrypt, THEN inflate —
+      // the oracle pins the decrypted text against the same planted
+      // line arithmetic as q_pdf_extract plus the cipher split.
+      import graft.sources.PdfOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"), PdfOps.pdfCryptoText(
+          PdfOps.syntheticPdfEncrypted(col("doc_id"))).as("c"))
+        .groupBy((col("doc_id") % 40).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c.cipher") === "rc4", 1L).otherwise(0L))
+            .as("n_rc4"),
+          sum(when(col("c.cipher") === "aes128", 1L).otherwise(0L))
+            .as("n_aes"),
+          sum(when(col("c.decryptable"), 1L).otherwise(0L)).as("n_open"),
+          sum(length(col("c.text"))).as("text_len"),
+          sum(size(split(col("c.text"), "[\\s\\n]+"))).as("n_tokens"))
+        .orderBy("bucket")
+    }),
     "q_warc_gz" -> ((s, dir) => {
       // Common-Crawl layout: one gzip member per record; the reader
       // auto-detects the magic and inflates the member sequence, so
@@ -1495,6 +1518,29 @@ object TextQueries extends QueryPack {
         |  SUM(tlen)::BIGINT AS text_len,
         |  (11 * COUNT(*))::BIGINT AS n_tokens,
         |  0::BIGINT AS n_unmapped
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pdf_encrypted" ->
+      // decrypted text == q_pdf_extract's planted lines; cipher split
+      // from id parity (even → rc4, odd → aes128), all decryptable
+      """WITH d AS (
+        |  SELECT doc_id i, 1 + doc_id % 4 nl FROM documents
+        |  WHERE doc_id < 4000),
+        |lines AS (
+        |  SELECT d.i, LENGTH('doc ' || d.i::VARCHAR || ' line ' ||
+        |    k.k::VARCHAR) AS llen
+        |  FROM d, range(0, 4) k(k) WHERE k.k < d.nl),
+        |per AS (
+        |  SELECT d.i, d.nl,
+        |    (SELECT SUM(llen) FROM lines l WHERE l.i = d.i) +
+        |    LENGTH('id (' || d.i::VARCHAR || ')') + d.nl AS tlen,
+        |    4 * d.nl + 2 AS toks
+        |  FROM d)
+        |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_rc4,
+        |  SUM(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_aes,
+        |  COUNT(*)::BIGINT AS n_open,
+        |  SUM(tlen)::BIGINT AS text_len,
+        |  SUM(toks)::BIGINT AS n_tokens
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pdf_objstm" ->
       """WITH d AS (

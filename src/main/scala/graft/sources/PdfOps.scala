@@ -19,9 +19,14 @@ import scala.collection.mutable.ArrayBuffer
   * tree) are inflated for metadata: the page count includes
   * `/Type /Page` dicts inside them (content streams can never live in
   * an ObjStm, so text extraction is structurally unaffected).
-  * Documented non-goals (stated, not guessed): CID/Type0
-  * composite-font decoding, encryption, and layout reconstruction
-  * (reading order = operator order).
+  * Composite-font (CID/Type0) text decodes through real /ToUnicode
+  * CMap parsing; encrypted files (standard security handler, RC4 and
+  * AES-128, ISO 32000-1 §7.6.3 — see [[PdfCrypt]]) decrypt under the
+  * empty user password and fail CLOSED (null text) when a real
+  * password would be required. Documented non-goals (stated, not
+  * guessed): V5+/AES-256 encryption (PDF 2.0), non-zero generation
+  * numbers, and layout reconstruction (reading order = operator
+  * order).
   *
   * Scale shape: one PDF per row (binary column), parse inside the
   * task — the same file-per-task shape as [[WarcOps]]. */
@@ -86,6 +91,91 @@ object PdfOps {
       java.nio.charset.StandardCharsets.ISO_8859_1).trim.toInt
   }
 
+  /** Parsed `/Encrypt` state: cipher + the file key derived from the
+    * EMPTY user password (the only password a crawl ever holds).
+    * `ok` = the derived key verified against `/U`, i.e. the file is
+    * readable without a real password. */
+  private[graft] final case class EncryptInfo(
+      v: Int, r: Int, aes: Boolean, key: Array[Byte], ok: Boolean)
+
+  /** Bytes of the balanced `<< … >>` dict starting at `from` (which
+    * must point at the opening `<<`), handling nested dicts. */
+  private def balancedDict(b: Array[Byte], from: Int): String = {
+    var depth = 0
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '<' && b(i + 1) == '<') { depth += 1; i += 2 }
+      else if (b(i) == '>' && b(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0)
+          return new String(b, from, i - from,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+      } else i += 1
+    }
+    ""
+  }
+
+  private val EncRefRe = "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val IdRe = "/ID\\s*\\[\\s*<([0-9a-fA-F]*)>".r
+  private def dictInt(d: String, key: String): Option[Int] =
+    ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(d)
+      .map(_.group(1).toInt)
+  /** A `/O`/`/U` value in either string syntax → raw bytes. */
+  private def dictStrBytes(d: String, key: String): Option[Array[Byte]] = {
+    val hex = ("/" + key + "\\s*<([0-9a-fA-F\\s]*)>").r
+    val lit = ("(?s)/" + key + "\\s*\\(((?:[^\\\\)]|\\\\.)*)\\)").r
+    hex.findFirstMatchIn(d).map(m => hexToBytes(m.group(1)))
+      .orElse(lit.findFirstMatchIn(d).map(m =>
+        decodePdfString(m.group(1)).map(_.toByte).toArray))
+  }
+
+  /** Locate and solve the standard security handler: find the
+    * `/Encrypt N G R` trailer entry, parse object N's dict, derive
+    * the file key from the empty user password, verify `/U`. Returns
+    * None for unencrypted files; `ok = false` when a non-empty
+    * password (or an unsupported V5+/crypt-filter layout) would be
+    * required — callers fail closed on that. Generation numbers are
+    * assumed 0 (the house subset; matches [[objNumBefore]]). */
+  private[graft] def findEncrypt(b: Array[Byte]): Option[EncryptInfo] = {
+    // cheap pre-check before the full ISO_8859_1 decode
+    if (indexOf(b, "/Encrypt", 0) < 0) return None
+    val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    EncRefRe.findFirstMatchIn(all).map { m =>
+      val objNum = m.group(1).toInt
+      val head = indexOf(b, s"$objNum 0 obj", 0)
+      val dict =
+        if (head < 0) ""
+        else {
+          val ds = indexOf(b, "<<", head)
+          if (ds < 0) "" else balancedDict(b, ds)
+        }
+      val v = dictInt(dict, "V").getOrElse(0)
+      val r = dictInt(dict, "R").getOrElse(2)
+      val lenBits = dictInt(dict, "Length").getOrElse(40)
+      val p = dictInt(dict, "P").getOrElse(-1)
+      val aes = dict.contains("/AESV2")
+      val supported = dict.contains("/Standard") &&
+        (v == 1 || v == 2 || (v == 4 && (aes || dict.contains("/V2"))))
+      val oOpt = dictStrBytes(dict, "O")
+      val uOpt = dictStrBytes(dict, "U")
+      val id0 = IdRe.findFirstMatchIn(all)
+        .map(i => hexToBytes(i.group(1))).getOrElse(Array.emptyByteArray)
+      (oOpt, uOpt) match {
+        case (Some(o), Some(u)) if supported && o.length == 32 =>
+          val key = PdfCrypt.fileKey(
+            Array.emptyByteArray, o, p, id0, r, lenBits / 8)
+          val expU = PdfCrypt.userValue(key, id0, r)
+          val ok =
+            if (r == 2) java.util.Arrays.equals(expU, u)
+            else u.length >= 16 && java.util.Arrays.equals(
+              java.util.Arrays.copyOf(expU, 16),
+              java.util.Arrays.copyOf(u, 16))
+          EncryptInfo(v, r, aes, key, ok)
+        case _ => EncryptInfo(v, r, aes, Array.emptyByteArray, ok = false)
+      }
+    }
+  }
+
   /** Every (objNum, dict, inflated-data) stream triple in the file, in
     * file order (data inflated when the dict says /FlateDecode;
     * malformed framing skips the stream; objNum -1 when the `N G obj`
@@ -95,6 +185,10 @@ object PdfOps {
     * compressed page count and [[fontCmaps]] reads ToUnicode CMap
     * streams by object number. */
   private def allStreams(b: Array[Byte])
+      : Seq[(Int, String, Array[Byte])] =
+    allStreams(b, findEncrypt(b))
+
+  private def allStreams(b: Array[Byte], enc: Option[EncryptInfo])
       : Seq[(Int, String, Array[Byte])] = {
     val out = new ArrayBuffer[(Int, String, Array[Byte])]()
     var i = 0
@@ -123,24 +217,51 @@ object PdfOps {
         var ds = s + "stream".length
         if (ds < b.length && b(ds) == '\r') ds += 1
         if (ds < b.length && b(ds) == '\n') ds += 1
-        val e = indexOf(b, "endstream", ds)
+        // Prefer the dict's direct /Length: the EOL-stripping scan
+        // below mis-trims ENCRYPTED (binary) payloads whose last
+        // ciphertext byte happens to be \r or \n. Indirect lengths
+        // ("/Length N 0 R") fall back to the scan.
+        val dictLen = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+          .findFirstMatchIn(dict).map(_.group(1).toInt)
+        val byLen = dictLen.collect {
+          case l if l >= 0 && ds + l <= b.length &&
+              indexOf(b, "endstream", ds + l) >= 0 &&
+              indexOf(b, "endstream", ds + l) <= ds + l + 4 => ds + l
+        }
+        val e = byLen.map(de =>
+            indexOf(b, "endstream", de))
+          .getOrElse(indexOf(b, "endstream", ds))
         if (e < 0) i = -1
         else {
-          var de = e
-          // strip the EOL before "endstream"
-          if (de > ds && b(de - 1) == '\n') de -= 1
-          if (de > ds && b(de - 1) == '\r') de -= 1
+          var de = byLen.getOrElse(e)
+          if (byLen.isEmpty) {
+            // strip the EOL before "endstream"
+            if (de > ds && b(de - 1) == '\n') de -= 1
+            if (de > ds && b(de - 1) == '\r') de -= 1
+          }
+          val objN =
+            if (dictStart >= 0) objNumBefore(b, dictStart) else -1
+          // Encryption applies to the STORED stream bytes (i.e. after
+          // compression): decrypt, THEN inflate. Cross-reference
+          // streams are never encrypted (ISO 32000-1 §7.5.8.2).
+          val raw = enc match {
+            case Some(ei) if ei.ok && objN >= 0 &&
+                !dict.contains("/XRef") =>
+              try PdfCrypt.decrypt(ei.key, objN, 0, ei.aes,
+                java.util.Arrays.copyOfRange(b, ds, de))
+              catch { case _: Exception => Array.emptyByteArray }
+            case _ => java.util.Arrays.copyOfRange(b, ds, de)
+          }
           val data =
             if (dict.contains("/FlateDecode"))
-              try inflate(b, ds, de - ds)
+              try inflate(raw, 0, raw.length)
               catch {
                 case e: IllegalArgumentException => throw e // budget
                 case _: Exception => Array.emptyByteArray
               }
-            else java.util.Arrays.copyOfRange(b, ds, de)
+            else raw
           if (data.nonEmpty)
-            out += ((if (dictStart >= 0) objNumBefore(b, dictStart)
-              else -1, dict, data))
+            out += ((objN, dict, data))
           i = e + "endstream".length
         }
       }
@@ -491,10 +612,38 @@ object PdfOps {
   }
 
   /** Extracted text of the whole file (content streams in file
-    * order); null for payloads without a %PDF header. */
+    * order); null for payloads without a %PDF header, and null
+    * (fail closed, never garbage) for encrypted files whose empty
+    * user password does not verify against `/U`. */
   def pdfText(payload: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (!isPdf(b)) null else textOf(b)
+      if (!isPdf(b)) null
+      else {
+        val enc = findEncrypt(b)
+        if (enc.exists(!_.ok)) null
+        else textOf(b, allStreams(b, enc))
+      }
+    }
+    f(payload)
+  }
+
+  /** Encryption facet + text in ONE walk: cipher ∈ {none, rc4,
+    * aes128}, decryptable = no password needed (always true for
+    * unencrypted files), text = extraction through the decrypted
+    * streams (null when locked). */
+  case class PdfCrypto(cipher: String, decryptable: Boolean, text: String)
+
+  def pdfCryptoText(payload: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (!isPdf(b)) null
+      else {
+        val enc = findEncrypt(b)
+        val cipher = enc.map(e => if (e.aes) "aes128" else "rc4")
+          .getOrElse("none")
+        val ok = enc.forall(_.ok)
+        PdfCrypto(cipher, ok,
+          if (ok) textOf(b, allStreams(b, enc)) else null)
+      }
     }
     f(payload)
   }
@@ -517,8 +666,10 @@ object PdfOps {
     val f = udf { (b: Array[Byte]) =>
       if (!isPdf(b)) null
       else {
-        val ss = allStreams(b)
-        PdfSummary(metaOf(b, ss), textOf(b, ss))
+        val enc = findEncrypt(b)
+        val ss = allStreams(b, enc)
+        PdfSummary(metaOf(b, ss),
+          if (enc.exists(!_.ok)) null else textOf(b, ss))
       }
     }
     f(payload)
@@ -762,6 +913,99 @@ object PdfOps {
         w("xref\n0 8\n0000000000 65535 f \n")
         (1 to 7).foreach(o => w(f"${offsets(o)}%010d 00000 n \n"))
         w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
+  }
+
+  /** Deterministic ENCRYPTED one-page PDF under the standard security
+    * handler with an EMPTY user password (owner password "owner") —
+    * the dominant wild encrypted-PDF configuration. Even ids use RC4
+    * 128-bit (`/V 2 /R 3`), odd ids AES-128-CBC (`/V 4 /R 4` with an
+    * `/AESV2` crypt filter); content is additionally Flate-compressed
+    * when id%3 == 1 (compress-then-encrypt, as the spec stores it).
+    * The planted text matches [[syntheticPdf]] exactly (nl = 1+id%4
+    * `doc <id> line <k>` lines + the TJ `id (<id>)` line), so the
+    * same id-arithmetic oracle pins the DECRYPTED extraction. /O and
+    * /U are real Algorithm-3/5 values; a reader that skips key
+    * verification or mis-derives the per-object key produces garbage
+    * bytes, not off-by-small text. */
+  def syntheticPdfEncrypted(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val aes = i % 2 == 1
+        val (v, r) = if (aes) (4, 4) else (2, 3)
+        val perm = -44
+        val nl = (1 + i % 4).toInt
+        val body = new StringBuilder()
+        var k = 0
+        while (k < nl) {
+          body.append(s"BT /F1 12 Tf 72 ${712 - 14 * k} Td " +
+            s"(doc $i line $k) Tj ET\n")
+          k += 1
+        }
+        body.append(s"BT /F1 12 Tf 72 ${712 - 14 * nl} Td " +
+          s"[(id) -250 (\\($i\\))] TJ ET\n")
+        val contentPlain = body.toString.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val flate = i % 3 == 1
+        val stored = if (flate) deflateBytes(contentPlain) else contentPlain
+
+        val id0 = PdfCrypt.md5(s"fid $i".getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val oVal = PdfCrypt.ownerValue(
+          "owner".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+          Array.emptyByteArray, r, 16)
+        val key = PdfCrypt.fileKey(
+          Array.emptyByteArray, oVal, perm, id0, r, 16)
+        val uVal = PdfCrypt.userValue(key, id0, r)
+        val iv = PdfCrypt.md5(s"iv $i".getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val content = PdfCrypt.encrypt(key, 4, 0, aes, iv, stored)
+
+        def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+        val encDict =
+          if (aes)
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+              "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF " +
+              s"/P $perm /O <${hex(oVal)}> /U <${hex(uVal)}> >>"
+          else
+            "<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+              s"/P $perm /O <${hex(oVal)}> /U <${hex(uVal)}> >>"
+
+        val out = new java.io.ByteArrayOutputStream()
+        def w(s: String): Unit = out.write(s.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val offsets = new Array[Int](7)
+        w("%PDF-1.4\n")
+        offsets(1) = out.size()
+        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        offsets(2) = out.size()
+        w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+        offsets(3) = out.size()
+        w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] /Contents 4 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+        offsets(4) = out.size()
+        w(s"4 0 obj\n<< /Length ${content.length}" +
+          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        out.write(content)
+        w("\nendstream\nendobj\n")
+        offsets(5) = out.size()
+        w("5 0 obj\n<< /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >>\nendobj\n")
+        offsets(6) = out.size()
+        w(s"6 0 obj\n$encDict\nendobj\n")
+        val xref = out.size()
+        w("xref\n0 7\n0000000000 65535 f \n")
+        (1 to 6).foreach(o => w(f"${offsets(o)}%010d 00000 n \n"))
+        w("trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+          s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n" +
+          s"startxref\n$xref\n%%EOF\n")
         out.toByteArray
       }
     }

@@ -357,4 +357,50 @@ object CorpusOps {
         when(col("n_kept") > 0, col("__joined")))
       .drop("__joined")
   }
+
+  /** Corpus lexical-diversity profile per key — the datasheet numbers
+    * next to TTR/hapax (which live in the vocab-stats query): Yule's
+    * K = 10⁴·(Σn² − N)/N² (repeat-rate characteristic, Yule 1944),
+    * Simpson's D = Σn(n−1)/(N(N−1)) (collision probability), and the
+    * Zipf rank–frequency fit — OLS slope and r² of log(freq) on
+    * log(rank) over the type table (natural text ≈ −1; templated or
+    * boilerplate-heavy corpora flatten toward 0, a standard curation
+    * health check).
+    *
+    *   - n = per-type token count, N = Σn per key.
+    *   - Zipf ranks come from a row_number window PARTITIONED BY the
+    *     key over the type table (types-per-key cardinality, not row
+    *     cardinality). Tie order among equal frequencies permutes
+    *     ranks only within a tie block, which leaves the fitted
+    *     point SET — hence the OLS fit — unchanged.
+    *
+    * Scale shape: tokenize → one map-side-combinable (key, token)
+    * count, one keyed window over types, one algebraic aggregate.
+    * Token text shuffles once (the unavoidable type-count exchange —
+    * same cost class as q_vocab_stats). */
+  def lexicalProfile(df: DataFrame, key: Column, text: Column)
+      : DataFrame = {
+    val toks = df.select(key.as("key"),
+      explode(filter(split(lower(trim(text)), "\\s+"),
+        w => w =!= "")).as("__tok"))
+    val types = toks.groupBy(col("key"), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    val wr = Window.partitionBy(col("key"))
+      .orderBy(col("__n").desc, col("__tok"))
+    val pts = types
+      .withColumn("__lr", log(row_number().over(wr).cast("double")))
+      .withColumn("__lf", log(col("__n").cast("double")))
+    pts.groupBy(col("key")).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__n")).as("n_tokens"),
+      ((lit(1e4) * (sum(col("__n") * col("__n")) - sum(col("__n")))) /
+        (sum(col("__n")) * sum(col("__n")))).as("yule_k"),
+      (sum(col("__n") * (col("__n") - 1)) /
+        (sum(col("__n")) * (sum(col("__n")) - lit(1)))).as("simpson_d"),
+      (covar_pop(col("__lr"), col("__lf")) / var_pop(col("__lr")))
+        .as("zipf_slope"),
+      (covar_pop(col("__lr"), col("__lf")) *
+        covar_pop(col("__lr"), col("__lf")) /
+        (var_pop(col("__lr")) * var_pop(col("__lf")))).as("zipf_r2"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.PdfOps
+import graft.sources.{PdfCrypt, PdfOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,6 +25,78 @@ class PdfSpec extends AnyFunSuite {
       val m = r.getStruct(2)
       assert(m.getString(0) == "1.4" && m.getInt(1) == 1, s"id=$i meta")
     }
+  }
+
+  test("encrypted PDFs (RC4 + AES-128) decrypt to the exact planted " +
+      "text under the empty user password") {
+    import spark.implicits._
+    val rows = spark.range(0, 24)
+      .select(col("id"), PdfOps.pdfCryptoText(
+        PdfOps.syntheticPdfEncrypted(col("id"))).as("c"))
+      .select(col("id"), col("c.cipher"), col("c.decryptable"),
+        col("c.text"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val nl = (1 + i % 4).toInt
+      val expect = ((0 until nl).map(k => s"doc $i line $k") :+
+        s"id ($i)").mkString("\n")
+      assert(r.getString(1) == (if (i % 2 == 1) "aes128" else "rc4"),
+        s"id=$i cipher")
+      assert(r.getBoolean(2), s"id=$i must be readable (empty user pwd)")
+      assert(r.getString(3) == expect, s"id=$i decrypted text")
+    }
+  }
+
+  test("a REAL user password fails closed: null text, decryptable " +
+      "false, meta still real") {
+
+    // Re-key a fixture file so the user password is "secret": recompute
+    // O/U from that password and splice them into the Encrypt dict.
+    import spark.implicits._
+    val b = spark.range(2, 3)
+      .select(PdfOps.syntheticPdfEncrypted(col("id")))
+      .as[Array[Byte]].head()
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val all = new String(b, iso)
+    val r = 3
+    val id0 = PdfCrypt.md5("fid 2".getBytes(iso))
+    val o2 = PdfCrypt.ownerValue("owner".getBytes(iso),
+      "secret".getBytes(iso), r, 16)
+    val k2 = PdfCrypt.fileKey("secret".getBytes(iso), o2, -44, id0, r, 16)
+    val u2 = PdfCrypt.userValue(k2, id0, r)
+    def hex(x: Array[Byte]) = x.map(v => f"$v%02x").mkString
+    val oldO = "/O <([0-9a-f]+)>".r.findFirstMatchIn(all).get.group(1)
+    val oldU = "/U <([0-9a-f]+)>".r.findFirstMatchIn(all).get.group(1)
+    val locked = all.replace(oldO, hex(o2)).replace(oldU, hex(u2))
+      .getBytes(iso)
+    val got = spark.createDataset(Seq(locked))
+      .select(PdfOps.pdfCryptoText(col("value")).as("c"),
+        PdfOps.pdfMeta(col("value")).as("m"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"),
+        col("m.n_pages"))
+      .head()
+    assert(got.getString(0) == "rc4")
+    assert(!got.getBoolean(1), "locked file must not claim decryptable")
+    assert(got.isNullAt(2), "locked file must yield NULL text, not garbage")
+    assert(got.getInt(3) == 1, "page dicts are plaintext: meta stays real")
+  }
+
+  test("PdfCrypt primitives: RC4 round-trips, AES round-trips, " +
+      "object keys differ per object") {
+
+    val key = PdfCrypt.md5("k".getBytes)
+    val msg = "attack at dawn".getBytes
+    assert(PdfCrypt.rc4(key, PdfCrypt.rc4(key, msg)).sameElements(msg))
+    val iv = PdfCrypt.md5("iv".getBytes)
+    val ct = PdfCrypt.aesEncrypt(key, iv, msg)
+    assert(PdfCrypt.aesDecrypt(key, ct).sameElements(msg))
+    assert(!ct.drop(16).sameElements(msg))
+    val k4 = PdfCrypt.objectKey(key, 4, 0, aes = false)
+    val k5 = PdfCrypt.objectKey(key, 5, 0, aes = false)
+    val k4a = PdfCrypt.objectKey(key, 4, 0, aes = true)
+    assert(!k4.sameElements(k5) && !k4.sameElements(k4a))
+    assert(k4.length == 16) // min(16+5, 16)
   }
 
   test("string escapes: parens, backslash, octal") {
