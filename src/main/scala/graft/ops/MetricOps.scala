@@ -476,4 +476,37 @@ object MetricOps {
           (col(s"${P}pbar") - col(s"${P}pe")) /
             (lit(1.0) - col(s"${P}pe"))).as("kappa"))
   }
+
+  /** pass@k over attempt-level eval rows (Chen et al. 2021, "Evaluating
+    * Large Language Models Trained on Code", eq. 1 — the unbiased
+    * estimator): per task with n attempts and c successes,
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    * averaged over tasks. Tasks with n < k are EXCLUDED per k (the
+    * estimator is undefined there — reported via n_tasks so a
+    * mis-sized eval run is visible, never silently optimistic).
+    *
+    * Returns one row per group per k: {group, k, pass_at_k, n_tasks}.
+    * Scale shape: one map-side-combinable (group, task) aggregation,
+    * then the k-fold product as a pure Column expression and one
+    * small aggregate per k — no window, no explode of attempts. */
+  def passAtK(df: DataFrame, task: Column, correct: Column,
+              ks: Seq[Int], groupNames: Seq[String]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 1000),
+      s"passAtK: ks must be in [1,1000], got $ks")
+    val gc = groupNames.map(col)
+    val perTask = df.groupBy(gc :+ task.as(s"${P}task"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}n"),
+        sum(when(correct, 1L).otherwise(0L)).cast("double").as(s"${P}c"))
+    val n = col(s"${P}n"); val c = col(s"${P}c")
+    val perK = ks.map { k =>
+      val prod = (0 until k).map(i => (n - c - i) / (n - i))
+        .reduce(_ * _)
+      val pass = when(n - c < k, 1.0).otherwise(lit(1.0) - prod)
+      perTask.where(n >= k)
+        .groupBy(gc: _*)
+        .agg(lit(k).as("k"), avg(pass).as("pass_at_k"),
+          count(lit(1)).as("n_tasks"))
+    }
+    perK.reduce(_ unionByName _)
+  }
 }

@@ -679,4 +679,124 @@ object StatOps {
     fTest(z, col(s"${P}z"), col(s"${P}lv"), groupNames)
       .withColumnRenamed("f", "w")
   }
+
+  /** Wilcoxon signed-rank test for PAIRED samples per group (the
+    * paired sibling of [[mannWhitneyU]] — the standard "did model B
+    * beat model A on the same eval set" test): {w_plus, z, pvalue, n}.
+    * d = x − y; zero differences are dropped (Wilcoxon's original
+    * zero rule, scipy's default); |d| ranks are tie-averaged;
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48), two-sided
+    * normal p (the large-sample reference, n ≳ 20).
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — compress to the
+    * distinct-|d| table (map-side combinable), rank with a keyed
+    * window (grouped) or [[graft.util.GlobalCumsum]] (whole-frame),
+    * finish with one algebraic aggregate. */
+  def wilcoxonSignedRank(df: DataFrame, x: Column, y: Column,
+                         groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val d = df.select(gc :+
+      (x.cast("double") - y.cast("double")).as(s"${P}d"): _*)
+      .where(col(s"${P}d").isNotNull && !isnan(col(s"${P}d")) &&
+        col(s"${P}d") =!= 0.0)
+    val byV = d.groupBy(gc :+ abs(col(s"${P}d")).as(s"${P}a"): _*)
+      .agg(count(lit(1)).as(s"${P}cnt"),
+        sum(when(col(s"${P}d") > 0, 1L).otherwise(0L)).as(s"${P}cp"))
+    val ranked =
+      if (gc.nonEmpty) {
+        val wBelow = Window.partitionBy(gc: _*).orderBy(col(s"${P}a"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV.withColumn(s"${P}below",
+          coalesce(sum(s"${P}cnt").over(wBelow), lit(0L)))
+      } else
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}a"),
+            ascending = true, Seq(col(s"${P}cnt") -> s"${P}cum"))
+          .withColumn(s"${P}below", col(s"${P}cum") - col(s"${P}cnt"))
+          .drop(s"${P}cum")
+    val agg = ranked.groupBy(gc: _*).agg(
+      sum(col(s"${P}cp") *
+        (col(s"${P}below") + (col(s"${P}cnt") + 1.0) / 2.0))
+        .as(s"${P}wp"),
+      sum(s"${P}cnt").cast("double").as(s"${P}n"),
+      sum(col(s"${P}cnt") * col(s"${P}cnt") * col(s"${P}cnt") -
+        col(s"${P}cnt")).cast("double").as(s"${P}ties"))
+    val n = col(s"${P}n")
+    val mu = n * (n + 1.0) / 4.0
+    val sigma = sqrt(n * (n + 1.0) * (n * 2.0 + 1.0) / 24.0 -
+      col(s"${P}ties") / 48.0)
+    val z = (col(s"${P}wp") - mu) / sigma
+    agg.select(gc ++ Seq(col(s"${P}wp").as("w_plus"), z.as("z"),
+      PValues.normSf2(abs(z)).as("pvalue"),
+      n.cast("long").as("n")): _*)
+  }
+
+  /** McNemar's test for paired BINARY outcomes per group (same items
+    * scored by two systems): {b, c, statistic, pvalue}. b = A-only
+    * successes, c = B-only; continuity-corrected χ²₁ statistic
+    * (|b−c|−1)²/(b+c) (McNemar 1947, the Edwards correction) — the
+    * standard significance test for "model B flipped more items to
+    * correct than it broke". One map-side-combinable aggregation. */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column,
+              groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val agg = df.groupBy(gc: _*).agg(
+      sum(when(aCorrect && !bCorrect, 1L).otherwise(0L))
+        .cast("double").as(s"${P}b"),
+      sum(when(!aCorrect && bCorrect, 1L).otherwise(0L))
+        .cast("double").as(s"${P}c"))
+    val b = col(s"${P}b"); val c = col(s"${P}c")
+    val stat = when(b + c > 0,
+      (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c))
+      .otherwise(0.0)
+    agg.select(gc ++ Seq(b.cast("long").as("b"), c.cast("long").as("c"),
+      stat.as("statistic"),
+      PValues.chi2Sf(stat, lit(1.0)).as("pvalue")): _*)
+  }
+
+  /** Welch's ANOVA per group — the k-level F test that does NOT
+    * assume equal variances (Welch 1951), the omnibus sibling of
+    * [[graft.functions.Stats.tTestWelch]]:
+    * {f, df1, df2, pvalue} with w_i = n_i/s_i², W = Σw_i,
+    * F* = Σw_i(m_i − m̄_w)²/(k−1) / (1 + 2(k−2)/(k²−1)·Λ),
+    * Λ = Σ(1−w_i/W)²/(n_i−1), df2 = (k²−1)/(3Λ).
+    * Two nested map-side aggregations, no window. */
+  def welchAnova(df: DataFrame, value: Column, factor: Column,
+                 groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val perLevel = df
+      .select(gc :+ factor.as(s"${P}f")
+        :+ value.cast("double").as(s"${P}x"): _*)
+      .groupBy(gc :+ col(s"${P}f"): _*)
+      .agg(count(lit(1)).cast("double").as(s"${P}ng"),
+        avg(s"${P}x").as(s"${P}mg"),
+        var_samp(s"${P}x").as(s"${P}vg"))
+      .withColumn(s"${P}w", col(s"${P}ng") / col(s"${P}vg"))
+    // total weight per group via a broadcast join (k·groups rows) —
+    // no zero-column window even in the whole-frame case
+    val totals = perLevel.groupBy(gc: _*)
+      .agg(sum(s"${P}w").as(s"${P}Wt"))
+    val withW =
+      if (gc.nonEmpty) perLevel.join(broadcast(totals), groupNames)
+      else perLevel.crossJoin(broadcast(totals))
+    val agg = withW.groupBy(gc: _*).agg(
+      count(lit(1)).cast("double").as(s"${P}k"),
+      sum(s"${P}w").as(s"${P}W"),
+      sum(col(s"${P}w") * col(s"${P}mg")).as(s"${P}wm"),
+      sum(col(s"${P}w") * col(s"${P}mg") * col(s"${P}mg")).as(s"${P}wm2"),
+      sum(
+        (lit(1.0) - col(s"${P}w") / col(s"${P}Wt")) *
+        (lit(1.0) - col(s"${P}w") / col(s"${P}Wt")) /
+          (col(s"${P}ng") - 1.0))
+        .as(s"${P}lam"))
+    val k = col(s"${P}k")
+    // Σw(m−m̄w)² = Σwm² − (Σwm)²/W
+    val num = (col(s"${P}wm2") -
+      col(s"${P}wm") * col(s"${P}wm") / col(s"${P}W")) / (k - 1.0)
+    val lam = col(s"${P}lam")
+    val den = lit(1.0) + lit(2.0) * (k - 2.0) / (k * k - 1.0) * lam
+    val f = num / den
+    val df2 = (k * k - 1.0) / (lit(3.0) * lam)
+    agg.select(gc ++ Seq(f.as("f"), (k - 1.0).as("df1"), df2.as("df2"),
+      PValues.fSf(f, k - 1.0, df2).as("pvalue")): _*)
+  }
 }

@@ -38,6 +38,26 @@ object MetricQueries extends QueryPack {
       |FROM lineitem""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pass_at_k" -> ((s, dir) => {
+      // unbiased pass@k over a constructed eval log: 20 attempts per
+      // task (event_id % 500), success = value > 60
+      MetricOps.passAtK(t(s, dir, "events"),
+          col("event_id") % 500, col("value") > 60, Seq(1, 5, 10), Nil)
+        .select(col("k"), round(col("pass_at_k"), 6).as("pass_at_k"),
+          col("n_tasks"))
+        .orderBy("k")
+    }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // deterministic Poisson-bootstrap CI of mean document length per
+      // source (the md5-prefix weights replay exactly in SQL)
+      import graft.sample.SampleOps
+      SampleOps.bootstrapMeanCI(t(s, dir, "documents"), col("doc_id"),
+          length(col("text")), Seq("source"), reps = 40)
+        .select(col("source"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"), col("n"), col("reps"))
+        .orderBy("source")
+    }),
     "q_kappa" -> ((s, dir) => {
       // inter-annotator agreement: two deterministic "raters" bucket
       // the same 2-dp value with a shifted copy (identical IEEE
@@ -205,7 +225,52 @@ object MetricQueries extends QueryPack {
     })
   )
 
+  private def passProd(k: Int): String =
+    (0 until k).map(i => s"(n - c - $i) / (n - $i)").mkString(" * ")
+  private def passSel(k: Int): String =
+    s"SELECT $k AS k, ROUND(AVG(CASE WHEN n - c < $k THEN 1.0 " +
+      s"ELSE 1.0 - ${passProd(k)} END), 6) AS pass_at_k, " +
+      s"COUNT(*)::BIGINT AS n_tasks FROM pt WHERE n >= $k"
+  private val poisSum = graft.sample.SampleOps.poissonBounds
+    .map(b => s"CASE WHEN h >= '$b' THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q_pass_at_k" ->
+      s"""WITH a AS (
+        |  SELECT event_id % 500 task,
+        |    CASE WHEN value > 60 THEN 1 ELSE 0 END ok
+        |  FROM events),
+        |pt AS (SELECT task, COUNT(*)::DOUBLE n, SUM(ok)::DOUBLE c
+        |  FROM a GROUP BY 1)
+        |SELECT * FROM (
+        |  ${passSel(1)}
+        |  UNION ALL ${passSel(5)}
+        |  UNION ALL ${passSel(10)})
+        |ORDER BY k""".stripMargin,
+    "q_bootstrap_ci" ->
+      s"""WITH b AS (
+        |  SELECT source, doc_id::VARCHAR id, LENGTH(text)::DOUBLE x
+        |  FROM documents),
+        |e AS (SELECT source, id, x, r.r FROM b, range(0, 40) r(r)),
+        |h AS (
+        |  SELECT source, r, x,
+        |    substring(md5(id || ':42:' || r::VARCHAR), 1, 12) h
+        |  FROM e),
+        |w AS (SELECT source, r, x, ($poisSum)::DOUBLE wt FROM h),
+        |m AS (SELECT source, r, SUM(wt*x)/SUM(wt) m
+        |  FROM w GROUP BY 1, 2),
+        |ci AS (
+        |  SELECT source, quantile_cont(m, 0.025) lo,
+        |    quantile_cont(m, 0.975) hi
+        |  FROM m GROUP BY 1),
+        |st AS (SELECT source, AVG(x) mean, COUNT(*) n
+        |  FROM b GROUP BY 1)
+        |SELECT st.source, ROUND(mean, 6) AS mean,
+        |  ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi,
+        |  n::BIGINT AS n, 40::BIGINT AS reps
+        |FROM st JOIN ci ON st.source = ci.source
+        |ORDER BY 1""".stripMargin,
     "q_krippendorff" ->
       """WITH r AS (
         |  SELECT CAST(FLOOR(event_id / 5) AS BIGINT) AS u,

@@ -83,6 +83,35 @@ object StatQueries extends QueryPack {
         .select(round(col("w"), 6).as("w"),
           round(col("df1"), 1).as("df1"), round(col("df2"), 1).as("df2"))
     }),
+    "q_wilcoxon" -> ((s, dir) => {
+      // paired signed-rank per event type: the constructed pair
+      // y = value + (event_id%11 − 5) yields d ∈ {−5..5} — zeros
+      // (dropped) and heavy ties (averaged) are both load-bearing
+      val ev = t(s, dir, "events")
+        .withColumn("y", col("value") + (col("event_id") % 11 - 5))
+      StatOps.wilcoxonSignedRank(ev, col("value"), col("y"),
+          Seq("event_type"))
+        .select(col("event_type"), round(col("w_plus"), 1).as("w_plus"),
+          round(col("z"), 6).as("z"), col("n"))
+        .orderBy("event_type")
+    }),
+    "q_mcnemar" -> ((s, dir) => {
+      // paired binary outcomes (two graders of the same items) per
+      // event type; continuity-corrected χ²₁
+      val ev = t(s, dir, "events")
+      StatOps.mcnemar(ev, col("value") > 50,
+          (col("value") + col("event_id") % 20) > 55, Seq("event_type"))
+        .select(col("event_type"), col("b"), col("c"),
+          round(col("statistic"), 6).as("statistic"))
+        .orderBy("event_type")
+    }),
+    "q_welch_anova" -> ((s, dir) => {
+      // unequal-variance omnibus F across event types, whole frame
+      StatOps.welchAnova(t(s, dir, "events").withColumn("g", lit(1)),
+          col("value"), col("event_type"), Seq("g"))
+        .select(round(col("f"), 6).as("f"),
+          round(col("df1"), 1).as("df1"), round(col("df2"), 4).as("df2"))
+    }),
     "q_chi2" -> ((s, dir) => {
       StatOps.chi2(t(s, dir, "lineitem").withColumn("g", lit(1)),
           col("l_returnflag"), col("l_linestatus"), Seq("g"))
@@ -279,6 +308,64 @@ object StatQueries extends QueryPack {
         |  FROM lv)
         |SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS f,
         |  ROUND(k - 1, 1) AS df1, ROUND(n - k, 1) AS df2
+        |FROM a""".stripMargin,
+    "q_wilcoxon" ->
+      // d = −(event_id%11 − 5); zeros dropped, |d| tie-avg ranks
+      """WITH d0 AS (
+        |  SELECT event_type g,
+        |    value - (value + (event_id % 11 - 5)) AS d
+        |  FROM events),
+        |d AS (SELECT g, d, ABS(d) a FROM d0 WHERE d <> 0),
+        |r AS (
+        |  SELECT g, d,
+        |    RANK() OVER (PARTITION BY g ORDER BY a) +
+        |      (COUNT(*) OVER (PARTITION BY g, a) - 1) / 2.0 AS rk
+        |  FROM d),
+        |tie AS (
+        |  SELECT g, SUM(c*c*c - c) tsum FROM (
+        |    SELECT g, a, COUNT(*)::DOUBLE c FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT g, SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) wp,
+        |    COUNT(*)::DOUBLE n
+        |  FROM r GROUP BY 1)
+        |SELECT a.g AS event_type, ROUND(wp, 1) AS w_plus,
+        |  ROUND((wp - n*(n+1)/4.0)
+        |    / SQRT(n*(n+1)*(2*n+1)/24.0 - tie.tsum/48.0), 6) AS z,
+        |  n::BIGINT AS n
+        |FROM a JOIN tie ON a.g = tie.g ORDER BY 1""".stripMargin,
+    "q_mcnemar" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    (value > 50) a, ((value + event_id % 20) > 55) b
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::DOUBLE b,
+        |    SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END)::DOUBLE c
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, b::BIGINT AS b, c::BIGINT AS c,
+        |  ROUND(CASE WHEN b + c > 0
+        |    THEN (ABS(b - c) - 1) * (ABS(b - c) - 1) / (b + c)
+        |    ELSE 0 END, 6) AS statistic
+        |FROM agg ORDER BY 1""".stripMargin,
+    "q_welch_anova" ->
+      """WITH lv AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE ng, AVG(value) mg,
+        |    VAR_SAMP(value) vg
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT ng, mg, ng / vg wt FROM lv),
+        |tot AS (SELECT SUM(wt) W FROM w),
+        |a AS (
+        |  SELECT COUNT(*)::DOUBLE k, SUM(wt) W,
+        |    SUM(wt * mg) wm, SUM(wt * mg * mg) wm2,
+        |    SUM((1 - wt / tot.W) * (1 - wt / tot.W) / (ng - 1)) lam
+        |  FROM w, tot GROUP BY tot.W)
+        |SELECT
+        |  ROUND(((wm2 - wm*wm/W) / (k-1))
+        |    / (1 + 2*(k-2)/(k*k-1)*lam), 6) AS f,
+        |  ROUND(k - 1, 1) AS df1,
+        |  ROUND((k*k - 1) / (3*lam), 4) AS df2
         |FROM a""".stripMargin,
     "q_kruskal" ->
       // tie-averaged ranks = RANK() + (ties-1)/2; H' = H / tie-corr

@@ -348,4 +348,75 @@ object SampleOps {
       }
     df.withColumn(out, label)
   }
+
+  /** Poisson(1) CDF thresholds backing [[bootstrapMeanCI]]'s hash-
+    * deterministic resampling weights — exposed so oracle SQL embeds
+    * the identical 12-hex literals (same contract as
+    * [[hashSplitBound]]). A row's weight in replicate r is the count
+    * of thresholds its md5-prefix uniform exceeds: the inverse-CDF
+    * draw of Poisson(1), capped at 9 (P > 9 ≈ 1e-7). */
+  val poissonBounds: Seq[String] = {
+    // cumulative e^{-1}/k! partial sums
+    val cdf = Iterator.iterate((0, math.exp(-1.0), math.exp(-1.0))) {
+      case (k, term, cum) =>
+        val t2 = term / (k + 1); (k + 1, t2, cum + t2)
+    }.take(9).map(_._3).toSeq
+    cdf.map(hashSplitBound)
+  }
+
+  /** Percentile-bootstrap confidence interval of the mean per group —
+    * the error bar next to every eval-suite score, made deterministic
+    * and distributed via the POISSON bootstrap (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams"): instead of
+    * resampling n rows with replacement (which needs global
+    * coordination), each row enters replicate r with weight ~
+    * Poisson(1), drawn from the row's own `md5(id ":" seed ":" r)`
+    * prefix — row-local, engine-portable, and byte-stable across
+    * cluster sizes and reruns.
+    *
+    * Returns {group, mean, ci_lo, ci_hi, n, reps} with the percentile
+    * interval at `level` over `reps` replicate means (linear-
+    * interpolation quantiles — Spark `percentile` ≡ DuckDB
+    * quantile_cont).
+    *
+    * Scale shape: the explode is a map-side ×reps expansion feeding
+    * ONE map-side-combinable (group, replicate) aggregation —
+    * shuffle = groups·reps rows, independent of n. Cost scales
+    * linearly in reps; the reps ≤ 1024 require keeps the expansion
+    * factor explicit. */
+  def bootstrapMeanCI(df: DataFrame, id: Column, x: Column,
+                      groupNames: Seq[String], reps: Int = 50,
+                      level: Double = 0.95, seed: Long = 42)
+      : DataFrame = {
+    require(reps >= 2 && reps <= 1024,
+      s"bootstrapMeanCI: reps must be in [2,1024], got $reps")
+    require(level > 0.0 && level < 1.0,
+      s"bootstrapMeanCI: level must be in (0,1), got $level")
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ id.cast("string").as("__bs_id")
+      :+ x.cast("double").as("__bs_x"): _*)
+    val exploded = base.withColumn("__bs_r",
+      explode(sequence(lit(0), lit(reps - 1))))
+    val h = substring(md5(concat(col("__bs_id"), lit(":" + seed + ":"),
+      col("__bs_r").cast("string"))), 1, 12)
+    val w = poissonBounds.map(b =>
+      when(h >= lit(b), 1).otherwise(0)).reduce(_ + _)
+    val means = exploded.withColumn("__bs_w", w.cast("double"))
+      .groupBy(gc :+ col("__bs_r"): _*)
+      .agg((sum(col("__bs_w") * col("__bs_x")) / sum(col("__bs_w")))
+        .as("__bs_m"))
+    val alpha = (1.0 - level) / 2.0
+    val ci = means.groupBy(gc: _*)
+      .agg(expr(s"percentile(__bs_m, array($alpha, ${1.0 - alpha}))")
+        .as("__bs_ci"))
+    val stats = base.groupBy(gc: _*)
+      .agg(avg("__bs_x").as("mean"), count(lit(1)).as("n"))
+    val joined =
+      if (gc.nonEmpty) stats.join(ci, groupNames)
+      else stats.crossJoin(broadcast(ci))
+    joined.select(gc ++ Seq(col("mean"),
+      element_at(col("__bs_ci"), 1).as("ci_lo"),
+      element_at(col("__bs_ci"), 2).as("ci_hi"),
+      col("n"), lit(reps).as("reps")): _*)
+  }
 }
