@@ -660,6 +660,28 @@ object TextQueries extends QueryPack {
           sum(size(split(col("c.text"), "[\\s\\n]+"))).as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_pdf_aes256" -> ((s, dir) => {
+      // PDF-2.0-era encryption: id%3==0 AES-256 V5/R6 (Algorithm 2.B
+      // hash), id%3==1 AES-256 V5/R5 (legacy single SHA-256), id%3==2
+      // AES-128 V4/R4 with /EncryptMetadata false (0xFFFFFFFF key
+      // salt). All open under the empty user password; decrypted text
+      // pins the same planted-line arithmetic as q_pdf_encrypted.
+      import graft.sources.PdfOps
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 4000)
+        .select(col("doc_id"), PdfOps.pdfCryptoText(
+          PdfOps.syntheticPdfAes256(col("doc_id"))).as("c"))
+        .groupBy((col("doc_id") % 40).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c.cipher") === "aes256", 1L).otherwise(0L))
+            .as("n_aes256"),
+          sum(when(col("c.cipher") === "aes128", 1L).otherwise(0L))
+            .as("n_aes128"),
+          sum(when(col("c.decryptable"), 1L).otherwise(0L)).as("n_open"),
+          sum(length(col("c.text"))).as("text_len"),
+          sum(size(split(col("c.text"), "[\\s\\n]+"))).as("n_tokens"))
+        .orderBy("bucket")
+    }),
     "q_warc_gz" -> ((s, dir) => {
       // Common-Crawl layout: one gzip member per record; the reader
       // auto-detects the magic and inflates the member sequence, so
@@ -1538,6 +1560,31 @@ object TextQueries extends QueryPack {
         |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
         |  SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_rc4,
         |  SUM(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_aes,
+        |  COUNT(*)::BIGINT AS n_open,
+        |  SUM(tlen)::BIGINT AS text_len,
+        |  SUM(toks)::BIGINT AS n_tokens
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pdf_aes256" ->
+      // same planted lines; cipher split from id%3 (0,1 → aes256 V5;
+      // 2 → aes128 R4 EncryptMetadata-false), all decryptable
+      """WITH d AS (
+        |  SELECT doc_id i, 1 + doc_id % 4 nl FROM documents
+        |  WHERE doc_id < 4000),
+        |lines AS (
+        |  SELECT d.i, LENGTH('doc ' || d.i::VARCHAR || ' line ' ||
+        |    k.k::VARCHAR) AS llen
+        |  FROM d, range(0, 4) k(k) WHERE k.k < d.nl),
+        |per AS (
+        |  SELECT d.i, d.nl,
+        |    (SELECT SUM(llen) FROM lines l WHERE l.i = d.i) +
+        |    LENGTH('id (' || d.i::VARCHAR || ')') + d.nl AS tlen,
+        |    4 * d.nl + 2 AS toks
+        |  FROM d)
+        |SELECT (i % 40) AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN i % 3 < 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_aes256,
+        |  SUM(CASE WHEN i % 3 = 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_aes128,
         |  COUNT(*)::BIGINT AS n_open,
         |  SUM(tlen)::BIGINT AS text_len,
         |  SUM(toks)::BIGINT AS n_tokens

@@ -2,9 +2,10 @@ package graft.sources
 
 /** PDF standard security handler — ISO 32000-1 §7.6.3 (public spec),
   * Algorithms 1–5: RC4 (`/V 1`/`/V 2`) and AES-128-CBC (`/V 4` with
-  * `/CFM /AESV2`) string/stream encryption, the two ciphers that
-  * cover essentially every encrypted PDF a crawl encounters below
-  * PDF 2.0.
+  * `/CFM /AESV2`) string/stream encryption, plus the ISO 32000-2
+  * §7.6.4 AES-256 handler (`/V 5`, legacy `/R 5` single-SHA-256 and
+  * `/R 6` Algorithm-2.B hashing) — together covering essentially
+  * every encrypted PDF a crawl encounters, PDF 2.0 included.
   *
   * A crawl pipeline only ever holds the EMPTY user password (the
   * "encrypted for DRM, readable by anyone" case that dominates the
@@ -69,10 +70,19 @@ private[graft] object PdfCrypt {
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
   /** Algorithm 2: the file encryption key from the (user) password.
-    * `keyLen` in BYTES (Length/8; 5 for 40-bit, 16 for 128-bit). */
+    * `keyLen` in BYTES (Length/8; 5 for 40-bit, 16 for 128-bit).
+    * `encryptMetadata = false` (R4+, /EncryptMetadata false) appends
+    * the 0xFFFFFFFF salt the spec's step f requires — such files are
+    * readable with the empty password in real readers and would
+    * otherwise fail /U verification here. */
   def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int,
-              id0: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
-    var h = md5(padPassword(userPwd), o, intLE(p), id0)
+              id0: Array[Byte], r: Int, keyLen: Int,
+              encryptMetadata: Boolean = true): Array[Byte] = {
+    val metaSalt =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var h = md5(padPassword(userPwd), o, intLE(p), id0, metaSalt)
     if (r >= 3) {
       var i = 0
       while (i < 50) {
@@ -113,6 +123,108 @@ private[graft] object PdfCrypt {
       }
       java.util.Arrays.copyOf(v, 32) // 16 significant + 16 zero pad
     }
+
+  def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Algorithm 2.B (ISO 32000-2 §7.6.4.3.4) — the R6 password hash:
+    * start from SHA-256(pwd ‖ salt ‖ udata), then iterate
+    * K1 = (pwd ‖ K ‖ udata)×64, E = AES-128-CBC(K[0..16], iv
+    * K[16..32]) of K1, K = SHA-{256,384,512}(E) picked by
+    * (ΣE[0..16]) mod 3 — at least 64 rounds, stopping once the last
+    * byte of E ≤ round − 32. Returns the first 32 bytes of K.
+    * (`udata` is empty for user-password checks; the 48-byte /U for
+    * owner-password checks.) */
+  def hash2B(pwd: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte]): Array[Byte] = {
+    var k = sha256(pwd, salt, udata)
+    var e = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+      val unit = new Array[Byte](pwd.length + k.length + udata.length)
+      System.arraycopy(pwd, 0, unit, 0, pwd.length)
+      System.arraycopy(k, 0, unit, pwd.length, k.length)
+      System.arraycopy(udata, 0, unit, pwd.length + k.length,
+        udata.length)
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(unit, 0, k1, j * unit.length, unit.length)
+        j += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(
+          java.util.Arrays.copyOf(k, 16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(
+          java.util.Arrays.copyOfRange(k, 16, 32)))
+      e = c.doFinal(k1)
+      var sum = 0
+      var q = 0
+      while (q < 16) { sum += e(q) & 0xff; q += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      i += 1
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** AES-256 (V5: R5 legacy / R6 per ISO 32000-2 §7.6.4.4.10-11)
+    * empty-user-password key recovery: /U is hash(32) ‖ validation
+    * salt(8) ‖ key salt(8); verify the hash against the password,
+    * then decrypt /UE (AES-256-CBC, zero IV, no padding) with the
+    * key-salt hash to recover the 32-byte file key. Returns
+    * (fileKey, passwordVerified). R5 hashes with a single SHA-256;
+    * R6 with Algorithm 2.B. */
+  def fileKeyV5(pwd: Array[Byte], u: Array[Byte], ue: Array[Byte],
+                r: Int): (Array[Byte], Boolean) = {
+    require(u.length >= 48, "pdf v5: /U shorter than 48 bytes")
+    require(ue.length >= 32, "pdf v5: /UE shorter than 32 bytes")
+    val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    val expect =
+      if (r >= 6) hash2B(pwd, vSalt, Array.emptyByteArray)
+      else sha256(pwd, vSalt)
+    val ok = java.util.Arrays.equals(expect,
+      java.util.Arrays.copyOf(u, 32))
+    if (!ok) (Array.emptyByteArray, false)
+    else {
+      val ikey =
+        if (r >= 6) hash2B(pwd, kSalt, Array.emptyByteArray)
+        else sha256(pwd, kSalt)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      (c.doFinal(java.util.Arrays.copyOf(ue, 32)), true)
+    }
+  }
+
+  /** Fixture side of [[fileKeyV5]]: build (/U, /UE) for a chosen file
+    * key + empty user password from two 8-byte salts. */
+  def makeUV5(fileKey: Array[Byte], vSalt: Array[Byte],
+              kSalt: Array[Byte], r: Int): (Array[Byte], Array[Byte]) = {
+    val pwd = Array.emptyByteArray
+    val h =
+      if (r >= 6) hash2B(pwd, vSalt, Array.emptyByteArray)
+      else sha256(pwd, vSalt)
+    val ikey =
+      if (r >= 6) hash2B(pwd, kSalt, Array.emptyByteArray)
+      else sha256(pwd, kSalt)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = c.doFinal(fileKey)
+    (h ++ vSalt ++ kSalt, ue)
+  }
 
   /** Algorithm 1: the per-object key — MD5(fileKey ‖ objNum
     * low-3-LE ‖ gen low-2-LE ‖ "sAlT" when AES), truncated to
@@ -157,16 +269,23 @@ private[graft] object PdfCrypt {
   /** Decrypt one object's string/stream bytes under a derived file
     * key. */
   def decrypt(fileKey: Array[Byte], objNum: Int, gen: Int,
-              aes: Boolean, data: Array[Byte]): Array[Byte] = {
-    val k = objectKey(fileKey, objNum, gen, aes)
-    if (aes) aesDecrypt(k, data) else rc4(k, data)
-  }
+              aes: Boolean, data: Array[Byte]): Array[Byte] =
+    if (fileKey.length == 32)
+      // V5/AES-256: the file key encrypts directly — no per-object
+      // key derivation (ISO 32000-2 §7.6.4; Algorithm 1.A)
+      aesDecrypt(fileKey, data)
+    else {
+      val k = objectKey(fileKey, objNum, gen, aes)
+      if (aes) aesDecrypt(k, data) else rc4(k, data)
+    }
 
   /** Encrypt one object's bytes (fixture side — same key schedule). */
   def encrypt(fileKey: Array[Byte], objNum: Int, gen: Int,
               aes: Boolean, iv: Array[Byte],
-              data: Array[Byte]): Array[Byte] = {
-    val k = objectKey(fileKey, objNum, gen, aes)
-    if (aes) aesEncrypt(k, iv, data) else rc4(k, data)
-  }
+              data: Array[Byte]): Array[Byte] =
+    if (fileKey.length == 32) aesEncrypt(fileKey, iv, data)
+    else {
+      val k = objectKey(fileKey, objNum, gen, aes)
+      if (aes) aesEncrypt(k, iv, data) else rc4(k, data)
+    }
 }

@@ -20,13 +20,14 @@ import scala.collection.mutable.ArrayBuffer
   * `/Type /Page` dicts inside them (content streams can never live in
   * an ObjStm, so text extraction is structurally unaffected).
   * Composite-font (CID/Type0) text decodes through real /ToUnicode
-  * CMap parsing; encrypted files (standard security handler, RC4 and
-  * AES-128, ISO 32000-1 §7.6.3 — see [[PdfCrypt]]) decrypt under the
-  * empty user password and fail CLOSED (null text) when a real
-  * password would be required. Documented non-goals (stated, not
-  * guessed): V5+/AES-256 encryption (PDF 2.0), non-zero generation
-  * numbers, and layout reconstruction (reading order = operator
-  * order).
+  * CMap parsing; encrypted files (standard security handler: RC4,
+  * AES-128 per ISO 32000-1 §7.6.3, AES-256 V5/R5/R6 per ISO 32000-2
+  * §7.6.4 including /EncryptMetadata false — see [[PdfCrypt]])
+  * decrypt under the empty user password and fail CLOSED (null text)
+  * when a real password would be required. Documented non-goals
+  * (stated, not guessed): non-zero generation numbers, crypt filters
+  * other than /StdCF, and layout reconstruction (reading order =
+  * operator order).
   *
   * Scale shape: one PDF per row (binary column), parse inside the
   * task — the same file-per-task shape as [[WarcOps]]. */
@@ -118,8 +119,11 @@ object PdfOps {
   private val EncRefRe = "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r
   private val IdRe = "/ID\\s*\\[\\s*<([0-9a-fA-F]*)>".r
   private def dictInt(d: String, key: String): Option[Int] =
+    // via Long with truncation: wild PDFs store /P as an unsigned
+    // 32-bit value (e.g. 4294963392) that must read as its two's-
+    // complement Int
     ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(d)
-      .map(_.group(1).toInt)
+      .map(_.group(1).toLong.toInt)
   /** A `/O`/`/U` value in either string syntax → raw bytes. */
   private def dictStrBytes(d: String, key: String): Option[Array[Byte]] = {
     val hex = ("/" + key + "\\s*<([0-9a-fA-F\\s]*)>").r
@@ -136,42 +140,98 @@ object PdfOps {
     * password (or an unsupported V5+/crypt-filter layout) would be
     * required — callers fail closed on that. Generation numbers are
     * assumed 0 (the house subset; matches [[objNumBefore]]). */
+  /** The /Encrypt reference's object number, accepted ONLY in trailer
+    * context — a `trailer` keyword or a `/Root` entry within 1 KiB
+    * (classic trailers and PDF 1.5+ xref-stream dicts both carry
+    * /Root in the same small dict as /Encrypt). The LAST such
+    * occurrence wins: under incremental update the live trailer is
+    * the final one. A token with NO trailer context (e.g. a content
+    * stream that merely contains the byte sequence) is ignored —
+    * treating it as encryption would misclassify a perfectly readable
+    * file as locked. */
+  private def encryptRef(all: String): Option[Int] = {
+    val ms = EncRefRe.findAllMatchIn(all).toList
+    val inTrailer = ms.filter { m =>
+      val pre = all.substring(math.max(0, m.start - 1024), m.start)
+      val post = all.substring(m.end,
+        math.min(all.length, m.end + 1024))
+      pre.contains("trailer") || pre.contains("/Root") ||
+        post.contains("/Root")
+    }
+    inTrailer.lastOption.map(m =>
+      // unparseable object number → sentinel −1: the file claims
+      // encryption, so findEncrypt fails closed (locked), never open
+      try m.group(1).toInt
+      catch { case _: NumberFormatException => -1 })
+  }
+
   private[graft] def findEncrypt(b: Array[Byte]): Option[EncryptInfo] = {
     // cheap pre-check before the full ISO_8859_1 decode
     if (indexOf(b, "/Encrypt", 0) < 0) return None
     val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-    EncRefRe.findFirstMatchIn(all).map { m =>
-      val objNum = m.group(1).toInt
-      val head = indexOf(b, s"$objNum 0 obj", 0)
-      val dict =
-        if (head < 0) ""
-        else {
-          val ds = indexOf(b, "<<", head)
-          if (ds < 0) "" else balancedDict(b, ds)
+    encryptRef(all).map { objNum =>
+      // Fail CLOSED on any malformed field (unparseable /P, truncated
+      // /U, absurd /Length…): the file claims encryption, so a parse
+      // failure means "locked" (null text), never a thrown task — one
+      // bad crawl document must not fail the whole Spark task.
+      try {
+        val head = indexOf(b, s"$objNum 0 obj", 0)
+        val dict =
+          if (head < 0) ""
+          else {
+            val ds = indexOf(b, "<<", head)
+            if (ds < 0) "" else balancedDict(b, ds)
+          }
+        val v = dictInt(dict, "V").getOrElse(0)
+        val r = dictInt(dict, "R").getOrElse(if (v == 5) 6 else 2)
+        val lenBits = dictInt(dict, "Length").getOrElse(40)
+        val p = dictInt(dict, "P").getOrElse(-1)
+        val encMeta =
+          !"/EncryptMetadata\\s+false".r.findFirstIn(dict).isDefined
+        val aes = dict.contains("/AESV2") || dict.contains("/AESV3")
+        val std = dict.contains("/Standard")
+        val oOpt = dictStrBytes(dict, "O")
+        val uOpt = dictStrBytes(dict, "U")
+        val id0 = IdRe.findFirstMatchIn(all)
+          .map(i => hexToBytes(i.group(1)))
+          .getOrElse(Array.emptyByteArray)
+        if (v == 5 && std && (r == 5 || r == 6) &&
+            dict.contains("/AESV3")) {
+          // AES-256 (ISO 32000-2): verify the empty user password
+          // against /U, recover the file key from /UE
+          (uOpt, dictStrBytes(dict, "UE")) match {
+            case (Some(u), Some(ue))
+                if u.length >= 48 && ue.length >= 32 =>
+              val (key, ok) = PdfCrypt.fileKeyV5(
+                Array.emptyByteArray, u, ue, r)
+              EncryptInfo(v, r, aes = true, key, ok)
+            case _ =>
+              EncryptInfo(v, r, aes = true, Array.emptyByteArray,
+                ok = false)
+          }
+        } else {
+          val supported = std && (v == 1 || v == 2 ||
+            (v == 4 && (aes || dict.contains("/V2"))))
+          (oOpt, uOpt) match {
+            case (Some(o), Some(u)) if supported && o.length == 32 =>
+              val key = PdfCrypt.fileKey(
+                Array.emptyByteArray, o, p, id0, r, lenBits / 8,
+                encMeta)
+              val expU = PdfCrypt.userValue(key, id0, r)
+              val ok =
+                if (r == 2) java.util.Arrays.equals(expU, u)
+                else u.length >= 16 && java.util.Arrays.equals(
+                  java.util.Arrays.copyOf(expU, 16),
+                  java.util.Arrays.copyOf(u, 16))
+              EncryptInfo(v, r, aes, key, ok)
+            case _ =>
+              EncryptInfo(v, r, aes, Array.emptyByteArray, ok = false)
+          }
         }
-      val v = dictInt(dict, "V").getOrElse(0)
-      val r = dictInt(dict, "R").getOrElse(2)
-      val lenBits = dictInt(dict, "Length").getOrElse(40)
-      val p = dictInt(dict, "P").getOrElse(-1)
-      val aes = dict.contains("/AESV2")
-      val supported = dict.contains("/Standard") &&
-        (v == 1 || v == 2 || (v == 4 && (aes || dict.contains("/V2"))))
-      val oOpt = dictStrBytes(dict, "O")
-      val uOpt = dictStrBytes(dict, "U")
-      val id0 = IdRe.findFirstMatchIn(all)
-        .map(i => hexToBytes(i.group(1))).getOrElse(Array.emptyByteArray)
-      (oOpt, uOpt) match {
-        case (Some(o), Some(u)) if supported && o.length == 32 =>
-          val key = PdfCrypt.fileKey(
-            Array.emptyByteArray, o, p, id0, r, lenBits / 8)
-          val expU = PdfCrypt.userValue(key, id0, r)
-          val ok =
-            if (r == 2) java.util.Arrays.equals(expU, u)
-            else u.length >= 16 && java.util.Arrays.equals(
-              java.util.Arrays.copyOf(expU, 16),
-              java.util.Arrays.copyOf(u, 16))
-          EncryptInfo(v, r, aes, key, ok)
-        case _ => EncryptInfo(v, r, aes, Array.emptyByteArray, ok = false)
+      } catch {
+        case _: Exception =>
+          EncryptInfo(0, 0, aes = false, Array.emptyByteArray,
+            ok = false)
       }
     }
   }
@@ -221,7 +281,10 @@ object PdfOps {
         // below mis-trims ENCRYPTED (binary) payloads whose last
         // ciphertext byte happens to be \r or \n. Indirect lengths
         // ("/Length N 0 R") fall back to the scan.
-        val dictLen = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+        // (?!\d|…): also forbid a following digit, or the regex
+        // backtracks on indirect lengths ("/Length 123 0 R" would
+        // match the truncated prefix "12")
+        val dictLen = "/Length\\s+(\\d+)(?!\\d|\\s+\\d+\\s+R)".r
           .findFirstMatchIn(dict).map(_.group(1).toInt)
         val byLen = dictLen.collect {
           case l if l >= 0 && ds + l <= b.length &&
@@ -638,7 +701,10 @@ object PdfOps {
       if (!isPdf(b)) null
       else {
         val enc = findEncrypt(b)
-        val cipher = enc.map(e => if (e.aes) "aes128" else "rc4")
+        val cipher = enc.map(e =>
+            if (e.v >= 5) "aes256"
+            else if (e.aes) "aes128"
+            else "rc4")
           .getOrElse("none")
         val ok = enc.forall(_.ok)
         PdfCrypto(cipher, ok,
@@ -982,6 +1048,115 @@ object PdfOps {
           java.nio.charset.StandardCharsets.ISO_8859_1))
         val offsets = new Array[Int](7)
         w("%PDF-1.4\n")
+        offsets(1) = out.size()
+        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        offsets(2) = out.size()
+        w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+        offsets(3) = out.size()
+        w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] /Contents 4 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+        offsets(4) = out.size()
+        w(s"4 0 obj\n<< /Length ${content.length}" +
+          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        out.write(content)
+        w("\nendstream\nendobj\n")
+        offsets(5) = out.size()
+        w("5 0 obj\n<< /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >>\nendobj\n")
+        offsets(6) = out.size()
+        w(s"6 0 obj\n$encDict\nendobj\n")
+        val xref = out.size()
+        w("xref\n0 7\n0000000000 65535 f \n")
+        (1 to 6).foreach(o => w(f"${offsets(o)}%010d 00000 n \n"))
+        w("trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+          s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n" +
+          s"startxref\n$xref\n%%EOF\n")
+        out.toByteArray
+      }
+    }
+    f(id.cast("long"))
+  }
+
+  /** Encrypted fixture for the PDF-2.0-era handlers the classic
+    * fixture doesn't reach: id%3==0 → AES-256 `/V 5 /R 6`
+    * (Algorithm 2.B hash), id%3==1 → AES-256 `/V 5 /R 5` (legacy
+    * single-SHA-256), id%3==2 → AES-128 `/V 4 /R 4` with
+    * `/EncryptMetadata false` (the 0xFFFFFFFF key-salt case). Same
+    * planted text lines as [[syntheticPdfEncrypted]]; Flate'd when
+    * id%2==1. All open under the empty user password. */
+  def syntheticPdfAes256(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val i = idL.longValue
+        val variant = (i % 3).toInt
+        val perm = -44
+        val nl = (1 + i % 4).toInt
+        val body = new StringBuilder()
+        var k = 0
+        while (k < nl) {
+          body.append(s"BT /F1 12 Tf 72 ${712 - 14 * k} Td " +
+            s"(doc $i line $k) Tj ET\n")
+          k += 1
+        }
+        body.append(s"BT /F1 12 Tf 72 ${712 - 14 * nl} Td " +
+          s"[(id) -250 (\\($i\\))] TJ ET\n")
+        val contentPlain = body.toString.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val flate = i % 2 == 1
+        val stored = if (flate) deflateBytes(contentPlain)
+          else contentPlain
+        val id0 = PdfCrypt.md5(s"fid $i".getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val iv = PdfCrypt.md5(s"iv $i".getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+        val (encDict, content) =
+          if (variant < 2) {
+            val r = if (variant == 0) 6 else 5
+            val key = PdfCrypt.sha256(s"key $i".getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            val vSalt = java.util.Arrays.copyOf(PdfCrypt.md5(
+              s"vs $i".getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)), 8)
+            val kSalt = java.util.Arrays.copyOf(PdfCrypt.md5(
+              s"ks $i".getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)), 8)
+            val (u, ue) = PdfCrypt.makeUV5(key, vSalt, kSalt, r)
+            // /O and /OE are present-but-dummy: the empty-user-password
+            // path never reads them (owner-password recovery is out of
+            // scope for a crawl)
+            val oDummy = new Array[Byte](48)
+            val oeDummy = new Array[Byte](32)
+            val d = s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+              "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+              "/StmF /StdCF /StrF /StdCF " +
+              s"/P $perm /O <${hex(oDummy)}> /U <${hex(u)}> " +
+              s"/OE <${hex(oeDummy)}> /UE <${hex(ue)}> " +
+              s"/Perms <${hex(new Array[Byte](16))}> >>"
+            (d, PdfCrypt.encrypt(key, 4, 0, aes = true, iv, stored))
+          } else {
+            val r = 4
+            val oVal = PdfCrypt.ownerValue(
+              "owner".getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1),
+              Array.emptyByteArray, r, 16)
+            val key = PdfCrypt.fileKey(
+              Array.emptyByteArray, oVal, perm, id0, r, 16,
+              encryptMetadata = false)
+            val uVal = PdfCrypt.userValue(key, id0, r)
+            val d = "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+              "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF /EncryptMetadata false " +
+              s"/P $perm /O <${hex(oVal)}> /U <${hex(uVal)}> >>"
+            (d, PdfCrypt.encrypt(key, 4, 0, aes = true, iv, stored))
+          }
+        val out = new java.io.ByteArrayOutputStream()
+        def w(s: String): Unit = out.write(s.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val offsets = new Array[Int](7)
+        w(if (variant < 2) "%PDF-2.0\n" else "%PDF-1.6\n")
         offsets(1) = out.size()
         w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
         offsets(2) = out.size()

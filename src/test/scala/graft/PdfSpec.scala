@@ -170,4 +170,128 @@ class PdfSpec extends AnyFunSuite {
       .toDF("p").select(PdfOps.pdfText(col("p"))).collect()
     assert(r.forall(_.isNullAt(0)))
   }
+
+  test("AES-256 V5 (R5 + R6) and R4/EncryptMetadata-false decrypt to " +
+      "the exact planted text under the empty user password") {
+    import spark.implicits._
+    val rows = spark.range(0, 24)
+      .select(col("id"), PdfOps.pdfCryptoText(
+        PdfOps.syntheticPdfAes256(col("id"))).as("c"))
+      .select(col("id"), col("c.cipher"), col("c.decryptable"),
+        col("c.text"))
+      .collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val nl = (1 + i % 4).toInt
+      val expect = ((0 until nl).map(k => s"doc $i line $k") :+
+        s"id ($i)").mkString("\n")
+      assert(r.getString(1) ==
+        (if (i % 3 < 2) "aes256" else "aes128"), s"id=$i cipher")
+      assert(r.getBoolean(2), s"id=$i must be readable")
+      assert(r.getString(3) == expect, s"id=$i decrypted text")
+    }
+  }
+
+  test("hash2B (Algorithm 2.B) is deterministic, 32 bytes, and " +
+      "differs from the R5 single-SHA-256 hash") {
+    val pwd = Array.emptyByteArray
+    val salt = Array.tabulate[Byte](8)(_.toByte)
+    val a = PdfCrypt.hash2B(pwd, salt, Array.emptyByteArray)
+    val b = PdfCrypt.hash2B(pwd, salt, Array.emptyByteArray)
+    assert(a.length == 32 && java.util.Arrays.equals(a, b))
+    assert(!java.util.Arrays.equals(a, PdfCrypt.sha256(pwd, salt)))
+    // password-sensitivity: a different password must change the hash
+    val c = PdfCrypt.hash2B("x".getBytes, salt, Array.emptyByteArray)
+    assert(!java.util.Arrays.equals(a, c))
+  }
+
+  test("an unencrypted PDF whose content stream contains the bytes " +
+      "'/Encrypt 6 0 R' is NOT misclassified as locked") {
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    // hand-built: the token lives inside the (uncompressed) content
+    // stream, padded >1 KiB away from the trailer so there is no
+    // trailer context around it
+    val pad = (1 to 40).map(k =>
+      s"BT /F1 12 Tf 72 ${700 - k} Td (pad line $k) Tj ET").mkString("\n")
+    val body = "BT /F1 12 Tf 72 712 Td (/Encrypt 6 0 R) Tj ET\n" +
+      pad + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n" +
+      "endobj\n")
+    w(s"4 0 obj\n<< /Length ${body.length} >>\nstream\n")
+    w(body)
+    w("endstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n")
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = Seq(out.toByteArray).toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"))
+      .head()
+    assert(r.getString(0) == "none")
+    assert(r.getBoolean(1))
+    assert(r.getString(2).contains("/Encrypt 6 0 R") &&
+      r.getString(2).contains("pad line 40"))
+  }
+
+  test("malformed /Encrypt fields fail closed (locked), never throw: " +
+      "unsigned 32-bit /P parses to its two's complement") {
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    // unsigned /P: re-write the fixture's "/P -44" as its unsigned
+    // 32-bit spelling 4294967252 — the derived key must be IDENTICAL,
+    // so the file still decrypts
+    val b = spark.range(2, 3)
+      .select(PdfOps.syntheticPdfEncrypted(col("id")))
+      .as[Array[Byte]].head()
+    val unsignedP = new String(b, iso)
+      .replace("/P -44", "/P " + ((-44L) & 0xffffffffL))
+      .getBytes(iso)
+    val ok = Seq(unsignedP).toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.decryptable"), col("c.text")).head()
+    assert(ok.getBoolean(0) && ok.getString(1).contains("doc 2 line 0"))
+    // garbage /V: must yield locked (null text), not a thrown task
+    val garbage = new String(b, iso)
+      .replace("/V 2", "/V 99999999999999999999")
+      .getBytes(iso)
+    val locked = Seq(garbage).toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.decryptable"), col("c.text")).head()
+    assert(!locked.getBoolean(0) && locked.isNullAt(1))
+  }
+
+  test("indirect /Length ('123 0 R') is not mis-read as a direct " +
+      "length by the backtracking regex") {
+    // dictLen regex must reject "/Length 123 0 R" entirely (no
+    // truncated-prefix match): craft a stream whose dict uses an
+    // indirect length and whose data would be mis-trimmed by a
+    // prefix match of 12
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val body = "BT /F1 12 Tf 72 712 Td (twelve chars plus more text) " +
+      "Tj ET\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n" +
+      "endobj\n")
+    w(s"4 0 obj\n<< /Length 123 0 R >>\nstream\n")
+    w(body)
+    w("endstream\nendobj\n")
+    w(s"123 0 obj\n${body.length}\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n")
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = Seq(out.toByteArray).toDF("p")
+      .select(PdfOps.pdfText(col("p"))).head()
+    assert(r.getString(0) == "twelve chars plus more text")
+  }
 }
