@@ -316,8 +316,16 @@ object GraphOps {
 
   /** Survivorship: drop every clustered document except its cluster's
     * minimum id (the canonical representative); unclustered documents
-    * pass through. The anti-join side is only the (tiny) loser id set —
-    * broadcastable even when `df` is the full corpus. */
+    * pass through.
+    *
+    * The anti-join strategy is left to AQE deliberately: at realistic
+    * crawl dup-rates the loser set is 30-80 % of the corpus — forcing
+    * `broadcast(losers)` (as an earlier revision did) would ship a
+    * corpus-scale id list to every executor and OOM the driver. AQE
+    * broadcasts when the measured size is under
+    * `spark.sql.autoBroadcastJoinThreshold` and falls back to a
+    * shuffled anti-join otherwise, which is exactly the right call at
+    * both ends of the dup-rate spectrum. */
   def dedupByClusters(df: DataFrame, id: Column, pairs: DataFrame,
                       id1: Column, id2: Column): DataFrame = {
     // connectedComponents directly — survivorship only needs the labels,
@@ -326,7 +334,6 @@ object GraphOps {
         pairs.select(id1.as("u"), id2.as("v")), col("u"), col("v"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_loser"))
-    df.join(broadcast(losers), id.cast("long") === col("_loser"),
-      "left_anti")
+    df.join(losers, id.cast("long") === col("_loser"), "left_anti")
   }
 }

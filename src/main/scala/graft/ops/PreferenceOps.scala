@@ -27,9 +27,12 @@ import org.apache.spark.storage.StorageLevel
   * other quantity (wins, losses, games, the degeneracy check) derives
   * from that table, never from a second pass over the log. Below
   * `graft.maxLocalBt` pairs the whole fit runs on the driver from a
-  * single collect of the pair table — one Spark job total, no
-  * persist/checkpoint (the r8 profile showed the old shape spent 7+ s
-  * of fixed job-count overhead fitting 16 players). Beyond the cap,
+  * single collect of the persisted pair table: a count decides the
+  * local/distributed branch (persist+count, not limit-collect — see
+  * GraphOps on CollectLimitExec's incremental re-execution) and the
+  * collect reads the cached blocks (the r8 profile showed the old
+  * shape spent 7+ s of fixed job-count overhead fitting 16 players).
+  * Beyond the cap,
   * the distributed MM loop takes over: pairs and the per-player stats
   * persist once, the degeneracy check is one aggregation job, and
   * each iteration is one join + one groupBy over the pair table with
@@ -57,10 +60,19 @@ object PreferenceOps {
       .agg(count(lit(1)).as("n"), sum(col("awin")).as("aw"))
     val cap = java.lang.Long.getLong("graft.maxLocalBt", 2000000L)
 
-    val lim = math.min(cap + 1, Int.MaxValue.toLong - 1).toInt
-    val head = pairs.limit(lim).collect()
-    if (head.length < lim) {
-      // Driver fast path: the one collect above was the only job.
+    // Decide small-vs-large with persist + count, NOT a limit-collect:
+    // CollectLimitExec executes incrementally (1 partition, then ×4,
+    // ×16, …) and each widening attempt re-runs the groupBy above —
+    // above-cap tables would collect ~cap rows only to discard them.
+    // One count on the persisted frame evaluates the aggregation once;
+    // the collect (small case) and distributedFit's first stats pass
+    // (large case) both read the cached blocks.
+    val cached = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = cached.count()
+    if (nPairs <= cap) {
+      // Driver fast path: one count + one collect on cached blocks.
+      val head = cached.collect()
+      cached.unpersist(blocking = false)
       val pa = head.map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val wmap = scala.collection.mutable.LongMap.empty[Long]
@@ -109,7 +121,13 @@ object PreferenceOps {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("games",
             org.apache.spark.sql.types.LongType, nullable = false))))
-    } else distributedFit(spark, pairs, iterations)
+    } else {
+      // scoped() inside distributedFit eagerly materializes the result,
+      // so the pair cache can be dropped as soon as it returns.
+      val out = distributedFit(spark, cached, iterations)
+      cached.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Distributed MM loop for pair tables above graft.maxLocalBt.

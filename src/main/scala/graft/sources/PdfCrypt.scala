@@ -78,6 +78,12 @@ private[graft] object PdfCrypt {
   def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int,
               id0: Array[Byte], r: Int, keyLen: Int,
               encryptMetadata: Boolean = true): Array[Byte] = {
+    // Spec bound: V<5 keys are 40-128 bits. Clamping here (rather than
+    // trusting /Length) means a hostile V1-V4 dict declaring
+    // /Length 256 can never yield a 32-byte key and be mis-routed to
+    // [[decrypt]]'s direct-AES-256 branch — key length 32 is reachable
+    // ONLY via fileKeyV5.
+    val kl = math.max(5, math.min(16, keyLen))
     val metaSalt =
       if (r >= 4 && !encryptMetadata)
         Array[Byte](-1, -1, -1, -1)
@@ -86,10 +92,10 @@ private[graft] object PdfCrypt {
     if (r >= 3) {
       var i = 0
       while (i < 50) {
-        h = md5(java.util.Arrays.copyOf(h, keyLen)); i += 1
+        h = md5(java.util.Arrays.copyOf(h, kl)); i += 1
       }
     }
-    java.util.Arrays.copyOf(h, keyLen)
+    java.util.Arrays.copyOf(h, kl)
   }
 
   /** Algorithm 3: the `/O` entry (owner password; user pwd recovery). */

@@ -72,24 +72,33 @@ object PdfOps {
     -1
   }
 
-  /** Object number of the `N G obj` header preceding `dictStart`, or
-    * -1 — scans back over whitespace/digits only, so an unframed dict
-    * (no obj header) stays anonymous. */
-  private def objNumBefore(b: Array[Byte], dictStart: Int): Int = {
+  /** (object number, generation) of the `N G obj` header preceding
+    * `dictStart`, or (-1, 0) — scans back over whitespace/digits only,
+    * so an unframed dict (no obj header) stays anonymous. The
+    * generation feeds the RC4/AES-128 per-object key (ISO 32000-1
+    * Algorithm 1 salts MD5 with gen's low 2 bytes), so a non-zero-gen
+    * object in an incrementally-updated file decrypts correctly
+    * instead of producing garbage. */
+  private def objNumBefore(b: Array[Byte], dictStart: Int): (Int, Int) = {
     var i = dictStart - 1
     while (i > 3 && (b(i) == ' ' || b(i) == '\r' || b(i) == '\n')) i -= 1
     // expect ...digits SP digits SP 'o''b''j'
     if (i < 2 || b(i - 2) != 'o' || b(i - 1) != 'b' || b(i) != 'j')
-      return -1
+      return (-1, 0)
     i -= 3
     while (i > 0 && b(i) == ' ') i -= 1
+    var genEnd = i
     while (i > 0 && b(i) >= '0' && b(i) <= '9') i -= 1 // generation
+    val gen =
+      if (i == genEnd) 0
+      else new String(b, i + 1, genEnd - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1).trim.toInt
     while (i > 0 && b(i) == ' ') i -= 1
     var end = i
     while (i >= 0 && b(i) >= '0' && b(i) <= '9') i -= 1
-    if (i == end) -1
-    else new String(b, i + 1, end - i,
-      java.nio.charset.StandardCharsets.ISO_8859_1).trim.toInt
+    if (i == end) (-1, 0)
+    else (new String(b, i + 1, end - i,
+      java.nio.charset.StandardCharsets.ISO_8859_1).trim.toInt, gen)
   }
 
   /** Parsed `/Encrypt` state: cipher + the file key derived from the
@@ -138,44 +147,69 @@ object PdfOps {
     * the file key from the empty user password, verify `/U`. Returns
     * None for unencrypted files; `ok = false` when a non-empty
     * password (or an unsupported V5+/crypt-filter layout) would be
-    * required — callers fail closed on that. Generation numbers are
-    * assumed 0 (the house subset; matches [[objNumBefore]]). */
-  /** The /Encrypt reference's object number, accepted ONLY in trailer
-    * context — a `trailer` keyword or a `/Root` entry within 1 KiB
-    * (classic trailers and PDF 1.5+ xref-stream dicts both carry
-    * /Root in the same small dict as /Encrypt). The LAST such
-    * occurrence wins: under incremental update the live trailer is
-    * the final one. A token with NO trailer context (e.g. a content
-    * stream that merely contains the byte sequence) is ignored —
-    * treating it as encryption would misclassify a perfectly readable
-    * file as locked. */
-  private def encryptRef(all: String): Option[Int] = {
-    val ms = EncRefRe.findAllMatchIn(all).toList
-    val inTrailer = ms.filter { m =>
-      val pre = all.substring(math.max(0, m.start - 1024), m.start)
-      val post = all.substring(m.end,
-        math.min(all.length, m.end + 1024))
-      pre.contains("trailer") || pre.contains("/Root") ||
-        post.contains("/Root")
+    * required — callers fail closed on that. Stream objects may carry
+    * non-zero generation numbers; [[objNumBefore]] parses the
+    * generation and the per-object key derivation uses it. */
+  private val TrailerObjRe = "(?m)^\\s*(\\d+)\\s+(\\d+)\\s+obj\\b".r
+  private val XRefTypeRe = "/Type\\s*/XRef\\b".r
+
+  /** The /Encrypt reference's object number, accepted ONLY inside a
+    * PARSED trailer dictionary — either the balanced `<< … >>` dict
+    * following a `trailer` keyword, or an object dict whose
+    * `/Type /XRef` marks it as a PDF 1.5+ cross-reference-stream dict
+    * (which doubles as the trailer). The LAST such dict carrying
+    * /Encrypt wins: under incremental update the live trailer is the
+    * final one. A token with NO enclosing trailer dict (e.g. a content
+    * stream that merely contains the byte sequence, or /Root happening
+    * to sit nearby — the old 1 KiB proximity heuristic's false
+    * positive) is ignored: treating it as encryption would
+    * misclassify a perfectly readable file as locked, and a spec-legal
+    * trailer whose /Encrypt sat outside a proximity window would have
+    * been missed (fail-open). Balanced-dict parsing has neither
+    * failure mode. */
+  private def encryptRef(all: String, b: Array[Byte]): Option[Int] = {
+    val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    // classic trailers: `trailer` keyword, then the balanced dict
+    var t = all.indexOf("trailer")
+    while (t >= 0) {
+      val ds = all.indexOf("<<", t + 7)
+      // only whitespace/comments legally separate the keyword from its
+      // dict — bound the gap so an unrelated later dict can't attach
+      if (ds >= 0 && ds - t < 256) cands += ((t, balancedDict(b, ds)))
+      t = all.indexOf("trailer", t + 7)
     }
-    inTrailer.lastOption.map(m =>
-      // unparseable object number → sentinel −1: the file claims
-      // encryption, so findEncrypt fails closed (locked), never open
-      try m.group(1).toInt
-      catch { case _: NumberFormatException => -1 })
+    // xref-stream trailers: object dicts typed /Type /XRef
+    TrailerObjRe.findAllMatchIn(all).foreach { m =>
+      val ds = all.indexOf("<<", m.end)
+      if (ds >= 0 && ds - m.end < 64) {
+        val d = balancedDict(b, ds)
+        if (XRefTypeRe.findFirstIn(d).isDefined) cands += ((m.start, d))
+      }
+    }
+    cands.sortBy(-_._1).iterator
+      .map { case (_, d) => EncRefRe.findFirstMatchIn(d) }
+      .collectFirst { case Some(m) =>
+        // unparseable object number → sentinel −1: the file claims
+        // encryption, so findEncrypt fails closed (locked), never open
+        try m.group(1).toInt
+        catch { case _: NumberFormatException => -1 }
+      }
   }
 
   private[graft] def findEncrypt(b: Array[Byte]): Option[EncryptInfo] = {
     // cheap pre-check before the full ISO_8859_1 decode
     if (indexOf(b, "/Encrypt", 0) < 0) return None
     val all = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-    encryptRef(all).map { objNum =>
+    encryptRef(all, b).map { objNum =>
       // Fail CLOSED on any malformed field (unparseable /P, truncated
       // /U, absurd /Length…): the file claims encryption, so a parse
       // failure means "locked" (null text), never a thrown task — one
       // bad crawl document must not fail the whole Spark task.
       try {
-        val head = indexOf(b, s"$objNum 0 obj", 0)
+        // any generation: the /Encrypt dict object itself may carry a
+        // non-zero gen in an incrementally-updated file
+        val head = ("(?m)^\\s*" + objNum + "\\s+\\d+\\s+obj\\b").r
+          .findFirstMatchIn(all).map(_.start).getOrElse(-1)
         val dict =
           if (head < 0) ""
           else {
@@ -302,15 +336,15 @@ object PdfOps {
             if (de > ds && b(de - 1) == '\n') de -= 1
             if (de > ds && b(de - 1) == '\r') de -= 1
           }
-          val objN =
-            if (dictStart >= 0) objNumBefore(b, dictStart) else -1
+          val (objN, objGen) =
+            if (dictStart >= 0) objNumBefore(b, dictStart) else (-1, 0)
           // Encryption applies to the STORED stream bytes (i.e. after
           // compression): decrypt, THEN inflate. Cross-reference
           // streams are never encrypted (ISO 32000-1 §7.5.8.2).
           val raw = enc match {
             case Some(ei) if ei.ok && objN >= 0 &&
                 !dict.contains("/XRef") =>
-              try PdfCrypt.decrypt(ei.key, objN, 0, ei.aes,
+              try PdfCrypt.decrypt(ei.key, objN, objGen, ei.aes,
                 java.util.Arrays.copyOfRange(b, ds, de))
               catch { case _: Exception => Array.emptyByteArray }
             case _ => java.util.Arrays.copyOfRange(b, ds, de)
@@ -691,9 +725,12 @@ object PdfOps {
   }
 
   /** Encryption facet + text in ONE walk: cipher ∈ {none, rc4,
-    * aes128}, decryptable = no password needed (always true for
-    * unencrypted files), text = extraction through the decrypted
-    * streams (null when locked). */
+    * aes128, aes256, unknown}, decryptable = no password needed
+    * (always true for unencrypted files), text = extraction through
+    * the decrypted streams (null when locked). `unknown` = the file
+    * claims encryption but its /Encrypt dict failed to parse
+    * (findEncrypt's fail-closed sentinel v=0) — labeling it `rc4`
+    * would assert a cipher nobody actually determined. */
   case class PdfCrypto(cipher: String, decryptable: Boolean, text: String)
 
   def pdfCryptoText(payload: Column): Column = {
@@ -704,6 +741,7 @@ object PdfOps {
         val cipher = enc.map(e =>
             if (e.v >= 5) "aes256"
             else if (e.aes) "aes128"
+            else if (e.v == 0) "unknown"
             else "rc4")
           .getOrElse("none")
         val ok = enc.forall(_.ok)

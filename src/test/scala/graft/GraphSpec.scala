@@ -76,6 +76,30 @@ class GraphSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("dedupByClusters with a corpus-scale loser fraction: correct " +
+      "survivors, no forced-broadcast hint in the plan") {
+    import spark.implicits._
+    // one giant chain cluster covering 90% of the corpus — the loser
+    // set is 8999/10000 of the documents, the regime where a forced
+    // broadcast(losers) would ship nearly the whole corpus to every
+    // executor. Strategy must be left to AQE.
+    val n = 10000L
+    val pairs = spark.range(1, n - 1000)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val docs = spark.range(1, n + 1).toDF("doc_id")
+    val kept = GraphOps.dedupByClusters(docs, col("doc_id"), pairs,
+      col("id1"), col("id2"))
+    // survivors: cluster representative 1 + the 1000 unclustered tail
+    assert(kept.count() == 1001L)
+    assert(kept.agg(min(col("doc_id"))).head().getLong(0) == 1L)
+    // the logical plan must carry no user hint — broadcast-vs-shuffle
+    // is AQE's call, sized at runtime
+    val logical = kept.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") &&
+      !logical.contains("ResolvedHint"),
+      s"dedupByClusters must not force a join strategy:\n$logical")
+  }
+
   test("zorderKey interleaves bits and preserves locality blocks") {
     import spark.implicits._
     val df = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y))

@@ -266,6 +266,142 @@ class PdfSpec extends AnyFunSuite {
     assert(!locked.getBoolean(0) && locked.isNullAt(1))
   }
 
+  /** Hand-built RC4 (V2/R3) encrypted one-page PDF: content stream
+    * object carries generation `gen`; the trailer is either classic
+    * (`trailer << … >>`) or a PDF 1.5 cross-reference-stream dict
+    * (`/Type /XRef`, no `trailer` keyword at all). */
+  private def buildEncrypted(gen: Int, xrefStream: Boolean,
+                             text: String): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val body = s"BT /F1 12 Tf 72 712 Td ($text) Tj ET\n".getBytes(iso)
+    val perm = -44
+    val id0 = PdfCrypt.md5("genfix".getBytes(iso))
+    val oVal = PdfCrypt.ownerValue("owner".getBytes(iso),
+      Array.emptyByteArray, 3, 16)
+    val key = PdfCrypt.fileKey(Array.emptyByteArray, oVal, perm, id0,
+      3, 16)
+    val uVal = PdfCrypt.userValue(key, id0, 3)
+    val content = PdfCrypt.encrypt(key, 4, gen, aes = false,
+      Array.emptyByteArray, body)
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    val encDict = "<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $perm /O <${hex(oVal)}> /U <${hex(uVal)}> >>"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    w("%PDF-1.5\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 $gen R >>\n" +
+      "endobj\n")
+    w(s"4 $gen obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n$encDict\nendobj\n")
+    val xref = out.size()
+    if (xrefStream) {
+      // the xref-stream dict doubles as the trailer — /Encrypt and
+      // /ID live here, and there is NO `trailer` keyword anywhere
+      w("7 0 obj\n<< /Type /XRef /Size 8 /Root 1 0 R " +
+        s"/Encrypt 6 0 R /ID [<${hex(id0)}> <${hex(id0)}>] " +
+        "/W [1 2 1] /Length 0 >>\nstream\n\nendstream\nendobj\n")
+      w(s"startxref\n$xref\n%%EOF\n")
+    } else {
+      w("xref\n0 8\n")
+      w(s"trailer\n<< /Size 8 /Root 1 0 R /Encrypt 6 0 R " +
+        s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n$xref\n" +
+        "%%EOF\n")
+    }
+    out.toByteArray
+  }
+
+  test("non-zero generation numbers: a `4 1 obj` content stream " +
+      "decrypts through the gen-salted per-object key") {
+    import spark.implicits._
+    val r = Seq(buildEncrypted(1, xrefStream = false, "gen one text"))
+      .toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"))
+      .head()
+    assert(r.getString(0) == "rc4")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "gen one text")
+  }
+
+  test("xref-stream trailer (/Type /XRef, no `trailer` keyword) " +
+      "carrying /Encrypt is detected and the file decrypts") {
+    import spark.implicits._
+    val r = Seq(buildEncrypted(0, xrefStream = true, "xref stream enc"))
+      .toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"))
+      .head()
+    assert(r.getString(0) == "rc4")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "xref stream enc")
+  }
+
+  test("a content stream containing '/Root' near a fake '/Encrypt' " +
+      "token is NOT misclassified (old proximity heuristic's trap)") {
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    // both tokens inside the content stream, well within 1 KiB of each
+    // other — a proximity window would call this file locked; the
+    // balanced-dict parser only accepts /Encrypt inside a real trailer
+    val body = "BT /F1 12 Tf 72 712 Td " +
+      "(/Root 1 0 R and /Encrypt 6 0 R live here) Tj ET\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n" +
+      "endobj\n")
+    w(s"4 0 obj\n<< /Length ${body.length} >>\nstream\n")
+    w(body)
+    w("endstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n")
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = Seq(out.toByteArray).toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"))
+      .head()
+    assert(r.getString(0) == "none")
+    assert(r.getBoolean(1))
+    assert(r.getString(2).contains("/Encrypt 6 0 R"))
+  }
+
+  test("unparseable /Encrypt dict reports cipher 'unknown', not " +
+      "'rc4', and stays locked") {
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val b = spark.range(2, 3)
+      .select(PdfOps.syntheticPdfEncrypted(col("id")))
+      .as[Array[Byte]].head()
+    val garbage = new String(b, iso)
+      .replace("/V 2", "/V 99999999999999999999")
+      .getBytes(iso)
+    val r = Seq(garbage).toDF("p")
+      .select(PdfOps.pdfCryptoText(col("p")).as("c"))
+      .select(col("c.cipher"), col("c.decryptable"), col("c.text"))
+      .head()
+    assert(r.getString(0) == "unknown")
+    assert(!r.getBoolean(1) && r.isNullAt(2))
+  }
+
+  test("hostile /Length 256 on V2 cannot mis-route to AES-256: " +
+      "fileKey clamps to 16 bytes") {
+    val id0 = PdfCrypt.md5("clamp".getBytes)
+    val o = PdfCrypt.ownerValue("o".getBytes, Array.emptyByteArray,
+      3, 16)
+    val k = PdfCrypt.fileKey(Array.emptyByteArray, o, -44, id0, 3, 32)
+    assert(k.length == 16)
+    // and the clamped key equals the honest 128-bit derivation
+    val honest = PdfCrypt.fileKey(Array.emptyByteArray, o, -44, id0,
+      3, 16)
+    assert(java.util.Arrays.equals(k, honest))
+  }
+
   test("indirect /Length ('123 0 R') is not mis-read as a direct " +
       "length by the backtracking regex") {
     // dictLen regex must reject "/Length 123 0 R" entirely (no
