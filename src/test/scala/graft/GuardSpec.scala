@@ -151,5 +151,11 @@ class GuardSpec extends AnyFunSuite {
     local.zip(dist).foreach { case (a, b) =>
       assert(math.abs(a - b) < 1e-6, s"beta: $a vs $b")
     }
+    // cap small-but-nonzero: the distributed loop engages WITH the
+    // sampled warm start (125 of 300 rows fit the cap) — same MLE
+    val warm = withProp("graft.maxLocalIrls", "500") { fit() }
+    local.zip(warm).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"warm-start beta: $a vs $b")
+    }
   }
 }
