@@ -19,7 +19,11 @@ object Strings {
 
   // ---------- similarity kernels (pure JVM, referentially transparent) --
 
-  private[functions] def jaroSim(s1: String, s2: String): Double = {
+  // The four fuzzy kernels below are public: they are the shared
+  // compute bodies of the native codegen expressions in
+  // org.apache.spark.sql.graft.StringDistances (outside the graft
+  // package), as well as of this object's interpreted fallbacks.
+  def jaroSim(s1: String, s2: String): Double = {
     val (a, b) = (s1.toCharArray, s2.toCharArray)
     val (la, lb) = (a.length, b.length)
     if (la == 0 && lb == 0) return 1.0
@@ -62,8 +66,8 @@ object Strings {
     (m / la + m / lb + (m - t / 2) / m) / 3.0
   }
 
-  private[functions] def jaroWinklerSim(s1: String, s2: String,
-                                        p: Double = 0.1): Double = {
+  def jaroWinklerSim(s1: String, s2: String,
+                     p: Double = 0.1): Double = {
     val j = jaroSim(s1, s2)
     // rapidfuzz convention (the reference delegates to rapidfuzz
     // jaro_winkler, src/str_ext/jaro.rs:20-26): the prefix boost only
@@ -80,7 +84,7 @@ object Strings {
     * CODE POINTS like the reference's rapidfuzz chars() iteration
     * (src/str_ext/osa.rs) — a surrogate-pair character is one edit,
     * not two. */
-  private[functions] def osaDist(str1: String, str2: String): Int = {
+  def osaDist(str1: String, str2: String): Int = {
     val s1 = str1.codePoints.toArray
     val s2 = str2.codePoints.toArray
     val (la, lb) = (s1.length, s2.length)
@@ -102,7 +106,7 @@ object Strings {
 
   /** Full Damerau–Levenshtein (unrestricted transpositions), over
     * CODE POINTS (src/str_ext/levenshtein.rs:261 str_d_leven). */
-  private[functions] def damerauDist(str1: String, str2: String): Int =
+  def damerauDist(str1: String, str2: String): Int =
     damerauDistArr(str1.codePoints.toArray, str2.codePoints.toArray)
 
   /** UTF-8 bytes as unsigned ints — the edit unit under as_bytes
@@ -201,19 +205,27 @@ object Strings {
       else java.lang.Integer.valueOf(f(a, b))
     }
 
-  /** Jaro similarity. (string.py:439 str_jaro) */
-  def strJaro(a: Column, b: Column): Column = udf2d(jaroSim)(a, b)
+  /** Jaro similarity — native codegen expression. (string.py:439
+    * str_jaro) */
+  def strJaro(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.jaroNative(a, b)
 
-  /** Jaro–Winkler similarity; `weight` is the prefix-boost scale
-    * (string.py:404 str_jw, weight kwarg, typical 0.1). */
+  /** Jaro–Winkler similarity — native codegen expression; `weight` is
+    * the prefix-boost scale (string.py:404 str_jw, weight kwarg,
+    * typical 0.1). */
   def strJaroWinkler(a: Column, b: Column, weight: Double = 0.1): Column =
-    udf2d(jaroWinklerSim(_, _, weight))(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.jaroWinklerNative(
+      a, b, weight)
 
-  /** Optimal-string-alignment distance. (string.py:643 str_osa) */
-  def strOsa(a: Column, b: Column): Column = udf2i(osaDist)(a, b)
+  /** Optimal-string-alignment distance — native codegen expression.
+    * (string.py:643 str_osa) */
+  def strOsa(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.osaNative(a, b)
 
-  /** Damerau–Levenshtein distance. (string.py:461 str_d_leven) */
-  def strDamerau(a: Column, b: Column): Column = udf2i(damerauDist)(a, b)
+  /** Damerau–Levenshtein distance — native codegen expression.
+    * (string.py:461 str_d_leven) */
+  def strDamerau(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.damerauNative(a, b)
 
   /** Damerau–Levenshtein with the reference's flags (string.py:461
     * str_d_leven): `asBytes` edits UTF-8 bytes instead of code points;
@@ -223,7 +235,7 @@ object Strings {
     val d: Column =
       if (asBytes)
         udf2i((x, y) => damerauDistArr(utf8Units(x), utf8Units(y)))(a, b)
-      else udf2i(damerauDist)(a, b)
+      else strDamerau(a, b)
     if (!returnSim) d
     else lit(1.0) - d.cast("double") /
       (if (asBytes) greatest(octet_length(a), octet_length(b))

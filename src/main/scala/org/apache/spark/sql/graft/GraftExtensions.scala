@@ -82,6 +82,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeflateRatio(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro"),
+      new ExpressionInfo(classOf[JaroSimilarity].getName, "graft_jaro"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaro(str, str) takes exactly two arguments")
+        JaroSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "graft_jaro_winkler(str, str[, weight]) takes 2 or 3 arguments")
+        val w = if (children.length == 2) 0.1 else children(2) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Double, _) => v
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case _ => throw new IllegalArgumentException(
+            "graft_jaro_winkler: weight must be a double literal")
+        }
+        JaroWinklerSimilarity(children.head, children(1), w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_osa"),
+      new ExpressionInfo(classOf[OsaDistance].getName, "graft_osa"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_osa(str, str) takes exactly two arguments")
+        OsaDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dleven"),
+      new ExpressionInfo(classOf[DamerauDistance].getName, "graft_dleven"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_dleven(str, str) takes exactly two arguments")
+        DamerauDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {
@@ -113,6 +154,24 @@ object NativeFunctions {
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  def jaroNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def jaroWinklerNative(a: Column, b: Column,
+                        weight: Double = 0.1): Column =
+    ExpressionUtils.column(JaroWinklerSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      weight))
+
+  def osaNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(OsaDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def damerauNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(DamerauDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Deflate-compressed bytes / raw UTF-8 bytes (empty → null) — the
     * compression-ratio repetition/quality signal. */

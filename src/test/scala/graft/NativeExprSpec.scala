@@ -301,6 +301,53 @@ class NativeExprSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("native jaro/jw/osa/damerau: kernel parity, nulls, codegen, " +
+      "no UDF in the fuzzy-query plan") {
+    import spark.implicits._
+    import graft.functions.Strings
+    // parity with the shared kernels over edge-shaped pairs (the same
+    // kernels back both paths, so this pins the codegen plumbing:
+    // UTF8String decode, null wiring, literal weight inlining)
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("jellyfish", "smellyfish"), ("", ""), ("", "abc"), ("ab", "ba"),
+      ("ca", "abc"), ("a😀b", "ab"), ("crate", "trace"),
+      ("identical", "identical"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      NativeFunctions.jaroNative(col("a"), col("b")),
+      NativeFunctions.jaroWinklerNative(col("a"), col("b"), 0.1),
+      NativeFunctions.osaNative(col("a"), col("b")),
+      NativeFunctions.damerauNative(col("a"), col("b"))).collect()
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      assert(r.getDouble(0) == Strings.jaroSim(a, b), s"jaro($a,$b)")
+      assert(r.getDouble(1) == Strings.jaroWinklerSim(a, b, 0.1),
+        s"jw($a,$b)")
+      assert(r.getInt(2) == Strings.osaDist(a, b), s"osa($a,$b)")
+      assert(r.getInt(3) == Strings.damerauDist(a, b), s"dleven($a,$b)")
+    }
+    // null in either side → null out, all four
+    val nr = Seq((Option("x"), Option.empty[String]),
+        (Option.empty[String], Option("y"))).toDF("a", "b")
+      .select(NativeFunctions.jaroNative(col("a"), col("b")),
+        NativeFunctions.jaroWinklerNative(col("a"), col("b")),
+        NativeFunctions.osaNative(col("a"), col("b")),
+        NativeFunctions.damerauNative(col("a"), col("b"))).collect()
+    nr.foreach(r => (0 to 3).foreach(i => assert(r.isNullAt(i))))
+    // codegen: the whole fuzzy projection compiles into one
+    // WholeStageCodegen stage with no ScalaUDF/BatchEval nodes
+    val rdf = spark.range(100)
+      .select(concat(lit("abcdef"), col("id") % 10).as("a"),
+        concat(lit("abdcef"), (col("id") + 1) % 10).as("b"))
+      .select(Strings.strJaro(col("a"), col("b")).as("j"),
+        Strings.strJaroWinkler(col("a"), col("b")).as("jw"),
+        Strings.strOsa(col("a"), col("b")).as("o"),
+        Strings.strDamerau(col("a"), col("b")).as("d"))
+    val plan = rdf.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(rdf.count() == 100)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
