@@ -214,10 +214,21 @@ object KnnOps {
 
   /** Ids within radius r of each row (self excluded), sorted by
     * (dist, id). r is in the metric's reported unit. (expr_knn.py:471
-    * query_radius_ptwise; knn.rs:559) */
+    * query_radius_ptwise; knn.rs:559)
+    *
+    * OUTPUT-SEMANTICS GUARD (docs/CAPS.md): a fixed radius over
+    * densifying data grows each row's list with the LOCAL density, so
+    * output volume can scale quadratically while input scales linearly
+    * (measured ×24 rows per ×10 data on the uniform test corpus).
+    * `maxNeighbors` bounds every list to the NEAREST n neighbors
+    * (deterministic — rangeQuery returns (dist, id)-sorted results);
+    * the default Int.MaxValue keeps the reference's unbounded
+    * semantics. When only the neighborhood SIZE is needed, use
+    * [[nbCnt]] — it never materializes the lists at all. */
   def radiusPtwise(df: DataFrame, id: Column, features: Seq[Column],
                    r: Double, metric: String = "l2",
-                   includeSelf: Boolean = false): DataFrame = {
+                   includeSelf: Boolean = false,
+                   maxNeighbors: Int = Int.MaxValue): DataFrame = {
     val raw = if (metric == "l2") r * r else r
     val tree = collectTree(df, id, features, metric)
     withQueried(df, id, features,
@@ -226,7 +237,7 @@ object KnnOps {
         // row itself first (dist 0; test_many.py:1128 [[1,2],[2,1],[3]])
         Seq(t.rangeQuery(qf, raw,
           exclude = if (includeSelf) Long.MinValue else qid)
-          .map(_._1).toSeq), tree)
+          .take(maxNeighbors).map(_._1).toSeq), tree)
   }
 
   /** Null-safe variant of [[radiusPtwise]] (expr_knn.py:528
@@ -237,7 +248,8 @@ object KnnOps {
   def radiusPtwiseNullSafe(df: DataFrame, id: Column,
                            features: Seq[Column], r: Double,
                            metric: String = "l2",
-                           includeSelf: Boolean = false): DataFrame = {
+                           includeSelf: Boolean = false,
+                           maxNeighbors: Int = Int.MaxValue): DataFrame = {
     val raw = if (metric == "l2") r * r else r
     val tree = collectTree(df, id, features, metric)
     val spark = df.sparkSession
@@ -259,7 +271,7 @@ object KnnOps {
                 Long.MinValue
               else r0.getAs[Long]("_qid")
             t.rangeQuery(qf.map(Double.unbox).toArray, raw,
-              exclude = qid).map(_._1).toSeq
+              exclude = qid).take(maxNeighbors).map(_._1).toSeq
           }
         Row.fromSeq(r0.toSeq :+ res)
       }

@@ -111,6 +111,37 @@ class KnnSpec extends AnyFunSuite {
     expect.foreach { case (id, ids) => assert(got(id) == ids) }
   }
 
+  test("radius maxNeighbors cap keeps the nearest-n prefix; nbCnt is " +
+      "the count-only twin (docs/CAPS.md output-semantics guard)") {
+    import spark.implicits._
+    // a dense line: radius 5 around each point catches nearly everyone
+    val df = (0L to 20L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val full = KnnOps.radiusPtwise(df, col("id"), Seq(col("x")), 5.0)
+      .select(col("id"), col("radius_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val capped = KnnOps.radiusPtwise(df, col("id"), Seq(col("x")), 5.0,
+        maxNeighbors = 3)
+      .select(col("id"), col("radius_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    full.foreach { case (id, ids) =>
+      // cap = deterministic nearest-first prefix of the unbounded list
+      assert(capped(id) == ids.take(3), s"id $id")
+      assert(capped(id).length <= 3)
+    }
+    // null-safe variant honors the same cap
+    val cappedNs = KnnOps.radiusPtwiseNullSafe(df, col("id"),
+        Seq(col("x")), 5.0, maxNeighbors = 3)
+      .select(col("id"), col("radius_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    full.foreach { case (id, ids) => assert(cappedNs(id) == ids.take(3)) }
+    // count-only mode: nbCnt equals the UNBOUNDED list length (the cap
+    // never changes counts — it only bounds materialization)
+    val cnts = KnnOps.nbCnt(df, col("id"), Seq(col("x")), 5.0)
+      .select(col("id"), col("nb_cnt")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    full.foreach { case (id, ids) => assert(cnts(id) == ids.length) }
+  }
+
   test("withinDistFrom cosine and haversine metrics") {
     import spark.implicits._
     val df = Seq((1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")
