@@ -7,9 +7,15 @@ import org.apache.spark.sql.SparkSession
   * rejects unless nanosAsLong is set (reads as LongType nanos — still a
   * valid monotone order column, which is all the library needs). */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+  def builder(cpus: String): SparkSession.Builder = {
+    // Executor-shape validation hook: GRAFT_MASTER=local-cluster[4,8,8192]
+    // runs the identical entry points across real worker JVMs — actual
+    // closure/broadcast serialization and shuffle transport instead of
+    // local mode's same-JVM shortcuts. GRAFT_JARS must then point at the
+    // packaged app jar (sbt package) so executors can load graft classes.
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,4 +41,6 @@ object GraftSession {
       // The reference's kernels never raise on degenerate denominators
       // (e.g. confusion-matrix ratios with an empty class).
       .config("spark.sql.ansi.enabled", "false")
+    sys.env.get("GRAFT_JARS").fold(b)(b.config("spark.jars", _))
+  }
 }
