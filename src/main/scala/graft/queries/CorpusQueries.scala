@@ -79,6 +79,26 @@ object CorpusQueries extends QueryPack {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    // sf1-feasible value-exact twin (BASELINE.md "sf1 CORRECTNESS"):
+    // the original's sequential first-fit walk is a recursive CTE with
+    // one step per document — DuckDB-infeasible at sf1 (50k docs). A
+    // deterministic 1/10 sample keeps every group and the identical
+    // packing code path at replayable walk lengths (5k steps at sf1).
+    "q_sx_seq_pack" -> ((s, dir) => {
+      val bins = CorpusOps.packSequences(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          col("source"), col("doc_id"), TextOps.tokenCount(col("text")),
+          budget = 400L)
+        .groupBy(col("grp"), col("bin"))
+        .agg(sum(col("tok")).as("bin_tok"), count(lit(1)).as("bin_docs"))
+      bins.groupBy(col("grp").as("source"))
+        .agg(max(col("bin")).as("n_bins"),
+          sum(col("bin_docs")).as("n_docs"),
+          sum(col("bin_tok")).as("sum_tok"),
+          max(col("bin_tok")).as("max_fill"),
+          round(avg(col("bin_tok")), 4).as("avg_fill"))
+        .orderBy("source")
+    }),
     "q_seq_pack" -> ((s, dir) => {
       val bins = CorpusOps.packSequences(t(s, dir, "documents"),
           col("source"), col("doc_id"), TextOps.tokenCount(col("text")),
@@ -296,6 +316,36 @@ object CorpusQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY doc_id) AS rn
         |  FROM documents
+        |),
+        |walk AS (
+        |  SELECT source, rn, tok, 1 AS bin, tok AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.source, b.rn, b.tok,
+        |         CASE WHEN w.fill + b.tok > 400 THEN w.bin + 1
+        |              ELSE w.bin END,
+        |         CASE WHEN w.fill + b.tok > 400 THEN b.tok
+        |              ELSE w.fill + b.tok END
+        |  FROM walk w JOIN base b
+        |    ON b.source = w.source AND b.rn = w.rn + 1
+        |),
+        |bins AS (
+        |  SELECT source, bin, sum(tok) AS bin_tok, count(*) AS bin_docs
+        |  FROM walk GROUP BY source, bin
+        |)
+        |SELECT source, max(bin)::BIGINT AS n_bins,
+        |       sum(bin_docs)::BIGINT AS n_docs,
+        |       sum(bin_tok)::BIGINT AS sum_tok,
+        |       max(bin_tok)::BIGINT AS max_fill,
+        |       round(avg(bin_tok), 4) AS avg_fill
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
+    "q_sx_seq_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT source, doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 10 = 0
         |),
         |walk AS (
         |  SELECT source, rn, tok, 1 AS bin, tok AS fill

@@ -490,6 +490,24 @@ object CurationQueries extends QueryPack {
         sum(pmod(conv(substring(rowMd5, 1, 15), 16, 10).cast("long"),
           lit(1000000007L))).as("md5_digest"))
     }),
+    // sf1-feasible value-exact twin (BASELINE.md "sf1 CORRECTNESS"):
+    // the original's oracle replays every KN count table over the full
+    // corpus's bigram instances — past DuckDB's isolated-runner budget
+    // at sf1 (50k docs). Training AND scoring restricted to the same
+    // deterministic 1/10 doc sample keeps the pipeline self-consistent
+    // (a genuine smaller corpus) at replayable size.
+    "q_sx_lm_kn" -> ((s, dir) => {
+      import graft.text.LmOps
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      graft.util.Release.scoped(s) {
+        LmOps.ngramLmScoreKN(docs, col("text"), docs, col("doc_id"),
+            col("text"))
+          .select(col("doc_id"), col("n_ngrams"),
+            round(col("cross_entropy"), 4).as("cross_entropy"),
+            round(col("ppl"), 2).as("ppl"))
+          .orderBy("doc_id")
+      }
+    }),
     "q_lm_kn" -> ((s, dir) => {
       // interpolated Kneser-Ney bigram scoring, self-trained — the
       // oracle replays every count table (prefix totals, distinct
@@ -1283,6 +1301,42 @@ object CurationQueries extends QueryPack {
         |      doc_id::VARCHAR, source, text)), 1, 15))::UBIGINT
         |    % 1000000007)::BIGINT)::BIGINT AS md5_digest
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    "q_sx_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND length(trim(text)) > 0),
+        |words AS (
+        |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t,
+        |            (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM toks)),
+        |big AS (
+        |  SELECT doc_id, pos, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM words QUALIFY w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+        |       FROM cb GROUP BY 1),
+        |nc AS (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
+        |nb AS (SELECT COUNT(*) AS nbig FROM cb)
+        |SELECT b.doc_id, COUNT(*) AS n_ngrams,
+        |  ROUND(AVG(-ln(
+        |    GREATEST(cb.c12 - 0.75, 0) / c1.c1
+        |    + 0.75 * c1.n1f / c1.c1 * nc.ncont / nb.nbig)), 4)
+        |    AS cross_entropy,
+        |  ROUND(EXP(AVG(-ln(
+        |    GREATEST(cb.c12 - 0.75, 0) / c1.c1
+        |    + 0.75 * c1.n1f / c1.c1 * nc.ncont / nb.nbig))), 2)
+        |    AS ppl
+        |FROM big b
+        |JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |JOIN nc ON nc.w2 = b.w2
+        |CROSS JOIN nb
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lm_kn" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -49,6 +49,22 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_survivors"), sum(col("id")).as("sum_ids"))
         .orderBy("label")
     }),
+    // sf1-feasible value-exact twin (BASELINE.md "sf1 CORRECTNESS"):
+    // the original's all-pairs cosine + recursive-CTE components over
+    // 20k embeddings (sf1) is past DuckDB's budget; a deterministic
+    // 1/10 id sample runs the identical exact-semantics path
+    // (nCells=1) at replayable size (2k vectors, 2M pairs).
+    "q_sx_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"), col("label"))
+      graft.sim.SimOps.semanticDedup(emb, col("id"), col("vec"), 0.3,
+          nCells = 1, subBlocks = 4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_survivors"), sum(col("id")).as("sum_ids"))
+        .orderBy("label")
+    }),
     "q_semantic_cells" -> ((s, dir) => {
       // clustered path contract vs the exact twin: every clustered pair
       // must BE an exact pair (the kernel verifies true cosine), and the
@@ -250,6 +266,25 @@ object GraphQueries extends QueryPack {
         |SELECT label, count(*) AS n_survivors,
         |       sum(vec_id)::BIGINT AS sum_ids
         |FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_semantic" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS i1, b.vec_id AS i2
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]) >= 0.3),
+        |sym AS (SELECT i1 u, i2 v FROM e UNION SELECT i2, i1 FROM e),
+        |walk(id, comp) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n(u)
+        |  UNION
+        |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
+        |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)
+        |SELECT label, count(*) AS n_survivors,
+        |       sum(vec_id)::BIGINT AS sum_ids
+        |FROM emb
         |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> comp)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_semantic_cells" ->

@@ -122,6 +122,72 @@ object KnnQueries extends QueryPack {
         .select(col("c_custkey").as("cid"), col("nb_id").as("sid"),
           col("rk").cast("long").as("rk"),
           round(col("nb_dist"), 6).as("dist"))
+    }),
+    // ---- q_sx_*: sf1-feasible value-exact twins (BASELINE.md "sf1
+    // CORRECTNESS"). The originals' oracles brute-force ALL query
+    // rows x ALL candidates — quadratic SQL DuckDB cannot replay at
+    // sf1 (150k^2 pairs). These twins keep the Spark side IDENTICAL
+    // in every operator-relevant way (kd-tree built over the full
+    // corpus, per-row searches, tie-breaks, bounds) and restrict only
+    // the AGGREGATED query rows to a deterministic 1/97 key sample,
+    // turning the oracle into sample x corpus (~2.3e8 pairs at sf1 —
+    // DuckDB replays it inside the isolated runner's budget).
+    "q_sx_knn_point" -> ((s, dir) => {
+      val df = feat(s, dir)
+      val fs = Seq(col("f1"), col("f2"))
+      val kth = KnnOps.distFromKthNb(df, col("c_custkey"), fs, 3)
+        .filter(col("c_custkey") % 97 === 0)
+      val ids = KnnOps.knnPtwise(df, col("c_custkey"), fs, 3)
+        .select(col("c_custkey").as("ki"),
+          element_at(col("knn_ids"), 1).as("nn1"))
+      val av = KnnOps.knnAvg(df, col("c_custkey"), fs, col("c_acctbal"), 5)
+        .select(col("c_custkey").as("ka"), col("knn_avg"))
+      val cnt = KnnOps.nbCnt(df, col("c_custkey"), fs, 5.0)
+        .select(col("c_custkey").as("kc"), col("nb_cnt"))
+      val rad = KnnOps.radiusPtwise(df, col("c_custkey"), fs, 3.0)
+        .select(col("c_custkey").as("kr"), col("radius_ids"))
+      kth.join(ids, col("c_custkey") === col("ki"))
+        .join(av, col("c_custkey") === col("ka"))
+        .join(cnt, col("c_custkey") === col("kc"))
+        .join(rad, col("c_custkey") === col("kr"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("kth_dist")), 6).as("avg_kth_dist"),
+          sum(col("nn1")).as("sum_nn1"),
+          round(avg(col("knn_avg")), 4).as("avg_knn_avg"),
+          round(avg(col("nb_cnt")), 6).as("avg_nb_cnt"),
+          sum(size(col("radius_ids"))).as("n_rpairs"),
+          sum(coalesce(element_at(col("radius_ids"), 1), lit(0L)))
+            .as("sum_first_id"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_sx_knn_freq" -> ((s, dir) => {
+      // freq over the SAMPLED queries' neighbor lists (a well-defined
+      // statistic of its own — the original all-queries freq stays
+      // rows-checked at sf1 plus the n*k sum invariant both share)
+      val df = feat(s, dir)
+      val freq = KnnOps.knnPtwise(df, col("c_custkey"),
+          Seq(col("f1"), col("f2")), 3)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(explode(col("knn_ids")).as("nb_id"))
+        .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
+      df.select(col("c_custkey").as("nb_id"), col("c_mktsegment"))
+        .join(freq, Seq("nb_id"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(coalesce(col("freq"), lit(0L))).as("knn_freq_sum"),
+          max(coalesce(col("freq"), lit(0L))).as("knn_freq_max"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_sx_knn_join" -> ((s, dir) => {
+      // the supplier-side tree is FULL size; only probe rows sampled
+      val cust = feat(s, dir).filter(col("c_custkey") % 97 === 0)
+      val supp = t(s, dir, "supplier")
+        .withColumn("f1", col("s_acctbal") / 100.0)
+        .withColumn("f2", (col("s_suppkey") * 7919 % 1000) / 10.0)
+      KnnOps.knnJoin(cust, col("c_custkey"), Seq(col("f1"), col("f2")),
+          supp, col("s_suppkey"), Seq(col("f1"), col("f2")), 2)
+        .select(col("c_custkey").as("cid"), col("nb_id").as("sid"),
+          col("rk").cast("long").as("rk"),
+          round(col("nb_dist"), 6).as("dist"))
     })
   )
 
@@ -224,6 +290,88 @@ object KnnQueries extends QueryPack {
       """WITH l AS (
         |  SELECT c_custkey cid, c_acctbal / 100.0 f1,
         |    (c_custkey * 7919 % 1000) / 10.0 f2 FROM customer),
+        |r AS (
+        |  SELECT s_suppkey sid, s_acctbal / 100.0 f1,
+        |    (s_suppkey * 7919 % 1000) / 10.0 f2 FROM supplier),
+        |d AS (
+        |  SELECT l.cid, r.sid,
+        |    (l.f1 - r.f1) * (l.f1 - r.f1)
+        |      + (l.f2 - r.f2) * (l.f2 - r.f2) d2
+        |  FROM l CROSS JOIN r),
+        |rk AS (
+        |  SELECT cid, sid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, sid) rk
+        |  FROM d)
+        |SELECT cid, sid, rk, ROUND(SQRT(d2), 6) AS dist
+        |FROM rk WHERE rk <= 2""".stripMargin,
+    "q_sx_knn_point" ->
+      s"""WITH fa AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal,
+         |    c_acctbal / 100.0 f1, (c_custkey * 7919 % 1000) / 10.0 f2
+         |  FROM customer),
+         |q AS (SELECT * FROM fa WHERE c_custkey % 97 = 0),
+         |pairs AS (
+         |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+         |    (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+         |  FROM q a JOIN fa b ON a.c_custkey <> b.c_custkey),
+         |ranked AS (
+         |  SELECT qid, seg, cid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+         |  FROM pairs),
+         |kth AS (
+         |  SELECT qid, seg, SQRT(MAX(CASE WHEN rk = 3 THEN d2 END)) kd,
+         |    MAX(CASE WHEN rk = 1 THEN cid END) nn1,
+         |    SUM(CASE WHEN d2 <= 25.0 THEN 1 ELSE 0 END) nbc,
+         |    SUM(CASE WHEN d2 <= 9.0 THEN 1 ELSE 0 END) nr,
+         |    MIN(CASE WHEN rk = 1 AND d2 <= 9.0 THEN cid END) fid
+         |  FROM ranked GROUP BY 1, 2),
+         |pairs_s AS (
+         |  SELECT a.c_custkey qid, b.c_acctbal tv, b.c_custkey cid,
+         |    (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+         |  FROM q a CROSS JOIN fa b),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT qid, tv, SQRT(d2) d,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+         |    FROM pairs_s)
+         |  WHERE rk <= 6 AND d >= 1e-9),
+         |knn AS (SELECT qid, AVG(tv) knn_avg FROM kept GROUP BY 1)
+         |SELECT seg AS c_mktsegment,
+         |  ROUND(AVG(kd), 6) AS avg_kth_dist,
+         |  SUM(nn1)::BIGINT AS sum_nn1,
+         |  ROUND(AVG(knn_avg), 4) AS avg_knn_avg,
+         |  ROUND(AVG(nbc), 6) AS avg_nb_cnt,
+         |  SUM(nr)::BIGINT AS n_rpairs,
+         |  SUM(COALESCE(fid, 0))::BIGINT AS sum_first_id
+         |FROM kth JOIN knn USING (qid)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_knn_freq" ->
+      s"""WITH f AS ($featSql),
+         |q AS (SELECT * FROM f WHERE c_custkey % 97 = 0),
+         |pairs AS (
+         |  SELECT a.c_custkey qid, b.c_custkey cid,
+         |    (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+         |  FROM q a JOIN f b ON a.c_custkey <> b.c_custkey),
+         |ranked AS (
+         |  SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
+         |  FROM pairs),
+         |kf AS (
+         |  SELECT cid nb_id, COUNT(*) freq FROM ranked WHERE rk <= 3
+         |  GROUP BY 1)
+         |SELECT f.c_mktsegment,
+         |  SUM(COALESCE(kf.freq, 0))::BIGINT AS knn_freq_sum,
+         |  MAX(COALESCE(kf.freq, 0))::BIGINT AS knn_freq_max
+         |FROM f LEFT JOIN kf ON kf.nb_id = f.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_knn_join" ->
+      """WITH l AS (
+        |  SELECT c_custkey cid, c_acctbal / 100.0 f1,
+        |    (c_custkey * 7919 % 1000) / 10.0 f2 FROM customer
+        |  WHERE c_custkey % 97 = 0),
         |r AS (
         |  SELECT s_suppkey sid, s_acctbal / 100.0 f1,
         |    (s_suppkey * 7919 % 1000) / 10.0 f2 FROM supplier),

@@ -61,6 +61,26 @@ object ParityQueries extends QueryPack {
             .as("sum_first_id"))
         .orderBy("c_mktsegment")
     }),
+    "q_sx_knn_radius_null" -> ((s, dir) => {
+      // sf1-feasible value-exact twin of q_knn_radius_null (see
+      // KnnQueries q_sx_*): identical null-safe op over the FULL
+      // corpus, aggregate restricted to a 1/97 query sample so the
+      // oracle's pair CTE is sample x corpus
+      val d = feat(s, dir).withColumn("f2",
+        when(col("c_custkey") % 19 === 0, lit(null)).otherwise(col("f2")))
+      KnnOps.radiusPtwiseNullSafe(d, col("c_custkey"),
+          Seq(col("f1"), col("f2")), 3.0)
+        .filter(col("c_custkey") % 97 === 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(when(col("radius_ids").isNull, 1)).as("n_null"),
+          // coalesce: a segment whose sample is all-null rows sums to
+          // NULL, which pandas would widen to float64 vs the oracle's 0
+          coalesce(sum(when(col("radius_ids").isNotNull,
+            size(col("radius_ids")))), lit(0L)).as("n_pairs"),
+          sum(coalesce(element_at(col("radius_ids"), 1), lit(0L)))
+            .as("sum_first_id"))
+        .orderBy("c_mktsegment")
+    }),
     "q_knn_epsilon" -> ((s, dir) => {
       // kd-tree epsilon mode contract: the approximate k-th distance is
       // never below the exact one and never above sqrt(1+eps) times it
@@ -242,6 +262,31 @@ object ParityQueries extends QueryPack {
         |   FROM pairs p WHERE p.seg = f.c_mktsegment)::BIGINT
         |    AS sum_first_id
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_knn_radius_null" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal / 100.0 f1,
+        |    CASE WHEN c_custkey % 19 = 0 THEN NULL
+        |      ELSE (c_custkey * 7919 % 1000) / 10.0 END f2
+        |  FROM customer),
+        |nn AS (SELECT * FROM f WHERE f2 IS NOT NULL),
+        |q AS (SELECT * FROM nn WHERE c_custkey % 97 = 0),
+        |pairs AS (
+        |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+        |    ROW_NUMBER() OVER (PARTITION BY a.c_custkey
+        |      ORDER BY (a.f1-b.f1)*(a.f1-b.f1)
+        |        + (a.f2-b.f2)*(a.f2-b.f2), b.c_custkey) rk
+        |  FROM q a JOIN nn b ON a.c_custkey <> b.c_custkey
+        |  WHERE (a.f1-b.f1)*(a.f1-b.f1)
+        |    + (a.f2-b.f2)*(a.f2-b.f2) <= 9.0)
+        |SELECT f.c_mktsegment,
+        |  COUNT(CASE WHEN f.f2 IS NULL THEN 1 END) AS n_null,
+        |  (SELECT COUNT(*) FROM pairs p
+        |   WHERE p.seg = f.c_mktsegment)::BIGINT AS n_pairs,
+        |  (SELECT COALESCE(SUM(CASE WHEN p.rk = 1 THEN p.cid END), 0)
+        |   FROM pairs p WHERE p.seg = f.c_mktsegment)::BIGINT
+        |    AS sum_first_id
+        |FROM f WHERE c_custkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_epsilon" ->
       """SELECT COUNT(*)::BIGINT AS n, TRUE AS lb_ok, TRUE AS ub_ok
         |FROM customer""".stripMargin,

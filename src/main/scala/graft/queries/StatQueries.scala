@@ -184,6 +184,36 @@ object StatQueries extends QueryPack {
           col("c_custkey")), 6).as("tau"))
         .orderBy("c_mktsegment")
     }),
+    // sf1-feasible value-exact twins of q_kendall_tau (BASELINE.md
+    // "sf1 CORRECTNESS"): the original's O(n^2)-pairs oracle is
+    // DuckDB-infeasible at sf1 group sizes (30k/segment).
+    // (a) the same aggregator over a deterministic 1/10 key sample —
+    // pair counts shrink 100x, DuckDB replays them at sf1;
+    "q_sx_kendall" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(KendallTauAgg.kendallTau(col("c_acctbal"),
+          col("c_custkey")), 6).as("tau"))
+        .orderBy("c_mktsegment")
+    }),
+    // (b) a CONSTRUCTED 6M-row fixture whose tau has a closed form:
+    // within each of 4 groups, y reverses x inside blocks of 1000, so
+    // discordant pairs = (n/B)*C(B,2) exactly and tau = 1 - 2*dis/n0.
+    // The O(n log n) merge-sort aggregator digests 1.5M rows/group —
+    // full sf1 group size — and must land on the closed form to 6 dp.
+    // Deliberately sf-independent (the fixture IS the scale).
+    "q_sx_kendall_closed" -> ((s, _) => {
+      val B = 1000L
+      s.range(6000000L)
+        .select((col("id") % 4).as("g"), expr("id DIV 4").as("i"))
+        .select(col("g"), col("i").cast("double").as("x"),
+          (col("i") + lit(B - 1) - lit(2L) * (col("i") % lit(B)))
+            .cast("double").as("y"))
+        .groupBy("g")
+        .agg(round(KendallTauAgg.kendallTau(col("x"), col("y")), 6)
+          .as("tau"))
+        .orderBy("g")
+    }),
     "q_bicor" -> ((s, dir) => {
       StatOps.bicor(t(s, dir, "lineitem"), col("l_extendedprice"),
           col("l_quantity"), Seq("l_returnflag"))
@@ -544,6 +574,29 @@ object StatQueries extends QueryPack {
         |  GROUP BY 1)
         |SELECT g AS c_mktsegment,
         |  ROUND((con - dis) / SQRT((con + dis) * n0), 6) AS tau
+        |FROM p ORDER BY 1""".stripMargin,
+    "q_sx_kendall" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment g, c_acctbal x, c_custkey y FROM customer
+        |  WHERE c_custkey % 10 = 0),
+        |p AS (
+        |  SELECT a.g,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)::DOUBLE con,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)::DOUBLE dis,
+        |    COUNT(*)::DOUBLE n0
+        |  FROM c a JOIN c b ON a.g = b.g AND a.y < b.y
+        |  GROUP BY 1)
+        |SELECT g AS c_mktsegment,
+        |  ROUND((con - dis) / SQRT((con + dis) * n0), 6) AS tau
+        |FROM p ORDER BY 1""".stripMargin,
+    "q_sx_kendall_closed" ->
+      """WITH g AS (SELECT UNNEST(ARRAY[0, 1, 2, 3]) g),
+        |p AS (SELECT g::BIGINT g,
+        |  1500000.0 * (1500000.0 - 1) / 2 n0,
+        |  (1500000 / 1000) * (1000.0 * 999 / 2) dis FROM g)
+        |SELECT g, ROUND((n0 - 2 * dis) / n0, 6) AS tau
         |FROM p ORDER BY 1""".stripMargin,
     "q_bicor" ->
       """WITH t AS (

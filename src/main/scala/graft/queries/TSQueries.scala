@@ -177,6 +177,20 @@ object TSQueries extends QueryPack {
         .agg(round(LempelZivAgg.lempelZiv(col("event_id"),
           col("value") > 50.0, asRatio = true), 6).as("lz_ratio"))
         .orderBy("event_type")
+    }),
+    // sf1-feasible value-exact twin of q_lempel_ziv (BASELINE.md "sf1
+    // CORRECTNESS"): the original's recursive-CTE oracle replays the
+    // LZ76 parse with a linear phrase-list scan — quadratic in phrase
+    // count, DuckDB-infeasible at sf1 sequence lengths (200k/group).
+    // A deterministic 1/200 key sample keeps full-corpus group
+    // STRUCTURE (same groups, same agg merge across partitions) at
+    // oracle-replayable sequence lengths (~1k/group at sf1).
+    "q_sx_lz" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") % 200 === 0)
+        .groupBy(col("event_type"))
+        .agg(round(LempelZivAgg.lempelZiv(col("event_id"),
+          col("value") > 50.0, asRatio = true), 6).as("lz_ratio"))
+        .orderBy("event_type")
     })
   )
 
@@ -227,6 +241,26 @@ object TSQueries extends QueryPack {
         |    CASE WHEN value > 50.0 THEN '1' ELSE '0' END, ''
         |    ORDER BY event_id) s
         |  FROM events GROUP BY 1),
+        |st(event_type, s, n, ind, seen, maxlen, c) AS (
+        |  SELECT event_type, s, strlen(s)::INT, 1, []::VARCHAR[], 0, 0
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT event_type, s, n, ind + L,
+        |    list_append(seen, s[ind:ind+L-1]), GREATEST(maxlen, L), c + 1
+        |  FROM (
+        |    SELECT *, list_min(list_filter(
+        |      range(1, LEAST(n - ind + 1, maxlen + 1) + 1),
+        |      l -> NOT list_contains(seen, s[ind:ind+l-1])))::INT L
+        |    FROM st WHERE ind <= n)
+        |  WHERE L IS NOT NULL)
+        |SELECT event_type, ROUND(MAX(c)::DOUBLE / MAX(n), 6) AS lz_ratio
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_lz" ->
+      """WITH RECURSIVE seqs AS (
+        |  SELECT event_type, string_agg(
+        |    CASE WHEN value > 50.0 THEN '1' ELSE '0' END, ''
+        |    ORDER BY event_id) s
+        |  FROM events WHERE event_id % 200 = 0 GROUP BY 1),
         |st(event_type, s, n, ind, seen, maxlen, c) AS (
         |  SELECT event_type, s, strlen(s)::INT, 1, []::VARCHAR[], 0, 0
         |  FROM seqs

@@ -17,6 +17,117 @@ object TSQueries2 extends QueryPack {
 
   private val subSql = "SELECT * FROM events WHERE event_id % 10 = 0"
 
+  // q_sx_* twins (BASELINE.md "sf1 CORRECTNESS"): the entropy
+  // estimators' oracles are quadratic pair scans DuckDB cannot replay
+  // at sf1 group sizes (~20k). A deterministic 1/100 key sample keeps
+  // the same groups and the same estimator code path at
+  // oracle-replayable sizes (~2k/group at sf1).
+  // Groups below 12 points are dropped on BOTH sides: the m=2 /
+  // k=3 estimators are undefined (or join-degenerate) there, and at
+  // tiny scale factors the thin sample would otherwise leave the two
+  // engines disagreeing about WHICH degenerate groups appear at all.
+  private def sub100(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").filter(col("event_id") % 100 === 0)
+    val ok = d.groupBy(col("event_type")).count()
+      .filter(col("count") >= 12).select(col("event_type"))
+    d.join(ok, "event_type")
+  }
+
+  private val subSql100 =
+    """SELECT e.* FROM
+      |  (SELECT * FROM events WHERE event_id % 100 = 0) e
+      |JOIN (SELECT event_type FROM events WHERE event_id % 100 = 0
+      |      GROUP BY 1 HAVING COUNT(*) >= 12) g
+      |USING (event_type)""".stripMargin
+
+  /** q_sample_entropy's exact SQL twin, parameterized by the base
+    * row filter (shared by the original and its q_sx_ twin). */
+  private def sampleEntropySql(base: String): String =
+    s"""WITH e AS ($base),
+       |r AS (
+       |  SELECT event_type, 0.5 * STDDEV_POP(value) r FROM e GROUP BY 1),
+       |s AS (
+       |  SELECT event_type, value x,
+       |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
+       |    ROW_NUMBER() OVER w rn
+       |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+       |t AS (SELECT * FROM s WHERE x1 IS NOT NULL),
+       |p AS (
+       |  SELECT a.event_type,
+       |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+       |      <= r.r THEN 1 ELSE 0 END) bb,
+       |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+       |        <= r.r AND b.x2 IS NOT NULL
+       |        AND ABS(a.x2 - b.x2) <= r.r
+       |      THEN 1 ELSE 0 END) aa
+       |  FROM t a
+       |  JOIN t b ON a.event_type = b.event_type AND a.rn < b.rn
+       |  JOIN r ON r.event_type = a.event_type
+       |  GROUP BY 1)
+       |SELECT event_type,
+       |  CASE WHEN aa = 0 OR bb = 0 THEN 'NaN'::DOUBLE
+       |    ELSE ROUND(LN(bb::DOUBLE / aa::DOUBLE), 6) END
+       |    AS sample_entropy
+       |FROM p ORDER BY 1""".stripMargin
+
+  private def approxEntropySql(base: String): String =
+    s"""WITH e AS ($base),
+       |r AS (
+       |  SELECT event_type, 0.2 * STDDEV_SAMP(value) r FROM e GROUP BY 1),
+       |s AS (
+       |  SELECT event_type, value x,
+       |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
+       |    ROW_NUMBER() OVER w rn
+       |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+       |t2 AS (SELECT * FROM s WHERE x1 IS NOT NULL),
+       |t3 AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+       |n2 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t2 GROUP BY 1),
+       |n3 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t3 GROUP BY 1),
+       |c2 AS (
+       |  SELECT a.event_type, a.rn,
+       |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
+       |      <= r.r THEN 1 ELSE 0 END) c
+       |  FROM t2 a
+       |  JOIN t2 b ON a.event_type = b.event_type
+       |  JOIN r ON r.event_type = a.event_type
+       |  GROUP BY 1, 2),
+       |c3 AS (
+       |  SELECT a.event_type, a.rn,
+       |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
+       |      ABS(a.x2 - b.x2)) <= r.r THEN 1 ELSE 0 END) c
+       |  FROM t3 a
+       |  JOIN t3 b ON a.event_type = b.event_type
+       |  JOIN r ON r.event_type = a.event_type
+       |  GROUP BY 1, 2),
+       |p2 AS (
+       |  SELECT c2.event_type, AVG(LN(c2.c::DOUBLE / n2.n)) p
+       |  FROM c2 JOIN n2 USING (event_type) GROUP BY 1),
+       |p3 AS (
+       |  SELECT c3.event_type, AVG(LN(c3.c::DOUBLE / n3.n)) p
+       |  FROM c3 JOIN n3 USING (event_type) GROUP BY 1)
+       |SELECT event_type, ROUND(ABS(p2.p - p3.p), 6) AS approx_entropy
+       |FROM p2 JOIN p3 USING (event_type) ORDER BY 1""".stripMargin
+
+  private def knnEntropySql(base: String): String =
+    s"""WITH e AS (
+       |  SELECT event_type, value + event_id * 1e-9 xj
+       |  FROM ($base)),
+       |p AS (
+       |  SELECT a.event_type, a.xj,
+       |    ABS(a.xj - b.xj) d,
+       |    ROW_NUMBER() OVER (PARTITION BY a.event_type, a.xj
+       |      ORDER BY ABS(a.xj - b.xj)) rk
+       |  FROM e a JOIN e b
+       |    ON a.event_type = b.event_type AND a.xj <> b.xj),
+       |k AS (
+       |  SELECT event_type, AVG(LN(d * 2.0)) m, COUNT(*)::DOUBLE n
+       |  FROM p WHERE rk = 3 GROUP BY 1)
+       |SELECT event_type,
+       |  ROUND(LN(n) - 1.0 / (2.0 * n) - 1.0 / (12.0 * n * n)
+       |    + 1.0 / (120.0 * POW(n, 4)) - 1.0 / (252.0 * POW(n, 6))
+       |    - 0.9227843350984671 + m, 6) AS knn_entropy
+       |FROM k ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ar_coeffs" -> ((s, dir) => {
       TSOps2.arCoeffs(t(s, dir, "events"), col("value"), col("event_id"),
@@ -72,6 +183,28 @@ object TSQueries2 extends QueryPack {
     }),
     "q_knn_entropy" -> ((s, dir) => {
       val d = sub(s, dir)
+        .withColumn("xj", col("value") + col("event_id") * 1e-9)
+      TSOps2.knnEntropy1d(d, col("xj"), Seq("event_type"), 3)
+        .select(col("event_type"),
+          round(col("knn_entropy"), 6).as("knn_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_sx_sample_entropy" -> ((s, dir) => {
+      TSOps2.sampleEntropy(sub100(s, dir), col("value"), col("event_id"),
+          Seq("event_type"), 2, 0.5)
+        .select(col("event_type"),
+          round(col("sample_entropy"), 6).as("sample_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_sx_approx_entropy" -> ((s, dir) => {
+      TSOps2.approxEntropy(sub100(s, dir), col("value"), col("event_id"),
+          Seq("event_type"), 2, 0.2)
+        .select(col("event_type"),
+          round(col("approx_entropy"), 6).as("approx_entropy"))
+        .orderBy("event_type")
+    }),
+    "q_sx_knn_entropy" -> ((s, dir) => {
+      val d = sub100(s, dir)
         .withColumn("xj", col("value") + col("event_id") * 1e-9)
       TSOps2.knnEntropy1d(d, col("xj"), Seq("event_type"), 3)
         .select(col("event_type"),
@@ -176,89 +309,12 @@ object TSQueries2 extends QueryPack {
         |  ROUND((s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1)
         |    + s1y*(s12*s2 - s22*s1)) / det, 4) AS b0
         |FROM d ORDER BY 1""".stripMargin,
-    "q_sample_entropy" ->
-      s"""WITH e AS ($subSql),
-         |r AS (
-         |  SELECT event_type, 0.5 * STDDEV_POP(value) r FROM e GROUP BY 1),
-         |s AS (
-         |  SELECT event_type, value x,
-         |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
-         |    ROW_NUMBER() OVER w rn
-         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
-         |t AS (SELECT * FROM s WHERE x1 IS NOT NULL),
-         |p AS (
-         |  SELECT a.event_type,
-         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
-         |      <= r.r THEN 1 ELSE 0 END) bb,
-         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
-         |        <= r.r AND b.x2 IS NOT NULL
-         |        AND ABS(a.x2 - b.x2) <= r.r
-         |      THEN 1 ELSE 0 END) aa
-         |  FROM t a
-         |  JOIN t b ON a.event_type = b.event_type AND a.rn < b.rn
-         |  JOIN r ON r.event_type = a.event_type
-         |  GROUP BY 1)
-         |SELECT event_type,
-         |  CASE WHEN aa = 0 OR bb = 0 THEN 'NaN'::DOUBLE
-         |    ELSE ROUND(LN(bb::DOUBLE / aa::DOUBLE), 6) END
-         |    AS sample_entropy
-         |FROM p ORDER BY 1""".stripMargin,
-    "q_approx_entropy" ->
-      s"""WITH e AS ($subSql),
-         |r AS (
-         |  SELECT event_type, 0.2 * STDDEV_SAMP(value) r FROM e GROUP BY 1),
-         |s AS (
-         |  SELECT event_type, value x,
-         |    LEAD(value, 1) OVER w x1, LEAD(value, 2) OVER w x2,
-         |    ROW_NUMBER() OVER w rn
-         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
-         |t2 AS (SELECT * FROM s WHERE x1 IS NOT NULL),
-         |t3 AS (SELECT * FROM s WHERE x2 IS NOT NULL),
-         |n2 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t2 GROUP BY 1),
-         |n3 AS (SELECT event_type, COUNT(*)::DOUBLE n FROM t3 GROUP BY 1),
-         |c2 AS (
-         |  SELECT a.event_type, a.rn,
-         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1))
-         |      <= r.r THEN 1 ELSE 0 END) c
-         |  FROM t2 a
-         |  JOIN t2 b ON a.event_type = b.event_type
-         |  JOIN r ON r.event_type = a.event_type
-         |  GROUP BY 1, 2),
-         |c3 AS (
-         |  SELECT a.event_type, a.rn,
-         |    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
-         |      ABS(a.x2 - b.x2)) <= r.r THEN 1 ELSE 0 END) c
-         |  FROM t3 a
-         |  JOIN t3 b ON a.event_type = b.event_type
-         |  JOIN r ON r.event_type = a.event_type
-         |  GROUP BY 1, 2),
-         |p2 AS (
-         |  SELECT c2.event_type, AVG(LN(c2.c::DOUBLE / n2.n)) p
-         |  FROM c2 JOIN n2 USING (event_type) GROUP BY 1),
-         |p3 AS (
-         |  SELECT c3.event_type, AVG(LN(c3.c::DOUBLE / n3.n)) p
-         |  FROM c3 JOIN n3 USING (event_type) GROUP BY 1)
-         |SELECT event_type, ROUND(ABS(p2.p - p3.p), 6) AS approx_entropy
-         |FROM p2 JOIN p3 USING (event_type) ORDER BY 1""".stripMargin,
-    "q_knn_entropy" ->
-      s"""WITH e AS (
-         |  SELECT event_type, value + event_id * 1e-9 xj
-         |  FROM ($subSql)),
-         |p AS (
-         |  SELECT a.event_type, a.xj,
-         |    ABS(a.xj - b.xj) d,
-         |    ROW_NUMBER() OVER (PARTITION BY a.event_type, a.xj
-         |      ORDER BY ABS(a.xj - b.xj)) rk
-         |  FROM e a JOIN e b
-         |    ON a.event_type = b.event_type AND a.xj <> b.xj),
-         |k AS (
-         |  SELECT event_type, AVG(LN(d * 2.0)) m, COUNT(*)::DOUBLE n
-         |  FROM p WHERE rk = 3 GROUP BY 1)
-         |SELECT event_type,
-         |  ROUND(LN(n) - 1.0 / (2.0 * n) - 1.0 / (12.0 * n * n)
-         |    + 1.0 / (120.0 * POW(n, 4)) - 1.0 / (252.0 * POW(n, 6))
-         |    - 0.9227843350984671 + m, 6) AS knn_entropy
-         |FROM k ORDER BY 1""".stripMargin,
+    "q_sample_entropy" -> sampleEntropySql(subSql),
+    "q_sx_sample_entropy" -> sampleEntropySql(subSql100),
+    "q_approx_entropy" -> approxEntropySql(subSql),
+    "q_sx_approx_entropy" -> approxEntropySql(subSql100),
+    "q_knn_entropy" -> knnEntropySql(subSql),
+    "q_sx_knn_entropy" -> knnEntropySql(subSql100),
     "q_subseq_sim" ->
       """WITH s AS (
         |  SELECT event_type, value x0,
