@@ -17,8 +17,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // stderr progress marker BEFORE the run: a query that hangs at
+      // scale is identifiable from the log tail (r10: an interpreted
+      // nested-ArrayAggregate sort burned >8 min silently at sf1)
+      System.err.println(s"[verify] running $name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name done in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -114,8 +114,18 @@ object SeqQueries extends QueryPack {
         col("value"), Seq("event_type"), 10.0)
       val n = size(col("ys")).cast("double")
       val ybar = aggregate(col("ys"), lit(0.0), _ + _) / n
-      val sse = (a: Column) => aggregate(a, lit(0.0),
-        (acc, v) => acc + (v - ybar) * (v - ybar))
+      // SSE around ybar via the expanded form Σa² − 2·ȳΣa + n·ȳ².
+      // The direct form (v − ȳ)² put the O(n) ybar AGGREGATE inside
+      // the per-element lambda: higher-order functions evaluate
+      // interpreted (no codegen/CSE), so each element re-ran the inner
+      // aggregate — O(n²) per group, >8 min single-task at sf1 group
+      // sizes (r10 sf1 sweep hang). The expansion keeps every
+      // aggregate non-nested: O(n) per group.
+      val sse = (a: Column) => {
+        val sa = aggregate(a, lit(0.0), _ + _)
+        val sa2 = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+        sa2 - lit(2.0) * ybar * sa + n * ybar * ybar
+      }
       fit.select(col("event_type"),
           round(aggregate(col("spline"), lit(0.0), _ + _), 2)
             .as("sum_spline"),
