@@ -47,6 +47,8 @@ def fresh_con():
     c = duckdb.connect()
     if ISOLATE:
         c.execute(f"SET memory_limit='{MEM}'")
+        Path("/root/repo/.tmp/duckspill").mkdir(parents=True,
+                                                exist_ok=True)
         c.execute("SET temp_directory='/root/repo/.tmp/duckspill'")
     for t in TABLES:
         p = Path(SF) / f"{t}.parquet"
