@@ -194,15 +194,30 @@ object LinRegAgg {
     * observably equivalent (test_linear_exprs.py:1325
     * test_singular_x_tol_per_solver). Our elimination pivots supply the
     * same determinant, so one kernel covers all three contracts.
-    * `singularXTol` is the rank gate (0 disables). */
+    * `singularXTol` is the rank gate (0 disables).
+    *
+    * Precision toggle: when the session conf `graft.linRegF32` is
+    * `true`, dispatches to the single-precision twin
+    * [[LinRegAggF32.linRegF32]] — the reference's module-level
+    * LIN_REG_EXPR_F64 switch (config.py:1, `_which_lin_reg` at
+    * config.py:15) re-expressed as a Spark conf, resolved at
+    * plan-build time like the reference resolves its symbol name at
+    * expression-build time. */
   def linReg(features: Column, y: Column, d: Int, lambda: Double = 0.0,
              weight: Column = functions.lit(1.0),
              solver: String = "qr",
              singularXTol: Double = 1e-12): Column = {
     require(Set("qr", "svd", "cholesky", "choleskey")(solver),
       s"lin_reg: solver '$solver' (want qr | svd | cholesky)")
-    val f = functions.udaf(new LinRegAgg(d, lambda, singularXTol),
-      Encoders.product[LRIn])
-    f(features, y.cast("double"), weight.cast("double"))
+    val f32 = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.get("graft.linRegF32", "false").toBoolean)
+    if (f32)
+      LinRegAggF32.linRegF32(features, y, d, lambda, weight, solver,
+        singularXTol)
+    else {
+      val f = functions.udaf(new LinRegAgg(d, lambda, singularXTol),
+        Encoders.product[LRIn])
+      f(features, y.cast("double"), weight.cast("double"))
+    }
   }
 }

@@ -56,6 +56,34 @@ object LinRegQueries extends QueryPack {
           round(element_at(col("r.coeffs"), 2), 4).as("b_disc"))
         .orderBy("l_returnflag")
     }),
+    // f32 twin kernel (reference linear_regression_f32.rs via
+    // config.py LIN_REG_EXPR_F64). f32 coefficients carry ~n·ε₃₂
+    // accumulation noise amplified by the Gram's conditioning, so they
+    // cannot be hash-compared against an f64 oracle directly; the
+    // driver row is the established contract shape instead — exact
+    // f64 values plus a boolean pinning the f32 kernel within a
+    // relative band of them (same pattern as the ANN recall
+    // contracts).
+    "q_lin_reg_f32" -> ((s, dir) => {
+      val b32 = element_at(col("r32.coeffs"), 1)
+      val b64 = element_at(col("r64.coeffs"), 1)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          LinRegAgg.linReg(
+            array(col("l_quantity"), col("l_discount"), lit(1.0)),
+            col("l_extendedprice"), 3).as("r64"),
+          graft.agg.LinRegAggF32.linRegF32(
+            array(col("l_quantity"), col("l_discount"), lit(1.0)),
+            col("l_extendedprice"), 3).as("r32"))
+        .select(col("l_returnflag"),
+          round(b64, 6).as("b_qty"),
+          round(col("r64.r2"), 6).as("r2"),
+          (abs(b32 - b64) < (abs(b64) + 1.0) * 0.05 &&
+            abs(col("r32.r2") - col("r64.r2")) < lit(0.02))
+            .as("f32_ok"))
+        .orderBy("l_returnflag")
+    }),
     // coeffs / std errors / t / r2 have closed SQL forms (σ²·(XᵀX)⁻¹
     // diagonal via the adjugate) → exact DuckDB oracle; only p-values
     // need the incomplete beta, so they stay in LinRegSpec's numpy
@@ -275,6 +303,29 @@ object LinRegQueries extends QueryPack {
          |  ROUND(((s11+1)*s2y - s12*s1y)
          |    / ((s11+1)*(s22+1) - s12*s12), 4) AS b_disc
          |FROM s ORDER BY 1""".stripMargin,
+    "q_lin_reg_f32" ->
+      s"""WITH s AS ($sums),
+         |d AS (
+         |  SELECT *,
+         |    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1)
+         |      + s1*(s12*s2 - s22*s1) AS det
+         |  FROM s),
+         |b AS (
+         |  SELECT l_returnflag, n, sy, syy,
+         |    (s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy)
+         |      + s1*(s2y*s2 - s22*sy)) / det AS b1,
+         |    (s11*(s2y*n - sy*s2) - s1y*(s12*n - s2*s1)
+         |      + s1*(s12*sy - s2y*s1)) / det AS b2,
+         |    (s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1)
+         |      + s1y*(s12*s2 - s22*s1)) / det AS b0,
+         |    s1y, s2y
+         |  FROM d)
+         |SELECT l_returnflag,
+         |  ROUND(b1, 6) AS b_qty,
+         |  ROUND(1 - (syy - b1*s1y - b2*s2y - b0*sy)
+         |    / (syy - sy*sy/n), 6) AS r2,
+         |  TRUE AS f32_ok
+         |FROM b ORDER BY 1""".stripMargin,
     "q_rolling_lin_reg" ->
       """WITH t AS (
         |  SELECT event_type, event_id, value x,
