@@ -30,7 +30,11 @@ object TSQueries extends QueryPack {
           Seq("event_type"), 20.0, 80.0)
         .select(col("event_type"),
           round(col("mid_range"), 4).as("mid_range"),
-          round(col("abs_energy"), 4).as("abs_energy"),
+          // gate-side projection: compare energy in 1e6 units so the
+          // ~1e-13 relative float-summation-order noise between Spark
+          // and DuckDB stays far from the rounding grid at every sf
+          // (raw sum is ~1e9 at sf1, where round(.,4) flaked)
+          round(col("abs_energy") / 1e6, 4).as("abs_energy_m"),
           round(col("cv"), 6).as("cv"),
           col("count_uniques"), col("range_count"))
         .orderBy("event_type")
@@ -312,7 +316,7 @@ object TSQueries extends QueryPack {
     "q_ts_basic" ->
       """SELECT event_type,
         |  ROUND((MAX(value) + MIN(value)) / 2.0, 4) AS mid_range,
-        |  ROUND(SUM(value * value), 4) AS abs_energy,
+        |  ROUND(SUM(value * value) / 1e6, 4) AS abs_energy_m,
         |  ROUND(STDDEV_SAMP(value) / AVG(value), 6) AS cv,
         |  COUNT(DISTINCT value) AS count_uniques,
         |  SUM(CASE WHEN value >= 20.0 AND value < 80.0 THEN 1 ELSE 0 END)
