@@ -39,7 +39,8 @@ object SparkEntry {
     SketchQueries,
     CorpusQueries,
     ParityQueries,
-    CurationQueries
+    CurationQueries,
+    DiagQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
