@@ -40,7 +40,8 @@ object SparkEntry {
     CorpusQueries,
     ParityQueries,
     CurationQueries,
-    DiagQueries
+    DiagQueries,
+    EconQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
