@@ -182,4 +182,128 @@ object EconOps {
         corr(col(s"${P}x"), col(s"${P}yl$k")).as(s"ccf_p$k"))
     shifted.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** KPSS level-stationarity test per group (Kwiatkowski et al. 1992,
+    * the `regression='c'` case): eta = sum S_t^2 / n^2 over partial
+    * sums S_t of the demeaned series, normalized by the Bartlett
+    * long-run variance s2 = g0 + 2 sum_{j<=l} (1 - j/(l+1)) g_j.
+    * Unlike ADF the NULL here is stationarity — statistic ABOVE the
+    * critical value rejects it. Asymptotic critical values 0.347 /
+    * 0.463 / 0.739 (10/5/1%). One window pass (cumsum + l lags) and
+    * one aggregate. */
+  def kpss(df: DataFrame, x: Column, ord: Column,
+           groupNames: Seq[String], lags: Int = 4): DataFrame = {
+    require(lags >= 0, s"kpss: lags must be >= 0, got $lags")
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ ord.as(s"${P}o"): _*)
+    val means = base.groupBy(gc: _*)
+      .agg(avg(s"${P}x").as(s"${P}m"))
+    val joined =
+      if (gc.isEmpty) base.crossJoin(broadcast(means))
+      else base.join(means, groupNames)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val demeaned = joined
+      .withColumn(s"${P}e", col(s"${P}x") - col(s"${P}m"))
+      .withColumn(s"${P}s",
+        sum(col(s"${P}e")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+    val withL = (1 to lags).foldLeft(demeaned) { (d, j) =>
+      d.withColumn(s"${P}el$j", lag(col(s"${P}e"), j).over(w))
+    }
+    val gammas = (1 to lags).map(j =>
+      sum(col(s"${P}e") * col(s"${P}el$j")).as(s"${P}g$j"))
+    val aggExprs =
+      Seq(sum(col(s"${P}s") * col(s"${P}s")).as(s"${P}ss"),
+        sum(col(s"${P}e") * col(s"${P}e")).as(s"${P}g0")) ++
+      gammas :+ count(lit(1)).cast("double").as(s"${P}n")
+    val agged = withL.groupBy(gc: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val n = col(s"${P}n")
+    // gammas are SUMS here; divide by n once, like eta's n^2
+    val s2 = (col(s"${P}g0") + (1 to lags).map(j =>
+      col(s"${P}g$j") * (2.0 * (1.0 - j.toDouble / (lags + 1))))
+        .foldLeft(lit(0.0))(_ + _)) / n
+    val eta = col(s"${P}ss") / (n * n)
+    agged.select(gc ++ Seq(n.cast("long").as("n"),
+      (eta / s2).as("statistic"),
+      lit(0.347).as("crit_10pct"), lit(0.463).as("crit_5pct"),
+      lit(0.739).as("crit_1pct")): _*)
+  }
+
+  /** Engle-Granger two-step cointegration test per group: OLS
+    * y ~ [x, 1] (the cointegrating regression, via one moment
+    * aggregate), then a no-constant Dickey-Fuller t on its residuals
+    * (the residuals are already mean-zero). Reject the no-cointegration
+    * null when the statistic is MORE NEGATIVE than the Engle-Granger
+    * critical values (2 variables, constant: -3.34 / -3.05 / -2.76 at
+    * 1/5/10%, asymptotic). Returns {groups..., n, beta, intercept,
+    * statistic}. Two window-free moment passes + one window pass. */
+  def engleGranger(df: DataFrame, y: Column, x: Column, ord: Column,
+                   groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val base = df.select(gc ++ Seq(y.cast("double").as(s"${P}y"),
+      x.cast("double").as(s"${P}x"), ord.as(s"${P}o")): _*)
+    val fit = base.groupBy(gc: _*)
+      .agg((covar_pop(col(s"${P}y"), col(s"${P}x")) /
+        var_pop(col(s"${P}x"))).as(s"${P}b"),
+        avg(s"${P}y").as(s"${P}my"), avg(s"${P}x").as(s"${P}mx"))
+    val joined =
+      if (gc.isEmpty) base.crossJoin(broadcast(fit))
+      else base.join(fit, groupNames)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val withU = joined.withColumn(s"${P}u",
+      col(s"${P}y") - col(s"${P}my") -
+        col(s"${P}b") * (col(s"${P}x") - col(s"${P}mx")))
+      .withColumn(s"${P}um1", lag(col(s"${P}u"), 1).over(w))
+      .filter(col(s"${P}um1").isNotNull)
+      .withColumn(s"${P}du", col(s"${P}u") - col(s"${P}um1"))
+    val agged = withU.groupBy(gc: _*)
+      .agg(sum(col(s"${P}du") * col(s"${P}um1")).as(s"${P}sxy"),
+        sum(col(s"${P}um1") * col(s"${P}um1")).as(s"${P}sxx"),
+        sum(col(s"${P}du") * col(s"${P}du")).as(s"${P}syy"),
+        count(lit(1)).cast("double").as(s"${P}n"),
+        first(s"${P}b").as(s"${P}b"),
+        first(s"${P}my").as(s"${P}my"),
+        first(s"${P}mx").as(s"${P}mx"))
+    val b = col(s"${P}sxy") / col(s"${P}sxx")
+    val rss = col(s"${P}syy") - b * b * col(s"${P}sxx")
+    val t = b / sqrt((rss / (col(s"${P}n") - 1.0)) / col(s"${P}sxx"))
+    agged.select(gc ++ Seq(col(s"${P}n").cast("long").as("n"),
+      col(s"${P}b").as("beta"),
+      (col(s"${P}my") - col(s"${P}b") * col(s"${P}mx")).as("intercept"),
+      t.as("statistic")): _*)
+  }
+
+  /** Engle's ARCH LM test per group: regress the squared demeaned
+    * series e_t^2 on [e_{t-1}^2..e_{t-p}^2, 1]; LM = n R^2, chi2(p).
+    * Rides the shared Gram aggregate — one window pass + one agg at
+    * any order. Returns {groups..., n, statistic, df, pvalue}. */
+  def archLm(df: DataFrame, x: Column, ord: Column,
+             groupNames: Seq[String], p: Int = 2): DataFrame = {
+    require(p >= 1, s"archLm: p must be >= 1, got $p")
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ ord.as(s"${P}o"): _*)
+    val means = base.groupBy(gc: _*).agg(avg(s"${P}x").as(s"${P}m"))
+    val joined =
+      if (gc.isEmpty) base.crossJoin(broadcast(means))
+      else base.join(means, groupNames)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}o"))
+    val withE = joined.withColumn(s"${P}e2",
+      pow(col(s"${P}x") - col(s"${P}m"), 2.0))
+    val withL = (1 to p).foldLeft(withE) { (d, i) =>
+      d.withColumn(s"${P}e2l$i", lag(col(s"${P}e2"), i).over(w))
+    }
+    val clean = withL.na.drop((1 to p).map(i => s"${P}e2l$i"))
+    val feats = (1 to p).map(i => col(s"${P}e2l$i"))
+    val fit = clean.groupBy(gc: _*)
+      .agg(LinRegAgg.linReg(array(feats :+ lit(1.0): _*),
+        col(s"${P}e2"), p + 1).as(s"${P}fit"),
+        count(lit(1)).cast("double").as(s"${P}n"))
+    val stat = col(s"${P}n") * col(s"${P}fit.r2")
+    fit.select(gc ++ Seq(col(s"${P}n").cast("long").as("n"),
+      stat.as("statistic"), lit(p.toDouble).as("df"),
+      PValues.chi2Sf(stat, lit(p.toDouble)).as("pvalue")): _*)
+  }
 }

@@ -50,6 +50,30 @@ object EconQueries extends QueryPack {
           round(col("ccf_p1"), 6).as("ccf_p1"),
           round(col("ccf_p2"), 6).as("ccf_p2"))
         .orderBy("event_type")
+    }),
+    "q_kpss" -> ((s, dir) => {
+      EconOps.kpss(t(s, dir, "events"), col("value"), col("event_id"),
+          Seq("event_type"), 4)
+        .select(col("event_type"), col("n"),
+          round(col("statistic"), 6).as("statistic"))
+        .orderBy("event_type")
+    }),
+    "q_engle_granger" -> ((s, dir) => {
+      EconOps.engleGranger(t(s, dir, "events"), col("value"),
+          length(col("props")).cast("double"), col("event_id"),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("statistic"), 6).as("statistic"))
+        .orderBy("event_type")
+    }),
+    "q_arch_lm" -> ((s, dir) => {
+      EconOps.archLm(t(s, dir, "events"), col("value"), col("event_id"),
+          Seq("event_type"), 2)
+        .select(col("event_type"), col("n"),
+          round(col("statistic"), 4).as("statistic"), col("df"))
+        .orderBy("event_type")
     })
   )
 
@@ -129,6 +153,78 @@ object EconQueries extends QueryPack {
         |  ROUND(CORR(x, y0), 6) AS ccf_0,
         |  ROUND(CORR(x, yl1), 6) AS ccf_p1,
         |  ROUND(CORR(x, yl2), 6) AS ccf_p2
-        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kpss" ->
+      """WITH m AS (
+        |  SELECT event_type, AVG(value) mu, COUNT(*)::DOUBLE n
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT ev.event_type, event_id, value - mu ee, n
+        |  FROM events ev JOIN m USING (event_type)),
+        |s AS (
+        |  SELECT event_type, ee, n,
+        |    SUM(ee) OVER (PARTITION BY event_type ORDER BY event_id) ss,
+        |    LAG(ee,1) OVER (PARTITION BY event_type ORDER BY event_id) e1,
+        |    LAG(ee,2) OVER (PARTITION BY event_type ORDER BY event_id) e2,
+        |    LAG(ee,3) OVER (PARTITION BY event_type ORDER BY event_id) e3,
+        |    LAG(ee,4) OVER (PARTITION BY event_type ORDER BY event_id) e4
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, ANY_VALUE(n) n, SUM(ss*ss) sss,
+        |    SUM(ee*ee) g0, SUM(ee*e1) g1, SUM(ee*e2) g2,
+        |    SUM(ee*e3) g3, SUM(ee*e4) g4
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  ROUND((sss/(n*n))
+        |    / ((g0 + 2*(0.8*g1 + 0.6*g2 + 0.4*g3 + 0.2*g4))/n), 6)
+        |    AS statistic
+        |FROM a ORDER BY 1""".stripMargin,
+    "q_engle_granger" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    COVAR_POP(value, LENGTH(props)::DOUBLE)
+        |      / VAR_POP(LENGTH(props)::DOUBLE) b,
+        |    AVG(value) my, AVG(LENGTH(props)::DOUBLE) mx
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT ev.event_type, event_id,
+        |    value - my - b*(LENGTH(props)::DOUBLE - mx) u, b, my, mx
+        |  FROM events ev JOIN f USING (event_type)),
+        |l AS (
+        |  SELECT event_type, u,
+        |    LAG(u,1) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      um1, b, my, mx
+        |  FROM u),
+        |a AS (
+        |  SELECT event_type, SUM((u-um1)*um1) sxy, SUM(um1*um1) sxx,
+        |    SUM((u-um1)*(u-um1)) syy, COUNT(*)::DOUBLE n,
+        |    ANY_VALUE(b) b, ANY_VALUE(my) my, ANY_VALUE(mx) mx
+        |  FROM l WHERE um1 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n, ROUND(b, 6) AS beta,
+        |  ROUND(my - b*mx, 6) AS intercept,
+        |  ROUND((sxy/sxx)
+        |    / SQRT(((syy - (sxy/sxx)*(sxy/sxx)*sxx)/(n-1))/sxx), 6)
+        |    AS statistic
+        |FROM a ORDER BY 1""".stripMargin,
+    "q_arch_lm" ->
+      """WITH m AS (
+        |  SELECT event_type, AVG(value) mu FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT ev.event_type, event_id, POWER(value - mu, 2) e2
+        |  FROM events ev JOIN m USING (event_type)),
+        |l AS (
+        |  SELECT event_type, e2,
+        |    LAG(e2,1) OVER (PARTITION BY event_type ORDER BY event_id) l1,
+        |    LAG(e2,2) OVER (PARTITION BY event_type ORDER BY event_id) l2
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE n, CORR(e2, l1) r1,
+        |    CORR(e2, l2) r2, CORR(l1, l2) r12
+        |  FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  ROUND(n * (r1*r1 + r2*r2 - 2*r1*r2*r12)/(1 - r12*r12), 4)
+        |    AS statistic,
+        |  2.0 AS df
+        |FROM c ORDER BY 1""".stripMargin
   )
 }

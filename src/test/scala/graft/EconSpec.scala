@@ -163,4 +163,109 @@ class EconSpec extends AnyFunSuite {
     assert(r.getDouble(5) > 0.9, s"peak at p2 ${r.getDouble(5)}")
     assert(math.abs(r.getDouble(3)) < 0.2)
   }
+
+  test("kpss matches the local Bartlett computation and separates " +
+      "stationary from walk (null is REVERSED vs ADF)") {
+    val walk = ar1.scanLeft(0.0)(_ + _).drop(1)
+    def localKpss(a: Array[Double], l: Int): Double = {
+      val nn = a.length
+      val mu = a.sum / nn
+      val e = a.map(_ - mu)
+      val s = e.scanLeft(0.0)(_ + _).drop(1)
+      val eta = s.map(v => v * v).sum / (nn.toDouble * nn)
+      val g = (0 to l).map(j =>
+        (j until nn).map(t => e(t) * e(t - j)).sum)
+      val s2 = (g(0) + (1 to l).map(j =>
+        2.0 * (1.0 - j.toDouble / (l + 1)) * g(j)).sum) / nn
+      eta / s2
+    }
+    // white noise for the stationary side: AR(1) with few Bartlett
+    // lags has the test's documented finite-sample size distortion
+    val wn = {
+      val g = new scala.util.Random(37)
+      Array.fill(n)(g.nextGaussian())
+    }
+    val kAr = EconOps.kpss(seriesDf(ar1), col("x"), col("t"),
+      Seq("g"), 4).collect()(0).getDouble(2)
+    val kWn = EconOps.kpss(seriesDf(wn), col("x"), col("t"),
+      Seq("g"), 4).collect()(0).getDouble(2)
+    val kWalk = EconOps.kpss(seriesDf(walk), col("x"), col("t"),
+      Seq("g"), 4).collect()(0).getDouble(2)
+    assert(math.abs(kAr - localKpss(ar1, 4)) < 1e-10)
+    assert(math.abs(kWn - localKpss(wn, 4)) < 1e-10)
+    assert(math.abs(kWalk - localKpss(walk, 4)) < 1e-10)
+    assert(kWn < 0.463, s"white noise should not reject: $kWn")
+    assert(kWalk > 0.739, s"walk should reject: $kWalk")
+  }
+
+  test("engleGranger finds a constructed cointegrated pair and not " +
+      "independent walks; t matches the local no-constant DF") {
+    val g2 = new scala.util.Random(29)
+    val xw = Array.iterate(0.0, n)(_ + 0.0).clone()
+    var acc = 0.0
+    for (i <- 0 until n) { acc += g2.nextGaussian(); xw(i) = acc }
+    val yco = xw.map(v => 2.0 * v + 1.0 + 0.5 * g2.nextGaussian())
+    var acc2 = 0.0
+    val yind = Array.fill(n) { acc2 += g2.nextGaussian(); acc2 }
+    def pdf(ys: Array[Double], xs: Array[Double]) =
+      ys.indices.map(i => (i.toLong, ys(i), xs(i), "g"))
+        .toDF("t", "y", "x", "g")
+    val co = EconOps.engleGranger(pdf(yco, xw), col("y"), col("x"),
+      col("t"), Seq("g")).collect()(0)
+    val ind = EconOps.engleGranger(pdf(yind, xw), col("y"), col("x"),
+      col("t"), Seq("g")).collect()(0)
+    assert(co.getDouble(4) < -3.34, s"cointegrated: ${co.getDouble(4)}")
+    assert(ind.getDouble(4) > -3.05, s"independent: ${ind.getDouble(4)}")
+    assert(math.abs(co.getDouble(2) - 2.0) < 0.05)
+    // local replica of the residual DF t
+    val nn = n
+    val mx = xw.sum / nn; val my = yco.sum / nn
+    val b = xw.zip(yco).map { case (a, c) => (a - mx) * (c - my) }.sum /
+      xw.map(v => (v - mx) * (v - mx)).sum
+    val u = yco.indices.map(i => yco(i) - my - b * (xw(i) - mx)).toArray
+    val um1 = u.dropRight(1); val du = u.sliding(2).map(p => p(1) - p(0)).toArray
+    val sxy = du.zip(um1).map { case (a, c) => a * c }.sum
+    val sxx = um1.map(v => v * v).sum
+    val syy = du.map(v => v * v).sum
+    val bb = sxy / sxx
+    val tExp = bb / math.sqrt(((syy - bb * bb * sxx) / (du.length - 1)) / sxx)
+    assert(math.abs(co.getDouble(4) - tExp) < 1e-8)
+  }
+
+  test("archLm flags constructed ARCH effects, passes white noise, " +
+      "and matches the two-regressor R^2 identity") {
+    val g3 = new scala.util.Random(31)
+    val arch = new Array[Double](2000)
+    var e2prev = 1.0
+    for (i <- arch.indices) {
+      val sig2 = 0.2 + 0.75 * e2prev
+      arch(i) = math.sqrt(sig2) * g3.nextGaussian()
+      e2prev = arch(i) * arch(i)
+    }
+    val white = Array.fill(2000)(g3.nextGaussian())
+    def adf(a: Array[Double]) =
+      a.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+        .toDF("t", "x", "g")
+    val rA = EconOps.archLm(adf(arch), col("x"), col("t"), Seq("g"), 2)
+      .collect()(0)
+    val rW = EconOps.archLm(adf(white), col("x"), col("t"), Seq("g"), 2)
+      .collect()(0)
+    assert(rA.getDouble(4) < 1e-8, s"arch p ${rA.getDouble(4)}")
+    assert(rW.getDouble(4) > 0.001, s"white p ${rW.getDouble(4)}")
+    // identity on the arch series
+    val mu = arch.sum / arch.length
+    val e2 = arch.map(v => (v - mu) * (v - mu))
+    val (yv, l1, l2) = (e2.drop(2), e2.drop(1).dropRight(1), e2.dropRight(2))
+    def corr(a: Array[Double], b: Array[Double]) = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum /
+        math.sqrt(a.map(v => (v - ma) * (v - ma)).sum *
+          b.map(v => (v - mb) * (v - mb)).sum)
+    }
+    val (r1, r2, r12) = (corr(yv, l1), corr(yv, l2), corr(l1, l2))
+    val r2u = (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12) / (1 - r12 * r12)
+    val lmExp = yv.length * r2u
+    assert(math.abs(rA.getDouble(2) - lmExp) < 1e-6 * lmExp,
+      s"${rA.getDouble(2)} vs $lmExp")
+  }
 }
