@@ -738,18 +738,37 @@ object LinRegOps {
     // before. The final β still satisfies the same (maxIter, tol)
     // contract against the FULL data — the warm start only moves the
     // starting point.
+    val irlsDebug = sys.env.contains("GRAFT_IRLS_DEBUG")
     if (maxIter > 1) {
+      val t0 = System.nanoTime()
       val sampleRows = localCap / (d + 2)
       if (sampleRows > 0 && mRows > 0) {
         val frac = sampleRows.toDouble / mRows // < 1 above the cap
         val sample = data.sample(withReplacement = false, frac, 42L)
           .collect()
-        if (sample.nonEmpty) betas = localIterate(sample, init)._1
+        if (sample.nonEmpty) {
+          val (wb, wi) = localIterate(sample, init)
+          betas = wb
+          if (irlsDebug) println(f"[irls] warm-start: ${sample.length} " +
+            f"rows, $wi iters, ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       }
     }
     var iters = 0
     var delta = Double.MaxValue
-    while (iters < maxIter && delta > tol) {
+    // FP-noise-floor stall detection: treeAggregate's combine order is
+    // non-deterministic, so once the fit is converged the per-iteration
+    // delta jitters at ~n·eps·|beta| and can sit just ABOVE an
+    // aggressive tol forever (measured: delta cycling at 6.5e-12
+    // against tol=1e-12 for 56 wasted full-cluster jobs at sf1). When
+    // delta is already tiny relative to the coefficients (8+ converged
+    // significant digits) and has stopped improving for two
+    // consecutive iterations, the loop is at the achievable precision
+    // of float summation — declare convergence.
+    var bestDelta = Double.MaxValue
+    var stall = 0
+    while (iters < maxIter && delta > tol && stall < 2) {
+      val tIt = System.nanoTime()
       val bc = sc.broadcast(betas)
       // zero value is null, lazily allocated per partition: the real
       // zero array would be serialized into every task closure
@@ -818,6 +837,21 @@ object LinRegOps {
       }
       betas = nb
       iters += 1
+      var betaScale = 0.0
+      var gi = 0
+      while (gi < k) {
+        val b = nb(gi)
+        var i = 0
+        while (i < d) {
+          betaScale = math.max(betaScale, math.abs(b(i))); i += 1
+        }
+        gi += 1
+      }
+      val atFloor = delta < 1e-8 * (1.0 + betaScale)
+      if (atFloor && delta >= bestDelta * 0.9) stall += 1 else stall = 0
+      bestDelta = math.min(bestDelta, delta)
+      if (irlsDebug) println(f"[irls] iter $iters: delta=$delta%.3e " +
+        f"stall=$stall ${(System.nanoTime() - tIt) / 1e9}%.2f s")
     }
     (betas, iters)
   }
