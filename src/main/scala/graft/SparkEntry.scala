@@ -41,7 +41,8 @@ object SparkEntry {
     ParityQueries,
     CurationQueries,
     DiagQueries,
-    EconQueries
+    EconQueries,
+    DriftQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
