@@ -42,7 +42,8 @@ object SparkEntry {
     CurationQueries,
     DiagQueries,
     EconQueries,
-    DriftQueries
+    DriftQueries,
+    ChangeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
