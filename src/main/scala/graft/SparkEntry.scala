@@ -43,7 +43,8 @@ object SparkEntry {
     DiagQueries,
     EconQueries,
     DriftQueries,
-    ChangeQueries
+    ChangeQueries,
+    RobustQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
