@@ -44,7 +44,8 @@ object SparkEntry {
     EconQueries,
     DriftQueries,
     ChangeQueries,
-    RobustQueries
+    RobustQueries,
+    PostHocQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
