@@ -90,4 +90,52 @@ object TrendOps {
     val den = terms.map(_._2).reduce(_ + _)
     base.withColumn(outName, num / den)
   }
+
+  /** Brown's double exponential smoothing (linear-trend forecast) per
+    * group, on the same span-truncated head-normalized EWM contract as
+    * [[ewmMean]]: s1 = ewm(x), s2 = ewm(s1) (both span-truncated, each
+    * normalized by its available-weight sum), then per row
+    *   level    = 2 s1 - s2,
+    *   trend    = alpha/(1-alpha) * (s1 - s2),
+    *   forecast = level + h * trend     (the h-step-ahead prediction).
+    * Truncation tail weight is (1-alpha)^span of the geometric total —
+    * the [[ewmMean]] contract; for exact-to-machine-precision output
+    * size span so (1-alpha)^span < 1e-16. Two nested keyed lag
+    * windows, embarrassingly parallel across groups, no recursion.
+    * Returns the input columns plus {level, trend, forecast}. */
+  def brownDouble(df: DataFrame, t: Column, x: Column, alpha: Double,
+                  span: Int, h: Int,
+                  groupNames: Seq[String]): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"brownDouble: alpha must be in (0,1), got $alpha")
+    require(span >= 2 && span <= 256,
+      s"brownDouble: span must be in [2,256], got $span")
+    require(h >= 0, s"brownDouble: h must be >= 0, got $h")
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ t.as(s"${P}t")
+      :+ x.cast("double").as(s"${P}x"): _*)
+    val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}t"))
+    def ewmOf(c: String, out: String)(d: DataFrame): DataFrame = {
+      val terms = (0 until span).map { k =>
+        val wt = math.pow(1.0 - alpha, k)
+        val lagged = if (k == 0) col(c) else lag(c, k).over(w)
+        (lagged * wt, when(lagged.isNotNull, wt).otherwise(0.0))
+      }
+      d.withColumn(out,
+        terms.map(p => coalesce(p._1, lit(0.0))).reduce(_ + _) /
+          terms.map(_._2).reduce(_ + _))
+    }
+    val smoothed = ewmOf(s"${P}s1", s"${P}s2")(
+      ewmOf(s"${P}x", s"${P}s1")(base))
+    val level = col(s"${P}s1") * 2.0 - col(s"${P}s2")
+    val trend = (col(s"${P}s1") - col(s"${P}s2")) *
+      (alpha / (1.0 - alpha))
+    smoothed
+      .withColumn("level", level)
+      .withColumn("trend", trend)
+      .withColumn("forecast", level + trend * h)
+      .drop(s"${P}s1", s"${P}s2")
+      .withColumnRenamed(s"${P}t", "t")
+      .withColumnRenamed(s"${P}x", "x")
+  }
 }

@@ -167,6 +167,17 @@ object TSQueries2 extends QueryPack {
           round(col("ewm"), 6).as("ewm"))
         .orderBy("event_type", "event_id")
     }),
+    "q_holt_brown" -> ((s, dir) => {
+      // Brown double-smoothing forecast (α=0.3, span 8, h=3) per
+      // event type; the last row's state is each series' live forecast
+      TrendOps.brownDouble(t(s, dir, "events"), col("event_id"),
+          col("value"), alpha = 0.3, span = 8, h = 3, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(round(max_by(col("level"), col("t")), 6).as("level"),
+          round(max_by(col("trend"), col("t")), 6).as("trend"),
+          round(max_by(col("forecast"), col("t")), 6).as("forecast"))
+        .orderBy("event_type")
+    }),
     "q_sample_entropy" -> ((s, dir) => {
       TSOps2.sampleEntropy(sub(s, dir), col("value"), col("event_id"),
           Seq("event_type"), 2, 0.5)
@@ -233,6 +244,22 @@ object TSQueries2 extends QueryPack {
     else s"CASE WHEN LAG(value, $k) OVER w IS NULL THEN 0 ELSE $w END"
   }.mkString(" + ")
 
+  // span-8 alpha=0.3 EWM of column `c` (q_holt_brown's two nested
+  // smoothing passes); weights embedded as Scala doubles so DuckDB
+  // parses bit-identical values
+  private def brownEwm(c: String): String = {
+    val num = (0 until 8).map { k =>
+      val w = math.pow(0.7, k)
+      if (k == 0) c else s"COALESCE(LAG($c, $k) OVER w, 0) * $w"
+    }.mkString(" + ")
+    val den = (0 until 8).map { k =>
+      val w = math.pow(0.7, k)
+      if (k == 0) "1.0"
+      else s"CASE WHEN LAG($c, $k) OVER w IS NULL THEN 0 ELSE $w END"
+    }.mkString(" + ")
+    s"($num) / ($den)"
+  }
+
   def oracles: Map[String, String] = Map(
     "q_mann_kendall" ->
       // the oracle IS the quadratic definition: every pair's sign and
@@ -282,6 +309,23 @@ object TSQueries2 extends QueryPack {
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         |QUALIFY event_id % 97 = 0
         |ORDER BY 1, 2""".stripMargin,
+    "q_holt_brown" ->
+      s"""WITH s1t AS (
+        |  SELECT event_type g, event_id o,
+        |    ${brownEwm("value")} s1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+        |s2t AS (
+        |  SELECT g, o, s1, ${brownEwm("s1")} s2
+        |  FROM s1t
+        |  WINDOW w AS (PARTITION BY g ORDER BY o)),
+        |lastrow AS (
+        |  SELECT g, 2*s1 - s2 lv, 0.3/0.7*(s1 - s2) tr
+        |  FROM s2t
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY o DESC) = 1)
+        |SELECT g AS event_type, ROUND(lv, 6) AS level,
+        |  ROUND(tr, 6) AS trend, ROUND(lv + 3*tr, 6) AS forecast
+        |FROM lastrow ORDER BY 1""".stripMargin,
     "q_ar_coeffs" ->
       """WITH l AS (
         |  SELECT event_type, value y,

@@ -99,4 +99,35 @@ class TrendSpec extends AnyFunSuite {
       assert(math.abs(g - e) < 1e-12, s"$g vs $e")
     }
   }
+
+  test("brownDouble: nested EWM replay + linear series recovers its " +
+      "slope as the trend") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val xs = Array.tabulate(120)(i => 5.0 + 1.5 * i +
+      rnd.nextGaussian() * 0.01)
+    val df = xs.toSeq.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val rows = TrendOps.brownDouble(df, col("t"), col("x"), alpha = 0.4,
+        span = 32, h = 2, Seq("g"))
+      .orderBy("t").select("level", "trend", "forecast").collect()
+    // local replay of the span-truncated head-normalized contract
+    def ewm(v: Array[Double]): Array[Double] = v.indices.map { t =>
+      val ks = 0 until math.min(32, t + 1)
+      val w = ks.map(k => math.pow(0.6, k))
+      ks.map(k => w(k) * v(t - k)).sum / w.sum
+    }.toArray
+    val s1 = ewm(xs); val s2 = ewm(s1)
+    for (i <- xs.indices) {
+      val lv = 2 * s1(i) - s2(i)
+      val tr = 0.4 / 0.6 * (s1(i) - s2(i))
+      assert(math.abs(rows(i).getDouble(0) - lv) < 1e-9)
+      assert(math.abs(rows(i).getDouble(1) - tr) < 1e-9)
+      assert(math.abs(rows(i).getDouble(2) - (lv + 2 * tr)) < 1e-9)
+    }
+    // steady state on a straight line: trend -> slope, forecast leads
+    val last = rows.last
+    assert(math.abs(last.getDouble(1) - 1.5) < 0.05,
+      s"trend ${last.getDouble(1)} should approach the true slope 1.5")
+  }
 }
