@@ -205,6 +205,61 @@ object DiagOps {
       n2.cast("long").as("n2"), stat.as("statistic")): _*)
   }
 
+  /** Anderson-Darling two-sample statistic, per group, in the
+    * deterministic ECDF-integral form (the same distinct-value
+    * compression + keyed running-sum plan as [[cvm2Samp]]): over the
+    * pooled distinct values z with pooled ECDF H(z) < 1,
+    *   A^2 = n1 n2 / N^2 * sum_z cnt_z (F1 - F2)^2 / (H (1 - H)).
+    * Without ties this equals the classic A^2_2N (scipy anderson_ksamp
+    * midrank=False); with ties it is the deterministic ECDF reading
+    * (the cvm2Samp convention — no sort-order dependence). The tail
+    * weight 1/(H(1-H)) is what distinguishes AD from CvM: distribution
+    * drift in the tails is amplified. Returns
+    * {groups..., n1, n2, statistic}. */
+  def ad2Samp(df: DataFrame, x: Column, inFirst: Column,
+              groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val t = df.select(gc :+ x.cast("double").as(s"${P}x")
+      :+ inFirst.cast("int").as(s"${P}s1"): _*)
+    val byV = t.groupBy(gc :+ col(s"${P}x"): _*)
+      .agg(sum(s"${P}s1").cast("double").as(s"${P}c1"),
+        (count(lit(1)) - sum(s"${P}s1")).cast("double").as(s"${P}c2"))
+    val cum =
+      if (gc.nonEmpty) {
+        val w = Window.partitionBy(gc: _*).orderBy(col(s"${P}x"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = Window.partitionBy(gc: _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        byV
+          .withColumn(s"${P}f1", sum(s"${P}c1").over(w))
+          .withColumn(s"${P}f2", sum(s"${P}c2").over(w))
+          .withColumn(s"${P}n1", sum(s"${P}c1").over(wTot))
+          .withColumn(s"${P}n2", sum(s"${P}c2").over(wTot))
+      } else {
+        val tot = byV.agg(sum(s"${P}c1").as(s"${P}n1"),
+          sum(s"${P}c2").as(s"${P}n2"))
+        graft.util.GlobalCumsum.runningSums(byV, col(s"${P}x"),
+            ascending = true,
+            Seq(col(s"${P}c1") -> s"${P}f1", col(s"${P}c2") -> s"${P}f2"))
+          .crossJoin(broadcast(tot))
+      }
+    val n1 = col(s"${P}n1"); val n2 = col(s"${P}n2")
+    val nn = n1 + n2
+    val h = (col(s"${P}f1") + col(s"${P}f2")) / nn
+    val diff = col(s"${P}f1") / n1 - col(s"${P}f2") / n2
+    val cnt = col(s"${P}c1") + col(s"${P}c2")
+    val term = when(h < 1.0,
+      cnt * diff * diff / (h * (lit(1.0) - h))).otherwise(0.0)
+    val agged = cum.groupBy(gc: _*)
+      .agg(sum(term).as(s"${P}u"),
+        first(s"${P}n1").as(s"${P}n1"), first(s"${P}n2").as(s"${P}n2"))
+    val stat = col(s"${P}n1") * col(s"${P}n2") /
+      pow(col(s"${P}n1") + col(s"${P}n2"), 2.0) * col(s"${P}u")
+    agged.select(gc ++ Seq(col(s"${P}n1").cast("long").as("n1"),
+      col(s"${P}n2").cast("long").as("n2"), stat.as("statistic")): _*)
+  }
+
   /** Breusch-Pagan LM test for heteroscedasticity of the simple
     * regression y ~ x, per group: fit OLS, then LM = n * R^2 of the
     * auxiliary regression of e^2 on x (= n * corr(e^2, x)^2 for a

@@ -54,6 +54,14 @@ object DiagQueries extends QueryPack {
         .select(col("n1"), col("n2"),
           round(col("statistic"), 6).as("statistic"))
     }),
+    "q_ad_2samp" -> ((s, dir) => {
+      DiagOps.ad2Samp(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("click", "view")),
+          col("value"), col("event_type") === "click", Nil)
+        .select(col("n1"), col("n2"),
+          round(col("statistic"), 6).as("statistic"))
+    }),
     "q_breusch_pagan" -> ((s, dir) => {
       DiagOps.breuschPagan(t(s, dir, "lineitem"),
           col("l_extendedprice"), col("l_quantity"),
@@ -187,6 +195,29 @@ object DiagQueries extends QueryPack {
         |    / POWER(ANY_VALUE(n1)+ANY_VALUE(n2), 2)
         |    * SUM((c1+c2)*POWER(f1/n1 - f2/n2, 2)), 6) AS statistic
         |FROM c""".stripMargin,
+    "q_ad_2samp" ->
+      """WITH t AS (
+        |  SELECT value x,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END s1
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |v AS (
+        |  SELECT x, SUM(s1)::DOUBLE c1, COUNT(*) - SUM(s1)::DOUBLE c2
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT c1, c2,
+        |    SUM(c1) OVER (ORDER BY x) f1, SUM(c2) OVER (ORDER BY x) f2,
+        |    SUM(c1) OVER () n1, SUM(c2) OVER () n2
+        |  FROM v),
+        |d AS (
+        |  SELECT n1, n2, c1 + c2 cnt, f1/n1 - f2/n2 df,
+        |    (f1 + f2)/(n1 + n2) h
+        |  FROM c)
+        |SELECT ANY_VALUE(n1)::BIGINT AS n1, ANY_VALUE(n2)::BIGINT AS n2,
+        |  ROUND(ANY_VALUE(n1)*ANY_VALUE(n2)
+        |    / POWER(ANY_VALUE(n1)+ANY_VALUE(n2), 2)
+        |    * SUM(CASE WHEN h < 1 THEN cnt*df*df/(h*(1-h))
+        |      ELSE 0 END), 6) AS statistic
+        |FROM d""".stripMargin,
     "q_breusch_pagan" ->
       """WITH f AS (
         |  SELECT l_returnflag g,

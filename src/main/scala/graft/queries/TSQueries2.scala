@@ -167,6 +167,15 @@ object TSQueries2 extends QueryPack {
           round(col("ewm"), 6).as("ewm"))
         .orderBy("event_type", "event_id")
     }),
+    "q_dtw" -> ((s, dir) => {
+      // DTW distance of each event-type series to the 2-point pattern
+      // [25, 75] (a low->high template); with m=2 the full symmetric
+      // DP has the closed form the oracle replays via cumsums
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(graft.agg.DtwAgg.dtw(col("event_id"), col("value"),
+          Seq(25.0, 75.0)), 4).as("dtw"))
+        .orderBy("event_type")
+    }),
     "q_holt_brown" -> ((s, dir) => {
       // Brown double-smoothing forecast (α=0.3, span 8, h=3) per
       // event type; the last row's state is each series' live forecast
@@ -309,6 +318,24 @@ object TSQueries2 extends QueryPack {
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         |QUALIFY event_id % 97 = 0
         |ORDER BY 1, 2""".stripMargin,
+    "q_dtw" ->
+      """WITH c AS (
+        |  SELECT event_type g, ABS(value - 75.0) d2,
+        |    SUM(ABS(value - 25.0)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) c1,
+        |    SUM(ABS(value - 75.0)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) c2,
+        |    SUM(ABS(value - 25.0)) OVER (PARTITION BY event_type) t1,
+        |    SUM(ABS(value - 75.0)) OVER (PARTITION BY event_type) t2,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY event_id) rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) n
+        |  FROM events)
+        |SELECT g AS event_type,
+        |  ROUND(LEAST(
+        |    MIN(CASE WHEN rn < n THEN c1 + t2 - c2 END),
+        |    MIN(CASE WHEN rn = n THEN t1 + d2 END)), 4) AS dtw
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_holt_brown" ->
       s"""WITH s1t AS (
         |  SELECT event_type g, event_id o,

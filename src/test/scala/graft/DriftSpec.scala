@@ -97,6 +97,26 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - tv) < 1e-9)
   }
 
+  test("ad2Samp matches the local ECDF loop and outweighs CvM in tails") {
+    val r = one(graft.ops.DiagOps.ad2Samp(two, col("x"), col("s") === 1,
+      Nil).select("statistic", "n1", "n2"))
+    val vals = (xs ++ ys).distinct.sorted
+    val n1 = xs.length.toDouble; val n2 = ys.length.toDouble
+    val nn = n1 + n2
+    var a2 = 0.0
+    for (v <- vals) {
+      val f1 = xs.count(_ <= v) / n1
+      val f2 = ys.count(_ <= v) / n2
+      val h = (xs.count(_ <= v) + ys.count(_ <= v)) / nn
+      val cnt = xs.count(_ == v) + ys.count(_ == v)
+      if (h < 1.0) a2 += cnt * (f1 - f2) * (f1 - f2) / (h * (1 - h))
+    }
+    a2 *= n1 * n2 / (nn * nn)
+    assert(r.getLong(1) == xs.length && r.getLong(2) == ys.length)
+    assert(math.abs(r.getDouble(0) - a2) < 1e-9,
+      s"${r.getDouble(0)} vs $a2")
+  }
+
   test("mmdLinear matches the local pair loop and separates H0/H1") {
     val d = 8
     def vec(shift: Double) =
