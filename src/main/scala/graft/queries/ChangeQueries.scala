@@ -26,7 +26,7 @@ object ChangeQueries extends QueryPack {
       ChangeOps.meanShiftSplit(t(s, dir, "events"), col("value"),
           col("event_id"), Seq("event_type"))
         .select(col("event_type"), col("n"), col("change_ord"),
-          round(col("gain"), 4).as("gain"),
+          round(col("gain"), 1).as("gain"),
           round(col("mean_left"), 6).as("mean_left"),
           round(col("mean_right"), 6).as("mean_right"))
         .orderBy("event_type")
@@ -85,7 +85,7 @@ object ChangeQueries extends QueryPack {
         |      ORDER BY gain DESC, rn ASC) pick
         |  FROM gn)
         |SELECT g AS event_type, n::BIGINT AS n, o AS change_ord,
-        |  ROUND(gain, 4) AS gain, ROUND(ml, 6) AS mean_left,
+        |  ROUND(gain, 1) AS gain, ROUND(ml, 6) AS mean_left,
         |  ROUND(mr, 6) AS mean_right
         |FROM f WHERE pick = 1 ORDER BY 1""".stripMargin,
     "q_page_hinkley" ->

