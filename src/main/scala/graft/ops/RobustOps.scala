@@ -43,7 +43,8 @@ object RobustOps {
     rows.groupBy(gc: _*)
       .agg(((swxy - swx * swy / sw) / (swxx - swx * swx / sw))
         .as(s"${P}b"),
-        (swy / sw).as(s"${P}wmy"), (swx / sw).as(s"${P}wmx"))
+        (swy / sw).as(s"${P}wmy"), (swx / sw).as(s"${P}wmx"),
+        count(lit(1)).as(s"${P}n"))
       .withColumn(s"${P}a",
         col(s"${P}wmy") - col(s"${P}b") * col(s"${P}wmx"))
       .drop(s"${P}wmy", s"${P}wmx")
@@ -63,36 +64,140 @@ object RobustOps {
     require(c > 0.0 && maxIter >= 1 && maxIter <= 16,
       s"mReg: need c > 0 and 1 <= maxIter <= 16, got c=$c iter=$maxIter")
     val gc = groupNames.map(col)
-    val base = df.select(gc :+ y.cast("double").as(s"${P}y")
+    // Small-data fast path (the irlsEngine/maxLocalIrls lesson): each
+    // distributed step below pays ~0.5-1 s of Catalyst analysis +
+    // checkpoint latency regardless of data size, so a 2-iteration fit
+    // on bench-sized data is ~5 s of overhead for milliseconds of
+    // math. Below `graft.maxLocalIrls` projected doubles, collect the
+    // narrow (groups, x, y) projection ONCE and run the identical
+    // iteration on the driver — same contract, FP association order
+    // differs from the distributed Column sums only as partitioning
+    // already makes it.
+    val localCap = java.lang.Long.getLong("graft.maxLocalIrls", 4000000L)
+    val baseAll = df.select(gc :+ y.cast("double").as(s"${P}y")
       :+ x.cast("double").as(s"${P}x"): _*)
-    def weight(u: Column): Column = method match {
-      case "huber" => least(lit(1.0), lit(1.0) / abs(u))
-      case _ => when(abs(u) < 1.0,
-        pow(lit(1.0) - u * u, 2.0)).otherwise(0.0)
+    val mRows = baseAll
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    if (mRows * 3 <= localCap) {
+      val out = localMReg(baseAll, groupNames, method, c, maxIter)
+      baseAll.unpersist(blocking = false)
+      return out
     }
-    // residual scale of the fit `ab` over `base`
-    def scaleOf(ab: DataFrame): DataFrame = {
-      val e = col(s"${P}y") - col(s"${P}a") - col(s"${P}b") * col(s"${P}x")
-      joinBack(base, ab, groupNames)
-        .withColumn(s"${P}ae", abs(e))
-        .groupBy(gc: _*)
-        .agg((median(col(s"${P}ae")) / 0.6745).as(s"${P}s"))
+    // The whole fit runs inside Release.scoped: the narrow projection
+    // is persisted for the 2*maxIter+3 aggregate passes, each k-row
+    // fit frame is eagerly localCheckpoint'ed so it is COMPUTED ONCE —
+    // un-materialized, fit_i's plan embeds fit_{i-1}'s aggregate in
+    // three places and the lineage re-executes it 3^i times (measured
+    // 4.3 s vs <1 s at bench scale) — and scoped() frees every
+    // intermediate block afterwards, returning only the checkpointed
+    // k-row result.
+    val res = graft.util.Release.scoped(df.sparkSession) {
+      val base = baseAll // persisted above
+      def weight(u: Column): Column = method match {
+        case "huber" => least(lit(1.0), lit(1.0) / abs(u))
+        case _ => when(abs(u) < 1.0,
+          pow(lit(1.0) - u * u, 2.0)).otherwise(0.0)
+      }
+      // residual scale of the fit `ab` over `base`
+      def scaleOf(ab: DataFrame): DataFrame = {
+        val e = col(s"${P}y") - col(s"${P}a") -
+          col(s"${P}b") * col(s"${P}x")
+        joinBack(base, ab, groupNames)
+          .withColumn(s"${P}ae", abs(e))
+          .groupBy(gc: _*)
+          .agg((median(col(s"${P}ae")) / 0.6745).as(s"${P}s"))
+      }
+      var fit = wFit(base, gc, lit(1.0), groupNames)
+        .localCheckpoint(true) // OLS start, k rows
+      for (_ <- 1 to maxIter) {
+        val withFit = joinBack(
+          joinBack(base, fit, groupNames), scaleOf(fit), groupNames)
+        val e = col(s"${P}y") - col(s"${P}a") -
+          col(s"${P}b") * col(s"${P}x")
+        val u = e / (col(s"${P}s") * c)
+        val w = when(col(s"${P}s") <= 0.0, lit(1.0)).otherwise(weight(u))
+        fit = wFit(withFit, gc, w, groupNames).localCheckpoint(true)
+      }
+      joinBack(fit, scaleOf(fit), groupNames)
+        .select(gc ++ Seq(col(s"${P}n").as("n"),
+          col(s"${P}b").as("slope"),
+          col(s"${P}a").as("intercept"),
+          col(s"${P}s").as("scale")): _*)
     }
-    var fit = wFit(base, gc, lit(1.0), groupNames) // OLS start
-    for (_ <- 1 to maxIter) {
-      val withFit = joinBack(
-        joinBack(base, fit, groupNames), scaleOf(fit), groupNames)
-      val e = col(s"${P}y") - col(s"${P}a") - col(s"${P}b") * col(s"${P}x")
-      val u = e / (col(s"${P}s") * c)
-      val w = when(col(s"${P}s") <= 0.0, lit(1.0)).otherwise(weight(u))
-      fit = wFit(withFit, gc, w, groupNames)
+    baseAll.unpersist(blocking = false)
+    res
+  }
+
+  /** Driver-side twin of the distributed loop: identical fixed-
+    * iteration contract over the collected narrow projection. */
+  private def localMReg(base: DataFrame, groupNames: Seq[String],
+                        method: String, c: Double,
+                        maxIter: Int): DataFrame = {
+    val spark = base.sparkSession
+    val nG = groupNames.size
+    val collected = base.collect()
+    val byGroup = collected.groupBy(r =>
+      (0 until nG).map(r.get).toSeq)
+    def med(a: Array[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val n = base.groupBy(gc: _*).agg(count(lit(1)).as("n"))
-    val out = joinBack(n, fit, groupNames)
-    joinBack(out, scaleOf(fit), groupNames)
-      .select(gc ++ Seq(col("n"), col(s"${P}b").as("slope"),
-        col(s"${P}a").as("intercept"),
-        col(s"${P}s").as("scale")): _*)
+    val outRows = byGroup.map { case (key, rows) =>
+      val ys = rows.map(_.getDouble(nG))
+      val xs = rows.map(_.getDouble(nG + 1))
+      val n = rows.length
+      def fit(w: Array[Double]): (Double, Double) = {
+        var sw = 0.0; var swx = 0.0; var swy = 0.0
+        var swxx = 0.0; var swxy = 0.0
+        var i = 0
+        while (i < n) {
+          val wi = w(i)
+          sw += wi; swx += wi * xs(i); swy += wi * ys(i)
+          swxx += wi * xs(i) * xs(i); swxy += wi * xs(i) * ys(i)
+          i += 1
+        }
+        val b = (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+        (swy / sw - b * swx / sw, b)
+      }
+      var (a, b) = fit(Array.fill(n)(1.0))
+      var s = 0.0
+      for (_ <- 1 to maxIter) {
+        val e = Array.tabulate(n)(i => ys(i) - a - b * xs(i))
+        s = med(e.map(math.abs)) / 0.6745
+        val w = e.map { ei =>
+          if (s <= 0.0) 1.0
+          else {
+            val u = ei / (s * c)
+            method match {
+              case "huber" => math.min(1.0, 1.0 / math.abs(u))
+              case _ =>
+                if (math.abs(u) < 1.0) {
+                  val t = 1.0 - u * u; t * t
+                } else 0.0
+            }
+          }
+        }
+        val ab = fit(w); a = ab._1; b = ab._2
+      }
+      val eF = Array.tabulate(n)(i => math.abs(ys(i) - a - b * xs(i)))
+      s = med(eF) / 0.6745
+      org.apache.spark.sql.Row.fromSeq(
+        key ++ Seq[Any](n.toLong, b, a, s))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(nG) ++ Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("slope",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("intercept",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("scale",
+          org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
   }
 
   /** Huber M-regression with the 95%-efficiency constant. */

@@ -13,7 +13,9 @@ object RobustQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_huber_reg" -> ((s, dir) => {
-      RobustOps.huberReg(t(s, dir, "lineitem"), col("l_extendedprice"),
+      RobustOps.huberReg(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 1),
+          col("l_extendedprice"),
           col("l_quantity"), Seq("l_returnflag"), maxIter = 2)
         .select(col("l_returnflag"), col("n"),
           round(col("slope"), 6).as("slope"),
@@ -22,7 +24,9 @@ object RobustQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
     "q_bisquare_reg" -> ((s, dir) => {
-      RobustOps.bisquareReg(t(s, dir, "lineitem"), col("l_extendedprice"),
+      RobustOps.bisquareReg(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 1),
+          col("l_extendedprice"),
           col("l_quantity"), Seq("l_linestatus"), maxIter = 2)
         .select(col("l_linestatus"), col("n"),
           round(col("slope"), 6).as("slope"),
@@ -36,7 +40,8 @@ object RobustQueries extends QueryPack {
   // -> s2; only the weight expression differs between methods.
   private def irlsSql(table: String, g: String, y: String, x: String,
                       wExpr: String): String =
-    s"""WITH t AS (SELECT $g g, $x x, $y y FROM $table),
+    s"""WITH t AS (SELECT $g g, $x x, $y y FROM $table
+       |  WHERE l_orderkey % 10 = 1),
        |f0 AS (
        |  SELECT g, COVAR_POP(y, x)/VAR_POP(x) b,
        |    AVG(y) - COVAR_POP(y, x)/VAR_POP(x)*AVG(x) a,

@@ -96,6 +96,21 @@ class RobustSpec extends AnyFunSuite {
     assert(math.abs(bis - 2.0) < 0.2, s"bisquare drifted: $bis")
   }
 
+  test("distributed path (above graft.maxLocalIrls) matches the local " +
+      "fast path within float-summation noise") {
+    val loc = one(RobustOps.huberReg(df, col("y"), col("x"), Seq("g"),
+      maxIter = 2).select("slope", "intercept", "scale"))
+    System.setProperty("graft.maxLocalIrls", "1")
+    try {
+      val dist = one(RobustOps.huberReg(df, col("y"), col("x"), Seq("g"),
+        maxIter = 2).select("slope", "intercept", "scale"))
+      for (i <- 0 to 2)
+        assert(math.abs(loc.getDouble(i) - dist.getDouble(i)) <
+          1e-8 * (1 + math.abs(loc.getDouble(i))),
+          s"col $i: ${loc.getDouble(i)} vs ${dist.getDouble(i)}")
+    } finally System.clearProperty("graft.maxLocalIrls")
+  }
+
   test("ungrouped path agrees with the single-group path") {
     val rg = one(RobustOps.huberReg(df, col("y"), col("x"), Seq("g"),
       maxIter = 2).select("slope"))
