@@ -161,6 +161,20 @@ object TSQueries extends QueryPack {
         .withColumn("cum_hazard", round(col("cum_hazard"), 6))
         .orderBy("event_type", "time")
     }),
+    "q_cox_ph" -> ((s, dir) => {
+      // Cox PH effect of a synthetic covariate on event-time `value`;
+      // fixed 3-Newton-step contract replayed iteration-by-iteration
+      // in the oracle. The normal p-value is spec-gated (family rule).
+      graft.ops.SurvOps.coxPh(t(s, dir, "events"), col("value"),
+          col("user_id") % 3 === 0,
+          (col("event_id") % 100) / 100.0, Seq("event_type"),
+          maxIter = 3)
+        .select(col("event_type"), col("n"), col("n_events"),
+          round(col("beta"), 6).as("beta"),
+          round(col("se"), 6).as("se"),
+          round(col("hazard_ratio"), 6).as("hazard_ratio"))
+        .orderBy("event_type")
+    }),
     "q_log_rank" -> ((s, dir) => {
       // two-sample survival comparison: parity of event_id splits the
       // arms, user_id parity is the event/censor status. The oracle
@@ -198,7 +212,49 @@ object TSQueries extends QueryPack {
     })
   )
 
+  // q_cox_ph: one Newton iteration = a descending range-frame window
+  // pass (Breslow risk sums) + a per-group score/information aggregate;
+  // chained here CTE-by-CTE for the fixed 3-step contract.
+  private val coxSql: String = {
+    val w = "WINDOW w AS (PARTITION BY g ORDER BY t DESC " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    def iter(i: Int): String =
+      s"""st$i AS (
+         |  SELECT g, t, e, x, b, SUM(EXP(b*x)) OVER w s0,
+         |    SUM(x*EXP(b*x)) OVER w s1, SUM(x*x*EXP(b*x)) OVER w s2
+         |  FROM j$i $w),
+         |b$i AS (
+         |  SELECT g, ANY_VALUE(b)
+         |    + SUM(CASE WHEN e=1 THEN x - s1/s0 END)
+         |      / SUM(CASE WHEN e=1 THEN s2/s0 - (s1/s0)*(s1/s0) END) b
+         |  FROM st$i GROUP BY 1),
+         |j${i + 1} AS (
+         |  SELECT base.g, t, e, x, b$i.b
+         |  FROM base JOIN b$i ON base.g = b$i.g),""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_type g, value t,
+       |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END e,
+       |    (event_id % 100) / 100.0 x
+       |  FROM events),
+       |j1 AS (SELECT g, t, e, x, 0.0 b FROM base),
+       |${iter(1)}
+       |${iter(2)}
+       |${iter(3)}
+       |fin AS (
+       |  SELECT g, t, e, x, b, SUM(EXP(b*x)) OVER w s0,
+       |    SUM(x*EXP(b*x)) OVER w s1, SUM(x*x*EXP(b*x)) OVER w s2
+       |  FROM j4 $w)
+       |SELECT g AS event_type, COUNT(*) AS n,
+       |  SUM(e)::BIGINT AS n_events,
+       |  ROUND(ANY_VALUE(b), 6) AS beta,
+       |  ROUND(1.0/SQRT(SUM(CASE WHEN e=1
+       |    THEN s2/s0 - (s1/s0)*(s1/s0) END)), 6) AS se,
+       |  ROUND(EXP(ANY_VALUE(b)), 6) AS hazard_ratio
+       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_cox_ph" -> coxSql,
     "q_auto_corr" ->
       """WITH t AS (
         |  SELECT event_type, value x,
