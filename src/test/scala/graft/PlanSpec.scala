@@ -495,6 +495,41 @@ class PlanSpec extends AnyFunSuite {
       graft.ops.StatOps.mannWhitneyU(ev, col("p"), col("y") === 1, Nil))
   }
 
+  test("ungrouped drift/rank ops plan no single-partition window") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    assertBoundedWindows(graft.ops.DriftOps.ecdfDistances(ev,
+      col("value"), col("user_id") % 2 === 0, Nil))
+    assertBoundedWindows(graft.ops.DiagOps.ad2Samp(ev,
+      col("value"), col("user_id") % 2 === 0, Nil))
+    assertBoundedWindows(graft.ops.PostHocOps.dunn(ev,
+      col("value"), col("event_type")))
+    // mmdLinear: both rank passes must be GlobalCumsum, and the pair
+    // alignment must be a real join (not a driver collect)
+    val mmd = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mplan = graft.ops.DriftOps.mmdLinear(mmd, col("embedding"),
+        col("vec_id"), col("label") < 5, 0.05)
+      .queryExecution.executedPlan.toString
+    mplan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__gcs_pid"), s"zero-key Window:\n$l")
+    }
+    assert(mplan.contains("Join"), mplan)
+  }
+
+  test("histDivergences plans two aggregates over the scan and a " +
+      "bins-rows-only window") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = graft.ops.DriftOps.histDivergences(ev, col("value"),
+        col("user_id") % 2 === 0, Seq("event_type"), 20)
+      .queryExecution.executedPlan.toString
+    // the window runs AFTER the bin-count aggregate (bins rows per
+    // group), keyed by the group column — never over raw rows
+    val winLines = plan.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type")),
+      plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("ungrouped metric values match the grouped (constant-key) path") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("y", (col("event_id") % 7 === 0).cast("int"))
