@@ -45,7 +45,8 @@ object SparkEntry {
     DriftQueries,
     ChangeQueries,
     RobustQueries,
-    PostHocQueries
+    PostHocQueries,
+    AssocQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

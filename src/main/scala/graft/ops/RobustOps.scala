@@ -93,7 +93,17 @@ object RobustOps {
     // intermediate block afterwards, returning only the checkpointed
     // k-row result.
     val res = graft.util.Release.scoped(df.sparkSession) {
-      val base = baseAll // persisted above
+      // centered fit (see localMReg): raw weighted moments cancel
+      // catastrophically at large n; the loop runs in (y-ybar, x-xbar)
+      // space — residuals and weights are identical there — and the
+      // intercept is uncentered on the way out
+      val means = baseAll.groupBy(gc: _*)
+        .agg(avg(s"${P}y").as(s"${P}my"), avg(s"${P}x").as(s"${P}mx"))
+        .localCheckpoint(true)
+      val base = joinBack(baseAll, means, groupNames)
+        .select(gc :+ (col(s"${P}y") - col(s"${P}my")).as(s"${P}y")
+          :+ (col(s"${P}x") - col(s"${P}mx")).as(s"${P}x"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def weight(u: Column): Column = method match {
         case "huber" => least(lit(1.0), lit(1.0) / abs(u))
         case _ => when(abs(u) < 1.0,
@@ -119,10 +129,12 @@ object RobustOps {
         val w = when(col(s"${P}s") <= 0.0, lit(1.0)).otherwise(weight(u))
         fit = wFit(withFit, gc, w, groupNames).localCheckpoint(true)
       }
-      joinBack(fit, scaleOf(fit), groupNames)
+      joinBack(joinBack(fit, scaleOf(fit), groupNames), means,
+          groupNames)
         .select(gc ++ Seq(col(s"${P}n").as("n"),
           col(s"${P}b").as("slope"),
-          col(s"${P}a").as("intercept"),
+          (col(s"${P}a") + col(s"${P}my") -
+            col(s"${P}b") * col(s"${P}mx")).as("intercept"),
           col(s"${P}s").as("scale")): _*)
     }
     baseAll.unpersist(blocking = false)
@@ -145,9 +157,16 @@ object RobustOps {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     val outRows = byGroup.map { case (key, rows) =>
-      val ys = rows.map(_.getDouble(nG))
-      val xs = rows.map(_.getDouble(nG + 1))
+      val rawY = rows.map(_.getDouble(nG))
+      val rawX = rows.map(_.getDouble(nG + 1))
       val n = rows.length
+      // center about the group means: the weighted-moment slope
+      // numerator on RAW sums is a difference of near-equal large
+      // numbers (3+ digits of cancellation at 1e4-magnitude data),
+      // which diverges across engines at large n — centered sums are
+      // cancellation-free and the algebra is identical
+      val myBar = rawY.sum / n; val mxBar = rawX.sum / n
+      val ys = rawY.map(_ - myBar); val xs = rawX.map(_ - mxBar)
       def fit(w: Array[Double]): (Double, Double) = {
         var sw = 0.0; var swx = 0.0; var swy = 0.0
         var swxx = 0.0; var swxy = 0.0
@@ -183,8 +202,8 @@ object RobustOps {
       }
       val eF = Array.tabulate(n)(i => math.abs(ys(i) - a - b * xs(i)))
       s = med(eF) / 0.6745
-      org.apache.spark.sql.Row.fromSeq(
-        key ++ Seq[Any](n.toLong, b, a, s))
+      org.apache.spark.sql.Row.fromSeq( // uncenter the intercept
+        key ++ Seq[Any](n.toLong, b, a + myBar - b * mxBar, s))
     }.toSeq
     val schema = org.apache.spark.sql.types.StructType(
       base.schema.fields.take(nG) ++ Seq(
@@ -195,6 +214,147 @@ object RobustOps {
         org.apache.spark.sql.types.StructField("intercept",
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("scale",
+          org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
+  }
+
+  /** Quantile regression y ~ x per group (pinball / check loss at
+    * quantile `tau`) by iteratively reweighted least squares
+    * (Schlossmacher's IRLS for LAD, generalized to asymmetric
+    * weights): starting from OLS, each step refits with
+    *   w_i = f(e_i) / max(|e_i|, delta),
+    * where f ramps linearly from 1-tau to tau across [-delta, +delta]
+    * (the convolution-SMOOTHED check loss: identical to the classic
+    * asymmetry for |e| > delta, but CONTINUOUS in e, so a residual
+    * landing within float noise of zero cannot flip the fit between
+    * engines/partitionings — the property the SQL oracle depends on); like
+    * [[mReg]] the iteration count is a FIXED replayable contract
+    * (maxIter weighted-moment aggregates, no scale pass — cheaper
+    * than the M-estimators). Unlike Newton on a smooth likelihood,
+    * IRLS on the check loss converges LINEARLY — expect ~30
+    * iterations for two-digit quantile accuracy; small maxIter gives
+    * a reproducible partially-converged fit (below_frac reports how
+    * far it got). `delta` guards the 1/|e| pole (keep it well below
+    * the residual scale). Returns {groups..., n, slope, intercept,
+    * below_frac} — the achieved fraction of residuals <= 0, which
+    * approaches tau as iterations grow (the quantile property).
+    * Below `graft.maxLocalIrls` the identical loop runs on the
+    * driver. */
+  def quantileReg(df: DataFrame, y: Column, x: Column, tau: Double,
+                  groupNames: Seq[String], maxIter: Int = 4,
+                  delta: Double = 1e-6): DataFrame = {
+    require(tau > 0.0 && tau < 1.0,
+      s"quantileReg: tau must be in (0,1), got $tau")
+    require(maxIter >= 1 && maxIter <= 64 && delta > 0.0,
+      s"quantileReg: need 1 <= maxIter <= 64 and delta > 0")
+    val gc = groupNames.map(col)
+    val baseAll = df.select(gc :+ y.cast("double").as(s"${P}y")
+      :+ x.cast("double").as(s"${P}x"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mRows = baseAll.count()
+    val localCap = java.lang.Long.getLong("graft.maxLocalIrls", 4000000L)
+    if (mRows * 3 <= localCap) {
+      val out = localQuantile(baseAll, groupNames, tau, maxIter, delta)
+      baseAll.unpersist(blocking = false)
+      return out
+    }
+    val res = graft.util.Release.scoped(df.sparkSession) {
+      // centered fit — see mReg/localMReg
+      val means = baseAll.groupBy(gc: _*)
+        .agg(avg(s"${P}y").as(s"${P}my"), avg(s"${P}x").as(s"${P}mx"))
+        .localCheckpoint(true)
+      val centered = joinBack(baseAll, means, groupNames)
+        .select(gc :+ (col(s"${P}y") - col(s"${P}my")).as(s"${P}y")
+          :+ (col(s"${P}x") - col(s"${P}mx")).as(s"${P}x"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var fit = wFit(centered, gc, lit(1.0), groupNames)
+        .localCheckpoint(true)
+      for (_ <- 1 to maxIter) {
+        val withFit = joinBack(centered, fit, groupNames)
+        val e = col(s"${P}y") - col(s"${P}a") -
+          col(s"${P}b") * col(s"${P}x")
+        // smoothed check loss: the asymmetry factor ramps linearly
+        // from 1-tau to tau across [-delta, +delta] instead of
+        // jumping at e = 0 — the weight is CONTINUOUS in e, so a
+        // residual that lands within float noise of zero cannot flip
+        // the fit between engines (convolution-smoothed quantile
+        // loss; identical to the check loss for |e| > delta)
+        val ramp = least(greatest((e + delta) / (2.0 * delta),
+          lit(0.0)), lit(1.0))
+        val w = (lit(1.0 - tau) + lit(2.0 * tau - 1.0) * ramp) /
+          greatest(abs(e), lit(delta))
+        fit = wFit(withFit, gc, w, groupNames).localCheckpoint(true)
+      }
+      val e = col(s"${P}y") - col(s"${P}a") - col(s"${P}b") * col(s"${P}x")
+      val below = joinBack(centered, fit, groupNames)
+        .groupBy(gc: _*)
+        .agg(avg((e <= 0.0).cast("double")).as(s"${P}bf"))
+      joinBack(joinBack(fit, below, groupNames), means, groupNames)
+        .select(gc ++ Seq(col(s"${P}n").as("n"),
+          col(s"${P}b").as("slope"),
+          (col(s"${P}a") + col(s"${P}my") -
+            col(s"${P}b") * col(s"${P}mx")).as("intercept"),
+          col(s"${P}bf").as("below_frac")): _*)
+    }
+    baseAll.unpersist(blocking = false)
+    res
+  }
+
+  /** Driver-side twin of the quantile IRLS loop. */
+  private def localQuantile(base: DataFrame, groupNames: Seq[String],
+                            tau: Double, maxIter: Int,
+                            delta: Double): DataFrame = {
+    val spark = base.sparkSession
+    val nG = groupNames.size
+    val byGroup = base.collect().groupBy(r =>
+      (0 until nG).map(r.get).toSeq)
+    val outRows = byGroup.map { case (key, rows) =>
+      val rawY = rows.map(_.getDouble(nG))
+      val rawX = rows.map(_.getDouble(nG + 1))
+      val n = rows.length
+      // centered fit — see localMReg: raw weighted moments cancel
+      // catastrophically at large n; centered sums do not
+      val myBar = rawY.sum / n; val mxBar = rawX.sum / n
+      val ys = rawY.map(_ - myBar); val xs = rawX.map(_ - mxBar)
+      def fit(w: Array[Double]): (Double, Double) = {
+        var sw = 0.0; var swx = 0.0; var swy = 0.0
+        var swxx = 0.0; var swxy = 0.0
+        var i = 0
+        while (i < n) {
+          val wi = w(i)
+          sw += wi; swx += wi * xs(i); swy += wi * ys(i)
+          swxx += wi * xs(i) * xs(i); swxy += wi * xs(i) * ys(i)
+          i += 1
+        }
+        val b = (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+        (swy / sw - b * swx / sw, b)
+      }
+      var (a, b) = fit(Array.fill(n)(1.0))
+      for (_ <- 1 to maxIter) {
+        val w = Array.tabulate(n) { i =>
+          val e = ys(i) - a - b * xs(i)
+          val ramp = math.min(math.max((e + delta) / (2.0 * delta),
+            0.0), 1.0)
+          ((1.0 - tau) + (2.0 * tau - 1.0) * ramp) /
+            math.max(math.abs(e), delta)
+        }
+        val ab = fit(w); a = ab._1; b = ab._2
+      }
+      val below = (0 until n)
+        .count(i => ys(i) - a - b * xs(i) <= 0.0).toDouble / n
+      org.apache.spark.sql.Row.fromSeq( // uncenter the intercept
+        key ++ Seq[Any](n.toLong, b, a + myBar - b * mxBar, below))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(nG) ++ Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("slope",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("intercept",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("below_frac",
           org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1), schema)

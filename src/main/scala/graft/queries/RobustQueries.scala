@@ -40,8 +40,12 @@ object RobustQueries extends QueryPack {
   // -> s2; only the weight expression differs between methods.
   private def irlsSql(table: String, g: String, y: String, x: String,
                       wExpr: String): String =
-    s"""WITH t AS (SELECT $g g, $x x, $y y FROM $table
+    s"""WITH t0 AS (SELECT $g g, $x x, $y y FROM $table
        |  WHERE l_orderkey % 10 = 1),
+       |mm AS (SELECT g, AVG(y) my, AVG(x) mx FROM t0 GROUP BY 1),
+       |t AS (
+       |  SELECT t0.g, x - mx x, y - my y
+       |  FROM t0 JOIN mm ON t0.g = mm.g),
        |f0 AS (
        |  SELECT g, COVAR_POP(y, x)/VAR_POP(x) b,
        |    AVG(y) - COVAR_POP(y, x)/VAR_POP(x)*AVG(x) a,
@@ -85,9 +89,11 @@ object RobustQueries extends QueryPack {
        |  SELECT t.g, MEDIAN(ABS(y - a - b*x))/0.6745 s
        |  FROM t JOIN f2 ON t.g = f2.g GROUP BY 1)
        |SELECT f0.g AS ${g}, f0.n AS n,
-       |  ROUND(f2.b, 6) AS slope, ROUND(f2.a, 2) AS intercept,
+       |  ROUND(f2.b, 6) AS slope,
+       |  ROUND(f2.a + mm.my - f2.b*mm.mx, 2) AS intercept,
        |  ROUND(s2.s, 2) AS scale
        |FROM f0 JOIN f2 ON f0.g = f2.g JOIN s2 ON f0.g = s2.g
+       |  JOIN mm ON f0.g = mm.g
        |ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
