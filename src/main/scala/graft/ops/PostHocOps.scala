@@ -243,6 +243,112 @@ object PostHocOps {
       PValues.chi2Sf(q, kk - 1.0).as("pvalue"))
   }
 
+  /** Bartlett's test for equality of variances across the levels of
+    * `factor`, per group:
+    *   X^2 = [(N-k) ln(s_p^2) - sum (n_j-1) ln(s_j^2)] / C,
+    *   C = 1 + (sum 1/(n_j-1) - 1/(N-k)) / (3(k-1)),
+    * s_p^2 the pooled sample variance; chi2(k-1) p. One level-stats
+    * aggregate + one closing aggregate (k rows). The parametric,
+    * higher-power (normality-assuming) companion to the repo's
+    * Levene/Brown-Forsythe. Returns {groups..., n, k, statistic, df,
+    * pvalue}. */
+  def bartlett(df: DataFrame, x: Column, factor: Column,
+               groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ factor.as(s"${P}f")
+      :+ x.cast("double").as(s"${P}x"): _*)
+    val lv = base.groupBy(gc :+ col(s"${P}f"): _*)
+      .agg(var_samp(col(s"${P}x")).as(s"${P}v"),
+        count(lit(1)).cast("double").as(s"${P}nf"))
+    val agged = lv.groupBy(gc: _*)
+      .agg(sum(s"${P}nf").as(s"${P}n"),
+        count(lit(1)).cast("double").as(s"${P}k"),
+        sum((col(s"${P}nf") - 1.0) * col(s"${P}v")).as(s"${P}ssw"),
+        sum((col(s"${P}nf") - 1.0) * log(col(s"${P}v"))).as(s"${P}sl"),
+        sum(lit(1.0) / (col(s"${P}nf") - 1.0)).as(s"${P}si"))
+    val n = col(s"${P}n"); val k = col(s"${P}k")
+    val sp2 = col(s"${P}ssw") / (n - k)
+    val c = lit(1.0) +
+      (col(s"${P}si") - lit(1.0) / (n - k)) / ((k - 1.0) * 3.0)
+    val stat = ((n - k) * log(sp2) - col(s"${P}sl")) / c
+    agged.select(gc ++ Seq(n.cast("long").as("n"),
+      k.cast("long").as("k"), stat.as("statistic"),
+      (k - 1.0).as("df"),
+      PValues.chi2Sf(stat, k - 1.0).as("pvalue")): _*)
+  }
+
+  /** One-way intraclass correlation ICC(1,1) from the ANOVA mean
+    * squares over the targets defined by `target` (raters/replicates
+    * are the rows within each target):
+    *   ICC = (MSB - MSW) / (MSB + (k0 - 1) MSW),
+    * k0 the average-group-size correction
+    * N_eff = (N - sum n_j^2 / N) / (k - 1) for unbalanced designs
+    * (Shrout & Fleiss 1979). One level aggregate + one closing
+    * aggregate. Returns {groups..., n, k_targets, msb, msw, icc1}. */
+  def icc1(df: DataFrame, x: Column, target: Column,
+           groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ target.as(s"${P}t")
+      :+ x.cast("double").as(s"${P}x"): _*)
+    val lv = base.groupBy(gc :+ col(s"${P}t"): _*)
+      .agg(sum(s"${P}x").as(s"${P}sx"),
+        sum(col(s"${P}x") * col(s"${P}x")).as(s"${P}sxx"),
+        count(lit(1)).cast("double").as(s"${P}nf"))
+    val agged = lv.groupBy(gc: _*)
+      .agg(sum(s"${P}nf").as(s"${P}n"),
+        count(lit(1)).cast("double").as(s"${P}k"),
+        sum(s"${P}sx").as(s"${P}gs"),
+        sum(s"${P}sxx").as(s"${P}gss"),
+        sum(col(s"${P}sx") * col(s"${P}sx") / col(s"${P}nf"))
+          .as(s"${P}sb"),
+        sum(col(s"${P}nf") * col(s"${P}nf")).as(s"${P}sn2"))
+    val n = col(s"${P}n"); val k = col(s"${P}k")
+    val ssb = col(s"${P}sb") - col(s"${P}gs") * col(s"${P}gs") / n
+    val ssw = col(s"${P}gss") - col(s"${P}sb")
+    val msb = ssb / (k - 1.0)
+    val msw = ssw / (n - k)
+    val k0 = (n - col(s"${P}sn2") / n) / (k - 1.0)
+    val icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    agged.select(gc ++ Seq(n.cast("long").as("n"),
+      k.cast("long").as("k_targets"), msb.as("msb"), msw.as("msw"),
+      icc.as("icc1")): _*)
+  }
+
+  /** Grubbs' outlier test per group: G = max |x - mean| / sd (sample
+    * sd) with the flagged value, and the p-value through the exact
+    * G -> t mapping t^2 = n(n-2)G^2 / ((n-1)^2 - nG^2),
+    * p = min(1, n * P(T_{n-2} > t)) (the standard union bound). The
+    * statistic and argmax value replay in SQL; the t-based p is
+    * spec-gated per the family convention. Two aggregates + a
+    * lexicographic struct-max. Returns
+    * {groups..., n, g_stat, outlier_value, pvalue}. */
+  def grubbs(df: DataFrame, x: Column,
+             groupNames: Seq[String]): DataFrame = {
+    val gc = groupNames.map(col)
+    val base = df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
+    val m = base.groupBy(gc: _*)
+      .agg(avg(s"${P}x").as(s"${P}mu"),
+        stddev_samp(col(s"${P}x")).as(s"${P}sd"),
+        count(lit(1)).cast("double").as(s"${P}n"))
+    val joined = joinBack(base, m, groupNames)
+    val z = abs(col(s"${P}x") - col(s"${P}mu")) / col(s"${P}sd")
+    val best = joined.groupBy(gc: _*)
+      .agg(max(struct(z.as("g"), col(s"${P}x").as("v")))
+        .as(s"${P}best"),
+        first(s"${P}n").as(s"${P}n"))
+    val g = col(s"${P}best").getField("g")
+    val n = col(s"${P}n")
+    // two-sided p via the exact G -> t mapping:
+    // t^2 = n (n-2) G^2 / ((n-1)^2 - n G^2), p = n * P(T_{n-2} > t)
+    val t2 = n * (n - 2.0) * g * g /
+      ((n - 1.0) * (n - 1.0) - n * g * g)
+    val p = least(lit(1.0),
+      PValues.tSf(sqrt(greatest(t2, lit(0.0))), n - 2.0) / 2.0 * n)
+    best.select(gc ++ Seq(n.cast("long").as("n"), g.as("g_stat"),
+      col(s"${P}best").getField("v").as("outlier_value"),
+      p.as("pvalue")): _*)
+  }
+
   /** Dunn's post-hoc z statistics after Kruskal-Wallis, for every
     * level pair of `factor`: pooled tie-averaged ranks (distinct-value
     * compression + GlobalCumsum — no zero-key window), mean rank per

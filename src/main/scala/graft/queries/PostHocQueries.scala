@@ -54,6 +54,28 @@ object PostHocQueries extends QueryPack {
         .select(col("n_blocks"), col("k"),
           round(col("statistic"), 6).as("statistic"), col("df"))
     }),
+    "q_bartlett" -> ((s, dir) => {
+      PostHocOps.bartlett(t(s, dir, "events"), col("value"),
+          col("event_type"), Nil)
+        .select(col("n"), col("k"),
+          round(col("statistic"), 6).as("statistic"), col("df"))
+    }),
+    "q_icc1" -> ((s, dir) => {
+      PostHocOps.icc1(t(s, dir, "events"), col("value"),
+          col("user_id"), Nil)
+        .select(col("n"), col("k_targets"),
+          round(col("msb"), 6).as("msb"),
+          round(col("msw"), 6).as("msw"),
+          round(col("icc1"), 6).as("icc1"))
+    }),
+    "q_grubbs" -> ((s, dir) => {
+      PostHocOps.grubbs(t(s, dir, "events"), col("value"),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("g_stat"), 6).as("g_stat"),
+          col("outlier_value"))
+        .orderBy("event_type")
+    }),
     "q_dunn" -> ((s, dir) => {
       PostHocOps.dunn(t(s, dir, "events"), col("value"),
           col("event_type"))
@@ -174,6 +196,50 @@ object PostHocQueries extends QueryPack {
         |  ROUND(k*(k-1)*(g2 - tt*tt/k)/(k*tt - l2), 6) AS statistic,
         |  k - 1 AS df
         |FROM gj, li""".stripMargin,
+    "q_bartlett" ->
+      """WITH lv AS (
+        |  SELECT event_type f, VAR_SAMP(value) v, COUNT(*)::DOUBLE nf
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT SUM(nf) n, COUNT(*)::DOUBLE k,
+        |    SUM((nf-1)*v) ssw, SUM((nf-1)*LN(v)) sl, SUM(1/(nf-1)) si
+        |  FROM lv)
+        |SELECT n::BIGINT AS n, k::BIGINT AS k,
+        |  ROUND(((n-k)*LN(ssw/(n-k)) - sl)
+        |    / (1 + (si - 1/(n-k))/(3*(k-1))), 6) AS statistic,
+        |  k - 1 AS df
+        |FROM a""".stripMargin,
+    "q_icc1" ->
+      """WITH lv AS (
+        |  SELECT user_id t, SUM(value) sx, SUM(value*value) sxx,
+        |    COUNT(*)::DOUBLE nf
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT SUM(nf) n, COUNT(*)::DOUBLE k, SUM(sx) gs,
+        |    SUM(sxx) gss, SUM(sx*sx/nf) sb, SUM(nf*nf) sn2
+        |  FROM lv),
+        |m AS (
+        |  SELECT n, k, (sb - gs*gs/n)/(k-1) msb, (gss - sb)/(n-k) msw,
+        |    (n - sn2/n)/(k-1) k0
+        |  FROM a)
+        |SELECT n::BIGINT AS n, k::BIGINT AS k_targets,
+        |  ROUND(msb, 6) AS msb, ROUND(msw, 6) AS msw,
+        |  ROUND((msb - msw)/(msb + (k0-1)*msw), 6) AS icc1
+        |FROM m""".stripMargin,
+    "q_grubbs" ->
+      """WITH m AS (
+        |  SELECT event_type g, AVG(value) mu, STDDEV_SAMP(value) sd,
+        |    COUNT(*) n
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type g, value,
+        |    ABS(value - mu)/sd zz, n,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_type
+        |      ORDER BY ABS(value - mu)/sd DESC, value DESC) pick
+        |  FROM events e JOIN m ON e.event_type = m.g)
+        |SELECT g AS event_type, n,
+        |  ROUND(zz, 6) AS g_stat, value AS outlier_value
+        |FROM z WHERE pick = 1 ORDER BY 1""".stripMargin,
     "q_dunn" ->
       """WITH r AS (
         |  SELECT event_type f,

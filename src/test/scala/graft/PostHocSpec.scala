@@ -146,6 +146,86 @@ class PostHocSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - p) < 1e-9)
   }
 
+  test("bartlett matches the local closed form and detects unequal " +
+      "variances") {
+    val k = 4
+    val data = (0 until k).flatMap { j =>
+      Array.fill(80 + 10 * j)(("l" + j,
+        rnd.nextGaussian() * (1.0 + j), "g"))
+    }
+    val df = data.toDF("f", "x", "g")
+    val r = one(PostHocOps.bartlett(df, col("x"), col("f"), Nil)
+      .select("statistic", "df", "pvalue", "n", "k"))
+    val byL = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def varS(a: Seq[Double]) = {
+      val m = a.sum / a.length
+      a.map(v => (v - m) * (v - m)).sum / (a.length - 1)
+    }
+    val nT = data.length.toDouble
+    val ssw = byL.values.map(v => (v.length - 1) * varS(v.toSeq)).sum
+    val sl = byL.values.map(v => (v.length - 1) *
+      math.log(varS(v.toSeq))).sum
+    val si = byL.values.map(v => 1.0 / (v.length - 1)).sum
+    val c = 1.0 + (si - 1.0 / (nT - k)) / (3.0 * (k - 1))
+    val stat = ((nT - k) * math.log(ssw / (nT - k)) - sl) / c
+    assert(r.getLong(3) == data.length && r.getLong(4) == k)
+    assert(math.abs(r.getDouble(0) - stat) < 1e-8)
+    assert(r.getDouble(2) < 1e-6, "planted heteroscedasticity")
+  }
+
+  test("icc1: rater agreement raises ICC toward 1; noise drops it " +
+      "toward 0; local closed-form parity") {
+    // 40 targets x 5 replicates, strong target effect
+    val strong = (0 until 40).flatMap { t =>
+      val mu = rnd.nextGaussian() * 5
+      Array.fill(5)((t.toLong, mu + rnd.nextGaussian() * 0.3, "g"))
+    }
+    val rs = one(PostHocOps.icc1(strong.toDF("t", "x", "g"), col("x"),
+      col("t"), Nil).select("icc1", "msb", "msw", "n", "k_targets"))
+    assert(rs.getDouble(0) > 0.9, s"strong ICC ${rs.getDouble(0)}")
+    assert(rs.getLong(3) == 200 && rs.getLong(4) == 40)
+    // local closed form (balanced: k0 = group size)
+    val byT = strong.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = 200.0; val k = 40.0
+    val gs = strong.map(_._2).sum
+    val sb = byT.values.map(v => math.pow(v.sum, 2) / v.length).sum
+    val gss = strong.map(v => v._2 * v._2).sum
+    val msb = (sb - gs * gs / n) / (k - 1)
+    val msw = (gss - sb) / (n - k)
+    val k0 = (n - byT.values.map(v => math.pow(v.length, 2)).sum / n) /
+      (k - 1)
+    val icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert(math.abs(rs.getDouble(0) - icc) < 1e-9)
+    val noise = (0 until 40).flatMap { t =>
+      Array.fill(5)((t.toLong, rnd.nextGaussian(), "g"))
+    }
+    val rn = one(PostHocOps.icc1(noise.toDF("t", "x", "g"), col("x"),
+      col("t"), Nil).select("icc1"))
+    assert(math.abs(rn.getDouble(0)) < 0.25, s"noise ICC ${rn.getDouble(0)}")
+  }
+
+  test("grubbs finds a planted outlier with the exact t-mapped p") {
+    val data = (Array.fill(120)(rnd.nextGaussian()) :+ 9.0).zipWithIndex
+      .map { case (v, i) => (v, "g") }
+    val df = data.toSeq.toDF("x", "g")
+    val r = one(PostHocOps.grubbs(df, col("x"), Nil)
+      .select("g_stat", "outlier_value", "pvalue", "n"))
+    assert(r.getDouble(1) == 9.0)
+    val xs = data.map(_._1)
+    val n = xs.length
+    val mu = xs.sum / n
+    val sd = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    val g = xs.map(v => math.abs(v - mu) / sd).max
+    assert(math.abs(r.getDouble(0) - g) < 1e-9)
+    val t2 = n * (n - 2.0) * g * g / ((n - 1.0) * (n - 1.0) - n * g * g)
+    val tDist = new org.apache.commons.math3.distribution
+      .TDistribution(n - 2.0)
+    val p = math.min(1.0,
+      n * (1.0 - tDist.cumulativeProbability(math.sqrt(t2))))
+    assert(math.abs(r.getDouble(2) - p) < 1e-9)
+    assert(p < 0.01, "planted 9-sigma-ish outlier must be significant")
+  }
+
   test("dunn matches the local tie-corrected rank loop") {
     val levels = Array("a", "b", "c")
     val data = Array.tabulate(210) { i =>
