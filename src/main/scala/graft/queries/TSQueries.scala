@@ -161,6 +161,20 @@ object TSQueries extends QueryPack {
         .withColumn("cum_hazard", round(col("cum_hazard"), 6))
         .orderBy("event_type", "time")
     }),
+    "q_cindex" -> ((s, dir) => {
+      // Harrell's C over a deterministic 1-in-25 user slice (the
+      // oracle is the quadratic pair join — q_sx convention keeps it
+      // sf1-feasible); the op itself is O(n log n)
+      t(s, dir, "events").filter(col("user_id") % 25 === 3)
+        .groupBy("event_type")
+        .agg(graft.agg.ConcordanceAgg.cIndex(col("value"),
+          col("user_id") % 3 === 0,
+          (col("event_id") % 100) / 100.0).as("ci"))
+        .select(col("event_type"),
+          round(col("ci._1"), 6).as("c_index"),
+          col("ci._2").as("n_pairs"))
+        .orderBy("event_type")
+    }),
     "q_cox_ph" -> ((s, dir) => {
       // Cox PH effect of a synthetic covariate on event-time `value`;
       // fixed 3-Newton-step contract replayed iteration-by-iteration
@@ -254,6 +268,18 @@ object TSQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_cindex" ->
+      """WITH s AS (
+        |  SELECT event_type g, value t,
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END e,
+        |    (event_id % 100)/100.0 r
+        |  FROM events WHERE user_id % 25 = 3)
+        |SELECT a.g AS event_type,
+        |  ROUND(AVG(CASE WHEN a.r > b.r THEN 1.0
+        |    WHEN a.r = b.r THEN 0.5 ELSE 0.0 END), 6) AS c_index,
+        |  COUNT(*) AS n_pairs
+        |FROM s a JOIN s b ON a.g = b.g AND a.t < b.t AND a.e = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cox_ph" -> coxSql,
     "q_auto_corr" ->
       """WITH t AS (

@@ -95,6 +95,52 @@ class SurvSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.maxLocalIrls")
   }
 
+  test("cIndex matches the brute-force pair count with time and risk " +
+      "ties") {
+    // 2-decimal times and quantized risks -> plenty of ties
+    val rows = Array.fill(400)((
+      math.rint(rnd.nextDouble() * 100) / 10.0,
+      rnd.nextDouble() < 0.7,
+      (rnd.nextInt(20)) / 20.0, "g"))
+    val df2 = rows.toSeq.toDF("t", "e", "r", "g")
+    val got = one(df2.groupBy("g")
+      .agg(graft.agg.ConcordanceAgg.cIndex(col("t"), col("e"),
+        col("r")).as("ci"))
+      .select(col("ci._1"), col("ci._2")))
+    var num = 0.0; var pairs = 0L
+    for (a <- rows; b <- rows) {
+      if (a._1 < b._1 && a._2) { // equal times not usable
+        pairs += 1
+        if (a._3 > b._3) num += 1.0
+        else if (a._3 == b._3) num += 0.5
+      }
+    }
+    assert(got.getLong(1) == pairs, s"${got.getLong(1)} vs $pairs")
+    assert(math.abs(got.getDouble(0) - num / pairs) < 1e-12)
+  }
+
+  test("cIndex anchors: perfect predictor = 1, anti-predictor = 0") {
+    val rows = (0 until 100).map(i =>
+      (i.toDouble, true, 100.0 - i, "g"))
+    val perfect = one(rows.toDF("t", "e", "r", "g").groupBy("g")
+      .agg(graft.agg.ConcordanceAgg.cIndex(col("t"), col("e"),
+        col("r")).as("ci")).select(col("ci._1"))).getDouble(0)
+    assert(perfect == 1.0)
+    val anti = one(rows.map(r => (r._1, r._2, -r._3, r._4))
+      .toDF("t", "e", "r", "g").groupBy("g")
+      .agg(graft.agg.ConcordanceAgg.cIndex(col("t"), col("e"),
+        col("r")).as("ci")).select(col("ci._1"))).getDouble(0)
+    assert(anti == 0.0)
+  }
+
+  test("cIndex of the Cox linear predictor beats random") {
+    val withRisk = data.toSeq.toDF("t", "e", "x", "g")
+    val ci = one(withRisk.groupBy("g")
+      .agg(graft.agg.ConcordanceAgg.cIndex(col("t"), col("e") === 1,
+        col("x")).as("ci")).select(col("ci._1"))).getDouble(0)
+    assert(ci > 0.6, s"planted-hazard C $ci should be well above 0.5")
+  }
+
   test("zero covariate effect gives beta ~ 0 and hazard_ratio ~ 1") {
     val flat = data.map { case (t, e, _, g) =>
       (t, e, rnd.nextDouble(), g) }.toSeq.toDF("t", "e", "x", "g")
