@@ -21,17 +21,33 @@ object KendallTauAgg extends Aggregator[(Double, Double),
 
   def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
 
+  private def checkCap(len: Int): Unit = {
+    val cap = java.lang.Long.getLong("graft.maxKendallSeries", 10000000L)
+    require(len <= cap,
+      s"KendallTauAgg: series of $len rows exceeds " +
+        s"graft.maxKendallSeries=$cap — the whole group is buffered on " +
+        "one task; sample the group upstream or raise the cap explicitly")
+  }
+
   def reduce(b: ArrayBuffer[(Double, Double)], a: (Double, Double))
       : ArrayBuffer[(Double, Double)] = {
-    if (!a._1.isNaN && !a._2.isNaN) b += a
+    if (!a._1.isNaN && !a._2.isNaN) {
+      b += a
+      // property lookup amortized: re-check every 8192 rows so a
+      // runaway group fails at cap+8k, not at OOM
+      if ((b.length & 8191) == 0) checkCap(b.length)
+    }
     b
   }
 
   def merge(b1: ArrayBuffer[(Double, Double)],
             b2: ArrayBuffer[(Double, Double)])
-      : ArrayBuffer[(Double, Double)] = { b1 ++= b2; b1 }
+      : ArrayBuffer[(Double, Double)] = {
+    b1 ++= b2; checkCap(b1.length); b1
+  }
 
   def finish(buf: ArrayBuffer[(Double, Double)]): Double = {
+    checkCap(buf.length)
     val n = buf.length
     if (n < 2) return Double.NaN
     val arr = buf.toArray.sortBy(p => (p._1, p._2))

@@ -42,17 +42,34 @@ object TrendAgg extends Aggregator[(Double, Double),
 
   def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
 
+  private def checkCap(len: Int): Unit = {
+    val cap = java.lang.Long.getLong("graft.maxTrendSeries", 10000000L)
+    require(len <= cap,
+      s"TrendAgg: series of $len rows exceeds graft.maxTrendSeries=$cap" +
+        " — the whole group is buffered on one task (O(n log² n) " +
+        "selection); pre-aggregate/sample upstream or raise the cap " +
+        "explicitly")
+  }
+
   def reduce(b: ArrayBuffer[(Double, Double)], a: (Double, Double))
       : ArrayBuffer[(Double, Double)] = {
-    if (!a._1.isNaN && !a._2.isNaN) b += a
+    if (!a._1.isNaN && !a._2.isNaN) {
+      b += a
+      // property lookup amortized: re-check every 8192 rows so a
+      // runaway group fails at cap+8k, not at OOM
+      if ((b.length & 8191) == 0) checkCap(b.length)
+    }
     b
   }
 
   def merge(b1: ArrayBuffer[(Double, Double)],
             b2: ArrayBuffer[(Double, Double)])
-      : ArrayBuffer[(Double, Double)] = { b1 ++= b2; b1 }
+      : ArrayBuffer[(Double, Double)] = {
+    b1 ++= b2; checkCap(b1.length); b1
+  }
 
   def finish(buf: ArrayBuffer[(Double, Double)]): TrendResult = {
+    checkCap(buf.length)
     val n = buf.length
     if (n < 2)
       return TrendResult(Double.NaN, Double.NaN, Double.NaN, Double.NaN,

@@ -159,10 +159,10 @@ object Strings {
     d(la + 1)(lb + 1)
   }
 
-  private[functions] def ngramSet(s: String, n: Int): Set[String] =
+  def ngramSet(s: String, n: Int): Set[String] =
     if (s.length < n) Set(s) else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
 
-  private[functions] def lcsSubstrLen(s1: String, s2: String): Int = {
+  def lcsSubstrLen(s1: String, s2: String): Int = {
     if (s1.isEmpty || s2.isEmpty) return 0
     val prev = new Array[Int](s2.length + 1)
     val cur = new Array[Int](s2.length + 1)
@@ -178,7 +178,7 @@ object Strings {
     best
   }
 
-  private[functions] def lcsSubseqLen(s1: String, s2: String): Int = {
+  def lcsSubseqLen(s1: String, s2: String): Int = {
     if (s1.isEmpty || s2.isEmpty) return 0
     val prev = new Array[Int](s2.length + 1)
     val cur = new Array[Int](s2.length + 1)
@@ -293,47 +293,42 @@ object Strings {
     f(a, b)
   }
 
-  /** Char n-gram Jaccard similarity. (string.py:230 str_jaccard) */
+  /** Char n-gram Jaccard similarity — native codegen expression.
+    * (string.py:230 str_jaccard) */
   def strJaccard(a: Column, b: Column, n: Int = 2): Column =
-    udf2d { (x, y) =>
-      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
-      val inter = sa.intersect(sb).size.toDouble
-      val uni = sa.size + sb.size - inter
-      if (uni == 0) 1.0 else inter / uni
-    }(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.ngramSimNative(a, b, n,
+      org.apache.spark.sql.graft.NgramSetSimilarity.Jaccard)
 
-  /** Sørensen–Dice similarity over char n-grams. (string.py:308) */
+  /** Sørensen–Dice similarity over char n-grams — native codegen
+    * expression. (string.py:308) */
   def strSorensenDice(a: Column, b: Column, n: Int = 2): Column =
-    udf2d { (x, y) =>
-      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
-      if (sa.isEmpty && sb.isEmpty) 1.0
-      else sa.intersect(sb).size * 2.0 / (sa.size + sb.size)
-    }(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.ngramSimNative(a, b, n,
+      org.apache.spark.sql.graft.NgramSetSimilarity.Dice)
 
-  /** Overlap coefficient over char n-grams. (string.py:269) */
+  /** Overlap coefficient over char n-grams — native codegen
+    * expression. (string.py:269) */
   def strOverlapCoeff(a: Column, b: Column, n: Int = 2): Column =
-    udf2d { (x, y) =>
-      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
-      val m = math.min(sa.size, sb.size)
-      if (m == 0) 0.0 else sa.intersect(sb).size.toDouble / m
-    }(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.ngramSimNative(a, b, n,
+      org.apache.spark.sql.graft.NgramSetSimilarity.Overlap)
 
-  /** Tversky similarity with α,β weights over char n-grams.
-    * (string.py:347) */
+  /** Tversky similarity with α,β weights over char n-grams — native
+    * codegen expression. (string.py:347) */
   def strTversky(a: Column, b: Column, alpha: Double, beta: Double,
                  n: Int = 2): Column =
-    udf2d { (x, y) =>
-      val (sa, sb) = (ngramSet(x, n), ngramSet(y, n))
-      val i = sa.intersect(sb).size.toDouble
-      val d = i + alpha * (sa.size - i) + beta * (sb.size - i)
-      if (d == 0) 0.0 else i / d
-    }(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.ngramSimNative(a, b, n,
+      org.apache.spark.sql.graft.NgramSetSimilarity.Tversky, alpha, beta)
 
-  /** Longest common substring length. (string.py:547 str_lcs_substr) */
-  def strLcsSubstr(a: Column, b: Column): Column = udf2i(lcsSubstrLen)(a, b)
+  /** Longest common substring length — native codegen expression.
+    * (string.py:547 str_lcs_substr) */
+  def strLcsSubstr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.lcsLenNative(a, b,
+      subsequence = false)
 
-  /** Longest common subsequence length. (string.py:602 str_lcs_subseq) */
-  def strLcsSubseq(a: Column, b: Column): Column = udf2i(lcsSubseqLen)(a, b)
+  /** Longest common subsequence length — native codegen expression.
+    * (string.py:602 str_lcs_subseq) */
+  def strLcsSubseq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.lcsLenNative(a, b,
+      subsequence = true)
 
   /** The longest common substring ITSELF (the reference's default
     * str_lcs_substr return, test_string.py:155). DP runs over code
@@ -419,13 +414,10 @@ object Strings {
     }(a, b)
 
   /** rapidfuzz-style indel ratio: 1 − indel/(|a|+|b|),
-    * indel = |a|+|b| − 2·LCSseq. (string.py:679 str_fuzz) */
+    * indel = |a|+|b| − 2·LCSseq — native codegen expression.
+    * (string.py:679 str_fuzz) */
   def strFuzz(a: Column, b: Column): Column =
-    udf2d { (x, y) =>
-      val tot = x.length + y.length
-      if (tot == 0) 1.0
-      else 1.0 - (tot - 2.0 * lcsSubseqLen(x, y)) / tot
-    }(a, b)
+    org.apache.spark.sql.graft.NativeFunctions.fuzzRatioNative(a, b)
 
   /** Levenshtein similarity 1 − d/max(len). (string.py:504 return_sim) */
   def strLevenSim(a: Column, b: Column): Column =

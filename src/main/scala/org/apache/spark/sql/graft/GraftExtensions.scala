@@ -173,6 +173,23 @@ object NativeFunctions {
     ExpressionUtils.column(DamerauDistance(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Char-n-gram set similarity; kind ∈ NgramSetSimilarity.{Jaccard,
+    * Dice, Overlap, Tversky}; alpha/beta only read for Tversky. */
+  def ngramSimNative(a: Column, b: Column, n: Int, kind: Int,
+                     alpha: Double = 0.0, beta: Double = 0.0): Column =
+    ExpressionUtils.column(NgramSetSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      n, kind, alpha, beta))
+
+  def lcsLenNative(a: Column, b: Column, subsequence: Boolean): Column =
+    ExpressionUtils.column(LcsLength(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      subsequence))
+
+  def fuzzRatioNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(FuzzRatio(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Deflate-compressed bytes / raw UTF-8 bytes (empty → null) — the
     * compression-ratio repetition/quality signal. */
   def deflateRatioNative(c: Column): Column =

@@ -117,6 +117,92 @@ case class DamerauDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Char-n-gram set similarity — one expression covering the four
+  * reference kernels (string.py:230 str_jaccard, :308 sorensen_dice,
+  * :269 overlap_coeff, :347 tversky_sim). `kind` selects the formula
+  * (plan-time constant, inlined into the generated code); `alpha`/
+  * `beta` only matter for tversky. Same n-gram set construction and
+  * empty-set conventions as the UDFs these replace (parity pinned by
+  * NativeExprSpec). */
+case class NgramSetSimilarity(left: Expression, right: Expression,
+                              n: Int, kind: Int,
+                              alpha: Double, beta: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringDistances.ngramSim(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], n, kind, alpha, beta)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = StringDistances.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"$cls.ngramSim($a, $b, $n, $kind, ${alpha}D, ${beta}D)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramSetSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramSetSimilarity {
+  val Jaccard = 0; val Dice = 1; val Overlap = 2; val Tversky = 3
+}
+
+/** Longest-common-substring / -subsequence LENGTH (string.py:547
+  * str_lcs_substr, :602 str_lcs_subseq); `subsequence` is a plan-time
+  * constant selecting the DP. */
+case class LcsLength(left: Expression, right: Expression,
+                     subsequence: Boolean)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringDistances.lcsLen(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], subsequence)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = StringDistances.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$cls.lcsLen($a, $b, $subsequence)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsLength =
+    copy(left = newLeft, right = newRight)
+}
+
+/** rapidfuzz-style indel ratio 1 − indel/(|a|+|b|) (string.py:679
+  * str_fuzz) — LCS-subsequence DP in one codegen'd kernel. */
+case class FuzzRatio(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringDistances.fuzzRatio(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = StringDistances.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$cls.fuzzRatio($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FuzzRatio =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static bridges shared by interpreted eval and generated code —
   * one UTF8String→String decode per input, then the exact kernels the
   * UDF path ran. */
@@ -132,4 +218,37 @@ object StringDistances {
 
   def damerau(a: UTF8String, b: UTF8String): Int =
     graft.functions.Strings.damerauDist(a.toString, b.toString)
+
+  def ngramSim(a: UTF8String, b: UTF8String, n: Int, kind: Int,
+               alpha: Double, beta: Double): Double = {
+    val sa = graft.functions.Strings.ngramSet(a.toString, n)
+    val sb = graft.functions.Strings.ngramSet(b.toString, n)
+    val inter = sa.intersect(sb).size.toDouble
+    kind match {
+      case 0 => // jaccard
+        val uni = sa.size + sb.size - inter
+        if (uni == 0) 1.0 else inter / uni
+      case 1 => // sorensen–dice
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else inter * 2.0 / (sa.size + sb.size)
+      case 2 => // overlap coefficient
+        val m = math.min(sa.size, sb.size)
+        if (m == 0) 0.0 else inter / m
+      case _ => // tversky
+        val d = inter + alpha * (sa.size - inter) + beta * (sb.size - inter)
+        if (d == 0) 0.0 else inter / d
+    }
+  }
+
+  def lcsLen(a: UTF8String, b: UTF8String, subsequence: Boolean): Int =
+    if (subsequence)
+      graft.functions.Strings.lcsSubseqLen(a.toString, b.toString)
+    else graft.functions.Strings.lcsSubstrLen(a.toString, b.toString)
+
+  def fuzzRatio(a: UTF8String, b: UTF8String): Double = {
+    val x = a.toString; val y = b.toString
+    val tot = x.length + y.length
+    if (tot == 0) 1.0
+    else 1.0 - (tot - 2.0 * graft.functions.Strings.lcsSubseqLen(x, y)) / tot
+  }
 }

@@ -116,6 +116,53 @@ class GuardSpec extends AnyFunSuite {
     assert(rootMessage(e).contains("graft.maxPdfBytes"))
   }
 
+  test("maxTrendSeries: TrendAgg refuses oversized groups, names the " +
+      "knob and the remedy") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, i * 2.0)).toDF("t", "x")
+    val e = intercept[Exception] {
+      withProp("graft.maxTrendSeries", "5") {
+        df.agg(graft.agg.TrendAgg.trend(col("t"), col("x"))).collect()
+      }
+    }
+    val m = rootMessage(e)
+    assert(m.contains("maxTrendSeries") && m.contains("pre-aggregate"))
+    // happy path under the cap still works
+    val r = df.agg(graft.agg.TrendAgg.trend(col("t"), col("x"))).head
+      .getStruct(0)
+    assert(r.getAs[Double]("slope") == 2.0)
+  }
+
+  test("maxKendallSeries: KendallTauAgg refuses oversized groups, " +
+      "names the knob and the remedy") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      withProp("graft.maxKendallSeries", "5") {
+        df.agg(graft.agg.KendallTauAgg.kendallTau(col("x"), col("y")))
+          .collect()
+      }
+    }
+    val m = rootMessage(e)
+    assert(m.contains("maxKendallSeries") && m.contains("sample"))
+    assert(df.agg(graft.agg.KendallTauAgg.kendallTau(col("x"), col("y")))
+      .head.getDouble(0) == 1.0)
+  }
+
+  test("maxCindexSeries: ConcordanceAgg refuses oversized groups and " +
+      "names the knob") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, true, 20.0 - i))
+      .toDF("t", "e", "r")
+    val e = intercept[Exception] {
+      withProp("graft.maxCindexSeries", "5") {
+        df.agg(graft.agg.ConcordanceAgg.cIndex(col("t"), col("e"),
+          col("r"))).collect()
+      }
+    }
+    assert(rootMessage(e).contains("maxCindexSeries"))
+  }
+
   test("maxLocalPagerank fallback: distributed loop (cap 0) matches " +
       "the driver fast path") {
     import spark.implicits._

@@ -348,6 +348,76 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rdf.count() == 100)
   }
 
+  test("native ngram-set sims / LCS lengths / fuzz: kernel parity, " +
+      "nulls, codegen, no UDF in the plan") {
+    import spark.implicits._
+    import graft.functions.Strings
+    val pairs = Seq(("night", "nacht"), ("context", "contact"),
+      ("", ""), ("", "ab"), ("a", "a"), ("ab", "ba"),
+      ("AGGTAB", "GXTXAYB"), ("a😀b", "ab"), ("xxyyxx", "yyxxyy"),
+      ("identical", "identical"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      Strings.strJaccard(col("a"), col("b")),
+      Strings.strSorensenDice(col("a"), col("b")),
+      Strings.strOverlapCoeff(col("a"), col("b")),
+      Strings.strTversky(col("a"), col("b"), 0.3, 0.7),
+      Strings.strLcsSubstr(col("a"), col("b")),
+      Strings.strLcsSubseq(col("a"), col("b")),
+      Strings.strFuzz(col("a"), col("b"))).collect()
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      val (sa, sb) = (Strings.ngramSet(a, 2), Strings.ngramSet(b, 2))
+      val i = sa.intersect(sb).size.toDouble
+      val uni = sa.size + sb.size - i
+      val expJac = if (uni == 0) 1.0 else i / uni
+      val expDice = if (sa.isEmpty && sb.isEmpty) 1.0
+        else i * 2.0 / (sa.size + sb.size)
+      val m = math.min(sa.size, sb.size)
+      val expOv = if (m == 0) 0.0 else i / m
+      val dTv = i + 0.3 * (sa.size - i) + 0.7 * (sb.size - i)
+      val expTv = if (dTv == 0) 0.0 else i / dTv
+      assert(r.getDouble(0) == expJac, s"jaccard($a,$b)")
+      assert(r.getDouble(1) == expDice, s"dice($a,$b)")
+      assert(r.getDouble(2) == expOv, s"overlap($a,$b)")
+      assert(r.getDouble(3) == expTv, s"tversky($a,$b)")
+      assert(r.getInt(4) == Strings.lcsSubstrLen(a, b), s"lcsstr($a,$b)")
+      assert(r.getInt(5) == Strings.lcsSubseqLen(a, b), s"lcsseq($a,$b)")
+      val tot = a.length + b.length
+      val expFuzz = if (tot == 0) 1.0
+        else 1.0 - (tot - 2.0 * Strings.lcsSubseqLen(a, b)) / tot
+      assert(r.getDouble(6) == expFuzz, s"fuzz($a,$b)")
+    }
+    // golden anchors (reference test_string.py conventions)
+    assert(got(6).getInt(5) == 4)   // AGGTAB/GXTXAYB LCSseq = GTAB
+    // null in either side → null out, all seven
+    val nr = Seq((Option("x"), Option.empty[String]),
+        (Option.empty[String], Option("y"))).toDF("a", "b")
+      .select(Strings.strJaccard(col("a"), col("b")),
+        Strings.strSorensenDice(col("a"), col("b")),
+        Strings.strOverlapCoeff(col("a"), col("b")),
+        Strings.strTversky(col("a"), col("b"), 0.5, 0.5),
+        Strings.strLcsSubstr(col("a"), col("b")),
+        Strings.strLcsSubseq(col("a"), col("b")),
+        Strings.strFuzz(col("a"), col("b"))).collect()
+    nr.foreach(r => (0 to 6).foreach(i => assert(r.isNullAt(i))))
+    // codegen: the whole projection is one WholeStageCodegen stage
+    // with no ScalaUDF/BatchEval nodes
+    val rdf = spark.range(100)
+      .select(concat(lit("abcdef"), col("id") % 10).as("a"),
+        concat(lit("abdcef"), (col("id") + 1) % 10).as("b"))
+      .select(Strings.strJaccard(col("a"), col("b")).as("j"),
+        Strings.strSorensenDice(col("a"), col("b")).as("sd"),
+        Strings.strOverlapCoeff(col("a"), col("b")).as("ov"),
+        Strings.strTversky(col("a"), col("b"), 0.2, 0.8).as("tv"),
+        Strings.strLcsSubstr(col("a"), col("b")).as("l1"),
+        Strings.strLcsSubseq(col("a"), col("b")).as("l2"),
+        Strings.strFuzz(col("a"), col("b")).as("f"))
+    val plan = rdf.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(rdf.count() == 100)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
