@@ -22,15 +22,30 @@ import org.apache.spark.sql.types._
   * Remaining honest boundary: lossy-WebP (VP8 DCT) pixel data is
   * metadata-only — a DELIBERATE contract, not a stub: the VP8
   * key-frame header (start code, 14-bit dims) is uncompressed and
-  * parsed for real by [[sniffMeta]], but the coefficient bitstream
-  * requires RFC 6386's ~2000-entry default probability tables, which
-  * cannot be transcribed here verifiably (no spec text or reference
-  * decoder is available in this environment to check them against; a
-  * codec with silently-wrong tables would misdecode every real file
-  * while passing its own round-trip tests). So [[decodeImage]] returns
-  * null for VP8-lossy payloads — the same loud routing as any
-  * undecodable payload — while metadata flows. The q_webp_lossy
-  * oracle row pins exactly this contract: dims parsed, n_decoded = 0.
+  * parsed for real by [[sniffMeta]], but the coefficient bitstream is
+  * not decoded. The precise blocker (corrected per the r10 review —
+  * the tables ARE public): RFC 6386 §13.4/§13.5 publish the complete
+  * default entropy state in normative C arrays — the 1056-entry
+  * `default_coeff_probs[4][8][3][11]` (block type × coefficient band
+  * × left/above context × entropy-tree node), plus the token tree,
+  * `coeff_bands[16]` zig-zag-to-band map, the §11.5 intra-mode trees
+  * and probabilities, and the §14.1 `dc_qlookup`/`ac_qlookup`
+  * dequantization tables. A boolean-decoder bitstream is chaos-
+  * sensitive to ALL of them: one wrong byte anywhere desynchronizes
+  * the arithmetic decode and silently corrupts every later symbol.
+  * This environment has no copy of the RFC text or a reference
+  * decoder (zero egress — verified), so those ~1300 constants would
+  * have to be transcribed from memory with no way to check them; a
+  * decoder built on unverifiable tables would misdecode real files
+  * while passing its own self-referential round-trip tests. So
+  * [[decodeImage]] returns null for VP8-lossy payloads — the same
+  * loud routing as any undecodable payload — while metadata flows.
+  * The q_webp_lossy oracle row pins exactly this contract: dims
+  * parsed, n_decoded = 0. If the constants become available, the
+  * decode skeleton is ready: [[Vp8l]]'s bit reader, DoS budgets
+  * (`graft.maxImagePixels`) and per-partition batch shape transfer
+  * directly; only the §13 tables + §14 reconstruction math are
+  * missing.
   */
 object MultimodalOps {
 

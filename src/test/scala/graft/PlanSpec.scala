@@ -336,6 +336,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedAgg plans the two-phase shape: phase-1 exchange keys " +
+      "include the salt, phase-2 combines per key") {
+    // The hot-key AGGREGATION mitigation (AQE skew-join only covers
+    // joins): phase 1 must shuffle on (keys, _salt) so one hot key
+    // spreads over `salt` reduce partitions; phase 2 shuffles the tiny
+    // partial table on the bare keys. A regression collapsing this to
+    // one exchange on the bare key would silently reintroduce the
+    // straggler; SkewBench's salted_agg_hot_user row (BASELINE.md)
+    // measures the behavior, this pins the plan.
+    val df = spark.range(100000)
+      .select((col("id") % 5).as("k"), (col("id") % 13).as("v"))
+    val agg = graft.ops.ScaleOps.saltedAgg(df, Seq("k"), 8,
+      Seq(("sum", "v", "sv"), ("count", "v", "n")))
+    assert(agg.collect().map(_.getLong(0)).sorted.sameElements(
+      Array(0L, 1L, 2L, 3L, 4L)))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "hashpartitioning\\([^)]*\\)".r
+      .findAllIn(plan).toList
+    val saltPhases = exchanges.filter(_.contains("_salt"))
+    val keyPhases = exchanges.filterNot(_.contains("_salt"))
+    assert(saltPhases.nonEmpty,
+      s"no (keys, _salt) exchange in saltedAgg plan:\n$plan")
+    assert(keyPhases.nonEmpty,
+      s"no bare-key combine exchange in saltedAgg plan:\n$plan")
+  }
+
   test("co-bucketed join plans with zero Exchange") {
     import graft.sources.Bucketing
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
