@@ -38,12 +38,18 @@ object MakeSkew {
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: MakeSkew <srcDir> <outRoot> <factor>")
-    val (src, outRoot, factor) = (args(0), args(1), args(2).toInt)
-    require(factor >= 1 && factor <= 100,
-      s"factor must be in [1, 100], got $factor")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+
+  /** Programmatic entry (MakeSkewSpec) — does not stop the session. */
+  def run(spark: SparkSession, src: String, outRoot: String,
+          factor: Int): Unit = {
+    require(factor >= 1 && factor <= 100,
+      s"factor must be in [1, 100], got $factor")
 
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -139,6 +145,5 @@ object MakeSkew {
       val d = tbl(t)
       write(d, "uniform", t); write(d, "skew", t)
     }
-    spark.stop()
   }
 }
