@@ -498,7 +498,13 @@ object CurationQueries extends QueryPack {
     // (a genuine smaller corpus) at replayable size.
     "q_sx_lm_kn" -> ((s, dir) => {
       import graft.text.LmOps
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      // sf-adaptive sample: 1/10 at gate scale, 1/100 past 10k docs —
+      // token-salted sf1 copies inflate the bigram vocabulary ~10×,
+      // pushing the oracle's three count-table joins past DuckDB's
+      // budget at 1/10. The SQL twin applies the IDENTICAL rule.
+      val all = t(s, dir, "documents")
+      val mod = if (all.count() > 10000) 100L else 10L
+      val docs = all.filter(col("doc_id") % mod === 0)
       graft.util.Release.scoped(s) {
         LmOps.ngramLmScoreKN(docs, col("text"), docs, col("doc_id"),
             col("text"))
@@ -1302,26 +1308,29 @@ object CurationQueries extends QueryPack {
         |    % 1000000007)::BIGINT)::BIGINT AS md5_digest
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "q_sx_lm_kn" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |  FROM documents
-        |  WHERE doc_id % 10 = 0 AND length(trim(text)) > 0),
-        |words AS (
+        |  WHERE doc_id %
+        |    (CASE WHEN (SELECT COUNT(*) FROM documents) > 10000
+        |          THEN 100 ELSE 10 END) = 0
+        |    AND length(trim(text)) > 0),
+        |words AS MATERIALIZED (
         |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
         |  FROM (SELECT doc_id,
         |          unnest(list_transform(t,
         |            (x, i) -> {'pos': i, 'w': x})) AS u
         |        FROM toks)),
-        |big AS (
+        |big AS MATERIALIZED (
         |  SELECT doc_id, pos, w AS w1,
         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
         |  FROM words QUALIFY w2 IS NOT NULL),
-        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
-        |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+        |cb AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
         |       FROM cb GROUP BY 1),
-        |nc AS (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
-        |nb AS (SELECT COUNT(*) AS nbig FROM cb)
+        |nc AS MATERIALIZED (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
+        |nb AS MATERIALIZED (SELECT COUNT(*) AS nbig FROM cb)
         |SELECT b.doc_id, COUNT(*) AS n_ngrams,
         |  ROUND(AVG(-ln(
         |    GREATEST(cb.c12 - 0.75, 0) / c1.c1
@@ -1338,25 +1347,25 @@ object CurationQueries extends QueryPack {
         |CROSS JOIN nb
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lm_kn" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
-        |words AS (
+        |words AS MATERIALIZED (
         |  SELECT doc_id, u['pos'] - 1 AS pos, u['w'] AS w
         |  FROM (SELECT doc_id,
         |          unnest(list_transform(t,
         |            (x, i) -> {'pos': i, 'w': x})) AS u
         |        FROM toks)),
-        |big AS (
+        |big AS MATERIALIZED (
         |  SELECT doc_id, pos, w AS w1,
         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
         |  FROM words QUALIFY w2 IS NOT NULL),
-        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
-        |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+        |cb AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
         |       FROM cb GROUP BY 1),
-        |nc AS (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
-        |nb AS (SELECT COUNT(*) AS nbig FROM cb)
+        |nc AS MATERIALIZED (SELECT w2, COUNT(*) AS ncont FROM cb GROUP BY 1),
+        |nb AS MATERIALIZED (SELECT COUNT(*) AS nbig FROM cb)
         |SELECT b.doc_id, COUNT(*) AS n_ngrams,
         |  ROUND(AVG(-ln(
         |    GREATEST(cb.c12 - 0.75, 0) / c1.c1

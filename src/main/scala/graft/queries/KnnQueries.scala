@@ -135,8 +135,13 @@ object KnnQueries extends QueryPack {
     "q_sx_knn_point" -> ((s, dir) => {
       val df = feat(s, dir)
       val fs = Seq(col("f1"), col("f2"))
+      // sf-adaptive sample: 1/97 at gate scale, 1/971 past 20k rows —
+      // keeps the all-pairs oracle inside DuckDB's 120 s budget at sf1
+      // (two ranked pair sets; 1/97 × 150k × 150k was borderline).
+      // The SQL twin applies the IDENTICAL count-based rule.
+      val mod = if (df.count() > 20000) 971L else 97L
       val kth = KnnOps.distFromKthNb(df, col("c_custkey"), fs, 3)
-        .filter(col("c_custkey") % 97 === 0)
+        .filter(col("c_custkey") % mod === 0)
       val ids = KnnOps.knnPtwise(df, col("c_custkey"), fs, 3)
         .select(col("c_custkey").as("ki"),
           element_at(col("knn_ids"), 1).as("nn1"))
@@ -309,7 +314,9 @@ object KnnQueries extends QueryPack {
          |  SELECT c_custkey, c_mktsegment, c_acctbal,
          |    c_acctbal / 100.0 f1, (c_custkey * 7919 % 1000) / 10.0 f2
          |  FROM customer),
-         |q AS (SELECT * FROM fa WHERE c_custkey % 97 = 0),
+         |q AS (SELECT * FROM fa WHERE c_custkey %
+         |  (CASE WHEN (SELECT COUNT(*) FROM customer) > 20000
+         |        THEN 971 ELSE 97 END) = 0),
          |pairs AS (
          |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
          |    (a.f1 - b.f1) * (a.f1 - b.f1)
@@ -345,8 +352,15 @@ object KnnQueries extends QueryPack {
          |  ROUND(AVG(nbc), 6) AS avg_nb_cnt,
          |  SUM(nr)::BIGINT AS n_rpairs,
          |  SUM(COALESCE(fid, 0))::BIGINT AS sum_first_id
-         |FROM kth JOIN knn USING (qid)
+         |FROM kth LEFT JOIN knn USING (qid)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LEFT JOIN knn, not INNER: knnAvg's reference contract drops
+    // neighbors under min_bound=1e-9 from the average, so a query
+    // whose k+1 nearest are ALL zero-distance exact duplicates (the
+    // MakeScale sf1 fixture: every customer's copies share acctbal
+    // AND custkey*7919%1000 — offset 15000 ≡ 0 mod 1000) gets a NULL
+    // knn_avg on the Spark side; an inner join would drop the qid
+    // entirely and desync the other five aggregates.
     "q_sx_knn_freq" ->
       s"""WITH f AS ($featSql),
          |q AS (SELECT * FROM f WHERE c_custkey % 97 = 0),
