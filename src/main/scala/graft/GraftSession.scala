@@ -41,6 +41,13 @@ object GraftSession {
       // The reference's kernels never raise on degenerate denominators
       // (e.g. confusion-matrix ratios with an empty class).
       .config("spark.sql.ansi.enabled", "false")
-    sys.env.get("GRAFT_JARS").fold(b)(b.config("spark.jars", _))
+    val b2 = sys.env.get("GRAFT_JARS").fold(b)(b.config("spark.jars", _))
+    // Executor heap for multi-JVM shapes (local-cluster[w,c,mem] sets
+    // WORKER capacity only — spark.executor.memory stays at the 1g
+    // default unless set, which under-provisions every executor; the
+    // r11 skew run at executor shape surfaced exactly that). Worker
+    // capacity must cover memory + overhead (max(384m, 10%)).
+    sys.env.get("GRAFT_EXECUTOR_MEM")
+      .fold(b2)(b2.config("spark.executor.memory", _))
   }
 }

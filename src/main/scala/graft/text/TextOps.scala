@@ -458,11 +458,28 @@ object TextOps {
         out
       }
     }
-    val g = pmod(hash(id.cast("long")), lit(subBlocks)).cast("int")
+    // `subBlocks` is a FLOOR, not the final split: hot blocks (the
+    // Zipfian hot-host reality) auto-split further so the largest
+    // bucket stays ~≤3000 docs. Without this, one hot domain
+    // concentrates its whole block into a few collect_list groups and
+    // the reduce-side ObjectHashAggregate (which buffers up to its
+    // 128-group fallback threshold) multiplies that into executor
+    // OOM — observed in the r11 skew validation: a 15.6k-doc hot
+    // domain killed 1 GiB executors at the cluster shape. One cheap
+    // block-size count on the RAW frame (no tokenization) sizes the
+    // split; results are identical for any split (every pair lands in
+    // exactly one bucket regardless).
+    val maxBlock = Option(
+      df.select(block.as("b")).groupBy(col("b")).count()
+        .agg(max(col("count"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val sb = math.max(subBlocks,
+      math.min(64L, (maxBlock + 1499L) / 1500L).toInt)
+    val g = pmod(hash(id.cast("long")), lit(sb)).cast("int")
     val base = df.select(block.as("block"), id.cast("long").as("i"),
       g.as("g"), tokUdf(text).as("ws"))
     val buckets = base.select(col("block"), col("i"), col("g"), col("ws"),
-      explode(array((0 until subBlocks).map(x =>
+      explode(array((0 until sb).map(x =>
         struct(least(col("g"), lit(x)).as("a"),
           greatest(col("g"), lit(x)).as("b"))): _*)).as("bk"))
     // the G buckets per doc are pairwise distinct: (g,g) once for x=g,
