@@ -186,6 +186,21 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Provenance stamp (r11 verdict ask #2: the round-11 close shipped a
+    // baseline that predated the code it was later compared against).
+    // The detail file records WHICH commit was measured and whether any
+    // operator-path file was dirty; round_close gates on both.
+    def gitLine(cmd: String*): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        p.waitFor()
+        out
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    val gitHead = gitLine("git", "rev-parse", "HEAD")
+    val codeDirty = gitLine("git", "status", "--porcelain", "--",
+      "src/main", "build.sbt").nonEmpty
     // Full per-query timings → a file (the harness that captures our
     // stdout keeps only a bounded tail, so the complete map can't ride
     // on the JSON line once the query count is large).
@@ -195,7 +210,8 @@ object Bench {
     val fullJson = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{\"total\":" + fmt(total) + ",\"n\":" + results.size +
-        ",\"sf\":\"" + sfDir + "\",\"regressions\":" + regJson +
+        ",\"sf\":\"" + sfDir + "\",\"head\":\"" + gitHead +
+        "\",\"code_dirty\":" + codeDirty + ",\"regressions\":" + regJson +
         ",\"queries\":{", ",", "}}")
     try {
       java.nio.file.Files.write(detailPath,

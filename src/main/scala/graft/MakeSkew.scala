@@ -120,9 +120,13 @@ object MakeSkew {
       col("l_tax"), col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate"))
     write(liBase, "uniform", "lineitem")
-    val hotOrder = tbl("orders")
+    val hotOrderRow = tbl("orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .agg(min(col("o_orderkey"))).head.getLong(0)
+      .agg(min(col("o_orderkey"))).head
+    require(!hotOrderRow.isNullAt(0),
+      "MakeSkew: the source orders table has no 1-URGENT rows to pick " +
+        "the hot order key from — point --src at a TPC-H-shaped fixture")
+    val hotOrder = hotOrderRow.getLong(0)
     val hotLi = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
       lit(100L)) < 20L
     write(liBase.withColumn("l_orderkey",

@@ -53,13 +53,19 @@ object SkewBench {
     // long-lived session has these warm; first-use C2/codegen charges
     // would otherwise land on whichever twin runs first and bias the
     // ratio toward "uniform slow").
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      flagships.foreach { q =>
-        try SparkEntry.queries(q)(spark, s"$root/uniform").count()
-        catch { case _: Throwable => }
+    // NonFatal only, and loudly: a flagship that fails warm-up would
+    // otherwise carry its first-use codegen/C2 cost into the timed
+    // uniform run, biasing exactly the ratio this tool gates on (and an
+    // OOM here must crash, not hide).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    flagships.foreach { q =>
+      try SparkEntry.queries(q)(spark, s"$root/uniform").count()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[skew] WARM-UP FAILED for $q: $e — its " +
+            "timings below include first-use compilation cost")
       }
-    } catch { case _: Throwable => }
+    }
 
     val rows = scala.collection.mutable.LinkedHashMap[String,
       (Double, Double)]()

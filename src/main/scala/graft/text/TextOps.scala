@@ -351,9 +351,15 @@ object TextOps {
     * compares k-word shingle sets — the similarity MinHash estimates —
     * with [[minHashSignature]]'s whole-text edge case for docs of ≤ k
     * words, so this doubles as minhash's exact twin. */
+  /** `maxBlockHint`: a caller-known upper bound on the largest block's
+    * doc count. When ≥ 0, the per-block sizing aggregation is skipped
+    * entirely and ONE split factor derived from the hint applies to all
+    * blocks — use it when the bound is known (e.g. a capped crawl per
+    * host) to save the counting leg's scan. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
                       block: Column, threshold: Double,
-                      subBlocks: Int = 4, shingleK: Int = 1): DataFrame = {
+                      subBlocks: Int = 4, shingleK: Int = 1,
+                      maxBlockHint: Long = -1L): DataFrame = {
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
                        ga: Int, gb: Int, t: Double) => {
       val n = docs.length
@@ -422,42 +428,15 @@ object TextOps {
       }
       out.result()
     })
-    // single-call tokenizer: trim/lower/split/distinct/hash/sort in one
-    // primitive pass. Matches the Column formulation
-    // array_sort(transform(array_distinct(split(lower(trim(t)),"\s+")),
-    // xxhash64)) exactly (same Java regex, same XXH64 seed 42), but
-    // plans as ONE scalar UDF instead of four nested higher-order
-    // functions — measurably less one-time plan/codegen latency and no
-    // interpreted-HOF per-element overhead.
-    val tokUdf = udf { (t: String) =>
-      if (t == null) null
-      else {
-        val parts = t.trim.toLowerCase.split("\\s+")
-        // shingleK > 1: k-word shingles (single whole-text shingle for
-        // docs of <= k words, mirroring minHashSignature)
-        val units: Array[String] =
-          if (shingleK <= 1) parts
-          else if (parts.length <= shingleK) Array(parts.mkString(" "))
-          else Array.tabulate(parts.length - shingleK + 1)(i =>
-            parts.slice(i, i + shingleK).mkString(" "))
-        val set = new java.util.HashSet[java.lang.Long](units.length * 2)
-        val buf = new Array[Long](units.length)
-        var n = 0
-        var i = 0
-        while (i < units.length) {
-          val u = org.apache.spark.unsafe.types.UTF8String
-            .fromString(units(i))
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-              u.numBytes, 42L)
-          if (set.add(h)) { buf(n) = h; n += 1 }
-          i += 1
-        }
-        val out = java.util.Arrays.copyOf(buf, n)
-        java.util.Arrays.sort(out)
-        out
-      }
-    }
+    // tokenizer: native codegen kernel ([[org.apache.spark.sql.graft
+    // .SortedTokenHashes]]) — trim/lower/split/shingle/hash/distinct/
+    // sort in one zero-alloc primitive pass inside whole-stage codegen,
+    // no UDF SerDe on the per-document hot path (bit-for-bit the
+    // historical UDF formulation; NativeExprSpec pins the parity).
+    val tok = org.apache.spark.sql.graft.NativeFunctions
+      .sortedTokenHashesNative(text, shingleK)
+    val base = df.select(block.as("block"), id.cast("long").as("i"),
+      tok.as("ws"))
     // `subBlocks` is a FLOOR, not the final split: hot blocks (the
     // Zipfian hot-host reality) auto-split further so the largest
     // bucket stays ~≤3000 docs. Without this, one hot domain
@@ -465,24 +444,38 @@ object TextOps {
     // the reduce-side ObjectHashAggregate (which buffers up to its
     // 128-group fallback threshold) multiplies that into executor
     // OOM — observed in the r11 skew validation: a 15.6k-doc hot
-    // domain killed 1 GiB executors at the cluster shape. One cheap
-    // block-size count on the RAW frame (no tokenization) sizes the
-    // split; results are identical for any split (every pair lands in
-    // exactly one bucket regardless).
-    val maxBlock = Option(
-      df.select(block.as("b")).groupBy(col("b")).count()
-        .agg(max(col("count"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val sb = math.max(subBlocks,
-      math.min(64L, (maxBlock + 1499L) / 1500L).toInt)
-    val g = pmod(hash(id.cast("long")), lit(sb)).cast("int")
-    val base = df.select(block.as("block"), id.cast("long").as("i"),
-      g.as("g"), tokUdf(text).as("ws"))
-    val buckets = base.select(col("block"), col("i"), col("g"), col("ws"),
-      explode(array((0 until sb).map(x =>
-        struct(least(col("g"), lit(x)).as("a"),
-          greatest(col("g"), lit(x)).as("b"))): _*)).as("bk"))
-    // the G buckets per doc are pairwise distinct: (g,g) once for x=g,
+    // domain killed 1 GiB executors at the cluster shape.
+    //
+    // The split factor is PER BLOCK and LAZY: per-block counts join
+    // back on the block key inside the same job (no eager sizing scan
+    // at call time — the count leg is a column-pruned branch of the
+    // same lineage, and AQE broadcast-joins the tiny count table), and
+    // only the blocks that ARE hot pay a larger explode fan-out — a
+    // 200k-doc hot host no longer multiplies the replication of the
+    // 99% of blocks that didn't need it. Results are identical for any
+    // split: every within-block pair shares its block's factor, so the
+    // pair-in-exactly-one-bucket proof holds block-locally.
+    val sized: DataFrame =
+      if (maxBlockHint >= 0L) {
+        val sb = math.max(subBlocks,
+          math.min(64L, (maxBlockHint + 1499L) / 1500L).toInt)
+        base.withColumn("__sb", lit(sb))
+      } else {
+        val cnts = base.groupBy(col("block").as("__cb"))
+          .agg(count(lit(1)).as("__cnt"))
+        base.join(cnts, col("block") <=> col("__cb"))
+          .withColumn("__sb", greatest(lit(subBlocks),
+            least(lit(64L), ceil(col("__cnt") / lit(1500.0)))
+              .cast("int")))
+          .drop("__cb", "__cnt")
+      }
+    val withG = sized.withColumn("g",
+      pmod(hash(col("i")), col("__sb")).cast("int"))
+    val buckets = withG.select(col("block"), col("i"), col("g"), col("ws"),
+      explode(transform(sequence(lit(0), col("__sb") - 1), x =>
+        struct(least(col("g"), x).as("a"),
+          greatest(col("g"), x).as("b")))).as("bk"))
+    // the per-doc buckets are pairwise distinct: (g,g) once for x=g,
     // and (min(g,x),max(g,x)) differs for every x≠g — no dedup needed
     //
     // Explicit-count repartition on the bucket key BEFORE the groupBy:

@@ -57,6 +57,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgramHashes(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_token_hashes"),
+      new ExpressionInfo(classOf[SortedTokenHashes].getName,
+        "graft_sorted_token_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_token_hashes(str, shingleK) takes two arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_sorted_token_hashes: shingleK must be an integer literal")
+        }
+        SortedTokenHashes(children.head, k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_md_bucket_counts"),
       new ExpressionInfo(classOf[MdBucketCounts].getName,
         "graft_md_bucket_counts"),
@@ -151,6 +166,12 @@ object NativeFunctions {
   def wordNgramHashesNative(c: Column, n: Int): Column =
     ExpressionUtils.column(
       WordNgramHashes(ExpressionUtils.expression(c), n))
+
+  /** Sorted distinct XXH64 token/shingle hashes — the exact-Jaccard
+    * dedup tokenizer kernel. */
+  def sortedTokenHashesNative(c: Column, shingleK: Int = 1): Column =
+    ExpressionUtils.column(
+      SortedTokenHashes(ExpressionUtils.expression(c), shingleK))
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))

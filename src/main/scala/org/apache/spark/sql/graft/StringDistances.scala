@@ -128,6 +128,15 @@ case class NgramSetSimilarity(left: Expression, right: Expression,
                               n: Int, kind: Int,
                               alpha: Double, beta: Double)
     extends BinaryExpression with ExpectsInputTypes {
+  // the reference raises ValueError for negative weights
+  // (string.py:347 str_tversky_sim); non-finite values would also
+  // interpolate as uncompilable Java literals (NaND / InfinityD) in
+  // doGenCode and force a noisy codegen fallback
+  require(kind != NgramSetSimilarity.Tversky ||
+    (java.lang.Double.isFinite(alpha) && alpha >= 0 &&
+      java.lang.Double.isFinite(beta) && beta >= 0),
+    s"tversky: alpha and beta must be finite and >= 0, got α=$alpha β=$beta")
+
   override def inputTypes: Seq[AbstractDataType] =
     Seq(StringType, StringType)
   override def dataType: DataType = DoubleType

@@ -219,6 +219,134 @@ object WordNgramHashes {
   }
 }
 
+/** Native jaccard-dedup tokenizer: the sorted DISTINCT XXH64(seed 42)
+  * hashes of a document's lowercase whitespace tokens (`shingleK = 1`)
+  * or k-word shingles (`shingleK > 1`, with the whole-text single
+  * shingle for docs of ≤ k words that minHashSignature also uses) — the
+  * array the exact-Jaccard pair kernel merge-intersects. Bit-for-bit
+  * the historical Scala-UDF formulation in TextOps.jaccardDupPairs
+  * (`t.trim.toLowerCase.split("\\s+")` then hash/distinct/sort),
+  * including Java split's empty-string edge: blank text yields ONE
+  * empty token, so its hash array is [XXH64("", 42)], never empty.
+  *
+  * Why native: this kernel rides EVERY document of every
+  * jaccard-dedup call (the 100 TB hot loop feeding the pair buckets).
+  * As a codegen expression it runs inside whole-stage codegen with no
+  * UDF SerDe boundary and zero per-token allocation — tokens are
+  * (offset, length) spans over one lowercased byte copy, shingles hash
+  * from a reused join buffer (same zero-alloc shape as
+  * [[WordNgramHashes]]). SQL `graft_sorted_token_hashes`; DSL
+  * [[NativeFunctions.sortedTokenHashesNative]]. */
+case class SortedTokenHashes(child: Expression, shingleK: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleK >= 1,
+    s"graft_sorted_token_hashes: shingleK must be >= 1, got $shingleK")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    SortedTokenHashes.compute(s.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = SortedTokenHashes.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c, $shingleK)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedTokenHashes = copy(child = newChild)
+}
+
+object SortedTokenHashes {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  /** Shared by interpreted eval and generated code. Semantics frozen to
+    * the Java-String formulation: trim strips chars ≤ U+0020 at both
+    * edges (those chars are single bytes in UTF-8, so the byte test is
+    * exact), tokens split on `\s+` runs (0x09–0x0d, 0x20 — interior
+    * control bytes stay inside tokens, as with Java regex `\s`), and an
+    * empty trimmed text yields one empty token (Java
+    * `"".split("\\s+")` → `[""]`). */
+  def compute(s: UTF8String,
+              k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.toLowerCase.getBytes
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) >= 0 && b(lo) <= 0x20) lo += 1
+    while (hi > lo && b(hi - 1) >= 0 && b(hi - 1) <= 0x20) hi -= 1
+    // tokenize: (start, end) spans over [lo, hi), \s+ runs as separators
+    var m = 0
+    var i = lo
+    val cap = (hi - lo) / 2 + 1
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    while (i < hi) {
+      while (i < hi && isWs(b(i))) i += 1
+      if (i < hi) {
+        starts(m) = i
+        while (i < hi && !isWs(b(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    import org.apache.spark.sql.catalyst.expressions.{XXH64 => X}
+    val hashes: Array[Long] =
+      if (m == 0) {
+        // blank text: one empty token → one empty unit for every k
+        Array(X.hashUnsafeBytes(b, off, 0, 42L))
+      } else if (k <= 1) {
+        val out = new Array[Long](m)
+        var t = 0
+        while (t < m) {
+          out(t) = X.hashUnsafeBytes(b, off + starts(t),
+            ends(t) - starts(t), 42L)
+          t += 1
+        }
+        out
+      } else {
+        // shingles of k tokens joined by one 0x20; docs of ≤ k tokens
+        // collapse to the single whole-text shingle
+        val nUnits = if (m <= k) 1 else m - k + 1
+        val width = if (m <= k) m else k
+        val out = new Array[Long](nUnits)
+        val buf = new Array[Byte](hi - lo)
+        var g = 0
+        while (g < nUnits) {
+          var p = 0
+          var t = g
+          while (t < g + width) {
+            if (t > g) { buf(p) = 0x20.toByte; p += 1 }
+            val tl = ends(t) - starts(t)
+            System.arraycopy(b, starts(t), buf, p, tl)
+            p += tl
+            t += 1
+          }
+          out(g) = X.hashUnsafeBytes(buf, off, p, 42L)
+          g += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    var n = 0
+    var q = 0
+    while (q < hashes.length) {
+      if (n == 0 || hashes(q) != hashes(n - 1)) {
+        hashes(n) = hashes(q)
+        n += 1
+      }
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hashes, n))
+  }
+}
+
 /** Native Unicode NFC normalization — the canonical-composition step
   * web-corpus pipelines run before hashing/dedup (decomposed "e"+U+0301
   * and precomposed "é" must land in the same bucket). Wraps

@@ -38,6 +38,10 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val ghosts = documented -- registered
     assert(ghosts.isEmpty,
       s"docs/API.md documents unregistered SQL names: $ghosts")
+    // and the reverse: a newly registered function must be documented
+    val undocumented = registered -- documented
+    assert(undocumented.isEmpty,
+      s"registered SQL names missing from docs/API.md: $undocumented")
     assert(documented.nonEmpty && extensionNames.size >= 10 &&
       udfNames.size >= 5) // registries parsed, not empty regex misses
   }

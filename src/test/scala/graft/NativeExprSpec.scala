@@ -113,6 +113,65 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("native sorted token hashes are bit-for-bit the historical " +
+      "Scala formulation on random and edge-case texts") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the frozen semantics: t.trim.toLowerCase.split("\\s+") → units
+    // (tokens or k-shingles with the ≤k whole-text collapse) → XXH64
+    // seed 42 → distinct → sorted
+    def expected(t: String, k: Int): Seq[Long] = {
+      val parts = t.trim.toLowerCase.split("\\s+")
+      val units: Array[String] =
+        if (k <= 1) parts
+        else if (parts.length <= k) Array(parts.mkString(" "))
+        else Array.tabulate(parts.length - k + 1)(i =>
+          parts.slice(i, i + k).mkString(" "))
+      units.map { u =>
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString(u)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u8.getBaseObject, u8.getBaseOffset,
+            u8.numBytes, 42L)
+      }.distinct.sorted.toSeq
+    }
+    val charGen: Gen[Int] = Gen.frequency(
+      8 -> Gen.choose(0x61, 0x7a),
+      3 -> Gen.oneOf(0x20, 0x20, 0x09, 0x0a, 0x0d),
+      2 -> Gen.choose(0x41, 0x5a),
+      1 -> Gen.oneOf(0x00e9, 0x00fc, 0x4e2d, 0x1f600),
+      1 -> Gen.oneOf(0x2c, 0x2e, 0x01, 0x30)) // incl. interior control
+    val textGen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+    } yield new String(cs.flatMap(Character.toChars(_)).toArray)
+    def sample(seed: Long): String =
+      textGen.apply(Gen.Parameters.default, Seed(seed)).get
+    val edge = Seq("", " ", "\t \n", "single", "a b c a b c",
+      "  lead trail  ", "Mixed CASE Grüße ÉÉ", "xy z",
+      "a b", "a b c d e f g h")
+    val docs = edge ++ (0 until 150).map(i => sample(i * 6151L + 11))
+    for (k <- Seq(1, 2, 3, 9)) {
+      val got = docs.toDF("t").select(
+        NativeFunctions.sortedTokenHashesNative(col("t"), k).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      docs.zip(got).foreach { case (t, g) =>
+        assert(g == expected(t, k),
+          s"k=$k text=${t.take(40).replace("\n", "\\n")}")
+      }
+    }
+    // null passes through
+    val nr = Seq[String](null).toDF("t")
+      .select(NativeFunctions.sortedTokenHashesNative(col("t"), 1)).head
+    assert(nr.isNullAt(0))
+    // stays in whole-stage codegen on a non-local source
+    val plan = spark.range(10)
+      .select(concat(lit("a b c d "), col("id")).as("t"))
+      .select(NativeFunctions.sortedTokenHashesNative(col("t"), 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("md bucket counts: ScalaCheck-random unicode/whitespace texts " +
       "are row-identical to the Column-algebra DSIR twin") {
     import spark.implicits._

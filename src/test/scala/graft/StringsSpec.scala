@@ -58,6 +58,14 @@ class StringsSpec extends AnyFunSuite {
     // tversky α=β=0.5 == dice
     assert(approx(one(Strings.strTversky(col("a"), col("b"), 0.5, 0.5, 1),
       "night", "nacht"), 0.6, 1e-9))
+    // the reference's ValueError contract: negative / non-finite
+    // weights are rejected at construction (string.py str_tversky_sim)
+    for ((al, be) <- Seq((-0.1, 0.5), (0.5, -1.0), (Double.NaN, 0.5),
+        (0.5, Double.PositiveInfinity))) {
+      intercept[IllegalArgumentException] {
+        Strings.strTversky(col("a"), col("b"), al, be, 1)
+      }
+    }
   }
 
   test("hamming, case conversions, cleaning") {
