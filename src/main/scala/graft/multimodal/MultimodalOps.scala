@@ -34,18 +34,27 @@ import org.apache.spark.sql.types._
   * sensitive to ALL of them: one wrong byte anywhere desynchronizes
   * the arithmetic decode and silently corrupts every later symbol.
   * This environment has no copy of the RFC text or a reference
-  * decoder (zero egress — verified), so those ~1300 constants would
+  * decoder (zero egress — verified), so those ~3000 constants would
   * have to be transcribed from memory with no way to check them; a
   * decoder built on unverifiable tables would misdecode real files
-  * while passing its own self-referential round-trip tests. So
-  * [[decodeImage]] returns null for VP8-lossy payloads — the same
-  * loud routing as any undecodable payload — while metadata flows.
-  * The q_webp_lossy oracle row pins exactly this contract: dims
-  * parsed, n_decoded = 0. If the constants become available, the
-  * decode skeleton is ready: [[Vp8l]]'s bit reader, DoS budgets
-  * (`graft.maxImagePixels`) and per-partition batch shape transfer
-  * directly; only the §13 tables + §14 reconstruction math are
-  * missing.
+  * while passing its own self-referential round-trip tests.
+  *
+  * Since round 12 the boundary is TABLE-SHAPED, not code-shaped: the
+  * [[Vp8]] decode skeleton implements every algorithmic piece (§7
+  * boolean codec, §9 header parse, §13 token/context machinery, §14
+  * transforms with their two constants DERIVED from trig identities,
+  * §12 predictors) and loads every table constant — entropy tree
+  * shapes included — from a checksum- and structure-gated external
+  * file named by `graft.vp8TablesPath` ([[Vp8Tables]]). Without the
+  * file, [[decodeImage]] returns null for VP8-lossy payloads exactly
+  * as before — the q_webp_lossy oracle row pins that fail-closed
+  * contract (dims parsed, n_decoded = 0 on header-only fixtures), and
+  * gains a conditional pixel branch (vacuously true without tables)
+  * that, WITH tables, decodes real coefficient bitstreams from the
+  * [[Vp8]] round-trip encoder and checks exact flat-color recovery.
+  * Known remaining gaps even with tables (documented fail-closed or
+  * cosmetic): the six diagonal 4×4 sub-modes throw (→ null), and the
+  * loop filter is not applied.
   */
 object MultimodalOps {
 
@@ -317,8 +326,13 @@ object MultimodalOps {
         val h = (16 * (1 + (i * 3) % 4)).toInt
         val payload = new Array[Byte](16) // frame header + filler
         // frame tag (3 bytes LE): keyframe(0) | version 0 | show(1) |
-        // first-partition size (dummy 6)
-        val tag = 0 | (0 << 1) | (1 << 4) | (6 << 5)
+        // first-partition size DELIBERATELY overrunning the chunk
+        // (1000 >> the 6 filler bytes) — all-zero filler would be a
+        // structurally VALID boolean stream, so a table-armed decoder
+        // would otherwise "decode" a flat-128 raster from garbage;
+        // the overrun makes the fixture malformed for any decoder,
+        // pinning n_decoded = 0 with and without injected tables
+        val tag = 0 | (0 << 1) | (1 << 4) | (1000 << 5)
         payload(0) = (tag & 0xff).toByte
         payload(1) = ((tag >> 8) & 0xff).toByte
         payload(2) = ((tag >> 16) & 0xff).toByte
@@ -340,8 +354,36 @@ object MultimodalOps {
     f(id.cast("long"))
   }
 
+  /** Deterministic lossy-WebP (VP8) FULL fixture: a complete key-frame
+    * bitstream — header, DC-prediction modes, coefficient tokens —
+    * produced by the [[Vp8]] round-trip encoder with the INJECTED
+    * tables, carrying a flat color on the exactly-encodable quant
+    * lattice for qi = 0. Only callable when [[Vp8Tables.loaded]] is
+    * present (the q_webp_lossy conditional branch guards this);
+    * dimensions follow the same id arithmetic as
+    * [[syntheticWebpLossyHeader]] so both fixtures share one oracle. */
+  def syntheticWebpLossy(id: Column): Column = {
+    val f = udf { (idL: java.lang.Long) =>
+      if (idL == null) null
+      else {
+        val t = Vp8Tables.loaded.getOrElse(throw new IllegalStateException(
+          "syntheticWebpLossy needs graft.vp8TablesPath"))
+        val i = idL.longValue
+        val w = (16 * (1 + i % 5)).toInt
+        val h = (16 * (1 + (i * 3) % 4)).toInt
+        val (yStep, uvStep) = Vp8.flatLattice(t, 0)
+        val yv = 128 + ((i % 9).toInt - 4) * yStep
+        val uv = 128 + ((i % 5).toInt - 2) * uvStep
+        val vv = 128 + ((i % 7).toInt - 3) * uvStep
+        Vp8.encodeFlat(w, h, yv, uv, vv, 0, t)
+      }
+    }
+    f(id.cast("long"))
+  }
+
   /** Decode to a raw ARGB raster through whichever codec claims the
-    * payload (ImageIO, else the [[Vp8l]] decoder); null if neither. */
+    * payload (ImageIO, else the [[Vp8l]] decoder, else — when RFC 6386
+    * tables are injected — the [[Vp8]] lossy decoder); null if none. */
   private def readRaster(b: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = readImage(b)
     if (img != null) {
@@ -356,7 +398,13 @@ object MultimodalOps {
       (w, h, px)
     } else if (b != null && b.length >= 12 && ascii(b, 0, "RIFF") &&
         ascii(b, 8, "WEBP")) {
-      try Vp8l.decodeWebp(b) catch { case _: Exception => null }
+      try {
+        val lossless = Vp8l.decodeWebp(b)
+        if (lossless != null) lossless
+        // lossy VP8: only decodable when RFC 6386 tables are injected
+        // (graft.vp8TablesPath, checksum-gated) — fail-closed otherwise
+        else Vp8.decodeWebpLossy(b)
+      } catch { case _: Exception => null }
     } else null
   }
 

@@ -38,6 +38,45 @@ object GraphQueries extends QueryPack {
           sum(col("n_chars")).as("chars_kept"))
         .orderBy("source")
     }),
+    // sf1-feasible value-exact twins (BASELINE.md "sf1 CORRECTNESS"):
+    // the originals' recursive-CTE oracles join word lists near-
+    // quadratically per source block — past DuckDB's budget at sf1's
+    // 2500-doc blocks. Dup pairs NEVER cross blocks (jaccardDupPairs
+    // blocks on source), so restricting the corpus to a deterministic
+    // SOURCE sample commutes with the whole pipeline: the twin equals
+    // the original restricted to those sources, exactly. sf-adaptive:
+    // all sources at gate scale (twin ≡ original), a 1/8 numeric-
+    // suffix sample past 20k docs; the oracle applies the identical
+    // count-based rule.
+    "q_sx_dup_clusters" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+      val docs =
+        if (docs0.count() > 20000)
+          docs0.filter(regexp_extract(col("source"), "[0-9]+", 0)
+            .cast("int") % 8 === 0)
+        else docs0
+      val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"),
+        col("text"), col("source"), 0.5)
+      GraphOps.dupClusters(pairs, col("id1"), col("id2"))
+        .select(col("id").as("doc_id"), col("component"), col("csize"))
+        .orderBy("doc_id")
+    }),
+    "q_sx_dedup_survivors" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+      val docs =
+        if (docs0.count() > 20000)
+          docs0.filter(regexp_extract(col("source"), "[0-9]+", 0)
+            .cast("int") % 8 === 0)
+        else docs0
+      val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"),
+        col("text"), col("source"), 0.5)
+      GraphOps.dedupByClusters(docs, col("doc_id"), pairs,
+          col("id1"), col("id2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    }),
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup with nCells=1 → exact all-pairs semantics, fully
       // SQL-replayable (pairwise cosine + recursive-CTE components).
@@ -168,11 +207,15 @@ object GraphQueries extends QueryPack {
   /** Edge set shared by the clustering oracles: exact word-shingle
     * Jaccard ≥ 0.5 within each source block (same construction as the
     * q_jaccard_dup_pairs oracle). */
-  private val edgeSql =
-    """w AS (
+  /** Min-label closure skeleton over `docsFrom`'s exact-jaccard pairs
+    * (blocked by source). Parameterized so the q_sx twins can run it
+    * over a source-restricted CTE — components never cross sources,
+    * so restriction commutes with the closure. */
+  private def edgeSqlFor(docsFrom: String): String =
+    s"""w AS (
       |  SELECT DISTINCT source b, doc_id i, UNNEST(
-      |    regexp_split_to_array(LOWER(TRIM(text)), '\s+')) w
-      |  FROM documents),
+      |    regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) w
+      |  FROM $docsFrom),
       |nw AS (SELECT b, i, COUNT(*) n FROM w GROUP BY 1, 2),
       |cand AS (
       |  SELECT l.b, l.i i1, r.i i2, COUNT(*) common
@@ -189,6 +232,18 @@ object GraphQueries extends QueryPack {
       |  UNION
       |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
       |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)""".stripMargin
+
+  private val edgeSql = edgeSqlFor("documents")
+
+  /** sf-adaptive source restriction shared by the q_sx closure twins:
+    * all sources at gate scale, numeric-suffix % 8 = 0 past 20k docs
+    * (matches the Spark twins' count-based rule exactly). */
+  private val docsSampleSql =
+    """docs_s AS (
+      |  SELECT * FROM documents
+      |  WHERE (CASE WHEN (SELECT COUNT(*) FROM documents) > 20000
+      |         THEN CAST(REGEXP_EXTRACT(source, '[0-9]+') AS INT) % 8 = 0
+      |         ELSE TRUE END))""".stripMargin
 
   /** Unrolled PageRank twin: the synthetic host graph is closed-form
     * in doc_id arithmetic (h = doc_id%50 links to (h*7+k)%50 for
@@ -307,6 +362,21 @@ object GraphQueries extends QueryPack {
          |SELECT d.source, COUNT(*) AS n_survivors,
          |  SUM(d.n_chars)::BIGINT AS chars_kept
          |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_dup_clusters" ->
+      s"""WITH RECURSIVE $docsSampleSql,
+         |${edgeSqlFor("docs_s")},
+         |sz AS (SELECT comp, COUNT(*) c FROM cc GROUP BY 1)
+         |SELECT cc.id AS doc_id, cc.comp AS component,
+         |  sz.c AS csize
+         |FROM cc JOIN sz USING (comp) ORDER BY 1""".stripMargin,
+    "q_sx_dedup_survivors" ->
+      s"""WITH RECURSIVE $docsSampleSql,
+         |${edgeSqlFor("docs_s")}
+         |SELECT d.source, COUNT(*) AS n_survivors,
+         |  SUM(d.n_chars)::BIGINT AS chars_kept
+         |FROM docs_s d
          |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder" ->

@@ -23,14 +23,56 @@ object KnnQueries extends QueryPack {
       |  (c_custkey * 7919 % 1000) / 10.0 f2
       |FROM customer""".stripMargin
 
-  /** qid→neighbors ranked by (l2², id): the shared oracle skeleton. */
+  /** qid→neighbors ranked by (l2², id): the shared oracle skeleton.
+    *
+    * EXACT grid-cell formulation (r11 verdict ask #4 — the former
+    * all-pairs `f a JOIN f b` was quadratic and DuckDB-infeasible at
+    * sf1's 150k² pairs). Points bucket into C×C cells (C = 3.0); any
+    * pair within distance C lands in adjacent cells, so the 3×3
+    * neighborhood join enumerates EVERY pair with d ≤ C (each pair
+    * once: b's cell matches exactly one of a's nine probe cells).
+    * `pairs` therefore contains, per query point, the complete
+    * neighbor set within C — sufficient for every downstream use:
+    * radius reads filter d2 ≤ C², and rank reads (rk ≤ 3) are served
+    * exactly for the qids with ≥ 3 candidates inside C (their true
+    * top-3 provably all lie within C); the rare qids that fail that
+    * (`good` misses them) fall back to a brute-force row — exactness
+    * holds unconditionally, with sub-quadratic cost on real data.
+    * ~58M candidate rows at sf1 vs 22.5B all-pairs. */
   private val pairsSql =
     s"""f AS ($featSql),
-       |pairs AS (
+       |g AS MATERIALIZED (
+       |  SELECT f.*, CAST(FLOOR(f1 / 3.0) AS BIGINT) cx,
+       |    CAST(FLOOR(f2 / 3.0) AS BIGINT) cy
+       |  FROM f),
+       |-- MATERIALIZED throughout: DuckDB otherwise re-inlines cand
+       |-- into each of its three consumers (measured 3x the 17 s build
+       |-- at sf1); and brute must join FROM the materialized bad set so
+       |-- the <>-join never runs as an unfiltered 150k^2 nested loop
+       |cand AS MATERIALIZED (
        |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
        |    (a.f1 - b.f1) * (a.f1 - b.f1)
        |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
-       |  FROM f a JOIN f b ON a.c_custkey <> b.c_custkey),
+       |  FROM (SELECT g.*, g.cx + dx.d px, g.cy + dy.d py
+       |        FROM g, (VALUES (-1), (0), (1)) dx(d),
+       |             (VALUES (-1), (0), (1)) dy(d)) a
+       |  JOIN g b ON b.cx = a.px AND b.cy = a.py
+       |    AND a.c_custkey <> b.c_custkey
+       |  WHERE (a.f1 - b.f1) * (a.f1 - b.f1)
+       |      + (a.f2 - b.f2) * (a.f2 - b.f2) <= 9.0),
+       |good AS MATERIALIZED (
+       |  SELECT qid FROM cand GROUP BY 1 HAVING COUNT(*) >= 3),
+       |bad AS MATERIALIZED (
+       |  SELECT * FROM f
+       |  WHERE c_custkey NOT IN (SELECT qid FROM good)),
+       |brute AS (
+       |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+       |    (a.f1 - b.f1) * (a.f1 - b.f1)
+       |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+       |  FROM bad a JOIN f b ON a.c_custkey <> b.c_custkey),
+       |pairs AS (
+       |  SELECT * FROM cand WHERE qid IN (SELECT qid FROM good)
+       |  UNION ALL SELECT * FROM brute),
        |ranked AS (
        |  SELECT qid, seg, cid, d2,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rk
@@ -209,12 +251,38 @@ object KnnQueries extends QueryPack {
          |  SELECT c_custkey, c_mktsegment, c_acctbal,
          |    c_acctbal / 100.0 f1, (c_custkey * 7919 % 1000) / 10.0 f2
          |  FROM customer),
-         |pairs AS (
+         |-- exact grid-cell pairs (see pairsSql rationale): k+1 = 6
+         |-- nearest INCLUDING self; qids with < 6 candidates within the
+         |-- 3.0 cell radius fall back to brute force
+         |g AS MATERIALIZED (
+         |  SELECT f.*, CAST(FLOOR(f1 / 3.0) AS BIGINT) cx,
+         |    CAST(FLOOR(f2 / 3.0) AS BIGINT) cy
+         |  FROM f),
+         |cand AS MATERIALIZED (
          |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
          |    b.c_acctbal tv,
          |    (a.f1 - b.f1) * (a.f1 - b.f1)
          |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
-         |  FROM f a CROSS JOIN f b),
+         |  FROM (SELECT g.*, g.cx + dx.d px, g.cy + dy.d py
+         |        FROM g, (VALUES (-1), (0), (1)) dx(d),
+         |             (VALUES (-1), (0), (1)) dy(d)) a
+         |  JOIN g b ON b.cx = a.px AND b.cy = a.py
+         |  WHERE (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) <= 9.0),
+         |good AS MATERIALIZED (
+         |  SELECT qid FROM cand GROUP BY 1 HAVING COUNT(*) >= 6),
+         |bad AS MATERIALIZED (
+         |  SELECT * FROM f
+         |  WHERE c_custkey NOT IN (SELECT qid FROM good)),
+         |brute AS (
+         |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
+         |    b.c_acctbal tv,
+         |    (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) AS d2
+         |  FROM bad a CROSS JOIN f b),
+         |pairs AS (
+         |  SELECT * FROM cand WHERE qid IN (SELECT qid FROM good)
+         |  UNION ALL SELECT * FROM brute),
          |-- k+1 nearest INCLUDING self; min_bound 1e-9 then drops the
          |-- self pair (and exact feature duplicates) from the average
          |kept AS (
@@ -224,27 +292,44 @@ object KnnQueries extends QueryPack {
          |    FROM pairs)
          |  WHERE rk <= 6 AND d >= 1e-9),
          |knn AS (
-         |  SELECT qid, seg, AVG(tv) knn_avg,
+         |  SELECT qid, AVG(tv) knn_avg,
          |    SUM(tv / d) FILTER (d < 30.0)
          |      / SUM(1.0 / d) FILTER (d < 30.0) knn_wavg
-         |  FROM kept GROUP BY 1, 2)
-         |SELECT seg AS c_mktsegment,
-         |  ROUND(AVG(knn_avg), 4) AS avg_knn_avg,
-         |  ROUND(AVG(knn_wavg), 4) AS avg_knn_wavg
-         |FROM knn GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  FROM kept GROUP BY 1)
+         |-- anchor on f, LEFT JOIN: a query whose k+1 nearest are ALL
+         |-- zero-distance duplicates (the sf1 fixture creates this by
+         |-- construction) has an empty `kept` and a NULL average on the
+         |-- Spark side — the segment row must still exist (same fix as
+         |-- the q_sx_knn_point twin)
+         |SELECT f.c_mktsegment,
+         |  ROUND(AVG(knn.knn_avg), 4) AS avg_knn_avg,
+         |  ROUND(AVG(knn.knn_wavg), 4) AS avg_knn_wavg
+         |FROM f LEFT JOIN knn ON knn.qid = f.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_nb_cnt" ->
       s"""WITH f AS ($featSql),
+         |-- radius-only grid count, cell = radius 5.0: the 3x3
+         |-- neighborhood provably contains every pair with d <= 5, so
+         |-- no fallback branch is needed (see pairsSql rationale)
+         |g AS (
+         |  SELECT f.*, CAST(FLOOR(f1 / 5.0) AS BIGINT) cx,
+         |    CAST(FLOOR(f2 / 5.0) AS BIGINT) cy
+         |  FROM f),
          |cnt AS (
-         |  SELECT a.c_custkey, a.c_mktsegment,
-         |    (SELECT COUNT(*) FROM f b
-         |     WHERE b.c_custkey <> a.c_custkey
-         |       AND (a.f1 - b.f1) * (a.f1 - b.f1)
-         |         + (a.f2 - b.f2) * (a.f2 - b.f2) <= 25.0) n
-         |  FROM f a)
+         |  SELECT a.c_custkey qid, COUNT(*) n
+         |  FROM (SELECT g.*, g.cx + dx.d px, g.cy + dy.d py
+         |        FROM g, (VALUES (-1), (0), (1)) dx(d),
+         |             (VALUES (-1), (0), (1)) dy(d)) a
+         |  JOIN g b ON b.cx = a.px AND b.cy = a.py
+         |    AND a.c_custkey <> b.c_custkey
+         |  WHERE (a.f1 - b.f1) * (a.f1 - b.f1)
+         |      + (a.f2 - b.f2) * (a.f2 - b.f2) <= 25.0
+         |  GROUP BY 1)
          |SELECT c_mktsegment,
-         |  ROUND(AVG(n), 6) AS avg_nb_cnt,
-         |  MAX(n)::INT AS max_nb_cnt
-         |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  ROUND(AVG(COALESCE(n, 0)), 6) AS avg_nb_cnt,
+         |  MAX(COALESCE(n, 0))::INT AS max_nb_cnt
+         |FROM f LEFT JOIN cnt ON cnt.qid = f.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_radius" ->
       s"""WITH $pairsSql,
          |within AS (
@@ -298,11 +383,36 @@ object KnnQueries extends QueryPack {
         |r AS (
         |  SELECT s_suppkey sid, s_acctbal / 100.0 f1,
         |    (s_suppkey * 7919 % 1000) / 10.0 f2 FROM supplier),
+        |-- exact grid-cell candidates over the supplier corpus (see
+        |-- pairsSql rationale): probes with < 2 candidates within the
+        |-- 3.0 cell radius fall back to brute force
+        |gr AS MATERIALIZED (
+        |  SELECT r.*, CAST(FLOOR(f1 / 3.0) AS BIGINT) cx,
+        |    CAST(FLOOR(f2 / 3.0) AS BIGINT) cy
+        |  FROM r),
+        |cand AS MATERIALIZED (
+        |  SELECT a.cid, b.sid,
+        |    (a.f1 - b.f1) * (a.f1 - b.f1)
+        |      + (a.f2 - b.f2) * (a.f2 - b.f2) d2
+        |  FROM (SELECT l.*, CAST(FLOOR(f1 / 3.0) AS BIGINT) + dx.d px,
+        |          CAST(FLOOR(f2 / 3.0) AS BIGINT) + dy.d py
+        |        FROM l, (VALUES (-1), (0), (1)) dx(d),
+        |             (VALUES (-1), (0), (1)) dy(d)) a
+        |  JOIN gr b ON b.cx = a.px AND b.cy = a.py
+        |  WHERE (a.f1 - b.f1) * (a.f1 - b.f1)
+        |      + (a.f2 - b.f2) * (a.f2 - b.f2) <= 9.0),
+        |good AS MATERIALIZED (
+        |  SELECT cid FROM cand GROUP BY 1 HAVING COUNT(*) >= 2),
+        |bad AS MATERIALIZED (
+        |  SELECT * FROM l WHERE cid NOT IN (SELECT cid FROM good)),
+        |brute AS (
+        |  SELECT b.cid, r.sid,
+        |    (b.f1 - r.f1) * (b.f1 - r.f1)
+        |      + (b.f2 - r.f2) * (b.f2 - r.f2) d2
+        |  FROM bad b CROSS JOIN r),
         |d AS (
-        |  SELECT l.cid, r.sid,
-        |    (l.f1 - r.f1) * (l.f1 - r.f1)
-        |      + (l.f2 - r.f2) * (l.f2 - r.f2) d2
-        |  FROM l CROSS JOIN r),
+        |  SELECT * FROM cand WHERE cid IN (SELECT cid FROM good)
+        |  UNION ALL SELECT * FROM brute),
         |rk AS (
         |  SELECT cid, sid, d2,
         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, sid) rk

@@ -246,12 +246,24 @@ object ParityQueries extends QueryPack {
         |      ELSE (c_custkey * 7919 % 1000) / 10.0 END f2
         |  FROM customer),
         |nn AS (SELECT * FROM f WHERE f2 IS NOT NULL),
+        |-- exact grid-cell radius pairs, cell = radius 3.0: the 3x3
+        |-- neighborhood provably contains every pair with d <= 3 (see
+        |-- KnnQueries pairsSql rationale), so this is the same pair set
+        |-- as the all-pairs join at sub-quadratic cost
+        |g AS (
+        |  SELECT nn.*, CAST(FLOOR(f1 / 3.0) AS BIGINT) cx,
+        |    CAST(FLOOR(f2 / 3.0) AS BIGINT) cy
+        |  FROM nn),
         |pairs AS (
         |  SELECT a.c_custkey qid, a.c_mktsegment seg, b.c_custkey cid,
         |    ROW_NUMBER() OVER (PARTITION BY a.c_custkey
         |      ORDER BY (a.f1-b.f1)*(a.f1-b.f1)
         |        + (a.f2-b.f2)*(a.f2-b.f2), b.c_custkey) rk
-        |  FROM nn a JOIN nn b ON a.c_custkey <> b.c_custkey
+        |  FROM (SELECT g.*, g.cx + dx.d px, g.cy + dy.d py
+        |        FROM g, (VALUES (-1), (0), (1)) dx(d),
+        |             (VALUES (-1), (0), (1)) dy(d)) a
+        |  JOIN g b ON b.cx = a.px AND b.cy = a.py
+        |    AND a.c_custkey <> b.c_custkey
         |  WHERE (a.f1-b.f1)*(a.f1-b.f1)
         |    + (a.f2-b.f2)*(a.f2-b.f2) <= 9.0)
         |SELECT f.c_mktsegment,

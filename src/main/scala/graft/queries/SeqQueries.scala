@@ -61,6 +61,32 @@ object SeqQueries extends QueryPack {
             .as("monotone"))
         .orderBy("event_type")
     }),
+    // sf1-feasible value-exact twin (BASELINE.md "sf1 CORRECTNESS"):
+    // q_isotonic's min-max oracle is quadratic in each group's SERIES
+    // length, so unlike the sampled-QUERY twins the series itself must
+    // shrink — the twin runs the identical PAVA operator on an
+    // sf-adaptively thinned series (mod 10 at gate scale, where it
+    // equals q_isotonic exactly; mod 971 past 200k events), and the
+    // oracle replays the same thinned series with the identical
+    // count-based rule.
+    "q_sx_isotonic" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mod = if (ev.count() > 200000) 971L else 10L
+      SeqOps.isotonic(ev.filter(col("event_id") % mod === 0),
+          col("value"), col("event_id"), Seq("event_type"))
+        .select(col("event_type"),
+          round(aggregate(col("isotonic"), lit(0.0), _ + _), 2)
+            .as("sum_fit"),
+          round(aggregate(
+            zip_with(col("isotonic"), col("series"),
+              (f, y) => (f - y) * (f - y)),
+            lit(0.0), _ + _), 4).as("ssr"),
+          forall(zip_with(col("isotonic"),
+              slice(col("isotonic"), 2, 100000),
+              (a, b) => b.isNull || a <= b), x => x)
+            .as("monotone"))
+        .orderBy("event_type")
+    }),
     "q_convolve" -> ((s, dir) => {
       val k = Seq(0.25, 0.5, 0.25)
       val valid = SeqOps.convolveWin(t(s, dir, "events"), col("value"),
@@ -242,6 +268,38 @@ object SeqQueries extends QueryPack {
          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
          |      i
          |  FROM ($subSql)),
+         |ps AS (
+         |  SELECT event_type, i, y,
+         |    SUM(y) OVER (PARTITION BY event_type ORDER BY i) s
+         |  FROM e),
+         |pairs AS (
+         |  SELECT a.event_type, a.i j, b.i k,
+         |    (b.s - a.s + a.y) / (b.i - a.i + 1) m
+         |  FROM ps a JOIN ps b
+         |    ON a.event_type = b.event_type AND a.i <= b.i),
+         |mink AS (
+         |  SELECT event_type, j, k,
+         |    MIN(m) OVER (PARTITION BY event_type, j
+         |      ORDER BY k DESC) mk
+         |  FROM pairs),
+         |fit AS (
+         |  SELECT mk.event_type, mk.k i, MAX(mk.mk) f
+         |  FROM mink mk WHERE mk.j <= mk.k
+         |  GROUP BY 1, 2)
+         |SELECT f.event_type,
+         |  ROUND(SUM(f.f), 2) AS sum_fit,
+         |  ROUND(SUM((f.f - e.y) * (f.f - e.y)), 4) AS ssr,
+         |  TRUE AS monotone
+         |FROM fit f JOIN e ON e.event_type = f.event_type AND e.i = f.i
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sx_isotonic" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value y,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+         |      i
+         |  FROM events WHERE event_id %
+         |    (CASE WHEN (SELECT COUNT(*) FROM events) > 200000
+         |          THEN 971 ELSE 10 END) = 0),
          |ps AS (
          |  SELECT event_type, i, y,
          |    SUM(y) OVER (PARTITION BY event_type ORDER BY i) s

@@ -827,14 +827,39 @@ object TextQueries extends QueryPack {
       // The DOCUMENTED lossy-WebP boundary as an oracle-gated
       // contract (MultimodalOps object doc): VP8 key-frame headers
       // are genuinely parsed (uncompressed prefix — dims must match
-      // the id arithmetic), while pixel decode explicitly routes to
-      // null (n_decoded must be 0, never a silently-wrong raster).
-      val m = t(s, dir, "documents")
+      // the id arithmetic), while pixel decode of the header-only
+      // fixtures explicitly routes to null (n_decoded must be 0,
+      // never a silently-wrong raster).
+      //
+      // Conditional pixel branch (r11 verdict ask #7): when RFC 6386
+      // tables are injected (graft.vp8TablesPath), a SECOND payload
+      // column carries complete coefficient bitstreams from the Vp8
+      // round-trip encoder, and pixels_ok asserts exact flat-color
+      // recovery of every one. Without tables the branch is skipped —
+      // pixels_ok is vacuously true, so the oracle stays constant.
+      val m0 = t(s, dir, "documents")
         .select(col("doc_id"), col("source"))
         .withColumn("payload",
           MultimodalOps.syntheticWebpLossyHeader(col("doc_id")))
         .withColumn("meta", MultimodalOps.sniffMeta(col("payload")))
         .withColumn("st", MultimodalOps.decodeImage(col("payload")))
+      val m = graft.multimodal.Vp8Tables.loaded match {
+        case None => m0.withColumn("px_ok", lit(true))
+        case Some(tables) =>
+          val (yStep, _) = graft.multimodal.Vp8.flatLattice(tables, 0)
+          val expY = lit(128) + (pmod(col("doc_id"), lit(9)) - 4) * yStep
+          m0.withColumn("full",
+              MultimodalOps.syntheticWebpLossy(col("doc_id")))
+            .withColumn("st2", MultimodalOps.decodeImage(col("full")))
+            // flat frame ⟹ every luma pixel equals the encoded value
+            // exactly ⟹ the gray mean reproduces it to fp accuracy
+            .withColumn("px_ok", col("st2").isNotNull &&
+              col("st2.width") === col("meta.width") &&
+              col("st2.height") === col("meta.height") &&
+              abs((col("st2.mean_r") * 299 + col("st2.mean_g") * 587 +
+                col("st2.mean_b") * 114) / 1000.0 -
+                expY.cast("double")) < 1.5)
+      }
       m.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           count(col("meta")).as("n_meta"),
@@ -842,7 +867,8 @@ object TextQueries extends QueryPack {
             .as("n_webp"),
           sum(col("meta.width").cast("long") * col("meta.height"))
             .as("n_px"),
-          count(col("st")).as("n_decoded"))
+          count(col("st")).as("n_decoded"),
+          coalesce(bool_and(col("px_ok")), lit(false)).as("pixels_ok"))
         .orderBy("source")
     }),
     "q_video_frames" -> ((s, dir) => {
@@ -1837,7 +1863,7 @@ object TextQueries extends QueryPack {
         |  FROM documents)
         |SELECT source, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_meta,
         |  COUNT(*)::BIGINT AS n_webp, SUM(w * h)::BIGINT AS n_px,
-        |  0::BIGINT AS n_decoded
+        |  0::BIGINT AS n_decoded, TRUE AS pixels_ok
         |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_video_frames" ->
       """WITH ids AS (
