@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf10 flagship sweep (r11 verdict ask #5): times the most expensive
+  * flagship families — dedup (jaccard/minhash/simhash), connected
+  * components + survivorship, ANN (brute/IVF/LSH), SemDeDup, PageRank,
+  * grouped GLM/logistic IRLS, and the spearman corr table — across two
+  * or more [[MakeScale]] rungs (typically sf1 = ×10 and sf10 = ×100 of
+  * the sf0.1 fixture) and reports per-query seconds, output rows, and
+  * the time ratio between the largest and smallest rung. Run it at
+  * executor shape (`GRAFT_MASTER=local-cluster[4,8,9216]`,
+  * `GRAFT_EXECUTOR_MEM=8g`, `GRAFT_JARS=target/...jar`) so the
+  * measurement includes real serialization + shuffle transport.
+  *
+  * Acceptance (BASELINE.md): zero cap trips, zero executor losses, and
+  * every time ratio explained — at a 10× data step, ≈10× is
+  * linear-in-data; anything clearly super-linear needs a named cause
+  * (true output-volume growth, an O(n log n) sort leg, or a bug).
+  *
+  * Probes that are registered queries run EXACTLY the SparkEntry plan.
+  * Three flagships are probed via direct operator calls instead,
+  * because their registered forms embed fixed-size or deliberately
+  * quadratic ORACLE legs that would not measure engine scaling:
+  * q_pagerank caps at doc_id < 5000 (fixed work at every sf);
+  * q_semantic_dedup runs nCells=1 (exact all-pairs semantics, the
+  * DuckDB-replayable twin); q_cosine_topk/q_ann_ivf carry brute-force
+  * exact-baseline legs. The direct probes size their work from the
+  * rung's own row counts — the shape a 100 TB pipeline would run.
+  *
+  * Usage: runMain graft.ScaleSweep <label=dir> <label=dir> [...]
+  * Env: GRAFT_SWEEP_REPS (default 1; best-of-n per rung),
+  *      GRAFT_SWEEP_QUERIES (csv, overrides the registered-query list).
+  */
+object ScaleSweep {
+
+  private val registered = Seq(
+    "q_jaccard_dup_pairs", // exact n-gram jaccard, per-block hot split
+    "q_dup_clusters",      // + large-star/small-star CC
+    "q_dedup_survivors",   // + survivorship groupBy
+    "q_minhash_dup",       // MinHash LSH band join (full-corpus leg)
+    "q_simhash_dup",       // SimHash 16-bit band join
+    "q_corr_table",        // spearman rank plan over events
+    "q_logistic_grp",      // grouped batch-IRLS logistic over lineitem
+    "q_glm_grp")           // grouped poisson+gamma IRLS over lineitem
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ScaleSweep <label=dir> <label=dir> [...]")
+    val rungs = args.toSeq.map { a =>
+      val Array(l, d) = a.split("=", 2)
+      (l, d)
+    }
+    val reps = sys.env.getOrElse("GRAFT_SWEEP_REPS", "1").toInt
+    val qNames = sys.env.get("GRAFT_SWEEP_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(registered)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus)
+      .config("spark.cleaner.periodicGC.interval", "2h")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var executorLosses = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(
+          e: SparkListenerExecutorRemoved): Unit = {
+        executorLosses += 1
+        System.err.println(
+          s"[sweep] EXECUTOR LOST: ${e.executorId} (${e.reason})")
+      }
+    })
+
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    /** Direct operator probes, sized from the rung's own row counts. */
+    def direct(dir: String, nDocs: Long, nEmb: Long)
+        : Seq[(String, () => Long)] = {
+      def emb: DataFrame = spark.read
+        .parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val ivfCells = math.max(16L, nEmb / 5000L).toInt
+      val semCells = math.max(16L, nEmb / 2000L).toInt
+      Seq(
+        // brute-force exact top-1: 200 broadcast queries, ONE fused
+        // zero-shuffle pass over the full corpus (linear in corpus)
+        "cosine_topk_full" -> (() =>
+          graft.sim.SimOps.cosineTopK(
+            emb.filter(col("id") < 200), emb, 1).count()),
+        // IVF top-1, 500 queries, cells sized to ~5k vectors each
+        "ann_ivf_full" -> (() =>
+          graft.sim.SimOps.ivfCosineTopK(
+            emb.filter(col("id") < 500), emb, 1,
+            nCells = ivfCells, nProbe = 4).count()),
+        // LSH banded near-dup pairs over the whole corpus
+        "cosine_dup_full" -> (() =>
+          graft.sim.SimOps.cosineDupPairs(emb, 0.95).count()),
+        // SemDeDup clustered path, cells sized to ~2k vectors each
+        "semantic_dup_full" -> (() =>
+          graft.sim.SimOps.semanticDupPairs(emb, col("id"), col("vec"),
+            0.9, nCells = semCells, subBlocks = 2).count()),
+        // distributed PageRank on a synthetic graph scaled to the rung:
+        // nodes = nDocs, edges = 20 × nDocs, 8 damped iterations; the
+        // driver fast-path is disabled so every rung measures the
+        // rank-only-shuffle loop
+        "pagerank_full" -> { () =>
+          val edges = spark.range(nDocs * 20L).selectExpr(
+            s"pmod(xxhash64(id, 'u'), $nDocs) as u",
+            s"pmod(xxhash64(id, 'v'), $nDocs) as v")
+          System.setProperty("graft.maxLocalPagerank", "0")
+          try graft.graph.PageRankOps.pageRank(edges, col("u"), col("v"),
+            iterations = 8).count()
+          finally System.clearProperty("graft.maxLocalPagerank")
+        })
+    }
+
+    def probesFor(dir: String): Seq[(String, () => Long)] = {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      qNames.map(q =>
+        q -> (() => SparkEntry.queries(q)(spark, dir).count())) ++
+        direct(dir, nDocs, nEmb)
+    }
+
+    // Warm engine + operator classes on the SMALLEST rung so first-use
+    // codegen/C2 cost doesn't land inside the first timed rung and bias
+    // the cross-rung ratio (SkewBench's rationale).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val (wl, wd) = rungs.head
+    probesFor(wd).foreach { case (n, f) =>
+      try { f(); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[sweep] WARM-UP FAILED for $n on rung " +
+            s"$wl: $e — its first timed run includes compilation cost")
+      }
+    }
+
+    // name -> rung label -> (sec, rows) | error
+    val res = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String,
+        Either[String, (Double, Long)]]]()
+    for ((label, dir) <- rungs; (name, f) <- probesFor(dir)) {
+      val cell = try {
+        var bestSec = Double.MaxValue
+        var rows = 0L
+        for (_ <- 1 to reps) {
+          hygiene()
+          val t0 = System.nanoTime()
+          rows = f()
+          bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
+        }
+        Right((bestSec, rows))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(200))
+      }
+      res.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap()) += label -> cell
+      cell match {
+        case Right((sec, rows)) =>
+          println(f"[sweep] $name%-20s $label%-6s $sec%8.2f s  " +
+            f"($rows%d rows)")
+        case Left(err) =>
+          println(f"[sweep] $name%-20s $label%-6s FAILED: $err")
+      }
+    }
+
+    val firstL = rungs.head._1
+    val lastL = rungs.last._1
+    var nFail = 0
+    val qj = res.map { case (n, cells) =>
+      val fields = cells.map {
+        case (l, Right((sec, rows))) =>
+          f""""${l}_sec":$sec%.3f,"${l}_rows":$rows"""
+        case (l, Left(err)) =>
+          nFail += 1
+          s""""${l}_error":"${err.replace("\"", "'")}""""
+      }.mkString(",")
+      val ratio = (cells.get(firstL), cells.get(lastL)) match {
+        case (Some(Right((a, _))), Some(Right((b, _)))) if a > 0 =>
+          f""","ratio":${b / a}%.2f"""
+        case _ => ""
+      }
+      s""""$n":{$fields$ratio}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_sweep","rungs":${rungs.map(_._1)
+      .mkString("[\"", "\",\"", "\"]")},"reps":$reps,""" +
+      s""""executor_losses":$executorLosses,"failures":$nFail,""" +
+      s""""pass":${nFail == 0 && executorLosses == 0},""" +
+      s""""queries":{$qj}}""")
+    spark.stop()
+  }
+}
