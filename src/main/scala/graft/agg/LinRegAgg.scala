@@ -42,7 +42,9 @@ class LinRegAgg(d: Int, lambda: Double,
 
   def reduce(b: Array[Double], in: LRIn): Array[Double] = {
     if (in.x != null && in.x.length == d && !in.y.isNaN) {
-      val x = in.x
+      // the encoder materializes Seq[Double] as List (O(i) apply) —
+      // copy to a primitive array once so the d² loop stays O(d²)
+      val x = in.x.toArray
       val w = in.w
       var i = 0
       while (i < d) {

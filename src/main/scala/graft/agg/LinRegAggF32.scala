@@ -57,7 +57,8 @@ class LinRegAggF32(d: Int, lambda: Float,
 
   def reduce(b: Array[Float], in: LRInF): Array[Float] = {
     if (in.x != null && in.x.length == d && !in.y.isNaN) {
-      val x = in.x
+      // encoder materializes Seq[Float] as List (O(i) apply) — copy once
+      val x = in.x.toArray
       val w = in.w
       var i = 0
       while (i < d) {

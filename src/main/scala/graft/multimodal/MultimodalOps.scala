@@ -172,11 +172,12 @@ object MultimodalOps {
     val f = udf { (v: Seq[Float]) =>
       if (v == null) null
       else {
+        val a = v.toArray // List at udf call sites: O(1) indexing after
         val out = new Array[Float](targetSize)
         var i = 0
         while (i < targetSize) {
-          val src = i.toDouble * v.length / targetSize
-          out(i) = v(math.min(v.length - 1, src.toInt))
+          val src = i.toDouble * a.length / targetSize
+          out(i) = a(math.min(a.length - 1, src.toInt))
           i += 1
         }
         out.toSeq

@@ -48,7 +48,8 @@ object EconOps {
   /** Durbin-Levinson recursion: rho_1..rho_m -> pacf_1..pacf_m.
     * Runs on one post-aggregation row per group (same cost class as
     * the PValues UDFs — never at row scale). */
-  private val durbinLevinson = udf { (rho: Seq[Double]) =>
+  private val durbinLevinson = udf { (rho0: Seq[Double]) =>
+    val rho = rho0.toArray // List at udf call sites: O(1) indexing after
     val m = rho.length
     val phi = Array.ofDim[Double](m + 1, m + 1)
     val out = new Array[Double](m)

@@ -226,7 +226,8 @@ object LinRegOps {
     val minValid = if (minValidRows > 0) minValidRows
       else if (nullSkip) dTot else requireRows
     val nGram = d * (d + 1) / 2
-    val solver = udf { (p: Seq[Double]) =>
+    val solver = udf { (p0: Seq[Double]) =>
+      val p = p0.toArray // List at udf call sites: O(1) indexing after
       val nR = p(nGram + 2 * d + 2)
       val nV = p(nGram + 2 * d + 1)
       if (nR < requireRows || nV < minValid || nV < dTot) null
@@ -333,7 +334,8 @@ object LinRegOps {
     val packed = array(gram ++ cross :+
       sum(when(valid, 1).otherwise(0)).cast("double"): _*)
     val nGram = dTot * (dTot + 1) / 2
-    val solver = udf { (p: Seq[Double]) =>
+    val solver = udf { (p0: Seq[Double]) =>
+      val p = p0.toArray // List at udf call sites: O(1) indexing after
       val n = p(nGram + m * dTot)
       if (n < dTot) null
       else {

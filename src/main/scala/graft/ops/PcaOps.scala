@@ -21,7 +21,8 @@ object PcaOps {
   /** Eigen-decomposition of a packed symmetric matrix (row-major d×d),
     * returning eigenvalues descending. */
   private def eigDesc(packed: Seq[Double], d: Int): Seq[Double] = {
-    val m = DenseMatrix.tabulate(d, d)((i, j) => packed(i * d + j))
+    val a = packed.toArray // List at udf call sites: O(1) indexing after
+    val m = DenseMatrix.tabulate(d, d)((i, j) => a(i * d + j))
     eigSym(m).eigenvalues.toArray.sorted(Ordering[Double].reverse).toSeq
   }
 

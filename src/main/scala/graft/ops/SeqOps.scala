@@ -29,8 +29,9 @@ object SeqOps {
 
   /** Pool-adjacent-violators on an ordered series (optionally weighted):
     * the unique non-decreasing fit minimizing Σw(fit−y)². */
-  def pavaFit(ys: Seq[Double], ws: Option[Seq[Double]] = None)
+  def pavaFit(ys0: Seq[Double], ws: Option[Seq[Double]] = None)
       : Array[Double] = {
+    val ys = ys0.toArray // List at udf call sites: O(1) indexing after
     val n = ys.length
     val w = ws.map(_.toArray).getOrElse(Array.fill(n)(1.0))
     // blocks as (weighted mean, weight, count)
@@ -180,11 +181,12 @@ object SeqOps {
         val full =
           if (method == "fft") fftConvolveFull(xs.toArray, k)
           else {
+            val xa = xs.toArray // List at udf sites: O(1) indexing
             val acc = new Array[Double](n + k.length - 1)
             var i = 0
             while (i < n) {
               var j = 0
-              while (j < k.length) { acc(i + j) += xs(i) * k(j); j += 1 }
+              while (j < k.length) { acc(i + j) += xa(i) * k(j); j += 1 }
               i += 1
             }
             acc
@@ -285,10 +287,13 @@ object SeqOps {
     * dense Gaussian elimination on the driver-free executor side
     * (n per group). Returns fitted values aligned with ascending x.
     * Equally-spaced assumption NOT required. */
-  def splineFit(xs: Seq[Double], ys: Seq[Double], lam: Double)
+  def splineFit(xs0: Seq[Double], ys0: Seq[Double], lam: Double)
       : Array[Double] = {
+    // List at udf call sites: O(1) indexing after the one-time copies
+    val xs = xs0.toArray
+    val ys = ys0.toArray
     val n = xs.length
-    if (n < 3) return ys.toArray
+    if (n < 3) return ys
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
     val m = n - 2
     // Reinsch system (R + λ QᵀQ) γ = Qᵀy, f = y − λQγ.

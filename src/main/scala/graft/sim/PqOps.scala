@@ -119,11 +119,13 @@ object PqOps {
     val enc = udf { (v: Seq[Double]) =>
       if (v == null) null
       else {
+        val a = v.toArray // List at udf call sites: O(n) copy once
         val books = bc.value
         val code = new Array[Int](books.length)
         var s = 0
         while (s < books.length) {
-          val sub = v.slice(s * dsub, (s + 1) * dsub).toArray
+          val sub = java.util.Arrays.copyOfRange(
+            a, s * dsub, math.min((s + 1) * dsub, a.length))
           code(s) = nearestSub(books(s), sub)
           s += 1
         }
@@ -273,11 +275,12 @@ object PqOps {
           qArr.map { case (id, v) => (id, v) }.toMap)
         val exactCos = udf { (qid: Long, cv: Seq[Double]) =>
           val qv = qb.value(qid)
+          val ca = cv.toArray // List at udf call sites: O(1) after
           var dot = 0.0; var qn = 0.0; var cn = 0.0
           var i = 0
           while (i < qv.length) {
-            dot += qv(i) * cv(i); qn += qv(i) * qv(i)
-            cn += cv(i) * cv(i); i += 1
+            dot += qv(i) * ca(i); qn += qv(i) * qv(i)
+            cn += ca(i) * ca(i); i += 1
           }
           if (qn == 0.0 || cn == 0.0) 0.0 else dot / math.sqrt(qn * cn)
         }

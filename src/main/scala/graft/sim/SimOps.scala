@@ -207,13 +207,17 @@ object SimOps {
     val f = udf { (v: Seq[Double]) =>
       if (v == null) null
       else {
+        // Seq[Double] udf params deserialize as immutable List on
+        // Scala 2.13 (O(i) apply, O(n) length) — copy to a primitive
+        // array ONCE so the plane loops stay O(dim) per plane
+        val a = v.toArray
         var sig = 0L
         var p = 0
         while (p < nPlanes) {
           var dot = 0.0
           var i = 0
-          while (i < v.length) {
-            dot += v(i) * planeComponent(salt * 64 + p, i); i += 1
+          while (i < a.length) {
+            dot += a(i) * planeComponent(salt * 64 + p, i); i += 1
           }
           if (dot > 0) sig |= (1L << p)
           p += 1
@@ -335,13 +339,15 @@ object SimOps {
       val grp = new Array[Int](n)
       val vs = new Array[Array[Double]](n)
       var i = 0
+      // iterate (never index) the docs Seq — it's a List at udf call
+      // sites, where docs(i) would cost O(i) per access
+      val docIt = docs.iterator
       while (i < n) {
-        val r = docs(i)
+        val r = docIt.next()
         ids(i) = r.getLong(0); grp(i) = r.getInt(1)
-        val s = r.getSeq[Double](2)
-        val a = new Array[Double](s.length)
+        val a = r.getSeq[Double](2).toArray
         var q = 0; var ss = 0.0
-        while (q < a.length) { val x = s(q); a(q) = x; ss += x * x; q += 1 }
+        while (q < a.length) { val x = a(q); ss += x * x; q += 1 }
         val nm = math.sqrt(ss)
         if (nm > 0) { q = 0; while (q < a.length) { a(q) /= nm; q += 1 } }
         vs(i) = a
@@ -475,12 +481,17 @@ object SimOps {
     udf { (v: Seq[Double]) =>
       if (v == null) null
       else {
+        // List-typed udf param: primitive copy once, O(1) indexing after
+        // (the previous v(i) loop was O(dim²) list traversal per
+        // centroid and serialized the whole assignment stage — the
+        // dominant cost of the sf10 SemDeDup sweep rung)
+        val a = v.toArray
         val cents = bc.value
         val dots = new Array[Double](cents.length)
         var c = 0
         while (c < cents.length) {
           var dot = 0.0; var i = 0
-          while (i < v.length) { dot += v(i) * cents(c)(i); i += 1 }
+          while (i < a.length) { dot += a(i) * cents(c)(i); i += 1 }
           dots(c) = dot
           c += 1
         }
@@ -555,11 +566,12 @@ object SimOps {
     * toward the lower cell id — matching the search kernel). */
   private def nearestCell(cents: Array[Array[Double]])
                          (v: Seq[Double]): Int = {
+    val a = v.toArray // List-typed at udf call sites: O(1) indexing after
     var bestC = 0; var bestD = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
       var dot = 0.0; var j = 0
-      while (j < cents(c).length) { dot += v(j) * cents(c)(j); j += 1 }
+      while (j < cents(c).length) { dot += a(j) * cents(c)(j); j += 1 }
       if (dot > bestD) { bestD = dot; bestC = c }
       c += 1
     }

@@ -372,14 +372,14 @@ object TextOps {
       val grp = new Array[Int](n)
       val tok = new Array[Array[Long]](n)
       var i = 0
+      // iterate (never index) the docs Seq — it's a List at udf call
+      // sites, where docs(i) would cost O(i) per access
+      val docIt = docs.iterator
       while (i < n) {
-        ids(i) = docs(i).getLong(0)
-        grp(i) = docs(i).getInt(1)
-        val s = docs(i).getSeq[Long](2)
-        val a = new Array[Long](s.length)
-        var q = 0
-        while (q < a.length) { a(q) = s(q); q += 1 }
-        tok(i) = a // already array_distinct + array_sort upstream
+        val r = docIt.next()
+        ids(i) = r.getLong(0)
+        grp(i) = r.getInt(1)
+        tok(i) = r.getSeq[Long](2).toArray // distinct+sorted upstream
         i += 1
       }
       val out = Seq.newBuilder[(Long, Long, Double)]
@@ -592,16 +592,25 @@ object TextOps {
   def lshBands(sig: Column, bands: Int, rows: Int): Column = {
     val f = udf { (s: Seq[Long]) =>
       if (s == null) null
-      else (0 until bands).map { b =>
-        var h = 0xcbf29ce484222325L
-        var i = b * rows
-        while (i < (b + 1) * rows) {
-          h ^= s(i); h *= 0x100000001b3L; i += 1
+      else {
+        val a = s.toArray // List at udf call sites: O(1) indexing after
+        (0 until bands).map { b =>
+          var h = 0xcbf29ce484222325L
+          var i = b * rows
+          while (i < (b + 1) * rows) {
+            h ^= a(i); h *= 0x100000001b3L; i += 1
+          }
+          (b, h)
         }
-        (b, h)
       }
     }
     f(sig)
+  }
+
+  /** Estimated Jaccard of two minhash signatures: the fraction of
+    * agreeing permutation slots (the unbiased MinHash estimator). */
+  private val sigAgreement = udf { (a: Seq[Long], b: Seq[Long]) =>
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
   }
 
   /** MinHash-LSH near-duplicate candidate pairs: sign → band → bucket
@@ -611,14 +620,42 @@ object TextOps {
                       threshold: Double, k: Int = 3, numHashes: Int = 128,
                       bands: Int = 16): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    // Persist the banded signatures: the self-join scans this frame
-    // twice, and without the persist BOTH sides re-shingle + re-minhash
-    // every document (the dominant cost — 128 hashes per shingle).
-    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing;
-    // signatures are ~1 KB/doc, orders of magnitude smaller than texts.
-    val buckets = minHashBandTable(df, id, text, k, numHashes, bands)
+    // Persist ONLY the narrow (id, signature) frame — ~1 KB/doc — so
+    // re-shingling + the 128-hash minhash (the dominant compute) runs
+    // exactly once per document. The band rows are DERIVED lazily from
+    // the cached signatures wherever the plan needs them: re-running
+    // lshBands over a cached 128-long array costs 16 FNV folds per
+    // doc, nothing next to a cache 16× this size. (The previous shape
+    // persisted the band explode WITH the signature duplicated onto
+    // every band row — ~16 KB/doc; at the sf10 sweep rung that ~10 GB
+    // cache's materialization alone took 112 s on 8 GiB executors vs
+    // 43 s of pure signing, and the pair legs re-read the wide rows.)
+    val rows = numHashes / bands
+    val sigs = df.select(id.as("i"),
+        minHashSignature(text, k, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minHashDupPairsFromBands(buckets, threshold)
+    val bandT = sigs.select(col("i"),
+        explode(lshBands(col("sig"), bands, rows)).as("band"))
+      .select(col("i"), col("band._1").as("b"), col("band._2").as("h"))
+    // candidate dedup BEFORE the signature comparison (same rationale
+    // as minHashDupPairsFromBands: a near-dup pair collides in up to
+    // `bands` buckets; compare once, shuffle two longs)
+    val cand = bandT.as("l")
+      .join(bandT.as("r"),
+        col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+          col("l.i") < col("r.i"))
+      .select(col("l.i").as("id1"), col("r.i").as("id2"))
+      .distinct()
+    // inner joins are safe here (unlike FromBands' sliced-table
+    // contract): every candidate id comes from `sigs` by construction
+    cand
+      .join(sigs.select(col("i").as("id1"), col("sig").as("__s1")),
+        Seq("id1"))
+      .join(sigs.select(col("i").as("id2"), col("sig").as("__s2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        sigAgreement(col("__s1"), col("__s2")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }  // Release.scoped: pair result materialized, signature cache freed
 
   /** Pair-finding over an existing band table (from
@@ -646,9 +683,6 @@ object TextOps {
       .distinct()
     val sigs = buckets.filter(col("b") === 0)
       .select(col("i"), col("sig"))
-    val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
-    }
     // LEFT joins + raise_error guard: if a caller passes a band table
     // sliced by band WITHOUT band 0 (a storage layout minHashBandTable
     // explicitly suggests partitioning by), an inner join would
@@ -665,7 +699,7 @@ object TextOps {
         Seq("id2"), "left")
       .select(col("id1"), col("id2"),
         when(col("__s1").isNull || col("__s2").isNull, missing)
-          .otherwise(simUdf(col("__s1"), col("__s2")))
+          .otherwise(sigAgreement(col("__s1"), col("__s2")))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -734,16 +768,13 @@ object TextOps {
       .select(col("i"), col("sig"))
       .union(newBands.filter(col("b") === 0)
         .select(col("i"), col("sig")))
-    val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
-    }
     cands
       .join(sigs.select(col("i").as("id1"), col("sig").as("__s1")),
         Seq("id1"))
       .join(sigs.select(col("i").as("id2"), col("sig").as("__s2")),
         Seq("id2"))
       .select(col("id1"), col("id2"),
-        simUdf(col("__s1"), col("__s2")).as("est_jaccard"))
+        sigAgreement(col("__s1"), col("__s2")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
