@@ -89,6 +89,16 @@ object ScaleSweep {
           col("embedding").cast("array<double>").as("vec"))
       val ivfCells = math.max(16L, nEmb / 5000L).toInt
       val semCells = math.max(16L, nEmb / 2000L).toInt
+      // LSH signature width sized to the rung: ~50 vectors per bucket
+      // (each extra plane halves occupancy). A FIXED width makes bucket
+      // occupancy — and the verify-join's candidate volume — grow
+      // linearly with the corpus, i.e. candidate PAIRS grow
+      // quadratically: measured 30× at the r12 10× step with the
+      // default 12 planes. Widening the signature as the corpus grows
+      // is the standard LSH deployment rule and what a 100 TB run
+      // would configure.
+      val nPlanes = math.max(8,
+        math.ceil(math.log(nEmb / 50.0) / math.log(2.0)).toInt)
       Seq(
         // brute-force exact top-1: 200 broadcast queries, ONE fused
         // zero-shuffle pass over the full corpus (linear in corpus)
@@ -102,11 +112,24 @@ object ScaleSweep {
             nCells = ivfCells, nProbe = 4).count()),
         // LSH banded near-dup pairs over the whole corpus
         "cosine_dup_full" -> (() =>
-          graft.sim.SimOps.cosineDupPairs(emb, 0.95).count()),
+          graft.sim.SimOps.cosineDupPairs(emb, 0.95,
+            nPlanes = nPlanes).count()),
         // SemDeDup clustered path, cells sized to ~2k vectors each
         "semantic_dup_full" -> (() =>
           graft.sim.SimOps.semanticDupPairs(emb, col("id"), col("vec"),
             0.9, nCells = semCells, subBlocks = 2).count()),
+        // the jaccard SCALE path: SSJoin prefix-filter over the same
+        // (source-blocked, J ≥ 0.5) semantics as q_jaccard_dup_pairs'
+        // triangle path. The triangle path's candidate volume is
+        // quadratic in block size (inherent to exact all-pairs within
+        // fixed-cardinality blocks — salt-mode rungs grow block SIZE,
+        // not block count), while the prefix path is linear in true
+        // pair volume: measured 9.8× time / exactly 10× pairs at the
+        // r12 10× step.
+        "jaccard_prefix_full" -> (() =>
+          graft.text.TextOps.jaccardDupPairsPrefix(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            col("doc_id"), col("text"), col("source"), 0.5).count()),
         // distributed PageRank on a synthetic graph scaled to the rung:
         // nodes = nDocs, edges = 20 × nDocs, 8 damped iterations; the
         // driver fast-path is disabled so every rung measures the
