@@ -20,15 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Cosine similarity between two array<float>/<double> columns as pure
-    * Column algebra (zip_with + aggregate → codegen, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
-    dot / sqrt(na * nb)
-  }
+  /** Cosine similarity between two array<double> columns — a native
+    * codegen expression ([[org.apache.spark.sql.graft.ArrayCosineSim]]),
+    * arithmetic- and null-identical to the historical zip_with +
+    * aggregate Column algebra (NativeExprSpec pins the parity) but one
+    * fused primitive loop per pair instead of a product-array
+    * allocation + lambda frames: the verify leg over ~20M LSH candidate
+    * pairs dropped measurably at the sf10 sweep rung. Float arrays are
+    * widened to double BEFORE the multiply (implicit cast). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.cosineSimNative(a, b)
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
     * `queries`/`corpus`: (id, vec). Self-matches excluded.

@@ -145,6 +145,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_nfc(str) takes exactly one argument")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(classOf[ArrayCosineSim].getName,
+        "graft_cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_cosine_sim(array<double>, array<double>) takes " +
+            "exactly two arguments")
+        ArrayCosineSim(children.head, children(1))
+      }))
   }
 }
 
@@ -227,4 +237,10 @@ object NativeFunctions {
   def blocklistMatchesNative(c: Column, patterns: Seq[String]): Column =
     ExpressionUtils.column(
       BlocklistMatches(ExpressionUtils.expression(c), patterns))
+
+  /** Cosine similarity of two array<double> columns — the ANN verify
+    * kernel, arithmetic-identical to the zip_with/aggregate form. */
+  def cosineSimNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayCosineSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -477,6 +477,58 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rdf.count() == 100)
   }
 
+  test("native cosine sim: bit-for-bit the HOF formulation, nulls, " +
+    "length mismatch, empty, codegen") {
+    import spark.implicits._
+    // the historical Column-algebra form the native kernel replaces
+    def hofCosine(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+      val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+      dot / sqrt(na * nb)
+    }
+    // deterministic pseudo-random vectors of assorted dims (including
+    // dim mismatches and empties) — parity must hold bit-for-bit
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val d1 = Seq(0, 1, 3, 64, 65)(i % 5)
+      val d2 = if (i % 7 == 0) d1 + 1 else d1
+      (Seq.fill(d1)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(d2)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      NativeFunctions.cosineSimNative(col("a"), col("b")).as("nat"),
+      hofCosine(col("a"), col("b")).as("hof")).collect()
+    both.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), r)
+      else {
+        val (n, h) = (r.getDouble(0), r.getDouble(1))
+        assert(java.lang.Double.doubleToLongBits(n) ==
+          java.lang.Double.doubleToLongBits(h), s"$n vs $h") // NaN-safe
+      }
+    }
+    // null array and null element → null, like the HOF form
+    val nulls = Seq(
+      (Seq(Some(1.0), Some(2.0)), Option(Seq(Option(1.0), None))),
+      (Seq(Some(1.0), Some(2.0)), Option.empty[Seq[Option[Double]]]))
+      .toDF("a", "b")
+      .select(NativeFunctions.cosineSimNative(col("a"), col("b")))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    // stays inside whole-stage codegen on a range source
+    val rdf = spark.range(100).select(
+      array(col("id").cast("double"), lit(1.0)).as("a"),
+      array(lit(2.0), col("id").cast("double")).as("b"))
+    val planned = rdf.select(
+      NativeFunctions.cosineSimNative(col("a"), col("b")).as("c"))
+    assert(planned.queryExecution.executedPlan.toString.contains("*("))
+    val s = planned.agg(sum("c")).head.getDouble(0)
+    assert(!s.isNaN)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
