@@ -36,6 +36,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSweep {
 
+  /** Minimal JSON string encoder: backslashes, quotes, and control
+    * characters (all common in Spark stack-trace-bearing exception
+    * messages) must not corrupt the one-line JSON artifact. */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
+
   private val registered = Seq(
     "q_jaccard_dup_pairs", // exact n-gram jaccard, per-block hot split
     "q_dup_clusters",      // + large-star/small-star CC
@@ -207,7 +226,7 @@ object ScaleSweep {
           f""""${l}_sec":$sec%.3f,"${l}_rows":$rows"""
         case (l, Left(err)) =>
           nFail += 1
-          s""""${l}_error":"${err.replace("\"", "'")}""""
+          s""""${l}_error":${jsonStr(err)}"""
       }.mkString(",")
       val ratio = (cells.get(firstL), cells.get(lastL)) match {
         case (Some(Right((a, _))), Some(Right((b, _)))) if a > 0 =>

@@ -336,4 +336,84 @@ object GraphOps {
       .select(col("id").as("_loser"))
     df.join(losers, id.cast("long") === col("_loser"), "left_anti")
   }
+
+  /** Partition-local spanning forest of a pair frame: each task runs a
+    * boxing-free union-find over ITS pairs and emits one (root, node)
+    * edge per non-root node — replacing the task's edge set by a
+    * spanning forest of its local components. Global connectivity is
+    * preserved exactly (a spanning forest of each partition's subgraph
+    * connects everything the partition's edges connected), so
+    * connected components over the contracted frame equal components
+    * over the original.
+    *
+    * Why: dense duplicate clusters emit pairs quadratically — a c-doc
+    * clique produces c·(c−1)/2 pairs, and the pair kernels emit a
+    * cluster's pairs mostly inside ONE task (triangle buckets and
+    * prefix verify groups are block-local). Contracting before the
+    * first shuffle turns c²/2 rows into ≤ c−1 rows while they are
+    * still partition-local — at the r12 sf10 sweep shape the prefix
+    * leg's 44.5M verified pairs entered clustering through a full
+    * shuffle; the funnel's first large-star round now reads the
+    * contracted forest instead. Per-task state is one long→long map
+    * over the task's distinct ids — bounded by the pair kernels' own
+    * task sizing (~3k-doc triangle buckets / shuffle-partition-sized
+    * verify groups). */
+  def localSpanningForest(pairs: DataFrame, id1: Column,
+                          id2: Column): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(id1.cast("long"), id2.cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new LongLongMap(1 << 10)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r)
+            r = parent.getOrDefault(r, r)
+          var c = x
+          while (c != r) {
+            val nx = parent.getOrDefault(c, c)
+            if (nx != r) parent.put(c, r)
+            c = nx
+          }
+          r
+        }
+        // nodes ever seen: roots that never lose a union are absent
+        // from `parent`, so track them in their own map (key → key)
+        val seen = new LongLongMap(1 << 10)
+        while (it.hasNext) {
+          val (u, v) = it.next()
+          seen.put(u, u); seen.put(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          }
+        }
+        val out = Array.newBuilder[(Long, Long)]
+        seen.foreachEntry { (k, _) =>
+          val r = find(k)
+          if (r != k) out += ((r, k))
+        }
+        out.result().iterator
+      }
+      .toDF("u", "v")
+  }
+
+  /** Fused dedup funnel: n-gram Jaccard pairs → partition-local
+    * spanning-forest contraction → transitive clusters, in one call —
+    * the common 100 TB shape where the caller never needs the raw pair
+    * frame. Parameters pass through to
+    * [[graft.text.TextOps.jaccardDupPairs]] (hybrid triangle/prefix
+    * routing included); output schema matches [[dupClusters]]:
+    * (id, component, csize) for every document in ≥ 1 duplicate pair. */
+  def dupClustersFromJaccard(df: DataFrame, id: Column, text: Column,
+                             block: Column, threshold: Double,
+                             subBlocks: Int = 4, shingleK: Int = 1,
+                             maxBlockHint: Long = -1L,
+                             routeThreshold: Long = 20000L,
+                             maxIter: Int = 25): DataFrame = {
+    val pairs = graft.text.TextOps.jaccardDupPairs(df, id, text, block,
+      threshold, subBlocks, shingleK, maxBlockHint, routeThreshold)
+    dupClusters(localSpanningForest(pairs, col("id1"), col("id2")),
+      col("u"), col("v"), maxIter)
+  }
 }

@@ -164,9 +164,20 @@ object KnnOps {
              weighted: Boolean = false, minBound: Double = 1e-9,
              maxBound: Double = 99999.0): DataFrame = {
     val spark = df.sparkSession
-    val targets = df.select(id.cast("long"), target.cast("double"))
-      .na.drop().collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the (id, target) map is driver-collected like the tree itself, so
+    // it obeys the SAME loud cap, enforced BEFORE the collect via
+    // limit(cap+1) — an over-cap frame must fail the require, not OOM
+    // the driver on an unbounded collect (r12 verdict flaw #2)
+    val cap = sys.props.get("graft.maxKnnRef").map(_.toInt)
+      .getOrElse(10000000)
+    val tRows = df.select(id.cast("long"), target.cast("double"))
+      .na.drop().limit(cap + 1).collect()
+    require(tRows.length <= cap,
+      s"KnnOps.knnAvg: target frame exceeds $cap rows — the broadcast " +
+        "(id, target) map must fit on the driver and every executor. " +
+        "Pre-filter the frame or use the LSH/IVF paths in graft.sim." +
+        "SimOps (docs/CAPS.md, -Dgraft.maxKnnRef).")
+    val targets = tRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bcT = spark.sparkContext.broadcast(targets)
     val tree = collectTree(df, id, features, metric)
     val rawBound = toRaw(maxBound, metric)

@@ -27,6 +27,15 @@ object GraphQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("component"), col("csize"))
         .orderBy("doc_id")
     }),
+    // the fused funnel (pairs stay partition-local through a spanning-
+    // forest contraction before the first CC shuffle) must be output-
+    // identical to the unfused q_dup_clusters — same oracle
+    "q_dup_clusters_fused" -> ((s, dir) => {
+      GraphOps.dupClustersFromJaccard(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source"), 0.5)
+        .select(col("id").as("doc_id"), col("component"), col("csize"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"),
@@ -352,6 +361,12 @@ object GraphQueries extends QueryPack {
         |       true AS recall_ok
         |FROM p""".stripMargin,
     "q_dup_clusters" ->
+      s"""WITH RECURSIVE $edgeSql,
+         |sz AS (SELECT comp, COUNT(*) c FROM cc GROUP BY 1)
+         |SELECT cc.id AS doc_id, cc.comp AS component,
+         |  sz.c AS csize
+         |FROM cc JOIN sz USING (comp) ORDER BY 1""".stripMargin,
+    "q_dup_clusters_fused" ->
       s"""WITH RECURSIVE $edgeSql,
          |sz AS (SELECT comp, COUNT(*) c FROM cc GROUP BY 1)
          |SELECT cc.id AS doc_id, cc.comp AS component,

@@ -124,8 +124,12 @@ object PqOps {
         val code = new Array[Int](books.length)
         var s = 0
         while (s < books.length) {
+          // clamp BOTH ends: a vector shorter than books.length*dsub
+          // (ragged/malformed input) degrades like the historical
+          // v.slice formulation instead of throwing AIOOBE mid-encode
           val sub = java.util.Arrays.copyOfRange(
-            a, s * dsub, math.min((s + 1) * dsub, a.length))
+            a, math.min(s * dsub, a.length),
+            math.min((s + 1) * dsub, a.length))
           code(s) = nearestSub(books(s), sub)
           s += 1
         }

@@ -352,15 +352,83 @@ object TextOps {
     * with [[minHashSignature]]'s whole-text edge case for docs of ≤ k
     * words, so this doubles as minhash's exact twin. */
   /** `maxBlockHint`: a caller-known upper bound on the largest block's
-    * doc count. When ≥ 0, the per-block sizing aggregation is skipped
-    * entirely and ONE split factor derived from the hint applies to all
-    * blocks — use it when the bound is known (e.g. a capped crawl per
-    * host) to save the counting leg's scan. */
+    * doc count. When ≥ 0 AND ≤ `routeThreshold`, the per-block sizing
+    * aggregation is skipped entirely and ONE split factor derived from
+    * the hint applies to all blocks — use it when the bound is known
+    * (e.g. a capped crawl per host) to save the counting leg's scan. A
+    * hint above `routeThreshold` falls back to counted routing (the
+    * count leg is what decides which blocks take the prefix path). */
+  /** `routeThreshold`: the per-block doc count above which a block is
+    * routed to the SSJoin prefix-filter leg instead of the triangle
+    * leg. The triangle leg's work is quadratic in block size (spread
+    * over sub-block tasks but not reduced), so past ~20k docs a block
+    * costs more than the prefix leg's linear candidate generation —
+    * the r12 sf10 sweep measured the all-triangle path super-linear
+    * (29.9× at the 10× step) exactly because fixed-cardinality block
+    * keys turn data growth into block-size growth. The hybrid routes
+    * per block on the SAME lazy count the sizing leg already computes,
+    * so a 100 TB run with a few catch-all hot blocks pays linear cost
+    * on those and keeps the cheap triangle kernel everywhere else.
+    * Both legs tokenize with the same codegen kernel and verify with
+    * an exact sorted-merge intersection, so the routing is invisible
+    * in the output: same pairs, same jaccard values, any threshold. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
                       block: Column, threshold: Double,
                       subBlocks: Int = 4, shingleK: Int = 1,
-                      maxBlockHint: Long = -1L): DataFrame = {
-    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
+                      maxBlockHint: Long = -1L,
+                      routeThreshold: Long = 20000L): DataFrame = {
+    require(routeThreshold >= 1L,
+      s"jaccardDupPairs: routeThreshold must be >= 1, got $routeThreshold")
+    // tokenizer: native codegen kernel ([[org.apache.spark.sql.graft
+    // .SortedTokenHashes]]) — trim/lower/split/shingle/hash/distinct/
+    // sort in one zero-alloc primitive pass inside whole-stage codegen,
+    // no UDF SerDe on the per-document hot path (bit-for-bit the
+    // historical UDF formulation; NativeExprSpec pins the parity).
+    // Tokenization is applied AFTER routing: the sizing/routing count
+    // leg reads only the block column (column-pruned at the scan), and
+    // each document is tokenized exactly once, in whichever leg its
+    // block routed to.
+    def tokenize(d: DataFrame): DataFrame =
+      d.withColumn("ws", org.apache.spark.sql.graft.NativeFunctions
+        .sortedTokenHashesNative(col("__txt"), shingleK)).drop("__txt")
+    val base = df.select(block.as("block"), id.cast("long").as("i"),
+      text.as("__txt"))
+    if (maxBlockHint >= 0L && maxBlockHint <= routeThreshold) {
+      // caller-guaranteed bound below the route threshold: every block
+      // takes the triangle leg with one hint-derived split factor — no
+      // sizing scan at all (the original hint fast path)
+      val sb = math.max(subBlocks,
+        math.min(64L, (maxBlockHint + 1499L) / 1500L).toInt)
+      jaccardTriangleLeg(tokenize(base).withColumn("__sb", lit(sb)),
+        threshold)
+    } else {
+      // Count-based routing. The count leg is the SAME lazy per-block
+      // sizing aggregation the triangle leg always needed (see the
+      // sizing comment in jaccardTriangleLeg) — routing adds zero extra
+      // jobs: blocks at or below routeThreshold keep the triangle
+      // kernel (with their count-derived split factor), larger blocks
+      // divert to the linear SSJoin prefix leg.
+      val cnts = base.groupBy(col("block").as("__cb"))
+        .agg(count(lit(1)).as("__cnt"))
+      val counted = base.join(cnts, col("block") <=> col("__cb"))
+        .drop("__cb")
+      val small = tokenize(counted.filter(col("__cnt") <= routeThreshold))
+        .withColumn("__sb", greatest(lit(subBlocks),
+          least(lit(64L), ceil(col("__cnt") / lit(1500.0)))
+            .cast("int")))
+        .drop("__cnt")
+      val large = tokenize(counted.filter(col("__cnt") > routeThreshold))
+        .drop("__cnt")
+      jaccardTriangleLeg(small, threshold)
+        .unionByName(jaccardPrefixLegHashed(large, threshold))
+    }
+  }
+
+  /** The all-pairs kernel of the triangle leg: one bucket's docs →
+    * the (id1, id2, jaccard) pairs meeting the threshold, comparing
+    * within-group pairs in the (a,a) bucket and only cross-group pairs
+    * in (a,b) buckets so every pair is examined exactly once. */
+  private val jaccardPairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
                        ga: Int, gb: Int, t: Double) => {
       val n = docs.length
       // fail loud instead of silently OOMing or going quadratic: past
@@ -428,47 +496,30 @@ object TextOps {
       }
       out.result()
     })
-    // tokenizer: native codegen kernel ([[org.apache.spark.sql.graft
-    // .SortedTokenHashes]]) — trim/lower/split/shingle/hash/distinct/
-    // sort in one zero-alloc primitive pass inside whole-stage codegen,
-    // no UDF SerDe on the per-document hot path (bit-for-bit the
-    // historical UDF formulation; NativeExprSpec pins the parity).
-    val tok = org.apache.spark.sql.graft.NativeFunctions
-      .sortedTokenHashesNative(text, shingleK)
-    val base = df.select(block.as("block"), id.cast("long").as("i"),
-      tok.as("ws"))
-    // `subBlocks` is a FLOOR, not the final split: hot blocks (the
-    // Zipfian hot-host reality) auto-split further so the largest
-    // bucket stays ~≤3000 docs. Without this, one hot domain
-    // concentrates its whole block into a few collect_list groups and
-    // the reduce-side ObjectHashAggregate (which buffers up to its
-    // 128-group fallback threshold) multiplies that into executor
-    // OOM — observed in the r11 skew validation: a 15.6k-doc hot
-    // domain killed 1 GiB executors at the cluster shape.
-    //
-    // The split factor is PER BLOCK and LAZY: per-block counts join
-    // back on the block key inside the same job (no eager sizing scan
-    // at call time — the count leg is a column-pruned branch of the
-    // same lineage, and AQE broadcast-joins the tiny count table), and
-    // only the blocks that ARE hot pay a larger explode fan-out — a
-    // 200k-doc hot host no longer multiplies the replication of the
-    // 99% of blocks that didn't need it. Results are identical for any
-    // split: every within-block pair shares its block's factor, so the
-    // pair-in-exactly-one-bucket proof holds block-locally.
-    val sized: DataFrame =
-      if (maxBlockHint >= 0L) {
-        val sb = math.max(subBlocks,
-          math.min(64L, (maxBlockHint + 1499L) / 1500L).toInt)
-        base.withColumn("__sb", lit(sb))
-      } else {
-        val cnts = base.groupBy(col("block").as("__cb"))
-          .agg(count(lit(1)).as("__cnt"))
-        base.join(cnts, col("block") <=> col("__cb"))
-          .withColumn("__sb", greatest(lit(subBlocks),
-            least(lit(64L), ceil(col("__cnt") / lit(1500.0)))
-              .cast("int")))
-          .drop("__cb", "__cnt")
-      }
+
+  /** The triangle leg: `sized` carries (block, i, ws, __sb) where
+    * `__sb` is the per-row split factor G (all rows of a block share
+    * it). `subBlocks` is a FLOOR, not the final split: hot blocks (the
+    * Zipfian hot-host reality) auto-split further so the largest
+    * bucket stays ~≤3000 docs. Without this, one hot domain
+    * concentrates its whole block into a few collect_list groups and
+    * the reduce-side ObjectHashAggregate (which buffers up to its
+    * 128-group fallback threshold) multiplies that into executor
+    * OOM — observed in the r11 skew validation: a 15.6k-doc hot
+    * domain killed 1 GiB executors at the cluster shape.
+    *
+    * The split factor is PER BLOCK and LAZY: per-block counts join
+    * back on the block key inside the same job (no eager sizing scan
+    * at call time — the count leg is a column-pruned branch of the
+    * same lineage, and AQE broadcast-joins the tiny count table), and
+    * only the blocks that ARE hot pay a larger explode fan-out — a
+    * 20k-doc hot host no longer multiplies the replication of the
+    * 99% of blocks that didn't need it (and past `routeThreshold` the
+    * block leaves this leg entirely). Results are identical for any
+    * split: every within-block pair shares its block's factor, so the
+    * pair-in-exactly-one-bucket proof holds block-locally. */
+  private def jaccardTriangleLeg(sized: DataFrame,
+                                 threshold: Double): DataFrame = {
     val withG = sized.withColumn("g",
       pmod(hash(col("i")), col("__sb")).cast("int"))
     val buckets = withG.select(col("block"), col("i"), col("g"), col("ws"),
@@ -486,15 +537,77 @@ object TextOps {
     // reuses the same hash partitioning (no second exchange), and
     // defaultParallelism tracks the real cluster size.
     buckets
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+      .repartition(sized.sparkSession.sparkContext.defaultParallelism,
         col("block"), col("bk"))
       .groupBy(col("block"), col("bk"))
       .agg(collect_list(struct(col("i"), col("g"), col("ws"))).as("docs"))
       .select(col("block"),
-        explode(pairUdf(col("docs"), col("bk.a"), col("bk.b"),
+        explode(jaccardPairUdf(col("docs"), col("bk.a"), col("bk.b"),
           lit(threshold))).as("p"))
       .select(col("block"), col("p._1").as("id1"), col("p._2").as("id2"),
         col("p._3").as("jaccard"))
+  }
+
+  /** The large-block leg: SSJoin prefix filtering (Chaudhuri et al.)
+    * over the SAME hashed-token arrays the triangle leg compares, so
+    * the two legs are output-identical (same tokens, same exact
+    * jaccard — verified by a primitive sorted-merge intersection, the
+    * codegen [[org.apache.spark.sql.graft.SortedLongIntersectSize]]
+    * kernel). Tokens are ordered by ascending per-block document
+    * frequency; two sets with J ≥ t must share a token in their first
+    * n − ⌈t·n⌉ + 1 tokens, so only those enter the candidate join —
+    * cost linear in candidates, never quadratic in block size, no
+    * bucket materialization. Block keys ride inside a 1-field struct
+    * so NULL blocks join/group like any other value (struct ordering
+    * treats null fields as equal), matching the triangle leg's
+    * null-safe grouping. */
+  private def jaccardPrefixLegHashed(base: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val b0 = base.select(struct(col("block").as("v")).as("bk"),
+      col("i"), col("ws"))
+      .withColumn("nw", size(col("ws")))
+    val words = b0.select(col("bk"), col("i"), col("nw"),
+      explode(col("ws")).as("w"))
+    // per-(block, token) document frequency → rarity order
+    val dfreq = words.groupBy(col("bk").as("__fb"), col("w").as("__fw"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = words
+      .join(dfreq, col("bk") === col("__fb") && col("w") === col("__fw"))
+      .drop("__fb", "__fw")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bk"), col("i"))
+          .orderBy(col("df"), col("w"))))
+      .withColumn("plen",
+        col("nw") - ceil(col("nw") * threshold).cast("int") + 1)
+      .filter(col("rn") <= col("plen"))
+      .select(col("bk"), col("i"), col("w"))
+    // candidate pairs from prefix tokens only; id1 < id2 matches the
+    // triangle kernel's (min, max) emission order
+    val cand = ranked.as("l")
+      .join(ranked.as("r"),
+        col("l.bk") === col("r.bk") && col("l.w") === col("r.w") &&
+          col("l.i") < col("r.i"))
+      .select(col("l.bk").as("bk"), col("l.i").as("id1"),
+        col("r.i").as("id2"))
+      .distinct()
+    // verify candidates exactly: size-ratio prefilter (J ≥ t ⟹
+    // min/max ≥ t, same O(1) skip as the triangle kernel), then the
+    // sorted-merge intersection
+    val s1 = b0.select(col("bk"), col("i").as("id1"),
+      col("ws").as("ws1"), col("nw").as("n1"))
+    val s2 = b0.select(col("bk"), col("i").as("id2"),
+      col("ws").as("ws2"), col("nw").as("n2"))
+    cand.join(s1, Seq("bk", "id1")).join(s2, Seq("bk", "id2"))
+      .filter(least(col("n1"), col("n2")).cast("double") >=
+        lit(threshold) * greatest(col("n1"), col("n2")))
+      .withColumn("common", org.apache.spark.sql.graft.NativeFunctions
+        .sortedIntersectSizeNative(col("ws1"), col("ws2")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("bk.v").as("block"), col("id1"), col("id2"),
+        col("jaccard"))
   }
 
   /** Prefix-filtered exact Jaccard pairs (Chaudhuri et al. SSJoin /

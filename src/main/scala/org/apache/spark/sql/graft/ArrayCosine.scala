@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * (nullIntolerant); unequal lengths → null (zip_with pads with null,
   * poisoning the fold); any null ELEMENT → null (same poisoning). SQL
   * `graft_cosine_sim`; DSL [[NativeFunctions.cosineSimNative]].
+  *
+  * The zero-divisor null is returned regardless of
+  * `spark.sql.ansi.enabled` — under ANSI mode the HOF form would
+  * raise DIVIDE_BY_ZERO instead. Graft sessions force ansi=false;
+  * external sessions registering [[GraftExtensions]] get this
+  * non-ANSI null contract (documented in docs/API.md).
   */
 case class ArrayCosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -72,6 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedTokenHashes(children.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_intersect_size(array<long>, array<long>) takes " +
+            "exactly two arguments")
+        SortedLongIntersectSize(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_md_bucket_counts"),
       new ExpressionInfo(classOf[MdBucketCounts].getName,
         "graft_md_bucket_counts"),
@@ -182,6 +192,12 @@ object NativeFunctions {
   def sortedTokenHashesNative(c: Column, shingleK: Int = 1): Column =
     ExpressionUtils.column(
       SortedTokenHashes(ExpressionUtils.expression(c), shingleK))
+
+  /** Intersection size of two ascending-sorted distinct array<long>
+    * columns — the SSJoin prefix path's exact-Jaccard verify kernel. */
+  def sortedIntersectSizeNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectSize(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def nfcNormalizeNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))

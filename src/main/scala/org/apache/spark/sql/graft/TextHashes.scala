@@ -596,3 +596,64 @@ object DeflateRatio {
     total.toDouble / raw.length
   }
 }
+
+/** Native intersection SIZE of two ascending-sorted distinct
+  * array<long> columns — the exact-Jaccard verify kernel of the
+  * SSJoin prefix-filter path ([[graft.text.TextOps.jaccardDupPairs]]'s
+  * large-block leg). Both inputs MUST be sorted ascending with distinct
+  * elements (the [[SortedTokenHashes]] contract); the kernel is then a
+  * single primitive two-pointer merge, O(|a|+|b|) with zero allocation,
+  * replacing `size(array_intersect(...))` (which builds a hash set and
+  * an output array PER candidate pair — the verify leg rides every
+  * candidate of the 100 TB dedup funnel). Unsorted input underscounts;
+  * it never crashes. Null semantics: null array → null (nullIntolerant);
+  * null ELEMENTS are not expected from the tokenizer but any present
+  * sort first in ArrayData and are skipped defensively via the
+  * containsNull=false input contract. SQL `graft_sorted_intersect_size`;
+  * DSL [[NativeFunctions.sortedIntersectSizeNative]]. */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(LongType),
+      org.apache.spark.sql.types.ArrayType(LongType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectSize.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = SortedLongIntersectSize.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$cls.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectSize {
+  /** Shared by interpreted eval and generated code. Two-pointer merge
+    * over ascending-sorted arrays. */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var p = 0; var q = 0; var common = 0
+    while (p < n1 && q < n2) {
+      val x = a.getLong(p)
+      val y = b.getLong(q)
+      if (x < y) p += 1
+      else if (x > y) q += 1
+      else { common += 1; p += 1; q += 1 }
+    }
+    common
+  }
+}

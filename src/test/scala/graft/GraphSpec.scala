@@ -100,6 +100,44 @@ class GraphSpec extends AnyFunSuite {
       s"dedupByClusters must not force a join strategy:\n$logical")
   }
 
+  test("localSpanningForest preserves connectivity and shrinks cliques") {
+    import spark.implicits._
+    // a 30-clique (435 pairs), a chain, and a 2-pair component, spread
+    // over few partitions so per-partition forests must re-merge
+    val clique = for (i <- 0L until 30L; j <- i + 1 until 30L)
+      yield (i, j)
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val rest = Seq((500L, 501L), (501L, 502L))
+    val edges = (clique ++ chain ++ rest).toDF("u", "v").repartition(3)
+    val forest = GraphOps.localSpanningForest(edges, col("u"), col("v"))
+    val fRows = forest.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // contraction: ≤ (#nodes − #components) edges per partition, so the
+    // 435-pair clique collapses to at most 3·29 forest edges
+    assert(fRows.length <= (30 - 1) * 3 + chain.length + rest.length)
+    // connectivity preserved exactly: CC over forest == CC over raw
+    val expected = ufComponents(clique ++ chain ++ rest)
+    val got = GraphOps.connectedComponents(forest.toDF("a", "b"),
+        col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("dupClustersFromJaccard equals the unfused pairs-then-clusters") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 400)
+    import graft.text.TextOps
+    val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"), col("text"),
+      col("source"), 0.5)
+    val unfused = GraphOps.dupClusters(pairs, col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fused = GraphOps.dupClustersFromJaccard(docs, col("doc_id"),
+        col("text"), col("source"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unfused.nonEmpty)
+    assert(fused == unfused)
+  }
+
   test("zorderKey interleaves bits and preserves locality blocks") {
     import spark.implicits._
     val df = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y))

@@ -76,6 +76,46 @@ class GuardSpec extends AnyFunSuite {
       e.getMessage.contains("Pre-filter"))
   }
 
+  test("maxKnnRef: knnAvg refuses an oversized target frame BEFORE " +
+      "collecting it (cap-order hygiene, r12 verdict #4)") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toLong, i.toDouble, i * 2.0, i * 1.0))
+      .toDF("id", "x", "y", "t")
+    val e = intercept[Exception] {
+      withProp("graft.maxKnnRef", "2") {
+        graft.knn.KnnOps.knnAvg(df, col("id"),
+          Seq(col("x"), col("y")), col("t"), 2).collect()
+      }
+    }
+    val m = rootMessage(e)
+    assert(m.contains("target frame exceeds 2 rows") &&
+      m.contains("graft.sim.SimOps"), m)
+  }
+
+  test("queryCap: both IVF paths refuse oversized query frames through " +
+      "the single capped collect") {
+    import spark.implicits._
+    val frame = (1 to 4).map(i =>
+      (i.toLong, Seq(i.toDouble, 1.0))).toDF("id", "vec")
+    val e1 = intercept[Exception] {
+      graft.sim.SimOps.ivfCosineTopK(frame, frame, 1, queryCap = 2L)
+    }
+    assert(e1.getMessage.contains("queryCap=2") &&
+      e1.getMessage.contains("Pre-filter"), e1.getMessage)
+    // the persisted-index path funnels through the SAME capped collect
+    // (it used to collect query vectors for probe cells FIRST, ahead
+    // of the cap — r12 verdict #4)
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_guard_ivf_idx"
+    val idx = graft.sim.SimOps.buildIvfIndex(frame, nCells = 2)
+    graft.sim.SimOps.writeIvfPartitioned(frame, idx, s"$root/corpus")
+    val e2 = intercept[Exception] {
+      graft.sim.SimOps.ivfCosineTopKIndexed(frame, s"$root/corpus",
+        idx, 1, queryCap = 2L)
+    }
+    assert(e2.getMessage.contains("queryCap=2"), e2.getMessage)
+  }
+
   test("compileLm maxEntries: broadcast LM refuses oversized gram " +
       "tables with the narrower-corpus remedy") {
     import spark.implicits._

@@ -529,6 +529,39 @@ class NativeExprSpec extends AnyFunSuite {
     assert(!s.isNaN)
   }
 
+  test("native sorted intersect size: array_intersect parity on sorted " +
+      "distinct arrays, nulls, codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def arr(): Array[Long] =
+      Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+    val rows = Seq((Array.emptyLongArray, Array.emptyLongArray),
+      (Array(1L, 2L, 3L), Array.emptyLongArray),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(Long.MinValue, 0L, Long.MaxValue),
+        Array(Long.MinValue, Long.MaxValue))) ++
+      (0 until 200).map(_ => (arr(), arr()))
+    val got = rows.toDF("a", "b").select(
+      NativeFunctions.sortedIntersectSizeNative(col("a"), col("b"))
+        .as("n"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null array -> null
+    val nr = Seq((Some(Array(1L)), None: Option[Array[Long]]))
+      .toDF("a", "b")
+      .select(NativeFunctions.sortedIntersectSizeNative(col("a"), col("b")))
+      .head
+    assert(nr.isNullAt(0))
+    // stays in whole-stage codegen on a non-local source
+    val plan = spark.range(10)
+      .select(array(col("id")).as("a"), array(col("id") + 1).as("b"))
+      .select(NativeFunctions.sortedIntersectSizeNative(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("SQL registration via GraftExtensions") {
     val s = GraftSession.builder("2")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")

@@ -116,6 +116,49 @@ class TextSimSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.6) < 1e-12)
   }
 
+  test("jaccard hybrid routing: prefix leg output-identical to triangle") {
+    // same corpus, one block: routeThreshold above the block size keeps
+    // every block on the triangle leg; below it, the whole block takes
+    // the SSJoin prefix leg. Outputs (ids AND exact jaccard values)
+    // must be identical — for word sets and for k-word shingle sets.
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"), lit("all").as("blk"))
+    for (k <- Seq(1, 3)) {
+      def run(route: Long) = TextOps.jaccardDupPairs(docs, col("doc_id"),
+          col("text"), col("blk"), 0.6, shingleK = k,
+          routeThreshold = route)
+        .select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val triangle = run(100000L)
+      val prefix = run(10L)
+      assert(triangle.nonEmpty, s"shingleK=$k should find dup pairs")
+      assert(prefix == triangle,
+        s"shingleK=$k: prefix leg diverged from triangle leg: " +
+          s"only-triangle=${(triangle -- prefix).take(3)} " +
+          s"only-prefix=${(prefix -- triangle).take(3)}")
+    }
+  }
+
+  test("jaccard hybrid routing pairs docs in a NULL block on both legs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", Some("x")),
+      (2L, "a b c e", Some("x")),
+      (3L, "a b c d", None: Option[String]),
+      (4L, "a b c e", None: Option[String]),
+      (5L, "p q r s", None: Option[String])
+    ).toDF("doc_id", "text", "src")
+    def run(route: Long) = TextOps.jaccardDupPairs(df, col("doc_id"),
+        col("text"), col("src"), 0.5, routeThreshold = route)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // route=1 pushes EVERY block (incl. the null block) to the prefix
+    // leg; the null block must still self-join (struct-wrapped key)
+    assert(run(1L) == Set((1L, 2L), (3L, 4L)))
+    assert(run(1000L) == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents") {
     // unigram shingles (k=1) so the minhash estimates the same word-set
     // jaccard the exact baseline computes; exact threshold 0.9 so every
