@@ -225,7 +225,7 @@ object PqOps {
             }))
         it.foreach { r =>
           val cid = r.getLong(0)
-          val code = r.getSeq[Int](1)
+          val code = r.getSeq[Int](1).toArray // List at deser: O(1) after
           // reconstructed norm² — shared across queries for this row
           var rn2 = 0.0
           var s = 0
