@@ -87,8 +87,14 @@ for q in sorted(names):
 total = round(sum(queries.values()), 3)
 wide = {q: s for q, s in spread.items()
         if queries[q] > 0 and (s[1] - s[0]) / queries[q] > 0.5}
+# carry the session-speed canary: median over the runs becomes THE
+# committed calibration value the next session's tripwire normalizes
+# against (r12 verdict ask #2)
+cals = [d["calibration"] for d in data if d.get("calibration", 0) > 0]
+cal = round(statistics.median(cals), 3) if cals else 0.0
 out = {"total": total, "n": len(queries), "sf": "/root/testdata/sf0.1",
-       "head": head, "runs": runs, "queries": queries, "spread": spread}
+       "head": head, "runs": runs, "calibration": cal,
+       "queries": queries, "spread": spread}
 with open("BENCH_DETAIL.json", "w") as f:
     json.dump(out, f, separators=(",", ":"))
 print(f"median total {total}s over {runs} runs; "

@@ -124,6 +124,36 @@ object Bench {
         }
       }
     } catch { case _: Throwable => }
+    // Fixed calibration probe (r12 verdict ask #2: the per-query
+    // variance bands were measured in ONE session, so a uniform
+    // cross-session slowdown — box contention, thermal state, a busier
+    // harness — tripped 11 bands at ~1.6× on operators untouched for
+    // two rounds). The probe is sf-INDEPENDENT deterministic work (a
+    // codegen'd scan-aggregate plus a shuffle-heavy groupBy-join) timed
+    // after warmup; its ratio against the committed run's calibration
+    // value estimates the session speed factor, and the regression
+    // tripwire scales the committed per-query numbers by that factor
+    // before comparing. best-of-3 — interference inflates, never
+    // deflates, a timing.
+    val calibration: Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // scan+agg leg: 20M-row codegen'd arithmetic aggregate
+        spark.range(20000000L)
+          .selectExpr("sum(id * 3 + 1) as s", "avg(id % 997) as a")
+          .collect()
+        // shuffle leg: 2M rows through a groupBy + self-join on the key
+        val d = spark.range(2000000L)
+          .selectExpr("pmod(hash(id), 9973) as k",
+            "cast(id % 13 as double) as v")
+        val g = d.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        g.join(d, "k").agg(sum(col("s") * col("v"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try (1 to 3).map(_ => once()).min
+      catch { case _: Throwable => 0.0 }
+    }
     // GRAFT_BENCH_ONLY=q_a,q_b : time just those queries (local
     // iteration aid; the driver never sets it)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
@@ -136,14 +166,29 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     // Previous run's per-query map (the file this run will overwrite):
     // the regression tripwire below compares against it.
-    val prev: Map[String, Double] =
+    val (prev: Map[String, Double], prevCal: Double) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(detailPath),
           java.nio.charset.StandardCharsets.UTF_8)
         val q = txt.substring(txt.indexOf("\"queries\""))
-        "\"(q[\\w]+)\":([0-9.]+)".r.findAllMatchIn(q)
+        val m = "\"(q[\\w]+)\":([0-9.]+)".r.findAllMatchIn(q)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        val c = "\"calibration\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(0.0)
+        (m, c)
+      } catch { case _: Throwable => (Map.empty[String, Double], 0.0) }
+    // Session speed factor from the calibration probes: >1 means this
+    // session runs the fixed canary SLOWER than the committed session
+    // did, and committed per-query numbers scale up accordingly before
+    // the 1.5× tripwire. Clamped to [0.8, 2.5]: outside that the probe
+    // itself is suspect and the raw comparison is safer.
+    val sessionFactor: Double =
+      if (prevCal > 0 && calibration > 0)
+        math.max(0.8, math.min(2.5, calibration / prevCal))
+      else 1.0
+    if (sessionFactor != 1.0)
+      println(f"[bench-calibration] canary $calibration%.3f s vs " +
+        f"committed $prevCal%.3f s -> session factor $sessionFactor%.2fx")
     def timedRun(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // inter-query hygiene, OUTSIDE the timed window: drop result
@@ -170,14 +215,14 @@ object Bench {
     // retry). Survivors are printed and recorded in the detail file.
     val results = firstPass.map { case (name, t) =>
       name -> (prev.get(name) match {
-        case Some(p) if t > p * 1.5 =>
+        case Some(p) if t > p * sessionFactor * 1.5 =>
           math.min(t, timedRun(selected(name)))
         case _ => t
       })
     }
     val regressions = results.toSeq
       .flatMap { case (n, t) => prev.get(n)
-        .filter(p => t > p * 1.5).map(p => (n, p, t)) }
+        .filter(p => t > p * sessionFactor * 1.5).map(p => (n, p, t)) }
       .sortBy { case (_, p, t) => -(t - p) }
     regressions.foreach { case (n, p, t) =>
       println(f"[bench-regression] $n: $p%.2f s -> $t%.2f s " +
@@ -211,7 +256,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{\"total\":" + fmt(total) + ",\"n\":" + results.size +
         ",\"sf\":\"" + sfDir + "\",\"head\":\"" + gitHead +
-        "\",\"code_dirty\":" + codeDirty + ",\"regressions\":" + regJson +
+        "\",\"code_dirty\":" + codeDirty +
+        ",\"calibration\":" + fmt(calibration) +
+        ",\"session_factor\":" + fmt(sessionFactor) +
+        ",\"regressions\":" + regJson +
         ",\"queries\":{", ",", "}}")
     try {
       java.nio.file.Files.write(detailPath,
@@ -224,7 +272,7 @@ object Bench {
     val budget = 1600
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","calibration":${fmt(calibration)},"queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     entries.foreach { e =>

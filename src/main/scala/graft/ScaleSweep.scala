@@ -66,8 +66,8 @@ object ScaleSweep {
     "q_glm_grp")           // grouped poisson+gamma IRLS over lineitem
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: ScaleSweep <label=dir> <label=dir> [...]")
+    require(args.length >= 1,
+      "usage: ScaleSweep <label=dir> [<label=dir> ...]")
     val rungs = args.toSeq.map { a =>
       val Array(l, d) = a.split("=", 2)
       (l, d)
@@ -167,9 +167,17 @@ object ScaleSweep {
     def probesFor(dir: String): Seq[(String, () => Long)] = {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      qNames.map(q =>
-        q -> (() => SparkEntry.queries(q)(spark, dir).count())) ++
-        direct(dir, nDocs, nEmb)
+      val entry = qNames.filter(SparkEntry.queries.contains).map(q =>
+        q -> (() => SparkEntry.queries(q)(spark, dir).count()))
+      // an explicit GRAFT_SWEEP_QUERIES list scopes the DIRECT probes
+      // too (e.g. =pagerank_full for a spread-band re-measure); the
+      // default list keeps every direct probe
+      val dir0 = direct(dir, nDocs, nEmb)
+      val dirProbes =
+        if (sys.env.contains("GRAFT_SWEEP_QUERIES"))
+          dir0.filter(p => qNames.contains(p._1))
+        else dir0
+      entry ++ dirProbes
     }
 
     // Warm engine + operator classes on the SMALLEST rung so first-use
@@ -192,15 +200,21 @@ object ScaleSweep {
         Either[String, (Double, Long)]]]()
     for ((label, dir) <- rungs; (name, f) <- probesFor(dir)) {
       val cell = try {
-        var bestSec = Double.MaxValue
         var rows = 0L
-        for (_ <- 1 to reps) {
+        val times = (1 to reps).map { _ =>
           hygiene()
           val t0 = System.nanoTime()
           rows = f()
-          bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
+          (System.nanoTime() - t0) / 1e9
         }
-        Right((bestSec, rows))
+        if (reps > 1)
+          // per-rep times + max/min spread: the jitter-band evidence a
+          // single best-of-n hides (r12 verdict #3 — the pagerank probe
+          // showed a 3x same-code spread that needed adjudication)
+          println(f"[sweep] $name%-20s $label%-6s reps " +
+            times.map(t => f"$t%.2f").mkString("[", ", ", "] s ") +
+            f"spread ${times.max / times.min}%.2fx")
+        Right((times.min, rows))
       } catch {
         case scala.util.control.NonFatal(e) =>
           Left(s"${e.getClass.getSimpleName}: " +

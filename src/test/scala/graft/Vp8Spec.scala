@@ -220,6 +220,64 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8Tables.loaded.isEmpty)
   }
 
+  test("make_vp8_tables.py selftest output passes the Scala gate " +
+      "(deployment recipe end-to-end)") {
+    // the generation recipe (r12 verdict ask #6) must emit a file the
+    // JVM-side checksum/structure gate accepts — run the script's
+    // selftest (synthetic but structurally-valid tables) and parse its
+    // output with the real gate
+    val pb = new ProcessBuilder("python3", "scripts/make_vp8_tables.py",
+      "--selftest")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    assert(proc.waitFor() == 0, s"selftest failed:\n$out")
+    val t = Vp8Tables.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/vp8_tables_selftest.txt")), "UTF-8"))
+    assert(t.coeffProbs.length == 1056 && t.dcQ.length == 128)
+    // and the decode machinery accepts them: flat-frame round trip
+    val bytes = Vp8.encodeFlat(16, 16, 132, 128, 124, 0, t)
+    var i = 12; var found = false
+    while (!found && i + 8 <= bytes.length) {
+      if (new String(bytes, i, 4, "ASCII") == "VP8 ") {
+        val size = java.nio.ByteBuffer.wrap(bytes, i + 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val f = Vp8.decodeKeyFrame(bytes, i + 8, size, t)
+        assert(f.w == 16 && f.h == 16 && f.y(0, 0) == 132)
+        found = true
+      }
+      i += 1
+    }
+    assert(found)
+  }
+
+  test("deployment tables branch: runs when GRAFT_VP8_TABLES points at " +
+      "a real generated file (skipped in the sandbox otherwise)") {
+    sys.env.get("GRAFT_VP8_TABLES") match {
+      case None => cancel("GRAFT_VP8_TABLES not set — no normative " +
+        "tables available in this environment (expected in the " +
+        "zero-egress sandbox; set it after scripts/make_vp8_tables.py)")
+      case Some(path) =>
+        val prev = sys.props.get("graft.vp8TablesPath")
+        try {
+          sys.props.put("graft.vp8TablesPath", path)
+          assert(Vp8Tables.loaded.isDefined,
+            s"tables at $path failed the gate")
+          val t = Vp8Tables.loaded.get
+          // real-table smoke: the decoder round-trips a flat frame
+          // encoded with the very tables it will decode with
+          val bytes = Vp8.encodeFlat(32, 16, 140, 120, 136, 4, t)
+          val px = Vp8.decodeWebpLossy(bytes)
+          assert(px != null, "lossy decode stayed closed with real tables")
+        } finally {
+          prev match {
+            case Some(p) => sys.props.put("graft.vp8TablesPath", p)
+            case None => sys.props.remove("graft.vp8TablesPath")
+          }
+        }
+    }
+  }
+
   test("IDCT multiplier derivation matches the RFC fixed-point values") {
     // the require() inside Vp8 already pins these; exercising any
     // transform path proves the object initialized (derivation held)
