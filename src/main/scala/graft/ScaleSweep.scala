@@ -149,6 +149,26 @@ object ScaleSweep {
           graft.text.TextOps.jaccardDupPairsPrefix(
             spark.read.parquet(s"$dir/documents.parquet"),
             col("doc_id"), col("text"), col("source"), 0.5).count()),
+        // the hybrid's LARGE-BLOCK leg, forced (routeThreshold=10):
+        // hashed-token SSJoin prefix filter + codegen sorted-merge
+        // verify. Its cross-rung slope must stay ~linear (true pair
+        // volume is exactly 10x at the 10x step in the salt fixture) —
+        // this is the leg every block larger than the routing
+        // crossover (~48k docs) takes at 100 TB.
+        "jaccard_prefix_hybrid" -> (() =>
+          graft.text.TextOps.jaccardDupPairs(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            col("doc_id"), col("text"), col("source"), 0.5,
+            routeThreshold = 10L).count()),
+        // the fused dedup funnel (r13): jaccard pairs -> partition-local
+        // spanning-forest contraction -> CC, vs q_dup_clusters' unfused
+        // pairs-then-CC on the same blocks/threshold. The contraction
+        // collapses each task's quadratic clique pairs to <= c-1 forest
+        // edges BEFORE the first CC shuffle.
+        "dup_clusters_fused" -> (() =>
+          graft.graph.GraphOps.dupClustersFromJaccard(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            col("doc_id"), col("text"), col("source"), 0.5).count()),
         // distributed PageRank on a synthetic graph scaled to the rung:
         // nodes = nDocs, edges = 20 × nDocs, 8 damped iterations; the
         // driver fast-path is disabled so every rung measures the

@@ -361,22 +361,32 @@ object TextOps {
   /** `routeThreshold`: the per-block doc count above which a block is
     * routed to the SSJoin prefix-filter leg instead of the triangle
     * leg. The triangle leg's work is quadratic in block size (spread
-    * over sub-block tasks but not reduced), so past ~20k docs a block
-    * costs more than the prefix leg's linear candidate generation —
-    * the r12 sf10 sweep measured the all-triangle path super-linear
-    * (29.9× at the 10× step) exactly because fixed-cardinality block
-    * keys turn data growth into block-size growth. The hybrid routes
-    * per block on the SAME lazy count the sizing leg already computes,
-    * so a 100 TB run with a few catch-all hot blocks pays linear cost
-    * on those and keeps the cheap triangle kernel everywhere else.
-    * Both legs tokenize with the same codegen kernel and verify with
-    * an exact sorted-merge intersection, so the routing is invisible
-    * in the output: same pairs, same jaccard values, any threshold. */
+    * over sub-block tasks but not reduced) while the prefix leg is
+    * linear in true candidate volume — the r12 sf10 sweep measured the
+    * all-triangle path super-linear (29.9× at the 10× step) exactly
+    * because fixed-cardinality block keys turn data growth into
+    * block-size growth. The hybrid routes per block on the SAME lazy
+    * count the sizing leg already computes, so a 100 TB run with a few
+    * catch-all hot blocks pays linear cost on those and keeps the
+    * cheap triangle kernel everywhere else. Both legs tokenize with
+    * the same codegen kernel and verify with an exact sorted-merge
+    * intersection, so the routing is invisible in the output: same
+    * pairs, same jaccard values, any threshold.
+    *
+    * The default sits at the r13-measured crossover: at the sf10
+    * executor-shape rung (20 blocks × 25k docs, realistic clique dup
+    * density), the triangle leg costs ~k·n² with k ≈ 6.2e-9 s (77 s
+    * for the rung) and the prefix leg ~3.0e-4 s/doc (149 s) —
+    * k·n² = c·n at n ≈ 48k docs/block. Below that the exact all-pairs
+    * kernel is simply FASTER; above it the prefix leg wins and keeps
+    * the cost linear in block size forever. The sweep's
+    * `jaccard_prefix_hybrid` probe (routeThreshold forced to 10) pins
+    * the prefix leg's linear cross-rung slope every round. */
   def jaccardDupPairs(df: DataFrame, id: Column, text: Column,
                       block: Column, threshold: Double,
                       subBlocks: Int = 4, shingleK: Int = 1,
                       maxBlockHint: Long = -1L,
-                      routeThreshold: Long = 20000L): DataFrame = {
+                      routeThreshold: Long = 50000L): DataFrame = {
     require(routeThreshold >= 1L,
       s"jaccardDupPairs: routeThreshold must be >= 1, got $routeThreshold")
     // tokenizer: native codegen kernel ([[org.apache.spark.sql.graft
