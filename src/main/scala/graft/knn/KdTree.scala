@@ -132,8 +132,19 @@ final class KdTree private (
 object KdTree {
 
   /** Build with cycling-axis median split (reference default
-    * SplitMethod::MEDIAN, src/arkadia/utils.rs). O(n log² n); build
-    * happens once on the driver, then the tree is broadcast. */
+    * SplitMethod::MEDIAN, src/arkadia/utils.rs). Build happens once on
+    * the driver, then the tree is broadcast.
+    *
+    * r13: the per-node full sort (O(n log² n) with boxed-tuple
+    * comparators — the dominant cost of every broadcast-tree query's
+    * fit step) is replaced by an in-place (value, id) quickselect on
+    * primitive parallel arrays, O(n log n) expected with zero
+    * allocation. The tree is IDENTICAL: the median element of a range
+    * under the total (value, id) order is unique, so selecting it in
+    * place picks the same point the full sort picked, and each child
+    * range holds the same SET of points (order within a range never
+    * matters — the next level re-partitions by its own axis). KnnSpec's
+    * brute-force parity and tie-break tests pin the equivalence. */
   def build(data: Array[(Long, Array[Double])], metric: String = "l2")
       : KdTree = {
     // fail loud on a bad metric string instead of silently ranking
@@ -149,25 +160,62 @@ object KdTree {
     val mins = Array.ofDim[Double](n, dim)
     val maxs = Array.ofDim[Double](n, dim)
     var cursor = 0
-    val work = data.clone()
+    val wVec = new Array[Array[Double]](n)
+    val wId = new Array[Long](n)
+    var p = 0
+    while (p < n) { wVec(p) = data(p)._2; wId(p) = data(p)._1; p += 1 }
+
+    @inline def less(i: Int, j: Int, ax: Int): Boolean = {
+      val a = wVec(i)(ax); val b = wVec(j)(ax)
+      a < b || (a == b && wId(i) < wId(j))
+    }
+    @inline def swap(i: Int, j: Int): Unit = {
+      val tv = wVec(i); wVec(i) = wVec(j); wVec(j) = tv
+      val ti = wId(i); wId(i) = wId(j); wId(j) = ti
+    }
+    /** Place the k-th smallest (by (value@ax, id)) of [lo, hi) at k —
+      * iterative Hoare quickselect, median-of-3 pivot. */
+    def select(lo0: Int, hi0: Int, k: Int, ax: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo > 1) {
+        // median-of-3 pivot to index lo
+        val mid = lo + (hi - lo) / 2
+        val last = hi - 1
+        if (less(mid, lo, ax)) swap(mid, lo)
+        if (less(last, lo, ax)) swap(last, lo)
+        if (less(last, mid, ax)) swap(last, mid)
+        swap(lo, mid) // pivot (median of 3) now at lo
+        val piv = lo
+        var i = lo + 1
+        var j = last
+        while (i <= j) {
+          while (i <= j && less(i, piv, ax)) i += 1
+          while (i <= j && less(piv, j, ax)) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        // pivot into its final slot j
+        swap(piv, j)
+        if (k == j) return
+        else if (k < j) hi = j
+        else lo = i
+      }
+    }
 
     def rec(lo: Int, hi: Int, depth: Int): Int = {
       if (lo >= hi) return -1
       val ax = depth % dim
-      val slice = work.slice(lo, hi)
-        .sortBy(t => (t._2(ax), t._1))
-      System.arraycopy(slice, 0, work, lo, hi - lo)
       val mid = lo + (hi - lo) / 2
+      select(lo, hi, mid, ax)
       val me = cursor; cursor += 1
-      pts(me) = work(mid)._2
-      idArr(me) = work(mid)._1
+      pts(me) = wVec(mid)
+      idArr(me) = wId(mid)
       axisArr(me) = ax
       var i = 0
       while (i < dim) {
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
         var j = lo
         while (j < hi) {
-          val v = work(j)._2(i)
+          val v = wVec(j)(i)
           if (v < mn) mn = v
           if (v > mx) mx = v
           j += 1
