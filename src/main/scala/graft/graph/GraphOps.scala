@@ -390,12 +390,32 @@ object GraphOps {
         // nodes ever seen: roots that never lose a union are absent
         // from `parent`, so track them in their own map (key → key)
         val seen = new LongLongMap(1 << 10)
+        // Per-task distinct-id budget (~35 bytes/id across the two
+        // maps): a sparse many-distinct-id partition would otherwise
+        // OOM the executor silently. Loud fail with the remedy instead
+        // (docs/CAPS.md, -Dgraft.maxForestIds).
+        val idCap = java.lang.Long.getLong("graft.maxForestIds",
+          8000000L)
         while (it.hasNext) {
           val (u, v) = it.next()
-          seen.put(u, u); seen.put(v, v)
-          val ru = find(u); val rv = find(v)
-          if (ru != rv) {
-            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          // self-pairs dropped here EXACTLY as connectedComponents'
+          // canon does (u =!= v filter) — a node whose only edges are
+          // self-pairs surfaces in neither the contracted nor the
+          // uncontracted path, so the two stay output-identical on
+          // arbitrary caller-supplied pair frames
+          if (u != v) {
+            seen.put(u, u); seen.put(v, v)
+            if (seen.size > idCap)
+              throw new IllegalStateException(
+                s"localSpanningForest: more than $idCap distinct ids " +
+                  "in one task's pair partition — the per-task " +
+                  "union-find would exhaust executor memory. " +
+                  "Repartition the pair frame into more partitions or " +
+                  "raise -Dgraft.maxForestIds (docs/CAPS.md).")
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) {
+              if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+            }
           }
         }
         val out = Array.newBuilder[(Long, Long)]

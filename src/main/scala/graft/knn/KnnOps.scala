@@ -43,7 +43,10 @@ object KnnOps {
       .na.drop()  // null rows are never neighbors (expr_knn.py:100 doc)
       .select(col("_id"),
         array(features.indices.map(i => col(s"_f$i")): _*).as("_f"))
-      .limit(cap + 1)
+      // Long-clamped fetch size: -Dgraft.maxKnnRef=Int.MaxValue must
+      // fail the require with the cap message, not overflow limit()
+      // into a negative AnalysisException
+      .limit(math.min(cap.toLong + 1, Int.MaxValue - 8L).toInt)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(rows.length <= cap,
@@ -171,7 +174,9 @@ object KnnOps {
     val cap = sys.props.get("graft.maxKnnRef").map(_.toInt)
       .getOrElse(10000000)
     val tRows = df.select(id.cast("long"), target.cast("double"))
-      .na.drop().limit(cap + 1).collect()
+      .na.drop()
+      .limit(math.min(cap.toLong + 1, Int.MaxValue - 8L).toInt)
+      .collect()
     require(tRows.length <= cap,
       s"KnnOps.knnAvg: target frame exceeds $cap rows — the broadcast " +
         "(id, target) map must fit on the driver and every executor. " +

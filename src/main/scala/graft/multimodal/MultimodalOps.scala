@@ -532,27 +532,51 @@ object MultimodalOps {
     f(payload)
   }
 
-  /** Image near-duplicate pairs: dHash both sides, then the same
-    * 16-bit band bucketing as the text simhash path (pigeonhole:
-    * Hamming ≤ 3 over 4 bands leaves at least one band identical —
-    * exact recall for maxDist ≤ 3, candidate prefilter beyond). No
-    * all-pairs: candidates exist only inside band buckets. */
+  /** Image near-duplicate pairs: dHash both sides, then multi-index
+    * hashing (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space
+    * with Multi-Index Hashing", CVPR 2012) over 2 bands of 32 bits —
+    * band key space 2³², with single-bit probe expansion on the left
+    * side when maxDist ≥ 2.
+    *
+    * Recall is exact for maxDist ≤ 3 (pigeonhole: ham ≤ 3 over 2
+    * bands leaves one band with ham ≤ 1, and the probe side
+    * enumerates every key within 1 bit of its band), candidate
+    * prefilter beyond — the same guarantee tier as the r13 4×16-bit
+    * bucketing, at 2¹⁶× the key space. The 16-bit bands were the one
+    * 100×-scale flag of the r13 audit: a FIXED 65,536-key space makes
+    * bucket occupancy grow linearly with the corpus and candidate
+    * pairs quadratically (~n²/2¹⁵) no matter how clean the data;
+    * 33 probe rows per band-side buy a 2³²-key space over the SAME
+    * 64-bit hash, keeping the oracle-replayable dHash unchanged
+    * (candidates ≈ 66·n²/2³³ ≈ n²/2²⁷). No all-pairs: candidates
+    * exist only inside (band, key) buckets. */
   def imageDupPairs(df: DataFrame, id: Column, payload: Column,
                     maxDist: Int): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
+    // persist the 1-row-per-image hash frame: both join sides (and the
+    // probe expansion) would otherwise decode + hash each image again
     val hashed = df.select(id.as("i"), dHash64(payload).as("ph"))
       .filter(col("ph").isNotNull)
-    val banded = hashed.select(col("i"), col("ph"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL))
-              .as("h"))): _*)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = hashed.select(col("i"), col("ph"),
+        explode(array(
+          struct(lit(0).as("b"),
+            col("ph").bitwiseAND(lit(0xffffffffL)).as("h")),
+          struct(lit(1).as("b"),
+            shiftrightunsigned(col("ph"), 32).as("h")))).as("band"))
       .select(col("i"), col("ph"),
         col("band.b").as("b"), col("band.h").as("h"))
-      // persist: the self-join would otherwise decode + hash each
-      // image once per side
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("l").join(banded.as("r"),
+    // probe radius floor(maxDist/2) capped at 1: 0 → plain band
+    // equi-join (still exact for maxDist ≤ 1); 1 → 33 keys per band
+    val probes =
+      if (maxDist <= 1) exact
+      else {
+        val masks = 0L +: (0 until 32).map(1L << _)
+        exact.select(col("i"), col("ph"), col("b"),
+          explode(array(masks.map(m =>
+            col("h").bitwiseXOR(lit(m))): _*)).as("h"))
+      }
+    probes.as("l").join(exact.as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
           col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"),

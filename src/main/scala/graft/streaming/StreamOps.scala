@@ -132,71 +132,83 @@ object StreamOps {
       .drop("__fixed", "__g", "__c")
   }
 
-  /** State for one SimHash band bucket: recently seen (id, simhash)
-    * pairs, newest first, capped at the operator's `maxPerBucket`. */
-  case class BandBucket(ids: Seq[Long], hashes: Seq[Long])
+  /** State for one SimHash band bucket: recently seen (id, w0, w1)
+    * 128-bit signatures, newest first, capped at the operator's
+    * `maxPerBucket`. */
+  case class BandBucket(ids: Seq[Long], h0: Seq[Long], h1: Seq[Long])
 
   /** Streaming twin of `TextOps.simHashDupPairs`: emit near-duplicate
     * candidate pairs (id1, id2, hamming) as documents arrive, via
-    * 16-bit SimHash band buckets kept in flatMapGroupsWithState state.
-    * Input rows are (id, simhash64) — compute the hash with
-    * `TextOps.simHash` upstream (it is a native expression and runs
-    * fine under streaming).
+    * 32-bit SimHash band buckets kept in flatMapGroupsWithState state.
+    * Input rows are (id, w0, w1) — the two words of
+    * `TextOps.simHash128` (a native expression; runs fine under
+    * streaming: `element_at(sh, 1)` / `element_at(sh, 2)`).
     *
     * Same pigeonhole guarantee as the batch op: a pair within
-    * `maxDist` ≤ 3 bits shares at least one of the 4 bands, so it is
-    * emitted by that band's group (possibly by several — pairs are
-    * canonically ordered, so a downstream
+    * `maxDist` ≤ 3 bits (over the full 128) shares at least one of
+    * the 4 bands, so it is emitted by that band's group (possibly by
+    * several — pairs are canonically ordered, so a downstream
     * `dropDuplicatesWithinWatermark` or `distinct` collapses them).
+    * The 32-bit band keys match the batch op's r14 scale fix: a
+    * 16-bit band space pins occupancy growth to the corpus size
+    * (~n²/2¹⁵ candidates); 2³² keys push that out by 2¹⁶.
     *
     * State is O(buckets × maxPerBucket), independent of stream length:
-    * each bucket keeps its `maxPerBucket` newest signatures (16 bytes
+    * each bucket keeps its `maxPerBucket` newest signatures (24 bytes
     * each), so recall against documents older than the eviction
     * horizon degrades gracefully — the streaming analogue of the
     * watermark bound on `streamingExactDedup`. Works identically on a
     * batch Dataset (state starts empty per run). */
-  def streamingSimhashDupPairs(docs: Dataset[(Long, Long)], maxDist: Int,
+  def streamingSimhashDupPairs(docs: Dataset[(Long, Long, Long)],
+                               maxDist: Int,
                                maxPerBucket: Int = 10000)
       : Dataset[(Long, Long, Int)] = {
-    implicit val encLLL = Encoders.tuple(
-      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val encL4 = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
     implicit val encOut = Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
     implicit val encState = Encoders.product[BandBucket]
-    val banded = docs.flatMap { case (id, sh) =>
-      (0 until 4).map { b =>
-        ((b.toLong << 16) | ((sh >>> (b * 16)) & 0xffffL), id, sh)
-      }
+    val banded = docs.flatMap { case (id, w0, w1) =>
+      Seq(
+        ((0L << 32) | (w0 & 0xffffffffL), id, w0, w1),
+        ((1L << 32) | (w0 >>> 32), id, w0, w1),
+        ((2L << 32) | (w1 & 0xffffffffL), id, w0, w1),
+        ((3L << 32) | (w1 >>> 32), id, w0, w1))
     }
     banded.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[BandBucket, (Long, Long, Int)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(Long, Long, Long)],
+        (_: Long, rows: Iterator[(Long, Long, Long, Long)],
          state: GroupState[BandBucket]) =>
           var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
-          var hs = state.getOption.map(_.hashes.toList).getOrElse(Nil)
+          var h0s = state.getOption.map(_.h0.toList).getOrElse(Nil)
+          var h1s = state.getOption.map(_.h1.toList).getOrElse(Nil)
           val out = List.newBuilder[(Long, Long, Int)]
-          rows.foreach { case (_, id, sh) =>
+          rows.foreach { case (_, id, w0, w1) =>
             var i = ids
-            var h = hs
+            var a0 = h0s
+            var a1 = h1s
             while (i.nonEmpty) {
               val oid = i.head
-              val osh = h.head
               if (oid != id) {
-                val d = java.lang.Long.bitCount(sh ^ osh)
+                val d = java.lang.Long.bitCount(w0 ^ a0.head) +
+                  java.lang.Long.bitCount(w1 ^ a1.head)
                 if (d <= maxDist) {
                   val (a, b) = if (id < oid) (id, oid) else (oid, id)
                   out += ((a, b, d))
                 }
               }
               i = i.tail
-              h = h.tail
+              a0 = a0.tail
+              a1 = a1.tail
             }
             ids = (id :: ids).take(maxPerBucket)
-            hs = (sh :: hs).take(maxPerBucket)
+            h0s = (w0 :: h0s).take(maxPerBucket)
+            h1s = (w1 :: h1s).take(maxPerBucket)
           }
-          state.update(BandBucket(ids, hs))
+          state.update(BandBucket(ids, h0s, h1s))
           out.result().iterator
       }
   }

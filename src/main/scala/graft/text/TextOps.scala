@@ -913,20 +913,63 @@ object TextOps {
   def simHashHamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs with Hamming ≤ maxDist, via 16-bit
-    * band buckets (pigeonhole: ≤3 flipped bits over 4 bands leave at
-    * least one band identical — exact recall for maxDist ≤ 3, candidate
-    * prefilter beyond). */
+  /** 128-bit SimHash as array<bigint> [w0, w1]: two independent
+    * 64-bit SimHashes of the same token stream (seeds 0 and 1; element
+    * 0 is bit-for-bit [[simHash]]'s output). One codegen'd pass
+    * ([[org.apache.spark.sql.graft.SimHash128]]). This is the
+    * fingerprint [[simHashDupPairs]] bands on — see there for why 64
+    * bits is a corpus-size ceiling. */
+  def simHash128(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.simHash128Native(text)
+
+  /** Hamming distance between two 128-bit simhashes
+    * (array<bigint> [w0, w1]; native bit_count algebra). */
+  def simHashHamming128(a: Column, b: Column): Column =
+    bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))
+
+  /** SimHash near-duplicate pairs with 128-bit Hamming ≤ `maxDist`,
+    * via 32-bit band buckets (pigeonhole: ≤ 3 flipped bits over 4
+    * bands leave at least one band identical — exact recall for
+    * maxDist ≤ 3, candidate prefilter beyond).
+    *
+    * Fingerprint width is the scale knob (r13 verdict): banding a
+    * 64-bit simhash into the 4 bands the maxDist ≤ 3 pigeonhole
+    * requires pins the band-key space at 2¹⁶ — bucket occupancy then
+    * grows linearly with the corpus and candidate PAIRS quadratically
+    * (~n²/2¹⁵), regardless of skew: fatal past ~10⁸ docs. The 128-bit
+    * fingerprint's 4×32-bit bands give a 2³² key space (same
+    * guarantee, quadratic term suppressed by 2¹⁶ — ~2 docs/bucket at
+    * 10¹⁰ docs). `maxDist` is measured over all 128 bits: for the
+    * same similarity level expect ≈ 2× the 64-bit Hamming (each bit
+    * flips independently per hash), so thresholds tuned against
+    * [[simHash]] roughly double. Identical normalized token streams
+    * still hash identically (hamming 0) — exact-dup recall is 1
+    * whatever the width.
+    *
+    * `blocking`: optional partition column (language, domain, shard —
+    * the [[jaccardDupPairs]] pattern); when set, pairs never cross
+    * blocks and the band key space multiplies by the block
+    * cardinality, removing even the 2³² ceiling. NULL blocks match
+    * each other (struct-wrapped null-safe key). */
   def simHashDupPairs(df: DataFrame, id: Column, text: Column,
-                      maxDist: Int): DataFrame =
+                      maxDist: Int,
+                      blocking: Option[Column] = None): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    val withSh = df.select(id.as("i"), simHash(text).as("sh"))
-    val banded = withSh.select(col("i"), col("sh"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))
-              .as("h"))): _*)).as("band"))
-      .select(col("i"), col("sh"),
+    val withSh = df.select(id.as("i"), simHash128(text).as("sh"),
+      struct(blocking.getOrElse(lit(0)).as("k")).as("blk"))
+    val w0 = element_at(col("sh"), 1)
+    val w1 = element_at(col("sh"), 2)
+    val banded = withSh.select(col("i"), col("sh"), col("blk"),
+        explode(array(
+          struct(lit(0).as("b"),
+            w0.bitwiseAND(lit(0xffffffffL)).as("h")),
+          struct(lit(1).as("b"), shiftrightunsigned(w0, 32).as("h")),
+          struct(lit(2).as("b"),
+            w1.bitwiseAND(lit(0xffffffffL)).as("h")),
+          struct(lit(3).as("b"),
+            shiftrightunsigned(w1, 32).as("h")))).as("band"))
+      .select(col("i"), col("sh"), col("blk"),
         col("band.b").as("b"), col("band.h").as("h"))
       // persist: the self-join scans this twice; without it both sides
       // re-tokenize + re-simHash every document
@@ -937,9 +980,9 @@ object TextOps {
     // only surviving (id1, id2, hamming) rows instead of every
     // band-collision candidate
     l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-        col("l.i") < col("r.i"))
+        col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"),
-        simHashHamming(col("l.sh"), col("r.sh")).as("hamming"))
+        simHashHamming128(col("l.sh"), col("r.sh")).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }  // Release.scoped: pair result materialized, simhash cache freed

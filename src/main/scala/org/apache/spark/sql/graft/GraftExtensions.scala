@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash128"),
+      new ExpressionInfo(classOf[SimHash128].getName, "graft_simhash128"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_simhash128(str) takes exactly one argument")
+        SimHash128(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_ngram_hashes"),
       new ExpressionInfo(classOf[WordNgramHashes].getName,
         "graft_word_ngram_hashes"),
@@ -182,6 +190,11 @@ object NativeFunctions {
 
   def simHash64Native(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  /** 128-bit SimHash as array<bigint> [w0, w1]; element 0 equals
+    * [[simHash64Native]]'s output. */
+  def simHash128Native(c: Column): Column =
+    ExpressionUtils.column(SimHash128(ExpressionUtils.expression(c)))
 
   def wordNgramHashesNative(c: Column, n: Int): Column =
     ExpressionUtils.column(

@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 64-bit FNV-1a fingerprint of whitespace-normalized lowercase
@@ -122,6 +122,74 @@ object SimHash64 {
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+}
+
+/** Native 128-bit SimHash over whitespace tokens: two independent
+  * 64-bit SimHashes of the SAME token stream (per-token salted hashes
+  * with seeds 0 and 1), returned as array<bigint> [w0, w1]. Element 0
+  * is bit-for-bit [[SimHash64]]'s output (same seed-0 hash), so the
+  * 64-bit fingerprint is a strict prefix of this one.
+  *
+  * Why 128 bits: near-dup banding on a 64-bit fingerprint with the
+  * maxDist ≤ 3 pigeonhole forces 4×16-bit bands — a FIXED 65,536-key
+  * space per band, corpus-wide, so candidate volume grows ~n²/2¹⁵
+  * past ~10⁸ docs regardless of skew. The same pigeonhole over 128
+  * bits uses 4×32-bit bands (2³² keys), pushing the quadratic term
+  * out by 2¹⁶. One pass over the tokens — the second hash reuses the
+  * tokenization. SQL `graft_simhash128`; DSL
+  * [[NativeFunctions.simHash128Native]]. */
+case class SimHash128(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    SimHash128.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = SimHash128.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash128 = copy(child = newChild)
+}
+
+object SimHash128 {
+  def compute(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    val acc0 = new Array[Int](64)
+    val acc1 = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h0 = SimHash64.saltedHash(words(w), 0L)
+      val h1 = SimHash64.saltedHash(words(w), 1L)
+      var b = 0
+      while (b < 64) {
+        if (((h0 >>> b) & 1L) == 1L) acc0(b) += 1 else acc0(b) -= 1
+        if (((h1 >>> b) & 1L) == 1L) acc1(b) += 1 else acc1(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc0(b) > 0) w0 |= (1L << b)
+      if (acc1(b) > 0) w1 |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(w0, w1))
   }
 }
 

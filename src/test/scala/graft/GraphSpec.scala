@@ -122,6 +122,45 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("localSpanningForest drops self-pairs exactly as the " +
+      "uncontracted path's canon filter does") {
+    import spark.implicits._
+    // adversarial caller-supplied pair frame: self-pairs everywhere,
+    // one node (99) whose ONLY edge is a self-pair
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 4L), (99L, 99L))
+      .toDF("u", "v").repartition(2)
+    val viaForest = GraphOps.dupClusters(pairs, col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val direct = GraphOps.connectedComponents(pairs, col("u"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 99 surfaces in NEITHER path (canon filters u == v)
+    assert(!direct.contains(99L))
+    assert(!viaForest.exists(_._1 == 99L))
+    assert(viaForest.map(t => t._1 -> t._2).toMap == direct)
+  }
+
+  test("localSpanningForest per-task distinct-id cap fails loud with " +
+      "the remedy, not an executor OOM") {
+    import spark.implicits._
+    val prev = System.getProperty("graft.maxForestIds")
+    System.setProperty("graft.maxForestIds", "10")
+    try {
+      val pairs = (0L until 40L).map(i => (i, i + 1000L))
+        .toDF("u", "v").coalesce(1)
+      val ex = intercept[org.apache.spark.SparkException] {
+        GraphOps.localSpanningForest(pairs, col("u"), col("v")).count()
+      }
+      val msg = ex.getMessage + Option(ex.getCause)
+        .map(_.getMessage).getOrElse("")
+      assert(msg.contains("graft.maxForestIds"),
+        s"cap error must name the property: $msg")
+    } finally {
+      if (prev == null) System.clearProperty("graft.maxForestIds")
+      else System.setProperty("graft.maxForestIds", prev)
+    }
+  }
+
   test("dupClustersFromJaccard equals the unfused pairs-then-clusters") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

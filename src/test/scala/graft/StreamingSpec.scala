@@ -108,24 +108,25 @@ class StreamingSpec extends AnyFunSuite {
   test("streamingSimhashDupPairs finds near-dups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // pick hashes so the pair differs in 2 bits (same band 0 bucket
-    // untouched in bands 1-3? band0 = low 16 bits: flip bits 20 and 40
-    // → bands 1 and 2 differ, bands 0 and 3 identical → bucket match)
-    val h1 = 0x0123456789abcdefL
-    val h2 = h1 ^ (1L << 20) ^ (1L << 40)
-    val far = ~h1 // ~64 bits away from h1
-    val mem = MemoryStream[(Long, Long)]
+    // pick 128-bit signatures so the pair differs in 2 bits: flip bit
+    // 20 of w0 (band 0 = w0 lo32 differs) and bit 40 of w1 (band 3 =
+    // w1 hi32 differs) → bands 1 (w0 hi32) and 2 (w1 lo32) identical
+    // → bucket match, hamming 2 over the 128 bits
+    val w0 = 0x0123456789abcdefL
+    val w1 = 0x0fedcba987654321L
+    val far = (3L, ~w0, ~w1) // ~128 bits away
+    val mem = MemoryStream[(Long, Long, Long)]
     val pairs = StreamOps.streamingSimhashDupPairs(mem.toDS(), maxDist = 3)
     val q = pairs.toDF("id1", "id2", "hamming").writeStream
       .format("memory").queryName("graft_simdup_test")
       .outputMode("append").start()
     try {
-      mem.addData((1L, h1), (3L, far))
+      mem.addData((1L, w0, w1), far)
       q.processAllAvailable()
       assert(spark.sql("SELECT count(*) FROM graft_simdup_test")
         .head.getLong(0) == 0L) // nothing near yet
       // near-dup of doc 1 arrives in a LATER micro-batch
-      mem.addData((2L, h2))
+      mem.addData((2L, w0 ^ (1L << 20), w1 ^ (1L << 40)))
       q.processAllAvailable()
       val got = spark.sql(
         "SELECT DISTINCT id1, id2, hamming FROM graft_simdup_test")
@@ -236,9 +237,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_ckpt_simdup").toString
-    val h1 = 0x0123456789abcdefL
-    val h2 = h1 ^ (1L << 20) ^ (1L << 40) // 2 bits apart, bands 0/3 equal
-    val mem = MemoryStream[(Long, Long)]
+    // 2 bits apart over the 128: bands 1 (w0 hi32) / 2 (w1 lo32) equal
+    val w0 = 0x0123456789abcdefL
+    val w1 = 0x0fedcba987654321L
+    val mem = MemoryStream[(Long, Long, Long)]
     val pairs = StreamOps.streamingSimhashDupPairs(mem.toDS(), maxDist = 3)
     val got = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Long, Long, Int)]())
@@ -252,13 +254,13 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     val q1 = start()
     try {
-      mem.addData((1L, h1), (3L, ~h1))
+      mem.addData((1L, w0, w1), (3L, ~w0, ~w1))
       q1.processAllAvailable()
     } finally q1.stop()
     assert(got.isEmpty) // nothing near yet
     val q2 = start()
     try {
-      mem.addData((2L, h2))
+      mem.addData((2L, w0 ^ (1L << 20), w1 ^ (1L << 40)))
       q2.processAllAvailable()
     } finally q2.stop()
     val distinct = got.toArray.map(_.asInstanceOf[(Long, Long, Int)]).toSet

@@ -190,6 +190,47 @@ class TextSimSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("simHash128 word 0 is bit-for-bit the 64-bit simhash " +
+      "(the wide fingerprint extends, never replaces, the narrow one)") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "lorem ipsum dolor sit amet",
+      "  Mixed   CASE   and   spacing  ", "single").toDF("text")
+    val rows = df.select(TextOps.simHash(col("text")).as("h64"),
+      TextOps.simHash128(col("text")).as("h128")).collect()
+    rows.foreach { r =>
+      val h128 = r.getSeq[Long](1)
+      assert(h128.length == 2)
+      assert(h128.head == r.getLong(0),
+        "simHash128[0] must equal simHash64")
+    }
+  }
+
+  test("simHashHamming128 counts bits across both words") {
+    import spark.implicits._
+    val df = Seq((Seq(0x5L, 0x0L), Seq(0x6L, 0x3L))).toDF("a", "b")
+    // 0x5^0x6 = 0x3 (2 bits) + 0x0^0x3 (2 bits) = 4
+    val d = df.select(TextOps.simHashHamming128(col("a"), col("b")))
+      .head.getInt(0)
+    assert(d == 4)
+  }
+
+  test("simHashDupPairs blocking column keeps identical texts in " +
+      "different blocks apart; NULL blocks match each other") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the quick brown fox", "de"),  // identical text, other block
+      (3L, "the quick brown fox", "en"),  // pairs with 1
+      (4L, "shared null block text", null.asInstanceOf[String]),
+      (5L, "shared null block text", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val pairs = TextOps.simHashDupPairs(df, col("doc_id"), col("text"),
+        3, blocking = Some(col("lang")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (4L, 5L)),
+      s"blocked pair set wrong: $pairs")
+  }
+
   test("cosine column algebra matches hand math") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
