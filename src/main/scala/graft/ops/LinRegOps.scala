@@ -622,19 +622,36 @@ object LinRegOps {
     // The identical iteration over driver-resident rows — used
     // wholesale below the local cap, and on a subsample as the
     // distributed loop's warm start.
+    // Converged-group early-exit (r13 verdict ask #6): IRLS updates
+    // are independent per group, so a group whose own step fell to
+    // ≤ tol is DONE — its β is frozen and its rows are masked out of
+    // every subsequent Gram accumulation (the per-row O(d²) math, the
+    // dominant cost) and its solve skipped. The unmasked loop would
+    // keep Newton-refining converged groups by < tol per step while
+    // the slowest group finishes, so masked ≡ unmasked within a few
+    // ulps of tol (GuardSpec pins it; disable with
+    // -Dgraft.irlsNoEarlyExit for the comparison). Iteration cost
+    // then decays with the convergence curve instead of staying flat
+    // at k groups for the max iteration count.
+    val noEarlyExit = java.lang.Boolean.getBoolean("graft.irlsNoEarlyExit")
     def localIterate(rows: Array[(Int, Array[Double])],
                      init0: Array[Array[Double]])
         : (Array[Array[Double]], Int) = {
       var betasL = init0
       var itersL = 0
       var deltaL = Double.MaxValue
+      val active = Array.fill(k)(true)
       // Gram accumulation over one fixed row range (shared by the
-      // sequential and multi-threaded paths below).
+      // sequential and multi-threaded paths below). Rows of frozen
+      // groups are skipped — `active` is only mutated between
+      // iterations, so the worker threads read a stable snapshot.
       def accumulate(from: Int, until: Int, betas: Array[Array[Double]],
                      acc: Array[Double]): Unit = {
         var r = from
         while (r < until) {
           val g = rows(r)._1
+          if (!active(g)) { r += 1 }
+          else {
           val arr = rows(r)._2
           val b = betas(g)
           var eta = 0.0
@@ -655,6 +672,7 @@ object LinRegOps {
           i = 0
           while (i < d) { acc(off + nTri + i) += w * arr(i) * z; i += 1 }
           r += 1
+          }
         }
       }
       // Past ~50k rows the per-iteration row sweep dominates the fit
@@ -697,6 +715,8 @@ object LinRegOps {
         val nb = new Array[Array[Double]](k)
         var g = 0
         while (g < k) {
+          if (!active(g)) { nb(g) = betasL(g); g += 1 }
+          else {
           val off = g * nG
           val xtx = Array.ofDim[Double](d, d)
           var p = off
@@ -718,8 +738,10 @@ object LinRegOps {
             dm = math.max(dm, math.abs(out(i) - old(i))); i += 1
           }
           deltaL = math.max(deltaL, dm)
+          if (dm <= tol && !noEarlyExit) active(g) = false
           nb(g) = out
           g += 1
+          }
         }
         betasL = nb
         itersL += 1
@@ -769,13 +791,22 @@ object LinRegOps {
     // of float summation — declare convergence.
     var bestDelta = Double.MaxValue
     var stall = 0
+    // converged-group mask, distributed twin of localIterate's: rows
+    // of frozen groups skip the per-row Gram math inside the
+    // treeAggregate (the broadcast snapshot is cloned per iteration so
+    // in-flight tasks never see a mid-iteration mutation)
+    val activeD = Array.fill(k)(true)
     while (iters < maxIter && delta > tol && stall < 2) {
       val tIt = System.nanoTime()
       val bc = sc.broadcast(betas)
+      val bcA = sc.broadcast(activeD.clone())
       // zero value is null, lazily allocated per partition: the real
       // zero array would be serialized into every task closure
       val acc = data.treeAggregate(null.asInstanceOf[Array[Double]])(
         (a0, kv) => {
+          val g0 = kv._1
+          if (!bcA.value(g0)) a0
+          else {
           val a = if (a0 == null) new Array[Double](k * nG) else a0
           val g = kv._1
           val arr = kv._2
@@ -798,6 +829,7 @@ object LinRegOps {
           i = 0
           while (i < d) { a(off + nTri + i) += w * arr(i) * z; i += 1 }
           a
+          }
         },
         (x, y) =>
           if (x == null) y
@@ -808,11 +840,14 @@ object LinRegOps {
             x
           })
       bc.destroy()
+      bcA.destroy()
       if (acc == null) return (betas, iters) // no rows at all
       delta = 0.0
       val nb = new Array[Array[Double]](k)
       var g = 0
       while (g < k) {
+        if (!activeD(g)) { nb(g) = betas(g); g += 1 }
+        else {
         val off = g * nG
         val xtx = Array.ofDim[Double](d, d)
         var p = off
@@ -834,8 +869,10 @@ object LinRegOps {
           dm = math.max(dm, math.abs(out(i) - old(i))); i += 1
         }
         delta = math.max(delta, dm)
+        if (dm <= tol && !noEarlyExit) activeD(g) = false
         nb(g) = out
         g += 1
+        }
       }
       betas = nb
       iters += 1

@@ -245,4 +245,48 @@ class GuardSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-6, s"warm-start beta: $a vs $b")
     }
   }
+
+  test("grouped IRLS converged-group early-exit matches the unmasked " +
+      "loop at tol (local fast path and distributed loop)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 6 groups with very different convergence speeds: tiny clean
+    // groups converge in a couple of Newton steps, the big noisy one
+    // keeps iterating — exactly the shape the mask exploits
+    val rows = (0 until 6).flatMap { g =>
+      val n = if (g < 3) 40 else 400
+      (0 until n).map { _ =>
+        val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+        val eta = (0.3 + 0.2 * g) * x1 - 0.7 * x2 + 0.1 * g
+        val p = 1.0 / (1.0 + math.exp(-eta))
+        (s"g$g", x1, x2, if (rng.nextDouble() < p) 1.0 else 0.0)
+      }
+    }
+    val df = rows.toDF("g", "x1", "x2", "y")
+    def fit(): Map[String, Seq[Double]] =
+      graft.ops.LinRegOps.logisticFitGrouped(df, Seq("g"),
+          Seq(col("x1"), col("x2")), col("y"), maxIter = 50, tol = 1e-9)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def compare(a: Map[String, Seq[Double]],
+                b: Map[String, Seq[Double]], label: String): Unit = {
+      assert(a.keySet == b.keySet)
+      a.foreach { case (g, ba) =>
+        ba.zip(b(g)).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-6, s"$label $g: $x vs $y")
+        }
+      }
+    }
+    // local fast path: masked (default) vs unmasked
+    val masked = fit()
+    val unmasked = withProp("graft.irlsNoEarlyExit", "true") { fit() }
+    compare(masked, unmasked, "local")
+    // distributed loop (cap 0): masked vs unmasked
+    val maskedD = withProp("graft.maxLocalIrls", "0") { fit() }
+    val unmaskedD = withProp("graft.maxLocalIrls", "0") {
+      withProp("graft.irlsNoEarlyExit", "true") { fit() }
+    }
+    compare(maskedD, unmaskedD, "distributed")
+    compare(masked, maskedD, "local-vs-distributed")
+  }
 }
