@@ -87,13 +87,19 @@ for q in sorted(names):
 total = round(sum(queries.values()), 3)
 wide = {q: s for q, s in spread.items()
         if queries[q] > 0 and (s[1] - s[0]) / queries[q] > 0.5}
-# carry the session-speed canary: median over the runs becomes THE
-# committed calibration value the next session's tripwire normalizes
-# against (r12 verdict ask #2)
+# carry the session-speed canary: median of the runs' BEST-of-3 probes
+# becomes THE committed calibration value the next session's tripwire
+# normalizes against (r12 ask #2); the canary's own per-run probe
+# spread is recorded too so a noisy canary is visible in the baseline
+# (r13 ask #3)
 cals = [d["calibration"] for d in data if d.get("calibration", 0) > 0]
 cal = round(statistics.median(cals), 3) if cals else 0.0
+cal_probes = sorted(p for d in data
+                    for p in d.get("calibration_probes", []))
+cal_band = ([cal_probes[0], cal_probes[-1]] if cal_probes else [])
 out = {"total": total, "n": len(queries), "sf": "/root/testdata/sf0.1",
        "head": head, "runs": runs, "calibration": cal,
+       "calibration_band": cal_band,
        "queries": queries, "spread": spread}
 with open("BENCH_DETAIL.json", "w") as f:
     json.dump(out, f, separators=(",", ":"))

@@ -1,0 +1,64 @@
+package graft
+
+/** Pure decision logic for [[Bench]]'s regression tripwire — factored
+  * out so the protocol is unit-testable against synthetic drift
+  * (r13 verdict ask #3: 28 single-shot trips that round, the largest
+  * refuted by two fresh JVMs, and the calibration canary itself
+  * swinging 1.6× between back-to-back JVMs — single-shot numbers plus
+  * a single-shot canary cannot adjudicate).
+  *
+  * The protocol has three legs:
+  *   1. BAND-AWARE thresholds: a measurement trips only if it exceeds
+  *      both 1.5× the committed MEDIAN and 1.25× the committed spread
+  *      HI (the close merge records median-of-≥3-fresh-JVMs plus the
+  *      [min,max] band), scaled by the session factor — so a query
+  *      whose committed band is honestly wide doesn't trip on its own
+  *      in-band variance.
+  *   2. CONSERVATIVE session factor: best-of-N canary over committed
+  *      canary, clamped [0.8, 2.5]. Interference inflates timings and
+  *      never deflates them, so the MINIMUM probe is the clean
+  *      estimate of box speed; using the max would let a noisy canary
+  *      normalize real regressions away.
+  *   3. SECOND-JVM adjudication: a trip that survives the in-JVM
+  *      retry is re-measured in a FRESH JVM (a fresh SparkSession is
+  *      not enough — the r13 swings were JVM/box state) before being
+  *      recorded; the recorded value is the min across measurements.
+  */
+object BenchProtocol {
+
+  /** Committed per-query baseline: the close-merge median plus the
+    * high edge of its [min, max] spread band (callers pass
+    * `hi = median` when no band was recorded — single-run detail
+    * files — which degrades to the pure-median rule). */
+  final case class Band(median: Double, hi: Double)
+
+  /** Session speed factor: best-of-probes over the committed canary,
+    * clamped to [0.8, 2.5] (outside that the probe itself is suspect
+    * and the raw comparison is safer). ≤ 0 / empty inputs → 1. */
+  def sessionFactor(calProbes: Seq[Double], committedCal: Double)
+      : Double =
+    if (committedCal <= 0 || calProbes.isEmpty) 1.0
+    else math.max(0.8, math.min(2.5, calProbes.min / committedCal))
+
+  /** The canary's own spread ratio (max/min over the probes); 1 when
+    * fewer than two probes exist. */
+  def canarySpread(calProbes: Seq[Double]): Double =
+    if (calProbes.size < 2) 1.0
+    else calProbes.max / math.max(calProbes.min, 1e-9)
+
+  /** A canary swinging more than 1.3× within one session is too noisy
+    * for its factor to excuse anything — trips must be adjudicated in
+    * a second JVM, never normalized away. (The factor above is
+    * already min-based, so this flag is reported, not used to widen
+    * thresholds.) */
+  def canaryNoisy(calProbes: Seq[Double]): Boolean =
+    canarySpread(calProbes) > 1.3
+
+  def tripThreshold(b: Band, factor: Double): Double =
+    math.max(b.median * 1.5, b.hi * 1.25) * factor
+
+  /** Does measurement `t` trip against the committed band at this
+    * session factor? */
+  def isTrip(t: Double, b: Band, factor: Double): Boolean =
+    t > tripThreshold(b, factor)
+}

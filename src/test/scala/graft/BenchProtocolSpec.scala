@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Synthetic-drift tests of the bench tripwire decision logic (r13
+  * verdict ask #3): the protocol must absorb uniform session slowdown
+  * and in-band variance without tripping, while a genuine per-query
+  * regression still trips — and a noisy canary must not be able to
+  * normalize one away. */
+class BenchProtocolSpec extends AnyFunSuite {
+  import BenchProtocol._
+
+  test("uniform 1.6x session slowdown with a clean canary trips nothing") {
+    // committed: median 1.0, band [0.9, 1.2], canary 0.7
+    val b = Band(1.0, 1.2)
+    // session runs everything 1.6x slower, canary probes agree
+    val probes = Seq(1.12, 1.15, 1.18) // best 1.12 -> factor 1.6
+    val f = sessionFactor(probes, 0.7)
+    assert(math.abs(f - 1.6) < 1e-9)
+    assert(!isTrip(1.6, b, f), "uniformly slowed in-band value tripped")
+    assert(!canaryNoisy(probes))
+  }
+
+  test("in-band variance on a wide committed band does not trip") {
+    // a query whose committed spread is honestly wide: median 1.0,
+    // band [0.6, 2.0]; a measurement at 2.3 is within 1.25x the hi
+    val b = Band(1.0, 2.0)
+    assert(!isTrip(2.3, b, 1.0))
+    // but the old bare-median rule would have flagged it at 1.5x
+    assert(2.3 > 1.0 * 1.5)
+  }
+
+  test("a genuine 3x regression trips even through session scaling") {
+    val b = Band(1.0, 1.2)
+    val f = sessionFactor(Seq(0.75, 0.8), 0.7) // ~1.07x session
+    assert(isTrip(3.0, b, f))
+  }
+
+  test("a noisy canary cannot normalize a regression away: the factor " +
+      "uses the BEST probe, not the worst") {
+    val b = Band(1.0, 1.2)
+    // canary swings 0.64 -> 1.04 (the r13 observation); committed 0.7.
+    // max-based factor would be 1.49 and threshold 2.24 — a 2.2x
+    // regression would slip through. Min-based factor stays ~0.91.
+    val probes = Seq(0.64, 1.04)
+    assert(canaryNoisy(probes))
+    val f = sessionFactor(probes, 0.7)
+    assert(f < 1.0)
+    assert(isTrip(2.2, b, f), "noisy canary normalized a regression")
+  }
+
+  test("factor clamps to [0.8, 2.5] and degrades to 1 without data") {
+    assert(sessionFactor(Seq(0.1), 1.0) == 0.8)
+    assert(sessionFactor(Seq(10.0), 1.0) == 2.5)
+    assert(sessionFactor(Nil, 1.0) == 1.0)
+    assert(sessionFactor(Seq(1.0), 0.0) == 1.0)
+  }
+
+  test("band degrades to the pure-median rule when hi == median") {
+    val b = Band(1.0, 1.0)
+    assert(!isTrip(1.49, b, 1.0))
+    assert(isTrip(1.51, b, 1.0))
+  }
+
+  test("canarySpread is 1 for fewer than two probes") {
+    assert(canarySpread(Nil) == 1.0)
+    assert(canarySpread(Seq(0.5)) == 1.0)
+    assert(math.abs(canarySpread(Seq(0.5, 0.75)) - 1.5) < 1e-9)
+  }
+}
