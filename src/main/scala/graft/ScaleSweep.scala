@@ -72,7 +72,13 @@ object ScaleSweep {
       val Array(l, d) = a.split("=", 2)
       (l, d)
     }
-    val reps = sys.env.getOrElse("GRAFT_SWEEP_REPS", "1").toInt
+    // reps default 2 (r13 verdict ask #4): single-rep sf10 cells swing
+    // ±40% with box state — SCALE_SWEEP_r13's own q_logistic/q_glm
+    // cells read 68.6/105.2 s single-rep vs 22.0/34.9 s at 2 reps and
+    // had to be adjudicated out-of-band. Every committed cell now
+    // carries its own [min,max]; GRAFT_SWEEP_REPS=1 opts back into the
+    // cheap mode for quick probes.
+    val reps = sys.env.getOrElse("GRAFT_SWEEP_REPS", "2").toInt
     val qNames = sys.env.get("GRAFT_SWEEP_QUERIES")
       .map(_.split(",").toSeq).getOrElse(registered)
 
@@ -160,6 +166,35 @@ object ScaleSweep {
             spark.read.parquet(s"$dir/documents.parquet"),
             col("doc_id"), col("text"), col("source"), 0.5,
             routeThreshold = 10L).count()),
+        // in-situ hybrid routing at the DEFAULT routeThreshold (r13
+        // verdict ask #5): re-block the rung's documents so 70% land
+        // in ONE mega block — 350k docs at the sf10 rung, well past
+        // the 50k crossover, so the SSJoin prefix leg and the
+        // triangle leg (the remaining source blocks, ~7.5k docs each)
+        // run in the SAME call through the production mixed-leg
+        // unionByName. Correctness is asserted in-probe: the routed
+        // pair set must count- and hash-equal a forced-prefix run on
+        // the same frame (below-crossover rungs degrade to
+        // triangle-vs-prefix equality — still a cross-leg check).
+        "jaccard_mixed_route" -> (() => {
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .withColumn("blk2", when(col("doc_id") % 10 < 7,
+              lit("mega")).otherwise(col("source")))
+          def sig(route: Long): (Long, Long) = {
+            val r = graft.text.TextOps.jaccardDupPairs(docs,
+                col("doc_id"), col("text"), col("blk2"), 0.5,
+                routeThreshold = route)
+              .agg(count(lit(1)).as("c"),
+                coalesce(sum(xxhash64(col("id1"), col("id2"))),
+                  lit(0L)).as("h")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val routed = sig(50000L)
+          val forced = sig(1L)
+          require(routed == forced, "jaccard_mixed_route: routed " +
+            s"pair set $routed != forced-prefix $forced")
+          routed._1
+        }),
         // the fused dedup funnel (r13): jaccard pairs -> partition-local
         // spanning-forest contraction -> CC, vs q_dup_clusters' unfused
         // pairs-then-CC on the same blocks/threshold. The contraction
@@ -214,10 +249,10 @@ object ScaleSweep {
       }
     }
 
-    // name -> rung label -> (sec, rows) | error
+    // name -> rung label -> (secMin, rows, secMax) | error
     val res = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[String,
-        Either[String, (Double, Long)]]]()
+        Either[String, (Double, Long, Double)]]]()
     for ((label, dir) <- rungs; (name, f) <- probesFor(dir)) {
       val cell = try {
         var rows = 0L
@@ -234,7 +269,7 @@ object ScaleSweep {
           println(f"[sweep] $name%-20s $label%-6s reps " +
             times.map(t => f"$t%.2f").mkString("[", ", ", "] s ") +
             f"spread ${times.max / times.min}%.2fx")
-        Right((times.min, rows))
+        Right((times.min, rows, times.max))
       } catch {
         case scala.util.control.NonFatal(e) =>
           Left(s"${e.getClass.getSimpleName}: " +
@@ -243,7 +278,7 @@ object ScaleSweep {
       res.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap()) += label -> cell
       cell match {
-        case Right((sec, rows)) =>
+        case Right((sec, rows, _)) =>
           println(f"[sweep] $name%-20s $label%-6s $sec%8.2f s  " +
             f"($rows%d rows)")
         case Left(err) =>
@@ -256,14 +291,15 @@ object ScaleSweep {
     var nFail = 0
     val qj = res.map { case (n, cells) =>
       val fields = cells.map {
-        case (l, Right((sec, rows))) =>
-          f""""${l}_sec":$sec%.3f,"${l}_rows":$rows"""
+        case (l, Right((sec, rows, secMax))) =>
+          f""""${l}_sec":$sec%.3f,"${l}_rows":$rows""" +
+            (if (reps > 1) f""","${l}_max":$secMax%.3f""" else "")
         case (l, Left(err)) =>
           nFail += 1
           s""""${l}_error":${jsonStr(err)}"""
       }.mkString(",")
       val ratio = (cells.get(firstL), cells.get(lastL)) match {
-        case (Some(Right((a, _))), Some(Right((b, _)))) if a > 0 =>
+        case (Some(Right((a, _, _))), Some(Right((b, _, _)))) if a > 0 =>
           f""","ratio":${b / a}%.2f"""
         case _ => ""
       }

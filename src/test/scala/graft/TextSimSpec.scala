@@ -179,6 +179,40 @@ class TextSimSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"minhash recall $recall on ${exact.size} pairs")
   }
 
+  test("hybrid routing executes BOTH legs in one call: the mixed-leg " +
+      "union equals forced-triangle and forced-prefix exactly") {
+    // one block above the route threshold (prefix leg) and one below
+    // (triangle leg) in the same frame — the production mixed-leg
+    // unionByName branch, which no organic fixture block exercised
+    // before r14 (r13 verdict ask #5). Texts are near-unique 6-token
+    // hash strings; ids with id % 97 == 1 copy id-1's text, planting
+    // exact-dup pairs in both blocks.
+    val docs = spark.range(5800L).selectExpr(
+        "id as doc_id",
+        "case when id % 97 = 1 then id - 1 else id end as tk",
+        "case when id < 5000 then 'big' else 'small' end as blk")
+      .selectExpr("doc_id", "blk",
+        "concat_ws(' ', hex(xxhash64(tk, 1)), hex(xxhash64(tk, 2)), " +
+          "hex(xxhash64(tk, 3)), hex(xxhash64(tk, 4)), " +
+          "hex(xxhash64(tk, 5)), hex(xxhash64(tk, 6))) as text")
+    def pairs(route: Long): Set[(Long, Long, Double)] =
+      TextOps.jaccardDupPairs(docs, col("doc_id"), col("text"),
+          col("blk"), 0.5, routeThreshold = route)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = pairs(2000L)        // big → prefix, small → triangle
+    val allTriangle = pairs(Long.MaxValue)
+    val allPrefix = pairs(1L)
+    // planted truth: one pair per (i, i+1) with i % 97 == 0, same block
+    val expected = (0L until 5800L).count(i => i % 97 == 0 &&
+      i + 1 < 5800 && (i < 5000) == (i + 1 < 5000))
+    assert(routed.size == expected, s"${routed.size} vs $expected")
+    assert(routed.forall(_._3 == 1.0))
+    assert(routed == allTriangle, "mixed union != forced triangle")
+    assert(routed == allPrefix, "mixed union != forced prefix")
+  }
+
   test("simhash hamming distance is 0 for identical docs") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
