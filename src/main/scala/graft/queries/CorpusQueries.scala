@@ -309,65 +309,42 @@ object CorpusQueries extends QueryPack {
         |JOIN cu ON cu.w = b.w1
         |CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_seq_pack" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT source, doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY doc_id) AS rn
-        |  FROM documents
-        |),
-        |walk AS (
-        |  SELECT source, rn, tok, 1 AS bin, tok AS fill
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.source, b.rn, b.tok,
-        |         CASE WHEN w.fill + b.tok > 400 THEN w.bin + 1
-        |              ELSE w.bin END,
-        |         CASE WHEN w.fill + b.tok > 400 THEN b.tok
-        |              ELSE w.fill + b.tok END
-        |  FROM walk w JOIN base b
-        |    ON b.source = w.source AND b.rn = w.rn + 1
-        |),
-        |bins AS (
-        |  SELECT source, bin, sum(tok) AS bin_tok, count(*) AS bin_docs
-        |  FROM walk GROUP BY source, bin
-        |)
-        |SELECT source, max(bin)::BIGINT AS n_bins,
-        |       sum(bin_docs)::BIGINT AS n_docs,
-        |       sum(bin_tok)::BIGINT AS sum_tok,
-        |       max(bin_tok)::BIGINT AS max_fill,
-        |       round(avg(bin_tok), 4) AS avg_fill
-        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
-    "q_sx_seq_pack" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT source, doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY doc_id) AS rn
-        |  FROM documents WHERE doc_id % 10 = 0
-        |),
-        |walk AS (
-        |  SELECT source, rn, tok, 1 AS bin, tok AS fill
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.source, b.rn, b.tok,
-        |         CASE WHEN w.fill + b.tok > 400 THEN w.bin + 1
-        |              ELSE w.bin END,
-        |         CASE WHEN w.fill + b.tok > 400 THEN b.tok
-        |              ELSE w.fill + b.tok END
-        |  FROM walk w JOIN base b
-        |    ON b.source = w.source AND b.rn = w.rn + 1
-        |),
-        |bins AS (
-        |  SELECT source, bin, sum(tok) AS bin_tok, count(*) AS bin_docs
-        |  FROM walk GROUP BY source, bin
-        |)
-        |SELECT source, max(bin)::BIGINT AS n_bins,
-        |       sum(bin_docs)::BIGINT AS n_docs,
-        |       sum(bin_tok)::BIGINT AS sum_tok,
-        |       max(bin_tok)::BIGINT AS max_fill,
-        |       round(avg(bin_tok), 4) AS avg_fill
-        |FROM bins GROUP BY source ORDER BY source""".stripMargin
+    "q_seq_pack" -> seqPackOracle(""),
+    "q_sx_seq_pack" -> seqPackOracle("WHERE doc_id % 10 = 0")
   )
+
+  /** First-fit packing walk as ONE list fold per source (r13 verdict
+    * ask #8): the recursive-CTE formulation paid one recursion step
+    * per document (DuckDB-infeasible at sf1's 2,500-doc sources and
+    * the reason q_seq_pack sat on the sf1 infeasible list); a
+    * list_reduce over the per-source token list replays the identical
+    * walk in one pass. The fold state is a single BIGINT —
+    * (bin << 40) | (max_completed_fill << 20) | fill, fields < 2^20 —
+    * because DuckDB 1.0's reduce leaks STRUCT accumulator state
+    * across GROUP BY groups (observed: src12's walk picking up
+    * another source's fill); packed-integer state does not. Bounds:
+    * per-doc token counts and per-bin fills stay < 1,048,576 (budget
+    * 400 + one max-sized doc), bins < 2^23 — far above any fixture. */
+  private def seqPackOracle(filt: String): String =
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tok
+       |  FROM documents $filt),
+       |packed AS (
+       |  SELECT source, count(*) AS n_docs, sum(tok) AS sum_tok,
+       |    reduce(
+       |      list_transform(list(tok ORDER BY doc_id),
+       |        x -> (1::BIGINT << 40) + x),
+       |      (acc, x) -> CASE WHEN (acc % 1048576) + (x % 1048576) > 400
+       |        THEN (((acc >> 40) + 1) << 40)
+       |             + (greatest((acc >> 20) % 1048576, acc % 1048576) << 20)
+       |             + (x % 1048576)
+       |        ELSE acc + (x % 1048576) END) AS st
+       |  FROM base GROUP BY source)
+       |SELECT source, (st >> 40)::BIGINT AS n_bins,
+       |       n_docs::BIGINT AS n_docs,
+       |       sum_tok::BIGINT AS sum_tok,
+       |       greatest((st >> 20) % 1048576, st % 1048576)::BIGINT AS max_fill,
+       |       round(sum_tok / (st >> 40), 4) AS avg_fill
+       |FROM packed ORDER BY source""".stripMargin
 }

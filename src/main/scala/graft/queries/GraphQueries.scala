@@ -220,7 +220,32 @@ object GraphQueries extends QueryPack {
     * (blocked by source). Parameterized so the q_sx twins can run it
     * over a source-restricted CTE — components never cross sources,
     * so restriction commutes with the closure. */
-  private def edgeSqlFor(docsFrom: String): String =
+  /** Jaccard-edge + connected-components SQL shared by the dedup
+    * oracles. r14 (verdict ask #8): the recursive min-label `walk`
+    * was the 300 s sf1 bottleneck, NOT the edge join — in a dup
+    * CLUSTER the walk accumulates every (node, label) combination it
+    * ever saw (a c-clique piles up ~c² walk rows before the MIN), 142
+    * of the 142.4 s at sf1's 690k-edge sample. Replaced by 20
+    * UNROLLED min-label + pointer-jump rounds (each: neighbor-min ∪
+    * label-of-label ∪ keep-own, then MIN per node — one row per node
+    * per round): labels are monotone non-increasing and bounded below
+    * by the true component min, neighbor-min alone reaches it within
+    * diameter rounds, and the label-of-label jump doubles the
+    * propagation distance per round, so 20 rounds are exact for any
+    * component diameter ≤ 2²⁰ — unreachable for these fixtures (the
+    * sampled node set itself is < 2²⁰). Same fixpoint as the old
+    * walk: comp = MIN doc_id in the component. sf1: 8.2 s. */
+  private def edgeSqlFor(docsFrom: String): String = {
+    val rounds = 20
+    val steps = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT x.id, MIN(x.l) l FROM (
+         |    SELECT s.u AS id, p.l FROM sym s JOIN l${k - 1} p ON p.id = s.v
+         |    UNION ALL SELECT p.id, j.l FROM l${k - 1} p
+         |      JOIN l${k - 1} j ON j.id = p.l
+         |    UNION ALL SELECT id, l FROM l${k - 1}
+         |  ) x GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
     s"""w AS (
       |  SELECT DISTINCT source b, doc_id i, UNNEST(
       |    regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) w
@@ -235,12 +260,13 @@ object GraphQueries extends QueryPack {
       |  JOIN nw n1 ON n1.b = p.b AND n1.i = p.i1
       |  JOIN nw n2 ON n2.b = p.b AND n2.i = p.i2
       |  WHERE p.common::DOUBLE / (n1.n + n2.n - p.common) >= 0.5),
-      |sym AS (SELECT i1 u, i2 v FROM e UNION SELECT i2, i1 FROM e),
-      |walk(id, comp) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n(u)
-      |  UNION
-      |  SELECT s.v, wk.comp FROM walk wk JOIN sym s ON s.u = wk.id),
-      |cc AS (SELECT id, MIN(comp) comp FROM walk GROUP BY 1)""".stripMargin
+      |sym AS MATERIALIZED (
+      |  SELECT i1 u, i2 v FROM e UNION SELECT i2, i1 FROM e),
+      |l0 AS MATERIALIZED (
+      |  SELECT u AS id, LEAST(u, MIN(v)) l FROM sym GROUP BY 1),
+      |$steps,
+      |cc AS (SELECT id, l AS comp FROM l$rounds)""".stripMargin
+  }
 
   private val edgeSql = edgeSqlFor("documents")
 

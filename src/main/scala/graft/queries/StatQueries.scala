@@ -560,21 +560,89 @@ object StatQueries extends QueryPack {
         |  ROUND(1 - n * SUM(ABS(rn - r))
         |    / (2.0 * SUM(l * (n - l))), 6) AS xi
         |FROM s GROUP BY g, n ORDER BY 1""".stripMargin,
+    // τ-b from counts (y = c_custkey is unique, so n0 pairs split
+    // into con + dis + x-ties): τ = (n0 − tx − 2·dis)/√((n0−tx)·n0).
+    // dis (= discordant pairs = inversions of x under y-order) is
+    // counted EXACTLY by √n-block decomposition instead of the
+    // all-pairs join (r13 verdict ask #8 — the quadratic formulation
+    // needed a 300 s budget at sf1's 30k-row segments; this runs in
+    // ~3 s): split each segment into ⌈√n⌉ y-blocks (row_number order)
+    // and ⌈√n⌉ x-buckets (dense_rank order, ties share a bucket, so
+    // bucket order ⇒ strict value order). A discordant pair is then
+    // EITHER same-y-block (exact join within block), same-x-bucket
+    // across y-blocks (exact join within bucket), or different-both —
+    // where x_a > x_b is decided by bucket alone, so those pairs are
+    // the cell-count products Σ c(yb,xb)·|{yb' < yb, xb' > xb}|,
+    // computed with two windowed prefix sums over the dense cell
+    // grid. Disjoint and exhaustive ⇒ exact dis; the per-leg joins
+    // are O(n·√n) rows.
     "q_kendall_tau" ->
       """WITH c AS (
         |  SELECT c_mktsegment g, c_acctbal x, c_custkey y FROM customer),
-        |p AS (
-        |  SELECT a.g,
-        |    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
-        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)::DOUBLE con,
-        |    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
-        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)::DOUBLE dis,
-        |    COUNT(*)::DOUBLE n0
-        |  FROM c a JOIN c b ON a.g = b.g AND a.y < b.y
-        |  GROUP BY 1)
+        |n AS (SELECT g, COUNT(*)::BIGINT n FROM c GROUP BY 1),
+        |b AS (SELECT g, GREATEST(16, CEIL(SQRT(n)))::BIGINT nb FROM n),
+        |t AS (
+        |  SELECT c.g, c.x, c.y,
+        |    (ROW_NUMBER() OVER (PARTITION BY c.g ORDER BY c.y) - 1)
+        |      // CEIL(n.n / b.nb)::BIGINT AS yb,
+        |    (DENSE_RANK() OVER (PARTITION BY c.g ORDER BY c.x) - 1) AS xr
+        |  FROM c JOIN n USING (g) JOIN b USING (g)),
+        |nr AS (SELECT g, MAX(xr) + 1 nxr FROM t GROUP BY 1),
+        |t2 AS (
+        |  SELECT t.g, t.x, t.y, t.yb,
+        |    t.xr // CEIL(nr.nxr / b.nb)::BIGINT AS xb
+        |  FROM t JOIN nr USING (g) JOIN b USING (g)),
+        |a_cnt AS (
+        |  SELECT l.g, COUNT(*)::BIGINT dis
+        |  FROM t2 l JOIN t2 r ON l.g = r.g AND l.yb = r.yb
+        |    AND l.y < r.y AND l.x > r.x
+        |  GROUP BY 1),
+        |b_cnt AS (
+        |  SELECT l.g, COUNT(*)::BIGINT dis
+        |  FROM t2 l JOIN t2 r ON l.g = r.g AND l.xb = r.xb
+        |    AND l.yb < r.yb AND l.x > r.x
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT g, yb, xb, COUNT(*)::BIGINT c FROM t2 GROUP BY 1, 2, 3),
+        |dims AS (SELECT g, MAX(yb) myb, MAX(xb) mxb FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT d.g, gy.yb, gx.xb, COALESCE(cl.c, 0)::BIGINT c
+        |  FROM dims d
+        |  CROSS JOIN LATERAL (SELECT UNNEST(RANGE(0, d.myb + 1)) AS yb) gy
+        |  CROSS JOIN LATERAL (SELECT UNNEST(RANGE(0, d.mxb + 1)) AS xb) gx
+        |  LEFT JOIN cells cl ON cl.g = d.g AND cl.yb = gy.yb
+        |    AND cl.xb = gx.xb),
+        |cumy AS (
+        |  SELECT g, yb, xb, c,
+        |    SUM(c) OVER (PARTITION BY g, xb ORDER BY yb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above
+        |  FROM grid),
+        |s AS (
+        |  SELECT g, yb, xb, c,
+        |    SUM(COALESCE(above, 0)) OVER (PARTITION BY g, yb
+        |      ORDER BY xb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS right_above
+        |  FROM cumy),
+        |c_cnt AS (
+        |  SELECT g, SUM(c * COALESCE(right_above, 0))::BIGINT dis
+        |  FROM s GROUP BY 1),
+        |tx AS (
+        |  SELECT g, COALESCE(SUM(cnt * (cnt - 1) / 2), 0)::BIGINT tx
+        |  FROM (SELECT g, x, COUNT(*)::BIGINT cnt FROM c GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT n.g, n.n * (n.n - 1) / 2 AS n0, tx.tx,
+        |    COALESCE(a.dis, 0) + COALESCE(bb.dis, 0)
+        |      + COALESCE(cc.dis, 0) AS dis
+        |  FROM n JOIN tx USING (g)
+        |  LEFT JOIN a_cnt a ON a.g = n.g
+        |  LEFT JOIN b_cnt bb ON bb.g = n.g
+        |  LEFT JOIN c_cnt cc ON cc.g = n.g)
         |SELECT g AS c_mktsegment,
-        |  ROUND((con - dis) / SQRT((con + dis) * n0), 6) AS tau
-        |FROM p ORDER BY 1""".stripMargin,
+        |  ROUND((n0 - tx - 2.0 * dis) / SQRT((n0 - tx)::DOUBLE * n0), 6)
+        |    AS tau
+        |FROM fin ORDER BY 1""".stripMargin,
     "q_sx_kendall" ->
       """WITH c AS (
         |  SELECT c_mktsegment g, c_acctbal x, c_custkey y FROM customer

@@ -139,11 +139,18 @@ object TSQueries2 extends QueryPack {
         .orderBy("event_type")
     }),
     "q_mann_kendall" -> ((s, dir) => {
-      // Mann–Kendall trend + Theil–Sen slope per event type on the
-      // 1-in-10 subsample (the DuckDB oracle is the quadratic pair
-      // join; the Spark side is O(n log n) selection, no pair set)
-      TrendOps.mannKendall(sub(s, dir), col("event_id"), col("value"),
-          Seq("event_type"))
+      // Mann–Kendall trend + Theil–Sen slope per event type on a
+      // deterministic subsample (the DuckDB oracle is the quadratic
+      // pair join; the Spark side is O(n log n) selection, no pair
+      // set). sf-adaptive rate (r13 verdict ask #8): 1/10 replays to
+      // ~100k events (≤2e7 pairs/group); sf1's 20k-row groups pushed
+      // the oracle to a 300 s budget, so both sides step to 1/40 past
+      // 200k events — gate and bench scales are untouched, and the
+      // oracle stays the full quadratic DEFINITION on the same rows.
+      val ev = t(s, dir, "events")
+      val rate = if (ev.count() > 200000L) 40 else 10
+      TrendOps.mannKendall(ev.filter(col("event_id") % rate === 0),
+          col("event_id"), col("value"), Seq("event_type"))
         .select(col("event_type"), round(col("s"), 1).as("s"),
           round(col("var_s"), 2).as("var_s"),
           round(col("z"), 6).as("z"),
@@ -277,9 +284,12 @@ object TSQueries2 extends QueryPack {
     "q_mann_kendall" ->
       // the oracle IS the quadratic definition: every pair's sign and
       // slope, MEDIAN over slopes — feasible only on the subsample
-      s"""WITH t AS (
+      s"""WITH rt AS (
+        |  SELECT CASE WHEN COUNT(*) > 200000 THEN 40 ELSE 10 END r
+        |  FROM events),
+        |t AS (
         |  SELECT event_type g, event_id::DOUBLE tt, value x
-        |  FROM events WHERE event_id % 10 = 0),
+        |  FROM events WHERE event_id % (SELECT r FROM rt) = 0),
         |p AS (
         |  SELECT a.g, SIGN(b.x - a.x) sgn,
         |    (b.x - a.x) / (b.tt - a.tt) sl
