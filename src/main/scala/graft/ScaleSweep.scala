@@ -166,6 +166,39 @@ object ScaleSweep {
             spark.read.parquet(s"$dir/documents.parquet"),
             col("doc_id"), col("text"), col("source"), 0.5,
             routeThreshold = 10L).count()),
+        // SimHash band-bucket occupancy across rungs (r13 verdict ask
+        // #1's acceptance evidence): returns the DISTINCT (band, key)
+        // bucket count and prints avg/max docs per bucket. With the
+        // r14 128-bit fingerprint the key space is 2³² per band, so
+        // the bucket count must scale ~linearly with the corpus (its
+        // cross-rung ratio ≈ the doc ratio) and avg occupancy stay
+        // ~constant — the signature of a band space that grows with
+        // the data instead of saturating (the old 4×16-bit bands
+        // saturate 65,536 buckets corpus-wide: occupancy, and with it
+        // candidate volume, grows linearly with n). Max occupancy =
+        // the largest exact-dup group (identical docs share all
+        // bands), which is duplicate mass, not band saturation.
+        "simhash_band_occupancy" -> (() => {
+          val sh = spark.read.parquet(s"$dir/documents.parquet")
+            .select(graft.text.TextOps.simHash128(col("text")).as("sh"))
+          val w0 = element_at(col("sh"), 1)
+          val w1 = element_at(col("sh"), 2)
+          val occ = sh.select(explode(array(
+              struct(lit(0).as("b"),
+                w0.bitwiseAND(lit(0xffffffffL)).as("h")),
+              struct(lit(1).as("b"), shiftrightunsigned(w0, 32).as("h")),
+              struct(lit(2).as("b"),
+                w1.bitwiseAND(lit(0xffffffffL)).as("h")),
+              struct(lit(3).as("b"),
+                shiftrightunsigned(w1, 32).as("h")))).as("band"))
+            .groupBy(col("band.b"), col("band.h")).count()
+            .agg(count(lit(1)).as("buckets"), avg("count").as("avg_occ"),
+              max("count").as("max_occ")).head()
+          println(f"[sweep] simhash_band_occupancy $dir: " +
+            f"${occ.getLong(0)} buckets, avg ${occ.getDouble(1)}%.3f, " +
+            f"max ${occ.getLong(2)} docs/bucket")
+          occ.getLong(0)
+        }),
         // in-situ hybrid routing at the DEFAULT routeThreshold (r13
         // verdict ask #5): re-block the rung's documents so 70% land
         // in ONE mega block — 350k docs at the sf10 rung, well past

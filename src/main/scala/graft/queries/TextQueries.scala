@@ -246,6 +246,36 @@ object TextQueries extends QueryPack {
           round(coalesce(avg(col("hamming")), lit(0.0)), 4)
             .as("avg_hamming"))
     }),
+    "q_simhash_block" -> ((s, dir) => {
+      // the r14 blocking-column variant: pairs must stay inside their
+      // source block. Exact side: identical normalized word sequences
+      // IN THE SAME SOURCE (hamming 0, every band + the block key
+      // match) — recall must be exactly 1; and NO emitted pair may
+      // cross sources (n_cross = 0 pins the blocking contract).
+      val docs = t(s, dir, "documents")
+      val norm = docs.select(col("doc_id").as("d"),
+        col("source").as("src"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+")).as("t"))
+      val exact = norm.as("l").join(norm.as("r"),
+          col("l.t") === col("r.t") && col("l.src") === col("r.src") &&
+            col("l.d") < col("r.d"))
+        .select(col("l.d").as("i1"), col("r.d").as("i2"))
+      val sh = TextOps.simHashDupPairs(docs, col("doc_id"), col("text"),
+          8, blocking = Some(col("source")))
+        .select(col("id1"), col("id2"), col("hamming"))
+      val cross = sh
+        .join(norm.select(col("d").as("id1"), col("src").as("s1")), "id1")
+        .join(norm.select(col("d").as("id2"), col("src").as("s2")), "id2")
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross"))
+      exact.join(sh,
+          exact("i1") === sh("id1") && exact("i2") === sh("id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hamming")) === count(lit(1))).as("recall_ok"),
+          round(coalesce(avg(col("hamming")), lit(0.0)), 4)
+            .as("avg_hamming"))
+        .crossJoin(cross)
+    }),
     "q_cosine_topk" -> ((s, dir) => {
       // cast to double so the dot product runs in f64 on both engines
       val emb = t(s, dir, "embeddings")
@@ -1239,6 +1269,15 @@ object TextQueries extends QueryPack {
         |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
         |  0.0 AS avg_hamming
         |FROM n l JOIN n r ON l.t = r.t AND l.d < r.d""".stripMargin,
+    "q_simhash_block" ->
+      """WITH n AS (
+        |  SELECT doc_id d, source src, array_to_string(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+'), ' ') t
+        |  FROM documents)
+        |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
+        |  0.0 AS avg_hamming, 0::BIGINT AS n_cross
+        |FROM n l JOIN n r ON l.t = r.t AND l.src = r.src
+        |  AND l.d < r.d""".stripMargin,
     "q_cosine_dup" ->
       """WITH e AS (
         |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
