@@ -60,7 +60,7 @@ object ScaleSweep {
     "q_dup_clusters",      // + large-star/small-star CC
     "q_dedup_survivors",   // + survivorship groupBy
     "q_minhash_dup",       // MinHash LSH band join (full-corpus leg)
-    "q_simhash_dup",       // SimHash 16-bit band join
+    "q_simhash_dup",       // SimHash 32-bit band join (r14: 128-bit fingerprint)
     "q_corr_table",        // spearman rank plan over events
     "q_logistic_grp",      // grouped batch-IRLS logistic over lineitem
     "q_glm_grp")           // grouped poisson+gamma IRLS over lineitem
@@ -200,19 +200,31 @@ object ScaleSweep {
           occ.getLong(0)
         }),
         // in-situ hybrid routing at the DEFAULT routeThreshold (r13
-        // verdict ask #5): re-block the rung's documents so 70% land
-        // in ONE mega block — 350k docs at the sf10 rung, well past
-        // the 50k crossover, so the SSJoin prefix leg and the
-        // triangle leg (the remaining source blocks, ~7.5k docs each)
+        // verdict ask #5): the rung's real source blocks (triangle
+        // leg) plus ONE synthetic 60k-doc mega block — past the 50k
+        // crossover, so the SSJoin prefix leg and the triangle leg
         // run in the SAME call through the production mixed-leg
-        // unionByName. Correctness is asserted in-probe: the routed
-        // pair set must count- and hash-equal a forced-prefix run on
-        // the same frame (below-crossover rungs degrade to
-        // triangle-vs-prefix equality — still a cross-leg check).
+        // unionByName. The mega block is near-unique 6-token hash
+        // text with one planted dup pair per 97 ids, so its TRUE pair
+        // volume is linear; an earlier revision re-blocked 70% of the
+        // REAL docs into the mega block, which merged every source's
+        // near-dup mass into one block and made the true pair output
+        // quadratic in block size (45M pairs at sf1, ~100× that at
+        // sf10) — measuring output volume, not routing. Correctness
+        // is asserted in-probe: the routed pair set must count- and
+        // hash-equal a forced-prefix run on the same frame.
         "jaccard_mixed_route" -> (() => {
+          val mega = spark.range(60000L).selectExpr(
+              "id + 1000000000 as doc_id",
+              "case when id % 97 = 1 then id - 1 else id end as tk",
+              "'mega' as blk2")
+            .selectExpr("doc_id", "blk2",
+              "concat_ws(' ', hex(xxhash64(tk, 1)), hex(xxhash64(tk, 2)), " +
+                "hex(xxhash64(tk, 3)), hex(xxhash64(tk, 4)), " +
+                "hex(xxhash64(tk, 5)), hex(xxhash64(tk, 6))) as text")
           val docs = spark.read.parquet(s"$dir/documents.parquet")
-            .withColumn("blk2", when(col("doc_id") % 10 < 7,
-              lit("mega")).otherwise(col("source")))
+            .selectExpr("doc_id", "source as blk2", "text")
+            .unionByName(mega)
           def sig(route: Long): (Long, Long) = {
             val r = graft.text.TextOps.jaccardDupPairs(docs,
                 col("doc_id"), col("text"), col("blk2"), 0.5,

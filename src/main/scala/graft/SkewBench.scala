@@ -21,7 +21,7 @@ object SkewBench {
     "q_dup_clusters",      // jaccard block dedup + CC over hot domain
     "q_dedup_survivors",   // cluster survivorship groupBy hot source
     "q_minhash_dup",       // MinHash LSH with the hot band bucket
-    "q_simhash_dup",       // SimHash 16-bit bands, hot near-dup bucket
+    "q_simhash_dup",       // SimHash 32-bit bands (r14), hot near-dup bucket
     "q_incremental_dedup", // persisted band-table join, hot bucket
     "q_domain_mix",        // tokenBudgetMix window over the hot domain
     "q_bloom_join",        // bloom prefilter + join on the hot order key
