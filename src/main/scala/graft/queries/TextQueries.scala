@@ -276,6 +276,48 @@ object TextQueries extends QueryPack {
             .as("avg_hamming"))
         .crossJoin(cross)
     }),
+    "q_incremental_simhash" -> ((s, dir) => {
+      // daily-snapshot SimHash dedup loop (the q_incremental_dedup
+      // pattern over the 128-bit fingerprint band table): even docs
+      // are the persisted corpus, odd docs the new batch. The
+      // deterministic fingerprint makes incremental ≡ full-batch an
+      // exact equivalence — pinned as inc_equals_full — and
+      // identical-text cross pairs (hamming 0, SQL-computable) must
+      // all be found.
+      import graft.text.TextOps
+      val docs = t(s, dir, "documents")
+      // fingerprint the corpus ONCE; old-only, full, and incremental
+      // new-vs-old sweeps are slices of the same persisted band table
+      val bandAll = TextOps.simHashBandTable(docs, col("doc_id"),
+          col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandOld = bandAll.filter(pmod(col("i"), lit(2)) === 0)
+      val bandNew = bandAll.filter(pmod(col("i"), lit(2)) === 1)
+      val incNew = TextOps.incrementalSimHashDupPairsFromBands(
+        bandNew, bandOld, 8)
+      val oldPairs = TextOps.simHashDupPairsFromBands(bandOld, 8)
+      val full = TextOps.simHashDupPairsFromBands(bandAll, 8)
+      val incAll = oldPairs.select("id1", "id2")
+        .union(incNew.select("id1", "id2")).distinct()
+      val eq = full.select(col("id1"), col("id2"), lit(1).as("f"))
+        .join(incAll.withColumn("g", lit(1)), Seq("id1", "id2"),
+          "full")
+        .agg(coalesce(bool_and(col("f").isNotNull &&
+          col("g").isNotNull), lit(true)).as("inc_equals_full"))
+      val norm = docs.select(col("doc_id").as("d"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+"))
+          .as("t"))
+      val ident = norm.as("l").join(norm.as("r"),
+          col("l.t") === col("r.t") && col("l.d") < col("r.d") &&
+            pmod(col("l.d"), lit(2)) =!= pmod(col("r.d"), lit(2)))
+        .select(col("l.d").as("id1"), col("r.d").as("id2"))
+      ident.join(incNew.select(col("id1"), col("id2"),
+            lit(1).as("hit")), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_ident_cross"),
+          coalesce(bool_and(col("hit").isNotNull), lit(true))
+            .as("ident_found"))
+        .crossJoin(eq)
+    }),
     "q_cosine_topk" -> ((s, dir) => {
       // cast to double so the dot product runs in f64 on both engines
       val emb = t(s, dir, "embeddings")
@@ -1269,6 +1311,18 @@ object TextQueries extends QueryPack {
         |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
         |  0.0 AS avg_hamming
         |FROM n l JOIN n r ON l.t = r.t AND l.d < r.d""".stripMargin,
+    "q_incremental_simhash" ->
+      """WITH n AS (
+        |  SELECT doc_id AS d,
+        |    array_to_string(regexp_split_to_array(lower(trim(text)),
+        |      '\s+'), ' ') AS t
+        |  FROM documents)
+        |SELECT
+        |  (SELECT COUNT(*) FROM n l JOIN n r
+        |     ON l.t = r.t AND l.d < r.d AND l.d % 2 <> r.d % 2
+        |  )::BIGINT AS n_ident_cross,
+        |  true AS ident_found,
+        |  true AS inc_equals_full""".stripMargin,
     "q_simhash_block" ->
       """WITH n AS (
         |  SELECT doc_id d, source src, array_to_string(

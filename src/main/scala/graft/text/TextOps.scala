@@ -956,11 +956,55 @@ object TextOps {
                       maxDist: Int,
                       blocking: Option[Column] = None): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
+    val banded = simHashBandTable(df, id, text, blocking)
+      // persist: the self-join scans this twice; without it both sides
+      // re-tokenize + re-simHash every document
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simHashDupPairsFromBands(banded, maxDist)
+  }  // Release.scoped: pair result materialized, simhash cache freed
+
+  /** Full self-sweep over a pre-built [[simHashBandTable]] — the
+    * re-fingerprint-nothing variant of [[simHashDupPairs]] (e.g. for
+    * a persisted corpus snapshot, or for slicing one signed table
+    * into old/new/full sweeps). */
+  def simHashDupPairsFromBands(bands: DataFrame, maxDist: Int)
+      : DataFrame = {
+    val l = bands.as("l")
+    val r = bands.as("r")
+    // hamming filter before the pair-dedup: the distinct then shuffles
+    // only surviving (id1, id2, hamming) rows instead of every
+    // band-collision candidate
+    l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+        col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
+      .select(col("l.i").as("id1"), col("r.i").as("id2"),
+        bandHamming128("l", "r").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** 128-bit Hamming distance between two aliased
+    * [[simHashBandTable]] sides. */
+  private def bandHamming128(l: String, r: String): Column =
+    bit_count(col(s"$l.w0").bitwiseXOR(col(s"$r.w0"))) +
+      bit_count(col(s"$l.w1").bitwiseXOR(col(s"$r.w1")))
+
+  /** The persistable SimHash state of a corpus: one row per
+    * (document, band) with the 32-bit band key AND the full 128-bit
+    * fingerprint as flat columns (i, blk, w0, w1, b, h) — everything
+    * incremental dedup needs to compare new documents against the
+    * corpus without ever re-reading or re-hashing the corpus text
+    * (the [[minHashBandTable]] pattern). Write once per corpus
+    * snapshot, partitioned by `b` at rest so band probes prune; 4
+    * narrow rows per document. `blk` is the struct-wrapped blocking
+    * key ([[simHashDupPairs]]) — pass the same `blocking` on both the
+    * corpus and each batch. */
+  def simHashBandTable(df: DataFrame, id: Column, text: Column,
+                       blocking: Option[Column] = None): DataFrame = {
     val withSh = df.select(id.as("i"), simHash128(text).as("sh"),
       struct(blocking.getOrElse(lit(0)).as("k")).as("blk"))
     val w0 = element_at(col("sh"), 1)
     val w1 = element_at(col("sh"), 2)
-    val banded = withSh.select(col("i"), col("sh"), col("blk"),
+    withSh.select(col("i"), col("blk"), w0.as("w0"), w1.as("w1"),
         explode(array(
           struct(lit(0).as("b"),
             w0.bitwiseAND(lit(0xffffffffL)).as("h")),
@@ -969,23 +1013,54 @@ object TextOps {
             w1.bitwiseAND(lit(0xffffffffL)).as("h")),
           struct(lit(3).as("b"),
             shiftrightunsigned(w1, 32).as("h")))).as("band"))
-      .select(col("i"), col("sh"), col("blk"),
+      .select(col("i"), col("blk"), col("w0"), col("w1"),
         col("band.b").as("b"), col("band.h").as("h"))
-      // persist: the self-join scans this twice; without it both sides
-      // re-tokenize + re-simHash every document
+  }
+
+  /** Incremental SimHash dedup: near-duplicate pairs (Hamming ≤
+    * `maxDist` over the 128-bit fingerprint) of a NEW batch against
+    * an existing corpus band table (from [[simHashBandTable]]) plus
+    * within the batch itself — the daily-snapshot crawl-dedup loop,
+    * twin of [[incrementalMinHashDupPairs]]. The hash family is
+    * deterministic, so `corpus pairs ∪ this` equals a full-batch
+    * [[simHashDupPairs]] over `corpus ∪ new` exactly (TextSimSpec and
+    * the q_incremental_simhash oracle pin it). Document ids must be
+    * distinct across corpus and batch; pairs normalize to id1 < id2.
+    *
+    * Scale shape: the corpus side is only touched by a hash join on
+    * (band, key, block) — colliding buckets stream, nothing
+    * re-tokenizes; the new batch (typically ≪ corpus) is fingerprinted
+    * once and persisted; fingerprints ride the band rows so no
+    * signature fetch-back join exists. State grows by 4 rows per new
+    * document; corpus text is never re-read. */
+  def incrementalSimHashDupPairs(newDf: DataFrame, id: Column,
+                                 text: Column, corpusBands: DataFrame,
+                                 maxDist: Int,
+                                 blocking: Option[Column] = None)
+      : DataFrame = graft.util.Release.scoped(newDf.sparkSession) {
+    val nb = simHashBandTable(newDf, id, text, blocking)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.as("l")
-    val r = banded.as("r")
-    // hamming filter before the pair-dedup: the distinct then shuffles
-    // only surviving (id1, id2, hamming) rows instead of every
-    // band-collision candidate
-    l.join(r, col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-        col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
-      .select(col("l.i").as("id1"), col("r.i").as("id2"),
-        simHashHamming128(col("l.sh"), col("r.sh")).as("hamming"))
+    incrementalSimHashDupPairsFromBands(nb, corpusBands, maxDist)
+  }
+
+  /** Incremental pair sweep over pre-built SimHash band tables — the
+    * re-fingerprint-nothing variant of
+    * [[incrementalSimHashDupPairs]] for callers holding both tables. */
+  def incrementalSimHashDupPairsFromBands(newBands: DataFrame,
+                                          corpusBands: DataFrame,
+                                          maxDist: Int): DataFrame = {
+    def cand(l: DataFrame, r: DataFrame, cond: Column) =
+      l.as("l").join(r.as("r"),
+          col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+            col("l.blk") === col("r.blk") && cond)
+        .select(least(col("l.i"), col("r.i")).as("id1"),
+          greatest(col("l.i"), col("r.i")).as("id2"),
+          bandHamming128("l", "r").as("hamming"))
+    cand(corpusBands, newBands, col("l.i") =!= col("r.i"))
+      .union(cand(newBands, newBands, col("l.i") < col("r.i")))
       .filter(col("hamming") <= maxDist)
       .distinct()
-  }  // Release.scoped: pair result materialized, simhash cache freed
+  }
 
   /** Per-document TF-IDF scores for every term: tf = term count /
     * document token count; idf = ln((1+N)/(1+df)) + 1 (the smoothed

@@ -265,6 +265,37 @@ class TextSimSpec extends AnyFunSuite {
       s"blocked pair set wrong: $pairs")
   }
 
+  test("incremental simhash over a persisted band table equals the " +
+      "full-batch sweep (with blocking)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"),   // corpus-internal dup
+      (3L, "totally different words here", "en"),
+      (11L, "alpha beta gamma delta", "en"),  // new, dups 1 and 2
+      (12L, "alpha beta gamma delta", "de"),  // new, other block
+      (13L, "totally different words here", "en")) // new, dups 3
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val batch = docs.filter(col("doc_id") >= 10)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusBands = TextOps.simHashBandTable(corpus, col("doc_id"),
+      col("text"), Some(col("lang")))
+    val inc = pairSet(TextOps.incrementalSimHashDupPairs(batch,
+      col("doc_id"), col("text"), corpusBands, 3, Some(col("lang"))))
+    val oldPairs = pairSet(TextOps.simHashDupPairsFromBands(
+      corpusBands, 3))
+    val full = pairSet(TextOps.simHashDupPairs(docs, col("doc_id"),
+      col("text"), 3, Some(col("lang"))))
+    assert((oldPairs ++ inc) == full,
+      s"inc ∪ old = ${oldPairs ++ inc} != full $full")
+    // the incremental sweep finds cross pairs and batch-internal
+    // pairs, never corpus-internal ones
+    assert(inc == Set((1L, 11L), (2L, 11L), (3L, 13L)), inc.toString)
+  }
+
   test("cosine column algebra matches hand math") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
