@@ -6,9 +6,14 @@ object Bench {
     * real classpath): spawns `graft.TimeOne <name> <sfDir> 2` and
     * returns the best rep. The r13 adjudication showed trip-sized
     * swings are JVM/box state that a fresh SparkSession inside the
-    * same JVM cannot shed — only a fresh process adjudicates. None on
-    * spawn failure or timeout (10 min). */
-  private def secondJvmTime(name: String, sfDir: String)
+    * same JVM cannot shed — only a fresh process adjudicates. The
+    * bench's OWN core count is pinned into the child's environment:
+    * TimeOne defaults SPARK_GRAFT_CPUS to 32 while Bench defaults to
+    * 4, so an un-pinned spawn would re-measure at 8× the parallelism
+    * and a genuine plan regression could read "in-band" (with its
+    * too-fast time leaking into the recorded min). None on spawn
+    * failure or timeout (10 min). */
+  private def secondJvmTime(name: String, sfDir: String, cpus: String)
       : Option[Double] =
     try {
       import scala.jdk.CollectionConverters._
@@ -22,6 +27,7 @@ object Bench {
         System.getProperty("java.class.path"), "graft.TimeOne",
         name, sfDir, "2")
       val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectErrorStream(true)
       val p = pb.start()
       val outF = new java.io.ByteArrayOutputStream()
@@ -289,7 +295,7 @@ object Bench {
           BenchProtocol.tripThreshold(b, sessionFactor)).getOrElse(0.0)) }
     val secondJvm: Map[String, Double] =
       survivors.take(maxAdj).flatMap { case (n, t) =>
-        val fresh = secondJvmTime(n, sfDir)
+        val fresh = secondJvmTime(n, sfDir, cpus)
         fresh.foreach { ft =>
           println(f"[bench-adjudication] $n: in-suite $t%.2f s -> " +
             f"fresh JVM $ft%.2f s" +
@@ -306,8 +312,14 @@ object Bench {
         bandOf(n).filter(_ => trips(n, t)).map(b => (n, b.median, t)) }
       .sortBy { case (_, p, t) => -(t - p) }
     regressions.foreach { case (n, p, t) =>
+      // say exactly what was measured: a trip past the adjudication
+      // budget (or a failed spawn) was only ever best-of-2 in-JVM, and
+      // the log must not imply a fresh JVM confirmed it
+      val how =
+        if (secondJvm.contains(n)) "best incl. fresh-JVM adjudication"
+        else "best of 2 in-JVM, NOT fresh-JVM adjudicated"
       println(f"[bench-regression] $n: $p%.2f s -> $t%.2f s " +
-        f"(${t / p}%.1fx, best of all measurements incl. fresh JVM)")
+        f"(${t / p}%.1fx, $how)")
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = BigDecimal(v)

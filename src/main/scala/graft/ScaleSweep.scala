@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * rung's own row counts — the shape a 100 TB pipeline would run.
   *
   * Usage: runMain graft.ScaleSweep <label=dir> <label=dir> [...]
-  * Env: GRAFT_SWEEP_REPS (default 1; best-of-n per rung),
+  * Env: GRAFT_SWEEP_REPS (default 2 since r14; best-of-n per rung,
+  *      cells carry [min,max]),
   *      GRAFT_SWEEP_QUERIES (csv, overrides the registered-query list).
   */
 object ScaleSweep {
@@ -179,19 +180,13 @@ object ScaleSweep {
         // the largest exact-dup group (identical docs share all
         // bands), which is duplicate mass, not band saturation.
         "simhash_band_occupancy" -> (() => {
-          val sh = spark.read.parquet(s"$dir/documents.parquet")
-            .select(graft.text.TextOps.simHash128(col("text")).as("sh"))
-          val w0 = element_at(col("sh"), 1)
-          val w1 = element_at(col("sh"), 2)
-          val occ = sh.select(explode(array(
-              struct(lit(0).as("b"),
-                w0.bitwiseAND(lit(0xffffffffL)).as("h")),
-              struct(lit(1).as("b"), shiftrightunsigned(w0, 32).as("h")),
-              struct(lit(2).as("b"),
-                w1.bitwiseAND(lit(0xffffffffL)).as("h")),
-              struct(lit(3).as("b"),
-                shiftrightunsigned(w1, 32).as("h")))).as("band"))
-            .groupBy(col("band.b"), col("band.h")).count()
+          // the PRODUCTION band derivation, not a re-implementation:
+          // the probe must measure the same key space the dedup join
+          // buckets on, whatever the band layout becomes
+          val occ = graft.text.TextOps.simHashBandTable(
+              spark.read.parquet(s"$dir/documents.parquet"),
+              col("doc_id"), col("text"))
+            .groupBy(col("b"), col("h")).count()
             .agg(count(lit(1)).as("buckets"), avg("count").as("avg_occ"),
               max("count").as("max_occ")).head()
           println(f"[sweep] simhash_band_occupancy $dir: " +

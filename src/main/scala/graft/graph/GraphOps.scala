@@ -372,6 +372,11 @@ object GraphOps {
                           id2: Column): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // resolve the cap on the DRIVER and capture it into the closure:
+    // executors in multi-JVM mode (local-cluster / a real cluster) do
+    // not see driver -D properties, so an executor-side getLong would
+    // ignore the documented remedy
+    val idCap = java.lang.Long.getLong("graft.maxForestIds", 8000000L)
     pairs.select(id1.cast("long"), id2.cast("long")).as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new LongLongMap(1 << 10)
@@ -391,11 +396,10 @@ object GraphOps {
         // from `parent`, so track them in their own map (key → key)
         val seen = new LongLongMap(1 << 10)
         // Per-task distinct-id budget (~35 bytes/id across the two
-        // maps): a sparse many-distinct-id partition would otherwise
-        // OOM the executor silently. Loud fail with the remedy instead
-        // (docs/CAPS.md, -Dgraft.maxForestIds).
-        val idCap = java.lang.Long.getLong("graft.maxForestIds",
-          8000000L)
+        // maps, driver-resolved `idCap` above): a sparse
+        // many-distinct-id partition would otherwise OOM the executor
+        // silently. Loud fail with the remedy instead (docs/CAPS.md,
+        // -Dgraft.maxForestIds).
         while (it.hasNext) {
           val (u, v) = it.next()
           // self-pairs dropped here EXACTLY as connectedComponents'

@@ -230,11 +230,18 @@ object GraphQueries extends QueryPack {
     * label-of-label ∪ keep-own, then MIN per node — one row per node
     * per round): labels are monotone non-increasing and bounded below
     * by the true component min, neighbor-min alone reaches it within
-    * diameter rounds, and the label-of-label jump doubles the
-    * propagation distance per round, so 20 rounds are exact for any
-    * component diameter ≤ 2²⁰ — unreachable for these fixtures (the
-    * sampled node set itself is < 2²⁰). Same fixpoint as the old
-    * walk: comp = MIN doc_id in the component. sf1: 8.2 s. */
+    * diameter rounds, and the label-of-label jump roughly doubles the
+    * propagation distance per round on id layouts where labels
+    * compose (ids ascending along chains). On adversarial layouts the
+    * jump can degrade toward one hop per round, so exactness is NOT
+    * assumed from the round count: a convergence guard compares the
+    * last two rounds and calls DuckDB `error()` if any label still
+    * moved — silent under-merging becomes a loud oracle failure. (An
+    * extra round changing nothing ⟺ labels are per-component
+    * constant ⟺ every label IS the component min, because the min
+    * node always keeps its own id through the keep-own leg.) Same
+    * fixpoint as the old walk: comp = MIN doc_id in the component.
+    * sf1: 8.2 s. */
   private def edgeSqlFor(docsFrom: String): String = {
     val rounds = 20
     val steps = (1 to rounds).map { k =>
@@ -265,7 +272,14 @@ object GraphQueries extends QueryPack {
       |l0 AS MATERIALIZED (
       |  SELECT u AS id, LEAST(u, MIN(v)) l FROM sym GROUP BY 1),
       |$steps,
-      |cc AS (SELECT id, l AS comp FROM l$rounds)""".stripMargin
+      |cc AS (
+      |  SELECT l$rounds.id,
+      |    CASE WHEN (SELECT COUNT(*) FROM l$rounds a
+      |               JOIN l${rounds - 1} b
+      |                 ON b.id = a.id AND b.l <> a.l) > 0
+      |      THEN error('cc label propagation not converged in $rounds rounds')
+      |      ELSE l$rounds.l END AS comp
+      |  FROM l$rounds)""".stripMargin
   }
 
   private val edgeSql = edgeSqlFor("documents")
