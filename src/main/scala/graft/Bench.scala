@@ -12,17 +12,28 @@ object Bench {
     * 4, so an un-pinned spawn would re-measure at 8× the parallelism
     * and a genuine plan regression could read "in-band" (with its
     * too-fast time leaking into the recorded min). None on spawn
-    * failure or timeout (10 min). */
+    * failure or timeout (10 min).
+    *
+    * MEMORY: the child inherits the parent's full JVM args (incl.
+    * -Xmx) while the parent Spark driver stays resident, so a box
+    * sized for ONE bench JVM must hold ~2× the bench heap during
+    * adjudication (r14 ADVICE). The min() recording direction is safe
+    * either way — a thrashing fresh run never exonerates a trip — but
+    * on a tight box set GRAFT_ADJ_XMX (e.g. "4g") to cap the child
+    * heap below the parent's. */
   private def secondJvmTime(name: String, sfDir: String, cpus: String)
       : Option[Double] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val adjXmx = sys.env.get("GRAFT_ADJ_XMX")
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") ||
-          a.startsWith("-javaagent"))
+          a.startsWith("-javaagent") ||
+          (adjXmx.isDefined && a.startsWith("-Xmx"))) ++
+        adjXmx.map(x => s"-Xmx$x").toSeq
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
         System.getProperty("java.class.path"), "graft.TimeOne",
         name, sfDir, "2")
@@ -167,35 +178,43 @@ object Bench {
       }
     } catch { case _: Throwable => }
     // Fixed calibration probe (r12 verdict ask #2; r13 ask #3 made it
-    // best-of-3 WITH its own recorded spread). The probe is
-    // sf-INDEPENDENT deterministic work (a codegen'd scan-aggregate
-    // plus a shuffle-heavy groupBy-join) timed after warmup; the BEST
-    // probe over the committed run's calibration value estimates the
-    // session speed factor (min-based: interference inflates, never
-    // deflates, a timing — and a max-based factor would let a noisy
-    // canary normalize real regressions away, the r13 failure). All
-    // probes are recorded so the close merge can see the canary's own
-    // noise; decision logic lives in [[BenchProtocol]].
-    val calProbes: Seq[Double] = {
+    // best-of-3 WITH its own recorded spread; r15 ask #6 INTERLEAVES
+    // the probes — two up front, one mid-loop, one at the end, each
+    // timestamped). The probe is sf-INDEPENDENT deterministic work (a
+    // codegen'd scan-aggregate plus a shuffle-heavy groupBy-join)
+    // timed after warmup; the BEST probe over the committed run's
+    // calibration value estimates the session speed factor
+    // (min-based: interference inflates, never deflates, a timing —
+    // and a max-based factor would let a noisy canary normalize real
+    // regressions away, the r13 failure). When the first and last
+    // probe disagree by > 1.3× the box drifted mid-session, and trips
+    // are judged against the probe NEAREST each measurement (the r14
+    // driver session took all three probes up front while warming up
+    // — the factor was blind to the tail). All probes + timestamps
+    // are recorded; decision logic lives in [[BenchProtocol]].
+    val sessionT0 = System.nanoTime()
+    def nowAt: Double = (System.nanoTime() - sessionT0) / 1e9
+    def canaryOnce(): Double = {
       import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // scan+agg leg: 20M-row codegen'd arithmetic aggregate
-        spark.range(20000000L)
-          .selectExpr("sum(id * 3 + 1) as s", "avg(id % 997) as a")
-          .collect()
-        // shuffle leg: 2M rows through a groupBy + self-join on the key
-        val d = spark.range(2000000L)
-          .selectExpr("pmod(hash(id), 9973) as k",
-            "cast(id % 13 as double) as v")
-        val g = d.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
-        g.join(d, "k").agg(sum(col("s") * col("v"))).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try (1 to 3).map(_ => once()) catch { case _: Throwable => Nil }
+      val t0 = System.nanoTime()
+      // scan+agg leg: 20M-row codegen'd arithmetic aggregate
+      spark.range(20000000L)
+        .selectExpr("sum(id * 3 + 1) as s", "avg(id % 997) as a")
+        .collect()
+      // shuffle leg: 2M rows through a groupBy + self-join on the key
+      val d = spark.range(2000000L)
+        .selectExpr("pmod(hash(id), 9973) as k",
+          "cast(id % 13 as double) as v")
+      val g = d.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      g.join(d, "k").agg(sum(col("s") * col("v"))).collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    val calibration: Double =
-      if (calProbes.nonEmpty) calProbes.min else 0.0
+    val probeBuf =
+      scala.collection.mutable.ArrayBuffer[BenchProtocol.Probe]()
+    def takeProbe(): Unit =
+      try probeBuf += BenchProtocol.Probe(nowAt, canaryOnce())
+      catch { case _: Throwable => }
+    takeProbe(); takeProbe()
     // GRAFT_BENCH_ONLY=q_a,q_b : time just those queries (local
     // iteration aid; the driver never sets it)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
@@ -232,17 +251,6 @@ object Bench {
       } catch { case _: Throwable =>
         (Map.empty[String, Double], 0.0,
           Map.empty[String, (Double, Double)]) }
-    // Session speed factor (BenchProtocol): best canary probe over the
-    // committed canary, clamped [0.8, 2.5]; >1 means this session runs
-    // the fixed canary SLOWER than the committed session did, and
-    // committed per-query numbers scale up accordingly.
-    val sessionFactor: Double =
-      BenchProtocol.sessionFactor(calProbes, prevCal)
-    if (sessionFactor != 1.0 || BenchProtocol.canaryNoisy(calProbes))
-      println(f"[bench-calibration] canary best $calibration%.3f s " +
-        f"(probes ${calProbes.map(p => f"$p%.3f").mkString("/")}, " +
-        f"spread ${BenchProtocol.canarySpread(calProbes)}%.2fx) vs " +
-        f"committed $prevCal%.3f s -> session factor $sessionFactor%.2fx")
     def timedRun(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // inter-query hygiene, OUTSIDE the timed window: drop result
@@ -260,13 +268,44 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = selected.map { case (name, fn) =>
-      name -> timedRun(fn)
+    val qseq = selected.toSeq
+    val midIdx = qseq.size / 2
+    val firstPassAt = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midIdx && qseq.size >= 4) takeProbe()
+      (name, timedRun(fn), nowAt)
     }
+    takeProbe() // end-of-loop probe: the drifted-tail anchor
+    val probes = probeBuf.toSeq
+    val calProbes: Seq[Double] = probes.map(_.sec)
+    val calibration: Double =
+      if (calProbes.nonEmpty) calProbes.min else 0.0
+    // Session speed factor (BenchProtocol): best canary probe over the
+    // committed canary, clamped [0.8, 2.5]; >1 means this session runs
+    // the fixed canary SLOWER than the committed session did, and
+    // committed per-query numbers scale up accordingly. Under drift
+    // (first vs last probe > 1.3× apart) each trip decision swaps in
+    // the factor from the probe NEAREST that query's measurement.
+    val sessionFactor: Double =
+      BenchProtocol.sessionFactor(calProbes, prevCal)
+    val drift = BenchProtocol.drifted(probes)
+    if (sessionFactor != 1.0 || BenchProtocol.canaryNoisy(calProbes) ||
+        drift)
+      println(f"[bench-calibration] canary best $calibration%.3f s " +
+        f"(probes ${probes.map(p => f"${p.sec}%.3f@${p.at}%.0fs")
+          .mkString("/")}, " +
+        f"spread ${BenchProtocol.canarySpread(calProbes)}%.2fx, " +
+        f"drift ${BenchProtocol.driftRatio(probes)}%.2fx" +
+        (if (drift) " DRIFTED — trips judged vs nearest probe" else "") +
+        f") vs committed $prevCal%.3f s -> session factor " +
+        f"$sessionFactor%.2fx")
+    val firstPass = firstPassAt.map { case (n, t, _) => n -> t }.toMap
+    val atOf = firstPassAt.map { case (n, _, at) => n -> at }.toMap
     // Regression tripwire (band-aware, self-adjudicating — r13 verdict
     // ask #3, decision logic in [[BenchProtocol]]):
     //   1. a query trips only past BOTH 1.5× the committed median and
-    //      1.25× the committed spread hi, session-factor-scaled;
+    //      1.25× the committed spread hi, scaled by the session factor
+    //      (or, under drift, the factor at the nearest canary probe —
+    //      r15 ask #6);
     //   2. a trip gets ONE in-JVM re-run (GC/scheduling jitter);
     //   3. a trip surviving the retry is re-measured in a SECOND,
     //      FRESH JVM (graft.TimeOne, same classpath/JVM flags) before
@@ -277,8 +316,12 @@ object Bench {
     def bandOf(n: String): Option[BenchProtocol.Band] =
       prev.get(n).map(p => BenchProtocol.Band(p,
         prevSpread.get(n).map(_._2).getOrElse(p)))
+    def factorFor(n: String): Double =
+      if (drift)
+        BenchProtocol.factorAt(probes, prevCal, atOf.getOrElse(n, 0.0))
+      else sessionFactor
     def trips(n: String, t: Double): Boolean =
-      bandOf(n).exists(b => BenchProtocol.isTrip(t, b, sessionFactor))
+      bandOf(n).exists(b => BenchProtocol.isTrip(t, b, factorFor(n)))
     val retried = firstPass.map { case (name, t) =>
       name -> (if (trips(name, t))
         math.min(t, timedRun(selected(name))) else t)
@@ -292,7 +335,7 @@ object Bench {
       .filter { case (n, t) => trips(n, t) }
       .sortBy { case (n, t) =>
         -(t - bandOf(n).map(b =>
-          BenchProtocol.tripThreshold(b, sessionFactor)).getOrElse(0.0)) }
+          BenchProtocol.tripThreshold(b, factorFor(n))).getOrElse(0.0)) }
     val secondJvm: Map[String, Double] =
       survivors.take(maxAdj).flatMap { case (n, t) =>
         val fresh = secondJvmTime(n, sfDir, cpus)
@@ -356,8 +399,12 @@ object Bench {
         ",\"calibration\":" + fmt(calibration) +
         ",\"calibration_probes\":" +
         calProbes.map(fmt).mkString("[", ",", "]") +
+        ",\"calibration_probe_times\":" +
+        probes.map(p => fmt(p.at)).mkString("[", ",", "]") +
         ",\"canary_spread\":" +
         fmt(BenchProtocol.canarySpread(calProbes)) +
+        ",\"canary_drift\":" + fmt(BenchProtocol.driftRatio(probes)) +
+        ",\"drifted\":" + drift +
         ",\"session_factor\":" + fmt(sessionFactor) +
         ",\"second_jvm\":" + adjJson +
         ",\"regressions\":" + regJson +

@@ -61,4 +61,45 @@ object BenchProtocol {
     * session factor? */
   def isTrip(t: Double, b: Band, factor: Double): Boolean =
     t > tripThreshold(b, factor)
+
+  /** One canary probe with its session-relative timestamp (seconds
+    * since bench start). r15 (verdict ask #6): probes are interleaved
+    * through the query loop — front-loaded probes cannot see a box
+    * that drifts mid-session, and the r14 driver session measured a
+    * 2.12× canary spread with all three probes taken up front. */
+  final case class Probe(at: Double, sec: Double)
+
+  /** Latest-probe speed over earliest-probe speed (by timestamp):
+    * > 1 means the box got SLOWER across the session. 1 when fewer
+    * than two probes exist. */
+  def driftRatio(probes: Seq[Probe]): Double =
+    if (probes.size < 2) 1.0
+    else {
+      val s = probes.sortBy(_.at)
+      s.last.sec / math.max(s.head.sec, 1e-9)
+    }
+
+  /** Did the box drift more than 1.3× (either direction) between the
+    * first and last probe? When true, trips should be judged against
+    * [[factorAt]] (the probe nearest the measurement) instead of one
+    * session-wide factor. */
+  def drifted(probes: Seq[Probe]): Boolean = {
+    val r = driftRatio(probes)
+    r > 1.3 || r < 1.0 / 1.3
+  }
+
+  /** Session factor local to time `at`: the probe nearest in time
+    * over the committed canary, clamped like [[sessionFactor]].
+    * Conservative direction is preserved: the factor is still bounded
+    * [0.8, 2.5], still reported, and a trip excused by a drifted-tail
+    * factor was measured on a box demonstrably that much slower — the
+    * alternative (a front-loaded factor) burned the r14 adjudication
+    * budget on box drift instead of code. */
+  def factorAt(probes: Seq[Probe], committedCal: Double, at: Double)
+      : Double =
+    if (committedCal <= 0 || probes.isEmpty) 1.0
+    else {
+      val near = probes.minBy(p => math.abs(p.at - at))
+      math.max(0.8, math.min(2.5, near.sec / committedCal))
+    }
 }

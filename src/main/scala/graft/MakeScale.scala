@@ -56,7 +56,17 @@ object MakeScale {
       (col(c) + col("__c") * m).as(c)
     }
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // 16 part files regardless of size (r15): DuckDB 1.0
+      // parallelizes a parquet scan by row group, and a
+      // single-part-file fixture pins every oracle pipeline rooted at
+      // that scan to ONE thread — the q_dup_clusters sf1 replay spent
+      // ~55 s in a 1-thread join+aggregate that runs in ~6 s once the
+      // scan has 16 morsels. Same data, same semantics (row order is
+      // irrelevant on both sides: the gate sorts rows, Spark plans
+      // are order-free); Spark-side reads split by
+      // files.maxPartitionBytes either way.
+      df.repartition(16).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
       println(s"[makescale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     def tbl(name: String): DataFrame =

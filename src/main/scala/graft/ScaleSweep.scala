@@ -244,6 +244,61 @@ object ScaleSweep {
           graft.graph.GraphOps.dupClustersFromJaccard(
             spark.read.parquet(s"$dir/documents.parquet"),
             col("doc_id"), col("text"), col("source"), 0.5).count()),
+        // STAGE ATTRIBUTION of the dup-cluster funnel (r15 verdict ask
+        // #1): four independent fused pipelines of increasing depth —
+        // pair kernel alone, + spanning-forest contraction, + CC +
+        // csize window, and the survivorship anti-join — timed
+        // separately so the stage deltas attribute the funnel's
+        // cross-rung growth (each pipeline re-runs the kernel; the
+        // deltas are the incremental stage costs). Returns the pair
+        // count (the volume the excess must be judged against).
+        "dup_funnel_stages" -> (() => {
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          def pairs = graft.text.TextOps.jaccardDupPairs(docs,
+            col("doc_id"), col("text"), col("source"), 0.5)
+          def timed(f: => Long): (Double, Long) = {
+            val t0 = System.nanoTime(); val r = f
+            ((System.nanoTime() - t0) / 1e9, r)
+          }
+          val (tp, np) = timed(pairs.count())
+          val (tf, nf) = timed(graft.graph.GraphOps
+            .localSpanningForest(pairs, col("id1"), col("id2")).count())
+          val (tc, nc) = timed(graft.graph.GraphOps
+            .dupClusters(pairs, col("id1"), col("id2")).count())
+          val (ts, ns) = timed(graft.graph.GraphOps
+            .dedupByClusters(docs, col("doc_id"), pairs,
+              col("id1"), col("id2")).count())
+          println(f"[sweep] dup_funnel_stages $dir: " +
+            f"pairs $tp%.1f s ($np rows) | +forest ${tf - tp}%.1f s " +
+            f"($nf edges) | +cc+csize ${tc - tf}%.1f s ($nc members) " +
+            f"| survivors $ts%.1f s ($ns rows, " +
+            f"anti-join delta ${ts - tf}%.1f s)")
+          np
+        }),
+        // blocking-column path at shape (r15 verdict ask #7): the
+        // simhash band table WITH a source blocking key vs the
+        // unblocked probe above — the claimed benefit is key-space
+        // multiplication (buckets ~× block cardinality where sources
+        // collide), measured as per-block and overall occupancy.
+        "simhash_block_occupancy" -> (() => {
+          val bt = graft.text.TextOps.simHashBandTable(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            col("doc_id"), col("text"), blocking = Some(col("source")))
+          val occ = bt.groupBy(col("blk"), col("b"), col("h")).count()
+            .agg(count(lit(1)).as("buckets"), avg("count").as("avg_occ"),
+              max("count").as("max_occ")).head()
+          val perBlock = bt.groupBy(col("blk"), col("b"), col("h"))
+            .count()
+            .groupBy(col("blk"))
+            .agg(avg("count").as("a"))
+            .agg(min("a"), max("a"), count(lit(1))).head()
+          println(f"[sweep] simhash_block_occupancy $dir: " +
+            f"${occ.getLong(0)} buckets, avg ${occ.getDouble(1)}%.3f, " +
+            f"max ${occ.getLong(2)} docs/bucket; per-block avg range " +
+            f"[${perBlock.getDouble(0)}%.3f, ${perBlock.getDouble(1)}%.3f] " +
+            f"over ${perBlock.getLong(2)} blocks")
+          occ.getLong(0)
+        }),
         // distributed PageRank on a synthetic graph scaled to the rung:
         // nodes = nDocs, edges = 20 × nDocs, 8 damped iterations; the
         // driver fast-path is disabled so every rung measures the

@@ -551,36 +551,111 @@ object MultimodalOps {
     * (candidates ≈ 66·n²/2³³ ≈ n²/2²⁷). No all-pairs: candidates
     * exist only inside (band, key) buckets. */
   def imageDupPairs(df: DataFrame, id: Column, payload: Column,
-                    maxDist: Int): DataFrame =
+                    maxDist: Int,
+                    blocking: Option[Column] = None): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    // persist the 1-row-per-image hash frame: both join sides (and the
-    // probe expansion) would otherwise decode + hash each image again
-    val hashed = df.select(id.as("i"), dHash64(payload).as("ph"))
-      .filter(col("ph").isNotNull)
+    // persist the banded hash frame: both join sides (and the probe
+    // expansion) would otherwise decode + hash each image again
+    val banded = imageBandTable(df, id, payload, blocking)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = hashed.select(col("i"), col("ph"),
+    imageDupPairsFromBands(banded, maxDist)
+  }
+
+  /** The persistable MIH state of an image corpus: one row per
+    * (image, band) with the 32-bit band key AND the full dHash64 as
+    * flat columns (i, blk, ph, b, h) — everything incremental dedup
+    * needs to compare new images against the corpus without ever
+    * re-decoding or re-hashing corpus payloads (the
+    * [[graft.text.TextOps.simHashBandTable]] pattern, r15). Write
+    * once per corpus snapshot, partitioned by `b` at rest so band
+    * probes prune; 2 narrow rows per image. `blk` is the
+    * struct-wrapped blocking key (shard, camera, source — pairs never
+    * cross blocks; NULL blocks match each other); pass the same
+    * `blocking` on both the corpus and each batch. */
+  def imageBandTable(df: DataFrame, id: Column, payload: Column,
+                     blocking: Option[Column] = None): DataFrame =
+    df.select(id.as("i"),
+        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+        dHash64(payload).as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("i"), col("blk"), col("ph"),
         explode(array(
           struct(lit(0).as("b"),
             col("ph").bitwiseAND(lit(0xffffffffL)).as("h")),
           struct(lit(1).as("b"),
             shiftrightunsigned(col("ph"), 32).as("h")))).as("band"))
-      .select(col("i"), col("ph"),
+      .select(col("i"), col("blk"), col("ph"),
         col("band.b").as("b"), col("band.h").as("h"))
-    // probe radius floor(maxDist/2) capped at 1: 0 → plain band
-    // equi-join (still exact for maxDist ≤ 1); 1 → 33 keys per band
-    val probes =
-      if (maxDist <= 1) exact
-      else {
-        val masks = 0L +: (0 until 32).map(1L << _)
-        exact.select(col("i"), col("ph"), col("b"),
-          explode(array(masks.map(m =>
-            col("h").bitwiseXOR(lit(m))): _*)).as("h"))
-      }
-    probes.as("l").join(exact.as("r"),
+
+  /** 1-bit probe expansion over a band table's keys: each (band, key)
+    * row fans out to the 33 keys within Hamming 1 of `h` when
+    * `maxDist` ≥ 2 (the MIH probe ball); identity otherwise. */
+  private def probeExpand(bands: DataFrame, maxDist: Int): DataFrame =
+    if (maxDist <= 1) bands
+    else {
+      val masks = 0L +: (0 until 32).map(1L << _)
+      bands.select(col("i"), col("blk"), col("ph"), col("b"),
+        explode(array(masks.map(m =>
+          col("h").bitwiseXOR(lit(m))): _*)).as("h"))
+    }
+
+  /** Full self-sweep over a pre-built [[imageBandTable]] — the
+    * re-hash-nothing variant of [[imageDupPairs]]. Probe radius
+    * floor(maxDist/2) capped at 1: maxDist ≤ 1 → plain band equi-join
+    * (still exact); ≥ 2 → 33 keys per band on the probe side
+    * (pigeonhole: ham ≤ 3 over 2 bands leaves one band with ham ≤ 1,
+    * and the probe ball covers it — exact recall for maxDist ≤ 3). */
+  def imageDupPairsFromBands(bands: DataFrame, maxDist: Int): DataFrame =
+    probeExpand(bands, maxDist).as("l").join(bands.as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-          col("l.i") < col("r.i"))
+          col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"),
         bit_count(col("l.ph").bitwiseXOR(col("r.ph"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+
+  /** Incremental image dedup: near-duplicate pairs (Hamming ≤
+    * `maxDist` over dHash64) of a NEW image batch against an existing
+    * corpus band table (from [[imageBandTable]]) plus within the
+    * batch itself — the daily-crawl loop for multimodal, twin of
+    * [[graft.text.TextOps.incrementalSimHashDupPairs]] (r15 verdict
+    * ask #3). The hash is deterministic, so `corpus pairs ∪ this`
+    * equals a full-batch [[imageDupPairs]] over `corpus ∪ new`
+    * exactly (ImageHashSpec and the q_incremental_image oracle pin
+    * it). Image ids must be distinct across corpus and batch; pairs
+    * normalize to id1 < id2.
+    *
+    * Scale shape: the corpus side is touched ONLY by a hash join on
+    * (band, key, block) — the 1-bit probe expansion runs on the NEW
+    * side alone (the ball is symmetric: a corpus key within 1 bit of
+    * a new key is hit by the new side's probes), so corpus state
+    * stays 2 narrow rows per image and nothing re-decodes. */
+  def incrementalImageDupPairs(newDf: DataFrame, id: Column,
+                               payload: Column, corpusBands: DataFrame,
+                               maxDist: Int,
+                               blocking: Option[Column] = None)
+      : DataFrame = graft.util.Release.scoped(newDf.sparkSession) {
+    val nb = imageBandTable(newDf, id, payload, blocking)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalImageDupPairsFromBands(nb, corpusBands, maxDist)
+  }
+
+  /** Incremental pair sweep over pre-built image band tables — the
+    * re-hash-nothing variant of [[incrementalImageDupPairs]] for
+    * callers holding both tables. */
+  def incrementalImageDupPairsFromBands(newBands: DataFrame,
+                                        corpusBands: DataFrame,
+                                        maxDist: Int): DataFrame = {
+    val np = probeExpand(newBands, maxDist)
+    def cand(l: DataFrame, r: DataFrame, cond: Column) =
+      l.as("l").join(r.as("r"),
+          col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+            col("l.blk") === col("r.blk") && cond)
+        .select(least(col("l.i"), col("r.i")).as("id1"),
+          greatest(col("l.i"), col("r.i")).as("id2"),
+          bit_count(col("l.ph").bitwiseXOR(col("r.ph"))).as("hamming"))
+    cand(np, corpusBands, col("l.i") =!= col("r.i"))
+      .union(cand(np, newBands, col("l.i") < col("r.i")))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

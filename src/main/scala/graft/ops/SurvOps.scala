@@ -21,7 +21,20 @@ import graft.functions.PValues
   * The iteration count is a FIXED caller-visible contract from b = 0
   * (Newton on the partial likelihood is quadratic — 3-4 steps reach
   * float precision on non-degenerate data), so the whole fit replays
-  * in SQL CTE-by-CTE. Below `graft.maxLocalIrls` projected doubles the
+  * in SQL CTE-by-CTE.
+  *
+  * NO converged-group early-exit here (r15 verdict ask #8, decided
+  * against): the r14 IRLS mask (LinRegOps) freezes groups whose beta
+  * stopped moving within tolerance — harmless there because grouped
+  * GLM runs tens of data-dependent iterations and the oracle pins
+  * aggregate equality, not per-step replay. Cox's contract is the
+  * opposite: exactly `maxIter` Newton steps, each replayed CTE-by-CTE
+  * bit-for-bit by the DuckDB oracle — freezing a near-converged group
+  * one step early changes low-order bits and breaks the replay. The
+  * performance case is also absent: each step is ONE window pass over
+  * all rows (masking a group means filtering the base frame per
+  * iteration — an extra scan, not a saving), maxIter is 3, and the
+  * benched grouped fit runs in ~0.6 s (BENCH_DETAIL q_cox_ph). Below `graft.maxLocalIrls` projected doubles the
   * identical loop runs on the collected narrow projection (the
   * irlsEngine lesson: bench-sized fits are plan-overhead-bound).
   * Returns {groups..., n, n_events, beta, se, hazard_ratio, pvalue}

@@ -237,7 +237,11 @@ object TextQueries extends QueryPack {
       val exact = norm.as("l").join(norm.as("r"),
           col("l.t") === col("r.t") && col("l.d") < col("r.d"))
         .select(col("l.d").as("i1"), col("r.d").as("i2"))
-      val sh = TextOps.simHashDupPairs(docs, col("doc_id"), col("text"), 8)
+      // maxDist 16 over the 128-bit fingerprint ≈ the r13 query's 8
+      // over 64 bits (each bit flips independently per hash, so
+      // equivalent thresholds double with the width — r14 ADVICE)
+      val sh = TextOps.simHashDupPairs(docs, col("doc_id"), col("text"),
+          16)
         .select(col("id1"), col("id2"), col("hamming"))
       exact.join(sh,
           exact("i1") === sh("id1") && exact("i2") === sh("id2"), "left")
@@ -260,8 +264,9 @@ object TextQueries extends QueryPack {
           col("l.t") === col("r.t") && col("l.src") === col("r.src") &&
             col("l.d") < col("r.d"))
         .select(col("l.d").as("i1"), col("r.d").as("i2"))
+      // maxDist 16 ≈ the 64-bit era's 8 (see q_simhash_dup)
       val sh = TextOps.simHashDupPairs(docs, col("doc_id"), col("text"),
-          8, blocking = Some(col("source")))
+          16, blocking = Some(col("source")))
         .select(col("id1"), col("id2"), col("hamming"))
       val cross = sh
         .join(norm.select(col("d").as("id1"), col("src").as("s1")), "id1")
@@ -317,6 +322,36 @@ object TextQueries extends QueryPack {
           coalesce(bool_and(col("hit").isNotNull), lit(true))
             .as("ident_found"))
         .crossJoin(eq)
+    }),
+    "q_minhash_block" -> ((s, dir) => {
+      // the r15 blocking-column variant of q_minhash_dup (verdict ask
+      // #2 — blocking parity across the dedup family): pairs must stay
+      // inside their source block. Exact side: identical normalized
+      // word sequences IN THE SAME SOURCE — identical text ⟹ identical
+      // minhash signature (est_jaccard 1, every band + the block key
+      // match), so recall must be exactly 1; and NO emitted pair may
+      // cross sources (n_cross = 0 pins the blocking contract).
+      val docs = t(s, dir, "documents")
+      val norm = docs.select(col("doc_id").as("d"),
+        col("source").as("src"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+")).as("t"))
+      val exact = norm.as("l").join(norm.as("r"),
+          col("l.t") === col("r.t") && col("l.src") === col("r.src") &&
+            col("l.d") < col("r.d"))
+        .select(col("l.d").as("i1"), col("r.d").as("i2"))
+      val mh = TextOps.minHashDupPairs(docs, col("doc_id"), col("text"),
+          0.6, blocking = Some(col("source")))
+        .select(col("id1"), col("id2"), col("est_jaccard"))
+      val cross = mh
+        .join(norm.select(col("d").as("id1"), col("src").as("s1")), "id1")
+        .join(norm.select(col("d").as("id2"), col("src").as("s2")), "id2")
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross"))
+      exact.join(mh,
+          exact("i1") === mh("id1") && exact("i2") === mh("id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("est_jaccard")) === count(lit(1))).as("recall_ok"))
+        .crossJoin(cross)
     }),
     "q_cosine_topk" -> ((s, dir) => {
       // cast to double so the dot product runs in f64 on both engines
@@ -845,6 +880,77 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("id1") + col("id2")).as("pair_id_sum"))
     }),
+    "q_image_block" -> ((s, dir) => {
+      // the r15 blocking-column variant of q_image_dup_pairs (verdict
+      // ask #2): near-dup pairs must stay inside their block. The
+      // page period (97) and the block key ((doc_id/97) % 2) are
+      // coprime-free by construction: same-page docs alternate blocks
+      // (doc_id steps of 97 flip the quotient parity), so BOTH
+      // same-block pairs (step 194) and cross-block pairs (step 97)
+      // exist — n_cross = 0 is a live assertion, not vacuous. Oracle
+      // rebuilds the expected pair set from the SQL-computed hashes.
+      val sub = t(s, dir, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"),
+          pmod(floor(col("doc_id") / 97), lit(2)).as("shard"),
+          MultimodalOps.syntheticBmp(col("doc_id") % 97).as("payload"))
+      val pairs = MultimodalOps.imageDupPairs(sub, col("doc_id"),
+        col("payload"), 0, blocking = Some(col("shard")))
+      val sh = sub.select(col("doc_id"), col("shard"))
+      val cross = pairs
+        .join(sh.select(col("doc_id").as("id1"), col("shard").as("s1")),
+          "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("shard").as("s2")),
+          "id2")
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("id1") + col("id2")), lit(0L))
+            .as("pair_id_sum"))
+        .crossJoin(cross)
+    }),
+    "q_incremental_image" -> ((s, dir) => {
+      // daily-crawl incremental image dedup (r15 verdict ask #3 — the
+      // q_incremental_simhash pattern over the MIH band table): even
+      // ids are the persisted corpus, odd ids the new batch. maxDist=2
+      // exercises the 1-bit probe expansion on the NEW side only. The
+      // deterministic dHash makes incremental ≡ full-batch an exact
+      // equivalence — pinned as inc_equals_full — and identical-hash
+      // cross pairs (SQL-computable) must all be found.
+      val sub = t(s, dir, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"), MultimodalOps.syntheticBmp(
+          col("doc_id") % 311).as("payload"))
+      val bandAll = MultimodalOps.imageBandTable(sub, col("doc_id"),
+          col("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandOld = bandAll.filter(pmod(col("i"), lit(2)) === 0)
+      val bandNew = bandAll.filter(pmod(col("i"), lit(2)) === 1)
+      val incNew = MultimodalOps.incrementalImageDupPairsFromBands(
+        bandNew, bandOld, 2)
+      val oldPairs = MultimodalOps.imageDupPairsFromBands(bandOld, 2)
+      val full = MultimodalOps.imageDupPairsFromBands(bandAll, 2)
+      val incAll = oldPairs.select("id1", "id2")
+        .union(incNew.select("id1", "id2")).distinct()
+      val eq = full.select(col("id1"), col("id2"), lit(1).as("f"))
+        .join(incAll.withColumn("g", lit(1)), Seq("id1", "id2"), "full")
+        .agg(coalesce(bool_and(col("f").isNotNull &&
+          col("g").isNotNull), lit(true)).as("inc_equals_full"))
+      // identical-hash cross-parity pairs from the band-0 slice (one
+      // row per image — no re-decode)
+      val ph0 = bandAll.filter(col("b") === 0)
+        .select(col("i").as("d"), col("ph"))
+      val ident = ph0.as("l").join(ph0.as("r"),
+          col("l.ph") === col("r.ph") && col("l.d") < col("r.d") &&
+            pmod(col("l.d"), lit(2)) =!= pmod(col("r.d"), lit(2)))
+        .select(col("l.d").as("id1"), col("r.d").as("id2"))
+      ident.join(incNew.select(col("id1"), col("id2"),
+            lit(1).as("hit")), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_ident_cross"),
+          coalesce(bool_and(col("hit").isNotNull), lit(true))
+            .as("ident_found"))
+        .crossJoin(eq)
+    }),
     "q_image_clusters" -> ((s, dir) => {
       // cross-modal composition: perceptual-hash pairs feed the same
       // star-contraction connected-components engine the text dedup
@@ -978,6 +1084,38 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     })
   )
+
+  /** dHash64 replay CTE chain (pages → dims → grays → bits → hv),
+    * parameterized by the synthetic-BMP page period: hv holds one
+    * (page, hh, hl) row per distinct page among doc_id < 3000 —
+    * exactly [[graft.multimodal.MultimodalOps.dHash64]] over
+    * `syntheticBmp(doc_id % pageMod)`, spelled out in SQL integer
+    * arithmetic (shared by the q_image_* oracles). */
+  private def dHashCte(pageMod: Int): String =
+    s"""pages AS (
+       |  SELECT DISTINCT doc_id % $pageMod AS page FROM documents
+       |  WHERE doc_id < 3000),
+       |dims AS (
+       |  SELECT page, (8 + page % 9) w, (8 + (page * 3) % 9) h
+       |  FROM pages),
+       |grays AS (
+       |  SELECT d.page, gx.x, gy.y,
+       |    (299 * ((d.page*31 + ((gx.x*d.w)//9)*7 + ((gy.y*d.h)//8)*13) % 256)
+       |   + 587 * ((d.page*17 + ((gx.x*d.w)//9)*11 + ((gy.y*d.h)//8)*3) % 256)
+       |   + 114 * ((d.page*5 + ((gx.x*d.w)//9)*3 + ((gy.y*d.h)//8)*29) % 256))
+       |      // 1000 AS g
+       |  FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)),
+       |bits AS (
+       |  SELECT a.page, a.y * 8 + a.x AS k
+       |  FROM grays a JOIN grays b
+       |    ON b.page = a.page AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8 AND b.g > a.g),
+       |hv AS (
+       |  SELECT p.page,
+       |    COALESCE(SUM(CASE WHEN k >= 32 THEN (1::BIGINT << (k - 32)) END), 0) hh,
+       |    COALESCE(SUM(CASE WHEN k < 32 THEN (1::BIGINT << k) END), 0) hl
+       |  FROM pages p LEFT JOIN bits b ON b.page = p.page
+       |  GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_redact_pii" ->
@@ -1330,6 +1468,15 @@ object TextQueries extends QueryPack {
         |  FROM documents)
         |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
         |  0.0 AS avg_hamming, 0::BIGINT AS n_cross
+        |FROM n l JOIN n r ON l.t = r.t AND l.src = r.src
+        |  AND l.d < r.d""".stripMargin,
+    "q_minhash_block" ->
+      """WITH n AS (
+        |  SELECT doc_id d, source src, array_to_string(
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+'), ' ') t
+        |  FROM documents)
+        |SELECT COUNT(*)::BIGINT AS n_exact, true AS recall_ok,
+        |  0::BIGINT AS n_cross
         |FROM n l JOIN n r ON l.t = r.t AND l.src = r.src
         |  AND l.d < r.d""".stripMargin,
     "q_cosine_dup" ->
@@ -1881,6 +2028,29 @@ object TextQueries extends QueryPack {
         |  SUM(a.doc_id + b.doc_id)::BIGINT AS pair_id_sum
         |FROM dh a JOIN dh b
         |  ON a.hh = b.hh AND a.hl = b.hl AND a.doc_id < b.doc_id""".stripMargin,
+    "q_image_block" ->
+      s"""WITH ${dHashCte(97)},
+        |dh AS (
+        |  SELECT d.doc_id, (d.doc_id // 97) % 2 AS shard, h.hh, h.hl
+        |  FROM documents d JOIN hv h ON h.page = d.doc_id % 97
+        |  WHERE d.doc_id < 3000)
+        |SELECT COUNT(*)::BIGINT AS n_pairs,
+        |  COALESCE(SUM(a.doc_id + b.doc_id), 0)::BIGINT AS pair_id_sum,
+        |  0::BIGINT AS n_cross
+        |FROM dh a JOIN dh b
+        |  ON a.hh = b.hh AND a.hl = b.hl AND a.shard = b.shard
+        |  AND a.doc_id < b.doc_id""".stripMargin,
+    "q_incremental_image" ->
+      s"""WITH ${dHashCte(311)},
+        |dh AS (
+        |  SELECT d.doc_id, h.hh, h.hl
+        |  FROM documents d JOIN hv h ON h.page = d.doc_id % 311
+        |  WHERE d.doc_id < 3000)
+        |SELECT (SELECT COUNT(*) FROM dh a JOIN dh b
+        |    ON a.hh = b.hh AND a.hl = b.hl AND a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 <> b.doc_id % 2)::BIGINT AS n_ident_cross,
+        |  true AS ident_found,
+        |  true AS inc_equals_full""".stripMargin,
     "q_image_clusters" ->
       """WITH pages AS (
         |  SELECT DISTINCT doc_id % 311 AS page FROM documents

@@ -134,7 +134,15 @@ object StreamOps {
 
   /** State for one SimHash band bucket: recently seen (id, w0, w1)
     * 128-bit signatures, newest first, capped at the operator's
-    * `maxPerBucket`. */
+    * `maxPerBucket`.
+    *
+    * CHECKPOINT COMPATIBILITY (r14 format change): the r14 128-bit
+    * rework changed both this state schema (was (ids, hashes) over the
+    * 64-bit simhash) and the band-key layout (4×16-bit → 4×32-bit
+    * keys). A streaming query resumed from a pre-r14 checkpoint will
+    * fail state deserialization — discard old checkpoints and restart
+    * the query from the source (the framework is pre-release; no
+    * migration path is provided). */
   case class BandBucket(ids: Seq[Long], h0: Seq[Long], h1: Seq[Long])
 
   /** Streaming twin of `TextOps.simHashDupPairs`: emit near-duplicate

@@ -434,10 +434,31 @@ object TextOps {
     }
   }
 
-  /** The all-pairs kernel of the triangle leg: one bucket's docs →
-    * the (id1, id2, jaccard) pairs meeting the threshold, comparing
+  /** The pair kernel of the triangle leg: one bucket's docs → the
+    * (id1, id2, jaccard) pairs meeting the threshold, comparing
     * within-group pairs in the (a,a) bucket and only cross-group pairs
-    * in (a,b) buckets so every pair is examined exactly once. */
+    * in (a,b) buckets so every pair is examined exactly once.
+    *
+    * r15: the comparison loop is no longer all-pairs. The r14 sweep's
+    * one super-linear cell (q_dup_clusters 10× data → 22-23× time)
+    * attributed entirely to this kernel: at the salt-fixture shape the
+    * rungs grow BLOCK SIZE, so the all-pairs loop's comparison count
+    * grew quadratically (Σc²/2 length-checks + merges) while true pair
+    * volume grew exactly 10×. The loop is replaced by a bucket-local
+    * SSJoin prefix-filter index (Chaudhuri et al., ICDE'06 — the same
+    * theorem the distributed prefix leg already relies on): order the
+    * bucket's tokens by ascending bucket-local document frequency; two
+    * sets with J ≥ t MUST share a token within their first
+    * n − ⌈t·n⌉ + 1 tokens under ANY bucket-wide total order, so only
+    * pairs sharing a prefix posting are verified. Work becomes
+    * O(tokens + postings walked + true-candidate merges) — linear in
+    * candidate volume, never quadratic in bucket size; on pure
+    * duplicate cliques (where candidates ARE the true pairs) the index
+    * adds ≤ ~25% over the unavoidable merge cost. Output is
+    * bit-identical to the all-pairs loop (exact recall, exact jaccard;
+    * TextSimSpec pins kernel ≡ brute force on random corpora).
+    * Threshold ≤ 0 keeps the all-pairs loop: plen would cover the
+    * whole doc yet disjoint pairs (J = 0 ≥ t) share no token. */
   private val jaccardPairUdf = udf((docs: Seq[org.apache.spark.sql.Row],
                        ga: Int, gb: Int, t: Double) => {
       val n = docs.length
@@ -479,33 +500,231 @@ object TextOps {
           }
         }
       }
-      if (ga == gb) {
-        // within-group bucket: triangular loop over all pairs
-        i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) { compare(i, j); j += 1 }
-          i += 1
+      if (t <= 0.0) {
+        // degenerate threshold: every pair qualifies (J = 0 passes),
+        // prefix filtering is inapplicable — keep the all-pairs loops
+        if (ga == gb) {
+          i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) { compare(i, j); j += 1 }
+            i += 1
+          }
+        } else {
+          val ia = Array.newBuilder[Int]; val ib = Array.newBuilder[Int]
+          i = 0
+          while (i < n) {
+            if (grp(i) == ga) ia += i else ib += i
+            i += 1
+          }
+          val aIdx = ia.result(); val bIdx = ib.result()
+          var p = 0
+          while (p < aIdx.length) {
+            var q = 0
+            while (q < bIdx.length) { compare(aIdx(p), bIdx(q)); q += 1 }
+            p += 1
+          }
         }
       } else {
-        // cross bucket: iterate exactly the |A|×|B| cross pairs — a
-        // triangular loop over the union would do ~2× the iterations
-        val ia = Array.newBuilder[Int]; val ib = Array.newBuilder[Int]
+        // ---- bucket-local prefix-filter index (all primitive) ----
+        // 1. bucket-wide token document frequency (the rarity order)
+        val dfm = new TokenDfMap(1 << 10)
         i = 0
         while (i < n) {
-          if (grp(i) == ga) ia += i else ib += i
+          val a = tok(i); var k = 0
+          while (k < a.length) { dfm.increment(a(k)); k += 1 }
           i += 1
         }
-        val aIdx = ia.result(); val bIdx = ib.result()
-        var p = 0
-        while (p < aIdx.length) {
-          var q = 0
-          while (q < bIdx.length) { compare(aIdx(p), bIdx(q)); q += 1 }
-          p += 1
+        // 2. per-doc prefix = the plen tokens smallest under (df, hash)
+        val prefix = new Array[Array[Long]](n)
+        i = 0
+        while (i < n) {
+          val a = tok(i); val m = a.length
+          val plen =
+            if (m == 0) 0 else m - math.ceil(t * m).toInt + 1
+          if (plen <= 0) prefix(i) = Array.emptyLongArray
+          else if (plen >= m) prefix(i) = a
+          else {
+            val cp = a.clone()
+            sortByDf(cp, dfm)
+            prefix(i) = java.util.Arrays.copyOf(cp, plen)
+          }
+          i += 1
+        }
+        // 3. probe/insert an inverted index over prefix tokens.
+        // Postings are a token→head map over parallel (doc, next)
+        // arrays — a linked bucket list, no per-token allocation.
+        var postDoc = new Array[Int](1024)
+        var postNext = new Array[Int](1024)
+        var postN = 0
+        val heads = new LongHeadMap(1 << 10)
+        val stamp = new Array[Int](n)
+        java.util.Arrays.fill(stamp, -1)
+        def insert(doc: Int): Unit = {
+          val pf = prefix(doc); var k = 0
+          while (k < pf.length) {
+            if (postN == postDoc.length) {
+              postDoc = java.util.Arrays.copyOf(postDoc, postN << 1)
+              postNext = java.util.Arrays.copyOf(postNext, postN << 1)
+            }
+            postDoc(postN) = doc
+            postNext(postN) = heads.getAndSet(pf(k), postN)
+            postN += 1
+            k += 1
+          }
+        }
+        def probe(doc: Int): Unit = {
+          val pf = prefix(doc); var k = 0
+          while (k < pf.length) {
+            var e = heads.get(pf(k))
+            while (e >= 0) {
+              val j = postDoc(e)
+              if (stamp(j) != doc) { stamp(j) = doc; compare(doc, j) }
+              e = postNext(e)
+            }
+            k += 1
+          }
+        }
+        if (ga == gb) {
+          // self-join: probe-then-insert visits each pair exactly once
+          i = 0
+          while (i < n) { probe(i); insert(i); i += 1 }
+        } else {
+          // cross bucket: index side b, probe side a — exactly the
+          // |A|×|B| candidate space, each cross pair examined once
+          i = 0
+          while (i < n) { if (grp(i) == gb) insert(i); i += 1 }
+          i = 0
+          while (i < n) { if (grp(i) == ga) probe(i); i += 1 }
         }
       }
       out.result()
     })
+
+  /** Open-addressing long→int counter (token → bucket-local df).
+    * Same boxing-free design as [[graft.graph.GraphOps]]' map. */
+  private final class TokenDfMap(expected: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, expected * 2 - 1)) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var cnts = new Array[Int](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = ((k * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      while (occ(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def increment(k: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; cnts(i) = 1; n += 1
+        if (n * 2 > cap) grow()
+      } else cnts(i) += 1
+    }
+    def get(k: Long): Int = {
+      val i = slot(k); if (occ(i)) cnts(i) else 0
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oc = cnts; val oo = occ; val c0 = cap
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); cnts = new Array[Int](cap)
+      occ = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < c0) {
+        if (oo(i)) {
+          val s = slot(ok(i))
+          if (!occ(s)) { occ(s) = true; keys(s) = ok(i); n += 1 }
+          cnts(s) = oc(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Open-addressing long→int head map for the posting lists
+    * (absent → -1). */
+  private final class LongHeadMap(expected: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, expected * 2 - 1)) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Int](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = ((k * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      while (occ(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def get(k: Long): Int = {
+      val i = slot(k); if (occ(i)) vals(i) else -1
+    }
+    /** Returns the previous head (-1 if absent) and stores `v`. */
+    def getAndSet(k: Long, v: Int): Int = {
+      val i = slot(k)
+      val prev = if (occ(i)) vals(i) else -1
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+      prev
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val oo = occ; val c0 = cap
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Int](cap)
+      occ = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < c0) {
+        if (oo(i)) {
+          val s = slot(ok(i))
+          occ(s) = true; keys(s) = ok(i); vals(s) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** In-place quicksort of token hashes by (bucket df asc, hash asc) —
+    * the prefix rarity order, primitive throughout (a comparator sort
+    * would box every element). Insertion sort below 16. */
+  private def sortByDf(a: Array[Long], dfm: TokenDfMap): Unit = {
+    def less(x: Long, y: Long): Boolean = {
+      val dx = dfm.get(x); val dy = dfm.get(y)
+      dx < dy || (dx == dy && x < y)
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val v = a(i); var j = i - 1
+          while (j >= lo && less(v, a(j))) { a(j + 1) = a(j); j -= 1 }
+          a(j + 1) = v
+          i += 1
+        }
+      } else {
+        // median-of-three pivot
+        val mid = (lo + hi) >>> 1
+        if (less(a(mid), a(lo))) { val t = a(lo); a(lo) = a(mid); a(mid) = t }
+        if (less(a(hi), a(lo))) { val t = a(lo); a(lo) = a(hi); a(hi) = t }
+        if (less(a(hi), a(mid))) { val t = a(mid); a(mid) = a(hi); a(hi) = t }
+        val pivot = a(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (less(a(i), pivot)) i += 1
+          while (less(pivot, a(j))) j -= 1
+          if (i <= j) {
+            val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1
+          }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (a.length > 1) sort(0, a.length - 1)
+  }
 
   /** The triangle leg: `sized` carries (block, i, ws, __sb) where
     * `__sb` is the per-row split factor G (all rows of a block share
@@ -738,35 +957,45 @@ object TextOps {
 
   /** MinHash-LSH near-duplicate candidate pairs: sign → band → bucket
     * self-join → estimated jaccard from signature agreement ≥ threshold.
-    * Scales as Σ bucket² instead of n². */
+    * Scales as Σ bucket² instead of n².
+    *
+    * `blocking`: optional partition column (language, domain, shard —
+    * the [[simHashDupPairs]]/[[jaccardDupPairs]] pattern, r15 parity
+    * ask): when set, pairs never cross blocks and the effective band
+    * key space multiplies by the block cardinality. NULL blocks match
+    * each other (struct-wrapped null-safe key). */
   def minHashDupPairs(df: DataFrame, id: Column, text: Column,
                       threshold: Double, k: Int = 3, numHashes: Int = 128,
-                      bands: Int = 16): DataFrame =
+                      bands: Int = 16,
+                      blocking: Option[Column] = None): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    // Persist ONLY the narrow (id, signature) frame — ~1 KB/doc — so
-    // re-shingling + the 128-hash minhash (the dominant compute) runs
-    // exactly once per document. The band rows are DERIVED lazily from
-    // the cached signatures wherever the plan needs them: re-running
-    // lshBands over a cached 128-long array costs 16 FNV folds per
-    // doc, nothing next to a cache 16× this size. (The previous shape
-    // persisted the band explode WITH the signature duplicated onto
-    // every band row — ~16 KB/doc; at the sf10 sweep rung that ~10 GB
-    // cache's materialization alone took 112 s on 8 GiB executors vs
-    // 43 s of pure signing, and the pair legs re-read the wide rows.)
+    // Persist ONLY the narrow (id, blk, signature) frame — ~1 KB/doc —
+    // so re-shingling + the 128-hash minhash (the dominant compute)
+    // runs exactly once per document. The band rows are DERIVED lazily
+    // from the cached signatures wherever the plan needs them:
+    // re-running lshBands over a cached 128-long array costs 16 FNV
+    // folds per doc, nothing next to a cache 16× this size. (The
+    // previous shape persisted the band explode WITH the signature
+    // duplicated onto every band row — ~16 KB/doc; at the sf10 sweep
+    // rung that ~10 GB cache's materialization alone took 112 s on
+    // 8 GiB executors vs 43 s of pure signing, and the pair legs
+    // re-read the wide rows.)
     val rows = numHashes / bands
     val sigs = df.select(id.as("i"),
+        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
         minHashSignature(text, k, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandT = sigs.select(col("i"),
+    val bandT = sigs.select(col("i"), col("blk"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("i"), col("band._1").as("b"), col("band._2").as("h"))
+      .select(col("i"), col("blk"),
+        col("band._1").as("b"), col("band._2").as("h"))
     // candidate dedup BEFORE the signature comparison (same rationale
     // as minHashDupPairsFromBands: a near-dup pair collides in up to
     // `bands` buckets; compare once, shuffle two longs)
     val cand = bandT.as("l")
       .join(bandT.as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-          col("l.i") < col("r.i"))
+          col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"))
       .distinct()
     // inner joins are safe here (unlike FromBands' sliced-table
@@ -798,10 +1027,12 @@ object TextOps {
     // signatures are fetched once per surviving pair from the band-0
     // slice of the same table (every doc has a band 0 — a narrow
     // cached filter, no extra signing, no shuffle to build).
-    val cand = buckets.select(col("i"), col("b"), col("h")).as("l")
-      .join(buckets.select(col("i"), col("b"), col("h")).as("r"),
+    val cand = buckets.select(col("i"), col("blk"), col("b"), col("h"))
+      .as("l")
+      .join(buckets.select(col("i"), col("blk"), col("b"), col("h"))
+          .as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
-          col("l.i") < col("r.i"))
+          col("l.blk") === col("r.blk") && col("l.i") < col("r.i"))
       .select(col("l.i").as("id1"), col("r.i").as("id2"))
       .distinct()
     val sigs = buckets.filter(col("b") === 0)
@@ -832,15 +1063,23 @@ object TextOps {
     * everything incremental dedup needs to compare new documents
     * against the corpus without ever re-reading or re-hashing the
     * corpus text. Write this once per corpus snapshot (partitioned by
-    * `b` if stored at rest, so band probes prune). */
+    * `b` if stored at rest, so band probes prune). `blk` is the
+    * struct-wrapped blocking key ([[minHashDupPairs]], r15) — pass the
+    * same `blocking` on both the corpus and each batch. NOTE (r15):
+    * the schema gained the `blk` column; band tables persisted by
+    * earlier revisions must be re-signed (pre-release format change,
+    * the [[graft.streaming.StreamOps]] checkpoint rule). */
   def minHashBandTable(df: DataFrame, id: Column, text: Column,
                        k: Int = 3, numHashes: Int = 128,
-                       bands: Int = 16): DataFrame = {
+                       bands: Int = 16,
+                       blocking: Option[Column] = None): DataFrame = {
     val rows = numHashes / bands
-    df.select(id.as("i"), minHashSignature(text, k, numHashes).as("sig"))
-      .select(col("i"), col("sig"),
+    df.select(id.as("i"),
+        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+        minHashSignature(text, k, numHashes).as("sig"))
+      .select(col("i"), col("blk"), col("sig"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("i"), col("sig"),
+      .select(col("i"), col("blk"), col("sig"),
         col("band._1").as("b"), col("band._2").as("h"))
   }
 
@@ -862,9 +1101,11 @@ object TextOps {
                                  text: Column, corpusBands: DataFrame,
                                  threshold: Double, k: Int = 3,
                                  numHashes: Int = 128,
-                                 bands: Int = 16): DataFrame =
-      graft.util.Release.scoped(newDf.sparkSession) {
-    val nb = minHashBandTable(newDf, id, text, k, numHashes, bands)
+                                 bands: Int = 16,
+                                 blocking: Option[Column] = None)
+      : DataFrame = graft.util.Release.scoped(newDf.sparkSession) {
+    val nb = minHashBandTable(newDf, id, text, k, numHashes, bands,
+        blocking)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     incrementalMinHashDupPairsFromBands(nb, corpusBands, threshold)
   }
@@ -878,10 +1119,12 @@ object TextOps {
                                           threshold: Double)
       : DataFrame = {
     // same dedupe-candidates-first shape as minHashDupPairsFromBands
-    def narrow(df: DataFrame) = df.select(col("i"), col("b"), col("h"))
+    def narrow(df: DataFrame) =
+      df.select(col("i"), col("blk"), col("b"), col("h"))
     def cand(l: DataFrame, r: DataFrame, cond: Column) =
       narrow(l).as("l").join(narrow(r).as("r"),
-          col("l.b") === col("r.b") && col("l.h") === col("r.h") && cond)
+          col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
+            col("l.blk") === col("r.blk") && cond)
         .select(least(col("l.i"), col("r.i")).as("id1"),
           greatest(col("l.i"), col("r.i")).as("id2"))
     val cands = cand(corpusBands, newBands, col("l.i") =!= col("r.i"))

@@ -67,4 +67,67 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(canarySpread(Seq(0.5)) == 1.0)
     assert(math.abs(canarySpread(Seq(0.5, 0.75)) - 1.5) < 1e-9)
   }
+
+  // ---- r15 (verdict ask #6): interleaved probes + drift ----
+
+  test("mid-session slowdown is flagged as drift and the drifted tail " +
+      "is judged against the nearest (late) probe") {
+    // box at speed 0.7 early, 1.4 late (2x drift): committed canary
+    // 0.7, committed band median 1.0 hi 1.2
+    val probes = Seq(Probe(0.0, 0.7), Probe(10.0, 0.72),
+      Probe(300.0, 1.35), Probe(600.0, 1.4))
+    assert(drifted(probes))
+    assert(math.abs(driftRatio(probes) - 2.0) < 1e-9)
+    val b = Band(1.0, 1.2)
+    // a query measured at t=580 on the slowed box reads 2.0 s — the
+    // global min-based factor (1.0) would trip it (2.0 > 1.5), but
+    // the factor at the nearest probe (1.4/0.7 = 2.0) absorbs it
+    val fLate = factorAt(probes, 0.7, 580.0)
+    assert(math.abs(fLate - 2.0) < 1e-9)
+    assert(!isTrip(2.0, b, fLate), "box drift misread as regression")
+    // the same 2.0 s measured EARLY (t=5, box fast) still trips:
+    // drift-aware factors stay local, they don't widen the whole run
+    val fEarly = factorAt(probes, 0.7, 5.0)
+    assert(math.abs(fEarly - 1.0) < 1e-9)
+    assert(isTrip(2.0, b, fEarly),
+      "early regression excused by late drift")
+  }
+
+  test("a genuine regression in the drifted tail still trips at the " +
+      "local factor") {
+    val probes = Seq(Probe(0.0, 0.7), Probe(600.0, 1.05)) // 1.5x drift
+    assert(drifted(probes))
+    val b = Band(1.0, 1.2)
+    // local factor at the tail is 1.5; a 3x regression reads 4.5 s on
+    // the slowed box and must still trip (threshold 1.5*1.5 = 2.25)
+    assert(isTrip(4.5, b, factorAt(probes, 0.7, 590.0)))
+  }
+
+  test("steady box: no drift flag, factorAt agrees with sessionFactor") {
+    val probes = Seq(Probe(0.0, 0.8), Probe(300.0, 0.84),
+      Probe(600.0, 0.82))
+    assert(!drifted(probes))
+    assert(math.abs(driftRatio(probes) - 0.82 / 0.8) < 1e-9)
+    val global = sessionFactor(probes.map(_.sec), 0.8)
+    for (at <- Seq(0.0, 250.0, 599.0))
+      assert(math.abs(factorAt(probes, 0.8, at) - global) < 0.06)
+  }
+
+  test("a box that speeds UP mid-session also flags drift (a too-fast " +
+      "tail must not hide behind a slow early factor)") {
+    val probes = Seq(Probe(0.0, 1.4), Probe(600.0, 0.7))
+    assert(drifted(probes))
+    assert(driftRatio(probes) < 1.0)
+    // late factor is 1.0 (0.7/0.7): a 2x regression measured late
+    // trips even though the early probe would have excused it at 2x
+    assert(isTrip(2.0, Band(1.0, 1.2), factorAt(probes, 0.7, 600.0)))
+  }
+
+  test("drift helpers degrade safely on empty/singleton probes") {
+    assert(!drifted(Nil))
+    assert(!drifted(Seq(Probe(0.0, 1.0))))
+    assert(driftRatio(Nil) == 1.0)
+    assert(factorAt(Nil, 0.7, 100.0) == 1.0)
+    assert(factorAt(Seq(Probe(0.0, 1.4)), 0.0, 100.0) == 1.0)
+  }
 }

@@ -96,6 +96,74 @@ class ImageHashSpec extends AnyFunSuite {
     assert(want.size >= 20, "page groups must produce exact-dup pairs")
   }
 
+  test("incremental image dedup ≡ full batch (r15): corpus band table " +
+      "+ new batch, probe expansion on the new side only") {
+    import spark.implicits._
+    val rows = (0 until 80).map { i =>
+      val page = i % 24
+      (i.toLong, bmp(10 + page % 5, 8 + page % 4, (x, y) =>
+        ((page * 31 + x * 7 + y * 13) % 256 << 16) |
+          ((page * 17 + x * 11 + y * 3) % 256 << 8) |
+          ((page * 5 + x * 3 + y * 29) % 256)))
+    }
+    val df = rows.toDF("id", "payload")
+    val bandAll = MultimodalOps.imageBandTable(df, col("id"),
+      col("payload")).persist()
+    val bandOld = bandAll.filter(col("i") % 2 === 0)
+    val bandNew = bandAll.filter(col("i") % 2 === 1)
+    for (maxDist <- Seq(0, 2, 3)) {
+      val full = MultimodalOps.imageDupPairsFromBands(bandAll, maxDist)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inc = MultimodalOps.incrementalImageDupPairsFromBands(
+          bandNew, bandOld, maxDist)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val old = MultimodalOps.imageDupPairsFromBands(bandOld, maxDist)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((old ++ inc) == full,
+        s"maxDist=$maxDist: old ∪ inc != full " +
+          s"(missing=${(full -- old -- inc).take(3)}, " +
+          s"extra=${((old ++ inc) -- full).take(3)})")
+      // the incremental sweep must never re-emit old-old pairs
+      assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+      if (maxDist == 3) assert(full.size >= 20)
+    }
+    bandAll.unpersist(blocking = false)
+  }
+
+  test("imageDupPairs blocking column: pairs never cross blocks, " +
+      "recall within blocks unchanged (r15)") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val page = i % 15
+      (i.toLong, (i % 2).toString, bmp(10 + page % 5, 8 + page % 4,
+        (x, y) =>
+          ((page * 31 + x * 7 + y * 13) % 256 << 16) |
+            ((page * 17 + x * 11 + y * 3) % 256 << 8) |
+            ((page * 5 + x * 3 + y * 29) % 256)))
+    }
+    val df = rows.toDF("id", "blkc", "payload")
+    val got = MultimodalOps.imageDupPairs(df, col("id"), col("payload"),
+        3, blocking = Some(col("blkc")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = rows.map { case (i, blk, b) =>
+      (i, blk, hashOf(b)(0).longValue) }
+    val want = (for {
+      (i1, b1, h1) <- hs; (i2, b2, h2) <- hs
+      if i1 < i2 && b1 == b2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // and the unblocked run must find strictly more (the cross-block
+    // page twins), proving n_cross isn't vacuously zero
+    val unblocked = MultimodalOps.imageDupPairs(df, col("id"),
+        col("payload"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(unblocked) && unblocked.size > want.size)
+  }
+
   private def pHashOf(payloads: Array[Byte]*): Seq[java.lang.Long] = {
     import spark.implicits._
     payloads.toDF("p").select(MultimodalOps.pHash64(col("p")))

@@ -140,6 +140,54 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle kernel (prefix-index, r15) ≡ brute force on a random " +
+      "shared-vocab corpus at several thresholds") {
+    // the r15 kernel replaced the all-pairs loop with a bucket-local
+    // SSJoin prefix index; this pins exact-recall + exact-jaccard
+    // against a driver-side brute force over a corpus built to stress
+    // it: small shared vocabulary (high-df tokens that the rarity
+    // order must push OUT of prefixes), variable doc lengths, planted
+    // near-dups, and a multi-bucket split (subBlocks > 1 exercises
+    // the cross-bucket probe/index sides).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val docs = (0L until 400L).map { i =>
+      val len = 3 + rnd.nextInt(18)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant true near-dups deterministically: doc i with i%7==1 copies
+    // doc i-1's text with one extra token
+    val byId = docs.toMap
+    val planted = docs.map { case (i, t) =>
+      if (i % 7 == 1) (i, byId(i - 1) + " extra" + (i % 5))
+      else (i, t)
+    }
+    val df = planted.toDF("doc_id", "text")
+      .withColumn("blk", lit("all"))
+    for (th <- Seq(0.3, 0.5, 0.8)) {
+      val got = TextOps.jaccardDupPairs(df, col("doc_id"), col("text"),
+          col("blk"), th, subBlocks = 4, routeThreshold = 100000L)
+        .select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // driver-side brute force over the same normalized word sets
+      val sets = planted.map { case (i, t) =>
+        i -> t.toLowerCase.trim.split("\\s+").toSet
+      }
+      val want = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        common = (a & b).size
+        jac = common.toDouble / (a.size + b.size - common)
+        if jac >= th
+      } yield (i, j, jac)).toSet
+      assert(got == want,
+        s"threshold $th: kernel=${got.size} brute=${want.size} " +
+          s"only-kernel=${(got -- want).take(3)} " +
+          s"only-brute=${(want -- got).take(3)}")
+      if (th <= 0.5) assert(want.nonEmpty, s"degenerate fixture at $th")
+    }
+  }
+
   test("jaccard hybrid routing pairs docs in a NULL block on both legs") {
     import spark.implicits._
     val df = Seq(
@@ -177,6 +225,40 @@ class TextSimSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "test data should contain near-duplicates")
     val recall = exact.count(est.contains).toDouble / exact.size
     assert(recall >= 0.9, s"minhash recall $recall on ${exact.size} pairs")
+  }
+
+  test("minhash blocking column: pairs never cross blocks; identical " +
+      "docs in the same block are always found (r15)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f", "x"),
+      (2L, "a b c d e f", "x"),   // same block twin: must be found
+      (3L, "a b c d e f", "y"),   // cross-block twin of 1/2: never
+      (4L, "a b c d e f", "y"),   // same block twin of 3
+      (5L, "p q r s t u", "x")
+    ).toDF("doc_id", "text", "src")
+    val blocked = TextOps.minHashDupPairs(df, col("doc_id"), col("text"),
+        0.9, blocking = Some(col("src")))
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == Set((1L, 2L), (3L, 4L)))
+    // unblocked finds the cross-block twins too — the blocking really
+    // is what removed them
+    val open = TextOps.minHashDupPairs(df, col("doc_id"), col("text"),
+        0.9)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 3L), (2L, 4L)).subsetOf(open))
+    // FromBands slices of one blocked band table agree (the
+    // incremental path carries the block key through the join)
+    val bt = TextOps.minHashBandTable(df, col("doc_id"), col("text"),
+      blocking = Some(col("src")))
+    val inc = TextOps.incrementalMinHashDupPairsFromBands(
+        bt.filter(col("i") % 2 === 0), bt.filter(col("i") % 2 === 1),
+        0.9)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((1L, 2L), (3L, 4L)))
   }
 
   test("hybrid routing executes BOTH legs in one call: the mixed-leg " +
