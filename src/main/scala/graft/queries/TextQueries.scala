@@ -394,6 +394,48 @@ object TextQueries extends QueryPack {
           round(avg(col("cos")), 4).as("avg_cos"),
           (count(col("hit")) >= count(lit(1)) * 0.95).as("recall_ok"))
     }),
+    "q_cosine_block" -> ((s, dir) => {
+      // the r15 blocking-column variant of q_cosine_dup (dedup-family
+      // parity): every base vector gets TWO planted twins — t1 at
+      // id+10000 (even offset: same parity = same block under the
+      // pmod(id,2) blocking key) and t2 at id+20001 (odd offset:
+      // opposite parity = cross-block). The blocked LSH must find the
+      // same-block exact pairs (recall contract) and emit ZERO
+      // cross-block pairs (n_cross) even though t2's cosine clears
+      // the threshold — the unblocked q_cosine_dup machinery would
+      // emit it.
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 250)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val t1 = emb.select((col("id") + 10000).as("id"),
+        concat(array(element_at(col("vec"), 1) + lit(0.05)),
+          slice(col("vec"), 2, 100000)).as("vec"))
+      val t2 = emb.select((col("id") + 20001).as("id"),
+        concat(array(element_at(col("vec"), 1)),
+          array(element_at(col("vec"), 2) + lit(0.05)),
+          slice(col("vec"), 3, 100000)).as("vec"))
+      val all = emb.unionByName(t1).unionByName(t2)
+      // exact same-block pair set (blocking semantics replayed on the
+      // exact kernel): pairs with cos >= 0.95 AND equal parity
+      val exact = SimOps.cosineThresholdJoin(all, all, 0.95)
+        .filter(col("qid") < col("cid") &&
+          pmod(col("qid"), lit(2)) === pmod(col("cid"), lit(2)))
+        .select(col("qid").as("i1"), col("cid").as("i2"), col("cos"))
+      val lsh = SimOps.cosineDupPairs(all, 0.95,
+          blocking = Some(pmod(col("id"), lit(2))))
+        .select(col("id1"), col("id2"), lit(1).as("hit"))
+      val cross = lsh.agg(coalesce(sum(
+          when(pmod(col("id1"), lit(2)) =!= pmod(col("id2"), lit(2)),
+            1L).otherwise(0L)), lit(0L)).as("n_cross"))
+      exact.join(lsh,
+          exact("i1") === lsh("id1") && exact("i2") === lsh("id2"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"),
+          round(avg(col("cos")), 4).as("avg_cos"),
+          (count(col("hit")) >= count(lit(1)) * 0.95).as("recall_ok"))
+        .crossJoin(cross)
+    }),
     // ANN queries: the hash-dependent candidates have no SQL twin, but
     // the exact-side aggregate AND the subset contract do — an ANN
     // result can never beat the exact top-1 (it searches a subset), so
@@ -463,6 +505,43 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_queries"),
           round(avg(col("ecos")), 6).as("avg_exact_cos"),
           bool_and(coalesce(col("acos") <= col("ecos") + 1e-9,
+            lit(true))).as("subset_ok"))
+    }),
+    "q_incremental_ivf" -> ((s, dir) => {
+      // ANN state maintenance (r15): the daily-crawl append loop for
+      // the cell-partitioned IVF corpus. Even ids are the persisted
+      // corpus, odd ids the appended batch; centroids are frozen, so
+      // append ≡ full-rewrite is an EXACT search equivalence (cell
+      // assignment is a pure function of the persisted centroids) —
+      // pinned as append_equals_rewrite. The SQL-checkable anchor is
+      // the brute-force exact top-1 (the q_ann_ivf pattern) plus the
+      // subset contract: an IVF cos can never exceed the exact cos.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_inc_ivf"
+      val idx = SimOps.buildIvfIndex(emb)
+      SimOps.writeIvfPartitioned(emb.filter(pmod(col("id"), lit(2)) === 0),
+        idx, s"$root/corpus")
+      SimOps.appendIvfPartitioned(emb.filter(pmod(col("id"), lit(2)) === 1),
+        idx, s"$root/corpus")
+      SimOps.writeIvfPartitioned(emb, idx, s"$root/rewrite")
+      val q = emb.filter(col("id") < 500)
+      val inc = SimOps.ivfCosineTopKIndexed(q, s"$root/corpus", idx, 1)
+        .select(col("qid"), col("cid").as("icid"),
+          col("cos").as("icos"))
+      val rw = SimOps.ivfCosineTopKIndexed(q, s"$root/rewrite", idx, 1)
+        .select(col("qid"), col("cid").as("rcid"),
+          col("cos").as("rcos"))
+      val exact = SimOps.cosineTopK(q, emb, 1)
+        .select(col("qid"), col("cos").as("ecos"))
+      exact.join(inc, Seq("qid"), "left").join(rw, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("ecos")), 6).as("avg_exact_cos"),
+          coalesce(bool_and(col("icid") <=> col("rcid") &&
+            col("icos") <=> col("rcos")), lit(true))
+            .as("append_equals_rewrite"),
+          bool_and(coalesce(col("icos") <= col("ecos") + 1e-9,
             lit(true))).as("subset_ok"))
     }),
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1494,6 +1573,26 @@ object TextQueries extends QueryPack {
         |SELECT COUNT(*)::BIGINT AS n_exact, ROUND(AVG(c), 4) AS avg_cos,
         |  true AS recall_ok
         |FROM j""".stripMargin,
+    "q_cosine_block" ->
+      """WITH e AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 250),
+        |p1 AS (
+        |  SELECT id + 10000 id, list_concat([v[1] + 0.05], v[2:]) v
+        |  FROM e),
+        |p2 AS (
+        |  SELECT id + 20001 id,
+        |    list_concat([v[1], v[2] + 0.05], v[3:]) v
+        |  FROM e),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p1
+        |      UNION ALL SELECT * FROM p2),
+        |j AS (
+        |  SELECT list_cosine_similarity(l.v, r.v) c
+        |  FROM u l JOIN u r ON l.id < r.id AND l.id % 2 = r.id % 2
+        |  WHERE list_cosine_similarity(l.v, r.v) >= 0.95)
+        |SELECT COUNT(*)::BIGINT AS n_exact, ROUND(AVG(c), 4) AS avg_cos,
+        |  true AS recall_ok, 0::BIGINT AS n_cross
+        |FROM j""".stripMargin,
     "q_ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
@@ -1533,6 +1632,21 @@ object TextQueries extends QueryPack {
         |  FROM q JOIN c ON q.id <> c.id)
         |SELECT COUNT(*) AS n_queries,
         |  ROUND(AVG(cos), 6) AS avg_exact_cos,
+        |  true AS subset_ok
+        |FROM s WHERE rk = 1""".stripMargin,
+    "q_incremental_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id < 500),
+        |c AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (
+        |  SELECT q.id qid, list_cosine_similarity(q.v, c.v) cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) rk
+        |  FROM q JOIN c ON q.id <> c.id)
+        |SELECT COUNT(*) AS n_queries,
+        |  ROUND(AVG(cos), 6) AS avg_exact_cos,
+        |  true AS append_equals_rewrite,
         |  true AS subset_ok
         |FROM s WHERE rk = 1""".stripMargin,
     "q_cosine_topk" ->

@@ -265,9 +265,17 @@ object SimOps {
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
     * (exact verify inside bucket). */
   def cosineDupPairs(df: DataFrame, threshold: Double, nPlanes: Int = 12,
-                     tables: Int = 4): DataFrame =
+                     tables: Int = 4,
+                     blocking: Option[Column] = None): DataFrame =
       graft.util.Release.scoped(df.sparkSession) {
-    val base = df.select(col("id"), col("vec"))
+    // `blocking` (r15 — dedup-family parity): optional partition
+    // column (language, modality, shard); pairs never cross blocks
+    // and bucket occupancy divides across blocks. NULL blocks match
+    // each other (struct-wrapped null-safe key), matching
+    // TextOps.simHashDupPairs/minHashDupPairs and
+    // MultimodalOps.imageDupPairs.
+    val base = df.select(col("id"), col("vec"),
+      struct(blocking.getOrElse(lit(0)).as("k")).as("blk"))
     val tabbed = (0 until tables).map { t =>
       base.withColumn("tbl", lit(t))
         .withColumn("sig", hyperplaneSig(col("vec"), nPlanes, salt = t))
@@ -280,7 +288,7 @@ object SimOps {
     // only surviving narrow rows, never the embedding vectors
     l.join(r,
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
-          col("l.id") < col("r.id"))
+          col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -593,6 +601,30 @@ object SimOps {
         col("vec").cast("array<double>").as("vec"))
       .withColumn("cell", cellUdf(col("vec")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Append a NEW vector batch into an existing cell-partitioned
+    * corpus (from [[writeIvfPartitioned]]) — the ANN state-maintenance
+    * leg of the daily-crawl loop (r15), twin of the incremental
+    * minhash/simhash/image band tables: cell assignment is a pure
+    * function of the PERSISTED centroids, so appending lands each new
+    * vector in exactly the cell a full rewrite would give it, and a
+    * subsequent [[ivfCosineTopKIndexed]] search over the appended
+    * corpus is IDENTICAL to one over a from-scratch rewrite of
+    * corpus ∪ batch (q_incremental_ivf pins the equivalence). Corpus
+    * text/vectors are never re-read or re-assigned; each batch adds
+    * files inside the cell directories it touches. Vector ids must be
+    * distinct across corpus and batches. Re-train + rewrite only when
+    * drift degrades recall (centroids are FROZEN here by design —
+    * that is what makes append ≡ rewrite exact). */
+  def appendIvfPartitioned(newBatch: DataFrame, idx: IvfIndex,
+                           path: String): Unit = {
+    val cents = idx.centroids
+    val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
+    newBatch.select(col("id").cast("long").as("id"),
+        col("vec").cast("array<double>").as("vec"))
+      .withColumn("cell", cellUdf(col("vec")))
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Search a cell-partitioned corpus with a persisted index: compute

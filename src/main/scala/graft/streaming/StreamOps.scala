@@ -256,6 +256,14 @@ object StreamOps {
       corpusBands: DataFrame, threshold: Double, k: Int = 3,
       numHashes: Int = 128, bands: Int = 16,
       maxPerBucket: Int = 10000): DataFrame = {
+    // NOTE (r15): pass an UNBLOCKED corpus band table. The batch ops
+    // gained an optional blocking column whose key rides in `blk`;
+    // this streaming twin signs the stream side with the default
+    // (constant) block key and joins on (band, bucket) only, so a
+    // BLOCKED corpus table would silently lose its cross-block
+    // exclusion here. Blocking support for the streaming twin would
+    // need the block key folded into both the stream-static join and
+    // the state group key — not implemented.
     import graft.text.TextOps
     val nb = TextOps.minHashBandTable(
       newDocs.select(id.cast("long").as("__id"), text.as("__t")),

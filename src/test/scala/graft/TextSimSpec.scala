@@ -647,6 +647,32 @@ class TextSimSpec extends AnyFunSuite {
     assert(probedPlan.contains("PartitionFilters"), probedPlan)
   }
 
+  test("appendIvfPartitioned ≡ full rewrite: frozen centroids make " +
+      "the incremental ANN corpus search-identical (r15)") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_spec"
+    val idx = SimOps.buildIvfIndex(emb)
+    // corpus = even ids; two appended daily batches split the odd ids
+    SimOps.writeIvfPartitioned(emb.filter(col("id") % 2 === 0), idx,
+      s"$root/corpus")
+    SimOps.appendIvfPartitioned(emb.filter(col("id") % 4 === 1), idx,
+      s"$root/corpus")
+    SimOps.appendIvfPartitioned(emb.filter(col("id") % 4 === 3), idx,
+      s"$root/corpus")
+    SimOps.writeIvfPartitioned(emb, idx, s"$root/rewrite")
+    val q = emb.filter(col("id") < 60)
+    def res(path: String) = SimOps.ivfCosineTopKIndexed(
+        q, path, idx, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val inc = res(s"$root/corpus")
+    val rw = res(s"$root/rewrite")
+    assert(inc == rw && inc.nonEmpty)
+  }
+
   test("decodeBatch (mapPartitions) matches the scalar decode UDF") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
