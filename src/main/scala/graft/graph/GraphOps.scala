@@ -347,6 +347,70 @@ object GraphOps {
     df.join(losers, id.cast("long") === col("_loser"), "left_anti")
   }
 
+  /** Transitive clusters from PRE-CONTRACTED edge state (r15): the
+    * incremental-clustering composition. [[localSpanningForest]]
+    * outputs are persistable state (≤ one (root, node) row per
+    * document ever seen in a pair); a daily snapshot appends the
+    * forest of its incremental pair sweep, and clusters over
+    * `forest_old ∪ forest_inc` equal [[dupClusters]] over the full
+    * pair set exactly (a spanning forest of each subset preserves the
+    * subset's connectivity, and connectivity of a union is determined
+    * by the union of connectivities; cluster labels are component
+    * MINIMA, so they are stable under re-derivation). CC must still
+    * run over the union — a new edge can merge two old clusters, so
+    * labels are not incrementally patchable — but its input is
+    * O(dup mass), never O(pairs) and never O(corpus)
+    * (docs/INCREMENTAL.md; the q_incremental_clusters oracle pins the
+    * equivalence). Output schema matches [[dupClusters]]:
+    * (id, component, csize). */
+  def dupClustersFromEdges(edges: DataFrame, src: Column, dst: Column,
+                           maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(edges, src, dst, maxIter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    val out = graft.util.Release.scoped(edges.sparkSession) {
+      cc.select(col("id"), col("component"),
+        count(lit(1)).over(w).as("csize"))
+    }
+    graft.util.Release.free(cc)
+    out
+  }
+
+  /** Survivorship with a caller-chosen QUALITY policy (r15): keep,
+    * per duplicate cluster, the row maximizing `score` (ties → lowest
+    * id — deterministic and oracle-replayable) instead of
+    * [[dedupByClusters]]' minimum-id canonical representative.
+    * Real curation pipelines keep the longest / highest-quality /
+    * newest variant of a duplicate cluster — pass `n_chars`, a
+    * quality score, or a timestamp. Unclustered rows pass through.
+    *
+    * Scale shape: same contraction + CC as the other funnels; the
+    * policy is ONE window (`row_number` over the cluster key) on the
+    * labeled frame — a single hash shuffle on `component`, where
+    * unclustered rows ride their own id as a singleton key (no
+    * all-rows-one-partition degenerate window). */
+  def dedupByClustersKeepBest(df: DataFrame, id: Column,
+                              pairs: DataFrame, id1: Column,
+                              id2: Column, score: Column): DataFrame = {
+    val cc = connectedComponents(
+      localSpanningForest(pairs, id1, id2), col("u"), col("v"))
+    val labels = cc.select(col("id").as("__kb_id"),
+      col("component").as("__kb_comp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__kb_key"))
+      .orderBy(score.desc, id.cast("long").asc)
+    val out = graft.util.Release.scoped(df.sparkSession) {
+      df.join(labels, id.cast("long") === col("__kb_id"), "left")
+        .withColumn("__kb_key",
+          coalesce(col("__kb_comp"), id.cast("long")))
+        .withColumn("__kb_rn", row_number().over(w))
+        .filter(col("__kb_rn") === 1)
+        .drop("__kb_id", "__kb_comp", "__kb_key", "__kb_rn")
+    }
+    graft.util.Release.free(cc)
+    out
+  }
+
   /** Partition-local spanning forest of a pair frame: each task runs a
     * boxing-free union-find over ITS pairs and emits one (root, node)
     * edge per non-root node — replacing the task's edge set by a

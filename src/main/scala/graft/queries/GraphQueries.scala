@@ -48,6 +48,22 @@ object GraphQueries extends QueryPack {
           sum(col("n_chars")).as("chars_kept"))
         .orderBy("source")
     }),
+    "q_dedup_best" -> ((s, dir) => {
+      // keep-best survivorship (r15): per duplicate cluster keep the
+      // row maximizing n_chars (ties → lowest doc_id) — the curation
+      // policy real pipelines use instead of min-id. Oracle replays
+      // the same components + one ROW_NUMBER window.
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.jaccardDupPairs(docs, col("doc_id"),
+        col("text"), col("source"), 0.5)
+      GraphOps.dedupByClustersKeepBest(docs, col("doc_id"), pairs,
+          col("id1"), col("id2"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
     // sf1-feasible value-exact twins (BASELINE.md "sf1 CORRECTNESS"):
     // the originals' recursive-CTE oracles join word lists near-
     // quadratically per source block — past DuckDB's budget at sf1's
@@ -464,6 +480,21 @@ object GraphQueries extends QueryPack {
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_best" ->
+      s"""WITH $edgeSql,
+         |lab AS (
+         |  SELECT d.source, d.doc_id, d.n_chars,
+         |    COALESCE(cc.comp, d.doc_id) kcomp
+         |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         |rk AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY kcomp
+         |      ORDER BY n_chars DESC, doc_id) rn
+         |  FROM lab)
+         |SELECT source, COUNT(*) AS n_survivors,
+         |  SUM(n_chars)::BIGINT AS chars_kept,
+         |  SUM(doc_id)::BIGINT AS id_sum
+         |FROM rk WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sx_dup_clusters" ->
       s"""WITH $docsSampleSql,
          |${edgeSqlFor("docs_s")},

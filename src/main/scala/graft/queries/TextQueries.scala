@@ -353,6 +353,53 @@ object TextQueries extends QueryPack {
           (count(col("est_jaccard")) === count(lit(1))).as("recall_ok"))
         .crossJoin(cross)
     }),
+    "q_incremental_clusters" -> ((s, dir) => {
+      // incremental CLUSTER maintenance (r15): clusters over persisted
+      // forest state ∪ the incremental sweep's forest must equal
+      // full-batch clusters exactly (docs/INCREMENTAL.md — forests
+      // preserve per-subset connectivity; labels are component
+      // minima). Even ids = corpus, odd = new batch, SimHash pairs at
+      // maxDist 16. SQL anchor: identical-normalized-text docs whose
+      // text occurs ≥2 times are provably clustered (hamming 0).
+      import graft.graph.GraphOps
+      import graft.text.TextOps
+      val docs = t(s, dir, "documents")
+      val bandAll = TextOps.simHashBandTable(docs, col("doc_id"),
+          col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandOld = bandAll.filter(pmod(col("i"), lit(2)) === 0)
+      val bandNew = bandAll.filter(pmod(col("i"), lit(2)) === 1)
+      val pairsOld = TextOps.simHashDupPairsFromBands(bandOld, 16)
+      val pairsInc = TextOps.incrementalSimHashDupPairsFromBands(
+        bandNew, bandOld, 16)
+      val pairsFull = TextOps.simHashDupPairsFromBands(bandAll, 16)
+      val forestState = GraphOps
+        .localSpanningForest(pairsOld, col("id1"), col("id2"))
+        .union(GraphOps
+          .localSpanningForest(pairsInc, col("id1"), col("id2")))
+      val inc = GraphOps.dupClustersFromEdges(forestState,
+        col("u"), col("v"))
+      val full = GraphOps.dupClusters(pairsFull, col("id1"), col("id2"))
+      val eq = full.select(col("id"), col("component").as("fc"),
+          col("csize").as("fs"))
+        .join(inc.select(col("id"), col("component").as("ic"),
+          col("csize").as("is")), Seq("id"), "full")
+        .agg(coalesce(bool_and(col("fc") <=> col("ic") &&
+          col("fs") <=> col("is")), lit(true)).as("inc_equals_full"))
+      val norm = docs.select(col("doc_id").as("d"),
+        concat_ws(" ", split(lower(trim(col("text"))), "\\s+")).as("t"))
+      val identDocs = norm.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t"))))
+        .filter(col("n") >= 2)
+        .select(col("d"))
+      identDocs.join(full.select(col("id").as("d"),
+            lit(1).as("hit")), Seq("d"), "left")
+        .agg(count(lit(1)).as("n_ident_docs"),
+          coalesce(bool_and(col("hit").isNotNull), lit(true))
+            .as("ident_clustered"))
+        .crossJoin(eq)
+    }),
     "q_cosine_topk" -> ((s, dir) => {
       // cast to double so the dot product runs in f64 on both engines
       val emb = t(s, dir, "embeddings")
@@ -1539,6 +1586,17 @@ object TextQueries extends QueryPack {
         |     ON l.t = r.t AND l.d < r.d AND l.d % 2 <> r.d % 2
         |  )::BIGINT AS n_ident_cross,
         |  true AS ident_found,
+        |  true AS inc_equals_full""".stripMargin,
+    "q_incremental_clusters" ->
+      """WITH n AS (
+        |  SELECT doc_id AS d,
+        |    array_to_string(regexp_split_to_array(lower(trim(text)),
+        |      '\s+'), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT t FROM n GROUP BY t HAVING COUNT(*) >= 2)
+        |SELECT (SELECT COUNT(*) FROM n JOIN g USING (t))::BIGINT
+        |    AS n_ident_docs,
+        |  true AS ident_clustered,
         |  true AS inc_equals_full""".stripMargin,
     "q_simhash_block" ->
       """WITH n AS (

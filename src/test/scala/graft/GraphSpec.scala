@@ -76,6 +76,26 @@ class GraphSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("dedupByClustersKeepBest keeps the max-score row per cluster, " +
+      "ties to the lowest id, pass-through for unclustered rows (r15)") {
+    import spark.implicits._
+    // clusters {1,2,3} and {10,11}; isolated 99.
+    // scores: cluster 1: doc 2 wins (score 9); cluster 2: tie 5/5 →
+    // lowest id 10 wins; 99 passes through.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq((1L, 4L), (2L, 9L), (3L, 7L), (10L, 5L), (11L, 5L),
+      (99L, 1L)).toDF("doc_id", "score")
+    val kept = GraphOps.dedupByClustersKeepBest(docs, col("doc_id"),
+        pairs, col("id1"), col("id2"), col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 99L))
+    // min-id policy twin on the same frame, for contrast: the two
+    // policies agree only where min-id == argmax-score
+    val minId = GraphOps.dedupByClusters(docs, col("doc_id"), pairs,
+      col("id1"), col("id2")).collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 99L))
+  }
+
   test("dedupByClusters with a corpus-scale loser fraction: correct " +
       "survivors, no forced-broadcast hint in the plan") {
     import spark.implicits._
