@@ -897,7 +897,22 @@ object TextOps {
   /** MinHash signature over `k`-word shingles, `numHashes` permutations.
     * Returns array<long>. (the shingle→minhash step of MinHash-LSH) */
   def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 128)
-      : Column = {
+      : Column =
+    // r15: native codegen kernel ([[org.apache.spark.sql.graft
+    // .MinHashSig]]) — signing is the dominant compute of every
+    // minhash call (128 derivation steps per shingle per document),
+    // and the historical UDF paid a SerDe boundary plus a boxed
+    // Seq[Long] per row on the 100 TB hot path. Hash-for-hash the UDF
+    // formulation (NativeExprSpec pins the parity against
+    // [[minHashSignatureUdf]]).
+    org.apache.spark.sql.graft.NativeFunctions
+      .minHashSigNative(text, k, numHashes)
+
+  /** The historical UDF formulation of [[minHashSignature]] — kept
+    * (test-only) as the executable spec the native kernel is
+    * parity-pinned against. */
+  private[graft] def minHashSignatureUdf(text: Column, k: Int = 3,
+                                         numHashes: Int = 128): Column = {
     val f = udf { (s: String) =>
       if (s == null) null
       else {

@@ -80,6 +80,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedTokenHashes(children.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName,
+        "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_minhash_sig(str, shingleK, numHashes) takes three " +
+            "arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash_sig: $name must be an integer literal")
+        }
+        MinHashSig(children.head, intLit(children(1), "shingleK"),
+          intLit(children(2), "numHashes"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedLongIntersectSize].getName,
         "graft_sorted_intersect_size"),
@@ -205,6 +222,13 @@ object NativeFunctions {
   def sortedTokenHashesNative(c: Column, shingleK: Int = 1): Column =
     ExpressionUtils.column(
       SortedTokenHashes(ExpressionUtils.expression(c), shingleK))
+
+  /** MinHash signature (array<long>, `numHashes` slots over `k`-word
+    * shingles) — the MinHash-LSH signing kernel. */
+  def minHashSigNative(c: Column, shingleK: Int = 3,
+                       numHashes: Int = 128): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(c), shingleK, numHashes))
 
   /** Intersection size of two ascending-sorted distinct array<long>
     * columns — the SSJoin prefix path's exact-Jaccard verify kernel. */

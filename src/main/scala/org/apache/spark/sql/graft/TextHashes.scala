@@ -725,3 +725,102 @@ object SortedLongIntersectSize {
     common
   }
 }
+
+/** Native MinHash signature over `k`-word shingles, `numHashes`
+  * permutation slots — the signing kernel of MinHash-LSH dedup
+  * (reference: python/polars_ds/exprs/str2.py min-hash similarity
+  * surface; the LSH banding around it is graft's scale addition).
+  *
+  * Semantics are frozen to the historical Scala-UDF formulation in
+  * graft.text.TextOps.minHashSignature, hash-for-hash: tokenize with
+  * `toLowerCase.trim.split("\\s+")` (Locale.ROOT — identical output
+  * on any non-Turkic default locale; blank text yields the single
+  * empty shingle, docs of ≤ k words the single whole-text shingle),
+  * hash each shingle ONCE with the shared FNV-1a + splitmix64
+  * saltedHash (seed 0 — the same base hash SimHash64 uses, keeping
+  * minhash and simhash consistent on the same tokens), then derive
+  * the `numHashes`-member hash family by a splitmix64 finalizer over
+  * (base + i·φ64) and keep the per-slot minimum.
+  *
+  * Why native: signing is THE dominant compute of every minhash
+  * call — each document's text is scanned once but the derivation
+  * loop runs numHashes (128) times per shingle, and the UDF paid a
+  * SerDe boundary plus a boxed Seq[Long] per row on exactly the
+  * operator that 100 TB dedup runs over every document. The shingle
+  * hash here is computed INCREMENTALLY over the word spans (no
+  * shingle string is ever materialized), and the signature array
+  * lands directly in a GenericArrayData inside whole-stage codegen.
+  * SQL `graft_minhash_sig`; DSL [[NativeFunctions.minHashSigNative]].
+  */
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleK >= 1,
+    s"graft_minhash_sig: shingleK must be >= 1, got $shingleK")
+  require(numHashes >= 1,
+    s"graft_minhash_sig: numHashes must be >= 1, got $numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    MinHashSig.compute(s.asInstanceOf[UTF8String], shingleK, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = MinHashSig.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c, $shingleK, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int,
+              numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    val m = words.length // >= 1: "".split("\\s+") yields [""]
+    val nUnits = if (m <= k) 1 else m - k + 1
+    val width = if (m <= k) m else k
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var g = 0
+    while (g < nUnits) {
+      // FNV-1a over the shingle's UTF-16 chars (words joined by one
+      // space), computed over the word spans — seed 0 leaves the FNV
+      // offset basis unchanged, matching saltedHash(shingle, 0)
+      var h = 0xcbf29ce484222325L
+      var t = g
+      while (t < g + width) {
+        if (t > g) { h ^= 0x20L; h *= 0x100000001b3L }
+        val w = words(t)
+        var i = 0
+        while (i < w.length) {
+          h ^= w.charAt(i).toLong
+          h *= 0x100000001b3L
+          i += 1
+        }
+        t += 1
+      }
+      h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+      h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+      val base = h ^ (h >>> 31)
+      var j = 0
+      while (j < numHashes) {
+        var x = base + j.toLong * 0x9E3779B97F4A7C15L
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        if (x < sig(j)) sig(j) = x
+        j += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}

@@ -172,6 +172,50 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("native minhash signature is hash-for-hash the historical UDF " +
+      "formulation on random and edge-case texts (r15)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen: Gen[Int] = Gen.frequency(
+      8 -> Gen.choose(0x61, 0x7a),
+      3 -> Gen.oneOf(0x20, 0x20, 0x09, 0x0a, 0x0d),
+      2 -> Gen.choose(0x41, 0x5a),
+      1 -> Gen.oneOf(0x00e9, 0x00fc, 0x4e2d, 0x1f600),
+      1 -> Gen.oneOf(0x2c, 0x2e, 0x30))
+    val textGen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+    } yield new String(cs.flatMap(Character.toChars(_)).toArray)
+    def sample(seed: Long): String =
+      textGen.apply(Gen.Parameters.default, Seed(seed)).get
+    val edge = Seq("", " ", "\t \n", "single", "a b", "a b c",
+      "a b c d e f g h", "  lead trail  ", "Mixed CASE Grüße ÉÉ",
+      "the same the same the same")
+    val docs = edge ++ (0 until 120).map(i => sample(i * 7919L + 3))
+    for ((k, n) <- Seq((3, 128), (1, 32), (5, 8))) {
+      val both = docs.toDF("t").select(
+          graft.text.TextOps.minHashSignature(col("t"), k, n).as("nat"),
+          graft.text.TextOps.minHashSignatureUdf(col("t"), k, n)
+            .as("old"))
+        .collect()
+      docs.zip(both).foreach { case (t, r) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k n=$n text=${t.take(40).replace("\n", "\\n")}")
+      }
+    }
+    // null passes through
+    val nr = Seq[String](null).toDF("t")
+      .select(graft.text.TextOps.minHashSignature(col("t"))).head
+    assert(nr.isNullAt(0))
+    // stays in whole-stage codegen on a non-local source
+    val plan = spark.range(10)
+      .select(concat(lit("a b c d "), col("id")).as("t"))
+      .select(graft.text.TextOps.minHashSignature(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("md bucket counts: ScalaCheck-random unicode/whitespace texts " +
       "are row-identical to the Column-algebra DSIR twin") {
     import spark.implicits._
