@@ -99,7 +99,12 @@ object BenchProtocol {
       : Double =
     if (committedCal <= 0 || probes.isEmpty) 1.0
     else {
-      val near = probes.minBy(p => math.abs(p.at - at))
-      math.max(0.8, math.min(2.5, near.sec / committedCal))
+      // min of the TWO nearest probes (r15 ADVICE): one interference-
+      // inflated probe could otherwise locally excuse a genuine
+      // regression measured near it — the same direction the min-based
+      // session factor guards against.
+      val near = probes.sortBy(p => math.abs(p.at - at)).take(2)
+        .map(_.sec).min
+      math.max(0.8, math.min(2.5, near / committedCal))
     }
 }

@@ -233,29 +233,53 @@ object EdaOps {
           if (method == "pearson") base
           else {
             // Tie-averaged ranks WITHOUT a global single-partition
-            // window: per column, the distinct-value count table gets
-            // a GlobalCumsum running count (range-partition + local
-            // window + broadcast offsets — fully declarative, one
-            // range shuffle of the DISTINCT table instead of the old
-            // sort + zipWithIndex double pass over every row), and the
-            // tie group's average 1-based rank is exclusive-cum +
-            // (cnt+1)/2 — an exact integer-or-half double, identical
-            // to averaging the positions. The (value → rank) map joins
-            // back by value; every stage stays distributed at any
-            // frame size. corr is shift-invariant, so null rows (rank
-            // null via the left join) drop out pairwise exactly like
-            // the windowed formulation.
-            all.foldLeft(base) { (d, c) =>
-              val counts = base.select(col(c).as("__v"))
+            // window: the distinct-value count tables of ALL columns
+            // are STACKED under a discriminator and ranked through ONE
+            // shared cumsum pipeline (r16 — the previous shape ran one
+            // GlobalCumsum persist + range shuffle + broadcast-offset
+            // join PER COLUMN; this is one range shuffle ordered by
+            // (column, value) total). Per-column cumulative counts =
+            // the stacked running count minus the exclusive prefix of
+            // whole-column totals (a ≤ #columns-row window, broadcast
+            // back); the tie group's average 1-based rank is then
+            // exclusive-cum + (cnt+1)/2 — an exact integer-or-half
+            // double, identical to averaging the positions. The
+            // (value → rank) map joins back by value; every stage
+            // stays distributed at any frame size. corr is
+            // shift-invariant, so null rows (rank null via the left
+            // join) drop out pairwise exactly like the windowed
+            // formulation.
+            val colIdx = all.zipWithIndex
+            val stacked = colIdx.map { case (c, k) =>
+              base.select(lit(k).as("__k"), col(c).as("__v"))
                 .where(col("__v").isNotNull && !isnan(col("__v")))
-                .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
-              val cum = graft.util.GlobalCumsum.runningSums(counts,
-                col("__v"), ascending = true,
-                Seq(col("__n") -> "__cum"))
-              val rankMap = cum.select(col("__v"),
-                ((col("__cum") - col("__n")) +
+            }.reduce(_ unionAll _)
+              .groupBy(col("__k"), col("__v"))
+              .agg(count(lit(1)).as("__n"))
+            val cum = graft.util.GlobalCumsum.runningSumsMulti(stacked,
+              Seq(col("__k"), col("__v")), ascending = true,
+              Seq(col("__n") -> "__cum"))
+            // exclusive prefix of per-column totals: one row per
+            // column, so the keyless window is bounded by the column
+            // count, never the data
+            val baseOff = stacked.groupBy(col("__k"))
+              .agg(sum(col("__n")).as("__tot"))
+              .withColumn("__base", coalesce(sum(col("__tot")).over(
+                org.apache.spark.sql.expressions.Window
+                  .orderBy(col("__k"))
+                  .rowsBetween(
+                    org.apache.spark.sql.expressions.Window
+                      .unboundedPreceding, -1)),
+                lit(0L)))
+              .select(col("__k"), col("__base"))
+            val rankMap = cum.join(broadcast(baseOff), "__k")
+              .select(col("__k"), col("__v"),
+                ((col("__cum") - col("__base") - col("__n")) +
                   (col("__n") + lit(1)) / 2.0).as("__r"))
-              d.join(rankMap, d(c) === rankMap("__v"), "left")
+            colIdx.foldLeft(base) { case (d, (c, k)) =>
+              val rm = rankMap.filter(col("__k") === k)
+                .select(col("__v"), col("__r"))
+              d.join(rm, d(c) === rm("__v"), "left")
                 .withColumn(c, col("__r")).drop("__v", "__r")
             }
           }

@@ -41,10 +41,18 @@ object PageRankOps {
                weight: Option[Column] = None): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1")
     val w = weight.getOrElse(lit(1.0)).cast("double")
-    val e = edges.select(src.cast("long").as("u"),
-        dst.cast("long").as("v"), w.as("w"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
+    // Spread a single-split edge source before the (often expensive —
+    // q_pagerank parses HTML upstream) scan stage, and PERSIST the
+    // coalesced edge table: out/trans/nodes/dangling all derive from
+    // it, and unpersisted each branch would re-run the full upstream
+    // lineage (the parse ran 3× per pageRank call).
+    val e = graft.util.Spread.byKey(
+        edges.select(src.cast("long").as("u"),
+          dst.cast("long").as("v"), w.as("w"))
+          .filter(col("u").isNotNull && col("v").isNotNull),
+        col("u"), col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
     // transition probabilities, pre-partitioned on the join key and
     // persisted: the loop below joins this every iteration
@@ -110,6 +118,7 @@ object PageRankOps {
       }
       trans.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       val rows = ids.indices.map(k =>
         org.apache.spark.sql.Row(ids(k), rank(k)))
       import scala.jdk.CollectionConverters._
@@ -162,6 +171,7 @@ object PageRankOps {
     }
     trans.unpersist(blocking = false)
     danglingNodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     // note: `nodes` and the final `ranks` stay cached for the caller's
     // scans; Release.free(result) drops them when done
     ranks

@@ -201,7 +201,11 @@ class GLM(family: String, addBias: Boolean = true,
     val feats = (0 until d).map(i => col(s"__f$i"))
     val tgt = col("__t")
     var beta = new Array[Double](d)
-    val my = cached.agg(avg(tgt)).head.getDouble(0)
+    // one pass for (count, mean): the count feeds irlsEngine's
+    // local-path gate so the engine skips its own counting pass
+    val cm = cached.agg(count(lit(1)), avg(tgt)).head
+    val mRows = cm.getLong(0)
+    val my = cm.getDouble(1)
     // bias init = link(mean): keeps the first step's μ at the target's
     // scale (for gamma, 1/mean — inverse link)
     if (addBias) beta(d - 1) = family match {
@@ -233,17 +237,22 @@ class GLM(family: String, addBias: Boolean = true,
       }
       case f => throw new IllegalArgumentException(f)
     }
-    val data = cached.rdd.map { r =>
+    val data0 = cached.rdd.map { r =>
       val arr = new Array[Double](d + 1)
       var i = 0
       while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
       (0, arr)
-    }.persist()
+    }
+    // local path collects the rows exactly once — skip the extra cache
+    val data =
+      if (graft.ops.LinRegOps.irlsGoesLocal(mRows, d, maxIter)) data0
+      else data0.persist()
     val solve = (xtx: Array[Array[Double]], xty: Array[Double], _: Int) =>
       Solvers.ridge(xtx, xty)
     try {
       val (fit, it) = graft.ops.LinRegOps.irlsEngine(
-        data, 1, d, Array(beta), wz, solve, maxIter, tol)
+        data, 1, d, Array(beta), wz, solve, maxIter, tol,
+        knownRows = mRows)
       coeffs = fit(0); iterations = it
     } finally { data.unpersist(); cached.unpersist() }
     this

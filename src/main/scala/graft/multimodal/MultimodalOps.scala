@@ -574,9 +574,14 @@ object MultimodalOps {
     * `blocking` on both the corpus and each batch. */
   def imageBandTable(df: DataFrame, id: Column, payload: Column,
                      blocking: Option[Column] = None): DataFrame =
-    df.select(id.as("i"),
-        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
-        dHash64(payload).as("ph"))
+    // decode+hash is the dominant per-row cost and rides the scan
+    // stage: spread a single-split input before it (no-op when the
+    // scan already parallelizes — guide §2.5 input skew)
+    graft.util.Spread.byKey(
+        df.select(id.as("i"),
+          struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+          payload.as("__p")), col("i"))
+      .select(col("i"), col("blk"), dHash64(col("__p")).as("ph"))
       .filter(col("ph").isNotNull)
       .select(col("i"), col("blk"), col("ph"),
         explode(array(

@@ -602,7 +602,8 @@ object LinRegOps {
       k: Int, d: Int, init: Array[Array[Double]],
       wz: (Double, Double) => (Double, Double),
       solve: (Array[Array[Double]], Array[Double], Int) => Array[Double],
-      maxIter: Int, tol: Double): (Array[Array[Double]], Int) = {
+      maxIter: Int, tol: Double,
+      knownRows: Long = -1L): (Array[Array[Double]], Int) = {
     val sc = data.sparkContext
     val nTri = d * (d + 1) / 2
     val nG = nTri + d
@@ -618,7 +619,10 @@ object LinRegOps {
     // the same nondeterminism partitioning already introduces.
     val localCap = java.lang.Long.getLong("graft.maxLocalIrls",
       4000000L)
-    lazy val mRows = data.count()
+    // callers that already know the row count (from their own sizing
+    // aggregate) pass it in — the count() here is otherwise a FULL
+    // extra pass over the data before the first real iteration
+    lazy val mRows = if (knownRows >= 0L) knownRows else data.count()
     // The identical iteration over driver-resident rows — used
     // wholesale below the local cap, and on a subsample as the
     // distributed loop's warm start.
@@ -895,6 +899,14 @@ object LinRegOps {
     (betas, iters)
   }
 
+  /** True when [[irlsEngine]] with these dimensions takes the local
+    * (driver-iterate) path — callers use it to skip persisting the
+    * primitive RDD that the local path reads exactly once. */
+  private[graft] def irlsGoesLocal(rows: Long, d: Int,
+                                   maxIter: Int): Boolean =
+    maxIter > 1 && rows * (d + 2) <=
+      java.lang.Long.getLong("graft.maxLocalIrls", 4000000L)
+
   /** Dense per-group Gram accumulator budget for [[irlsEngine]]:
     * 2M doubles = 16 MB per in-flight task accumulator. Beyond this
     * (many groups × wide feature sets) the grouped fits fall back to
@@ -924,15 +936,21 @@ object LinRegOps {
       .select((fx :+ y.cast("double").as(s"${P}y")).zipWithIndex
       .map { case (c, i) => if (i < d) c.cast("double").as(s"${P}f$i")
         else c }: _*).persist()
-    // row count only needed to scale the l1 threshold (reference loss
-    // is mean log loss, so its l1_reg is relative to loss/m)
-    lazy val mCount = cached.count().toDouble
-    val data = cached.rdd.map { r =>
+    // one strict count: materializes the projection cache, scales the
+    // l1 threshold, and feeds irlsEngine's local-path gate so the
+    // engine never pays its own counting pass
+    val mRows = cached.count()
+    val mCount = mRows.toDouble
+    val data0 = cached.rdd.map { r =>
       val arr = new Array[Double](d + 1)
       var i = 0
       while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
       (0, arr)
-    }.persist()
+    }
+    // local path reads the rows exactly once (collect) — persisting
+    // the RDD would only add a second cache of `cached`'s bytes
+    val data = if (irlsGoesLocal(mRows, d, maxIter)) data0
+      else data0.persist()
     // w = μ(1−μ)+ε ; z = η + (y − μ)/w — one weighted-Gram pass per step
     val wz = (eta: Double, y: Double) => {
       val mu = 1.0 / (math.exp(-eta) + 1.0)
@@ -952,7 +970,8 @@ object LinRegOps {
           if (j < d) xtx(i)(j) + (if (i == j) lambda else 0.0) else xty(i))
         solveInPlace(a, d)
       }
-    try irlsEngine(data, 1, d, Array(beta), wz, solve, maxIter, tol)._1(0)
+    try irlsEngine(data, 1, d, Array(beta), wz, solve, maxIter, tol,
+      knownRows = mRows)._1(0)
     finally { data.unpersist(); cached.unpersist() }
   }
 
@@ -1132,13 +1151,22 @@ object LinRegOps {
         val keyIdx = keys.zipWithIndex.toMap
         val bcIdx = spark.sparkContext.broadcast(keyIdx)
         val gLen = groupCols.length
-        val data = proj.rdd.map { r =>
+        // total row count is already known from the sizing aggregate:
+        // skip irlsEngine's own count() pass, and skip the RDD persist
+        // when the engine will collect the rows once (local path) —
+        // the cache write is then pure overhead on top of `proj`'s
+        val totalRows = sizes.map(_.getDouble(gLen)).sum.toLong
+        val goLocal = irlsGoesLocal(totalRows, d, maxIter)
+        val data0 = proj.rdd.map { r =>
           val key: Seq[Any] = Seq.tabulate(gLen)(r.get)
           val arr = new Array[Double](d + 1)
           var i = 0
           while (i <= d) { arr(i) = r.getDouble(gLen + i); i += 1 }
           (bcIdx.value(key), arr)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val data = if (goLocal) data0
+          else data0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mArr = keys.map(mOf)
         val wz: (Double, Double) => (Double, Double) = family match {
           case "binomial" => (eta, y) => {
@@ -1176,7 +1204,8 @@ object LinRegOps {
           }
         try {
           val (fit, it) = irlsEngine(data, k, d,
-            keys.map(betas), wz, solve, maxIter, tol)
+            keys.map(betas), wz, solve, maxIter, tol,
+            knownRows = totalRows)
           betas = keys.zip(fit).toMap
           iters = it
         } finally { data.unpersist(); bcIdx.destroy() }

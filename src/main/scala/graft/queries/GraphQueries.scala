@@ -293,8 +293,12 @@ object GraphQueries extends QueryPack {
     // under-merging; a larger scale factor can raise
     // GRAFT_CC_ORACLE_ROUNDS at Verify time (read when the oracle SQL
     // is GENERATED — graft.Verify dumps oracle_sql.json).
-    val rounds = sys.env.get("GRAFT_CC_ORACLE_ROUNDS").map(_.toInt)
-      .getOrElse(16)
+    // clamped to >= 2 ((2 to rounds) must be non-empty or the CTE
+    // chain is malformed) and parsed loudly (r15 ADVICE)
+    val rounds = math.max(2, sys.env.get("GRAFT_CC_ORACLE_ROUNDS")
+      .map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_CC_ORACLE_ROUNDS must be an integer, got '$v'")))
+      .getOrElse(16))
     val steps = (2 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (
          |  SELECT x.id, MIN(x.l) l FROM (

@@ -22,13 +22,20 @@ object StorageQueries extends QueryPack {
       // this). Paths are keyed by the sf dir so repeat runs overwrite.
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_buckets$tag"
-      Bucketing.writeBucketed(
+      // the two bucketed writes are independent — overlap them so the
+      // second write's tasks back-fill the first's tail (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fo = Future(Bucketing.writeBucketed(
         t(s, dir, "orders").select("o_custkey", "o_totalprice"),
-        s"graft_bo$tag", s"$root/orders", 8, Seq("o_custkey"))
-      Bucketing.writeBucketed(
+        s"graft_bo$tag", s"$root/orders", 8, Seq("o_custkey")))
+      val fc = Future(Bucketing.writeBucketed(
         t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment")),
-        s"graft_bc$tag", s"$root/customer", 8, Seq("o_custkey"))
+        s"graft_bc$tag", s"$root/customer", 8, Seq("o_custkey")))
+      Await.result(fo, Duration.Inf)
+      Await.result(fc, Duration.Inf)
       Bucketing.bucketedJoin(s, s"graft_bo$tag", s"graft_bc$tag",
           Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))

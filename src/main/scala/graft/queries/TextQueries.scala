@@ -566,13 +566,28 @@ object TextQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("vec"))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_inc_ivf"
+      // path scoped per application: a fixed shared tmp dir let two
+      // concurrent graft processes interleave the overwrite/append
+      // sequence and corrupt each other's corpus (r15 ADVICE)
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q_inc_ivf_${s.sparkContext.applicationId}"
       val idx = SimOps.buildIvfIndex(emb)
-      SimOps.writeIvfPartitioned(emb.filter(pmod(col("id"), lit(2)) === 0),
-        idx, s"$root/corpus")
-      SimOps.appendIvfPartitioned(emb.filter(pmod(col("id"), lit(2)) === 1),
-        idx, s"$root/corpus")
-      SimOps.writeIvfPartitioned(emb, idx, s"$root/rewrite")
+      // the corpus (write-even + append-odd) and rewrite legs are
+      // independent until compared — overlap them (guide §2.6); the
+      // append stays strictly after its own corpus write
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fCorpus = Future {
+        SimOps.writeIvfPartitioned(
+          emb.filter(pmod(col("id"), lit(2)) === 0), idx, s"$root/corpus")
+        SimOps.appendIvfPartitioned(
+          emb.filter(pmod(col("id"), lit(2)) === 1), idx, s"$root/corpus")
+      }
+      val fRewrite = Future(
+        SimOps.writeIvfPartitioned(emb, idx, s"$root/rewrite"))
+      Await.result(fCorpus, Duration.Inf)
+      Await.result(fRewrite, Duration.Inf)
       val q = emb.filter(col("id") < 500)
       val inc = SimOps.ivfCosineTopKIndexed(q, s"$root/corpus", idx, 1)
         .select(col("qid"), col("cid").as("icid"),

@@ -597,8 +597,12 @@ object SimOps {
                           path: String): Unit = {
     val cents = idx.centroids
     val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
-    corpus.select(col("id").cast("long").as("id"),
-        col("vec").cast("array<double>").as("vec"))
+    // spread a single-split source so cell assignment + the
+    // per-cell-directory write parallelize (no-op at production
+    // split counts)
+    graft.util.Spread.byKey(
+        corpus.select(col("id").cast("long").as("id"),
+          col("vec").cast("array<double>").as("vec")), col("id"))
       .withColumn("cell", cellUdf(col("vec")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -621,8 +625,9 @@ object SimOps {
                            path: String): Unit = {
     val cents = idx.centroids
     val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
-    newBatch.select(col("id").cast("long").as("id"),
-        col("vec").cast("array<double>").as("vec"))
+    graft.util.Spread.byKey(
+        newBatch.select(col("id").cast("long").as("id"),
+          col("vec").cast("array<double>").as("vec")), col("id"))
       .withColumn("cell", cellUdf(col("vec")))
       .write.mode("append").partitionBy("cell").parquet(path)
   }

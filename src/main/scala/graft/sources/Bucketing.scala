@@ -38,7 +38,14 @@ object Bucketing {
     require(buckets > 0, "writeBucketed: buckets must be positive")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write
+    // Cluster rows to their bucket BEFORE the write: HashPartitioning
+    // over the bucket keys with numPartitions = buckets is exactly the
+    // bucket spec's hash, so each write task holds one whole bucket —
+    // one file per bucket (not one per task×bucket: the small-files
+    // trap, guide §6) and the sort+write runs `buckets`-way parallel
+    // instead of serializing on however many input splits the source
+    // happened to have.
+    df.repartition(buckets, keys.map(df.col): _*).write
       .format("parquet")
       .option("path", path)
       .mode(SaveMode.Overwrite)

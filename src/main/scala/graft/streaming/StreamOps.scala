@@ -260,10 +260,14 @@ object StreamOps {
     // gained an optional blocking column whose key rides in `blk`;
     // this streaming twin signs the stream side with the default
     // (constant) block key and joins on (band, bucket) only, so a
-    // BLOCKED corpus table would silently lose its cross-block
-    // exclusion here. Blocking support for the streaming twin would
-    // need the block key folded into both the stream-static join and
-    // the state group key — not implemented.
+    // BLOCKED corpus table would lose its cross-block exclusion here.
+    // Blocking support for the streaming twin would need the block key
+    // folded into both the stream-static join and the state group key
+    // — not implemented; instead the join FAILS LOUD (r16, r15 ADVICE)
+    // the moment a non-default-key corpus row collides: exactly the
+    // rows that would have produced a wrongly-unblocked pair raise,
+    // and an unblocked table pays nothing (no setup scan of the
+    // corpus).
     import graft.text.TextOps
     val nb = TextOps.minHashBandTable(
       newDocs.select(id.cast("long").as("__id"), text.as("__t")),
@@ -271,6 +275,11 @@ object StreamOps {
     val simUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
+    val blockedCorpus = raise_error(lit(
+      "streamingIncrementalMinHashDupPairs: the corpus band table " +
+        "carries a non-default blocking key, whose cross-block " +
+        "exclusion this streaming twin cannot honor (it joins on " +
+        "(band, bucket) only). Pass an UNBLOCKED corpus band table."))
     val vsCorpus = nb.as("n").join(corpusBands.as("c"),
         col("n.b") === col("c.b") && col("n.h") === col("c.h") &&
           col("n.i").cast("long") =!= col("c.i").cast("long"))
@@ -279,7 +288,9 @@ object StreamOps {
           .as("id1"),
         greatest(col("n.i").cast("long"), col("c.i").cast("long"))
           .as("id2"),
-        simUdf(col("n.sig"), col("c.sig")).as("est_jaccard"))
+        when(!(col("c.blk") <=> struct(lit(0).as("k"))), blockedCorpus)
+          .otherwise(simUdf(col("n.sig"), col("c.sig")))
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     val session = newDocs.sparkSession
     import session.implicits._

@@ -64,9 +64,14 @@ object DsirOps {
     * buckets, which is what survives dim = 10⁴⁺ at corpus scale. */
   def ngramBuckets(df: DataFrame, id: Column, text: Column,
                    dim: Int, hexChars: Int = 4): DataFrame =
-    df.select(id.as("id"),
+    // featurization (tokenize + md5 bucket counts) rides the scan
+    // stage: spread a single-split input (no-op when the scan already
+    // parallelizes — guide §2.5)
+    graft.util.Spread.byKey(
+        df.select(id.as("id"), text.as("__x")), col("id"))
+      .select(col("id"),
         explode(org.apache.spark.sql.graft.NativeFunctions
-          .mdBucketCountsNative(text, dim, hexChars)).as("p"))
+          .mdBucketCountsNative(col("__x"), dim, hexChars)).as("p"))
       .select(col("id"),
         shiftright(col("p"), 32).cast("int").as("bucket"),
         col("p").bitwiseAND(lit(0xffffffffL)).as("cnt"))

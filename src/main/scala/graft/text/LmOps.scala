@@ -49,22 +49,29 @@ object LmOps {
     // prefix hash (the prefix of n-gram i IS (n-1)-gram i, so the two
     // hash arrays zip positionally).
     import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
+    // tokenize+hash rides the scan stage: spread single-split inputs so
+    // the three count passes parallelize (no-op at production split
+    // counts — guide §2.5 input skew)
+    val trainTok = graft.util.Spread.byKey(
+      train.select(trainText.as("__tt")), col("__tt"))
     // prefix = leading (n-1)-gram of each n-gram; its count table is
     // the denominator. For n=2 that is the unigram table itself.
-    val prefixCnt = train
-      .select(explode(wordNgramHashesNative(trainText, n - 1)).as("ph"))
+    val prefixCnt = trainTok
+      .select(explode(wordNgramHashesNative(col("__tt"), n - 1)).as("ph"))
       .groupBy(col("ph")).agg(count(lit(1)).as("c_prefix"))
-    val gramCnt = train
-      .select(explode(wordNgramHashesNative(trainText, n)).as("gh"))
+    val gramCnt = trainTok
+      .select(explode(wordNgramHashesNative(col("__tt"), n)).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("c_gram"))
     // vocabulary size as a 1-row frame (kept lazy; broadcast into the
     // scoring join instead of an eager driver action)
-    val vocab = train
-      .select(explode(wordNgramHashesNative(trainText, 1)).as("wh"))
+    val vocab = trainTok
+      .select(explode(wordNgramHashesNative(col("__tt"), 1)).as("wh"))
       .agg(count_distinct(col("wh")).as("v"))
-    val docGrams = score.select(id.as("doc_id"),
-        wordNgramHashesNative(text, n).as("__gh"),
-        wordNgramHashesNative(text, n - 1).as("__ph"))
+    val docGrams = graft.util.Spread.byKey(
+        score.select(id.as("doc_id"), text.as("__sx")), col("doc_id"))
+      .select(col("doc_id"),
+        wordNgramHashesNative(col("__sx"), n).as("__gh"),
+        wordNgramHashesNative(col("__sx"), n - 1).as("__ph"))
       .select(col("doc_id"), explode(zip_with(
         col("__gh"), slice(col("__ph"), lit(1), size(col("__gh"))),
         (g, p) => struct(g.as("gh"), p.as("ph")))).as("z"))
@@ -219,7 +226,8 @@ object LmOps {
     // materialization, no substring_index rescans)
     import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
     def bigramPairs(df: DataFrame, text: Column): DataFrame =
-      df.select(wordNgramHashesNative(text, 1).as("__t"))
+      graft.util.Spread.byKey(df.select(text.as("__x")), col("__x"))
+        .select(wordNgramHashesNative(col("__x"), 1).as("__t"))
         .select(explode(zip_with(
           slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
           slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
@@ -234,8 +242,10 @@ object LmOps {
     val ncont = cb.groupBy(col("w2h"))
       .agg(count(lit(1)).as("ncont"))
     val nbig = cb.agg(count(lit(1)).as("nbig"))
-    val docB = df.select(id.as("doc_id"),
-        wordNgramHashesNative(text, 1).as("__t"))
+    val docB = graft.util.Spread.byKey(
+        df.select(id.as("doc_id"), text.as("__x")), col("doc_id"))
+      .select(col("doc_id"),
+        wordNgramHashesNative(col("__x"), 1).as("__t"))
       .select(col("doc_id"), explode(zip_with(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),

@@ -401,8 +401,12 @@ object TextOps {
     def tokenize(d: DataFrame): DataFrame =
       d.withColumn("ws", org.apache.spark.sql.graft.NativeFunctions
         .sortedTokenHashesNative(col("__txt"), shingleK)).drop("__txt")
-    val base = df.select(block.as("block"), id.cast("long").as("i"),
-      text.as("__txt"))
+    // tokenization is the dominant per-row cost and rides the scan
+    // stage: guard against a single-split input serializing it
+    // (guide §2.5 input skew; no-op when the scan already parallelizes)
+    val base = graft.util.Spread.byKey(
+      df.select(block.as("block"), id.cast("long").as("i"),
+        text.as("__txt")), col("i"))
     if (maxBlockHint >= 0L && maxBlockHint <= routeThreshold) {
       // caller-guaranteed bound below the route threshold: every block
       // takes the triangle leg with one hint-derived split factor — no
@@ -916,7 +920,12 @@ object TextOps {
     val f = udf { (s: String) =>
       if (s == null) null
       else {
-        val words = s.toLowerCase.trim.split("\\s+")
+        // Locale.ROOT: the native kernel lower-cases locale-
+        // independently; a default-locale toLowerCase here would make
+        // the parity spec diverge on Turkic default locales (r15
+        // ADVICE) — same rule as SimHash64.compute
+        val words = s.toLowerCase(java.util.Locale.ROOT).trim
+          .split("\\s+")
         val shingles: Seq[String] =
           if (words.length <= k) Seq(words.mkString(" "))
           else (0 to words.length - k).map(i =>
@@ -996,9 +1005,14 @@ object TextOps {
     // 8 GiB executors vs 43 s of pure signing, and the pair legs
     // re-read the wide rows.)
     val rows = numHashes / bands
-    val sigs = df.select(id.as("i"),
-        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
-        minHashSignature(text, k, numHashes).as("sig"))
+    // signing is the dominant per-row cost: spread a single-split scan
+    // before it (no-op when the input already parallelizes)
+    val sigs = graft.util.Spread.byKey(
+        df.select(id.as("i"),
+          struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+          text.as("__txt")), col("i"))
+      .select(col("i"), col("blk"),
+        minHashSignature(col("__txt"), k, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandT = sigs.select(col("i"), col("blk"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
@@ -1089,9 +1103,12 @@ object TextOps {
                        bands: Int = 16,
                        blocking: Option[Column] = None): DataFrame = {
     val rows = numHashes / bands
-    df.select(id.as("i"),
-        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
-        minHashSignature(text, k, numHashes).as("sig"))
+    graft.util.Spread.byKey(
+        df.select(id.as("i"),
+          struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+          text.as("__txt")), col("i"))
+      .select(col("i"), col("blk"),
+        minHashSignature(col("__txt"), k, numHashes).as("sig"))
       .select(col("i"), col("blk"), col("sig"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("i"), col("blk"), col("sig"),
@@ -1258,8 +1275,11 @@ object TextOps {
     * corpus and each batch. */
   def simHashBandTable(df: DataFrame, id: Column, text: Column,
                        blocking: Option[Column] = None): DataFrame = {
-    val withSh = df.select(id.as("i"), simHash128(text).as("sh"),
-      struct(blocking.getOrElse(lit(0)).as("k")).as("blk"))
+    val withSh = graft.util.Spread.byKey(
+        df.select(id.as("i"), text.as("__t"),
+          struct(blocking.getOrElse(lit(0)).as("k")).as("blk")),
+        col("i"))
+      .select(col("i"), simHash128(col("__t")).as("sh"), col("blk"))
     val w0 = element_at(col("sh"), 1)
     val w1 = element_at(col("sh"), 2)
     withSh.select(col("i"), col("blk"), w0.as("w0"), w1.as("w1"),

@@ -46,13 +46,24 @@ object GlobalCumsum {
     * callers with tiny key tables can skip over-partitioning. */
   def runningSums(df: DataFrame, order: Column, ascending: Boolean,
                   sums: Seq[(Column, String)],
-                  numParts: Option[Int] = None): DataFrame = {
+                  numParts: Option[Int] = None): DataFrame =
+    runningSumsMulti(df, Seq(order), ascending, sums, numParts)
+
+  /** [[runningSums]] over a COMPOSITE order key (lexicographic over
+    * `orders`) — lets several per-key cumsum pipelines share ONE range
+    * exchange by stacking them under a discriminator column (e.g.
+    * corrTable's per-column rank maps ordered by (column, value)). */
+  def runningSumsMulti(df: DataFrame, orders: Seq[Column],
+                       ascending: Boolean,
+                       sums: Seq[(Column, String)],
+                       numParts: Option[Int] = None): DataFrame = {
     require(sums.nonEmpty, "GlobalCumsum.runningSums: no sum columns")
+    require(orders.nonEmpty, "GlobalCumsum.runningSums: no order columns")
     require(numParts.forall(_ >= 1),
       s"GlobalCumsum.runningSums: numParts must be >= 1, got $numParts")
     val spark = df.sparkSession
     val p = numParts.getOrElse(spark.sparkContext.defaultParallelism)
-    val ord = if (ascending) order.asc else order.desc
+    val ords = orders.map(o => if (ascending) o.asc else o.desc)
     // MUST persist: the plan references `parted` twice (offsets + local
     // cumsums). Un-persisted, each branch would plan its OWN range
     // exchange, and RangePartitioner's sample seed derives from the RDD
@@ -62,12 +73,12 @@ object GlobalCumsum {
     // exchange reuse didn't kick in). One cached RDD = one partitioner.
     // The blocks are reclaimed by Release.scoped callers, the session's
     // periodic cleaner, or explicit unpersist (Quantiles.exact).
-    val parted = df.repartitionByRange(p, ord)
+    val parted = df.repartitionByRange(p, ords: _*)
       .withColumn(PID, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition inclusive cumsum — P-way parallel (the hash
     // exchange on __pid rebalances nothing: each pid is one group)
-    val wIn = Window.partitionBy(col(PID)).orderBy(ord)
+    val wIn = Window.partitionBy(col(PID)).orderBy(ords: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal = sums.zipWithIndex.foldLeft(parted) {
       case (d, ((c, _), i)) =>

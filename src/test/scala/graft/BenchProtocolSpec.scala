@@ -81,9 +81,12 @@ class BenchProtocolSpec extends AnyFunSuite {
     val b = Band(1.0, 1.2)
     // a query measured at t=580 on the slowed box reads 2.0 s — the
     // global min-based factor (1.0) would trip it (2.0 > 1.5), but
-    // the factor at the nearest probe (1.4/0.7 = 2.0) absorbs it
+    // the factor at the tail absorbs it. r16 (r15 ADVICE): the local
+    // factor is the MIN of the TWO nearest probes (1.35 and 1.4), so
+    // one interference-inflated probe can never locally excuse a
+    // regression — here min(1.35, 1.4)/0.7.
     val fLate = factorAt(probes, 0.7, 580.0)
-    assert(math.abs(fLate - 2.0) < 1e-9)
+    assert(math.abs(fLate - 1.35 / 0.7) < 1e-9)
     assert(!isTrip(2.0, b, fLate), "box drift misread as regression")
     // the same 2.0 s measured EARLY (t=5, box fast) still trips:
     // drift-aware factors stay local, they don't widen the whole run
