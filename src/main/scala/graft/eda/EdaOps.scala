@@ -272,10 +272,17 @@ object EdaOps {
                       .unboundedPreceding, -1)),
                 lit(0L)))
               .select(col("__k"), col("__base"))
+            // persist the finished rank map: each of the per-column
+            // join-back branches otherwise re-runs the whole stacked
+            // pipeline past GlobalCumsum's internal cache (blocks
+            // reclaimed by the Release.scopedValue wrapping the
+            // aggregate below)
             val rankMap = cum.join(broadcast(baseOff), "__k")
               .select(col("__k"), col("__v"),
                 ((col("__cum") - col("__base") - col("__n")) +
                   (col("__n") + lit(1)) / 2.0).as("__r"))
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
             colIdx.foldLeft(base) { case (d, (c, k)) =>
               val rm = rankMap.filter(col("__k") === k)
                 .select(col("__v"), col("__r"))

@@ -72,7 +72,10 @@ object LinkOps {
     * endorsement signal. */
   def hostGraph(df: DataFrame, pageUrl: Column, html: Column,
                 dropSelf: Boolean = true): DataFrame = {
-    val links = df.select(pageUrl.as("page_url"), html.as("html"))
+    // link extraction is the per-row cost: spread a single-split input
+    // ahead of the parse (no-op when the scan already parallelizes)
+    val links = graft.util.Spread.byKey(df, pageUrl)
+      .select(pageUrl.as("page_url"), html.as("html"))
       .select(lower(parseUrl(col("page_url"), "HOST")).as("src_host"),
         explode(extractLinks(col("page_url"), col("html"))).as("link"))
       .select(col("src_host"),

@@ -574,14 +574,17 @@ object MultimodalOps {
     * `blocking` on both the corpus and each batch. */
   def imageBandTable(df: DataFrame, id: Column, payload: Column,
                      blocking: Option[Column] = None): DataFrame =
-    // decode+hash is the dominant per-row cost and rides the scan
-    // stage: spread a single-split input before it (no-op when the
-    // scan already parallelizes — guide §2.5 input skew)
-    graft.util.Spread.byKey(
-        df.select(id.as("i"),
-          struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
-          payload.as("__p")), col("i"))
-      .select(col("i"), col("blk"), dHash64(col("__p")).as("ph"))
+    // Payload synthesis/fetch + decode + hash are the dominant per-row
+    // costs: spread a single-split input BEFORE the payload expression
+    // is projected (projecting first would materialize the payload —
+    // often itself an expensive encode — on the unsplit scan side of
+    // the shuffle), so the whole per-image pipeline lands post-shuffle
+    // and parallelizes. No-op when the scan already parallelizes
+    // (guide §2.5 input skew).
+    graft.util.Spread.byKey(df, id)
+      .select(id.as("i"),
+        struct(blocking.getOrElse(lit(0)).as("k")).as("blk"),
+        dHash64(payload).as("ph"))
       .filter(col("ph").isNotNull)
       .select(col("i"), col("blk"), col("ph"),
         explode(array(

@@ -191,7 +191,11 @@ object GraphQueries extends QueryPack {
       // power-iteration rounds, replayed exactly by an unrolled-CTE
       // DuckDB twin over the same closed-form edge set.
       import graft.graph.{LinkOps, PageRankOps}
-      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
+      // spread BEFORE the synthetic url/html projection so page
+      // generation + link parsing land post-shuffle and parallelize
+      val d = graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 5000)
+            .select(col("doc_id")), col("doc_id"))
         .select(LinkOps.syntheticPageUrl(col("doc_id")).as("url"),
           LinkOps.syntheticLinkHtml(col("doc_id")).as("html"))
       val hosts = LinkOps.hostGraph(d, col("url"), col("html"))

@@ -935,8 +935,10 @@ object TextQueries extends QueryPack {
       // auto-detects the magic and inflates the member sequence, so
       // the same id-arithmetic oracle covers the compressed twin.
       import graft.sources.WarcOps
-      t(s, dir, "documents")
-        .filter(col("doc_id") < 4000)
+      // spread before the gzip synthesize+inflate (the per-row cost)
+      graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 4000)
+            .select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"), explode(WarcOps.warcRecords(
           WarcOps.syntheticWarcGz(col("doc_id")))).as("r"))
         .select(col("doc_id"), col("r.*"))
@@ -1013,8 +1015,11 @@ object TextQueries extends QueryPack {
       // oracle rebuilds the expected pair set from the SQL-computed
       // hashes themselves, so even a cross-page hash collision would
       // be predicted identically on both sides.
-      val sub = t(s, dir, "documents")
-        .filter(col("doc_id") < 3000)
+      // spread BEFORE the payload projection: the BMP synthesis is the
+      // expensive per-row step and must land post-shuffle (r16)
+      val sub = graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 3000)
+            .select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"), MultimodalOps.syntheticBmp(
           col("doc_id") % 311).as("payload"))
       MultimodalOps.imageDupPairs(sub, col("doc_id"), col("payload"), 0)
@@ -1030,8 +1035,9 @@ object TextQueries extends QueryPack {
       // same-block pairs (step 194) and cross-block pairs (step 97)
       // exist — n_cross = 0 is a live assertion, not vacuous. Oracle
       // rebuilds the expected pair set from the SQL-computed hashes.
-      val sub = t(s, dir, "documents")
-        .filter(col("doc_id") < 3000)
+      val sub = graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 3000)
+            .select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"),
           pmod(floor(col("doc_id") / 97), lit(2)).as("shard"),
           MultimodalOps.syntheticBmp(col("doc_id") % 97).as("payload"))
@@ -1058,8 +1064,9 @@ object TextQueries extends QueryPack {
       // deterministic dHash makes incremental ≡ full-batch an exact
       // equivalence — pinned as inc_equals_full — and identical-hash
       // cross pairs (SQL-computable) must all be found.
-      val sub = t(s, dir, "documents")
-        .filter(col("doc_id") < 3000)
+      val sub = graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 3000)
+            .select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"), MultimodalOps.syntheticBmp(
           col("doc_id") % 311).as("payload"))
       val bandAll = MultimodalOps.imageBandTable(sub, col("doc_id"),
@@ -1097,8 +1104,9 @@ object TextQueries extends QueryPack {
       // star-contraction connected-components engine the text dedup
       // uses; oracle rebuilds clusters as hash-equality groups (exact
       // at maxDist=0, including any cross-page hash collision).
-      val sub = t(s, dir, "documents")
-        .filter(col("doc_id") < 3000)
+      val sub = graft.util.Spread.byKey(
+          t(s, dir, "documents").filter(col("doc_id") < 3000)
+            .select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"), MultimodalOps.syntheticBmp(
           col("doc_id") % 311).as("payload"))
       val pairs = MultimodalOps.imageDupPairs(sub, col("doc_id"),

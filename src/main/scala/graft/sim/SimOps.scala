@@ -597,13 +597,15 @@ object SimOps {
                           path: String): Unit = {
     val cents = idx.centroids
     val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
-    // spread a single-split source so cell assignment + the
-    // per-cell-directory write parallelize (no-op at production
-    // split counts)
+    // Spread a single-split source BY CELL so the per-cell-directory
+    // write parallelizes with each task holding whole cells — one file
+    // per cell instead of (tasks × cells) small files (guide §6).
+    // No-op at production split counts, where partitionBy's own
+    // per-task dynamic partitioning is the right layout.
     graft.util.Spread.byKey(
         corpus.select(col("id").cast("long").as("id"),
-          col("vec").cast("array<double>").as("vec")), col("id"))
-      .withColumn("cell", cellUdf(col("vec")))
+          col("vec").cast("array<double>").as("vec"))
+          .withColumn("cell", cellUdf(col("vec"))), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -627,8 +629,8 @@ object SimOps {
     val cellUdf = udf((v: Seq[Double]) => nearestCell(cents)(v))
     graft.util.Spread.byKey(
         newBatch.select(col("id").cast("long").as("id"),
-          col("vec").cast("array<double>").as("vec")), col("id"))
-      .withColumn("cell", cellUdf(col("vec")))
+          col("vec").cast("array<double>").as("vec"))
+          .withColumn("cell", cellUdf(col("vec"))), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 

@@ -63,10 +63,16 @@ object LmOps {
       .select(explode(wordNgramHashesNative(col("__tt"), n)).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("c_gram"))
     // vocabulary size as a 1-row frame (kept lazy; broadcast into the
-    // scoring join instead of an eager driver action)
-    val vocab = trainTok
-      .select(explode(wordNgramHashesNative(col("__tt"), 1)).as("wh"))
-      .agg(count_distinct(col("wh")).as("v"))
+    // scoring join instead of an eager driver action). For n = 2 the
+    // prefix table IS the unigram table, so its row count is the
+    // vocabulary — one whole tokenize+explode+distinct pass saved
+    // (same equivalence compileLm already uses); the prefix groupBy's
+    // exchange is shared with the scoring join via reuse.
+    val vocab =
+      if (n == 2) prefixCnt.agg(count(lit(1)).as("v"))
+      else trainTok
+        .select(explode(wordNgramHashesNative(col("__tt"), 1)).as("wh"))
+        .agg(count_distinct(col("wh")).as("v"))
     val docGrams = graft.util.Spread.byKey(
         score.select(id.as("doc_id"), text.as("__sx")), col("doc_id"))
       .select(col("doc_id"),

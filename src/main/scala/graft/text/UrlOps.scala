@@ -63,7 +63,11 @@ object UrlOps {
     * survivorship), plus the duplicate count. One hash aggregation —
     * scales as a normal groupBy on the canonical key. */
   def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
-    df.select(id.as("id"), normalizeUrl(url).as("canonical_url"))
+    // URL canonicalization is the per-row cost: spread a single-split
+    // input before it (no-op when the scan already parallelizes)
+    graft.util.Spread.byKey(df.select(id.as("id"), url.as("__u")),
+        col("id"))
+      .select(col("id"), normalizeUrl(col("__u")).as("canonical_url"))
       .filter(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_variants"))
