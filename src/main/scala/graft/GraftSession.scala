@@ -20,6 +20,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small post-shuffle partitions to the advisory SIZE
+      // instead of stopping early to "maximize parallelism" (the
+      // Spark docs themselves recommend false): at any scale this
+      // respects advisoryPartitionSizeInBytes, and on small shuffles
+      // it stops scheduling dozens of near-empty reduce tasks per
+      // stage. Env-overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bucketed-table writes (sources.Bucketing) register external
       // tables; keep the managed-table root out of the repo tree.

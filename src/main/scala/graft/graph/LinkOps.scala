@@ -72,9 +72,11 @@ object LinkOps {
     * endorsement signal. */
   def hostGraph(df: DataFrame, pageUrl: Column, html: Column,
                 dropSelf: Boolean = true): DataFrame = {
-    // link extraction is the per-row cost: spread a single-split input
-    // ahead of the parse (no-op when the scan already parallelizes)
-    val links = graft.util.Spread.byKey(df, pageUrl)
+    // Link extraction is the per-row cost and its per-byte price is
+    // far above the default spread calibration (regex over every
+    // anchor): spread with a small chunk so even page-sized sources
+    // parallelize (no-op when the scan already parallelizes).
+    val links = graft.util.Spread.byKeyChunked(df, 64L << 10, pageUrl)
       .select(pageUrl.as("page_url"), html.as("html"))
       .select(lower(parseUrl(col("page_url"), "HOST")).as("src_host"),
         explode(extractLinks(col("page_url"), col("html"))).as("link"))

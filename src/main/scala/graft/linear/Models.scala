@@ -237,10 +237,10 @@ class GLM(family: String, addBias: Boolean = true,
       }
       case f => throw new IllegalArgumentException(f)
     }
-    val data0 = cached.rdd.map { r =>
+    val data0 = cached.queryExecution.toRdd.map { ir =>
       val arr = new Array[Double](d + 1)
       var i = 0
-      while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
+      while (i <= d) { arr(i) = ir.getDouble(i); i += 1 }
       (0, arr)
     }
     // local path collects the rows exactly once — skip the extra cache

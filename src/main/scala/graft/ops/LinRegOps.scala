@@ -941,10 +941,10 @@ object LinRegOps {
     // engine never pays its own counting pass
     val mRows = cached.count()
     val mCount = mRows.toDouble
-    val data0 = cached.rdd.map { r =>
+    val data0 = cached.queryExecution.toRdd.map { ir =>
       val arr = new Array[Double](d + 1)
       var i = 0
-      while (i <= d) { arr(i) = r.getDouble(i); i += 1 }
+      while (i <= d) { arr(i) = ir.getDouble(i); i += 1 }
       (0, arr)
     }
     // local path reads the rows exactly once (collect) — persisting
@@ -1157,11 +1157,20 @@ object LinRegOps {
         // the cache write is then pure overhead on top of `proj`'s
         val totalRows = sizes.map(_.getDouble(gLen)).sum.toLong
         val goLocal = irlsGoesLocal(totalRows, d, maxIter)
-        val data0 = proj.rdd.map { r =>
-          val key: Seq[Any] = Seq.tabulate(gLen)(r.get)
+        // InternalRow path (queryExecution.toRdd): the .rdd view boxes
+        // every double into a GenericRow field — pure allocation on
+        // the engine's hottest conversion. Keys convert through the
+        // per-type Catalyst→Scala converter so they compare equal to
+        // the external rows of the sizing collect above.
+        val keyTypes = proj.schema.take(gLen).map(_.dataType)
+        val keyConvs = keyTypes.map(org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToScalaConverter)
+        val data0 = proj.queryExecution.toRdd.map { ir =>
+          val key: Seq[Any] = Seq.tabulate(gLen)(i =>
+            keyConvs(i)(ir.get(i, keyTypes(i))))
           val arr = new Array[Double](d + 1)
           var i = 0
-          while (i <= d) { arr(i) = r.getDouble(gLen + i); i += 1 }
+          while (i <= d) { arr(i) = ir.getDouble(gLen + i); i += 1 }
           (bcIdx.value(key), arr)
         }
         val data = if (goLocal) data0

@@ -193,9 +193,10 @@ object GraphQueries extends QueryPack {
       import graft.graph.{LinkOps, PageRankOps}
       // spread BEFORE the synthetic url/html projection so page
       // generation + link parsing land post-shuffle and parallelize
-      val d = graft.util.Spread.byKey(
+      // (small chunk: the parse is regex-heavy per byte)
+      val d = graft.util.Spread.byKeyChunked(
           t(s, dir, "documents").filter(col("doc_id") < 5000)
-            .select(col("doc_id")), col("doc_id"))
+            .select(col("doc_id")), 64L << 10, col("doc_id"))
         .select(LinkOps.syntheticPageUrl(col("doc_id")).as("url"),
           LinkOps.syntheticLinkHtml(col("doc_id")).as("html"))
       val hosts = LinkOps.hostGraph(d, col("url"), col("html"))

@@ -37,7 +37,16 @@ object Spread {
     * otherwise — including any plan that already contains an exchange
     * (repartition/join/aggregate). `key` must be deterministic (an id
     * or content column, never rand()). */
-  def byKey(df: DataFrame, key: Column, more: Column*): DataFrame = {
+  def byKey(df: DataFrame, key: Column, more: Column*): DataFrame =
+    byKeyChunked(df, 0L, key, more: _*)
+
+  /** [[byKey]] with an explicit per-call chunk size — for kernels
+    * whose per-byte cost is far above the default calibration (e.g.
+    * regex link extraction over small HTML sources), where even a
+    * sub-chunk source deserves the spread. `chunkBytes <= 0` uses the
+    * `graft.spreadChunkBytes` default. */
+  def byKeyChunked(df: DataFrame, chunkBytes: Long, key: Column,
+                   more: Column*): DataFrame = {
     // streaming frames: micro-batch parallelism is the source's
     // concern, and logical stats are not meaningful pre-trigger
     if (df.isStreaming) return df
@@ -75,8 +84,10 @@ object Spread {
     // cost MORE than the single-task kernel, while sweep-scale inputs
     // (tens of MB per unsplittable file) gain the full kernel
     // parallelism they otherwise never get.
-    val chunk = math.max(1L,
-      java.lang.Long.getLong("graft.spreadChunkBytes", 4L << 20))
+    val chunk =
+      if (chunkBytes > 0L) chunkBytes
+      else math.max(1L,
+        java.lang.Long.getLong("graft.spreadChunkBytes", 4L << 20))
     val parts = ((bytes + chunk - 1) / chunk).toInt
     if (parts < 4) df
     else df.repartition(math.min(want, parts), (key +: more): _*)
