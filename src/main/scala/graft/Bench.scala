@@ -157,6 +157,13 @@ object Bench {
               "(id * 7) % 311 as v"),
             col("u"), col("v"), 25, 0L).count()
         }
+        if (opWarm) quietly { // breeze first-use init (eigSym/svd class
+          // loading + netlib probe — the PCA/SVD family's cold cost,
+          // ~1-3 s, that any long-lived session pays exactly once)
+          val m = breeze.linalg.DenseMatrix((1.0, 0.2), (0.2, 1.0))
+          breeze.linalg.eigSym(m)
+          breeze.linalg.svd(m)
+        }
         if (opWarm) quietly { // crossJoin of tiny aggregates (kappa class)
           val one = spark.range(1000L)
             .selectExpr("id % 5 as k", "cast(id % 3 as double) as v")

@@ -80,6 +80,46 @@ class GlobalCumsumSpec extends AnyFunSuite {
     assert(cases == keyGens.size * 6 * 2)
   }
 
+  test("runningSumsMulti over a stacked (group, key) order equals " +
+      "per-group runningSums exactly (the r16 corrTable fusion)") {
+    import spark.implicits._
+    val seed = 20260818L
+    val groups = 0 until 3
+    val raw = groups.flatMap { g =>
+      (0 until 120).map { i =>
+        (g, sample(Gen.oneOf(Seq(-2.0, 0.0, 1.5, 7.0, 1e-9)),
+          seed + g * 1000 + i),
+          1L + sample(Gen.choose(0L, 5L), seed - g * 1000 - i))
+      }
+    }
+    val dist = raw.toDF("g", "k", "w").groupBy("g", "k")
+      .agg(sum("w").as("w"))
+    for (parts <- Seq(1, 3, 16)) {
+      val fused = graft.util.Release.scopedValue(spark) {
+        graft.util.GlobalCumsum.runningSumsMulti(dist,
+            Seq(col("g"), col("k")), ascending = true,
+            Seq(col("w") -> "cum"), numParts = Some(parts))
+          .select("g", "k", "cum").collect()
+      }.map(r => ((r.getInt(0), r.getDouble(1)), r.getDouble(2))).toMap
+      // reference: per-group single-order runningSums + the exclusive
+      // prefix of earlier groups' totals (the fusion's base algebra)
+      var base = 0.0
+      groups.foreach { g =>
+        val one = graft.util.Release.scopedValue(spark) {
+          graft.util.GlobalCumsum.runningSums(
+              dist.filter(col("g") === g), col("k"), ascending = true,
+              Seq(col("w") -> "cum"), numParts = Some(parts))
+            .select("k", "cum").collect()
+        }.map(r => (r.getDouble(0), r.getDouble(1)))
+        one.foreach { case (k, cum) =>
+          assert(fused((g, k)) == cum + base,
+            s"fused cum diverged at g=$g k=$k parts=$parts")
+        }
+        base += one.map(_._2).max
+      }
+    }
+  }
+
   test("single row, single partition, and empty frame edges") {
     import spark.implicits._
     val one = Seq((5.0, 3L)).toDF("k", "w")
