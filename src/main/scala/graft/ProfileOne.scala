@@ -41,6 +41,15 @@ object ProfileOne {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // codegen compile-time attribution: Janino compilation cost shows
+    // up as driver gap between jobs; the Codahale histogram in
+    // CodegenMetrics accumulates per-compilation millis
+    def codegenMs(): Long = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      h.getCount * math.round(h.getSnapshot.getMean)
+    }
+
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case None => println(s"[profile] unknown query $n")
@@ -51,11 +60,18 @@ object ProfileOne {
             .foreach(_.unpersist(blocking = true))
           System.gc()
           jobs.synchronized { jobs.clear(); byId.clear() }
+          val cg0 = codegenMs()
           val t0 = System.nanoTime()
-          val rows = try fn(spark, sfDir).count()
+          val df = try Some(fn(spark, sfDir))
+            catch { case t: Throwable =>
+              println(s"[profile] $n CONSTRUCT FAILED: $t"); None }
+          val tBuilt = System.nanoTime()
+          val rows = try df.map(_.count()).getOrElse(-1L)
             catch { case t: Throwable =>
               println(s"[profile] $n FAILED: $t"); -1L }
           val wall = (System.nanoTime() - t0) / 1e9
+          val build = (tBuilt - t0) / 1e9
+          val cgMs = codegenMs() - cg0
           // listener bus is async; give it a beat to drain
           Thread.sleep(300)
           val js = jobs.synchronized { jobs.toSeq }
@@ -63,7 +79,8 @@ object ProfileOne {
             if (j.end > 0) (j.end - j.start) / 1e3 else 0.0).sum
           println(f"[profile] $n wall=$wall%.3f s rows=$rows " +
             f"jobs=${js.size} injob=$inJob%.3f s " +
-            f"gap=${wall - inJob}%.3f s")
+            f"gap=${wall - inJob}%.3f s build=$build%.3f s " +
+            f"codegen=${cgMs / 1e3}%.3f s")
           js.foreach { j =>
             val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
             val rel = (j.start - (System.currentTimeMillis() -

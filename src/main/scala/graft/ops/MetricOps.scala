@@ -332,33 +332,50 @@ object MetricOps {
     * (n_units, n_ratings, alpha). */
   def krippendorffAlpha(df: DataFrame, unit: Column,
                         value: Column): DataFrame = {
+    // ONE-PASS shape (r17, same recipe as [[fleissKappa]]): per-unit
+    // m/Σn² ride a window over the (unit, value) count table; the
+    // completeness filter applies in place; a (value) aggregation
+    // yields the coincidence column totals AND the unit-level sums
+    // (each unit's term carried once, on its min-value row); one final
+    // 1-row aggregate closes the formula. Replaces the former 3-branch
+    // plan (units aggregate + join-back + crossJoin of two 1-row
+    // aggregates) that re-executed the scan subtree per branch.
+    import org.apache.spark.sql.expressions.Window
     val vc = df.select(unit.as(s"${P}u"),
         value.cast("string").as(s"${P}v"))
       .filter(col(s"${P}v").isNotNull)
       .groupBy(col(s"${P}u"), col(s"${P}v"))
       .agg(count(lit(1)).as(s"${P}n"))
-    val units = vc.groupBy(col(s"${P}u"))
-      .agg(sum(s"${P}n").as(s"${P}m"),
-        sum(col(s"${P}n") * col(s"${P}n")).as(s"${P}sq"))
+    val w = Window.partitionBy(col(s"${P}u"))
+    val kept = vc
+      .withColumn(s"${P}m", sum(s"${P}n").over(w))
+      .withColumn(s"${P}sq",
+        sum(col(s"${P}n") * col(s"${P}n")).over(w))
+      .withColumn(s"${P}one", col(s"${P}v") === min(s"${P}v").over(w))
       .filter(col(s"${P}m") >= 2)
-    val doNum = units.agg(count(lit(1)).as(s"${P}nu"),
-      sum(s"${P}m").as(s"${P}ntot"),
-      sum((col(s"${P}m") * col(s"${P}m") - col(s"${P}sq"))
-        .cast("double") / (col(s"${P}m") - 1).cast("double"))
-        .as(s"${P}dn"))
-    // value totals over KEPT units only
-    val nc = vc.join(units.select(col(s"${P}u")), s"${P}u")
-      .groupBy(col(s"${P}v")).agg(sum(s"${P}n").as(s"${P}cn"))
-      .agg(sum(col(s"${P}cn") * col(s"${P}cn")).as(s"${P}csq"))
-    doNum.crossJoin(nc).select(
-      col(s"${P}nu").as("n_units"),
-      col(s"${P}ntot").as("n_ratings"), {
-        val n = col(s"${P}ntot").cast("double")
-        val doo = col(s"${P}dn") / n
-        val de = (n * n - col(s"${P}csq").cast("double")) /
-          (n * (n - 1))
-        when(de > 0.0, lit(1.0) - doo / de).as("alpha")
-      })
+    val perV = kept.groupBy(col(s"${P}v"))
+      .agg(sum(s"${P}n").as(s"${P}cn"),
+        sum(when(col(s"${P}one"), 1L).otherwise(0L)).as(s"${P}nup"),
+        sum(when(col(s"${P}one"), col(s"${P}m")).otherwise(0L))
+          .as(s"${P}ntp"),
+        sum(when(col(s"${P}one"),
+          (col(s"${P}m") * col(s"${P}m") - col(s"${P}sq"))
+            .cast("double") / (col(s"${P}m") - 1).cast("double"))
+          .otherwise(0.0)).as(s"${P}dnp"))
+    perV.agg(
+        coalesce(sum(s"${P}nup"), lit(0L)).as(s"${P}nu"),
+        sum(s"${P}ntp").as(s"${P}ntot"),
+        sum(s"${P}dnp").as(s"${P}dn"),
+        sum(col(s"${P}cn") * col(s"${P}cn")).as(s"${P}csq"))
+      .select(
+        col(s"${P}nu").as("n_units"),
+        col(s"${P}ntot").as("n_ratings"), {
+          val n = col(s"${P}ntot").cast("double")
+          val doo = col(s"${P}dn") / n
+          val de = (n * n - col(s"${P}csq").cast("double")) /
+            (n * (n - 1))
+          when(de > 0.0, lit(1.0) - doo / de).as("alpha")
+        })
   }
 
   /** Binned calibration per group (the reliability-diagram table +
@@ -396,37 +413,46 @@ object MetricOps {
     * κ = (p_o − p_e) / (1 − p_e), p_e = Σ_c p₁(c)·p₂(c). The
     * labeling-pipeline QA metric for double-annotated data.
     *
-    * Scale shape: ONE groupBy compresses rows to the joint
-    * (group, label₁, label₂) contingency table (map-side combinable;
-    * cardinality = groups × labels² ≪ rows); marginals and the
-    * observed diagonal derive from that table with label-keyed
-    * aggregations — no row ever shuffles twice, no per-group
-    * buffering. Degenerate p_e = 1 (both raters constant and
-    * identical) → null. Null-labeled rows are dropped (pairwise). */
+    * Scale shape: each row stacks into two label-keyed records, then
+    * ONE map-side-combinable (group, label) aggregation produces both
+    * marginals, the diagonal and the total (shuffle cardinality =
+    * groups × labels ≪ rows), closed by a per-group rollup — a single
+    * linear pipeline, no joins, no per-group buffering. Degenerate
+    * p_e = 1 (both raters constant and identical) → null.
+    * Null-labeled rows are dropped (pairwise). */
   def cohenKappa(df: DataFrame, r1: Column, r2: Column,
                  groupNames: Seq[String],
                  outName: String = "kappa"): DataFrame = {
     val gc = groupNames.map(col)
-    val joint = df
-      .select((gc :+ r1.cast("string").as(s"${P}a")
-        :+ r2.cast("string").as(s"${P}b")): _*)
-      .filter(col(s"${P}a").isNotNull && col(s"${P}b").isNotNull)
-      .groupBy((gc :+ col(s"${P}a") :+ col(s"${P}b")): _*)
-      .agg(count(lit(1)).as(s"${P}n"))
-    val ma = joint.groupBy((gc :+ col(s"${P}a")): _*)
-      .agg(sum(s"${P}n").as(s"${P}ca"))
-    val mb = joint.groupBy((gc :+ col(s"${P}b")): _*)
-      .agg(sum(s"${P}n").as(s"${P}cb"))
-    val tot = joint.groupBy(gc: _*)
-      .agg(sum(s"${P}n").as(s"${P}t"),
-        sum(when(col(s"${P}a") === col(s"${P}b"), col(s"${P}n"))
-          .otherwise(0L)).as(s"${P}d"))
-    // p_e from the marginal product joined on the label value
-    val pe = ma.join(mb.withColumnRenamed(s"${P}b", s"${P}a"),
-        groupNames :+ s"${P}a")
-      .groupBy(gc: _*)
-      .agg(sum(col(s"${P}ca") * col(s"${P}cb")).as(s"${P}ab"))
-    tot.join(pe, groupNames)
+    // ONE-PASS shape (r17): each row stacks into two label-keyed
+    // records — (label₁, 1 toward rater-1's marginal, diag flag) and
+    // (label₂, 1 toward rater-2's marginal) — so a single (group,
+    // label) aggregation yields BOTH marginals, the diagonal, and the
+    // total at once. The former 4-branch formulation (joint table →
+    // two marginal aggregates → join on label → join with totals)
+    // re-executed the scan+aggregate subtree per branch under AQE
+    // (ProfileOne: 6 concurrent single-task jobs per q_kappa run).
+    // The count algebra is unchanged and exact: Σ_l ca_l = t,
+    // Σ_l nd_l = d, and labels missing from one rater's marginal
+    // contribute ca·cb = 0, exactly like the former inner join
+    // dropping them.
+    val a = r1.cast("string"); val b = r2.cast("string")
+    val lbl = df
+      .filter(a.isNotNull && b.isNotNull)
+      .select((gc :+ explode(array(
+        struct(a.as("l"), lit(1L).as("na"), lit(0L).as("nb"),
+          when(a === b, 1L).otherwise(0L).as("nd")),
+        struct(b.as("l"), lit(0L).as("na"), lit(1L).as("nb"),
+          lit(0L).as("nd")))).as(s"${P}e")): _*)
+    val marg = lbl
+      .groupBy((gc :+ col(s"${P}e.l").as(s"${P}l")): _*)
+      .agg(sum(col(s"${P}e.na")).as(s"${P}ca"),
+        sum(col(s"${P}e.nb")).as(s"${P}cb"),
+        sum(col(s"${P}e.nd")).as(s"${P}d"))
+    marg.groupBy(gc: _*)
+      .agg(sum(s"${P}ca").as(s"${P}t"),
+        sum(s"${P}d").as(s"${P}d"),
+        sum(col(s"${P}ca") * col(s"${P}cb")).as(s"${P}ab"))
       .select((gc :+ {
         val po = col(s"${P}d").cast("double") / col(s"${P}t")
         val peC = col(s"${P}ab").cast("double") /
@@ -449,28 +475,46 @@ object MetricOps {
   def fleissKappa(df: DataFrame, item: Column, category: Column,
                   n: Int): DataFrame = {
     require(n >= 2, "fleissKappa: need n >= 2 raters per item")
+    // ONE-PASS shape (r17): per-item totals ride a window over the
+    // (item, category) count table instead of a separate aggregate
+    // that the completeness filter and the category totals then each
+    // join back to (the former 4-branch plan re-executed the count
+    // subtree per branch under AQE). One row per item (its min
+    // category, no sort beyond the window's own clustering) carries
+    // the per-item P̄ term; a (category) aggregation then yields both
+    // the category totals and the item-level sums, and one final
+    // 1-row aggregate closes the formula. Count algebra is exact;
+    // P̄ becomes a two-level double sum (per-category partials) — same
+    // arbitrary-order FP semantics as any distributed sum.
+    import org.apache.spark.sql.expressions.Window
     val cnt = df.select(item.as(s"${P}i"),
         category.cast("string").as(s"${P}c"))
       .filter(col(s"${P}c").isNotNull)
       .groupBy(col(s"${P}i"), col(s"${P}c"))
       .agg(count(lit(1)).as(s"${P}n"))
-    val items = cnt.groupBy(col(s"${P}i"))
-      .agg(sum(s"${P}n").as(s"${P}tot"),
-        sum(col(s"${P}n") * col(s"${P}n")).as(s"${P}sq"))
+    val w = Window.partitionBy(col(s"${P}i"))
+    val kept = cnt
+      .withColumn(s"${P}tot", sum(s"${P}n").over(w))
+      .withColumn(s"${P}sq",
+        sum(col(s"${P}n") * col(s"${P}n")).over(w))
+      .withColumn(s"${P}one", col(s"${P}c") === min(s"${P}c").over(w))
       .filter(col(s"${P}tot") === n)
-    val pBar = items.agg(count(lit(1)).as(s"${P}ni"),
-      avg((col(s"${P}sq") - n).cast("double") / (n.toDouble * (n - 1)))
-        .as(s"${P}pbar"))
-    // category totals over COMPLETE items only (join back on the kept
-    // item set — broadcast-sized after the completeness filter)
-    val catTot = cnt.join(items.select(col(s"${P}i")), s"${P}i")
-      .groupBy(col(s"${P}c")).agg(sum(s"${P}n").as(s"${P}cn"))
-    val peBar = catTot.agg(
-      sum(col(s"${P}cn") * col(s"${P}cn")).cast("double").as(s"${P}ss"),
-      sum(col(s"${P}cn")).cast("double").as(s"${P}s"))
-      .select((col(s"${P}ss") / (col(s"${P}s") * col(s"${P}s")))
-        .as(s"${P}pe"))
-    pBar.crossJoin(peBar)
+    val perCat = kept.groupBy(col(s"${P}c"))
+      .agg(sum(s"${P}n").as(s"${P}cn"),
+        sum(when(col(s"${P}one"), 1L).otherwise(0L)).as(s"${P}nip"),
+        sum(when(col(s"${P}one"),
+          (col(s"${P}sq") - n).cast("double") / (n.toDouble * (n - 1)))
+          .otherwise(0.0)).as(s"${P}pbp"))
+    perCat.agg(
+        // zero complete items → zero perCat rows → sums are null; the
+        // former count() reported 0 there, so coalesce keeps the
+        // degenerate contract (n_items=0, kappa=null)
+        coalesce(sum(s"${P}nip"), lit(0L)).as(s"${P}ni"),
+        (sum(s"${P}pbp") / sum(s"${P}nip").cast("double"))
+          .as(s"${P}pbar"),
+        (sum(col(s"${P}cn") * col(s"${P}cn")).cast("double") /
+          (sum(s"${P}cn").cast("double") *
+            sum(s"${P}cn").cast("double"))).as(s"${P}pe"))
       .select(col(s"${P}ni").as("n_items"),
         when(col(s"${P}pe") < 1.0,
           (col(s"${P}pbar") - col(s"${P}pe")) /

@@ -358,6 +358,14 @@ object PostHocOps {
     * (unadjusted two-sided normal p — feed into padjust for BH).
     * Returns {level_a, level_b, mean_rank_a, mean_rank_b, z, pvalue}. */
   def dunn(df: DataFrame, x: Column, factor: Column): DataFrame = {
+    // r17: the 26-job AQE storm this op used to plan came from its
+    // consumers re-executing the rank pipeline per branch; the fix
+    // landed INSIDE GlobalCumsum (eager pin of the range-partitioned
+    // frame + no second exchange), after a measured attempt to
+    // checkpoint byVF/ranked/perLevel here regressed the warm path
+    // 2× (three materialization barriers cost more than the tiny
+    // recomputes they saved). The remaining branch recomputes are
+    // aggregate-sized and cheap at every scale.
     val t = df.select(factor.as(s"${P}f"),
       x.cast("double").as(s"${P}x"))
     val byVF = t.groupBy(s"${P}x", s"${P}f")

@@ -1,8 +1,9 @@
 package graft.util
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Whole-frame running sums WITHOUT an unbounded single-partition
   * WindowExec.
@@ -14,17 +15,35 @@ import org.apache.spark.sql.functions._
   *
   *   1. `repartitionByRange(P, order)` — parallel range shuffle; equal
   *      keys land in one partition, partition p's keys all precede
-  *      partition p+1's.
-  *   2. per-partition running sum via `Window.partitionBy(__pid)` —
-  *      P-way parallel.
+  *      partition p+1's. P derives from the plan's LEAF bytes (one
+  *      partition per `graft.spreadChunkBytes`, capped at the session
+  *      parallelism — the Spread recipe) so tiny rank tables skip the
+  *      sampling pass and the 32-way fan-out, while unknown-size
+  *      inputs conservatively get full parallelism.
+  *   2. per-partition running sum via a sortWithinPartitions +
+  *      mapPartitions scan — P-way parallel and, unlike the former
+  *      `Window.partitionBy(__pid)` formulation, needing NO second
+  *      exchange (the window's ClusteredDistribution(__pid) requirement
+  *      re-shuffled 100% of the bytes right after the range exchange).
   *   3. per-partition totals aggregated by `__pid` (≤ P rows), their
   *      exclusive prefix sum taken with a window over that BOUNDED
   *      frame (its input cardinality is the partition count, never the
   *      data size), broadcast-joined back on `__pid`.
   *
   * global_cumsum(row) = within-partition cumsum + offset(partition).
-  * One declarative plan: the range exchange feeding steps 2 and 3 is
-  * shared via Spark's exchange reuse, no driver collect, no persist.
+  *
+  * The range-partitioned frame MUST be pinned: the plan references it
+  * twice (offsets + local cumsums), and RangePartitioner's sample seed
+  * derives from the RDD id — two independently-sampled bound sets can
+  * differ, landing the same row in different `spark_partition_id`s on
+  * the two sides and silently mis-joining the offsets (observed: AUC
+  * off by 1e-3 when exchange reuse didn't kick in). It is pinned with
+  * an EAGER localCheckpoint rather than a lazy persist: under one
+  * final action AQE materializes both consumer branches concurrently,
+  * and a lazy persist lets them race ahead of the cache fill and
+  * compute the range shuffle twice (r17 ProfileOne). The blocks are
+  * reclaimed by Release.scoped/scopedValue callers, the session's
+  * periodic cleaner, or explicit unpersist (Quantiles.exact).
   *
   * The inclusive frame (unboundedPreceding..currentRow) is computed;
   * callers needing the exclusive frame subtract the row's own value —
@@ -41,9 +60,10 @@ object GlobalCumsum {
   /** Add inclusive global running sums of `sums._1` ordered by `order`
     * (ascending or descending), one output column per `sums._2` name.
     * All original columns pass through. `numParts` overrides the range
-    * partition count (default: the session's parallelism) — exposed so
-    * the offset algebra is testable at every partition count and so
-    * callers with tiny key tables can skip over-partitioning. */
+    * partition count (default: derived from leaf bytes, capped at the
+    * session's parallelism) — exposed so the offset algebra is testable
+    * at every partition count and so callers with tiny key tables can
+    * skip over-partitioning. */
   def runningSums(df: DataFrame, order: Column, ascending: Boolean,
                   sums: Seq[(Column, String)],
                   numParts: Option[Int] = None): DataFrame =
@@ -62,34 +82,88 @@ object GlobalCumsum {
     require(numParts.forall(_ >= 1),
       s"GlobalCumsum.runningSums: numParts must be >= 1, got $numParts")
     val spark = df.sparkSession
-    val p = numParts.getOrElse(spark.sparkContext.defaultParallelism)
-    val ords = orders.map(o => if (ascending) o.asc else o.desc)
-    // MUST persist: the plan references `parted` twice (offsets + local
-    // cumsums). Un-persisted, each branch would plan its OWN range
-    // exchange, and RangePartitioner's sample seed derives from the RDD
-    // id — two independently-sampled bound sets can differ, landing the
-    // same row in different `spark_partition_id`s on the two sides and
-    // silently mis-joining the offsets (observed: AUC off by 1e-3 when
-    // exchange reuse didn't kick in). One cached RDD = one partitioner.
-    // The blocks are reclaimed by Release.scoped callers, the session's
-    // periodic cleaner, or explicit unpersist (Quantiles.exact).
-    val parted = df.repartitionByRange(p, ords: _*)
-      .withColumn(PID, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-partition inclusive cumsum — P-way parallel (the hash
-    // exchange on __pid rebalances nothing: each pid is one group)
-    val wIn = Window.partitionBy(col(PID)).orderBy(ords: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withLocal = sums.zipWithIndex.foldLeft(parted) {
-      case (d, ((c, _), i)) =>
-        d.withColumn(s"__gcs_l$i", sum(c).over(wIn))
+    val want = spark.sparkContext.defaultParallelism
+    val p = numParts.getOrElse {
+      // size-derived partition count (guide §2: derive partitioning
+      // from input size). Leaf bytes BOUND the aggregate fed in here;
+      // unknown-size leaves report the session default (huge) and
+      // conservatively keep full parallelism. p = 1 additionally
+      // skips RangePartitioner's sampling pass entirely.
+      val chunk = math.max(1L,
+        java.lang.Long.getLong("graft.spreadChunkBytes", 4L << 20))
+      val bytes = df.queryExecution.analyzed.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      val byBytes = (bytes + chunk - 1) / chunk
+      if (byBytes >= want) math.max(1, want)
+      else math.max(1, byBytes.toInt)
     }
+    val ords = orders.map(o => if (ascending) o.asc else o.desc)
+    // materialize each summed expression as a column BEFORE the range
+    // shuffle so the per-partition scan below can read it by index
+    val sCols = sums.indices.map(i => s"__gcs_s$i")
+    val withS = sums.zipWithIndex.foldLeft(df) { case (d, ((c, _), i)) =>
+      d.withColumn(s"__gcs_s$i", c)
+    }
+    val parted = withS.repartitionByRange(p, ords: _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint(true)
+    // per-partition inclusive cumsum — P-way parallel, zero exchanges:
+    // a narrow in-partition sort then one sequential scan, accumulating
+    // exactly like the former Window.partitionBy(__pid) rows-frame
+    // (same order, same per-type Sum semantics: int/long → long,
+    // float/double → double, nulls skipped, all-null prefix → null).
+    val sorted = parted.sortWithinPartitions(ords: _*)
+    val inSchema = sorted.schema
+    val sIdx = sCols.map(inSchema.fieldIndex).toArray
+    val sKinds: Array[Int] = sIdx.map { i =>
+      inSchema.fields(i).dataType match {
+        case IntegerType | LongType => 0   // accumulate Long
+        case FloatType | DoubleType => 1   // accumulate Double
+        case dt => throw new IllegalArgumentException(
+          "GlobalCumsum: unsupported sum column type " + dt +
+            " (supported: int, long, float, double)")
+      }
+    }
+    val outSchema = StructType(inSchema.fields ++ sums.indices.map(i =>
+      StructField(s"__gcs_l$i",
+        if (sKinds(i) == 0) LongType else DoubleType)))
+    val nS = sIdx.length
+    val localRdd = sorted.rdd.mapPartitions { it =>
+      val accL = new Array[Long](nS)
+      val accD = new Array[Double](nS)
+      val seen = new Array[Boolean](nS)
+      it.map { r =>
+        val extra = new Array[Any](nS)
+        var i = 0
+        while (i < nS) {
+          val v = r.get(sIdx(i))
+          if (v != null) {
+            seen(i) = true
+            if (sKinds(i) == 0) accL(i) += (v match {
+              case l: Long => l
+              case n: java.lang.Number => n.longValue()
+            })
+            else accD(i) += (v match {
+              case d: Double => d
+              case n: java.lang.Number => n.doubleValue()
+            })
+          }
+          extra(i) =
+            if (!seen(i)) null
+            else if (sKinds(i) == 0) accL(i)
+            else accD(i)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    val withLocal = spark.createDataFrame(localRdd, outSchema)
     // exclusive prefix of per-partition totals: ≤ P rows, so the
     // zero-partition window here is bounded by the PARTITION COUNT,
     // not the data — the one place a single-task window is safe by
     // construction.
-    val totAggs = sums.zipWithIndex.map { case ((c, _), i) =>
-      coalesce(sum(c), lit(0L)).cast("double").as(s"__gcs_t$i")
+    val totAggs = sCols.zipWithIndex.map { case (s, i) =>
+      coalesce(sum(col(s)), lit(0L)).cast("double").as(s"__gcs_t$i")
     }
     val wOff = Window.orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -104,6 +178,6 @@ object GlobalCumsum {
         d.withColumn(name, col(s"__gcs_l$i") + col(s"__gcs_o$i"))
     }
     out.drop(PID +: sums.indices.flatMap(i =>
-      Seq(s"__gcs_l$i", s"__gcs_o$i")): _*)
+      Seq(s"__gcs_s$i", s"__gcs_l$i", s"__gcs_o$i")): _*)
   }
 }
