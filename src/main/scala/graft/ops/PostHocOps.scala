@@ -326,16 +326,26 @@ object PostHocOps {
              groupNames: Seq[String]): DataFrame = {
     val gc = groupNames.map(col)
     val base = df.select(gc :+ x.cast("double").as(s"${P}x"): _*)
+    // ONE-PASS shape (r17): max|x−μ| is attained at the group max or
+    // min, so G and the flagged value derive from a single aggregate
+    // (mean, sd, n, max, min) — the former mean-pass + join-back +
+    // argmax-pass scanned the input twice. Bit-faithful to the per-row
+    // formulation: |max−μ| = (max−μ) and |min−μ| = −fl(min−μ) =
+    // fl(μ−min) in IEEE; division by sd is monotone; the z-tie picks
+    // the larger value (the struct-max rule) via the >= branch.
     val m = base.groupBy(gc: _*)
       .agg(avg(s"${P}x").as(s"${P}mu"),
         stddev_samp(col(s"${P}x")).as(s"${P}sd"),
-        count(lit(1)).cast("double").as(s"${P}n"))
-    val joined = joinBack(base, m, groupNames)
-    val z = abs(col(s"${P}x") - col(s"${P}mu")) / col(s"${P}sd")
-    val best = joined.groupBy(gc: _*)
-      .agg(max(struct(z.as("g"), col(s"${P}x").as("v")))
-        .as(s"${P}best"),
-        first(s"${P}n").as(s"${P}n"))
+        count(lit(1)).cast("double").as(s"${P}n"),
+        max(s"${P}x").as(s"${P}mx"),
+        min(s"${P}x").as(s"${P}mn"))
+    val zHi = abs(col(s"${P}mx") - col(s"${P}mu")) / col(s"${P}sd")
+    val zLo = abs(col(s"${P}mn") - col(s"${P}mu")) / col(s"${P}sd")
+    val best = m.select((gc ++ Seq(
+      struct(greatest(zHi, zLo).as("g"),
+        when(zHi >= zLo, col(s"${P}mx")).otherwise(col(s"${P}mn"))
+          .as("v")).as(s"${P}best"),
+      col(s"${P}n").as(s"${P}n"))): _*)
     val g = col(s"${P}best").getField("g")
     val n = col(s"${P}n")
     // two-sided p via the exact G -> t mapping:
