@@ -24,6 +24,18 @@ import org.apache.spark.sql.types._
   */
 object KnnOps {
 
+  /** Collect the reference frame and build the broadcast kd-tree once.
+    * Queries that probe the SAME reference set through several ops
+    * (kth-dist + ptwise + avg + counts…) should build here and pass
+    * the tree via each op's `refTree` — the former per-op build paid
+    * the driver collect + tree construction + broadcast once PER op
+    * (r17; q_sx_knn_point carried five identical builds). The caller
+    * owns consistency: the frame/id/features/metric handed here must
+    * be the ones the op would have collected itself. */
+  def buildRefTree(ref: DataFrame, id: Column, features: Seq[Column],
+                   metric: String = "l2"): KdTree =
+    collectTree(ref, id, features, metric)
+
   private def collectTree(ref: DataFrame, id: Column, features: Seq[Column],
                           metric: String): KdTree = {
     // na.drop BEFORE assembling the array: dropping on the array column
@@ -134,9 +146,12 @@ object KnnOps {
                 epsilon: Double = 0.0,
                 includeSelf: Boolean = false,
                 evalMask: Option[Column] = None,
-                dataMask: Option[Column] = None): DataFrame = {
-    val pool = dataMask.map(df.filter).getOrElse(df)
-    val tree = collectTree(pool, id, features, metric)
+                dataMask: Option[Column] = None,
+                refTree: Option[KdTree] = None): DataFrame = {
+    val tree = refTree.getOrElse {
+      val pool = dataMask.map(df.filter).getOrElse(df)
+      collectTree(pool, id, features, metric)
+    }
     // user bounds arrive in the metric's REPORTED unit; the tree prunes
     // in raw units (squared for l2)
     val rawBound = toRaw(maxBound, metric)
@@ -172,7 +187,8 @@ object KnnOps {
   def knnAvg(df: DataFrame, id: Column, features: Seq[Column],
              target: Column, k: Int, metric: String = "l2",
              weighted: Boolean = false, minBound: Double = 1e-9,
-             maxBound: Double = 99999.0): DataFrame = {
+             maxBound: Double = 99999.0,
+             refTree: Option[KdTree] = None): DataFrame = {
     val spark = df.sparkSession
     // the (id, target) map is driver-collected like the tree itself, so
     // it obeys the SAME loud cap, enforced BEFORE the collect via
@@ -198,7 +214,7 @@ object KnnOps {
         "SimOps (docs/CAPS.md, -Dgraft.maxKnnRef).")
     val targets = tRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bcT = spark.sparkContext.broadcast(targets)
-    val tree = collectTree(df, id, features, metric)
+    val tree = refTree.getOrElse(collectTree(df, id, features, metric))
     val rawBound = toRaw(maxBound, metric)
     val p1Weights = minBound <= 2.220446049250313e-16
     withQueried(df, id, features,
@@ -225,9 +241,10 @@ object KnnOps {
   def distFromKthNb(df: DataFrame, id: Column, features: Seq[Column],
                     k: Int, metric: String = "l2",
                     epsilon: Double = 0.0,
-                    maxBound: Double = Double.PositiveInfinity)
+                    maxBound: Double = Double.PositiveInfinity,
+                    refTree: Option[KdTree] = None)
       : DataFrame = {
-    val tree = collectTree(df, id, features, metric)
+    val tree = refTree.getOrElse(collectTree(df, id, features, metric))
     val rawBound = toRaw(maxBound, metric)
     withQueried(df, id, features,
       Seq(StructField("kth_dist", DoubleType)), (t, qid, qf) => {
@@ -258,9 +275,10 @@ object KnnOps {
   def radiusPtwise(df: DataFrame, id: Column, features: Seq[Column],
                    r: Double, metric: String = "l2",
                    includeSelf: Boolean = false,
-                   maxNeighbors: Int = Int.MaxValue): DataFrame = {
+                   maxNeighbors: Int = Int.MaxValue,
+                   refTree: Option[KdTree] = None): DataFrame = {
     val raw = if (metric == "l2") r * r else r
-    val tree = collectTree(df, id, features, metric)
+    val tree = refTree.getOrElse(collectTree(df, id, features, metric))
     withQueried(df, id, features,
       Seq(StructField("radius_ids", ArrayType(LongType))), (t, qid, qf) =>
         // includeSelf reproduces the reference's lists, which carry the
@@ -314,10 +332,11 @@ object KnnOps {
     * neighbor", test_many.py:1199). (expr_knn.py:601 query_nb_cnt;
     * knn.rs:767) */
   def nbCnt(df: DataFrame, id: Column, features: Seq[Column], r: Double,
-            metric: String = "l2", includeSelf: Boolean = false)
+            metric: String = "l2", includeSelf: Boolean = false,
+            refTree: Option[KdTree] = None)
       : DataFrame = {
     val raw = if (metric == "l2") r * r else r
-    val tree = collectTree(df, id, features, metric)
+    val tree = refTree.getOrElse(collectTree(df, id, features, metric))
     withQueried(df, id, features,
       Seq(StructField("nb_cnt", IntegerType)), (t, qid, qf) =>
         Seq(t.countRange(qf, raw,
@@ -332,17 +351,20 @@ object KnnOps {
                  maxBound: Double = Double.PositiveInfinity,
                  epsilon: Double = 0.0,
                  evalMask: Option[Column] = None,
-                 dataMask: Option[Column] = None): DataFrame =
+                 dataMask: Option[Column] = None,
+                 refTree: Option[KdTree] = None): DataFrame =
     knnPtwise(df, id, features, k, metric, maxBound = maxBound,
-        epsilon = epsilon, evalMask = evalMask, dataMask = dataMask)
+        epsilon = epsilon, evalMask = evalMask, dataMask = dataMask,
+        refTree = refTree)
       .select(explode(col("knn_ids")).as("nb_id"))
       .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
 
   /** Same for radius neighborhoods. (expr_knn.py:566
     * query_radius_freq_cnt) */
   def radiusFreqCnt(df: DataFrame, id: Column, features: Seq[Column],
-                    r: Double, metric: String = "l2"): DataFrame =
-    radiusPtwise(df, id, features, r, metric)
+                    r: Double, metric: String = "l2",
+                    refTree: Option[KdTree] = None): DataFrame =
+    radiusPtwise(df, id, features, r, metric, refTree = refTree)
       .select(explode(col("radius_ids")).as("nb_id"))
       .groupBy(col("nb_id")).agg(count(lit(1)).as("freq"))
 

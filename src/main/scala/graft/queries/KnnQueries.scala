@@ -81,10 +81,14 @@ object KnnQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_kth_dist" -> ((s, dir) => {
       val df = feat(s, dir)
+      // one driver collect + kd-tree build + broadcast shared by both
+      // probe legs (r17) — identical reference set and metric
+      val tree = Some(KnnOps.buildRefTree(df, col("c_custkey"),
+        Seq(col("f1"), col("f2"))))
       val kth = KnnOps.distFromKthNb(df, col("c_custkey"),
-        Seq(col("f1"), col("f2")), 3)
+        Seq(col("f1"), col("f2")), 3, refTree = tree)
       val ids = KnnOps.knnPtwise(df, col("c_custkey"),
-        Seq(col("f1"), col("f2")), 3)
+        Seq(col("f1"), col("f2")), 3, refTree = tree)
         .select(col("c_custkey"), element_at(col("knn_ids"), 1).as("nn1"))
       kth.join(ids, "c_custkey")
         .groupBy(col("c_mktsegment"))
@@ -96,11 +100,13 @@ object KnnQueries extends QueryPack {
       // reference contract: k+1 incl self, min_bound drops d=0, and the
       // weighted variant uses 1/d weights inside max_bound
       val df = feat(s, dir)
+      val tree = Some(KnnOps.buildRefTree(df, col("c_custkey"),
+        Seq(col("f1"), col("f2"))))
       val plain = KnnOps.knnAvg(df, col("c_custkey"),
-        Seq(col("f1"), col("f2")), col("c_acctbal"), 5)
+        Seq(col("f1"), col("f2")), col("c_acctbal"), 5, refTree = tree)
       val wtd = KnnOps.knnAvg(df, col("c_custkey"),
           Seq(col("f1"), col("f2")), col("c_acctbal"), 5,
-          weighted = true, maxBound = 30.0)
+          weighted = true, maxBound = 30.0, refTree = tree)
         .select(col("c_custkey").as("k2"), col("knn_avg").as("knn_wavg"))
       plain.join(wtd, col("c_custkey") === col("k2"))
         .groupBy(col("c_mktsegment"))
@@ -127,10 +133,12 @@ object KnnQueries extends QueryPack {
     }),
     "q_knn_freq" -> ((s, dir) => {
       val df = feat(s, dir)
+      val tree = Some(KnnOps.buildRefTree(df, col("c_custkey"),
+        Seq(col("f1"), col("f2"))))
       val kf = KnnOps.knnFreqCnt(df, col("c_custkey"),
-        Seq(col("f1"), col("f2")), 3)
+        Seq(col("f1"), col("f2")), 3, refTree = tree)
       val rf = KnnOps.radiusFreqCnt(df, col("c_custkey"),
-        Seq(col("f1"), col("f2")), 3.0)
+        Seq(col("f1"), col("f2")), 3.0, refTree = tree)
         .withColumnRenamed("freq", "rfreq")
       df.select(col("c_custkey").as("nb_id"), col("c_mktsegment"))
         .join(kf, Seq("nb_id"), "left")
@@ -182,16 +190,25 @@ object KnnQueries extends QueryPack {
       // (two ranked pair sets; 1/97 × 150k × 150k was borderline).
       // The SQL twin applies the IDENTICAL count-based rule.
       val mod = if (df.count() > 20000) 971L else 97L
-      val kth = KnnOps.distFromKthNb(df, col("c_custkey"), fs, 3)
+      // one driver collect + kd-tree build + broadcast shared by all
+      // five probe legs (r17) — they query the identical l2 reference
+      // set; the former per-op builds were five identical collects
+      val tree = Some(KnnOps.buildRefTree(df, col("c_custkey"), fs))
+      val kth = KnnOps.distFromKthNb(df, col("c_custkey"), fs, 3,
+          refTree = tree)
         .filter(col("c_custkey") % mod === 0)
-      val ids = KnnOps.knnPtwise(df, col("c_custkey"), fs, 3)
+      val ids = KnnOps.knnPtwise(df, col("c_custkey"), fs, 3,
+          refTree = tree)
         .select(col("c_custkey").as("ki"),
           element_at(col("knn_ids"), 1).as("nn1"))
-      val av = KnnOps.knnAvg(df, col("c_custkey"), fs, col("c_acctbal"), 5)
+      val av = KnnOps.knnAvg(df, col("c_custkey"), fs, col("c_acctbal"), 5,
+          refTree = tree)
         .select(col("c_custkey").as("ka"), col("knn_avg"))
-      val cnt = KnnOps.nbCnt(df, col("c_custkey"), fs, 5.0)
+      val cnt = KnnOps.nbCnt(df, col("c_custkey"), fs, 5.0,
+          refTree = tree)
         .select(col("c_custkey").as("kc"), col("nb_cnt"))
-      val rad = KnnOps.radiusPtwise(df, col("c_custkey"), fs, 3.0)
+      val rad = KnnOps.radiusPtwise(df, col("c_custkey"), fs, 3.0,
+          refTree = tree)
         .select(col("c_custkey").as("kr"), col("radius_ids"))
       kth.join(ids, col("c_custkey") === col("ki"))
         .join(av, col("c_custkey") === col("ka"))

@@ -248,4 +248,31 @@ class KnnSpec extends AnyFunSuite {
       .head.getBoolean(0)
     assert(cosOk)
   }
+
+  test("shared refTree gives results identical to per-op tree builds") {
+    // r17: multi-leg queries build the broadcast kd-tree once via
+    // buildRefTree and hand it to every op — pin that the shared-tree
+    // path is indistinguishable from the per-op collectTree path
+    import spark.implicits._
+    val df = points(300, 2, 7L).toSeq
+      .map { case (id, f) => (id, f(0), f(1), (id % 13).toDouble) }
+      .toDF("id", "f1", "f2", "t")
+    val fs = Seq(col("f1"), col("f2"))
+    val tree = Some(KnnOps.buildRefTree(df, col("id"), fs))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(KnnOps.knnPtwise(df, col("id"), fs, 4, refTree = tree))
+      .sameElements(rows(KnnOps.knnPtwise(df, col("id"), fs, 4))))
+    assert(rows(KnnOps.distFromKthNb(df, col("id"), fs, 3,
+        refTree = tree))
+      .sameElements(rows(KnnOps.distFromKthNb(df, col("id"), fs, 3))))
+    assert(rows(KnnOps.knnAvg(df, col("id"), fs, col("t"), 5,
+        refTree = tree))
+      .sameElements(rows(KnnOps.knnAvg(df, col("id"), fs, col("t"), 5))))
+    assert(rows(KnnOps.nbCnt(df, col("id"), fs, 9.0, refTree = tree))
+      .sameElements(rows(KnnOps.nbCnt(df, col("id"), fs, 9.0))))
+    assert(rows(KnnOps.radiusPtwise(df, col("id"), fs, 9.0,
+        refTree = tree))
+      .sameElements(rows(KnnOps.radiusPtwise(df, col("id"), fs, 9.0))))
+  }
 }
