@@ -218,9 +218,17 @@ object Bench {
     }
     val probeBuf =
       scala.collection.mutable.ArrayBuffer[BenchProtocol.Probe]()
+    val pairSpreads = scala.collection.mutable.ArrayBuffer[Double]()
+    // r16 verdict ask #7: two back-to-back canary runs per probe
+    // point, keep the min (BenchProtocol.pairProbe) — outside every
+    // timed query window, so only the session length grows
     def takeProbe(): Unit =
-      try probeBuf += BenchProtocol.Probe(nowAt, canaryOnce())
-      catch { case _: Throwable => }
+      try {
+        val (p, spread) =
+          BenchProtocol.pairProbe(nowAt, canaryOnce(), canaryOnce())
+        probeBuf += p
+        pairSpreads += spread
+      } catch { case _: Throwable => }
     takeProbe(); takeProbe()
     // GRAFT_BENCH_ONLY=q_a,q_b : time just those queries (local
     // iteration aid; the driver never sets it)
@@ -410,6 +418,8 @@ object Bench {
         probes.map(p => fmt(p.at)).mkString("[", ",", "]") +
         ",\"canary_spread\":" +
         fmt(BenchProtocol.canarySpread(calProbes)) +
+        ",\"canary_pair_spreads\":" +
+        pairSpreads.map(fmt).mkString("[", ",", "]") +
         ",\"canary_drift\":" + fmt(BenchProtocol.driftRatio(probes)) +
         ",\"drifted\":" + drift +
         ",\"session_factor\":" + fmt(sessionFactor) +

@@ -69,6 +69,21 @@ object BenchProtocol {
     * 2.12× canary spread with all three probes taken up front. */
   final case class Probe(at: Double, sec: Double)
 
+  /** r16 verdict ask #7 (carrying r15 item 8): each probe POINT runs
+    * the canary TWICE back-to-back and keeps the MIN — a single
+    * interference-inflated run can no longer masquerade as box speed
+    * at that point. Returns the min-probe plus the pair's own spread
+    * ratio (max/min, ≥ 1), which the bench records so a point whose
+    * two runs disagree wildly is visible in the baseline. The min
+    * direction matches [[sessionFactor]]: interference only ever
+    * inflates a timing. */
+  def pairProbe(at: Double, run1: Double, run2: Double)
+      : (Probe, Double) = {
+    val lo = math.min(run1, run2)
+    val hi = math.max(run1, run2)
+    (Probe(at, lo), hi / math.max(lo, 1e-9))
+  }
+
   /** Latest-probe speed over earliest-probe speed (by timestamp):
     * > 1 means the box got SLOWER across the session. 1 when fewer
     * than two probes exist. */

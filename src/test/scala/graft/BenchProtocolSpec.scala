@@ -133,4 +133,22 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(factorAt(Nil, 0.7, 100.0) == 1.0)
     assert(factorAt(Seq(Probe(0.0, 1.4)), 0.0, 100.0) == 1.0)
   }
+
+  test("pairProbe keeps the min of back-to-back runs and reports the " +
+      "pair spread (r16 ask #7)") {
+    // an interference-inflated first run cannot masquerade as box speed
+    val (p1, s1) = pairProbe(12.0, 2.4, 0.8)
+    assert(p1 == Probe(12.0, 0.8))
+    assert(math.abs(s1 - 3.0) < 1e-12)
+    // order-independent
+    val (p2, s2) = pairProbe(12.0, 0.8, 2.4)
+    assert(p2 == p1 && math.abs(s2 - s1) < 1e-12)
+    // clean pair: spread 1, min is either run
+    val (p3, s3) = pairProbe(0.0, 1.0, 1.0)
+    assert(p3.sec == 1.0 && math.abs(s3 - 1.0) < 1e-12)
+    // the min-kept probe feeds the same conservative factor math: a
+    // genuine 3x regression still trips at the pair-min factor
+    val f = sessionFactor(Seq(p1.sec), 0.8)
+    assert(isTrip(3.0, Band(1.0, 1.0), f))
+  }
 }
