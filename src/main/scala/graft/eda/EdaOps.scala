@@ -250,10 +250,14 @@ object EdaOps {
             // join) drop out pairwise exactly like the windowed
             // formulation.
             val colIdx = all.zipWithIndex
-            val stacked = colIdx.map { case (c, k) =>
-              base.select(lit(k).as("__k"), col(c).as("__v"))
-                .where(col("__v").isNotNull && !isnan(col("__v")))
-            }.reduce(_ unionAll _)
+            // one scan, not one per column (r17): posexplode stacks
+            // every column's value under its index in a single pass —
+            // the former per-column select + unionAll re-scanned the
+            // source once per column
+            val stacked = base
+              .select(posexplode(array(all.map(col): _*))
+                .as(Seq("__k", "__v")))
+              .where(col("__v").isNotNull && !isnan(col("__v")))
               .groupBy(col("__k"), col("__v"))
               .agg(count(lit(1)).as("__n"))
             val cum = graft.util.GlobalCumsum.runningSumsMulti(stacked,
@@ -261,8 +265,10 @@ object EdaOps {
               Seq(col("__n") -> "__cum"))
             // exclusive prefix of per-column totals: one row per
             // column, so the keyless window is bounded by the column
-            // count, never the data
-            val baseOff = stacked.groupBy(col("__k"))
+            // count, never the data. Derived from `cum` (checkpoint-
+            // backed inside GlobalCumsum) rather than `stacked`, whose
+            // re-execution would re-run the whole scan+aggregate (r17).
+            val baseOff = cum.groupBy(col("__k"))
               .agg(sum(col("__n")).as("__tot"))
               .withColumn("__base", coalesce(sum(col("__tot")).over(
                 org.apache.spark.sql.expressions.Window
@@ -276,7 +282,9 @@ object EdaOps {
             // join-back branches otherwise re-runs the whole stacked
             // pipeline past GlobalCumsum's internal cache (blocks
             // reclaimed by the Release.scopedValue wrapping the
-            // aggregate below)
+            // aggregate below). Lazy, not an eager checkpoint — the
+            // barrier on a distinct-value-sized frame measured slower
+            // warm than the branch races it removes (r17).
             val rankMap = cum.join(broadcast(baseOff), "__k")
               .select(col("__k"), col("__v"),
                 ((col("__cum") - col("__base") - col("__n")) +

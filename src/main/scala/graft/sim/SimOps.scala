@@ -329,14 +329,28 @@ object SimOps {
     val spark = df.sparkSession
     val base = df.select(id.cast("long").as("id"),
       vec.cast("array<double>").as("vec"))
-    val idx = buildIvfIndex(base, nCells, sampleCap, kmeansIter)
-    val bc = spark.sparkContext.broadcast(idx.centroids)
-    // soft assignment (IVF-nProbe analog): replicating each vector to
-    // its nAssign nearest cells recovers near-threshold pairs that
-    // straddle a cell boundary — the dominant miss class when the dedup
-    // threshold sits in the weak-similarity regime. Work scales ~nAssign
-    // per vector (pairs that meet in several shared cells dedupe below).
-    val cellOf = nearestCellsUdf(bc, nAssign)
+    // nCells == 1 (the exact all-pairs twin semantics): every vector
+    // lands in the single cell, so the IVF index build — a driver
+    // sample collect + spherical k-means + centroid broadcast per
+    // call — computes nothing the assignment needs. Skip it (r17);
+    // output identical by construction.
+    def withCell(d: DataFrame): DataFrame =
+      // null-vec rows must still drop, exactly like the udf path
+      // (null assignment array -> explode eliminates the row)
+      if (nCells == 1) d.withColumn("cell",
+        explode(when(col("vec").isNotNull, array(lit(0)))))
+      else {
+        val idx = buildIvfIndex(base, nCells, sampleCap, kmeansIter)
+        val bc = spark.sparkContext.broadcast(idx.centroids)
+        // soft assignment (IVF-nProbe analog): replicating each vector
+        // to its nAssign nearest cells recovers near-threshold pairs
+        // that straddle a cell boundary — the dominant miss class when
+        // the dedup threshold sits in the weak-similarity regime. Work
+        // scales ~nAssign per vector (pairs that meet in several
+        // shared cells dedupe below).
+        val cellOf = nearestCellsUdf(bc, nAssign)
+        d.withColumn("cell", explode(cellOf(col("vec"))))
+      }
     val cap = bucketCap
     val pairUdf = udf { (docs: Seq[org.apache.spark.sql.Row],
                          ga: Int, gb: Int, t: Double) =>
@@ -398,8 +412,7 @@ object SimOps {
       }
       out.result()
     }
-    val assigned = base
-      .withColumn("cell", explode(cellOf(col("vec"))))
+    val assigned = withCell(base)
       .withColumn("g", pmod(hash(col("id")), lit(subBlocks)).cast("int"))
     val buckets = assigned.select(col("cell"), col("id"), col("g"),
       col("vec"),

@@ -37,13 +37,14 @@ import org.apache.spark.sql.types._
   * derives from the RDD id — two independently-sampled bound sets can
   * differ, landing the same row in different `spark_partition_id`s on
   * the two sides and silently mis-joining the offsets (observed: AUC
-  * off by 1e-3 when exchange reuse didn't kick in). It is pinned with
-  * an EAGER localCheckpoint rather than a lazy persist: under one
-  * final action AQE materializes both consumer branches concurrently,
-  * and a lazy persist lets them race ahead of the cache fill and
-  * compute the range shuffle twice (r17 ProfileOne). The blocks are
-  * reclaimed by Release.scoped/scopedValue callers, the session's
-  * periodic cleaner, or explicit unpersist (Quantiles.exact).
+  * off by 1e-3 when exchange reuse didn't kick in). A LAZY persist is
+  * the right pin: one cached RDD = one RangePartitioner (bounds are
+  * part of the single RDD lineage), so concurrent consumer branches
+  * racing the cache fill can only duplicate work, never mis-join —
+  * and an eager localCheckpoint barrier here measured ~2× slower warm
+  * on large rank tables (r17, q_corr_table). Blocks are reclaimed by
+  * Release.scoped/scopedValue callers, the session's periodic
+  * cleaner, or explicit unpersist (Quantiles.exact).
   *
   * The inclusive frame (unboundedPreceding..currentRow) is computed;
   * callers needing the exclusive frame subtract the row's own value —
@@ -88,9 +89,16 @@ object GlobalCumsum {
       // from input size). Leaf bytes BOUND the aggregate fed in here;
       // unknown-size leaves report the session default (huge) and
       // conservatively keep full parallelism. p = 1 additionally
-      // skips RangePartitioner's sampling pass entirely.
+      // skips RangePartitioner's sampling pass entirely. The chunk is
+      // deliberately much smaller than Spread's kernel calibration:
+      // rank tables inflate leaf bytes ~10× (parquet-compressed
+      // columns → stacked in-memory rows) and the per-partition work
+      // here is a sort, not a cheap projection (measured: a 650k-row
+      // rank table at p=2 ran ~1.5× slower than the former 32-way
+      // window — 256 KB chunks restore the parallelism where the
+      // source is big enough to need it).
       val chunk = math.max(1L,
-        java.lang.Long.getLong("graft.spreadChunkBytes", 4L << 20))
+        java.lang.Long.getLong("graft.cumsumChunkBytes", 256L << 10))
       val bytes = df.queryExecution.analyzed.collectLeaves()
         .map(_.stats.sizeInBytes).sum
       val byBytes = (bytes + chunk - 1) / chunk
@@ -106,58 +114,18 @@ object GlobalCumsum {
     }
     val parted = withS.repartitionByRange(p, ords: _*)
       .withColumn(PID, spark_partition_id())
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition inclusive cumsum — P-way parallel, zero exchanges:
-    // a narrow in-partition sort then one sequential scan, accumulating
-    // exactly like the former Window.partitionBy(__pid) rows-frame
-    // (same order, same per-type Sum semantics: int/long → long,
-    // float/double → double, nulls skipped, all-null prefix → null).
+    // a narrow in-partition sort then one sequential InternalRow scan
+    // (org.apache.spark.sql.graft.InternalCumsum — the boxed
+    // Row/RowEncoder formulation measured 2× slower on a 700k-row rank
+    // table), accumulating exactly like the former
+    // Window.partitionBy(__pid) rows-frame (same order, same per-type
+    // Sum semantics: int/long → long, float/double → double, nulls
+    // skipped, all-null prefix → null).
     val sorted = parted.sortWithinPartitions(ords: _*)
-    val inSchema = sorted.schema
-    val sIdx = sCols.map(inSchema.fieldIndex).toArray
-    val sKinds: Array[Int] = sIdx.map { i =>
-      inSchema.fields(i).dataType match {
-        case IntegerType | LongType => 0   // accumulate Long
-        case FloatType | DoubleType => 1   // accumulate Double
-        case dt => throw new IllegalArgumentException(
-          "GlobalCumsum: unsupported sum column type " + dt +
-            " (supported: int, long, float, double)")
-      }
-    }
-    val outSchema = StructType(inSchema.fields ++ sums.indices.map(i =>
-      StructField(s"__gcs_l$i",
-        if (sKinds(i) == 0) LongType else DoubleType)))
-    val nS = sIdx.length
-    val localRdd = sorted.rdd.mapPartitions { it =>
-      val accL = new Array[Long](nS)
-      val accD = new Array[Double](nS)
-      val seen = new Array[Boolean](nS)
-      it.map { r =>
-        val extra = new Array[Any](nS)
-        var i = 0
-        while (i < nS) {
-          val v = r.get(sIdx(i))
-          if (v != null) {
-            seen(i) = true
-            if (sKinds(i) == 0) accL(i) += (v match {
-              case l: Long => l
-              case n: java.lang.Number => n.longValue()
-            })
-            else accD(i) += (v match {
-              case d: Double => d
-              case n: java.lang.Number => n.doubleValue()
-            })
-          }
-          extra(i) =
-            if (!seen(i)) null
-            else if (sKinds(i) == 0) accL(i)
-            else accD(i)
-          i += 1
-        }
-        Row.fromSeq(r.toSeq ++ extra)
-      }
-    }
-    val withLocal = spark.createDataFrame(localRdd, outSchema)
+    val withLocal = org.apache.spark.sql.graft.InternalCumsum
+      .perPartition(sorted, sCols, sums.indices.map(i => s"__gcs_l$i"))
     // exclusive prefix of per-partition totals: ≤ P rows, so the
     // zero-partition window here is bounded by the PARTITION COUNT,
     // not the data — the one place a single-task window is safe by
