@@ -72,11 +72,14 @@ object LinkOps {
     * endorsement signal. */
   def hostGraph(df: DataFrame, pageUrl: Column, html: Column,
                 dropSelf: Boolean = true): DataFrame = {
-    // Link extraction is the per-row cost and its per-byte price is
-    // far above the default spread calibration (regex over every
-    // anchor): spread with a small chunk so even page-sized sources
-    // parallelize (no-op when the scan already parallelizes).
-    val links = graft.util.Spread.byKeyChunked(df, 64L << 10, pageUrl)
+    // Link extraction is the per-row cost: spread single-split inputs
+    // at the DEFAULT calibration so multi-chunk stored-html sources
+    // parallelize (no-op when the scan already parallelizes). r17: the
+    // r16 64 KB chunk override was rolled back to the default — the
+    // sf10 fires-branch A/B on the pagerank path measured the
+    // aggressive chunk a consistent loss (the regex parse is cheaper
+    // per byte than the r16 calibration assumed).
+    val links = graft.util.Spread.byKey(df, pageUrl)
       .select(pageUrl.as("page_url"), html.as("html"))
       .select(lower(parseUrl(col("page_url"), "HOST")).as("src_host"),
         explode(extractLinks(col("page_url"), col("html"))).as("link"))

@@ -191,12 +191,15 @@ object GraphQueries extends QueryPack {
       // power-iteration rounds, replayed exactly by an unrolled-CTE
       // DuckDB twin over the same closed-form edge set.
       import graft.graph.{LinkOps, PageRankOps}
-      // spread BEFORE the synthetic url/html projection so page
-      // generation + link parsing land post-shuffle and parallelize
-      // (small chunk: the parse is regex-heavy per byte)
-      val d = graft.util.Spread.byKeyChunked(
-          t(s, dir, "documents").filter(col("doc_id") < 5000)
-            .select(col("doc_id")), 64L << 10, col("doc_id"))
+      // r17: the r16 64 KB-chunk spread before the synthetic url/html
+      // projection was removed — the page set is capped (doc_id <
+      // 5000) so the parse work is fixed at every sf, and the sf10
+      // fires-branch A/B measured the spread a consistent 15-25% loss
+      // (off 1.55-1.77 s vs on 1.78-2.25 s; sf0.1 within noise). The
+      // r16 q_pagerank win came from persisting the edge aggregate,
+      // which stays.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
+        .select(col("doc_id"))
         .select(LinkOps.syntheticPageUrl(col("doc_id")).as("url"),
           LinkOps.syntheticLinkHtml(col("doc_id")).as("html"))
       val hosts = LinkOps.hostGraph(d, col("url"), col("html"))

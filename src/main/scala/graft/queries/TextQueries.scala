@@ -935,10 +935,13 @@ object TextQueries extends QueryPack {
       // auto-detects the magic and inflates the member sequence, so
       // the same id-arithmetic oracle covers the compressed twin.
       import graft.sources.WarcOps
-      // spread before the gzip synthesize+inflate (the per-row cost)
-      graft.util.Spread.byKey(
-          t(s, dir, "documents").filter(col("doc_id") < 4000)
-            .select(col("doc_id")), col("doc_id"))
+      // r17: the r16 spread before the gzip synthesize+inflate was
+      // removed — the record set is capped (doc_id < 4000) so the work
+      // is fixed at every sf, and the sf10 fires-branch A/B measured
+      // the spread a consistent ~50% loss (0.37-0.48 s off vs
+      // 0.58-0.71 s on): pure exchange overhead over capped work.
+      t(s, dir, "documents").filter(col("doc_id") < 4000)
+        .select(col("doc_id"))
         .select(col("doc_id"), explode(WarcOps.warcRecords(
           WarcOps.syntheticWarcGz(col("doc_id")))).as("r"))
         .select(col("doc_id"), col("r.*"))

@@ -49,11 +49,14 @@ object LmOps {
     // prefix hash (the prefix of n-gram i IS (n-1)-gram i, so the two
     // hash arrays zip positionally).
     import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
-    // tokenize+hash rides the scan stage: spread single-split inputs so
-    // the three count passes parallelize (no-op at production split
-    // counts — guide §2.5 input skew)
-    val trainTok = graft.util.Spread.byKey(
-      train.select(trainText.as("__tt")), col("__tt"))
+    // r17: the r16 spread before tokenize+hash was REMOVED after the
+    // sf10 fires-branch A/B (spread on 6.5-7.5 s vs off 4.5-6.1 s warm
+    // for q_lm_kn): the native hash kernel is cheap enough per byte
+    // that the added exchange costs more than the single-task scan it
+    // parallelizes, at every scale where the gate fires. The count
+    // passes' own groupBy exchanges already redistribute the heavy
+    // explode output.
+    val trainTok = train.select(trainText.as("__tt"))
     // prefix = leading (n-1)-gram of each n-gram; its count table is
     // the denominator. For n=2 that is the unigram table itself.
     val prefixCnt = trainTok
@@ -73,8 +76,7 @@ object LmOps {
       else trainTok
         .select(explode(wordNgramHashesNative(col("__tt"), 1)).as("wh"))
         .agg(count_distinct(col("wh")).as("v"))
-    val docGrams = graft.util.Spread.byKey(
-        score.select(id.as("doc_id"), text.as("__sx")), col("doc_id"))
+    val docGrams = score.select(id.as("doc_id"), text.as("__sx"))
       .select(col("doc_id"),
         wordNgramHashesNative(col("__sx"), n).as("__gh"),
         wordNgramHashesNative(col("__sx"), n - 1).as("__ph"))
@@ -231,8 +233,12 @@ object LmOps {
     // positionally from ONE native tokenize+hash pass (no gram string
     // materialization, no substring_index rescans)
     import org.apache.spark.sql.graft.NativeFunctions.wordNgramHashesNative
+    // r17: the r16 spread before the tokenize+hash passes was removed
+    // after the sf10 fires-branch A/B measured it a consistent loss
+    // (see ngramLmScore) — the groupBy exchanges below already
+    // redistribute the explode output.
     def bigramPairs(df: DataFrame, text: Column): DataFrame =
-      graft.util.Spread.byKey(df.select(text.as("__x")), col("__x"))
+      df.select(text.as("__x"))
         .select(wordNgramHashesNative(col("__x"), 1).as("__t"))
         .select(explode(zip_with(
           slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
@@ -248,8 +254,7 @@ object LmOps {
     val ncont = cb.groupBy(col("w2h"))
       .agg(count(lit(1)).as("ncont"))
     val nbig = cb.agg(count(lit(1)).as("nbig"))
-    val docB = graft.util.Spread.byKey(
-        df.select(id.as("doc_id"), text.as("__x")), col("doc_id"))
+    val docB = df.select(id.as("doc_id"), text.as("__x"))
       .select(col("doc_id"),
         wordNgramHashesNative(col("__x"), 1).as("__t"))
       .select(col("doc_id"), explode(zip_with(
