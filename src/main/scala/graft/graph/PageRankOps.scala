@@ -53,6 +53,13 @@ object PageRankOps {
         col("u"), col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every frame this op persists, unpersisted on EXCEPTION exits
+    // (r16 ADVICE: a failure inside the iteration otherwise leaked
+    // e/trans/nodes for the life of the session); normal exits keep
+    // their documented residents (nodes + final ranks) and double
+    // unpersist of the rest is a harmless no-op
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    try {
     val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
     // transition probabilities, pre-partitioned on the join key and
     // persisted: the loop below joins this every iteration
@@ -60,11 +67,13 @@ object PageRankOps {
       .select(col("u"), col("v"), (col("w") / col("wout")).as("p"))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned += trans
     val nodes = e.select(col("u"))
       .unionAll(e.select(col("v").as("u")))
       .distinct()
       .select(col("u").as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned += nodes
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     // Small-graph fast path: below `graft.maxLocalPagerank` edges
@@ -134,9 +143,11 @@ object PageRankOps {
     // mass job (host graphs rarely have true sinks)
     val danglingNodes = nodes.join(out, nodes("id") === out("u"),
       "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    pinned += danglingNodes
     val hasDangling = danglingNodes.limit(1).count() > 0L
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned += ranks
     var it = 0
     while (it < iterations) {
       val received = trans.join(ranks, trans("u") === ranks("id"))
@@ -164,6 +175,7 @@ object PageRankOps {
             .as("rank"))
         .localCheckpoint(false)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += next
       next.count()
       ranks.unpersist(blocking = false)
       ranks = next
@@ -175,5 +187,11 @@ object PageRankOps {
     // note: `nodes` and the final `ranks` stay cached for the caller's
     // scans; Release.free(result) drops them when done
     ranks
+    } catch { case t: Throwable =>
+      pinned.foreach(d =>
+        try d.unpersist(blocking = false)
+        catch { case _: Throwable => })
+      throw t
+    }
   }
 }

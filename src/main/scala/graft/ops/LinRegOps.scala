@@ -752,7 +752,10 @@ object LinRegOps {
       }
       (betasL, itersL)
     }
-    if (maxIter > 1 && mRows * (d + 2) <= localCap)
+    // single definition of the local-path gate (r16 ADVICE): callers'
+    // skip-persist decision reads the same predicate, so the two can
+    // never silently desync
+    if (irlsGoesLocal(mRows, d, maxIter))
       return localIterate(data.collect(), init)
     var betas = init
     // Warm start (above-cap data): IRLS is Newton on the working

@@ -15,6 +15,22 @@ import graft.text.TextOps
   * a literal boolean. Quality margins stay spec-bound in TextSimSpec. */
 object TextQueries extends QueryPack {
 
+  // q_incremental_ivf's per-application scratch roots, deleted at JVM
+  // exit (r16 ADVICE) — idempotent per path
+  private val tmpRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] def registerTmpCleanup(root: String): Unit =
+    if (tmpRoots.add(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(new java.io.File(root))
+        catch { case _: Throwable => }
+      }))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_redact_pii" -> ((s, dir) => {
       // documents carry no natural PII, so append deterministic
@@ -568,9 +584,14 @@ object TextQueries extends QueryPack {
           col("embedding").cast("array<double>").as("vec"))
       // path scoped per application: a fixed shared tmp dir let two
       // concurrent graft processes interleave the overwrite/append
-      // sequence and corrupt each other's corpus (r15 ADVICE)
+      // sequence and corrupt each other's corpus (r15 ADVICE). The
+      // per-app root is deleted at JVM exit (r16 ADVICE: the returned
+      // frame lazily reads these parquet dirs, so deletion cannot
+      // happen inside the query; without the hook every invocation
+      // leaked a corpus+rewrite copy into java.io.tmpdir forever).
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q_inc_ivf_${s.sparkContext.applicationId}"
+      TextQueries.registerTmpCleanup(root)
       val idx = SimOps.buildIvfIndex(emb)
       // the corpus (write-even + append-odd) and rewrite legs are
       // independent until compared — overlap them (guide §2.6); the

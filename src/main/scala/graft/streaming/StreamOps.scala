@@ -288,7 +288,13 @@ object StreamOps {
           .as("id1"),
         greatest(col("n.i").cast("long"), col("c.i").cast("long"))
           .as("id2"),
-        when(!(col("c.blk") <=> struct(lit(0).as("k"))), blockedCorpus)
+        // compare the block FIELD, cast to string (r16 ADVICE): the
+        // former whole-struct comparison against struct(lit(0)) hit
+        // type coercion when a caller blocked on a non-int key — a
+        // confusing cast/analysis error (or a never-equal comparison
+        // raising on default-key rows) instead of the crafted message
+        when(!(col("c.blk.k").cast("string") <=> lit("0")),
+            blockedCorpus)
           .otherwise(simUdf(col("n.sig"), col("c.sig")))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
